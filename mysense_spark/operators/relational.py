@@ -1,0 +1,236 @@
+"""Relational core: scans, joins, aggregations on the star schema.
+
+These exercise the engine's join/agg surface (SURVEY.md §2.4/§2.5) on the
+driver's TPC-H-ish tables. Everything is declarative DataFrame API so
+Catalyst gets pushdown, pruning, join reordering and AQE for free — the
+reference hand-writes each of these as SQL strings against MySQL
+(e.g. statistics/grubbs.py:858-863, lib/MyMQTTclient.py:750-767).
+
+Scale notes (100 TB):
+- dimension tables (region/nation/customer/supplier/part) are broadcast —
+  never shuffled against the fact tables.
+- fact-fact joins (orders⋈lineitem) shuffle on the join key; AQE handles
+  skew. At cluster scale the fact tables would be bucketed by orderkey.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from .util import exact_avg, exact_std, exact_sum, sql_avg, sql_std, sql_sum
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary (A1 descriptive statistics).
+
+    Reference analog: doStatistics per (kit, field, period),
+    statistics/grubbs.py:851-887 — COUNT/AVG/STDDEV/MIN/MAX per group.
+    Single shuffle on the two low-cardinality group keys; partial
+    aggregation (map-side combine) makes this bandwidth-bound on the scan.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2024-11-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum(F.col("l_quantity"), 4).alias("sum_qty"),
+            exact_sum(F.col("l_extendedprice"), 4).alias("sum_base_price"),
+            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("sum_disc_price"),
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 4
+            ).alias("sum_charge"),
+            exact_avg(F.col("l_quantity"), 6).alias("avg_qty"),
+            exact_avg(F.col("l_extendedprice"), 6).alias("avg_price"),
+            exact_avg(F.col("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_PRICING_SUMMARY = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_sum('l_quantity', 4)} AS sum_qty,
+       {sql_sum('l_extendedprice', 4)} AS sum_base_price,
+       {sql_sum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+       {sql_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 4)} AS sum_charge,
+       {sql_avg('l_quantity', 6)} AS avg_qty,
+       {sql_avg('l_extendedprice', 6)} AS avg_price,
+       {sql_avg('l_discount', 6)} AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2024-11-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 orders by revenue (W6 top-N + J1-style joins).
+
+    customer is broadcast (small dim); orders⋈lineitem shuffles on
+    l_orderkey. Deterministic tie-break on o_orderkey.
+    """
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "c_name", "o_orderdate")
+        .agg(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TOP_REVENUE_ORDERS = f"""
+SELECT o_orderkey, c_name, o_orderdate,
+       {sql_sum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY o_orderkey, c_name, o_orderdate
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per region/nation through the full dimension chain (J6).
+
+    All four dims broadcast; the only shuffle is the final groupBy —
+    and AQE coalesces it. At 100 TB this plan is unchanged.
+    """
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+SQL_REGION_REVENUE = f"""
+SELECT r_name, n_name,
+       {sql_sum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey  = o_orderkey
+JOIN customer ON o_custkey   = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def q_part_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (brand, supplier-nation) lineitem stats — A1 over a 3-way join
+    with two broadcast dims; stddev_samp matches DuckDB stddev."""
+    part = load(spark, sf_dir, "part")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("p_brand", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            exact_avg(F.col("l_quantity"), 6).alias("avg_qty"),
+            exact_std(F.col("l_quantity"), 6).alias("std_qty"),
+            F.round(F.min("l_extendedprice"), 4).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+        )
+        .orderBy("p_brand", "n_name")
+    )
+
+
+SQL_PART_SUPPLIER_STATS = f"""
+SELECT p_brand, n_name,
+       count(*) AS n_items,
+       {sql_avg('l_quantity', 6)} AS avg_qty,
+       {sql_std('l_quantity', 6)} AS std_qty,
+       round(min(l_extendedprice), 4) AS min_price,
+       round(max(l_extendedprice), 4) AS max_price
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY p_brand, n_name
+ORDER BY p_brand, n_name
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join — the reference's implicit 'unknown kit skip'
+    (MyDatacollector.py:1005-1017 KnownKit) expressed as LEFT ANTI."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join + conditional agg (A10 coverage-style counting)."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    with_items = orders.join(
+        li.select("l_orderkey").distinct(), orders.o_orderkey == F.col("l_orderkey"), "left_semi"
+    )
+    return (
+        with_items.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("finished_count"),
+            exact_avg(F.col("o_totalprice"), 4).alias("avg_totalprice"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_ORDER_PRIORITY_COUNTS = f"""
+SELECT o_orderpriority,
+       count(*) AS order_count,
+       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS finished_count,
+       {sql_avg('o_totalprice', 4)} AS avg_totalprice
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
+    "region_revenue": (q_region_revenue, SQL_REGION_REVENUE),
+    "part_supplier_stats": (q_part_supplier_stats, SQL_PART_SUPPLIER_STATS),
+    "customers_without_orders": (q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS),
+    "order_priority_counts": (q_order_priority_counts, SQL_ORDER_PRIORITY_COUNTS),
+}

@@ -1,0 +1,495 @@
+"""Time-series operators over the `events` stream table — the heart of the
+MySense semantics: time-bucket aggregation, latest-per-key, run-length
+(static-sensor) detection, gap/restart detection, interval inference,
+dead-kit liveness, gap-filled regular grids, moving averages, as-of
+alignment joins.
+
+Mapping: events.user_id ≈ kit_id, events.event_type ≈ field,
+events.value ≈ measurement (FIXTURES.md §9).
+
+Scale notes: every operator here groups/windows by user_id (kit) — the
+natural partitioning key of the 100 TB fact table. One shuffle on
+(user_id) serves all window functions; time-bucket aggs shuffle on
+(bucket, key) with map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load
+from .util import exact_avg, exact_std, exact_sum, sql_avg, sql_std, sql_sum
+
+
+def q_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: tumbling time-bucket AVG/STDDEV per field (grubbs.py:1137-1143,
+    `GROUP BY timeslice`), expressed as date_trunc — the canonical
+    hourly-aggregate query behind every MySense chart."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_avg(F.col("value"), 6).alias("avg_value"),
+            exact_std(F.col("value"), 6).alias("std_value"),
+            F.round(F.min("value"), 4).alias("min_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+SQL_HOURLY_STATS = f"""
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n,
+       {sql_avg('value', 6)} AS avg_value,
+       {sql_std('value', 6)} AS std_value,
+       round(min(value), 4) AS min_value,
+       round(max(value), 4) AS max_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def q_timeslice_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 exact reference semantics: timeslice = CEILING(unix_ts/iv)*iv
+    (grubbs.py:1137-1143), iv = 3600 s. Kept distinct from date_trunc —
+    the reference's bucket is right-aligned."""
+    ev = load(spark, sf_dir, "events")
+    iv = 3600
+    secs = F.expr("unix_micros(ts) DIV 1000000")
+    slice_col = (F.ceil(secs / F.lit(iv)) * iv).cast("long").alias("timeslice")
+    return (
+        ev.groupBy(slice_col, "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), exact_avg(F.col("value"), 6).alias("avg_value"))
+        .orderBy("timeslice", "event_type")
+    )
+
+
+SQL_TIMESLICE_AVG = f"""
+SELECT CAST(ceil((epoch_us(ts) // 1000000) / 3600) * 3600 AS BIGINT) AS timeslice, event_type,
+       count(*) AS n,
+       {sql_avg('value', 6)} AS avg_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def q_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: latest-row-per-key (`ORDER BY datum DESC LIMIT 1` per kit —
+    lib/MyDB.py:392-394 and dozens more). row_number window, single
+    shuffle on user_id."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", F.round("value", 4).alias("value"))
+        .orderBy("user_id")
+    )
+
+
+SQL_LATEST_PER_USER = """
+SELECT user_id, event_id, ts, event_type, round(value, 4) AS value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+def q_static_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/W2: run-length encoding of consecutive identical values per key
+    (FindStatics, scripts/FilterShow.py:362-383): ≥3 consecutive events of
+    the same type for one user = a 'static run'. lag + conditional
+    cumulative-sum run-id — the classic distributed RLE."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .withColumn(
+            "new_run",
+            F.when(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")), 1).otherwise(0),
+        )
+        .withColumn("run_id", F.sum("new_run").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return (
+        runs.groupBy("user_id", "run_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("run_len"), F.min("ts").alias("run_start"), F.max("ts").alias("run_end"))
+        .where(F.col("run_len") >= 3)
+        .select("user_id", "event_type", "run_len", "run_start", "run_end")
+        .orderBy("user_id", "run_start")
+    )
+
+
+SQL_STATIC_RUNS = """
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS new_run
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), runs AS (
+  SELECT *, sum(new_run) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM marked
+)
+SELECT user_id, event_type, count(*) AS run_len, min(ts) AS run_start, max(ts) AS run_end
+FROM runs
+GROUP BY user_id, run_id, event_type
+HAVING count(*) >= 3
+ORDER BY user_id, run_start
+"""
+
+
+def q_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: gap/restart detection — consecutive-timestamp delta per kit
+    exceeding a threshold (IsRestarting, MyDatacollector.py:1207-1222).
+    Gaps > 2 h between events of one user."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn("gap_sec", F.expr("(unix_micros(ts) - unix_micros(prev_ts)) DIV 1000000"))
+        .where(F.col("gap_sec") > 7200)
+        .select("user_id", "prev_ts", "ts", "gap_sec")
+        .orderBy("user_id", "ts")
+    )
+
+
+SQL_GAP_DETECTION = """
+SELECT user_id, prev_ts, ts, gap_sec
+FROM (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+         (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) // 1000000 AS gap_sec
+  FROM events
+)
+WHERE gap_sec > 7200
+ORDER BY user_id, ts
+"""
+
+
+def q_interval_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: sample-interval inference — mean + stddev of consecutive ts
+    deltas within [60 s, 3600 s] per kit (getInterval,
+    statistics/MyRegression.py:267-277)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    deltas = (
+        ev.withColumn("delta", F.expr("(unix_micros(ts) - unix_micros(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) / 1000000.0"))
+        .where(F.col("delta").between(60, 3600))
+    )
+    return (
+        deltas.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_deltas"),
+            exact_avg(F.col("delta"), 6).alias("avg_interval"),
+            exact_std(F.col("delta"), 6).alias("std_interval"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_INTERVAL_INFERENCE = f"""
+WITH deltas AS (
+  SELECT user_id,
+         (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) / 1000000.0 AS delta
+  FROM events
+)
+SELECT user_id, count(*) AS n_deltas,
+       {sql_avg('delta', 6)} AS avg_interval,
+       {sql_std('delta', 6)} AS std_interval
+FROM deltas
+WHERE delta BETWEEN 60 AND 3600
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def q_dead_kits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: dead-kit liveness — per-kit last-seen vs fleet max; dead when
+    > 2 h behind (DeadKits, MyDatacollector.py:720-757). Two-level agg:
+    per-key max, then a broadcast scalar of the fleet max."""
+    ev = load(spark, sf_dir, "events")
+    last_seen = ev.groupBy("user_id").agg(F.max("ts").alias("last_seen"))
+    fleet = last_seen.agg(F.max("last_seen").alias("fleet_max"))
+    return (
+        last_seen.crossJoin(F.broadcast(fleet))
+        .withColumn("behind_sec", F.expr("(unix_micros(fleet_max) - unix_micros(last_seen)) DIV 1000000"))
+        .withColumn("dead", F.col("behind_sec") > 7200)
+        .select("user_id", "last_seen", "behind_sec", "dead")
+        .orderBy("user_id")
+    )
+
+
+SQL_DEAD_KITS = """
+WITH last_seen AS (
+  SELECT user_id, max(ts) AS last_seen FROM events GROUP BY user_id
+)
+SELECT user_id, last_seen,
+       (epoch_us((SELECT max(last_seen) FROM last_seen)) - epoch_us(last_seen)) // 1000000 AS behind_sec,
+       (epoch_us((SELECT max(last_seen) FROM last_seen)) - epoch_us(last_seen)) // 1000000 > 7200 AS dead
+FROM last_seen
+ORDER BY user_id
+"""
+
+
+def q_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: re-bucket to a regular hourly grid with NULL gap fill
+    (Array2Units, visualisation/ChartsPM.pl:580-614): hourly averages per
+    event_type left-joined onto a sequence()-generated time spine, missing
+    slots stay NULL. The spine is generated, not scanned — no data skew."""
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"), F.date_trunc("hour", F.max("ts")).alias("t1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    grid = spine.crossJoin(F.broadcast(types))
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type").agg(
+        exact_avg(F.col("value"), 6).alias("avg_value")
+    )
+    return (
+        grid.join(hourly, ["hour", "event_type"], "left")
+        .select("hour", "event_type", "avg_value")
+        .orderBy("hour", "event_type")
+    )
+
+
+SQL_HOURLY_GAPFILL = f"""
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS t0, date_trunc('hour', max(ts)) AS t1 FROM events
+), spine AS (
+  SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hour FROM bounds
+), grid AS (
+  SELECT hour, event_type FROM spine CROSS JOIN (SELECT DISTINCT event_type FROM events)
+), hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, {sql_avg('value', 6)} AS avg_value
+  FROM events GROUP BY 1, 2
+)
+SELECT g.hour, g.event_type, h.avg_value
+FROM grid g LEFT JOIN hourly h ON g.hour = h.hour AND g.event_type = h.event_type
+ORDER BY g.hour, g.event_type
+"""
+
+
+def q_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6: trailing 1-hour moving average per kit (moving-average weights,
+    grubbs.py:1039-1074) via a RANGE window frame on event-time seconds —
+    stays entirely in the JVM, one shuffle on user_id."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600 * 1_000_000, 0)
+    )
+    # exact decimal accumulation inside the frame: order-independent and
+    # identical to DuckDB's segment-tree windowed sum.
+    vdec = F.round(F.col("value"), 6).cast("decimal(28,6)")
+    ma = F.round(F.sum(vdec).over(w).cast("double") / F.count("value").over(w), 6)
+    return (
+        ev.withColumn("ma_1h", ma)
+        .select("event_id", "user_id", "ts", F.round("value", 4).alias("value"), "ma_1h")
+        .orderBy("event_id")
+    )
+
+
+SQL_MOVING_AVERAGE = """
+SELECT event_id, user_id, ts, round(value, 4) AS value,
+       round(CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) OVER w AS DOUBLE)
+             / count(value) OVER w, 6) AS ma_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
+def q_asof_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: as-of / nearest-sample alignment join (pickValue,
+    statistics/MyRegression.py:383-396): align series X ('click') with the
+    mean of series Y ('purchase') in the same ±interval/2 bucket, per kit.
+    Expressed as bucket-agg + equi-join so it stays a shuffle join on
+    (user_id, bucket) — no O(n²) range scan."""
+    ev = load(spark, sf_dir, "events")
+    iv = 900
+    bucket = (F.floor(F.expr("unix_micros(ts) DIV 1000000") / iv) * iv).cast("long").alias("bucket")
+    x = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", bucket)
+        .agg(exact_avg(F.col("value"), 6).alias("x_value"), F.count(F.lit(1)).alias("x_n"))
+    )
+    y = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", bucket)
+        .agg(exact_avg(F.col("value"), 6).alias("y_value"))
+    )
+    return (
+        x.join(y, ["user_id", "bucket"], "inner")
+        .select("user_id", "bucket", "x_value", "x_n", "y_value")
+        .orderBy("user_id", "bucket")
+    )
+
+
+SQL_ASOF_ALIGN = f"""
+WITH x AS (
+  SELECT user_id, CAST(floor((epoch_us(ts) // 1000000) / 900) * 900 AS BIGINT) AS bucket,
+         {sql_avg('value', 6)} AS x_value, count(*) AS x_n
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+), y AS (
+  SELECT user_id, CAST(floor((epoch_us(ts) // 1000000) / 900) * 900 AS BIGINT) AS bucket,
+         {sql_avg('value', 6)} AS y_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT x.user_id, x.bucket, x.x_value, x.x_n, y.y_value
+FROM x JOIN y ON x.user_id = y.user_id AND x.bucket = y.bucket
+ORDER BY x.user_id, x.bucket
+"""
+
+
+def q_mode_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: mode (most frequent value) per key with deterministic tie-break
+    (ReportFailingSensors.sh:420 failing-sensor detector)."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("cnt"), F.asc("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), "cnt")
+        .orderBy("user_id")
+    )
+
+
+SQL_MODE_PER_USER = """
+SELECT user_id, event_type AS mode_type, cnt
+FROM (
+  SELECT user_id, event_type, count(*) AS cnt,
+         row_number() OVER (PARTITION BY user_id ORDER BY count(*) DESC, event_type ASC) AS rn
+  FROM events GROUP BY user_id, event_type
+) WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+def q_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: per-sensor coverage/active test — conditional aggregation
+    (`IF(count(*)=count(ISNULL(col)),'not','active')`, Get_data.pl:3113)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchase"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("n_error"),
+            F.when(F.count(F.when(F.col("event_type") == "purchase", 1)) > 0, F.lit("active"))
+            .otherwise(F.lit("not"))
+            .alias("purchase_status"),
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("last_purchase"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_COVERAGE = """
+SELECT user_id,
+       count(*) AS n_total,
+       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+       count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+       CASE WHEN count(CASE WHEN event_type = 'purchase' THEN 1 END) > 0
+            THEN 'active' ELSE 'not' END AS purchase_status,
+       max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def q_dedup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 batch twin: idempotent upsert keyed on (kit, datum) — REPLACE INTO
+    semantics (lib/MyARCHIVE.py:426-432). Replay the events table twice
+    (simulating at-least-once delivery) and dedup latest-event_id-wins."""
+    ev = load(spark, sf_dir, "events")
+    replayed = ev.unionAll(ev)  # simulated duplicate delivery
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    return (
+        replayed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_rows"), exact_sum(F.col("value"), 4).alias("sum_value"))
+        .orderBy("user_id")
+    )
+
+
+SQL_DEDUP_UPSERT = f"""
+WITH replayed AS (
+  SELECT * FROM events UNION ALL SELECT * FROM events
+), dedup AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM replayed
+)
+SELECT user_id, count(*) AS n_rows, {sql_sum('value', 4)} AS sum_value
+FROM dedup WHERE rn = 1
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def q_sensor_set_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set difference: which event types a kit has NOT produced —
+    the reference's `new ^ DBsensors` sensor-set reconciliation
+    (MyDatacollector.py:1455-1461) via array_except over collect_set."""
+    ev = load(spark, sf_dir, "events")
+    all_types = ev.select("event_type").distinct().agg(
+        F.array_sort(F.collect_set("event_type")).alias("all_types")
+    )
+    per_user = ev.groupBy("user_id").agg(F.array_sort(F.collect_set("event_type")).alias("has_types"))
+    return (
+        per_user.crossJoin(F.broadcast(all_types))
+        .select(
+            "user_id",
+            F.array_sort(F.array_except("all_types", "has_types")).alias("missing_types"),
+            F.size("has_types").alias("n_types"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_SENSOR_SET_DIFF = """
+WITH all_t AS (
+  SELECT list_sort(list(DISTINCT event_type)) AS all_types FROM events
+), per_user AS (
+  SELECT user_id, list_sort(list(DISTINCT event_type)) AS has_types
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       list_sort(list_filter(all_types, t -> NOT list_contains(has_types, t))) AS missing_types,
+       len(has_types) AS n_types
+FROM per_user CROSS JOIN all_t
+ORDER BY user_id
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "hourly_stats": (q_hourly_stats, SQL_HOURLY_STATS),
+    "timeslice_avg": (q_timeslice_avg, SQL_TIMESLICE_AVG),
+    "latest_per_user": (q_latest_per_user, SQL_LATEST_PER_USER),
+    "static_runs": (q_static_runs, SQL_STATIC_RUNS),
+    "gap_detection": (q_gap_detection, SQL_GAP_DETECTION),
+    "interval_inference": (q_interval_inference, SQL_INTERVAL_INFERENCE),
+    "dead_kits": (q_dead_kits, SQL_DEAD_KITS),
+    "hourly_gapfill": (q_hourly_gapfill, SQL_HOURLY_GAPFILL),
+    "moving_average": (q_moving_average, SQL_MOVING_AVERAGE),
+    "asof_align": (q_asof_align, SQL_ASOF_ALIGN),
+    "mode_per_user": (q_mode_per_user, SQL_MODE_PER_USER),
+    "coverage": (q_coverage, SQL_COVERAGE),
+    "dedup_upsert": (q_dedup_upsert, SQL_DEDUP_UPSERT),
+    "sensor_set_diff": (q_sensor_set_diff, SQL_SENSOR_SET_DIFF),
+}

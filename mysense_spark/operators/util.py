@@ -1,0 +1,80 @@
+"""Shared expression helpers keeping Spark output bit-identical to the
+ANSI-SQL oracles regardless of partitioning.
+
+Floating-point sums are order-dependent; Spark's shuffle partitioning (and
+therefore partial-agg order) differs from DuckDB's scan order, so a plain
+`round(avg(x), 6)` can flip its last digit between engines. Every helper
+here accumulates in exact DECIMAL after a deterministic per-row rounding,
+then performs a single, fixed-order double computation — identical on any
+engine and any partitioning. This also makes results stable across cluster
+sizes, which matters for reproducible pipelines at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# per-row quantization scale: 6 decimals is finer than any source column
+# (measurements are 1-3 decimals; prices 2) so semantics are unchanged.
+_ROW_SCALE = 6
+_DEC = "decimal(28,6)"
+
+
+def _dec(expr: Column) -> Column:
+    return F.round(expr, _ROW_SCALE).cast(_DEC)
+
+
+def exact_sum(expr: Column, nd: int = 4) -> Column:
+    """Order-independent sum: per-row round -> exact decimal sum -> double."""
+    return F.round(F.sum(_dec(expr)).cast("double"), nd)
+
+
+def exact_avg(expr: Column, nd: int = 6) -> Column:
+    """Order-independent mean with SQL null-skipping semantics."""
+    return F.round(F.sum(_dec(expr)).cast("double") / F.count(expr), nd)
+
+
+def exact_std(expr: Column, nd: int = 6) -> Column:
+    """Order-independent sample stddev from exact decimal (sum, sum-of-squares).
+
+    NULL for n<=1 (ANSI semantics; Spark's stddev would yield NaN)."""
+    xd = _dec(expr)
+    s1 = F.sum(xd).cast("double")
+    s2 = F.sum(xd * xd).cast("double")
+    n = F.count(expr)
+    var = (s2 - s1 * s1 / n) / (n - F.lit(1))
+    return F.when(n > 1, F.round(F.sqrt(F.greatest(var, F.lit(0.0))), nd)).otherwise(F.lit(None).cast("double"))
+
+
+# --- SQL twins (DuckDB) ----------------------------------------------------
+
+def sql_dec(e: str) -> str:
+    return f"CAST(round({e}, {_ROW_SCALE}) AS DECIMAL(28,6))"
+
+
+def sql_sum(e: str, nd: int = 4) -> str:
+    return f"round(CAST(sum({sql_dec(e)}) AS DOUBLE), {nd})"
+
+
+def sql_avg(e: str, nd: int = 6) -> str:
+    return f"round(CAST(sum({sql_dec(e)}) AS DOUBLE) / count({e}), {nd})"
+
+
+def sql_std(e: str, nd: int = 6) -> str:
+    s1 = f"CAST(sum({sql_dec(e)}) AS DOUBLE)"
+    s2 = f"CAST(sum({sql_dec(e)} * {sql_dec(e)}) AS DOUBLE)"
+    n = f"count({e})"
+    var = f"(({s2} - {s1} * {s1} / {n}) / ({n} - 1))"
+    return f"CASE WHEN {n} > 1 THEN round(sqrt(greatest({var}, 0.0)), {nd}) ELSE NULL END"
+
+
+def stddev_null(col) -> Column:
+    """Sample stddev with SQL NULL semantics: Spark's stddev_samp yields NaN
+    for 1-element groups where ANSI engines (DuckDB) yield NULL."""
+    s = F.stddev(col)
+    return F.when(F.isnan(s), F.lit(None).cast("double")).otherwise(s)
+
+
+def nan_to_null(c: Column) -> Column:
+    return F.when(F.isnan(c), F.lit(None).cast("double")).otherwise(c)
