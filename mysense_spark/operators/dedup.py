@@ -1,0 +1,350 @@
+"""Deduplication operators over `documents` / `embeddings` — the
+training-data-pipeline dedup family: exact hash, n-gram Jaccard, MinHash +
+LSH banding, SimHash, embedding-cosine near-dup.
+
+Scale design (100 TB corpus):
+- exact dedup: one shuffle on the content hash.
+- n-gram Jaccard is quadratic per shingle bucket — usable as the VERIFY
+  step only; candidate generation must come from LSH.
+- MinHash+LSH: shingle -> 16 deterministic hash slots -> 4 bands of 4;
+  candidate pairs only within equal band keys (equi-join, shuffle on band
+  key) — the classic near-linear near-dup pipeline. Hash base is
+  md5-derived so the DuckDB oracle reproduces it bit-for-bit.
+- SimHash: 32-bit signature per doc; pairs within hamming distance 6.
+  At scale the pair join is blocked by signature prefix; here the corpus
+  is small enough to verify exhaustively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+
+_WORD_RE = "[a-z0-9]+"
+_P = 1_000_000_007  # hash modulus; keeps a*h+b within int64 for both engines
+_N_HASHES = 16
+_N_BANDS = 4
+_ROWS_PER_BAND = 4
+# deterministic affine permutation parameters (a odd, fixed seed-free)
+_HASH_A = [2 * i * i + 3 * i + 7 for i in range(1, _N_HASHES + 1)]
+_HASH_B = [5 * i * i + 11 * i + 13 for i in range(1, _N_HASHES + 1)]
+
+_JACCARD_THRESHOLD = 0.05
+
+
+def _shingles(doc: DataFrame) -> DataFrame:
+    """Distinct word-3-gram shingles per doc (long format)."""
+    words = F.expr(f"regexp_extract_all(text, '{_WORD_RE}', 0)")
+    tri = F.expr(
+        "transform(sequence(0, size(words) - 3), i -> "
+        "concat(words[i], ' ', words[i+1], ' ', words[i+2]))"
+    )
+    return (
+        doc.select("doc_id", words.alias("words"))
+        .where(F.size("words") >= 3)
+        .select("doc_id", F.explode(tri).alias("shingle"))
+        .distinct()
+    )
+
+
+_SQL_SHINGLES = f"""
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(len(w) - 2),
+                                 i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+    FROM (SELECT doc_id, regexp_extract_all(text, '{_WORD_RE}') AS w FROM documents)
+    WHERE len(w) >= 3
+  )
+"""
+
+
+def _shingle_hash(c: Column) -> Column:
+    """Deterministic 60-bit shingle hash from md5 (same in DuckDB)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long") % _P
+
+
+def _sql_shingle_hash(e: str) -> str:
+    return f"(('0x' || substr(md5({e}), 1, 15))::BIGINT % {_P})"
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by normalized-content hash, keep min doc_id as
+    representative (one shuffle on the hash — the 100 TB-safe baseline)."""
+    doc = load(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    return (
+        doc.withColumn("fingerprint", F.md5(norm))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("keep_doc_id")
+    )
+
+
+SQL_DEDUP_EXACT = r"""
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+       min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM documents
+GROUP BY 1
+ORDER BY keep_doc_id
+"""
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup verify step: exact word-3-gram Jaccard for all pairs
+    sharing >= 1 shingle, threshold 0.05. The shingle equi-join bounds the
+    pair explosion to co-bucketed docs (never a full cross join)."""
+    doc = load(spark, sf_dir, "documents")
+    sh = _shingles(doc).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("n_shingles").alias("n1"))
+    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("n_shingles").alias("n2"))
+    jac = F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
+    return (
+        common.join(sa, "d1")
+        .join(sb, "d2")
+        .withColumn("jaccard", F.round(jac, 6))
+        .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .select("d1", "d2", "common", "jaccard")
+        .orderBy("d1", "d2")
+    )
+
+
+SQL_NGRAM_JACCARD_PAIRS = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2, common,
+       round(common / (sa.n_shingles + sb.n_shingles - common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = d1
+JOIN sizes sb ON sb.doc_id = d2
+WHERE round(common / (sa.n_shingles + sb.n_shingles - common), 6) >= {_JACCARD_THRESHOLD}
+ORDER BY d1, d2
+"""
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup candidates, verified with exact
+    Jaccard. 16 affine min-hashes over md5-based shingle hashes; 4 bands
+    of 4 rows; pairs sharing any band key become candidates; candidates
+    are then verified (exact Jaccard >= threshold).
+
+    This is the scale path: signatures are one groupBy over shingles,
+    banding is an equi-join on (band_id, band_key) — no quadratic stage
+    touches the full corpus."""
+    doc = load(spark, sf_dir, "documents")
+    sh = _shingles(doc).withColumn("h", _shingle_hash(F.col("shingle")))
+    minhash_aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % _P).alias(f"m{i}")
+        for i, (a, b) in enumerate(zip(_HASH_A, _HASH_B))
+    ]
+    sig = sh.groupBy("doc_id").agg(*minhash_aggs)
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "_", *[F.col(f"m{b * _ROWS_PER_BAND + r}") for r in range(_ROWS_PER_BAND)]
+            )
+            for b in range(_N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.posexplode(band_keys).alias("band_id", "band_key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    # verify candidates with exact Jaccard (reuses the shingle sets)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    s1 = sh.select(F.col("doc_id").alias("sd1"), F.col("shingle").alias("sh1"))
+    s2 = sh.select(F.col("doc_id").alias("sd2"), F.col("shingle").alias("sh2"))
+    common = (
+        cand.join(s1, F.col("d1") == F.col("sd1"))
+        .join(s2, (F.col("d2") == F.col("sd2")) & (F.col("sh1") == F.col("sh2")))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("n_shingles").alias("n1"))
+    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("n_shingles").alias("n2"))
+    jac = F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
+    return (
+        common.join(sa, "d1")
+        .join(sb, "d2")
+        .withColumn("jaccard", F.round(jac, 6))
+        .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .select("d1", "d2", "jaccard")
+        .orderBy("d1", "d2")
+    )
+
+
+def _sql_minhash() -> str:
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {_P}) AS m{i}" for i, (a, b) in enumerate(zip(_HASH_A, _HASH_B))
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {bid} AS band_id, ".format(bid=b)
+        + " || '_' || ".join(f"CAST(m{b * _ROWS_PER_BAND + r} AS VARCHAR)" for r in range(_ROWS_PER_BAND))
+        + " AS band_key FROM sig"
+        for b in range(_N_BANDS)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, shingle, {_sql_shingle_hash('shingle')} AS h
+  FROM ({_SQL_SHINGLES})
+),
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.d1, c.d2, count(*) AS common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.d1
+  JOIN sh b ON b.doc_id = c.d2 AND a.shingle = b.shingle
+  GROUP BY c.d1, c.d2
+)
+SELECT d1, d2,
+       round(common / (sa.n_shingles + sb.n_shingles - common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = d1
+JOIN sizes sb ON sb.doc_id = d2
+WHERE round(common / (sa.n_shingles + sb.n_shingles - common), 6) >= {_JACCARD_THRESHOLD}
+ORDER BY d1, d2
+"""
+
+
+SQL_MINHASH_LSH_PAIRS = _sql_minhash()
+
+_SIMHASH_BITS = 32
+_HAMMING_MAX = 6
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 32-bit signature from md5 word hashes (weighted
+    bit voting), pairs within hamming distance <= 6 via bit_count(xor).
+    At 100 TB the pair stage blocks on a signature prefix; exhaustive here."""
+    doc = load(spark, sf_dir, "documents")
+    words = F.explode(F.expr(f"regexp_extract_all(text, '{_WORD_RE}', 0)")).alias("word")
+    tok = doc.select("doc_id", words)
+    h = F.conv(F.substring(F.md5(F.col("word")), 1, 15), 16, 10).cast("long")
+    tok = tok.withColumn("h", h)
+    bit_votes = [
+        F.sum(F.when(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"v{k}")
+        for k in range(_SIMHASH_BITS)
+    ]
+    votes = tok.groupBy("doc_id").agg(*bit_votes)
+    sig: Column = F.lit(0).cast("long")
+    for k in range(_SIMHASH_BITS):
+        sig = sig + F.when(F.col(f"v{k}") > 0, F.lit(1 << k).cast("long")).otherwise(F.lit(0).cast("long"))
+    sigs = votes.select("doc_id", sig.alias("simhash"))
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn("hamming", ham)
+        .where(F.col("hamming") <= _HAMMING_MAX)
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"), "hamming")
+        .orderBy("d1", "d2")
+    )
+
+
+def _sql_simhash() -> str:
+    vote_cols = ", ".join(
+        f"sum(CASE WHEN (h // {1 << k}) % 2 = 1 THEN 1 ELSE -1 END) AS v{k}" for k in range(_SIMHASH_BITS)
+    )
+    sig = " + ".join(f"CASE WHEN v{k} > 0 THEN {1 << k}::BIGINT ELSE 0 END" for k in range(_SIMHASH_BITS))
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(word), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '{_WORD_RE}')) AS word FROM documents)
+),
+votes AS (SELECT doc_id, {vote_cols} FROM tok GROUP BY doc_id),
+sigs AS (SELECT doc_id, ({sig}) AS simhash FROM votes)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
+ORDER BY d1, d2
+"""
+
+
+SQL_SIMHASH_PAIRS = _sql_simhash()
+
+_COSINE_THRESHOLD = 0.95
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: pairs with cosine >= 0.95 over the
+    embeddings table, brute force (the verify tier; LSH/IVF prunes first
+    at scale — see similarity.py)."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn(
+        "norm", F.sqrt(F.aggregate(F.expr("transform(v, x -> x * x)"), F.lit(0.0), lambda acc, x: acc + x))
+    )
+    a = v.alias("a")
+    b = v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cos = F.round(dot / (F.col("a.norm") * F.col("b.norm")), 6)
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") >= _COSINE_THRESHOLD)
+        .select(F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2"), "cosine")
+        .orderBy("v1", "v2")
+    )
+
+
+SQL_EMBEDDING_NEARDUP = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS norm
+  FROM embeddings
+)
+SELECT a.vec_id AS v1, b.vec_id AS v2,
+       round(list_sum(list_transform(range(len(a.v)), i -> a.v[i+1] * b.v[i+1]))
+             / (a.norm * b.norm), 6) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE round(list_sum(list_transform(range(len(a.v)), i -> a.v[i+1] * b.v[i+1]))
+            / (a.norm * b.norm), 6) >= {_COSINE_THRESHOLD}
+ORDER BY v1, v2
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
+    "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
+    "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
+}

@@ -1,0 +1,164 @@
+"""Regression / calibration analytics (SURVEY.md §2.10): closed-form OLS
+over aligned series, R², min-max normalization, fit application.
+
+The reference pulls series into numpy and runs np.polyfit
+(statistics/MyRegression.py:860-866). Distributed rebuild: the J2
+bucket-alignment join produces (x, y) pairs; sufficient statistics
+(n, Σx, Σy, Σxy, Σx², Σy²) are exact decimal sums, so the closed-form
+slope/intercept/R² is order-independent and identical to the oracle.
+At 100 TB this is one shuffle (the alignment) plus one agg — no data
+leaves the JVM."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load
+from .util import exact_avg, sql_avg
+
+_DEC = "decimal(28,6)"
+
+
+def _aligned_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 alignment: per (kit, 15-min bucket) mean of X ('click') and Y
+    ('purchase') — MyRegression.pickValue semantics."""
+    ev = load(spark, sf_dir, "events")
+    iv = 900
+    bucket = (F.floor(F.expr("unix_micros(ts) DIV 1000000") / iv) * iv).cast("long").alias("bucket")
+    x = ev.where(F.col("event_type") == "click").groupBy("user_id", bucket).agg(
+        exact_avg(F.col("value"), 6).alias("x")
+    )
+    y = ev.where(F.col("event_type") == "purchase").groupBy("user_id", bucket).agg(
+        exact_avg(F.col("value"), 6).alias("y")
+    )
+    return x.join(y, ["user_id", "bucket"])
+
+
+_SQL_ALIGNED = f"""
+  SELECT x.user_id, x.bucket, x.x, y.y
+  FROM (SELECT user_id, CAST(floor((epoch_us(ts) // 1000000) / 900) * 900 AS BIGINT) AS bucket,
+               {sql_avg('value', 6)} AS x
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2) x
+  JOIN (SELECT user_id, CAST(floor((epoch_us(ts) // 1000000) / 900) * 900 AS BIGINT) AS bucket,
+               {sql_avg('value', 6)} AS y
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) y
+    ON x.user_id = y.user_id AND x.bucket = y.bucket
+"""
+
+
+def q_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1+R2: per-kit OLS fit y ~ a + b*x with R², closed form from exact
+    sufficient statistics (np.polyfit order-1 equivalent,
+    MyRegression.py:860-866 + R² :768-791)."""
+    pairs = _aligned_pairs(spark, sf_dir)
+    xd = F.col("x").cast(_DEC)
+    yd = F.col("y").cast(_DEC)
+    stats = pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(xd * yd).cast("double").alias("sxy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+        F.sum(yd * yd).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    den_x = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = n * F.col("syy") - F.col("sy") * F.col("sy")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = num / den_x
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    r2 = (num * num) / (den_x * den_y)
+    return (
+        stats.where((n >= 3) & (den_x > 0) & (den_y > 0))
+        .select(
+            "user_id",
+            "n",
+            F.round(slope, 6).alias("slope"),
+            F.round(intercept, 6).alias("intercept"),
+            F.round(r2, 6).alias("r2"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_LINEAR_REGRESSION = f"""
+WITH pairs AS ({_SQL_ALIGNED}),
+stats AS (
+  SELECT user_id, count(*) AS n,
+         CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x AS DECIMAL(28,6)) * CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(x AS DECIMAL(28,6)) * CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(y AS DECIMAL(28,6)) * CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS syy
+  FROM pairs GROUP BY user_id
+)
+SELECT user_id, n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept,
+       round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM stats
+WHERE n >= 3 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+ORDER BY user_id
+"""
+
+
+def q_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4: min-max normalization to [0,1] per field
+    (MyRegression.py:826-839) via a grouped min/max broadcast back."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    lo = F.min("value").over(w)
+    hi = F.max("value").over(w)
+    return (
+        ev.withColumn("norm", F.round((F.col("value") - lo) / (hi - lo), 8))
+        .select("event_id", "event_type", F.round("value", 4).alias("value"), "norm")
+        .orderBy("event_id")
+    )
+
+
+SQL_MINMAX_NORMALIZE = """
+SELECT event_id, event_type, round(value, 4) AS value,
+       round((value - min(value) OVER (PARTITION BY event_type))
+             / (max(value) OVER (PARTITION BY event_type) - min(value) OVER (PARTITION BY event_type)), 8) AS norm
+FROM events
+ORDER BY event_id
+"""
+
+
+def q_fit_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5: apply a fitted polynomial to a series ("corrected" values,
+    getFitMatrix MyRegression.py:977-996), then summarize per kit."""
+    ev = load(spark, sf_dir, "events")
+    a0, a1 = 1.2345, 0.9876
+    corrected = F.lit(a0) + F.lit(a1) * F.col("value")
+    return (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_avg(corrected, 6).alias("avg_corrected"),
+            F.round(F.min(corrected), 8).alias("min_corrected"),
+            F.round(F.max(corrected), 8).alias("max_corrected"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_FIT_APPLY = f"""
+SELECT user_id, count(*) AS n,
+       {sql_avg('1.2345 + 0.9876 * value', 6)} AS avg_corrected,
+       round(min(1.2345 + 0.9876 * value), 8) AS min_corrected,
+       round(max(1.2345 + 0.9876 * value), 8) AS max_corrected
+FROM events
+WHERE event_type = 'error'
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "linear_regression": (q_linear_regression, SQL_LINEAR_REGRESSION),
+    "minmax_normalize": (q_minmax_normalize, SQL_MINMAX_NORMALIZE),
+    "fit_apply": (q_fit_apply, SQL_FIT_APPLY),
+}

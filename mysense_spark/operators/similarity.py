@@ -1,0 +1,208 @@
+"""Similarity search over the `embeddings` table: brute-force cosine top-k
+(the verify tier) and an IVF-style cluster-pruned ANN (the 100 TB path).
+
+Scale design: brute force is O(Q*N) — fine for a re-rank stage, never for
+the full corpus. The IVF variant assigns every vector to its nearest
+centroid once (one broadcast join against K centroids), then probes only
+the nprobe closest clusters per query — at cluster scale the assignment is
+a partition key, so a probe reads only matching partitions (partition
+pruning instead of a full scan).
+
+All ranking happens on cosine ROUNDED to 6 decimals with vec_id
+tie-breaks, so ordering is reproducible across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load
+
+_N_QUERIES = 5  # vec_id < 5 are the query vectors
+_TOP_K = 10
+_N_CENTROIDS = 8
+_CENTROID_BASE = 100  # embeddings 100..107 act as the trained centroids
+_NPROBE = 2
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        "label",
+        v.alias("v"),
+        F.sqrt(F.aggregate(F.expr("transform(cast(embedding as array<double>), x -> x * x)"), F.lit(0.0), lambda a, x: a + x)).alias("norm"),
+    )
+
+
+_SQL_VECTORS = """
+  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS norm
+  FROM embeddings
+"""
+
+_SQL_COS = (
+    "round(list_sum(list_transform(range(len(q.v)), i -> q.v[i+1] * c.v[i+1]))"
+    " / (q.norm * c.norm), 6)"
+)
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for each query vector (vec_id < 5),
+    excluding the query itself. One broadcast of the tiny query side; the
+    candidate scan parallelizes embarrassingly."""
+    vecs = _vectors(spark, sf_dir)
+    q = vecs.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
+    )
+    c = vecs.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm"))
+    cos = F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm")), 6)
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("cand_id"))
+        .withColumn("cosine", cos)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TOP_K)
+        .select("query_id", "rank", "cand_id", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
+SQL_KNN_BRUTEFORCE = f"""
+WITH vecs AS ({_SQL_VECTORS}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {_SQL_COS} AS cosine
+  FROM vecs q CROSS JOIN vecs c
+  WHERE q.vec_id < {_N_QUERIES} AND q.vec_id <> c.vec_id
+)
+SELECT query_id, rank, cand_id, cosine
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest of 8 centroids
+    (embeddings 100..107), probe the 2 closest clusters per query, rank
+    candidates inside the probed clusters only. Returns top-5 per query
+    — the cluster assignment is the partition-pruning key at scale."""
+    vecs = _vectors(spark, sf_dir)
+    cents = vecs.where(
+        (F.col("vec_id") >= _CENTROID_BASE) & (F.col("vec_id") < _CENTROID_BASE + _N_CENTROIDS)
+    ).select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm"))
+
+    cos_vc = F.round(_dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm")), 6)
+    # nearest centroid per vector (broadcast join: K rows)
+    assigned = (
+        vecs.crossJoin(F.broadcast(cents))
+        .withColumn("cent_cos", cos_vc)
+        .withColumn(
+            "crank",
+            F.row_number().over(Window.partitionBy("vec_id").orderBy(F.desc("cent_cos"), F.asc("cent_id"))),
+        )
+    )
+    membership = assigned.where(F.col("crank") == 1).select("vec_id", "v", "norm", "cent_id")
+    probes = (
+        assigned.where((F.col("vec_id") < _N_QUERIES) & (F.col("crank") <= _NPROBE))
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qnorm"), "cent_id")
+    )
+    cand = membership.select(
+        F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm"), "cent_id"
+    )
+    cos_qc = F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm")), 6)
+    scored = (
+        probes.join(cand, "cent_id")
+        .where(F.col("query_id") != F.col("cand_id"))
+        .withColumn("cosine", cos_qc)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "rank", "cand_id", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
+SQL_ANN_IVF = f"""
+WITH vecs AS ({_SQL_VECTORS}),
+cents AS (
+  SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM vecs
+  WHERE vec_id >= {_CENTROID_BASE} AND vec_id < {_CENTROID_BASE + _N_CENTROIDS}
+),
+assigned AS (
+  SELECT q.vec_id, q.v, q.norm, c.cent_id,
+         round(list_sum(list_transform(range(len(q.v)), i -> q.v[i+1] * c.cv[i+1]))
+               / (q.norm * c.cnorm), 6) AS cent_cos,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY round(list_sum(list_transform(range(len(q.v)), i -> q.v[i+1] * c.cv[i+1]))
+                                           / (q.norm * c.cnorm), 6) DESC, c.cent_id ASC) AS crank
+  FROM vecs q CROSS JOIN cents c
+),
+membership AS (SELECT vec_id, v, norm, cent_id FROM assigned WHERE crank = 1),
+probes AS (
+  SELECT vec_id AS query_id, v AS qv, norm AS qnorm, cent_id
+  FROM assigned WHERE vec_id < {_N_QUERIES} AND crank <= {_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, m.vec_id AS cand_id,
+         round(list_sum(list_transform(range(len(p.qv)), i -> p.qv[i+1] * m.v[i+1]))
+               / (p.qnorm * m.norm), 6) AS cosine
+  FROM probes p JOIN membership m ON p.cent_id = m.cent_id
+  WHERE p.query_id <> m.vec_id
+)
+SELECT query_id, rank, cand_id, cosine
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+def q_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-cluster quality: per label, mean intra-label cosine to the
+    label centroid (mean vector). Demonstrates vector aggregation
+    (element-wise mean via exploded position) — the 'train centroids'
+    step of IVF at scale."""
+    emb = load(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "vec_id", "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x")
+    )
+    cent = pos.groupBy("label", "i").agg(
+        (F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count(F.lit(1))).alias("cx")
+    )
+    joined = pos.join(cent, ["label", "i"])
+    per_vec = joined.groupBy("vec_id", "label").agg(
+        F.sum(F.col("x") * F.col("cx")).alias("dot"),
+        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nx"),
+        F.sqrt(F.sum(F.col("cx") * F.col("cx"))).alias("nc"),
+    )
+    return (
+        per_vec.withColumn("cos", F.col("dot") / (F.col("nx") * F.col("nc")))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.round(F.avg("cos"), 4).alias("avg_intra_cosine"))
+        .orderBy("label")
+    )
+
+
+QUERIES: dict[str, tuple] = {
+    "knn_bruteforce": (q_knn_bruteforce, SQL_KNN_BRUTEFORCE),
+    "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
+    "cluster_stats": (q_cluster_stats, None),
+}

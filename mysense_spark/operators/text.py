@@ -1,0 +1,217 @@
+"""Text-analysis operators over the `documents` table — the LLM-training-
+pipeline surface (BASELINE.json north star): token counting, language ID,
+quality scoring, document fingerprinting.
+
+All operators are pure JVM column expressions (regexp/hash built-ins) —
+no Python in the hot path, so they scale linearly with executors over a
+100 TB corpus. Regex dialect is kept to the intersection of Java regex
+and RE2 so the DuckDB oracles match byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+
+_WORD_RE = "[a-z0-9]+"
+
+# language marker words for the n-gram/stopword heuristic language ID
+_LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|a)\b",
+    "de": r"\b(der|die|das|und|ist)\b",
+    "fr": r"\b(le|la|les|et|est)\b",
+    "es": r"\b(el|los|las|y|es)\b",
+}
+_LANG_ORDER = ["en", "de", "fr", "es"]  # deterministic tie-break priority
+
+
+def _ntokens(c: Column) -> Column:
+    return F.size(F.expr(f"regexp_extract_all(text, '{_WORD_RE}', 0)"))
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts, word lengths, alpha ratio — the
+    quality-feature base (whitespace + regex tokenizer)."""
+    doc = load(spark, sf_dir, "documents")
+    n_tokens = _ntokens(F.col("text"))
+    alpha_chars = F.length(F.regexp_replace("text", "[^a-z0-9]", ""))
+    return (
+        doc.select(
+            "doc_id",
+            "source",
+            F.length("text").alias("len_chars"),
+            n_tokens.alias("n_tokens"),
+            F.round(alpha_chars / n_tokens, 6).alias("avg_word_len"),
+            F.round(alpha_chars / F.length("text"), 6).alias("alpha_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_TEXT_STATS = f"""
+SELECT doc_id, source,
+       length(text) AS len_chars,
+       len(regexp_extract_all(text, '{_WORD_RE}')) AS n_tokens,
+       round(length(regexp_replace(text, '[^a-z0-9]', '', 'g'))
+             / len(regexp_extract_all(text, '{_WORD_RE}')), 6) AS avg_word_len,
+       round(length(regexp_replace(text, '[^a-z0-9]', '', 'g'))
+             / length(text), 6) AS alpha_ratio
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting per source: alpha runs, digit runs and
+    punctuation chars each count as one token (the pre-tokenizer split
+    every real BPE applies first)."""
+    doc = load(spark, sf_dir, "documents")
+    bpe = F.size(F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)"))
+    ws = F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)"))
+    return (
+        doc.select("source", bpe.alias("bpe"), ws.alias("ws"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("bpe").alias("total_bpe_tokens"),
+            F.sum("ws").alias("total_ws_tokens"),
+            F.round(F.sum("bpe") / F.count(F.lit(1)), 6).alias("avg_bpe_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_TOKEN_COUNT = r"""
+WITH per_doc AS (
+  SELECT source,
+         len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe,
+         len(regexp_extract_all(text, '\S+')) AS ws
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       sum(bpe) AS total_bpe_tokens,
+       sum(ws) AS total_ws_tokens,
+       round(sum(bpe) / count(*), 6) AS avg_bpe_tokens
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID: count per-language marker hits, argmax
+    with fixed priority, 'und' (undetermined) when no marker fires.
+    Output = confusion matrix vs the labeled lang column."""
+    doc = load(spark, sf_dir, "documents")
+    counts = {
+        # Spark SQL string literals eat backslashes (DuckDB's don't): double them
+        lang: F.size(F.expr(f"regexp_extract_all(text, '{pat.replace(chr(92), chr(92) * 2)}', 0)"))
+        for lang, pat in _LANG_MARKERS.items()
+    }
+    # argmax with fixed priority tie-break, written as a fold from lowest
+    # priority upward so earlier languages win ties
+    pred = F.lit("und")
+    pred_n = F.lit(0)
+    for lang in reversed(_LANG_ORDER):
+        c = counts[lang]
+        pred = F.when(c >= F.greatest(pred_n, F.lit(1)), F.lit(lang)).otherwise(pred)
+        pred_n = F.greatest(pred_n, c)
+    return (
+        doc.withColumn("predicted", pred)
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+def _sql_lang_counts() -> dict[str, str]:
+    return {lang: f"len(regexp_extract_all(text, '{pat}'))" for lang, pat in _LANG_MARKERS.items()}
+
+
+def _sql_lang_pred() -> str:
+    cs = _sql_lang_counts()
+    expr = "'und'"
+    prev_max = "0"
+    for lang in reversed(_LANG_ORDER):
+        c = cs[lang]
+        expr = f"CASE WHEN {c} >= greatest({prev_max}, 1) THEN '{lang}' ELSE {expr} END"
+        prev_max = f"greatest({prev_max}, {c})"
+    return expr
+
+
+SQL_LANG_ID = f"""
+SELECT lang, {_sql_lang_pred()} AS predicted, count(*) AS n
+FROM documents
+GROUP BY lang, predicted
+ORDER BY lang, predicted
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length score + alpha ratio + token-count
+    score, weighted; plus a decile bucket for corpus filtering."""
+    doc = load(spark, sf_dir, "documents")
+    n_tokens = _ntokens(F.col("text"))
+    alpha_ratio = F.length(F.regexp_replace("text", "[^a-z0-9]", "")) / F.length("text")
+    len_score = F.least(F.length("text") / 500.0, F.lit(1.0))
+    tok_score = F.least(n_tokens / 100.0, F.lit(1.0))
+    score = F.round(F.lit(0.3) * len_score + F.lit(0.4) * alpha_ratio + F.lit(0.3) * tok_score, 6)
+    return (
+        doc.select("doc_id", score.alias("quality"), F.floor(score * 10).cast("long").alias("decile"))
+        .orderBy("doc_id")
+    )
+
+
+SQL_QUALITY_SCORE = f"""
+WITH scored AS (
+  SELECT doc_id,
+         round(0.3 * least(length(text) / 500.0, 1.0)
+             + 0.4 * (length(regexp_replace(text, '[^a-z0-9]', '', 'g')) / length(text))
+             + 0.3 * least(len(regexp_extract_all(text, '{_WORD_RE}')) / 100.0, 1.0), 6) AS quality
+  FROM documents
+)
+SELECT doc_id, quality, CAST(floor(quality * 10) AS BIGINT) AS decile
+FROM scored
+ORDER BY doc_id
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of the whitespace-normalized text —
+    the exact-dedup key (content-defined hashing) plus per-fingerprint
+    duplicate counts."""
+    doc = load(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    fp = F.md5(norm)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fingerprint")
+    return (
+        doc.withColumn("fingerprint", fp)
+        .withColumn("dup_count", F.count(F.lit(1)).over(w))
+        .select("doc_id", "fingerprint", "dup_count")
+        .orderBy("doc_id")
+    )
+
+
+SQL_DOC_FINGERPRINT = r"""
+WITH fp AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+)
+SELECT doc_id, fingerprint,
+       count(*) OVER (PARTITION BY fingerprint) AS dup_count
+FROM fp
+ORDER BY doc_id
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "text_stats": (q_text_stats, SQL_TEXT_STATS),
+    "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+}
