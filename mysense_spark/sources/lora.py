@@ -1,0 +1,286 @@
+"""Clean-room LoRa payload decoder for the MySense datagram formats.
+
+Implements the byte-level payload SEMANTICS documented by the reference
+(MyDatacollector/lib/MyLoRaCode.py — port map :293-296, port 2/4 layout
+:722-778, meteo :623-648, GPS :649-667, wind :678-690, accu :668-676,
+port 3 meta :693-720) as a fresh implementation verified against the
+golden `payload_raw`/`payload_fields` pairs embedded in the reference's
+MQTT replay corpora (inputtests/*.mqtt).
+
+Datagram layout (MySense V1/V2, ports 2 and 4), big-endian:
+  [flags B]  present iff bit7 set; bits: 0x01 PM1 block, 0x02 count block,
+             0x04 gas+aqi, 0x08 GPS, 0x10 wind, 0x20 battery
+  PM mass    [pm1 H]? pm25 H pm10 H      (x/10 ug/m3, 0 = absent)
+  counts p2  pm03 H pm05 H pm1 H pm25 B pm5 B pm10 B  (x/10 pcs/0.1dm3)
+  counts p4  pm10 H pm05 H pm1 H pm25 H pm4|5 H [pm03 H | grain H]
+             byte0 bit7 -> Plantower cumulative style; byte4 bit7 -> SPS30
+  meteo      temp H (x/10 - 30 C) rv H (x/10 %) luchtdruk H (hPa)
+             [gas H kOhm, aqi H x/10 %] when flag 0x04
+  gps        lat L lon L (x/1e5 deg) alt L (x/10 m)
+  wind       ws B (x/5 m/s, +0.1 if dir bit7) dir B&0x7F (*3 deg)
+  accu       B (x/10 V)
+Port 3 (meta/event): version B (x/10); byte1==0 -> event datagram
+  (event = last byte, value = second-to-last); else dust id = byte1&7,
+  gps = byte1&8, meteo id = byte1>>4; geolocation 3xL.
+
+Spark integration: `decode_udf` is an Arrow-batched pandas UDF
+(port, base64) -> JSON of {sensor_type: {field: value}}; bit-twiddling
+per datagram is microseconds — the Arrow transfer amortizes across the
+batch, and decode parallelizes per partition at any scale.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+
+DUST_TYPES = ["unknown", "PPD42NS", "SDS011", "PMS7003", "SPS30", "unknown", "unknown"]
+METEO_TYPES = ["unknown", "DHT11", "SHT85", "BME280", "BME680", "SHT31"]
+
+FLAG_PM1 = 0x01
+FLAG_COUNTS = 0x02
+FLAG_GAS = 0x04
+FLAG_GPS = 0x08
+FLAG_WIND = 0x10
+FLAG_ACCU = 0x20
+
+
+def _u16(b: bytes, i: int) -> int:
+    return (b[i] << 8) | b[i + 1]
+
+
+def _u32(b: bytes, i: int) -> int:
+    return (b[i] << 24) | (b[i + 1] << 16) | (b[i + 2] << 8) | b[i + 3]
+
+
+def _decode_pm_mass(b: bytes, has_pm1: bool) -> tuple[str, dict]:
+    """PM mass block: optional pm1 then pm25, pm10 (each H, x/10, 0=absent)."""
+    out: dict = {}
+    sensor = "unknown"
+    i = 0
+    if has_pm1:
+        if _u16(b, 0):
+            sensor = "PMS7003"
+            out["pm1"] = round(_u16(b, 0) / 10.0, 1)
+        i = 2
+    if _u16(b, i):
+        if sensor == "unknown":
+            sensor = "SDS011"
+        out["pm25"] = round(_u16(b, i) / 10.0, 1)
+    if _u16(b, i + 2):
+        if sensor == "unknown":
+            sensor = "SDS011"
+        out["pm10"] = round(_u16(b, i + 2) / 10.0, 1)
+    return sensor, out
+
+
+def _decode_counts_p2(b: bytes) -> tuple[str, dict]:
+    """Port-2 particle counts: HHH (x/10) + BBB (x/10)."""
+    out: dict = {}
+    if _u16(b, 0):
+        out["pm03_cnt"] = round(_u16(b, 0) / 10.0, 1)
+    if _u16(b, 2):
+        out["pm05_cnt"] = round(_u16(b, 2) / 10.0, 1)
+    if _u16(b, 4):
+        out["pm1_cnt"] = round(_u16(b, 4) / 10.0, 1)
+    if b[6]:
+        out["pm25_cnt"] = round(b[6] / 10.0, 1)
+    if b[7]:
+        out["pm5_cnt"] = round(b[7] / 10.0, 1)
+    if b[8]:
+        out["pm10_cnt"] = round(b[8] / 10.0, 1)
+    sensor = "PMS7003" if (out.get("pm10_cnt") or out.get("pm5_cnt")) else "SDS011"
+    return sensor, out
+
+
+def _decode_counts_p4(b: bytes) -> tuple[str, dict]:
+    """Port-4 particle counts: 6xH; bit7 of byte0 selects cumulative
+    (range) counting, bit7 of byte4 selects the Sensirion variant."""
+    b = bytearray(b)
+    explicit = True
+    if b[0] & 0x80:
+        explicit = False
+        b[0] &= 0x7F
+    sensirion = False
+    if b[4] & 0x80:
+        sensirion = True
+        b[4] &= 0x7F
+    sensor = "SPS30" if sensirion else "PMS7003"
+    out: dict = {
+        "pm10_cnt": round(_u16(b, 0) / 10.0, 1),
+        "pm05_cnt": round(_u16(b, 2) / 10.0, 1),
+        "pm1_cnt": round(_u16(b, 4) / 10.0, 1),
+        "pm25_cnt": round(_u16(b, 6) / 10.0, 1),
+    }
+    pm45 = round(_u16(b, 8) / 10.0, 1)
+    if explicit:
+        out["pm03_cnt"] = round(_u16(b, 10) / 10.0, 1)
+    else:
+        # cumulative ranges -> absolute PM0.3-PMx counts
+        # (reference rounds grain via its x/10-style helper first, so the
+        # effective precision is 1 decimal: MyLoRaCode.py:534,566)
+        out["grain"] = round(_u16(b, 10) / 100.0, 1)
+        out["pm1_cnt"] = round(out["pm1_cnt"] + out["pm05_cnt"], 1)
+        out["pm25_cnt"] = round(out["pm1_cnt"] + out["pm25_cnt"], 1)
+        pm45 = round(pm45 + out["pm25_cnt"], 1)
+        out["pm10_cnt"] = round(pm45 + out["pm10_cnt"], 1)
+    out["pm4_cnt" if sensirion else "pm5_cnt"] = pm45
+    return sensor, out
+
+
+def _decode_meteo(b: bytes) -> tuple[str, dict]:
+    out: dict = {}
+    sensor = "unknown"
+    if _u16(b, 0):
+        sensor = "DHT11"
+        out["temp"] = round(_u16(b, 0) / 10.0 - 30, 1)
+    if _u16(b, 2):
+        sensor = "SHT31"
+        out["rv"] = round(_u16(b, 2) / 10.0, 1)
+    if len(b) > 4 and _u16(b, 4):
+        sensor = "BME280"
+        out["luchtdruk"] = _u16(b, 4)
+    if len(b) > 6 and _u16(b, 6):
+        sensor = "BME680"
+        out["gas"] = _u16(b, 6)
+    if len(b) > 8 and _u16(b, 8):
+        out["aqi"] = round(_u16(b, 8) / 10.0, 1)
+    return sensor, out
+
+
+def _decode_gps(b: bytes) -> dict:
+    lat = _u32(b, 0)
+    if not lat:
+        return {}
+    lon = _u32(b, 4)
+    if not lon:
+        return {}
+    out = {"lat": round(lat / 100000.0, 5), "lon": round(lon / 100000.0, 5)}
+    alt = _u32(b, 8)
+    if alt:
+        out["alt"] = round(alt / 10.0, 1)
+    return out
+
+
+def _decode_wind(b: bytes) -> dict:
+    speed = round(b[0] / 5.0, 1)
+    if b[1] & 0x80:
+        speed += 0.1
+    out = {"ws": round(speed, 1)}
+    direction = b[1] & 0x7F
+    if direction > 0:
+        out["wr"] = (direction * 3) % 360
+    return out
+
+
+def decode_port_2_or_4(payload: bytes, port: int) -> dict:
+    """Measurement datagram -> {sensor_type: {field: value}}."""
+    out: dict = {}
+    flags = 0
+    i = 0
+    if payload[0] & 0x80:
+        flags = payload[0]
+        i = 1
+    elif port == 2:
+        if len(payload) == 10:  # legacy: meteo(6) + pm(4), swapped pm order
+            m_sensor, meteo = _decode_meteo(payload[:6])
+            p_sensor, pm = _decode_pm_mass(payload[6:10], has_pm1=False)
+            pm["pm10"], pm["pm25"] = pm.get("pm25"), pm.get("pm10")
+            out.setdefault(m_sensor, {}).update(meteo)
+            out.setdefault(p_sensor, {}).update({k: v for k, v in pm.items() if v is not None})
+            return out
+        elif len(payload) >= 16:
+            flags = FLAG_PM1 | FLAG_GAS
+
+    end = i + (6 if flags & FLAG_PM1 else 4)
+    pm_sensor, pm = _decode_pm_mass(payload[i:end], has_pm1=bool(flags & FLAG_PM1))
+    i = end
+    if flags & FLAG_COUNTS:
+        if port == 2:
+            c_sensor, counts = _decode_counts_p2(payload[i : i + 9])
+            i += 9
+        else:
+            c_sensor, counts = _decode_counts_p4(payload[i : i + 12])
+            i += 12
+        counts.update(pm)
+        out[c_sensor] = counts
+    elif pm:
+        out[pm_sensor] = pm
+
+    end = i + 6
+    if len(payload) >= end:
+        if flags & FLAG_GAS:
+            end += 4
+        m_sensor, meteo = _decode_meteo(payload[i:end])
+        if meteo:
+            out.setdefault(m_sensor, {}).update(meteo)
+        i = end
+        if flags & FLAG_GPS and len(payload) >= i + 11:
+            gps = _decode_gps(payload[i : i + 12])
+            if gps:
+                out["NEO-6"] = gps
+            i += 12
+        if flags & FLAG_WIND and len(payload) >= i + 2:
+            out["wind"] = _decode_wind(payload[i : i + 2])
+            i += 2
+        if flags & FLAG_ACCU and len(payload) >= i + 1 and payload[i]:
+            out["accu"] = {"accu": round(payload[i] / 10.0, 2)}
+    return out
+
+
+def decode_port_3(payload: bytes) -> dict:
+    """Meta/event datagram: kit configuration or an operational event."""
+    meta: dict = {"version": round(payload[0] / 10.0, 1)}
+    if payload[1] == 0:
+        meta["event"] = payload[-1]
+        if payload[-2]:
+            meta["value"] = payload[-2]
+        return {"meta": meta}
+    meta["dust"] = DUST_TYPES[payload[1] & 7]
+    if payload[1] & 8:
+        meta["gps"] = "NEO-6"
+    meteo_id = (payload[1] >> 4) & 15
+    meta["meteo"] = METEO_TYPES[meteo_id] if meteo_id < len(METEO_TYPES) else "unknown"
+    lat = _u32(payload, 2)
+    if lat:
+        meta["geolocation"] = {
+            "lat": round(lat / 100000.0, 6),
+            "lon": round(_u32(payload, 6) / 100000.0, 6),
+            "alt": round(_u32(payload, 10) / 10.0, 6),
+        }
+    return {"meta": meta}
+
+
+def decode_payload(payload_b64: str, port: int) -> dict:
+    """Decode a base64 LoRa payload for the given port."""
+    raw = base64.b64decode(payload_b64)
+    if port in (2, 4):
+        return decode_port_2_or_4(raw, port)
+    if port == 3:
+        return decode_port_3(raw)
+    raise ValueError(f"unsupported LoRa port {port}")
+
+
+def decode_to_json(payload_b64: str, port: int) -> str | None:
+    try:
+        return json.dumps(decode_payload(payload_b64, port), sort_keys=True)
+    except Exception:
+        return None
+
+
+def make_decode_udf():
+    """Arrow-batched pandas UDF: (payload_raw, port) -> JSON string."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: `from __future__ import annotations` stringifies them,
+    # which the pandas_udf hint parser rejects
+    def decode_series(payload, port):
+        return pd.Series(
+            [
+                decode_to_json(p, int(pt)) if p is not None and pt is not None else None
+                for p, pt in zip(payload, port)
+            ]
+        )
+
+    return pandas_udf(decode_series, "string")

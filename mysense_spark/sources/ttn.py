@@ -1,0 +1,164 @@
+"""TTN MQTT envelope normalization (S2/S3): one declarative transform that
+handles both V2 (`payload_raw`, `metadata`) and V3
+(`uplink_message.frm_payload`, `rx_metadata`) envelopes, batch or stream.
+
+Reference semantics (lib/MyMQTTclient.py:323-425 RecordImport):
+- V2 vs V3 detected by which payload field is present (coalesce here)
+- event time = broker `time`/`received_at` minus LoRa airtime
+  (airtime is nanoseconds in the envelope), fallback ingest time
+- gateways normalized to an ordered array of (id, rssi, snr, lat, lon)
+  with signal strength 10*snr + 0.2*rssi (GTWstrength,
+  MyDatacollector.py:1467-1500), best gateway first
+
+Everything is `from_json` + column expressions — the same DataFrame works
+under `spark.read` (file replay, S2) and `spark.readStream` (live brokers),
+which is the batch/stream parity the reference proves with its .mqtt
+replay corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_GATEWAY_V2 = StructType(
+    [
+        StructField("gtw_id", StringType()),
+        StructField("rssi", DoubleType()),
+        StructField("snr", DoubleType()),
+        StructField("latitude", DoubleType()),
+        StructField("longitude", DoubleType()),
+    ]
+)
+
+ENVELOPE_SCHEMA = StructType(
+    [
+        # V2
+        StructField("app_id", StringType()),
+        StructField("dev_id", StringType()),
+        StructField("hardware_serial", StringType()),
+        StructField("port", IntegerType()),
+        StructField("counter", LongType()),
+        StructField("payload_raw", StringType()),
+        StructField(
+            "metadata",
+            StructType(
+                [
+                    StructField("time", StringType()),
+                    StructField("airtime", LongType()),
+                    StructField("gateways", ArrayType(_GATEWAY_V2)),
+                ]
+            ),
+        ),
+        # V3
+        StructField(
+            "end_device_ids",
+            StructType(
+                [
+                    StructField("device_id", StringType()),
+                    StructField("dev_eui", StringType()),
+                    StructField(
+                        "application_ids",
+                        StructType([StructField("application_id", StringType())]),
+                    ),
+                ]
+            ),
+        ),
+        StructField("received_at", StringType()),
+        StructField(
+            "uplink_message",
+            StructType(
+                [
+                    StructField("f_port", IntegerType()),
+                    StructField("f_cnt", LongType()),
+                    StructField("frm_payload", StringType()),
+                    StructField("received_at", StringType()),
+                    StructField(
+                        "rx_metadata",
+                        ArrayType(
+                            StructType(
+                                [
+                                    StructField(
+                                        "gateway_ids",
+                                        StructType([StructField("gateway_id", StringType())]),
+                                    ),
+                                    StructField("rssi", DoubleType()),
+                                    StructField("snr", DoubleType()),
+                                ]
+                            )
+                        ),
+                    ),
+                    StructField(
+                        "settings",
+                        StructType([StructField("airtime", StringType())]),
+                    ),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def _strip_topic(line: Column) -> Column:
+    """MQTT dump lines are `topic {json}` — keep the JSON part."""
+    return F.when(line.startswith("{"), line).otherwise(
+        F.expr("substring(value, instr(value, '{'))")
+    )
+
+
+def parse_envelopes(lines: DataFrame) -> DataFrame:
+    """text lines (column `value`) -> normalized record columns.
+
+    Output: app_id, dev_id, serial, port, counter, payload_raw, event_ts,
+    gateways (strength-ordered), n_gateways, best_gateway, best_rssi.
+    """
+    rec = lines.select(
+        F.from_json(_strip_topic(F.col("value")), ENVELOPE_SCHEMA).alias("r"),
+        F.current_timestamp().alias("ingest_ts"),
+    ).where(F.col("r").isNotNull())
+
+    is_v2 = F.col("r.payload_raw").isNotNull()
+    raw_time = F.coalesce(
+        F.col("r.metadata.time"), F.col("r.uplink_message.received_at"), F.col("r.received_at")
+    )
+    # ISO8601 with fractional seconds and Z suffix; airtime is ns
+    t = F.to_timestamp(raw_time)
+    airtime_us = F.expr("coalesce(r.metadata.airtime, 0) DIV 1000")
+    event_ts = F.coalesce(
+        F.timestamp_micros(F.unix_micros(t) - airtime_us), F.col("ingest_ts")
+    )
+
+    gw_v2 = F.expr(
+        "transform(r.metadata.gateways, g -> struct(g.gtw_id as gtw_id, g.rssi as rssi,"
+        " g.snr as snr, 10 * g.snr + 0.2 * g.rssi as strength))"
+    )
+    gw_v3 = F.expr(
+        "transform(r.uplink_message.rx_metadata, g -> struct(g.gateway_ids.gateway_id as gtw_id,"
+        " g.rssi as rssi, g.snr as snr, 10 * g.snr + 0.2 * g.rssi as strength))"
+    )
+    gateways = F.coalesce(gw_v2, gw_v3, F.array())
+    ordered = F.reverse(F.array_sort(gateways, lambda a, b: F.when(a.strength < b.strength, -1).when(a.strength > b.strength, 1).otherwise(0)))
+
+    return rec.select(
+        F.coalesce(F.col("r.app_id"), F.col("r.end_device_ids.application_ids.application_id")).alias("app_id"),
+        F.coalesce(F.col("r.dev_id"), F.col("r.end_device_ids.device_id")).alias("dev_id"),
+        F.coalesce(F.col("r.hardware_serial"), F.col("r.end_device_ids.dev_eui")).alias("serial"),
+        F.coalesce(F.col("r.port"), F.col("r.uplink_message.f_port")).alias("port"),
+        F.coalesce(F.col("r.counter"), F.col("r.uplink_message.f_cnt")).alias("counter"),
+        F.coalesce(F.col("r.payload_raw"), F.col("r.uplink_message.frm_payload")).alias("payload_raw"),
+        event_ts.alias("event_ts"),
+        F.col("ingest_ts"),
+        ordered.alias("gateways"),
+        F.size(gateways).alias("n_gateways"),
+        ordered.getItem(0).getField("gtw_id").alias("best_gateway"),
+        ordered.getItem(0).getField("rssi").alias("best_rssi"),
+    )

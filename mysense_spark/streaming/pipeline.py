@@ -1,0 +1,130 @@
+"""The MySense ingest pipeline, Spark-first (SURVEY.md §3.1):
+
+  lines -> TTN normalize (S3) -> LoRa decode (S4) -> explode to the long
+  fact format -> field-name translate (P1) -> range validate (P2) ->
+  watermark + dedup (late/duplicate handling) -> upsert sink (K1)
+
+One transform chain serves BATCH (file replay, the reference's .mqtt
+corpora — S2) and STREAMING (`readStream` on a drop directory or a
+Kafka/MQTT bridge). The reference runs the same record path in a Python
+loop one datagram at a time; here every stage is a DataFrame operator.
+
+Scale notes:
+- decode is the only Python stage (Arrow pandas UDF), placed after the
+  envelope parse so its input is just (payload, port).
+- the long format makes "new sensor field" a data event — no DDL, no
+  schema evolution race (the reference ALTERs MySQL tables mid-stream,
+  lib/MyDB.py:256-267).
+- dedup key (kit_id, ts, field) + watermark replaces REPLACE INTO
+  idempotence (lib/MyARCHIVE.py:426-432).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..registry import FIELD_REGISTRY, FIELD_TRANSLATE, VALID_BOUNDS
+from ..sources.lora import make_decode_udf
+from ..sources.ttn import parse_envelopes
+
+# decoded JSON is {sensor_type: {field: value}}; geolocation/meta handled apart
+_DECODED_SCHEMA = "map<string, map<string, double>>"
+
+
+def _translate_expr(col):
+    """P1 field-name translation as a column expression built from the
+    registry (MyDatacollector.py:332-349)."""
+    expr = F.lower(col)
+    for src, dst in FIELD_TRANSLATE.items():
+        expr = F.when(F.lower(col) == src.lower(), F.lit(dst)).otherwise(expr)
+    return expr
+
+
+def decode_stream(normalized: DataFrame) -> DataFrame:
+    """Normalized envelopes -> long fact rows
+    (kit_id, ts, sensor_type, field, value, unit, valid)."""
+    decode_udf = make_decode_udf()
+    decoded = normalized.where(F.col("port").isin(2, 4)).withColumn(
+        "decoded", F.from_json(decode_udf(F.col("payload_raw"), F.col("port")), _DECODED_SCHEMA)
+    )
+    long_rows = (
+        decoded.select(
+            F.concat_ws("_", "app_id", "dev_id").alias("kit_id"),
+            F.col("serial"),
+            F.col("event_ts").alias("ts"),
+            F.col("ingest_ts"),
+            F.explode("decoded").alias("sensor_type", "fields"),
+        )
+        .select(
+            "kit_id",
+            "serial",
+            "ts",
+            "ingest_ts",
+            "sensor_type",
+            F.explode("fields").alias("raw_field", "value"),
+        )
+        .withColumn("field", _translate_expr(F.col("raw_field")))
+        .drop("raw_field")
+    )
+    # registry join: unit + category (broadcast dimension, J1 pattern)
+    units = [(f, u, c) for f, (u, _p, c) in FIELD_REGISTRY.items()]
+    spark = normalized.sparkSession
+    unit_dim = spark.createDataFrame(units, "field string, unit string, category string")
+    enriched = long_rows.join(F.broadcast(unit_dim), "field", "left")
+    # P2 range validation from the bounds registry
+    valid = F.lit(True)
+    for fname, (lo, hi) in VALID_BOUNDS.items():
+        valid = F.when(F.col("field") == fname, F.col("value").between(lo, hi - 1e-9)).otherwise(valid)
+    return enriched.withColumn("valid", valid).select(
+        "kit_id", "serial", "ts", "ingest_ts", "sensor_type", "field", "value", "unit", "category", "valid"
+    )
+
+
+def events_stream(normalized: DataFrame) -> DataFrame:
+    """Port-3 meta/event side output (SURVEY §2.11: registry mutations)."""
+    decode_udf = make_decode_udf()
+    return (
+        normalized.where(F.col("port") == 3)
+        .withColumn("decoded_json", decode_udf(F.col("payload_raw"), F.col("port")))
+        .select(
+            F.concat_ws("_", "app_id", "dev_id").alias("kit_id"),
+            F.col("event_ts").alias("ts"),
+            F.get_json_object("decoded_json", "$.meta.version").cast("double").alias("version"),
+            F.get_json_object("decoded_json", "$.meta.event").cast("int").alias("event"),
+            F.get_json_object("decoded_json", "$.meta.value").cast("int").alias("event_value"),
+            F.get_json_object("decoded_json", "$.meta.dust").alias("dust"),
+            F.get_json_object("decoded_json", "$.meta.meteo").alias("meteo"),
+        )
+    )
+
+
+def run_file_batch(spark, path: str) -> DataFrame:
+    """S2 batch replay: the whole pipeline over an MQTT dump file."""
+    lines = spark.read.text(path)
+    return decode_stream(parse_envelopes(lines))
+
+
+def run_file_stream(spark, in_dir: str, checkpoint: str, out_dir: str, watermark: str = "2 hours"):
+    """Streaming twin: readStream on a drop directory, event-time
+    watermark + dedup on the upsert key, parquet upsert via foreachBatch.
+
+    Returns the StreamingQuery (caller awaits/stops)."""
+    from ..sinks.upsert import upsert_parquet
+
+    lines = spark.readStream.text(in_dir)
+    fact = (
+        decode_stream(parse_envelopes(lines))
+        .withWatermark("ts", watermark)
+        .dropDuplicates(["kit_id", "ts", "field"])
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_parquet(batch_df, out_dir, keys=["kit_id", "ts", "field"], order_col="ingest_ts")
+
+    return (
+        fact.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

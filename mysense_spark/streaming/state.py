@@ -1,0 +1,176 @@
+"""Custom stateful streaming operators (SURVEY.md §2.11) via
+applyInPandasWithState — the semantics Spark has no built-in for:
+
+- static-value detection (FluctCheck, MyDatacollector.py:814-845):
+  per (kit, field) count of consecutive identical values; a notice fires
+  when the count reaches the per-field trigger (registry STATIC_TRIGGERS).
+- per-device rate throttle (IsBehavingKit, MyDatacollector.py:937-970):
+  running interval estimate capped at 30 min; a kit sending faster than
+  the rate floor (480 s) after 3 records gets its records dropped with a
+  4 h penalty.
+
+Both have deterministic BATCH TWINS (window functions) used by tests to
+prove parity — the reference proves the same with file replay.
+
+State is keyed by kit (and field) — exactly the partitioning the state
+store shards on, so a million-device fleet spreads over executors evenly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..registry import STATIC_TRIGGER_DEFAULT, STATIC_TRIGGERS
+
+THROTTLE_RATE_S = 480  # 8 min floor between datagrams
+THROTTLE_MIN_COUNT = 3
+THROTTLE_PENALTY_S = 4 * 3600
+INTERVAL_CAP_S = 1800
+
+_STATIC_OUT = StructType(
+    [
+        StructField("kit_id", StringType()),
+        StructField("field", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+        StructField("run_len", IntegerType()),
+    ]
+)
+_STATIC_STATE = StructType(
+    [StructField("last_value", DoubleType()), StructField("run_len", IntegerType())]
+)
+
+
+def _static_trigger(field: str) -> int:
+    return STATIC_TRIGGERS.get(field, STATIC_TRIGGER_DEFAULT)
+
+
+def static_value_monitor(fact_stream: DataFrame) -> DataFrame:
+    """Streaming static-sensor detector: emits one row each time a
+    (kit, field) run of identical values reaches its trigger length."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        kit_id, field = key
+        trigger = _static_trigger(field)
+        last_value, run_len = state.get if state.exists else (None, 0)
+        out: list[tuple] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for ts, value in zip(pdf["ts"], pdf["value"]):
+                if last_value is not None and value == last_value:
+                    run_len += 1
+                    if run_len == trigger:
+                        out.append((kit_id, field, ts, float(value), int(run_len)))
+                else:
+                    run_len = 1
+                    last_value = float(value) if value is not None else None
+        state.update((last_value, run_len))
+        yield pd.DataFrame(out, columns=[f.name for f in _STATIC_OUT.fields])
+
+    return fact_stream.groupBy("kit_id", "field").applyInPandasWithState(
+        fn, _STATIC_OUT, _STATIC_STATE, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def static_value_monitor_batch(fact: DataFrame) -> DataFrame:
+    """Batch twin: run-length via lag + cumulative sum; one row per run
+    that reaches its trigger (same output contract)."""
+    trig = F.lit(STATIC_TRIGGER_DEFAULT)
+    for fname, t in STATIC_TRIGGERS.items():
+        trig = F.when(F.col("field") == fname, F.lit(t)).otherwise(trig)
+    w = Window.partitionBy("kit_id", "field").orderBy("ts")
+    runs = (
+        fact.withColumn("prev", F.lag("value").over(w))
+        .withColumn("new_run", F.when(F.col("prev").isNull() | (F.col("prev") != F.col("value")), 1).otherwise(0))
+        .withColumn("run_id", F.sum("new_run").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("run_len", F.row_number().over(Window.partitionBy("kit_id", "field", "run_id").orderBy("ts")))
+        .withColumn("trigger", trig)
+    )
+    return runs.where(F.col("run_len") == F.col("trigger")).select(
+        "kit_id", "field", "ts", "value", F.col("run_len").cast("int").alias("run_len")
+    )
+
+
+_THROTTLE_OUT = StructType(
+    [
+        StructField("kit_id", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("accepted", BooleanType()),
+        StructField("est_interval", DoubleType()),
+        StructField("count", LongType()),
+    ]
+)
+_THROTTLE_STATE = StructType(
+    [
+        StructField("count", LongType()),
+        StructField("interval", DoubleType()),
+        StructField("last_epoch", DoubleType()),
+        StructField("penalty_until", DoubleType()),
+    ]
+)
+
+
+def kit_throttle(record_stream: DataFrame) -> DataFrame:
+    """Streaming per-device rate limiter: running-average interval capped
+    at 30 min; chatty kits (interval < 480 s after 3 records) are dropped
+    and penalized for 4 h (IsBehavingKit semantics)."""
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (kit_id,) = key
+        count, interval, last_epoch, penalty_until = (
+            state.get if state.exists else (0, float(INTERVAL_CAP_S), None, 0.0)
+        )
+        out: list[tuple] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for ts in pdf["ts"]:
+                epoch = ts.timestamp()
+                accepted = True
+                if last_epoch is not None:
+                    delta = min(epoch - last_epoch, INTERVAL_CAP_S)
+                    interval = (interval * count + delta) / (count + 1)
+                    if epoch < (penalty_until or 0.0):
+                        accepted = False
+                    elif count > THROTTLE_MIN_COUNT and delta < THROTTLE_RATE_S and interval < THROTTLE_RATE_S:
+                        accepted = False
+                        penalty_until = epoch + THROTTLE_PENALTY_S
+                count += 1
+                last_epoch = epoch
+                out.append((kit_id, ts, accepted, float(interval), int(count)))
+        state.update((count, interval, last_epoch, penalty_until or 0.0))
+        yield pd.DataFrame(out, columns=[f.name for f in _THROTTLE_OUT.fields])
+
+    return record_stream.groupBy("kit_id").applyInPandasWithState(
+        fn, _THROTTLE_OUT, _THROTTLE_STATE, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def dead_kit_report(fact: DataFrame, behind_s: int = 7200) -> DataFrame:
+    """Liveness report (DeadKits, MyDatacollector.py:720-757): periodic
+    batch query over the archive/state — per-kit last-seen vs fleet max."""
+    last = fact.groupBy("kit_id").agg(F.max("ts").alias("last_seen"))
+    fleet = last.agg(F.max("last_seen").alias("fleet_max"))
+    return (
+        last.crossJoin(F.broadcast(fleet))
+        .withColumn("behind_sec", F.expr("(unix_micros(fleet_max) - unix_micros(last_seen)) DIV 1000000"))
+        .withColumn("dead", F.col("behind_sec") > behind_s)
+        .select("kit_id", "last_seen", "behind_sec", "dead")
+    )

@@ -1,0 +1,95 @@
+"""Golden-pair tests for the clean-room LoRa decoder: payload_raw vs the
+expected payload_fields embedded in the reference's MQTT replay corpora
+(reference inputtests/*.mqtt — data fixtures, not code)."""
+
+from mysense_spark.sources.lora import decode_payload
+
+# port 2, MySense V1 flags 0x85 (PM1 + gas/aqi)
+# golden: TTN-testsuite.mqtt dev lopyprototype20180404
+P2_RAW = "hQAAAJsArgF4A3oD+gEOAJw="
+P2_EXPECTED = {
+    "pm25": 15.5,
+    "pm10": 17.4,
+    "temp": 7.6,
+    "rv": 89.0,
+    "luchtdruk": 1018,
+    "gas": 270,
+    "aqi": 15.6,
+}
+
+# port 4, MySense V2 flags 0x8F (PM1 + counts + gas + GPS)
+# golden: TTN-testsuite.mqtt dev bwlvc-9cd5
+P4_RAW = "jwDcAV4BmoADeMctaQMPAIkANAF6A2ED/QEMAR8ATr4SAAj1GgAAAVw="
+P4_EXPECTED = {
+    "pm1": 22.0,
+    "pm25": 35.0,
+    "pm10": 41.0,
+    "pm05_cnt": 3091.9,
+    "pm1_cnt": 4254.4,
+    "pm25_cnt": 4332.7,
+    "pm5_cnt": 4346.4,
+    "pm10_cnt": 4346.7,
+    "grain": 0.5,
+    "temp": 7.8,
+    "rv": 86.5,
+    "luchtdruk": 1021,
+    "gas": 268,
+    "aqi": 28.7,
+    "lat": 51.60466,
+    "lon": 5.87034,
+    "alt": 34.8,
+}
+
+# port 3 meta: golden inputtestP3.mqtt dev salk-20190905
+P3_RAW = "BUwATsZmAAj46gAAAQs="
+P3_EXPECTED_META = {
+    "version": 0.5,
+    "dust": "SPS30",
+    "gps": "NEO-6",
+    "meteo": "BME680",
+}
+P3_EXPECTED_GEO = {"lat": 51.62598, "lon": 5.8801, "alt": 26.7}
+
+
+def _flatten(decoded: dict) -> dict:
+    flat = {}
+    for _sensor, fields in decoded.items():
+        flat.update(fields)
+    return flat
+
+
+def test_decode_port2_golden():
+    flat = _flatten(decode_payload(P2_RAW, 2))
+    for k, v in P2_EXPECTED.items():
+        assert flat.get(k) == v, f"{k}: {flat.get(k)} != {v}"
+
+
+def test_decode_port4_golden():
+    flat = _flatten(decode_payload(P4_RAW, 4))
+    for k, v in P4_EXPECTED.items():
+        assert flat.get(k) == v, f"{k}: {flat.get(k)} != {v}"
+
+
+def test_decode_port4_sensor_types():
+    decoded = decode_payload(P4_RAW, 4)
+    assert any(s in decoded for s in ("PMS7003", "SPS30"))
+    assert "NEO-6" in decoded
+
+
+def test_decode_port3_meta_golden():
+    meta = decode_payload(P3_RAW, 3)["meta"]
+    for k, v in P3_EXPECTED_META.items():
+        assert meta.get(k) == v, f"{k}: {meta.get(k)} != {v}"
+    geo = meta["geolocation"]
+    for k, v in P3_EXPECTED_GEO.items():
+        assert abs(geo[k] - v) < 1e-4, f"{k}: {geo[k]} != {v}"
+
+
+def test_decode_port3_event():
+    # version 0.5, event datagram (byte1 == 0): event 14, value 90
+    import base64
+
+    raw = base64.b64encode(bytes([5, 0, 90, 14])).decode()
+    meta = decode_payload(raw, 3)["meta"]
+    assert meta["event"] == 14
+    assert meta["value"] == 90

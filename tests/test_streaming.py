@@ -1,0 +1,217 @@
+"""Streaming pipeline tests: TTN normalize (V2+V3), decode->long-format,
+batch/stream parity, upsert idempotence, stateful operators."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.fixtures_mqtt import ALL_LINES, V2_PORT2, V2_PORT4
+
+
+def _write_dump(tmp_path, name, lines):
+    p = tmp_path / name
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def test_envelope_normalization_v2_v3(spark, tmp_path):
+    from mysense_spark.sources.ttn import parse_envelopes
+
+    path = _write_dump(tmp_path, "dump.mqtt", ALL_LINES)
+    out = parse_envelopes(spark.read.text(path)).collect()
+    assert len(out) == 4
+    by_dev = {r["dev_id"]: r for r in out}
+    # V2 record
+    r2 = by_dev["lopyprototype20180404"]
+    assert r2["app_id"] == "201802215971az"
+    assert r2["port"] == 2
+    assert r2["n_gateways"] == 1
+    # airtime correction: event_ts < broker time
+    assert str(r2["event_ts"]).startswith("2020-11-07 23:48:20")
+    # V3 record normalizes to the same shape
+    r3 = by_dev["lopy-v3"]
+    assert r3["app_id"] == "app1"
+    assert r3["port"] == 2
+    assert r3["payload_raw"] == r2["payload_raw"]
+    assert r3["best_gateway"] == "gw-v3-1"
+    # best-gateway ordering by strength 10*snr + 0.2*rssi
+    r4 = by_dev["bwlvc-9cd5"]
+    assert r4["best_gateway"] == "gateway_sint_anthonis_003"
+
+
+def test_batch_pipeline_long_format(spark, tmp_path):
+    from mysense_spark.streaming.pipeline import run_file_batch
+
+    path = _write_dump(tmp_path, "dump.mqtt", ALL_LINES)
+    fact = run_file_batch(spark, path)
+    rows = fact.collect()
+    # port 2 decodes to 7 fields x 2 envelopes (V2+V3) + port 4 to 17
+    by_kit = {}
+    for r in rows:
+        by_kit.setdefault(r["kit_id"], {})[r["field"]] = r
+    lopy = by_kit["201802215971az_lopyprototype20180404"]
+    assert lopy["pm25"]["value"] == 15.5
+    assert lopy["pm25"]["unit"] == "ug/m3"
+    assert lopy["pm25"]["valid"] is True
+    assert lopy["luchtdruk"]["value"] == 1018.0
+    assert lopy["temp"]["sensor_type"] in ("BME680", "BME280")
+    bwlvc = by_kit["201802215971az_bwlvc-9cd5"]
+    assert bwlvc["pm05_cnt"]["value"] == 3091.9
+    assert bwlvc["grain"]["value"] == 0.5
+    # V3 twin decodes identically
+    v3 = by_kit["app1_lopy-v3"]
+    assert v3["pm25"]["value"] == 15.5
+
+
+def test_port3_event_stream(spark, tmp_path):
+    from mysense_spark.sources.ttn import parse_envelopes
+    from mysense_spark.streaming.pipeline import events_stream
+
+    path = _write_dump(tmp_path, "dump.mqtt", ALL_LINES)
+    ev = events_stream(parse_envelopes(spark.read.text(path))).collect()
+    assert len(ev) == 1
+    assert ev[0]["dust"] == "SPS30"
+    assert ev[0]["meteo"] == "BME680"
+    assert ev[0]["version"] == 0.5
+
+
+def test_stream_batch_parity_and_upsert_idempotence(spark, tmp_path):
+    from mysense_spark.streaming.pipeline import run_file_batch, run_file_stream
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    _write_dump(in_dir, "batch1.mqtt", ALL_LINES)
+    out_dir = str(tmp_path / "archive")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = run_file_stream(spark, str(in_dir), ckpt, out_dir)
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(out_dir)
+    batch = run_file_batch(spark, str(in_dir / "batch1.mqtt"))
+    skey = {(r["kit_id"], r["field"]): r["value"] for r in streamed.collect()}
+    bkey = {(r["kit_id"], r["field"]): r["value"] for r in batch.collect()}
+    assert skey == bkey, "stream result != batch twin"
+
+    # replay the same file again (duplicate delivery) -> no new rows
+    n_before = streamed.count()
+    _write_dump(in_dir, "batch2.mqtt", [V2_PORT2, V2_PORT4])
+    q2 = run_file_stream(spark, str(in_dir), str(tmp_path / "ckpt2"), out_dir)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == n_before
+
+
+def test_static_value_monitor_batch_twin(spark):
+    import datetime as dt
+
+    from mysense_spark.streaming.state import static_value_monitor_batch
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # 25 identical temp values -> trigger at 20; then a change resets
+    for i in range(25):
+        rows.append(("kit1", "temp", base + dt.timedelta(minutes=i), 21.5))
+    rows.append(("kit1", "temp", base + dt.timedelta(minutes=30), 22.0))
+    # pm10: only 10 identical -> below its trigger (30), no alert
+    for i in range(10):
+        rows.append(("kit1", "pm10", base + dt.timedelta(minutes=i), 5.0))
+    df = spark.createDataFrame(rows, "kit_id string, field string, ts timestamp, value double")
+    out = static_value_monitor_batch(df).collect()
+    assert len(out) == 1
+    assert out[0]["field"] == "temp"
+    assert out[0]["run_len"] == 20
+
+
+def test_kit_throttle_stream(spark, tmp_path):
+    import datetime as dt
+
+    from mysense_spark.streaming.state import kit_throttle
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # chatty kit: 10 records 60 s apart -> throttled after warmup
+    for i in range(10):
+        rows.append(("chatty", base + dt.timedelta(seconds=60 * i)))
+    # polite kit: 10 records 900 s apart -> always accepted
+    for i in range(10):
+        rows.append(("polite", base + dt.timedelta(seconds=900 * i)))
+    src_dir = tmp_path / "throttle_in"
+    src_dir.mkdir()
+    spark.createDataFrame(rows, "kit_id string, ts timestamp").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src_dir))
+
+    stream = spark.readStream.schema("kit_id string, ts timestamp").parquet(str(src_dir))
+    out_rows = []
+    q = (
+        kit_throttle(stream)
+        .writeStream.foreachBatch(lambda df, _id: out_rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "throttle_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    chatty = sorted((r for r in out_rows if r["kit_id"] == "chatty"), key=lambda r: r["ts"])
+    polite = [r for r in out_rows if r["kit_id"] == "polite"]
+    assert all(r["accepted"] for r in polite)
+    assert not all(r["accepted"] for r in chatty), "chatty kit must be throttled"
+    assert all(r["accepted"] for r in chatty[:4]), "warmup records pass"
+
+
+def test_alarm_suppression(spark):
+    import datetime as dt
+
+    from mysense_spark.sinks.alerts import suppress_alarms
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("kit1", "dead", base),
+        ("kit1", "dead", base + dt.timedelta(hours=1)),   # suppressed
+        ("kit1", "dead", base + dt.timedelta(hours=7)),   # passes (>6h after first)
+        ("kit1", "static", base + dt.timedelta(hours=1)), # different event passes
+        ("kit2", "dead", base + dt.timedelta(hours=2)),   # different kit passes
+    ]
+    df = spark.createDataFrame(rows, "kit_id string, event string, ts timestamp")
+    out = {(r["kit_id"], r["event"], r["ts"]): r["emitted"] for r in suppress_alarms(df).collect()}
+    assert out[("kit1", "dead", base)] is True
+    assert out[("kit1", "dead", base + dt.timedelta(hours=1))] is False
+    assert out[("kit1", "dead", base + dt.timedelta(hours=7))] is True
+    assert out[("kit1", "static", base + dt.timedelta(hours=1))] is True
+    assert out[("kit2", "dead", base + dt.timedelta(hours=2))] is True
+
+
+def test_forwarder_pin_split_and_breaker(spark):
+    import datetime as dt
+
+    from mysense_spark.sinks.forward import CircuitBreaker, eligible_records, build_posts, make_forwarder
+
+    base = dt.datetime(2024, 1, 1)
+    fact = spark.createDataFrame(
+        [
+            ("kitA", base, "PMS7003", "pm25", 12.5, True),
+            ("kitA", base, "PMS7003", "pm10", 20.0, True),
+            ("kitA", base, "BME280", "temp", 21.0, True),
+            ("kitA", base, "BME280", "rv", 55.0, False),   # invalid -> gated
+            ("kitB", base, "PMS7003", "pm25", 9.0, True),  # luftdaten off -> gated
+        ],
+        "kit_id string, ts timestamp, sensor_type string, field string, value double, valid boolean",
+    )
+    routing = spark.createDataFrame(
+        [("kitA", True), ("kitB", False)], "kit_id string, luftdaten boolean"
+    )
+    posts = build_posts(eligible_records(fact, routing)).collect()
+    pins = {r["pin"]: dict(r["payload"]) for r in posts}
+    assert set(pins) == {1, 11}
+    assert pins[1] == {"pm25": 12.5, "pm10": 20.0}
+    assert pins[11] == {"temp": 21.0}
+
+    # circuit breaker opens after threshold errors
+    sent = []
+    breaker = CircuitBreaker(threshold=2, cooloff_s=9999)
+    fwd = make_forwarder(routing, lambda host, post: (sent.append(post), False)[1], breaker=breaker)
+    fwd(fact, 0)
+    assert len(sent) == 2  # opened after 2 consecutive failures
+    fwd(fact, 1)
+    assert len(sent) == 2  # still open -> nothing sent
