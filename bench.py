@@ -38,7 +38,9 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
-            n = df.count()
+            # noop sink materializes every column (count() would let
+            # Catalyst prune the expensive expressions away)
+            df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # keep the bench running; a broken query shows as -1
             timings[name] = -1.0

@@ -8,6 +8,7 @@ the same critical value via scipy.stats.t.ppf).
 from __future__ import annotations
 
 import math
+from functools import lru_cache
 
 
 def _betacf(a: float, b: float, x: float) -> float:
@@ -64,8 +65,11 @@ def t_cdf(x: float, df: float) -> float:
     return p if x < 0 else 1.0 - p
 
 
+@lru_cache(maxsize=65536)
 def t_ppf(q: float, df: float) -> float:
-    """Inverse CDF by bisection; q in (0,1)."""
+    """Inverse CDF by bisection; q in (0,1). Memoized: the Grubbs driver
+    calls it with q = alpha/2n, df = n-2 — a function of n alone, and n
+    only spans window sizes, so the cache hit rate is ~100%."""
     if not 0.0 < q < 1.0:
         raise ValueError("q must be in (0,1)")
     lo, hi = -500.0, 500.0

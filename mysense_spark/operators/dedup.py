@@ -316,11 +316,16 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     cos = F.round(dot / (F.col("a.norm") * F.col("b.norm")), 6)
-    return (
+    scored = (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .withColumn("cosine", cos)
-        .where(F.col("cosine") >= _COSINE_THRESHOLD)
-        .select(F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2"), "cosine")
+        .select(F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2"), cos.alias("cosine"))
+        # materialization barrier: higher-order functions are interpreted
+        # (no codegen CSE), so without it the filter pushdown would
+        # evaluate the 64-dim dot product twice per pair
+        .persist()
+    )
+    return (
+        scored.where(F.col("cosine") >= _COSINE_THRESHOLD)
         .orderBy("v1", "v2")
     )
 

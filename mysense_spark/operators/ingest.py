@@ -69,7 +69,7 @@ def q_ttn_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the ingest chain over the golden replay records (sf-independent)."""
     from pyspark.sql import functions as F
 
-    lines = spark.createDataFrame([(l,) for l in _FIXTURE_LINES], "value string")
+    lines = spark.createDataFrame([(l,) for l in _FIXTURE_LINES], "value string").coalesce(1)
     fact = decode_stream(parse_envelopes(lines))
     return fact.select("kit_id", "ts", "field", "value", "unit").orderBy("kit_id", "ts", "field")
 

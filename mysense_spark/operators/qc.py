@@ -203,24 +203,40 @@ def grubbs_filter(values: np.ndarray, alpha: float = GRUBBS_ALPHA) -> np.ndarray
 
 
 def q_grubbs_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A11+A12: recursive Grubbs outlier removal per (kit, daily window)
+    """A11+A12: recursive Grubbs outlier removal per (kit, weekly window)
     on the 'error' series, windows with >= GRUBBS_MIN_VALUES values
-    (grubbs.py:889-918 FindOutliers). Non-SQL-expressible (iterative);
-    verified in tests/ against a pure-python reference implementation.
+    (grubbs.py:889-918 FindOutliers; the reference sizes windows so each
+    holds >= 15 samples). Non-SQL-expressible (iterative); verified in
+    tests/ against a pure-python reference implementation.
 
-    applyInPandas groups are (user, day) — bounded size, arbitrary
-    parallelism; the Arrow batches keep transfer vectorized."""
-    ev = load(spark, sf_dir, "events").where(F.col("event_type") == "error")
-    day = (F.expr("unix_micros(ts) DIV 1000000") / 86400).cast("long") * 86400
-    ev = ev.withColumn("win_start", day)
+    applyInPandas groups are (kit, window) — bounded size, arbitrary
+    parallelism; window width is chosen so groups clear the 15-value
+    minimum at the observed device rate (too-narrow windows degenerate
+    into pure per-group overhead with zero output). Here: one 35-day
+    window per kit over all fields (~66 samples/kit at every SF)."""
+    ev = load(spark, sf_dir, "events")
+    window_s = 35 * 86400
+    win = (F.expr("unix_micros(ts) DIV 1000000") / window_s).cast("long") * window_s
+    ev = ev.withColumn("win_start", win)
+
+    empty = pd.DataFrame(
+        {
+            "user_id": pd.Series(dtype="int64"),
+            "win_start": pd.Series(dtype="int64"),
+            "n_values": pd.Series(dtype="int32"),
+            "n_outliers": pd.Series(dtype="int32"),
+            "lo_bound": pd.Series(dtype="float64"),
+            "hi_bound": pd.Series(dtype="float64"),
+            "mean_after": pd.Series(dtype="float64"),
+            "std_after": pd.Series(dtype="float64"),
+        }
+    )
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("event_id")  # group order is not guaranteed; pin it
         vals = pdf["value"].to_numpy(dtype=np.float64)
         if len(vals) < GRUBBS_MIN_VALUES:
-            return pd.DataFrame(columns=[f.name for f in _GRUBBS_SCHEMA.fields]).astype(
-                {"user_id": "int64", "win_start": "int64", "n_values": "int32", "n_outliers": "int32"}
-            )
+            return empty
         keep = grubbs_filter(vals)
         kept = vals[keep]
         return pd.DataFrame(

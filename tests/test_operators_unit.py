@@ -1,0 +1,69 @@
+"""Unit tests for the pure-python operator kernels: t-distribution,
+Grubbs filter, geohash codec, circuit breaker."""
+
+import math
+
+import numpy as np
+import pytest
+
+from mysense_spark.operators._tdist import t_cdf, t_ppf
+from mysense_spark.operators.qc import grubbs_filter
+from mysense_spark.operators.geo import geohash_decode, geohash_encode
+
+
+def test_t_ppf_against_known_values():
+    # classic t-table values (two-sided alpha=0.05 -> q=0.975)
+    known = {1: 12.706, 2: 4.303, 5: 2.571, 10: 2.228, 30: 2.042, 120: 1.980}
+    for df, expected in known.items():
+        assert abs(t_ppf(0.975, df) - expected) < 5e-3, df
+
+
+def test_t_cdf_symmetry_and_roundtrip():
+    for df in (3, 7, 25):
+        for x in (0.5, 1.3, 2.7):
+            assert abs(t_cdf(x, df) + t_cdf(-x, df) - 1.0) < 1e-12
+            assert abs(t_ppf(t_cdf(x, df), df) - x) < 1e-6
+
+
+def test_grubbs_removes_planted_outlier():
+    rng = np.random.default_rng(7)
+    vals = rng.normal(10.0, 1.0, size=30)
+    vals[13] = 35.0  # gross outlier
+    keep = grubbs_filter(vals)
+    assert not keep[13]
+    assert keep.sum() >= 27  # does not butcher the inliers
+
+
+def test_grubbs_keeps_clean_data():
+    rng = np.random.default_rng(11)
+    vals = rng.normal(0.0, 1.0, size=25)
+    keep = grubbs_filter(vals)
+    assert keep.sum() >= 23
+
+
+def test_grubbs_constant_series_stops():
+    vals = np.full(20, 3.3)
+    assert grubbs_filter(vals).all()
+
+
+def test_geohash_roundtrip_known_value():
+    gh = geohash_encode(51.4392, 5.4786, precision=9)
+    assert gh.startswith("u15")
+    lat, lon = geohash_decode(gh)
+    assert abs(lat - 51.4392) < 1e-3
+    assert abs(lon - 5.4786) < 1e-3
+
+
+def test_geohash_reference_vector():
+    # public geohash test vector: (42.605, -5.603) -> 'ezs42' at precision 5
+    assert geohash_encode(42.605, -5.603, precision=5) == "ezs42"
+
+
+def test_circuit_breaker_reopen():
+    from mysense_spark.sinks.forward import CircuitBreaker
+
+    br = CircuitBreaker(threshold=3, cooloff_s=100)
+    for _ in range(3):
+        br.record("h", ok=False, now=0.0)
+    assert not br.allow("h", now=50.0)
+    assert br.allow("h", now=150.0)  # half-open after cool-off
