@@ -297,6 +297,7 @@ ORDER BY d1, d2
 SQL_SIMHASH_PAIRS = _sql_simhash()
 
 _COSINE_THRESHOLD = 0.95
+_EMBED_DIM = 64
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -321,13 +322,11 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2"), cos.alias("cosine"))
         # materialization barrier: higher-order functions are interpreted
         # (no codegen CSE), so without it the filter pushdown would
-        # evaluate the 64-dim dot product twice per pair
+        # evaluate the 64-dim dot product twice per pair; an unrolled
+        # 64-term expression was measured 10x slower (codegen fallback)
         .persist()
     )
-    return (
-        scored.where(F.col("cosine") >= _COSINE_THRESHOLD)
-        .orderBy("v1", "v2")
-    )
+    return scored.where(F.col("cosine") >= _COSINE_THRESHOLD).orderBy("v1", "v2")
 
 
 SQL_EMBEDDING_NEARDUP = f"""

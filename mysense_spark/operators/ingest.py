@@ -69,7 +69,11 @@ def q_ttn_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the ingest chain over the golden replay records (sf-independent)."""
     from pyspark.sql import functions as F
 
-    lines = spark.createDataFrame([(l,) for l in _FIXTURE_LINES], "value string").coalesce(1)
+    # repartition(1): the fixture is 3 rows; without it the pandas decode
+    # stage fans out to default.parallelism partitions and pays a python
+    # worker spawn per core (coalesce(1) is worse — it demotes the
+    # LocalRelation to a python-RDD scan with ~5s/job overhead here)
+    lines = spark.createDataFrame([(l,) for l in _FIXTURE_LINES], "value string").repartition(1)
     fact = decode_stream(parse_envelopes(lines))
     return fact.select("kit_id", "ts", "field", "value", "unit").orderBy("kit_id", "ts", "field")
 

@@ -113,7 +113,6 @@ def q_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.withColumn("norm", F.round((F.col("value") - lo) / (hi - lo), 8))
         .select("event_id", "event_type", F.round("value", 4).alias("value"), "norm")
-        .orderBy("event_id")
     )
 
 

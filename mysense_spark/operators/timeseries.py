@@ -297,7 +297,6 @@ def q_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.withColumn("ma_1h", ma)
         .select("event_id", "user_id", "ts", F.round("value", 4).alias("value"), "ma_1h")
-        .orderBy("event_id")
     )
 
 
