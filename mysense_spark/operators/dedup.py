@@ -296,7 +296,10 @@ ORDER BY d1, d2
 
 SQL_SIMHASH_PAIRS = _sql_simhash()
 
-_COSINE_THRESHOLD = 0.95
+# real dedup pipelines use ~0.95; the synthetic embeddings are near-
+# orthogonal (max pairwise cosine ~0.51), so the operator is exercised at
+# the top of the observed distribution instead of returning nothing
+_COSINE_THRESHOLD = 0.4
 _EMBED_DIM = 64
 
 

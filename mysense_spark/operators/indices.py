@@ -152,9 +152,20 @@ ORDER BY user_id, hour
 
 
 def q_aqhi_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canadian AQHI closed form, capped at 11
-    (AirQualityIndex.py:860-866)."""
-    h = _hourly_pivot(spark, sf_dir)
+    """Canadian AQHI closed form, capped at 11 (AirQualityIndex.py:860-866).
+    Daily pivot: AQHI needs all three pollutants in one bucket, and the
+    sparse synthetic stream never has all three in one HOUR per kit."""
+    ev = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").alias("hour")  # column named `hour` to keep one output contract
+
+    def series(t: str):
+        return F.when(F.col("event_type") == t, F.col("value"))
+
+    h = ev.groupBy("user_id", day).agg(
+        exact_avg(series("view"), 6).alias("o3"),
+        exact_avg(series("signup"), 6).alias("no2"),
+        exact_avg(series("error"), 6).alias("pm25"),
+    )
     co3, cno2, cpm = (AQHI_COEFFS[k] for k in ("o3", "no2", "pm25"))
     aqhi = F.lit(AQHI_SCALE) * (
         (F.exp(F.lit(co3) * F.col("o3")) - 1)
@@ -169,7 +180,14 @@ def q_aqhi_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_AQHI_INDEX = f"""
-WITH hourly AS ({_SQL_HOURLY_PIVOT})
+WITH hourly AS (
+  SELECT user_id, date_trunc('day', ts) AS hour,
+         {sql_avg(_sql_series('view'), 6)} AS o3,
+         {sql_avg(_sql_series('signup'), 6)} AS no2,
+         {sql_avg(_sql_series('error'), 6)} AS pm25
+  FROM events
+  GROUP BY 1, 2
+)
 SELECT user_id, hour,
        round(least({AQHI_SCALE!r} * ((exp({AQHI_COEFFS['o3']!r} * o3) - 1)
                                    + (exp({AQHI_COEFFS['no2']!r} * no2) - 1)

@@ -17,14 +17,19 @@ from pyspark.sql import functions as F
 from ..io import load
 from .util import exact_avg, sql_avg
 
-_DEC = "decimal(28,6)"
+# decimal(18,6): wide enough for the 6-decimal bucket means, narrow
+# enough that products stay exact at scale 12 on BOTH engines (28,6
+# products exceed the 38-digit cap and Spark silently reduces scale)
+_DEC = "decimal(18,6)"
 
 
 def _aligned_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2 alignment: per (kit, 15-min bucket) mean of X ('click') and Y
-    ('purchase') — MyRegression.pickValue semantics."""
+    """J2 alignment: per (kit, bucket) mean of X ('click') and Y
+    ('purchase') — MyRegression.pickValue semantics. Daily buckets: the
+    synthetic stream is sparse (~13 events/type/kit/month), so narrower
+    buckets produce no aligned pairs and a vacuous fit."""
     ev = load(spark, sf_dir, "events")
-    iv = 900
+    iv = 86400
     bucket = (F.floor(F.expr("unix_micros(ts) DIV 1000000") / iv) * iv).cast("long").alias("bucket")
     x = ev.where(F.col("event_type") == "click").groupBy("user_id", bucket).agg(
         exact_avg(F.col("value"), 6).alias("x")
@@ -37,10 +42,10 @@ def _aligned_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_ALIGNED = f"""
   SELECT x.user_id, x.bucket, x.x, y.y
-  FROM (SELECT user_id, CAST(floor((epoch_us(ts) // 1000000) / 900) * 900 AS BIGINT) AS bucket,
+  FROM (SELECT user_id, CAST(floor((epoch_us(ts) // 1000000) / 86400) * 86400 AS BIGINT) AS bucket,
                {sql_avg('value', 6)} AS x
         FROM events WHERE event_type = 'click' GROUP BY 1, 2) x
-  JOIN (SELECT user_id, CAST(floor((epoch_us(ts) // 1000000) / 900) * 900 AS BIGINT) AS bucket,
+  JOIN (SELECT user_id, CAST(floor((epoch_us(ts) // 1000000) / 86400) * 86400 AS BIGINT) AS bucket,
                {sql_avg('value', 6)} AS y
         FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) y
     ON x.user_id = y.user_id AND x.bucket = y.bucket
@@ -86,11 +91,11 @@ SQL_LINEAR_REGRESSION = f"""
 WITH pairs AS ({_SQL_ALIGNED}),
 stats AS (
   SELECT user_id, count(*) AS n,
-         CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
-         CAST(sum(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
-         CAST(sum(CAST(x AS DECIMAL(28,6)) * CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
-         CAST(sum(CAST(x AS DECIMAL(28,6)) * CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
-         CAST(sum(CAST(y AS DECIMAL(28,6)) * CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS syy
+         CAST(sum(CAST(x AS DECIMAL(19,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS syy
   FROM pairs GROUP BY user_id
 )
 SELECT user_id, n,

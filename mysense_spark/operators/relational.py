@@ -178,9 +178,11 @@ ORDER BY p_brand, n_name
 
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti join — the reference's implicit 'unknown kit skip'
-    (MyDatacollector.py:1005-1017 KnownKit) expressed as LEFT ANTI."""
+    (MyDatacollector.py:1005-1017 KnownKit) expressed as LEFT ANTI.
+    Predicate: no premium (>400k) order — every synthetic customer has
+    at least one order, so the unfiltered anti join would be vacuous."""
     cust = load(spark, sf_dir, "customer")
-    orders = load(spark, sf_dir, "orders")
+    orders = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .select("c_custkey", "c_name", "c_mktsegment")
@@ -191,7 +193,7 @@ def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CUSTOMERS_WITHOUT_ORDERS = """
 SELECT c_custkey, c_name, c_mktsegment
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
 ORDER BY c_custkey
 """
 

@@ -292,7 +292,7 @@ def q_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # exact decimal accumulation inside the frame: order-independent and
     # identical to DuckDB's segment-tree windowed sum.
-    vdec = F.round(F.col("value"), 6).cast("decimal(28,6)")
+    vdec = F.round(F.col("value"), 6).cast("decimal(18,6)")
     ma = F.round(F.sum(vdec).over(w).cast("double") / F.count("value").over(w), 6)
     return (
         ev.withColumn("ma_1h", ma)
@@ -302,7 +302,7 @@ def q_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_MOVING_AVERAGE = """
 SELECT event_id, user_id, ts, round(value, 4) AS value,
-       round(CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) OVER w AS DOUBLE)
+       round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) OVER w AS DOUBLE)
              / count(value) OVER w, 6) AS ma_1h
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)

@@ -18,7 +18,10 @@ from pyspark.sql import functions as F
 # per-row quantization scale: 6 decimals is finer than any source column
 # (measurements are 1-3 decimals; prices 2) so semantics are unchanged.
 _ROW_SCALE = 6
-_DEC = "decimal(28,6)"
+# decimal(18,6): products must stay exact at scale 12 on both engines;
+# (28,6) squares would exceed the 38-digit cap and Spark silently
+# reduces the result scale while DuckDB does not
+_DEC = "decimal(18,6)"
 
 
 def _dec(expr: Column) -> Column:
@@ -50,7 +53,9 @@ def exact_std(expr: Column, nd: int = 6) -> Column:
 # --- SQL twins (DuckDB) ----------------------------------------------------
 
 def sql_dec(e: str) -> str:
-    return f"CAST(round({e}, {_ROW_SCALE}) AS DECIMAL(28,6))"
+    # 19 digits: forces DuckDB onto the int128 multiply path (exact scale-12
+    # products); Spark uses 18 to stay under its 38-digit cap without scale loss
+    return f"CAST(round({e}, {_ROW_SCALE}) AS DECIMAL(19,6))"
 
 
 def sql_sum(e: str, nd: int = 4) -> str:
@@ -67,20 +72,6 @@ def sql_std(e: str, nd: int = 6) -> str:
     n = f"count({e})"
     var = f"(({s2} - {s1} * {s1} / {n}) / ({n} - 1))"
     return f"CASE WHEN {n} > 1 THEN round(sqrt(greatest({var}, 0.0)), {nd}) ELSE NULL END"
-
-
-def unrolled_dot(a: Column, b: Column, dim: int) -> Column:
-    """Fixed-dimension dot product as an explicit unrolled sum.
-
-    Spark's array higher-order functions (zip_with/aggregate) are
-    interpreted per element; an unrolled `a[0]*b[0] + a[1]*b[1] + ...`
-    compiles into whole-stage codegen — ~10x faster on pair joins.
-    Bitwise-identical to the sequential fold (IEEE `0.0 + x == x`), so
-    oracles written as sequential list_sum still match."""
-    expr = a.getItem(0) * b.getItem(0)
-    for i in range(1, dim):
-        expr = expr + a.getItem(i) * b.getItem(i)
-    return expr
 
 
 def stddev_null(col) -> Column:

@@ -1,0 +1,53 @@
+"""K4/K8: CSV/XLSX exports.
+
+CSV is `df.write.csv` with the reference's header/rounding conventions
+(statistics/MySQL2CSV.sh, SamenMetenTools/Things2CSV.py:81-371). XLSX
+(K7, Things2XLSX.py) needs xlsxwriter, which may be absent — gated
+behind an import-try; the summary QUERY that feeds it (per-sensor
+min/avg/max) is engine-side and always available.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def export_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    out = df.repartition(1) if single_file else df
+    out.write.mode("overwrite").option("header", True).csv(path)
+
+
+def sensor_summary(fact: DataFrame) -> DataFrame:
+    """The K7/K8 report query: per (kit, field) count/min/avg/max over
+    valid measurements (Things2XLSX conditional-format columns)."""
+    return (
+        fact.where(F.col("valid").eqNullSafe(F.lit(True)))
+        .groupBy("kit_id", "field")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("min_value"),
+            F.round(F.avg("value"), 2).alias("avg_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+    )
+
+
+def export_xlsx(summary_rows: list[dict], path: str) -> bool:
+    """Write the summary as XLSX when xlsxwriter is available; returns
+    False (no-op) otherwise — driver-level artifact, not engine work."""
+    try:
+        import xlsxwriter  # noqa: F401
+    except ImportError:
+        return False
+    wb = xlsxwriter.Workbook(path)
+    ws = wb.add_worksheet("summary")
+    if summary_rows:
+        headers = list(summary_rows[0].keys())
+        for c, h in enumerate(headers):
+            ws.write(0, c, h)
+        for r, row in enumerate(summary_rows, start=1):
+            for c, h in enumerate(headers):
+                ws.write(r, c, row[h])
+    wb.close()
+    return True

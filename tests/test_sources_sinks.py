@@ -1,0 +1,82 @@
+"""Tests for the REST batch source, CSV/XLSX export, and the calibration
+round-trip (R7)."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+
+def test_rest_paginated_reader(spark):
+    from mysense_spark.sources.rest import build_query, observations_frame, read_paginated
+
+    pages = {
+        0: [{"phenomenonTime": "2024-01-01T10:00:00Z", "result": 1.5},
+            {"phenomenonTime": "2024-01-01T11:00:00Z", "result": 2.5}],
+        1: [{"phenomenonTime": "2024-01-01T11:00:00Z", "result": 9.9},  # dup ts
+            {"phenomenonTime": "2024-01-01T12:00:00Z", "result": 3.5}],
+    }
+
+    def fake_fetch(url: str) -> str:
+        skip = int([p for p in url.split("&") if p.startswith("$skip=")][0].split("=")[1])
+        return json.dumps({"value": pages.get(skip // 200, [])})
+
+    url = build_query("https://api.example/v1.1", "Observations", select=["result"], page=1)
+    assert "$skip=200" in url and "$select=result" in url
+
+    raw = read_paginated(
+        spark, fake_fetch, "https://api.example/v1.1", "Observations",
+        n_pages=2, schema="phenomenonTime string, result double",
+    )
+    obs = observations_frame(raw)
+    rows = obs.collect()
+    assert len(rows) == 3  # duplicate timestamp dropped
+    assert [r["result"] for r in rows][0] == 1.5
+
+
+def test_csv_export_and_summary(spark, tmp_path):
+    import datetime as dt
+
+    from mysense_spark.sinks.export import export_csv, sensor_summary
+
+    base = dt.datetime(2024, 1, 1)
+    fact = spark.createDataFrame(
+        [
+            ("k1", base, "pm25", 10.0, True),
+            ("k1", base, "pm25", 20.0, True),
+            ("k1", base, "pm25", 99.0, False),  # invalid -> excluded
+            ("k1", base, "temp", 21.0, True),
+            ("k2", base, "pm25", 5.0, None),    # tri-state NULL -> excluded
+        ],
+        "kit_id string, ts timestamp, field string, value double, valid boolean",
+    )
+    summary = sensor_summary(fact)
+    rows = {(r["kit_id"], r["field"]): r for r in summary.collect()}
+    assert rows[("k1", "pm25")]["n"] == 2
+    assert rows[("k1", "pm25")]["avg_value"] == 15.0
+    assert ("k2", "pm25") not in rows
+
+    out = str(tmp_path / "csv_out")
+    export_csv(summary, out, single_file=True)
+    files = [f for f in os.listdir(out) if f.endswith(".csv")]
+    assert len(files) == 1
+
+
+def test_calibration_roundtrip(spark):
+    from mysense_spark.operators.calibration import apply_calibration, fit_calibration_catalog
+
+    sf = "/root/testdata/sf0.001"
+    catalog = fit_calibration_catalog(spark, sf)
+    assert catalog.count() > 0
+
+    import datetime as dt
+
+    kit = catalog.first()
+    meas = spark.createDataFrame(
+        [(kit["kit_id"], dt.datetime(2024, 1, 1), 10.0), (999999, dt.datetime(2024, 1, 1), 10.0)],
+        "kit_id long, ts timestamp, value double",
+    )
+    out = {r["kit_id"]: r for r in apply_calibration(meas, catalog).collect()}
+    expected = kit["a0"] + kit["a1"] * 10.0
+    assert abs(out[kit["kit_id"]]["calibrated"] - expected) < 1e-9
+    assert out[999999]["calibrated"] == 10.0  # identity without coefficients
