@@ -23,6 +23,8 @@ from ..registry import (
     AQHI_COEFFS,
     AQHI_SCALE,
     AQI_BREAKPOINTS,
+    CAQI_BREAKPOINTS,
+    CAQI_CAP,
     GMOL,
     JOOST_COEFFS,
     LKI_BREAKPOINTS,
@@ -198,6 +200,71 @@ ORDER BY user_id, hour
 """
 
 
+def q_caqi_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EU CAQI (background table, AirQualityIndex.py:590-691): per-pollutant
+    sub-index on the class grid [0..125]; the overall index is the max over
+    pollutants and requires every mandated pollutant (no2, pm10, o3) to be
+    present in the bucket. Daily pivot like AQHI (co-occurrence)."""
+    ev = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").alias("hour")
+
+    def series(t: str):
+        return F.when(F.col("event_type") == t, F.col("value"))
+
+    h = ev.groupBy("user_id", day).agg(
+        exact_avg(series("signup"), 6).alias("no2"),
+        exact_avg(series("click"), 6).alias("pm10"),
+        exact_avg(series("view"), 6).alias("o3"),
+        exact_avg(series("error"), 6).alias("pm25"),
+    )
+    subs = {p: piecewise(F.col(p), CAQI_BREAKPOINTS[p], CAQI_CAP) for p in CAQI_BREAKPOINTS}
+    mandated_ok = F.col("no2").isNotNull() & F.col("pm10").isNotNull() & F.col("o3").isNotNull()
+    caqi = F.greatest(*subs.values())
+    return (
+        h.where(mandated_ok)
+        .select(
+            "user_id",
+            "hour",
+            subs["no2"].alias("caqi_no2"),
+            subs["pm10"].alias("caqi_pm10"),
+            subs["o3"].alias("caqi_o3"),
+            F.when(F.col("pm25").isNotNull(), subs["pm25"]).alias("caqi_pm25"),
+            F.when(F.col("pm25").isNotNull(), F.greatest(*subs.values()))
+            .otherwise(F.greatest(subs["no2"], subs["pm10"], subs["o3"]))
+            .alias("caqi"),
+        )
+        .orderBy("user_id", "hour")
+    )
+
+
+def _sql_caqi() -> str:
+    sub = {p: sql_piecewise(p, CAQI_BREAKPOINTS[p], CAQI_CAP) for p in CAQI_BREAKPOINTS}
+    return f"""
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS hour,
+         {sql_avg(_sql_series('signup'), 6)} AS no2,
+         {sql_avg(_sql_series('click'), 6)} AS pm10,
+         {sql_avg(_sql_series('view'), 6)} AS o3,
+         {sql_avg(_sql_series('error'), 6)} AS pm25
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, hour,
+       {sub['no2']} AS caqi_no2,
+       {sub['pm10']} AS caqi_pm10,
+       {sub['o3']} AS caqi_o3,
+       CASE WHEN pm25 IS NOT NULL THEN {sub['pm25']} END AS caqi_pm25,
+       CASE WHEN pm25 IS NOT NULL
+            THEN greatest({sub['no2']}, {sub['pm10']}, {sub['o3']}, {sub['pm25']})
+            ELSE greatest({sub['no2']}, {sub['pm10']}, {sub['o3']}) END AS caqi
+FROM daily
+WHERE no2 IS NOT NULL AND pm10 IS NOT NULL AND o3 IS NOT NULL
+ORDER BY user_id, hour
+"""
+
+
+SQL_CAQI_INDEX = _sql_caqi()
+
+
 def q_joost_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P12 Joost humidity correction (grubbs.py:138-174):
     pm' = pm * a * rh^b; NULL (reference: NaN) when the factor exceeds 1."""
@@ -332,6 +399,7 @@ QUERIES: dict[str, tuple] = {
     "aqi_index": (q_aqi_index, SQL_AQI_INDEX),
     "lki_index": (q_lki_index, SQL_LKI_INDEX),
     "aqhi_index": (q_aqhi_index, SQL_AQHI_INDEX),
+    "caqi_index": (q_caqi_index, SQL_CAQI_INDEX),
     "joost_correction": (q_joost_correction, SQL_JOOST_CORRECTION),
     "dew_point": (q_dew_point, SQL_DEW_POINT),
     "unit_conversion": (q_unit_conversion, SQL_UNIT_CONVERSION),

@@ -161,8 +161,112 @@ ORDER BY user_id
 """
 
 
+def q_multilinear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3: two-feature OLS y ~ a + b1*x1 + b2*x2 per kit
+    (MyRegression.py:925-968 multi-linear mode), closed form via the
+    2x2 normal equations on centered exact sums. 3-day alignment buckets
+    (three series must co-occur). One shuffle + one agg, like R1."""
+    ev = load(spark, sf_dir, "events")
+    iv = 3 * 86400
+    bucket = (F.floor(F.expr("unix_micros(ts) DIV 1000000") / iv) * iv).cast("long").alias("bucket")
+
+    def series(t: str):
+        return F.when(F.col("event_type") == t, F.col("value"))
+
+    pivot = ev.groupBy("user_id", bucket).agg(
+        exact_avg(series("click"), 6).alias("x1"),
+        exact_avg(series("view"), 6).alias("x2"),
+        exact_avg(series("purchase"), 6).alias("y"),
+    ).where(F.col("x1").isNotNull() & F.col("x2").isNotNull() & F.col("y").isNotNull())
+
+    d = lambda c: F.col(c).cast(_DEC)  # noqa: E731
+    stats = pivot.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d("x1")).cast("double").alias("s1"),
+        F.sum(d("x2")).cast("double").alias("s2"),
+        F.sum(d("y")).cast("double").alias("sy"),
+        F.sum(d("x1") * d("x1")).cast("double").alias("s11"),
+        F.sum(d("x1") * d("x2")).cast("double").alias("s12"),
+        F.sum(d("x2") * d("x2")).cast("double").alias("s22"),
+        F.sum(d("x1") * d("y")).cast("double").alias("s1y"),
+        F.sum(d("x2") * d("y")).cast("double").alias("s2y"),
+        F.sum(d("y") * d("y")).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    c11 = n * F.col("s11") - F.col("s1") * F.col("s1")
+    c12 = n * F.col("s12") - F.col("s1") * F.col("s2")
+    c22 = n * F.col("s22") - F.col("s2") * F.col("s2")
+    c1y = n * F.col("s1y") - F.col("s1") * F.col("sy")
+    c2y = n * F.col("s2y") - F.col("s2") * F.col("sy")
+    cyy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    den = c11 * c22 - c12 * c12
+    b1 = (c22 * c1y - c12 * c2y) / den
+    b2 = (c11 * c2y - c12 * c1y) / den
+    a = (F.col("sy") - b1 * F.col("s1") - b2 * F.col("s2")) / n
+    r2 = (b1 * c1y + b2 * c2y) / cyy
+    return (
+        stats.where((n >= 4) & (den > 0) & (cyy > 0))
+        .select(
+            "user_id",
+            "n",
+            F.round(b1, 6).alias("b1"),
+            F.round(b2, 6).alias("b2"),
+            F.round(a, 6).alias("intercept"),
+            F.round(r2, 6).alias("r2"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _sql_multilinear() -> str:
+    dd = lambda c: f"CAST({c} AS DECIMAL(19,6))"  # noqa: E731
+    savg = lambda t: sql_avg(f"CASE WHEN event_type = '{t}' THEN value END", 6)  # noqa: E731
+    return f"""
+WITH piv AS (
+  SELECT user_id, CAST(floor((epoch_us(ts) // 1000000) / 259200) * 259200 AS BIGINT) AS bucket,
+         {savg('click')} AS x1, {savg('view')} AS x2, {savg('purchase')} AS y
+  FROM events GROUP BY 1, 2
+), filtered AS (
+  SELECT * FROM piv WHERE x1 IS NOT NULL AND x2 IS NOT NULL AND y IS NOT NULL
+), stats AS (
+  SELECT user_id, count(*) AS n,
+         CAST(sum({dd('x1')}) AS DOUBLE) AS s1,
+         CAST(sum({dd('x2')}) AS DOUBLE) AS s2,
+         CAST(sum({dd('y')}) AS DOUBLE) AS sy,
+         CAST(sum({dd('x1')} * {dd('x1')}) AS DOUBLE) AS s11,
+         CAST(sum({dd('x1')} * {dd('x2')}) AS DOUBLE) AS s12,
+         CAST(sum({dd('x2')} * {dd('x2')}) AS DOUBLE) AS s22,
+         CAST(sum({dd('x1')} * {dd('y')}) AS DOUBLE) AS s1y,
+         CAST(sum({dd('x2')} * {dd('y')}) AS DOUBLE) AS s2y,
+         CAST(sum({dd('y')} * {dd('y')}) AS DOUBLE) AS syy
+  FROM filtered GROUP BY user_id
+), solved AS (
+  SELECT user_id, n,
+         (n * s11 - s1 * s1) AS c11, (n * s12 - s1 * s2) AS c12,
+         (n * s22 - s2 * s2) AS c22, (n * s1y - s1 * sy) AS c1y,
+         (n * s2y - s2 * sy) AS c2y, (n * syy - sy * sy) AS cyy,
+         s1, s2, sy
+  FROM stats
+)
+SELECT user_id, n,
+       round((c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12), 6) AS b1,
+       round((c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12), 6) AS b2,
+       round((sy - ((c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12)) * s1
+                 - ((c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12)) * s2) / n, 6) AS intercept,
+       round((((c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12)) * c1y
+            + ((c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12)) * c2y) / cyy, 6) AS r2
+FROM solved
+WHERE n >= 4 AND (c11 * c22 - c12 * c12) > 0 AND cyy > 0
+ORDER BY user_id
+"""
+
+
+SQL_MULTILINEAR_REGRESSION = _sql_multilinear()
+
+
 QUERIES: dict[str, tuple] = {
     "linear_regression": (q_linear_regression, SQL_LINEAR_REGRESSION),
+    "multilinear_regression": (q_multilinear_regression, SQL_MULTILINEAR_REGRESSION),
     "minmax_normalize": (q_minmax_normalize, SQL_MINMAX_NORMALIZE),
     "fit_apply": (q_fit_apply, SQL_FIT_APPLY),
 }

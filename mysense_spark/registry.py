@@ -207,6 +207,28 @@ LKI_BREAKPOINTS: dict[str, list[tuple[float, float, float, float]]] = {
     ],
 }
 
+# CAQI (EU) background table (AirQualityIndex.py:590-648): pollutant
+# level grid mapped onto the CAQI class grid [0,25,50,75,100,125];
+# mandated pollutants must be present for the index to be valid.
+_CAQI_CLASS = [0.0, 25.0, 50.0, 75.0, 100.0, 125.0]
+
+
+def _caqi_segments(levels: list[float]) -> list[tuple[float, float, float, float]]:
+    return [
+        (levels[i], levels[i + 1], _CAQI_CLASS[i], _CAQI_CLASS[i + 1])
+        for i in range(len(levels) - 1)
+    ]
+
+
+CAQI_BREAKPOINTS: dict[str, list[tuple[float, float, float, float]]] = {
+    "no2": _caqi_segments([0.0, 50.0, 100.0, 200.0, 400.0, 800.0]),
+    "pm10": _caqi_segments([0.0, 25.0, 50.0, 90.0, 180.0, 360.0]),
+    "o3": _caqi_segments([0.0, 60.0, 120.0, 180.0, 240.0, 480.0]),
+    "pm25": _caqi_segments([0.0, 15.0, 30.0, 55.0, 110.0, 220.0]),
+}
+CAQI_MANDATED = ("no2", "pm10", "o3")
+CAQI_CAP = 125.0
+
 # AQHI (Canada) closed form (AirQualityIndex.py:860-866)
 AQHI_SCALE = 1000.0 / 10.4
 AQHI_COEFFS = {"o3": 0.000537, "no2": 0.000871, "pm25": 0.000487}
