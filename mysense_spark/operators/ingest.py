@@ -69,6 +69,9 @@ def q_ttn_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the ingest chain over the golden replay records (sf-independent)."""
     from pyspark.sql import functions as F
 
+    # pin tz: this query doesn't go through io.load, and the driver's
+    # session tz is unknown — the oracle's timestamps are UTC literals
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     # repartition(1): the fixture is 3 rows; without it the pandas decode
     # stage fans out to default.parallelism partitions and pays a python
     # worker spawn per core (coalesce(1) is worse — it demotes the

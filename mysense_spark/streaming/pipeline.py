@@ -105,6 +105,25 @@ def run_file_batch(spark, path: str) -> DataFrame:
     return decode_stream(parse_envelopes(lines))
 
 
+def hourly_stats_stream(fact_stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """A2 streaming twin: watermarked tumbling-window AVG/COUNT per
+    (kit, field) — the grubbs.py:1137-1143 timeslice aggregation as a
+    Structured Streaming windowed aggregate. Late rows beyond the
+    watermark are dropped; the window closes and emits once per trigger
+    in append mode."""
+    return (
+        fact_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "kit_id", "field")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.min("value"), 4).alias("min_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+        )
+        .select(F.col("win.start").alias("hour"), "kit_id", "field", "n", "avg_value", "min_value", "max_value")
+    )
+
+
 def run_file_stream(spark, in_dir: str, checkpoint: str, out_dir: str, watermark: str = "2 hours"):
     """Streaming twin: readStream on a drop directory, event-time
     watermark + dedup on the upsert key, parquet upsert via foreachBatch.
