@@ -251,13 +251,78 @@ def decode_port_3(payload: bytes) -> dict:
     return {"meta": meta}
 
 
+# ---------------------------------------------------------------------------
+# Port 12 "weerDIY1" rules engine (MyLoRaCode.py LoRaCodeRules :216-255):
+# datagram = version byte (x/10) then repeated [sensor-id B][packed fields];
+# field rule = (name, struct fmt, NaN sentinel, (offset, scale), unit);
+# value = (raw - offset) / scale, None when raw == sentinel.
+# ---------------------------------------------------------------------------
+_NAN = {"B": 2**8 - 1, "b": 2**7 - 1, "H": 2**16 - 1, "h": 2**15 - 1, "L": 2**32 - 1, "l": 2**31 - 1}
+
+WEER_DIY1_RULES: dict[int, tuple[str, list[tuple]]] = {
+    1: ("BME280", [("temp", "h", _NAN["h"], (0, 10.0), "C"), ("rv", "h", _NAN["h"], (0, 10.0), "%"),
+                   ("luchtdruk", "H", _NAN["H"], (0, 1.0), "hPa")]),
+    2: ("BME680", [("temp", "h", _NAN["h"], (0, 10.0), "C"), ("rv", "H", _NAN["H"], (0, 10.0), "%"),
+                   ("luchtdruk", "H", _NAN["H"], (0, 1.0), "hPa"), ("voc", "H", _NAN["H"], (0, 1.0), "Kohm"),
+                   ("aqi", "B", _NAN["B"], (0, 1.0), "%")]),
+    3: ("SHT31", [("temp", "h", _NAN["h"], (0, 10.0), "C"), ("rv", "H", _NAN["H"], (0, 10.0), "%")]),
+    19: ("NEO-6", [("lon", "f", None, (0, 1.0), "degrees"), ("lat", "f", None, (0, 1.0), "degrees"),
+                   ("alt", "L", _NAN["L"], (0, 10.0), "m")]),
+    20: ("windDIY1", [("wr", "H", _NAN["h"], (0, 1.0), "degrees"), ("ws", "H", _NAN["H"], (0, 10.0), "m/sec")]),
+    21: ("Argent", [("wr", "H", _NAN["h"], (0, 1.0), "degrees"), ("ws", "H", _NAN["H"], (0, 20.0), "m/sec")]),
+    22: ("Ultrasonic", [("wr", "H", _NAN["h"], (0, 1.0), "degrees"), ("ws", "H", _NAN["H"], (0, 10.0), "m/sec")]),
+    23: ("RainCounter", [("rain", "H", _NAN["H"], (0, 10.0), "mm/h")]),
+    254: ("time", [("time", "L", 2**31, (1, 1.0), "sec")]),
+}
+
+
+def decode_port_12(payload: bytes) -> dict:
+    """weerDIY1 rules-engine decode (big-endian)."""
+    import struct
+
+    out: dict = {"meta": {"version": round(payload[0] / 10.0, 1)}}
+    i = 1
+    while i < len(payload):
+        sensor_id = payload[i]
+        i += 1
+        if sensor_id not in WEER_DIY1_RULES:
+            break  # unknown sensor id: cannot advance reliably
+        sensor, fields = WEER_DIY1_RULES[sensor_id]
+        fmt = ">" + "".join(f[1] for f in fields)
+        size = struct.calcsize(fmt)
+        values = struct.unpack(fmt, payload[i : i + size])
+        i += size
+        decoded: dict = {}
+        for (name, _f, nan, (off, scale), _unit), raw in zip(fields, values):
+            if nan is not None and raw == nan:
+                continue
+            val = (raw - off) / scale
+            if name in ("lon", "lat"):
+                val = round(val, 7)
+            elif name in ("wr", "luchtdruk"):
+                val = int(val)
+            elif isinstance(val, float):
+                val = round(val, 1)
+            decoded[name] = val
+        if decoded:
+            out.setdefault(sensor, {}).update(decoded)
+    return out
+
+
 def decode_payload(payload_b64: str, port: int) -> dict:
-    """Decode a base64 LoRa payload for the given port."""
+    """Decode a base64 LoRa payload for the given port.
+
+    Ports 2/4: MySense measurement datagrams; 3: meta/events;
+    12: weerDIY1 rules engine. Port 10 (Libelium WaspMote tiny frame,
+    variable-length header) is not implemented — records surface as
+    decode=None and flow to the dead-letter path."""
     raw = base64.b64decode(payload_b64)
     if port in (2, 4):
         return decode_port_2_or_4(raw, port)
     if port == 3:
         return decode_port_3(raw)
+    if port == 12:
+        return decode_port_12(raw)
     raise ValueError(f"unsupported LoRa port {port}")
 
 

@@ -45,7 +45,7 @@ def decode_stream(normalized: DataFrame) -> DataFrame:
     """Normalized envelopes -> long fact rows
     (kit_id, ts, sensor_type, field, value, unit, valid)."""
     decode_udf = make_decode_udf()
-    decoded = normalized.where(F.col("port").isin(2, 4)).withColumn(
+    decoded = normalized.where(F.col("port").isin(2, 4, 12)).withColumn(
         "decoded", F.from_json(decode_udf(F.col("payload_raw"), F.col("port")), _DECODED_SCHEMA)
     )
     long_rows = (

@@ -85,6 +85,26 @@ def test_decode_port3_meta_golden():
         assert abs(geo[k] - v) < 1e-4, f"{k}: {geo[k]} != {v}"
 
 
+def test_decode_port12_golden():
+    # golden: TTN-testsuite.mqtt dev gtl-kipster-weerstation (port 12)
+    # BME280 temp 32.2, rv 55.2; NEO-6 lon 5.123456 lat 61.123456,
+    # alt NaN-sentinel; windDIY1 wr 120, ws 34.4.
+    # luchtdruk: the reference CODE decoder yields int(0x0401)=1025 —
+    # the corpus' embedded payload_fields (1024.5) come from TTN's JS
+    # decoder, which differs by its own 0.5 offset; code semantics win.
+    raw = "AAEBQgIoBAETQKPzWkJ0fmv/////FAB4AVg="
+    d = decode_payload(raw, 12)
+    assert d["meta"]["version"] == 0.0
+    assert d["BME280"]["temp"] == 32.2
+    assert d["BME280"]["rv"] == 55.2
+    assert d["BME280"]["luchtdruk"] == 1025
+    assert abs(d["NEO-6"]["lon"] - 5.1234565) < 1e-4
+    assert abs(d["NEO-6"]["lat"] - 61.1234564) < 1e-4
+    assert "alt" not in d["NEO-6"]  # 0xFFFFFFFF sentinel -> absent
+    assert d["windDIY1"]["wr"] == 120
+    assert d["windDIY1"]["ws"] == 34.4
+
+
 def test_decode_port3_event():
     # version 0.5, event datagram (byte1 == 0): event 14, value 90
     import base64
