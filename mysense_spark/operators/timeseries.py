@@ -476,8 +476,49 @@ ORDER BY user_id
 """
 
 
+def q_failing_sensor_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: failing-sensor report — per kit, min/max/avg of the last 3 days
+    of its series scaled x10 (ReportFailingSensors.sh:494:
+    `min(round(c*10)), max(round(c*10)), round(AVG(c)*10)` over
+    `datum > DATE_SUB(last, INTERVAL 3 DAY)`). Two-phase: per-kit last
+    timestamp, then the range-filtered agg — one shuffle each."""
+    ev = load(spark, sf_dir, "events").where(F.col("event_type") == "error")
+    last = ev.groupBy("user_id").agg(F.max("ts").alias("last_ts"))
+    joined = ev.join(last, "user_id").where(
+        F.unix_micros("ts") > F.unix_micros("last_ts") - F.lit(3 * 86400 * 1_000_000)
+    )
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.round(F.col("value") * 10, 0)).cast("long").alias("min_x10"),
+            F.max(F.round(F.col("value") * 10, 0)).cast("long").alias("max_x10"),
+            F.round(exact_avg(F.col("value"), 6) * 10, 4).alias("avg_x10"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_FAILING_SENSOR_REPORT = f"""
+WITH last AS (
+  SELECT user_id, max(ts) AS last_ts FROM events WHERE event_type = 'error' GROUP BY user_id
+)
+SELECT e.user_id,
+       count(*) AS n,
+       CAST(min(round(value * 10, 0)) AS BIGINT) AS min_x10,
+       CAST(max(round(value * 10, 0)) AS BIGINT) AS max_x10,
+       round({sql_avg('value', 6)} * 10, 4) AS avg_x10
+FROM events e JOIN last l ON e.user_id = l.user_id
+WHERE e.event_type = 'error'
+  AND epoch_us(ts) > epoch_us(last_ts) - {3 * 86400 * 1_000_000}
+GROUP BY e.user_id
+ORDER BY e.user_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "hourly_stats": (q_hourly_stats, SQL_HOURLY_STATS),
+    "failing_sensor_report": (q_failing_sensor_report, SQL_FAILING_SENSOR_REPORT),
     "timeslice_avg": (q_timeslice_avg, SQL_TIMESLICE_AVG),
     "latest_per_user": (q_latest_per_user, SQL_LATEST_PER_USER),
     "static_runs": (q_static_runs, SQL_STATIC_RUNS),
