@@ -232,29 +232,47 @@ def q_grubbs_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     )
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("event_id")  # group order is not guaranteed; pin it
-        vals = pdf["value"].to_numpy(dtype=np.float64)
-        if len(vals) < GRUBBS_MIN_VALUES:
-            return empty
-        keep = grubbs_filter(vals)
-        kept = vals[keep]
-        return pd.DataFrame(
-            {
-                "user_id": [int(pdf["user_id"].iloc[0])],
-                "win_start": [int(pdf["win_start"].iloc[0])],
-                "n_values": [int(len(vals))],
-                "n_outliers": [int((~keep).sum())],
-                "lo_bound": [round(float(kept.min()), 6)],
-                "hi_bound": [round(float(kept.max()), 6)],
-                "mean_after": [round(float(kept.mean()), 6)],
-                "std_after": [round(float(kept.std(ddof=1)), 6)],
-            }
-        )
+    def run_partition(batches):
+        # mapInPandas over key-repartitioned data instead of applyInPandas:
+        # thousands of tiny groups pay ~2-3ms Arrow framing each under
+        # applyInPandas; one concat + vectorized pandas groupby per
+        # partition amortizes it. Groups are whole per partition because
+        # we repartition on the full key below.
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            yield empty
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        rows = []
+        for (uid, win), g in pdf.groupby(["user_id", "win_start"], sort=False):
+            vals = g.sort_values("event_id")["value"].to_numpy(dtype=np.float64)
+            if len(vals) < GRUBBS_MIN_VALUES:
+                continue
+            keep = grubbs_filter(vals)
+            kept = vals[keep]
+            rows.append(
+                (
+                    int(uid),
+                    int(win),
+                    int(len(vals)),
+                    int((~keep).sum()),
+                    round(float(kept.min()), 6),
+                    round(float(kept.max()), 6),
+                    round(float(kept.mean()), 6),
+                    round(float(kept.std(ddof=1)), 6),
+                )
+            )
+        if not rows:
+            yield empty
+            return
+        out = pd.DataFrame(rows, columns=[f.name for f in _GRUBBS_SCHEMA.fields])
+        yield out.astype({"n_values": "int32", "n_outliers": "int32"})
 
+    cols = ["user_id", "win_start", "event_id", "value"]
     return (
-        ev.groupBy("user_id", "win_start")
-        .applyInPandas(run, schema=_GRUBBS_SCHEMA)
+        ev.select(*cols)
+        .repartition("user_id", "win_start")
+        .mapInPandas(run_partition, schema=_GRUBBS_SCHEMA)
         .orderBy("user_id", "win_start")
     )
 
