@@ -309,18 +309,71 @@ def decode_port_12(payload: bytes) -> dict:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Port 10 "Libelium" WaspMote tiny frame (MyLoRaCode.py rules :256-290):
+# little-endian; header '<=>' + type B + size B + serial Q + WaspID string
+# terminated by '#' + sequence B; then repeated [sensor-id B][value].
+# ---------------------------------------------------------------------------
+LIBELIUM_RULES: dict[int, tuple[str, str, str, float]] = {
+    # id: (sensor, field, struct fmt, scale divisor)
+    52: ("energy", "accu", "B", 1.0),
+    74: ("BME280", "temp", "f", 1.0),
+    76: ("BME280", "rv", "f", 1.0),
+    77: ("BME280", "luchtdruk", "f", 100.0),
+    156: ("WASPwind", "ws", "f", 1.0),
+    157: ("WASPwind", "wr", "B", 0.25),
+    158: ("WASPrain", "rain", "f", 1.0),
+    159: ("WASPrain", "prevrain", "f", 1.0),
+    160: ("WASPrain", "dayrain", "f", 1.0),
+}
+
+
+def decode_port_10(payload: bytes) -> dict:
+    """Libelium WaspMote frame decode (no golden outputs exist in the
+    reference corpus; validated structurally against real captures)."""
+    import struct
+
+    if payload[:3] != b"<=>":
+        raise ValueError("not a Libelium frame")
+    frame_type = payload[3]
+    serial = struct.unpack("<Q", payload[5:13])[0]
+    end = payload.index(b"#", 13)
+    wasp_id = payload[13:end].decode("ascii", errors="replace")
+    seq = payload[end + 1]
+    out: dict = {
+        "meta": {"frame_type": frame_type, "serial": f"{serial:x}", "wasp_id": wasp_id, "seq": seq}
+    }
+    i = end + 2
+    while i < len(payload):
+        sensor_id = payload[i]
+        i += 1
+        if sensor_id not in LIBELIUM_RULES:
+            break
+        sensor, field, fmt, scale = LIBELIUM_RULES[sensor_id]
+        size = struct.calcsize(fmt)
+        (raw,) = struct.unpack("<" + fmt, payload[i : i + size])
+        i += size
+        val = raw / scale
+        if field in ("wr", "luchtdruk"):
+            val = int(val)
+        else:
+            val = round(float(val), 1)
+        out.setdefault(sensor, {})[field] = val
+    return out
+
+
 def decode_payload(payload_b64: str, port: int) -> dict:
     """Decode a base64 LoRa payload for the given port.
 
     Ports 2/4: MySense measurement datagrams; 3: meta/events;
-    12: weerDIY1 rules engine. Port 10 (Libelium WaspMote tiny frame,
-    variable-length header) is not implemented — records surface as
-    decode=None and flow to the dead-letter path."""
+    10: Libelium WaspMote frame; 12: weerDIY1 rules engine."""
     raw = base64.b64decode(payload_b64)
     if port in (2, 4):
         return decode_port_2_or_4(raw, port)
     if port == 3:
         return decode_port_3(raw)
+    if port == 10:
+        return decode_port_10(raw)
     if port == 12:
         return decode_port_12(raw)
     raise ValueError(f"unsupported LoRa port {port}")

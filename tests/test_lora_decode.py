@@ -105,6 +105,23 @@ def test_decode_port12_golden():
     assert d["windDIY1"]["ws"] == 34.4
 
 
+def test_decode_port10_structural():
+    # real WaspMote capture (inputtestP10.mqtt; the corpus embeds no
+    # expected fields for port 10, so assertions are structural +
+    # physical-plausibility: Nov-2019 NL weather station)
+    raw = "PD0+BjhPhxj9wzfe725vZGVfMDEj1TRgSs3MTL1MAADIQk16tMZHngAAAACfAAAAAKCEDQ8/nQicmpmZQA=="
+    d = decode_payload(raw, 10)
+    assert d["meta"]["wasp_id"] == "node_01"
+    assert d["meta"]["frame_type"] == 6
+    assert d["energy"]["accu"] == 96.0
+    assert d["BME280"]["rv"] == 100.0
+    assert d["BME280"]["luchtdruk"] == 1017
+    assert -30 < d["BME280"]["temp"] < 45
+    assert d["WASPrain"]["rain"] == 0.0
+    assert 0 <= d["WASPwind"]["wr"] < 360
+    assert 0 <= d["WASPwind"]["ws"] < 50
+
+
 def test_decode_port3_event():
     # version 0.5, event datagram (byte1 == 0): event 14, value 90
     import base64
