@@ -228,8 +228,41 @@ ORDER BY o_orderpriority
 """
 
 
+def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL surface: the same pricing-summary semantics
+    submitted as a `spark.sql` string over registered views — proving a
+    MySense user can stay in pure SQL. Dialect differences vs the DuckDB
+    oracle are confined to epoch helpers (none needed here)."""
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(CAST(sum(CAST(round(l_quantity, 6) AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_qty,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2024-11-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
+SQL_SQL_INTERFACE = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_sum('l_quantity', 4)} AS sum_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2024-11-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "sql_interface": (q_sql_interface, SQL_SQL_INTERFACE),
     "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
     "region_revenue": (q_region_revenue, SQL_REGION_REVENUE),
     "part_supplier_stats": (q_part_supplier_stats, SQL_PART_SUPPLIER_STATS),

@@ -81,6 +81,34 @@ def decode_stream(normalized: DataFrame) -> DataFrame:
     )
 
 
+def dead_letter_stream(normalized: DataFrame) -> DataFrame:
+    """Quarantine path: records the decoder cannot handle (unsupported
+    port, malformed payload) — kept with a reason instead of silently
+    dropped, so replay after a decoder fix is possible (the reference
+    logs-and-drops; at scale a quarantine table is the recoverable
+    version of that)."""
+    decode_udf = make_decode_udf()
+    measurement_ports = (2, 3, 4, 10, 12)
+    attempted = normalized.withColumn(
+        "decoded_json",
+        F.when(F.col("port").isin(*measurement_ports), decode_udf(F.col("payload_raw"), F.col("port"))),
+    )
+    return attempted.where(
+        F.col("payload_raw").isNull()
+        | ~F.col("port").isin(*measurement_ports)
+        | F.col("decoded_json").isNull()
+    ).select(
+        F.concat_ws("_", "app_id", "dev_id").alias("kit_id"),
+        "port",
+        "payload_raw",
+        F.col("event_ts").alias("ts"),
+        F.when(F.col("payload_raw").isNull(), F.lit("no_payload"))
+        .when(~F.col("port").isin(*measurement_ports), F.lit("unsupported_port"))
+        .otherwise(F.lit("decode_error"))
+        .alias("reason"),
+    )
+
+
 def events_stream(normalized: DataFrame) -> DataFrame:
     """Port-3 meta/event side output (SURVEY §2.11: registry mutations)."""
     decode_udf = make_decode_udf()

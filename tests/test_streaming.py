@@ -102,6 +102,24 @@ def test_stream_batch_parity_and_upsert_idempotence(spark, tmp_path):
     assert spark.read.parquet(out_dir).count() == n_before
 
 
+def test_dead_letter_stream(spark, tmp_path):
+    from mysense_spark.sources.ttn import parse_envelopes
+    from mysense_spark.streaming.pipeline import dead_letter_stream
+
+    bad_port = (
+        'x/devices/d1/up {"app_id":"x","dev_id":"d1","hardware_serial":"AA","port":7,'
+        '"counter":1,"payload_raw":"AAAA","metadata":{"time":"2021-01-01T00:00:00Z","airtime":0,"gateways":[]}}'
+    )
+    bad_payload = (
+        'x/devices/d2/up {"app_id":"x","dev_id":"d2","hardware_serial":"AB","port":10,'
+        '"counter":2,"payload_raw":"AAAA","metadata":{"time":"2021-01-01T00:00:00Z","airtime":0,"gateways":[]}}'
+    )
+    path = _write_dump(tmp_path, "bad.mqtt", [bad_port, bad_payload, V2_PORT2])
+    dl = dead_letter_stream(parse_envelopes(spark.read.text(path))).collect()
+    reasons = {r["kit_id"]: r["reason"] for r in dl}
+    assert reasons == {"x_d1": "unsupported_port", "x_d2": "decode_error"}
+
+
 def test_static_value_monitor_batch_twin(spark):
     import datetime as dt
 
