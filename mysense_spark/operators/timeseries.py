@@ -516,9 +516,31 @@ ORDER BY e.user_id
 """
 
 
+def q_distinct_active_kits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (absent in the reference, free in Spark —
+    SURVEY §2.5): distinct active kits per field per day, the fleet
+    activity report."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(F.countDistinct("user_id").alias("active_kits"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy("day", "event_type")
+    )
+
+
+SQL_DISTINCT_ACTIVE_KITS = """
+SELECT date_trunc('day', ts) AS day, event_type,
+       count(DISTINCT user_id) AS active_kits, count(*) AS n_events
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "hourly_stats": (q_hourly_stats, SQL_HOURLY_STATS),
     "failing_sensor_report": (q_failing_sensor_report, SQL_FAILING_SENSOR_REPORT),
+    "distinct_active_kits": (q_distinct_active_kits, SQL_DISTINCT_ACTIVE_KITS),
     "timeslice_avg": (q_timeslice_avg, SQL_TIMESLICE_AVG),
     "latest_per_user": (q_latest_per_user, SQL_LATEST_PER_USER),
     "static_runs": (q_static_runs, SQL_STATIC_RUNS),
