@@ -516,6 +516,36 @@ ORDER BY e.user_id
 """
 
 
+def q_wide_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-kit view generated from the long format by pivot
+    (SURVEY §1.1: the reference's per-kit wide MySQL tables become
+    pivoted views of the canonical long fact table). Daily grain, one
+    column per field; pivot values are enumerated so Catalyst skips the
+    extra distinct-scan pass."""
+    ev = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").alias("day")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id", day)
+        .pivot("event_type", types)
+        .agg(F.round(F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)")).cast("double") / F.count("value"), 6))
+        .orderBy("user_id", "day")
+    )
+
+
+SQL_WIDE_VIEW = f"""
+SELECT user_id, date_trunc('day', ts) AS day,
+       {sql_avg("CASE WHEN event_type = 'click' THEN value END", 6)} AS click,
+       {sql_avg("CASE WHEN event_type = 'error' THEN value END", 6)} AS error,
+       {sql_avg("CASE WHEN event_type = 'purchase' THEN value END", 6)} AS purchase,
+       {sql_avg("CASE WHEN event_type = 'signup' THEN value END", 6)} AS signup,
+       {sql_avg("CASE WHEN event_type = 'view' THEN value END", 6)} AS view
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def q_distinct_active_kits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct aggregation (absent in the reference, free in Spark —
     SURVEY §2.5): distinct active kits per field per day, the fleet
@@ -541,6 +571,7 @@ QUERIES: dict[str, tuple] = {
     "hourly_stats": (q_hourly_stats, SQL_HOURLY_STATS),
     "failing_sensor_report": (q_failing_sensor_report, SQL_FAILING_SENSOR_REPORT),
     "distinct_active_kits": (q_distinct_active_kits, SQL_DISTINCT_ACTIVE_KITS),
+    "wide_view": (q_wide_view, SQL_WIDE_VIEW),
     "timeslice_avg": (q_timeslice_avg, SQL_TIMESLICE_AVG),
     "latest_per_user": (q_latest_per_user, SQL_LATEST_PER_USER),
     "static_runs": (q_static_runs, SQL_STATIC_RUNS),

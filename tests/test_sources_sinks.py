@@ -62,6 +62,38 @@ def test_csv_export_and_summary(spark, tmp_path):
     assert len(files) == 1
 
 
+def test_upsert_schema_evolution(spark, tmp_path):
+    """SURVEY §1.2: a new sensor field appearing mid-stream is a data
+    event — the upsert sink merges batches with differing schemas
+    (the reference ALTERs MySQL tables on the fly; we unionByName with
+    allowMissingColumns)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from mysense_spark.sinks.upsert import upsert_parquet
+
+    path = str(tmp_path / "archive")
+    t0 = dt.datetime(2024, 1, 1)
+    b1 = spark.createDataFrame(
+        [("k1", t0, "pm25", 10.0)], "kit_id string, ts timestamp, field string, value double"
+    ).withColumn("ingest_ts", F.current_timestamp())
+    upsert_parquet(b1, path, keys=["kit_id", "ts", "field"], order_col="ingest_ts")
+
+    # second batch carries a brand-new column (unit) and a new field
+
+    b2 = spark.createDataFrame(
+        [("k1", t0, "gas", 270.0, "kOhm")],
+        "kit_id string, ts timestamp, field string, value double, unit string",
+    ).withColumn("ingest_ts", F.current_timestamp())
+    upsert_parquet(b2, path, keys=["kit_id", "ts", "field"], order_col="ingest_ts")
+
+    out = {r["field"]: r for r in spark.read.parquet(path).collect()}
+    assert set(out) == {"pm25", "gas"}
+    assert out["gas"]["unit"] == "kOhm"
+    assert out["pm25"]["unit"] is None  # old rows gain NULL for the new column
+
+
 def test_calibration_roundtrip(spark):
     from mysense_spark.operators.calibration import apply_calibration, fit_calibration_catalog
 
