@@ -34,6 +34,36 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
+def values_df(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
+    """Literal rows -> DataFrame via a SQL VALUES clause.
+
+    `spark.createDataFrame(list, ...)` routes through
+    `applySchemaToPythonRDD`: the literal becomes a Python-RDD scan that
+    fans out to default-parallelism partitions and spawns a Python worker
+    per core (~10 s first touch on local[32]) — for a 3-row dimension
+    table. A VALUES literal is a pure LocalRelation: JVM-side, zero
+    Python workers, broadcastable, and Catalyst folds it. `schema` is a
+    DDL string ("field string, unit string"); every column is cast so
+    types don't depend on literal inference.
+    """
+    cols = [c.strip().split(None, 1) for c in schema.split(",")]
+
+    def _lit(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, str):
+            escaped = v.replace("'", "''")
+            return f"'{escaped}'"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        return repr(v)
+
+    values = ", ".join("(" + ", ".join(_lit(v) for v in row) + ")" for row in rows)
+    select = ", ".join(f"CAST({name} AS {typ}) AS {name}" for name, typ in cols)
+    names = ", ".join(name for name, _ in cols)
+    return spark.sql(f"SELECT {select} FROM VALUES {values} AS t({names})")
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import load
+from ..io import load, values_df
 from ..registry import (
     AQHI_CAP,
     AQHI_COEFFS,
@@ -365,7 +365,7 @@ def q_taylor_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("click", *TAYLOR_CHAINS[("SPS30", "pm25")], 0.0),
         ("view", 0.5, 1.1, 0.0001),
     ]
-    dim = spark.createDataFrame(chains, "event_type string, a0 double, a1 double, a2 double")
+    dim = values_df(spark, chains, "event_type string, a0 double, a1 double, a2 double")
     v = F.col("value")
     cal = F.greatest(F.col("a0") + F.col("a1") * v + F.col("a2") * v * v, F.lit(0.0))
     return (

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..io import values_df
 from ..streaming.pipeline import decode_stream
 from ..sources.ttn import parse_envelopes
 
@@ -72,13 +73,19 @@ def q_ttn_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pin tz: this query doesn't go through io.load, and the driver's
     # session tz is unknown — the oracle's timestamps are UTC literals
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # repartition(1): the fixture is 3 rows; without it the pandas decode
-    # stage fans out to default.parallelism partitions and pays a python
-    # worker spawn per core (coalesce(1) is worse — it demotes the
-    # LocalRelation to a python-RDD scan with ~5s/job overhead here)
-    lines = spark.createDataFrame([(l,) for l in _FIXTURE_LINES], "value string").repartition(1)
+    # VALUES literal (LocalRelation) + repartition(1): one task, one
+    # python worker for the decode UDF; a python-list createDataFrame
+    # would fan out to a 32-task python-RDD scan (~10 s first touch)
+    lines = values_df(spark, [(l,) for l in _FIXTURE_LINES], "value string").repartition(1)
     fact = decode_stream(parse_envelopes(lines))
-    return fact.select("kit_id", "ts", "field", "value", "unit").orderBy("kit_id", "ts", "field")
+    # the chain is narrow from repartition(1) on, so the data is still one
+    # partition here: sortWithinPartitions IS a total sort and skips the
+    # range-partitioning sampling job a global orderBy would run
+    return (
+        fact.select("kit_id", "ts", "field", "value", "unit")
+        .coalesce(1)
+        .sortWithinPartitions("kit_id", "ts", "field")
+    )
 
 
 def _values_sql() -> str:

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..io import values_df
 from ..registry import FIELD_REGISTRY, FIELD_TRANSLATE, VALID_BOUNDS
 from ..sources.lora import make_decode_udf
 from ..sources.ttn import parse_envelopes
@@ -70,7 +71,7 @@ def decode_stream(normalized: DataFrame) -> DataFrame:
     # registry join: unit + category (broadcast dimension, J1 pattern)
     units = [(f, u, c) for f, (u, _p, c) in FIELD_REGISTRY.items()]
     spark = normalized.sparkSession
-    unit_dim = spark.createDataFrame(units, "field string, unit string, category string")
+    unit_dim = values_df(spark, units, "field string, unit string, category string")
     enriched = long_rows.join(F.broadcast(unit_dim), "field", "left")
     # P2 range validation from the bounds registry
     valid = F.lit(True)
