@@ -28,14 +28,38 @@ def _dec(expr: Column) -> Column:
     return F.round(expr, _ROW_SCALE).cast(_DEC)
 
 
+def _scaled_long(expr: Column) -> Column:
+    # exact unscaled representation of the quantized value: round(x,6)*1e6
+    # as an integer. The decimal cast happens per row (cheap, codegen'd);
+    # what it buys is avoiding Spark's Decimal *aggregation buffer*, which
+    # runs ~6x slower than a long sum (measured: 7 decimal aggs over 600k
+    # rows = 3.2s vs 0.6s as longs).
+    return (_dec(expr) * 1000000).cast("long")
+
+
+def _unscale(sum_long: Column) -> Column:
+    # long partial sums -> exact decimal -> double, so the final double is
+    # bit-identical to `cast(sum(decimal) as double)` on any engine.
+    return (sum_long.cast("decimal(38,0)") / F.lit(1000000)).cast("double")
+
+
 def exact_sum(expr: Column, nd: int = 4) -> Column:
-    """Order-independent sum: per-row round -> exact decimal sum -> double."""
-    return F.round(F.sum(_dec(expr)).cast("double"), nd)
+    """Order-independent sum: per-row quantize -> exact long sum -> double.
+
+    Exact while the group's |sum| * 1e6 fits in int64, i.e. group sums up
+    to ~9.2e12 in value units — ample for sensor measurements at any SF
+    and for price sums through sf~1000. Beyond that (unbounded groups at
+    100 TB), accumulate per shuffle partition first (groupBy(keys,
+    spark_partition_id()) then re-aggregate the few partials in decimal)
+    or use the decimal-buffer form `F.sum(_dec(e))` — same semantics,
+    slower buffer.
+    """
+    return F.round(_unscale(F.sum(_scaled_long(expr))), nd)
 
 
 def exact_avg(expr: Column, nd: int = 6) -> Column:
     """Order-independent mean with SQL null-skipping semantics."""
-    return F.round(F.sum(_dec(expr)).cast("double") / F.count(expr), nd)
+    return F.round(_unscale(F.sum(_scaled_long(expr))) / F.count(expr), nd)
 
 
 def exact_std(expr: Column, nd: int = 6) -> Column:
@@ -43,7 +67,9 @@ def exact_std(expr: Column, nd: int = 6) -> Column:
 
     NULL for n<=1 (ANSI semantics; Spark's stddev would yield NaN)."""
     xd = _dec(expr)
-    s1 = F.sum(xd).cast("double")
+    s1 = _unscale(F.sum(_scaled_long(expr)))
+    # squares need scale 12 — their scaled-long form can overflow per row
+    # (price^2 * 1e12 > 2^63), so the square term keeps the decimal buffer
     s2 = F.sum(xd * xd).cast("double")
     n = F.count(expr)
     var = (s2 - s1 * s1 / n) / (n - F.lit(1))
