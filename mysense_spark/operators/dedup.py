@@ -97,7 +97,11 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharing >= 1 shingle, threshold 0.05. The shingle equi-join bounds the
     pair explosion to co-bucketed docs (never a full cross join)."""
     doc = load(spark, sf_dir, "documents")
-    sh = _shingles(doc).cache()
+    # pin shingle-hash parallelism: the self-join output is much larger
+    # than its input, so AQE (sizing on input bytes) would coalesce the
+    # join down to 1-2 tasks and serialize the quadratic-per-bucket work
+    par = spark.sparkContext.defaultParallelism
+    sh = _shingles(doc).repartition(par, "shingle").cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -110,8 +114,8 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = sizes.select(F.col("doc_id").alias("d2"), F.col("n_shingles").alias("n2"))
     jac = F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
     return (
-        common.join(sa, "d1")
-        .join(sb, "d2")
+        common.join(F.broadcast(sa), "d1")
+        .join(F.broadcast(sb), "d2")
         .withColumn("jaccard", F.round(jac, 6))
         .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
         .select("d1", "d2", "common", "jaccard")
@@ -260,12 +264,17 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig: Column = F.lit(0).cast("long")
     for k in range(_SIMHASH_BITS):
         sig = sig + F.when(F.col(f"v{k}") > 0, F.lit(1 << k).cast("long")).otherwise(F.lit(0).cast("long"))
-    sigs = votes.select("doc_id", sig.alias("simhash"))
+    # the O(N^2) pair scan must spread over all cores: repartition the
+    # stream side (AQE would coalesce 5000 signatures to one task) and
+    # broadcast the tiny build side (doc_id + 32-bit signature per row)
+    sigs = votes.select("doc_id", sig.alias("simhash")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     a = sigs.alias("a")
     b = sigs.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(F.broadcast(b), F.col("a.doc_id") < F.col("b.doc_id"))
         .withColumn("hamming", ham)
         .where(F.col("hamming") <= _HAMMING_MAX)
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"), "hamming")

@@ -239,7 +239,8 @@ def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
-               round(CAST(sum(CAST(round(l_quantity, 6) AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_qty,
+               round(CAST(CAST(sum(CAST(CAST(round(l_quantity, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+                               AS DECIMAL(38,0)) / 1000000 AS DOUBLE), 4) AS sum_qty,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '2024-11-01'
