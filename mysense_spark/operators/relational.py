@@ -15,7 +15,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load
@@ -261,8 +261,97 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def q_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals: revenue by region/nation with ROLLUP.
+
+    SURVEY §2.5 notes grouping sets/rollup are absent in the reference
+    (every report hand-loops per kit, e.g. statistics/grubbs.py:536-549
+    showTables) — Spark computes all levels in one pass with partial
+    aggregation; the rollup adds no extra shuffle over the plain groupBy."""
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    lvl = F.grouping(F.col("r_name")) * 2 + F.grouping(F.col("n_name"))
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            lvl.alias("lvl"),
+            exact_sum(F.col("o_totalprice"), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("lvl", "r_name", "n_name")
+    )
+
+
+SQL_REGION_ROLLUP = f"""
+SELECT r_name, n_name,
+       2 * GROUPING(r_name) + GROUPING(n_name) AS lvl,
+       {sql_sum('o_totalprice', 4)} AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey   = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+ORDER BY lvl, r_name, n_name
+"""
+
+
+def q_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend quartiles per market segment (ntile — SURVEY §2.6
+    notes rank/ntile are absent in the reference, free in Spark).
+
+    The global ntile needs a total order — fine here (one row per
+    customer after the pre-agg); at 100 TB the bucket bounds would come
+    from approx_percentile and a broadcast-joined range lookup instead
+    of a single-partition sort."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(exact_sum(F.col("o_totalprice"), 4).alias("spend"))
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+    )
+    w = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
+    return (
+        spend.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            exact_avg(F.col("spend"), 4).alias("avg_spend"),
+        )
+        .orderBy("c_mktsegment", "quartile")
+    )
+
+
+SQL_REVENUE_QUARTILES = f"""
+WITH spend AS (
+  SELECT o_custkey, {sql_sum('o_totalprice', 4)} AS spend
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT c_mktsegment, spend,
+         ntile(4) OVER (ORDER BY spend DESC, o_custkey ASC) AS quartile
+  FROM spend JOIN customer ON o_custkey = c_custkey
+)
+SELECT c_mktsegment, quartile, count(*) AS n_customers,
+       {sql_avg('spend', 4)} AS avg_spend
+FROM ranked
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "region_rollup": (q_region_rollup, SQL_REGION_ROLLUP),
+    "revenue_quartiles": (q_revenue_quartiles, SQL_REVENUE_QUARTILES),
     "sql_interface": (q_sql_interface, SQL_SQL_INTERFACE),
     "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
     "region_revenue": (q_region_revenue, SQL_REGION_REVENUE),

@@ -567,8 +567,108 @@ ORDER BY 1, 2
 """
 
 
+_SESSION_GAP_H = 6
+
+
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization per kit: a new session starts after a
+    >6 h silence. Generalizes the reference's restart/gap detection
+    (IsRestarting, MyDatacollector.py:1207-1222) from a boolean to full
+    session assignment — lag + conditional cumsum, the batch twin of a
+    streaming session window.
+
+    One shuffle on user_id serves both window passes; the session
+    roll-up is a partial-agg groupBy on (user_id, session)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w))
+    new_s = F.when(gap.isNull() | (gap > _SESSION_GAP_H * 3600 * 1_000_000), 1).otherwise(0)
+    sess = (
+        ev.withColumn("new_s", new_s)
+        .withColumn("session", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    per_session = sess.groupBy("user_id", "session").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us"),
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.count(F.when(F.col("n_events") > 1, 1)).alias("multi_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.round(F.sum("dur_us") / F.lit(1000000.0), 4).alias("total_session_sec"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_EVENT_SESSIONS = f"""
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_SESSION_GAP_H * 3600 * 1_000_000}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session
+  FROM g
+),
+per_session AS (
+  SELECT user_id, session, count(*) AS n_events,
+         epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+  FROM s GROUP BY 1, 2
+)
+SELECT user_id,
+       count(*) AS n_sessions,
+       count(CASE WHEN n_events > 1 THEN 1 END) AS multi_sessions,
+       max(n_events) AS max_session_events,
+       round(sum(dur_us) / 1000000.0, 4) AS total_session_sec
+FROM per_session
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def q_percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust distribution summary per field: exact interpolated p50/p95/p99.
+
+    The reference's QC bands are mean±σ (grubbs.py:1119-1143) with a
+    median/MAD variant (reject_outliers, grubbs.py:745-757) — p50 here IS
+    that median, computed distributed. Exact percentile sorts per group;
+    at 100 TB swap in approx_percentile (t-digest) — same query shape."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.percentile(F.col("value"), F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile(F.col("value"), F.lit(0.95)), 4).alias("p95"),
+            F.round(F.percentile(F.col("value"), F.lit(0.99)), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_PERCENTILE_SUMMARY = """
+SELECT event_type, count(*) AS n,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "hourly_stats": (q_hourly_stats, SQL_HOURLY_STATS),
+    "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
+    "percentile_summary": (q_percentile_summary, SQL_PERCENTILE_SUMMARY),
     "failing_sensor_report": (q_failing_sensor_report, SQL_FAILING_SENSOR_REPORT),
     "distinct_active_kits": (q_distinct_active_kits, SQL_DISTINCT_ACTIVE_KITS),
     "wide_view": (q_wide_view, SQL_WIDE_VIEW),

@@ -16,7 +16,7 @@ def _modules():
     from .operators import relational, timeseries
 
     mods = [relational, timeseries]
-    for name in ("qc", "indices", "regression", "geo", "text", "dedup", "similarity", "multimodal", "ingest"):
+    for name in ("qc", "indices", "regression", "geo", "text", "dedup", "similarity", "multimodal", "ingest", "sampling"):
         try:
             mod = __import__(f"mysense_spark.operators.{name}", fromlist=[name])
             mods.append(mod)
