@@ -208,8 +208,61 @@ ORDER BY doc_id
 """
 
 
+_TFIDF_TOP_K = 3
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic salient-term
+    extraction for corpus curation. tf = term count in doc; idf =
+    ln(N/df). Rank on the ROUNDED score (6 dp) with a term tie-break so
+    ordering is engine- and partitioning-independent.
+
+    Scale: two shuffles (doc-term counts, df per term); the df side is
+    tiny after aggregation and broadcasts into the scoring join."""
+    doc = load(spark, sf_dir, "documents")
+    n_docs = doc.count()  # scalar dimension — one tiny job, folded as a literal
+    words = F.explode(F.expr(f"regexp_extract_all(text, '{_WORD_RE}', 0)")).alias("term")
+    tf = doc.select("doc_id", words).groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df_), "term").withColumn(
+        "tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TFIDF_TOP_K)
+        .select("doc_id", "rank", "term", "tfidf")
+        .orderBy("doc_id", "rank")
+    )
+
+
+SQL_TFIDF_TOP_TERMS = f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '{_WORD_RE}')) AS term FROM documents)
+  GROUP BY 1, 2
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln((SELECT count(*) FROM documents)::DOUBLE / df.df), 6) AS tfidf
+  FROM tf JOIN df ON tf.term = df.term
+)
+SELECT doc_id, rank, term, tfidf
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {_TFIDF_TOP_K}
+ORDER BY doc_id, rank
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),

@@ -665,9 +665,66 @@ ORDER BY event_type
 """
 
 
+_MAINT_WINDOWS = [
+    (0, 0, "2024-01-03", "2024-01-08"),
+    (1, 1, "2024-01-08", "2024-01-15"),
+    (2, 2, "2024-01-12", "2024-01-20"),
+    (3, 3, "2024-01-20", "2024-01-29"),
+]
+
+
+def q_maintenance_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: events falling inside per-kit-group
+    maintenance windows — the real-join form of the in-repair
+    invalidation (P6, FilterShow.py:400-417, `TTNtable.refresh` date
+    gating). Equi key (kit group) + time-range predicate: Spark plans a
+    broadcast hash join on the equi part with the range as a post-filter
+    — at 100 TB the date-partitioned fact table additionally prunes to
+    the windows' partitions."""
+    from ..io import values_df
+
+    ev = load(spark, sf_dir, "events")
+    win = values_df(
+        spark,
+        _MAINT_WINDOWS,
+        "win_id int, user_mod int, win_start timestamp, win_end timestamp",
+    )
+    joined = ev.join(
+        F.broadcast(win),
+        (ev.user_id % 4 == win.user_mod)
+        & (ev.ts >= win.win_start)
+        & (ev.ts < win.win_end),
+    )
+    return (
+        joined.groupBy("win_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_kits"),
+            exact_avg(F.col("value"), 6).alias("avg_value"),
+        )
+        .orderBy("win_id")
+    )
+
+
+_SQL_MAINT_VALUES = ", ".join(
+    f"({w}, {m}, TIMESTAMP '{s}', TIMESTAMP '{e}')" for w, m, s, e in _MAINT_WINDOWS
+)
+
+SQL_MAINTENANCE_WINDOW_JOIN = f"""
+WITH win(win_id, user_mod, win_start, win_end) AS (VALUES {_SQL_MAINT_VALUES})
+SELECT win_id, count(*) AS n_events, count(DISTINCT user_id) AS n_kits,
+       {sql_avg('value', 6)} AS avg_value
+FROM events JOIN win
+  ON user_id % 4 = user_mod AND ts >= win_start AND ts < win_end
+GROUP BY win_id
+ORDER BY win_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "hourly_stats": (q_hourly_stats, SQL_HOURLY_STATS),
     "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
+    "maintenance_window_join": (q_maintenance_window_join, SQL_MAINTENANCE_WINDOW_JOIN),
     "percentile_summary": (q_percentile_summary, SQL_PERCENTILE_SUMMARY),
     "failing_sensor_report": (q_failing_sensor_report, SQL_FAILING_SENSOR_REPORT),
     "distinct_active_kits": (q_distinct_active_kits, SQL_DISTINCT_ACTIVE_KITS),
