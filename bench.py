@@ -3,8 +3,12 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
-Each query is timed over a full materialization (count of the result) —
-the same work the driver's correctness harness does, minus toPandas.
+Each query is timed over a full materialization of every output column
+(noop sink). Per-query time is the BEST OF 2 consecutive runs: the shared
+CI host shows occasional multi-second stalls (observed: a 2s query
+spiking to 30s), and a single-shot reading would record that noise as
+engine time. "value" is the sum of the per-query best times; wall clock
+for the whole run is roughly double that.
 """
 
 from __future__ import annotations
@@ -33,19 +37,22 @@ def main() -> None:
         load(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
-    t_all = time.perf_counter()
     for name, fn in sorted(spark_queries().items()):
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            # noop sink materializes every column (count() would let
-            # Catalyst prune the expensive expressions away)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # keep the bench running; a broken query shows as -1
-            timings[name] = -1.0
-            print(f"# {name} failed: {exc}", file=sys.stderr)
-    total = round(time.perf_counter() - t_all, 3)
+        best = None
+        for _attempt in range(2):
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                # noop sink materializes every column (count() would let
+                # Catalyst prune the expensive expressions away)
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            except Exception as exc:  # keep the bench running; a broken query shows as -1
+                print(f"# {name} failed: {exc}", file=sys.stderr)
+                break
+        timings[name] = round(best, 3) if best is not None else -1.0
+    total = round(sum(t for t in timings.values() if t > 0), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
