@@ -153,6 +153,32 @@ def hourly_stats_stream(fact_stream: DataFrame, watermark: str = "2 hours") -> D
     )
 
 
+def session_stats_stream(
+    fact_stream: DataFrame, gap: str = "6 hours", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native session windows per kit: a session closes after `gap` of
+    silence (the streaming form of the gap/restart detection,
+    MyDatacollector.py:1207-1222, and the stateful twin of the
+    `event_sessions` batch query's lag+cumsum). State is merged by
+    Spark's session-window aggregation — no custom state handler — and
+    emitted once the watermark passes the session end."""
+    return (
+        fact_stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "kit_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "kit_id",
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
 def run_file_stream(spark, in_dir: str, checkpoint: str, out_dir: str, watermark: str = "2 hours"):
     """Streaming twin: readStream on a drop directory, event-time
     watermark + dedup on the upsert key, parquet upsert via foreachBatch.

@@ -85,3 +85,102 @@ def test_static_monitor_stream_matches_batch_twin(spark, tmp_path):
     assert skey == bkey
     assert ("kitS", "temp", 20) in skey
     assert ("kitS", "gasx", 10) in skey
+
+
+def _gappy_rows():
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # kitA: three bursts separated by >2h silences -> 3 sessions
+    for off_h, n in [(0, 4), (5, 2), (12, 3)]:
+        for i in range(n):
+            rows.append(
+                ("kitA", "pm25", base + dt.timedelta(hours=off_h, minutes=10 * i), 10.0 + i)
+            )
+    # kitB: one lone event -> 1 singleton session
+    rows.append(("kitB", "temp", base + dt.timedelta(hours=1), 21.5))
+    return rows
+
+
+def test_session_window_stream_matches_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mysense_spark.streaming.pipeline import session_stats_stream
+
+    src = tmp_path / "fact"
+    schema = "kit_id string, field string, ts timestamp, value double"
+    spark.createDataFrame(_gappy_rows(), schema).write.mode("overwrite").parquet(str(src))
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    got = []
+    q = (
+        session_stats_stream(stream, gap="2 hours")
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _id: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # append mode only emits sessions the watermark has CLOSED: the last
+    # kitA session (ends at max event time) stays in state — correct
+    # streaming semantics, so compare against the closed subset.
+    import datetime as dt
+
+    rows = spark.read.parquet(str(src))
+    max_ts = rows.agg(F.max("ts")).first()[0]
+    horizon = max_ts - dt.timedelta(hours=2)
+    batch = (
+        rows.groupBy(F.session_window("ts", "2 hours").alias("win"), "kit_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "kit_id",
+            "n_events",
+            "avg_value",
+        )
+        .where(F.col("session_end") <= F.lit(horizon))
+        .collect()
+    )
+    key = lambda r: (r.kit_id, r.session_start)
+    assert sorted(got, key=key) == sorted(batch, key=key)
+    per_kit = {}
+    for r in got:
+        per_kit.setdefault(r.kit_id, []).append(r.n_events)
+    # kitA's first two bursts (4 and 2 events) are closed; the third is
+    # still open in state. kitB's singleton closed long ago.
+    assert sorted(per_kit["kitA"]) == [2, 4]
+    assert per_kit["kitB"] == [1]
+
+
+def test_session_window_agrees_with_lag_cumsum(spark, tmp_path):
+    """The batch `event_sessions` method (lag + conditional cumsum) and
+    Spark's native session_window must assign identical session counts
+    when the gap semantics line up (session_window splits at >= gap,
+    the lag method at > gap; no fixture delta equals the gap exactly)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    schema = "kit_id string, field string, ts timestamp, value double"
+    df = spark.createDataFrame(_gappy_rows(), schema)
+
+    native = (
+        df.groupBy(F.session_window("ts", "2 hours"), "kit_id")
+        .count()
+        .groupBy("kit_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    w = Window.partitionBy("kit_id").orderBy("ts")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    manual = (
+        df.withColumn(
+            "new_s",
+            F.when(gap_us.isNull() | (gap_us > 2 * 3600 * 1_000_000), 1).otherwise(0),
+        )
+        .groupBy("kit_id")
+        .agg(F.sum("new_s").alias("n_sessions"))
+    )
+    assert sorted(native.collect()) == sorted(manual.collect())
