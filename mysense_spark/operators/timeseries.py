@@ -721,10 +721,48 @@ ORDER BY win_id
 """
 
 
+def q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props column: extract a JSON field and aggregate —
+    the engine's JSON scalar surface (§2.8; the reference parses every
+    payload with json.loads, MyMQTTclient.py:323-425) exercised as a
+    graded query. get_json_object stays JVM-side (Jackson), no UDF."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("k").alias("n_with_k"),
+            exact_avg(F.col("k"), 6).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.countDistinct("k").alias("distinct_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_PROPS_JSON_STATS = f"""
+WITH e AS (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, count(*) AS n, count(k) AS n_with_k,
+       {sql_avg('k', 6)} AS avg_k,
+       min(k) AS min_k, max(k) AS max_k,
+       count(DISTINCT k) AS distinct_k
+FROM e
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "hourly_stats": (q_hourly_stats, SQL_HOURLY_STATS),
     "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
     "maintenance_window_join": (q_maintenance_window_join, SQL_MAINTENANCE_WINDOW_JOIN),
+    "props_json_stats": (q_props_json_stats, SQL_PROPS_JSON_STATS),
     "percentile_summary": (q_percentile_summary, SQL_PERCENTILE_SUMMARY),
     "failing_sensor_report": (q_failing_sensor_report, SQL_FAILING_SENSOR_REPORT),
     "distinct_active_kits": (q_distinct_active_kits, SQL_DISTINCT_ACTIVE_KITS),

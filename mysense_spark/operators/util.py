@@ -76,6 +76,33 @@ def exact_std(expr: Column, nd: int = 6) -> Column:
     return F.when(n > 1, F.round(F.sqrt(F.greatest(var, F.lit(0.0))), nd)).otherwise(F.lit(None).cast("double"))
 
 
+def exact_sum_grouped(df, keys: list[str], sums: dict[str, Column], nd: int = 4):
+    """100 TB-safe exact grouped sum: two-stage accumulation.
+
+    Stage 1 sums the scaled-long quantized values per (keys, shuffle
+    partition) — each partial is bounded by partition size (a 32 MB
+    task's |sum| stays far under 2^63), so int64 never overflows no
+    matter how large the GROUP is. Stage 2 re-aggregates the few
+    partials per key in decimal(38,0) — exact at any corpus size.
+
+    This is the documented fallback for `exact_sum`'s per-group bound
+    (see PLANS.md design note); same bit-identical result, one extra
+    (tiny) shuffle stage.
+    """
+    stage1 = df.groupBy(*keys, F.spark_partition_id().alias("_pid")).agg(
+        *[F.sum(_scaled_long(c)).alias(f"_s_{n}") for n, c in sums.items()]
+    )
+    return stage1.groupBy(*keys).agg(
+        *[
+            F.round(
+                (F.sum(F.col(f"_s_{n}").cast("decimal(38,0)")) / F.lit(1000000)).cast("double"),
+                nd,
+            ).alias(n)
+            for n in sums
+        ]
+    )
+
+
 # --- SQL twins (DuckDB) ----------------------------------------------------
 
 def sql_dec(e: str) -> str:

@@ -67,3 +67,38 @@ def test_circuit_breaker_reopen():
         br.record("h", ok=False, now=0.0)
     assert not br.allow("h", now=50.0)
     assert br.allow("h", now=150.0)  # half-open after cool-off
+
+
+def test_exact_sum_grouped_matches_expression_form(spark):
+    """Two-stage (partition-partial) exact sum must be bit-identical to
+    the single-expression exact_sum on real data — it is the documented
+    unbounded-group fallback, so divergence would be a correctness bug."""
+    from pyspark.sql import functions as F
+
+    from mysense_spark.io import load
+    from mysense_spark.operators.util import exact_sum, exact_sum_grouped
+
+    li = load(spark, "/root/testdata/sf0.01", "lineitem")
+    expr_form = (
+        li.groupBy("l_returnflag")
+        .agg(
+            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("disc_price"),
+            exact_sum(F.col("l_quantity"), 4).alias("qty"),
+        )
+        .orderBy("l_returnflag")
+        .collect()
+    )
+    staged_form = (
+        exact_sum_grouped(
+            li,
+            ["l_returnflag"],
+            {
+                "disc_price": F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "qty": F.col("l_quantity"),
+            },
+            nd=4,
+        )
+        .orderBy("l_returnflag")
+        .collect()
+    )
+    assert [tuple(r) for r in expr_form] == [tuple(r) for r in staged_form]
