@@ -546,6 +546,59 @@ ORDER BY 1, 2
 """
 
 
+def q_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the wide per-kit daily view stacked back into the
+    long format, then per-field coverage stats — proving the §1.1 data
+    model round-trips both ways (wide tables are VIEWS of the long fact
+    table, never a second copy). stack() is a generator expression, no
+    shuffle beyond the pivot's own aggregation."""
+    ev = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").alias("day")
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        ev.groupBy("user_id", day)
+        .pivot("event_type", types)
+        .agg(F.round(F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)")).cast("double") / F.count("value"), 6))
+    )
+    stack_args = ", ".join(f"'{t}', {t}" for t in types)
+    long = wide.selectExpr(
+        "user_id", "day", f"stack({len(types)}, {stack_args}) AS (field, daily_avg)"
+    ).where(F.col("daily_avg").isNotNull())
+    return (
+        long.groupBy("field")
+        .agg(
+            F.count(F.lit(1)).alias("n_kit_days"),
+            exact_avg(F.col("daily_avg"), 6).alias("avg_of_daily_avg"),
+        )
+        .orderBy("field")
+    )
+
+
+_SQL_UNPIVOT_ARMS = " UNION ALL ".join(
+    f"SELECT user_id, day, '{t}' AS field, {t} AS daily_avg FROM wide"
+    for t in ["click", "error", "purchase", "signup", "view"]
+)
+
+SQL_UNPIVOT_LONG = f"""
+WITH wide AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         {sql_avg("CASE WHEN event_type = 'click' THEN value END", 6)} AS click,
+         {sql_avg("CASE WHEN event_type = 'error' THEN value END", 6)} AS error,
+         {sql_avg("CASE WHEN event_type = 'purchase' THEN value END", 6)} AS purchase,
+         {sql_avg("CASE WHEN event_type = 'signup' THEN value END", 6)} AS signup,
+         {sql_avg("CASE WHEN event_type = 'view' THEN value END", 6)} AS view
+  FROM events GROUP BY 1, 2
+),
+long AS ({_SQL_UNPIVOT_ARMS})
+SELECT field, count(*) AS n_kit_days,
+       {sql_avg('daily_avg', 6)} AS avg_of_daily_avg
+FROM long
+WHERE daily_avg IS NOT NULL
+GROUP BY field
+ORDER BY field
+"""
+
+
 def q_distinct_active_kits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct aggregation (absent in the reference, free in Spark —
     SURVEY §2.5): distinct active kits per field per day, the fleet
@@ -763,6 +816,7 @@ QUERIES: dict[str, tuple] = {
     "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
     "maintenance_window_join": (q_maintenance_window_join, SQL_MAINTENANCE_WINDOW_JOIN),
     "props_json_stats": (q_props_json_stats, SQL_PROPS_JSON_STATS),
+    "unpivot_long": (q_unpivot_long, SQL_UNPIVOT_LONG),
     "percentile_summary": (q_percentile_summary, SQL_PERCENTILE_SUMMARY),
     "failing_sensor_report": (q_failing_sensor_report, SQL_FAILING_SENSOR_REPORT),
     "distinct_active_kits": (q_distinct_active_kits, SQL_DISTINCT_ACTIVE_KITS),
