@@ -102,3 +102,45 @@ def test_exact_sum_grouped_matches_expression_form(spark):
         .collect()
     )
     assert [tuple(r) for r in expr_form] == [tuple(r) for r in staged_form]
+
+
+def test_registered_sql_functions_match_operators(spark):
+    """The SQL function surface must agree with the operator expressions
+    it mirrors — SQL users and DataFrame users get identical numbers."""
+    import math
+
+    from mysense_spark.functions import register_all
+    from mysense_spark.operators.geo import geohash_encode
+
+    names = register_all(spark)
+    assert {"haversine_m", "dew_point_c", "geohash_encode", "taylor2"} <= set(names)
+
+    row = spark.sql(
+        """SELECT haversine_m(51.42, 6.13, 51.43, 6.16) AS d,
+                  dew_point_c(20.0, 60.0) AS dp,
+                  joost_correct(25.0, 80.0, 3.9, -0.409) AS j,
+                  joost_correct(25.0, 1.0, 3.9, -0.409) AS j_null,
+                  taylor2(10.0, 1.5, 0.9, 0.01) AS tay,
+                  round(ugm3_to_ppb(100.0, 48.0, 20.0), 4) AS ppb,
+                  geohash_encode(51.4173557, 6.1330886) AS gh,
+                  round(geohash_lat(geohash_encode(51.4173557, 6.1330886)), 6) AS lat_rt
+           FROM (SELECT 1)"""
+    ).first()
+
+    # haversine: ~0.01 deg lat + 0.03 deg lon at 51.4N ~ 2.3 km
+    lat1, lon1, lat2, lon2 = map(math.radians, (51.42, 6.13, 51.43, 6.16))
+    expect_d = 2 * 6371000 * math.asin(
+        math.sqrt(
+            math.sin((lat2 - lat1) / 2) ** 2
+            + math.cos(lat1) * math.cos(lat2) * math.sin((lon2 - lon1) / 2) ** 2
+        )
+    )
+    assert abs(row.d - expect_d) < 1e-6
+    gamma = math.log(60 / 100) + 17.62 * 20 / (243.12 + 20)
+    assert abs(row.dp - 243.12 * gamma / (17.62 - gamma)) < 1e-9
+    assert abs(row.j - 25.0 * 3.9 * 80.0**-0.409) < 1e-9
+    assert row.j_null is None  # factor > 1 -> NULL (reference NaN)
+    assert abs(row.tay - (1.5 + 0.9 * 10 + 0.01 * 100)) < 1e-12
+    assert abs(row.ppb - round(100 * 293.15 / (12.187 * 48.0), 4)) < 1e-9
+    assert row.gh == geohash_encode(51.4173557, 6.1330886, 12)
+    assert abs(row.lat_rt - 51.417356) < 1e-5
