@@ -35,3 +35,21 @@ def upsert_parquet(new_df: DataFrame, path: str, keys: list[str], order_col: str
     if os.path.exists(path):
         shutil.rmtree(path)
     os.rename(tmp, path)
+
+
+def write_date_partitioned(df: DataFrame, path: str, ts_col: str = "ts") -> None:
+    """Archive layout for the 100 TB fact table: hive-partitioned by day
+    (SURVEY §1.1 — the long fact table is date-partitioned so period
+    queries prune partitions instead of scanning the corpus; the
+    reference gets the same effect from per-period WHERE clauses against
+    indexed MySQL, e.g. FilterShow.py:419-429 chunking).
+
+    Day is derived, stored as a partition column; readers filtering on
+    `day` (or on `ts` through it) touch only matching directories —
+    verified by the partition-pruning test."""
+    (
+        df.withColumn("day", F.date_format(F.col(ts_col), "yyyy-MM-dd"))
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(path)
+    )

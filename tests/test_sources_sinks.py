@@ -112,3 +112,42 @@ def test_calibration_roundtrip(spark):
     expected = kit["a0"] + kit["a1"] * 10.0
     assert abs(out[kit["kit_id"]]["calibrated"] - expected) < 1e-9
     assert out[999999]["calibrated"] == 10.0  # identity without coefficients
+
+
+def test_date_partitioned_archive_prunes(spark, tmp_path):
+    """The date-partitioned archive layout must actually prune: a
+    day-filtered read may touch only that day's files, and the physical
+    plan must carry the predicate as a PartitionFilter (not a post-scan
+    filter over the full corpus)."""
+    import io as _io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from mysense_spark.io import load
+    from mysense_spark.sinks.upsert import write_date_partitioned
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    path = str(tmp_path / "archive")
+    write_date_partitioned(ev, path)
+
+    full = spark.read.parquet(path)
+    one_day = full.where(F.col("day") == "2024-01-15")
+
+    n_days = full.select("day").distinct().count()
+    assert n_days > 20  # January of data -> ~30 partitions
+    # the day slice equals the ts-range slice of the original data
+    expected = ev.where(
+        (F.col("ts") >= "2024-01-15") & (F.col("ts") < "2024-01-16")
+    ).count()
+    assert one_day.count() == expected > 0
+    # plan-level: the predicate became a PartitionFilter on the scan
+    # (inputFiles() reports the unpruned base relation, so the plan is
+    # the authoritative evidence)
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        one_day.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "2024-01-15" in plan
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "2024-01-15" in pf_line
