@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load
+from .util import sql_avg, sql_sum
 
 _N_QUERIES = 5  # vec_id < 5 are the query vectors
 _TOP_K = 10
@@ -177,32 +178,62 @@ ORDER BY query_id, rank
 
 def q_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-cluster quality: per label, mean intra-label cosine to the
-    label centroid (mean vector). Demonstrates vector aggregation
-    (element-wise mean via exploded position) — the 'train centroids'
-    step of IVF at scale."""
+    label centroid (mean vector) — the 'train centroids' step of IVF at
+    scale, via element-wise mean over exploded positions.
+
+    Every accumulation is order-independent (exact_avg / exact_sum
+    quantized machinery), so the result is bit-identical to the DuckDB
+    oracle and stable across partitionings — double sums over shuffled
+    rows would drift in the last ulp and flip the 4-dp rounding."""
+    from .util import exact_avg, exact_sum
+
     emb = load(spark, sf_dir, "embeddings")
     pos = emb.select(
         "vec_id", "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x")
     )
-    cent = pos.groupBy("label", "i").agg(
-        (F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count(F.lit(1))).alias("cx")
-    )
-    joined = pos.join(cent, ["label", "i"])
+    cent = pos.groupBy("label", "i").agg(exact_avg(F.col("x"), 9).alias("cx"))
+    joined = pos.join(F.broadcast(cent), ["label", "i"])
     per_vec = joined.groupBy("vec_id", "label").agg(
-        F.sum(F.col("x") * F.col("cx")).alias("dot"),
-        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nx"),
-        F.sqrt(F.sum(F.col("cx") * F.col("cx"))).alias("nc"),
+        exact_sum(F.col("x") * F.col("cx"), 9).alias("dot"),
+        exact_sum(F.col("x") * F.col("x"), 9).alias("nx2"),
+        exact_sum(F.col("cx") * F.col("cx"), 9).alias("nc2"),
     )
+    cos = F.col("dot") / F.sqrt(F.col("nx2") * F.col("nc2"))
     return (
-        per_vec.withColumn("cos", F.col("dot") / (F.col("nx") * F.col("nc")))
+        per_vec.withColumn("cos", cos)
         .groupBy("label")
-        .agg(F.count(F.lit(1)).alias("n_vecs"), F.round(F.avg("cos"), 4).alias("avg_intra_cosine"))
+        .agg(F.count(F.lit(1)).alias("n_vecs"), exact_avg(F.col("cos"), 4).alias("avg_intra_cosine"))
         .orderBy("label")
     )
+
+
+SQL_CLUSTER_STATS = f"""
+WITH pos AS (
+  SELECT vec_id, label, generate_subscripts(v, 1) - 1 AS i, unnest(v) AS x
+  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+),
+cent AS (
+  SELECT label, i, {sql_avg('x', 9)} AS cx
+  FROM pos GROUP BY 1, 2
+),
+per_vec AS (
+  SELECT vec_id, p.label,
+         {sql_sum('x * cx', 9)} AS dot,
+         {sql_sum('x * x', 9)} AS nx2,
+         {sql_sum('cx * cx', 9)} AS nc2
+  FROM pos p JOIN cent c ON p.label = c.label AND p.i = c.i
+  GROUP BY 1, 2
+)
+SELECT label, count(*) AS n_vecs,
+       {sql_avg('cos', 4)} AS avg_intra_cosine
+FROM (SELECT label, dot / sqrt(nx2 * nc2) AS cos FROM per_vec)
+GROUP BY label
+ORDER BY label
+"""
 
 
 QUERIES: dict[str, tuple] = {
     "knn_bruteforce": (q_knn_bruteforce, SQL_KNN_BRUTEFORCE),
     "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
-    "cluster_stats": (q_cluster_stats, None),
+    "cluster_stats": (q_cluster_stats, SQL_CLUSTER_STATS),
 }
