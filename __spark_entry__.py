@@ -19,12 +19,14 @@ from pyspark.sql import DataFrame, SparkSession
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
-    Hourly AVG/STDDEV per field — the canonical MySense aggregation
-    (grubbs.py:1137-1143 timeslice GROUP BY) on the events stream table.
+    The integrated daily QC report: hourly pivot (A2/J3) -> range
+    validation (P2) -> AQI breakpoint interpolation (§2.9) -> daily
+    per-kit rollup with quality class — the full operator chain a
+    MySense operator reads every morning, in one Spark plan.
     """
-    from mysense_spark.operators.timeseries import q_hourly_stats
+    from mysense_spark.operators.indices import q_daily_qc_report
 
-    return q_hourly_stats(spark, "/root/testdata/sf0.001")
+    return q_daily_qc_report(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
