@@ -546,6 +546,52 @@ ORDER BY 1, 2
 """
 
 
+_THROTTLE_RATE_S = 480  # Conf['rate']: 8 min between datagrams
+
+
+def q_chatty_kits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the per-device throttle (IsBehavingKit,
+    MyDatacollector.py:937-970): a datagram arriving < 480 s after the
+    previous one from the same kit would be throttled. Reports per kit
+    the would-be-dropped count and rate — the audit query an operator
+    runs before tightening Conf['rate']. Streaming twin:
+    streaming/state.py kit_throttle (applyInPandasWithState)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    too_fast = gap_us < _THROTTLE_RATE_S * 1_000_000
+    return (
+        ev.withColumn("too_fast", too_fast)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("too_fast"), 1)).alias("n_throttled"),
+            F.round(F.count(F.when(F.col("too_fast"), 1)) / F.count(F.lit(1)), 6).alias(
+                "throttle_rate"
+            ),
+        )
+        .where(F.col("n_throttled") > 0)
+        .orderBy(F.desc("throttle_rate"), F.asc("user_id"))
+    )
+
+
+SQL_CHATTY_KITS = f"""
+WITH g AS (
+  SELECT user_id,
+         (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+          < {_THROTTLE_RATE_S * 1_000_000}) AS too_fast
+  FROM events
+)
+SELECT user_id, count(*) AS n_events,
+       count(CASE WHEN too_fast THEN 1 END) AS n_throttled,
+       round(count(CASE WHEN too_fast THEN 1 END) / count(*), 6) AS throttle_rate
+FROM g
+GROUP BY user_id
+HAVING count(CASE WHEN too_fast THEN 1 END) > 0
+ORDER BY throttle_rate DESC, user_id ASC
+"""
+
+
 def q_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (melt): the wide per-kit daily view stacked back into the
     long format, then per-field coverage stats — proving the §1.1 data
@@ -817,6 +863,7 @@ QUERIES: dict[str, tuple] = {
     "maintenance_window_join": (q_maintenance_window_join, SQL_MAINTENANCE_WINDOW_JOIN),
     "props_json_stats": (q_props_json_stats, SQL_PROPS_JSON_STATS),
     "unpivot_long": (q_unpivot_long, SQL_UNPIVOT_LONG),
+    "chatty_kits": (q_chatty_kits, SQL_CHATTY_KITS),
     "percentile_summary": (q_percentile_summary, SQL_PERCENTILE_SUMMARY),
     "failing_sensor_report": (q_failing_sensor_report, SQL_FAILING_SENSOR_REPORT),
     "distinct_active_kits": (q_distinct_active_kits, SQL_DISTINCT_ACTIVE_KITS),
