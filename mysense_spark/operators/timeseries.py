@@ -444,7 +444,9 @@ ORDER BY user_id
 def q_sensor_set_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.7 set difference: which event types a kit has NOT produced —
     the reference's `new ^ DBsensors` sensor-set reconciliation
-    (MyDatacollector.py:1455-1461) via array_except over collect_set."""
+    (MyDatacollector.py:1455-1461) via array_except over collect_set.
+    missing_types is emitted as a comma-joined sorted string (not an
+    array) so order-insensitive result canonicalizers can sort on it."""
     ev = load(spark, sf_dir, "events")
     all_types = ev.select("event_type").distinct().agg(
         F.array_sort(F.collect_set("event_type")).alias("all_types")
@@ -454,7 +456,9 @@ def q_sensor_set_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_user.crossJoin(F.broadcast(all_types))
         .select(
             "user_id",
-            F.array_sort(F.array_except("all_types", "has_types")).alias("missing_types"),
+            F.concat_ws(",", F.array_sort(F.array_except("all_types", "has_types"))).alias(
+                "missing_types"
+            ),
             F.size("has_types").alias("n_types"),
         )
         .orderBy("user_id")
@@ -469,7 +473,7 @@ WITH all_t AS (
   FROM events GROUP BY user_id
 )
 SELECT user_id,
-       list_sort(list_filter(all_types, t -> NOT list_contains(has_types, t))) AS missing_types,
+       coalesce(array_to_string(list_sort(list_filter(all_types, t -> NOT list_contains(has_types, t))), ','), '') AS missing_types,
        len(has_types) AS n_types
 FROM per_user CROSS JOIN all_t
 ORDER BY user_id

@@ -156,9 +156,13 @@ def _decode_gps(b: bytes) -> dict:
     if not lon:
         return {}
     out = {"lat": round(lat / 100000.0, 5), "lon": round(lon / 100000.0, 5)}
-    alt = _u32(b, 8)
-    if alt:
-        out["alt"] = round(alt / 10.0, 1)
+    # the reference's block gate admits an 11-byte tail (off-by-one,
+    # MyLoRaCode.py); degrade to lat/lon-only instead of raising and
+    # losing the whole datagram
+    if len(b) >= 12:
+        alt = _u32(b, 8)
+        if alt:
+            out["alt"] = round(alt / 10.0, 1)
     return out
 
 

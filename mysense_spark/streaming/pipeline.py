@@ -29,8 +29,11 @@ from ..registry import FIELD_REGISTRY, FIELD_TRANSLATE, VALID_BOUNDS
 from ..sources.lora import make_decode_udf
 from ..sources.ttn import parse_envelopes
 
-# decoded JSON is {sensor_type: {field: value}}; geolocation/meta handled apart
-_DECODED_SCHEMA = "map<string, map<string, double>>"
+# decoded JSON is {sensor_type: {field: value}}. Values parse as strings
+# (port-10 Libelium frames carry a string-valued meta block that a double
+# map would reject wholesale) and are cast to double after the meta block
+# is filtered out — numeric JSON round-trips exactly through the cast.
+_DECODED_SCHEMA = "map<string, map<string, string>>"
 
 
 def _translate_expr(col):
@@ -46,7 +49,10 @@ def decode_stream(normalized: DataFrame) -> DataFrame:
     """Normalized envelopes -> long fact rows
     (kit_id, ts, sensor_type, field, value, unit, valid)."""
     decode_udf = make_decode_udf()
-    decoded = normalized.where(F.col("port").isin(2, 4, 12)).withColumn(
+    # ports 2/4/12 (MySense datagrams) and 10 (Libelium WaspMote) all
+    # carry measurements; port 3 is meta/event and has its own stream
+    # (meta_event_stream) — nothing valid falls through to dead-letter.
+    decoded = normalized.where(F.col("port").isin(2, 4, 10, 12)).withColumn(
         "decoded", F.from_json(decode_udf(F.col("payload_raw"), F.col("port")), _DECODED_SCHEMA)
     )
     long_rows = (
@@ -57,6 +63,9 @@ def decode_stream(normalized: DataFrame) -> DataFrame:
             F.col("ingest_ts"),
             F.explode("decoded").alias("sensor_type", "fields"),
         )
+        # the meta block (port-10 frame header: serial/wasp_id/seq) is not
+        # a measurement; drop it before the numeric cast
+        .where(F.col("sensor_type") != "meta")
         .select(
             "kit_id",
             "serial",
@@ -65,6 +74,7 @@ def decode_stream(normalized: DataFrame) -> DataFrame:
             "sensor_type",
             F.explode("fields").alias("raw_field", "value"),
         )
+        .withColumn("value", F.col("value").cast("double"))
         .withColumn("field", _translate_expr(F.col("raw_field")))
         .drop("raw_field")
     )

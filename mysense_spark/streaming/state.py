@@ -75,13 +75,16 @@ def static_value_monitor(fact_stream: DataFrame) -> DataFrame:
         for pdf in pdfs:
             pdf = pdf.sort_values("ts")
             for ts, value in zip(pdf["ts"], pdf["value"]):
-                if last_value is not None and value == last_value:
+                # NULL (None or NaN) always resets the run — same contract
+                # as the batch twin's null-safe new_run predicate
+                v = None if value is None or pd.isna(value) else float(value)
+                if v is not None and last_value is not None and v == last_value:
                     run_len += 1
                     if run_len == trigger:
-                        out.append((kit_id, field, ts, float(value), int(run_len)))
+                        out.append((kit_id, field, ts, v, int(run_len)))
                 else:
                     run_len = 1
-                    last_value = float(value) if value is not None else None
+                    last_value = v
         state.update((last_value, run_len))
         yield pd.DataFrame(out, columns=[f.name for f in _STATIC_OUT.fields])
 
@@ -99,7 +102,15 @@ def static_value_monitor_batch(fact: DataFrame) -> DataFrame:
     w = Window.partitionBy("kit_id", "field").orderBy("ts")
     runs = (
         fact.withColumn("prev", F.lag("value").over(w))
-        .withColumn("new_run", F.when(F.col("prev").isNull() | (F.col("prev") != F.col("value")), 1).otherwise(0))
+        # null-safe: a NULL value (or a NULL predecessor) starts a new run,
+        # matching the streaming handler — plain `prev != value` yields
+        # NULL for NULL operands and would silently continue the run
+        .withColumn(
+            "new_run",
+            F.when(
+                F.col("value").isNull() | ~F.col("prev").eqNullSafe(F.col("value")), 1
+            ).otherwise(0),
+        )
         .withColumn("run_id", F.sum("new_run").over(w.rowsBetween(Window.unboundedPreceding, 0)))
         .withColumn("run_len", F.row_number().over(Window.partitionBy("kit_id", "field", "run_id").orderBy("ts")))
         .withColumn("trigger", trig)

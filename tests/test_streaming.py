@@ -233,3 +233,54 @@ def test_forwarder_pin_split_and_breaker(spark):
     assert len(sent) == 2  # opened after 2 consecutive failures
     fwd(fact, 1)
     assert len(sent) == 2  # still open -> nothing sent
+
+
+def test_port10_reaches_fact_path(spark):
+    """ADVICE r1: valid Libelium (port 10) frames must land in the fact
+    stream (not vanish between fact and dead-letter)."""
+    import base64
+    import struct
+
+    from mysense_spark.sources.ttn import parse_envelopes
+    from mysense_spark.streaming.pipeline import dead_letter_stream, decode_stream
+
+    p = b"<=>" + bytes([0x80, 0x00]) + struct.pack("<Q", 0x123456789AB) + b"wasp1#" + bytes([7])
+    p += bytes([74]) + struct.pack("<f", 21.5)  # BME280 temp
+    p += bytes([76]) + struct.pack("<f", 55.0)  # BME280 rv
+    b64 = base64.b64encode(p).decode()
+    line = (
+        'x/devices/wasp/up {"app_id":"x","dev_id":"wasp","hardware_serial":"AC","port":10,'
+        f'"counter":3,"payload_raw":"{b64}",'
+        '"metadata":{"time":"2021-01-01T00:00:00Z","airtime":0,"gateways":[]}}'
+    )
+    env = parse_envelopes(spark.createDataFrame([(line,)], "value string"))
+    fact = decode_stream(env).collect()
+    got = {(r["sensor_type"], r["field"]): r["value"] for r in fact}
+    assert got == {("BME280", "temp"): 21.5, ("BME280", "rv"): 55.0}
+    assert all(r["kit_id"] == "x_wasp" for r in fact)
+    # and it must NOT be quarantined
+    assert dead_letter_stream(env).count() == 0
+
+
+def test_static_monitor_null_resets_run(spark):
+    """ADVICE r1: NULL values must reset the run in the batch twin (parity
+    with the streaming handler), not silently continue it."""
+    import datetime as dt
+
+    from mysense_spark.streaming.state import static_value_monitor_batch
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # 10 identical, then NULL, then 10 identical: without null-safety the
+    # NULL continues the run to 21 >= trigger(20) -> false alert
+    for i in range(10):
+        rows.append(("kit1", "temp", base + dt.timedelta(minutes=i), 21.5))
+    rows.append(("kit1", "temp", base + dt.timedelta(minutes=10), None))
+    for i in range(11, 21):
+        rows.append(("kit1", "temp", base + dt.timedelta(minutes=i), 21.5))
+    df = spark.createDataFrame(rows, "kit_id string, field string, ts timestamp, value double")
+    assert static_value_monitor_batch(df).count() == 0
+    # a clean run of exactly 20 still triggers
+    rows2 = [("kit1", "temp", base + dt.timedelta(minutes=i), 21.5) for i in range(20)]
+    df2 = spark.createDataFrame(rows2, "kit_id string, field string, ts timestamp, value double")
+    assert static_value_monitor_batch(df2).count() == 1
