@@ -250,7 +250,9 @@ _HAMMING_MAX = 6
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 32-bit signature from md5 word hashes (weighted
     bit voting), pairs within hamming distance <= 6 via bit_count(xor).
-    At 100 TB the pair stage blocks on a signature prefix; exhaustive here."""
+    Candidates come from pigeonhole chunk blocking (equi-join, never a
+    cross join); the DuckDB oracle stays exhaustive to prove the blocking
+    loses nothing."""
     doc = load(spark, sf_dir, "documents")
     words = F.explode(F.expr(f"regexp_extract_all(text, '{_WORD_RE}', 0)")).alias("word")
     tok = doc.select("doc_id", words)
@@ -267,17 +269,39 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the O(N^2) pair scan must spread over all cores: repartition the
     # stream side (AQE would coalesce 5000 signatures to one task) and
     # broadcast the tiny build side (doc_id + 32-bit signature per row)
-    sigs = votes.select("doc_id", sig.alias("simhash")).repartition(
-        spark.sparkContext.defaultParallelism
+    sigs = votes.select("doc_id", sig.alias("simhash"))
+    # Hamming-LSH candidate generation (pigeonhole): split the 32-bit
+    # signature into HAMMING_MAX+1 = 7 chunks; two signatures within
+    # hamming distance 6 must agree exactly on at least one chunk, so an
+    # equi-join on (chunk_id, chunk_value) has guaranteed recall — the
+    # result set is identical to the exhaustive O(N^2) scan, but the join
+    # is a plain shuffle-hash equi-join (Manku et al., WWW'07, with
+    # blocks = k+1). At a larger corpus, widen the signature (64/128 bit)
+    # and the chunks widen with it at the same guarantee, keeping buckets
+    # selective.
+    widths = [5, 5, 5, 5, 4, 4, 4]  # sums to _SIMHASH_BITS
+    starts = [sum(widths[:c]) for c in range(len(widths))]
+    chunk_exprs = [
+        F.shiftright(F.col("simhash"), s).bitwiseAND(F.lit((1 << w) - 1)).cast("long")
+        for s, w in zip(starts, widths)
+    ]
+    blocks = sigs.select(
+        "doc_id", "simhash", F.posexplode(F.array(*chunk_exprs)).alias("chunk_id", "chunk_val")
     )
-    a = sigs.alias("a")
-    b = sigs.alias("b")
+    a = blocks.alias("a")
+    b = blocks.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(F.broadcast(b), F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .withColumn("hamming", ham)
         .where(F.col("hamming") <= _HAMMING_MAX)
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"), "hamming")
+        .distinct()
         .orderBy("d1", "d2")
     )
 
@@ -312,50 +336,78 @@ _COSINE_THRESHOLD = 0.4
 _EMBED_DIM = 64
 
 
+_GEMM_BLOCKS = 8  # B: corpus splits into B hash blocks, B(B+1)/2 block pairs
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: pairs with cosine >= threshold over the
     embeddings table, brute force (the verify tier; LSH/IVF prunes first
     at scale — see similarity.py).
 
-    Execution: one side of the self-join is broadcast as a dense numpy
-    matrix; each partition of the other side computes a blocked GEMM
-    (batch @ matrix.T) in an Arrow-batched mapInPandas — vectorized
-    O(N*M/parallelism) instead of an interpreted per-pair fold (measured
-    ~30x faster at 2000 vectors). Candidates are pre-filtered in numpy a
-    hair below the threshold; the authoritative round(.,6)+filter stays
-    JVM-side so rounding semantics match the SQL oracle exactly. At a
-    corpus too large to broadcast, the same kernel runs over block pairs
-    (repartition both sides into B blocks, GEMM per block pair)."""
+    Execution: block-pair GEMM, fully distributed — no driver
+    materialization and no broadcast of the corpus. Each vector lands in
+    one of B hash blocks; every block pair (i <= j) becomes one cogroup,
+    whose task pulls just the two blocks (2N/B vectors) and runs one
+    vectorized numpy GEMM. Replication is (B+1)/2 copies per vector in
+    one shuffle; task memory scales as N/B, so B is the single knob that
+    keeps blocks executor-sized as the corpus grows. Candidates are
+    pre-filtered in numpy a hair below the threshold; the authoritative
+    round(.,6)+filter stays JVM-side so rounding semantics match the SQL
+    oracle exactly."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    import numpy as np
+    B = _GEMM_BLOCKS
+    pair_list = [(i, j) for i in range(B) for j in range(i, B)]
+    pair_df = emb.sparkSession.createDataFrame(
+        [(p, i, j) for p, (i, j) in enumerate(pair_list)], "pair_id int, bi int, bj int"
+    )
+    blocked = emb.withColumn("blk", F.pmod(F.hash("vec_id"), F.lit(B)))
+    left = (
+        blocked.alias("l")
+        .join(F.broadcast(pair_df.alias("pl")), F.col("l.blk") == F.col("pl.bi"))
+        .select(F.col("pl.pair_id").alias("pair_id"), F.col("l.vec_id").alias("vec_id"), F.col("l.v").alias("v"))
+    )
+    right = (
+        blocked.alias("r")
+        .join(F.broadcast(pair_df.alias("pr")), F.col("r.blk") == F.col("pr.bj"))
+        .select(F.col("pr.pair_id").alias("pair_id"), F.col("r.vec_id").alias("vec_id"), F.col("r.v").alias("v"))
+    )
+    same_block = {p: i == j for p, (i, j) in enumerate(pair_list)}
 
-    pdf = emb.toPandas()
-    ids_all = pdf["vec_id"].to_numpy().astype("int64")
-    mat_all = np.vstack(pdf["v"].to_numpy())
-    norms_all = np.sqrt((mat_all * mat_all).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids_all, mat_all, norms_all))
-
-    def gen(batches):
+    def gemm(key, lpdf, rpdf):
         import numpy as np
         import pandas as pd
 
-        b_ids, b_mat, b_norms = bc.value
-        for part in batches:
-            if part.empty:
-                continue
-            ids = part["vec_id"].to_numpy().astype("int64")
-            m = np.vstack(part["v"].to_numpy())
-            n = np.sqrt((m * m).sum(axis=1))
-            cos = (m @ b_mat.T) / np.outer(n, b_norms)
-            keep = (ids[:, None] < b_ids[None, :]) & (cos >= _COSINE_THRESHOLD - 1e-9)
-            r, c = np.nonzero(keep)
-            yield pd.DataFrame(
-                {"v1": ids[r], "v2": b_ids[c], "cosine_raw": cos[r, c]}
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({"v1": [], "v2": [], "cosine_raw": []}).astype(
+                {"v1": "int64", "v2": "int64", "cosine_raw": "float64"}
             )
+        l_ids = lpdf["vec_id"].to_numpy().astype("int64")
+        r_ids = rpdf["vec_id"].to_numpy().astype("int64")
+        lm = np.vstack(lpdf["v"].to_numpy())
+        rm = np.vstack(rpdf["v"].to_numpy())
+        ln = np.sqrt((lm * lm).sum(axis=1))
+        rn = np.sqrt((rm * rm).sum(axis=1))
+        cos = (lm @ rm.T) / np.outer(ln, rn)
+        if same_block[key[0]]:
+            # diagonal block pair: both orders present, keep one
+            mask = l_ids[:, None] < r_ids[None, :]
+        else:
+            # off-diagonal: each unordered pair appears exactly once
+            mask = np.ones_like(cos, dtype=bool)
+        mask &= cos >= _COSINE_THRESHOLD - 1e-9
+        r, c = np.nonzero(mask)
+        a, b = l_ids[r], r_ids[c]
+        return pd.DataFrame(
+            {"v1": np.minimum(a, b), "v2": np.maximum(a, b), "cosine_raw": cos[r, c]}
+        )
 
-    pairs = emb.mapInPandas(gen, schema="v1 long, v2 long, cosine_raw double")
+    pairs = (
+        left.groupby("pair_id")
+        .cogroup(right.groupby("pair_id"))
+        .applyInPandas(gemm, schema="v1 long, v2 long, cosine_raw double")
+    )
     return (
         pairs.withColumn("cosine", F.round("cosine_raw", 6))
         .where(F.col("cosine") >= _COSINE_THRESHOLD)

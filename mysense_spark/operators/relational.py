@@ -307,10 +307,14 @@ def q_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer spend quartiles per market segment (ntile — SURVEY §2.6
     notes rank/ntile are absent in the reference, free in Spark).
 
-    The global ntile needs a total order — fine here (one row per
-    customer after the pre-agg); at 100 TB the bucket bounds would come
-    from approx_percentile and a broadcast-joined range lookup instead
-    of a single-partition sort."""
+    A window ntile with no PARTITION BY would force the whole relation
+    through one task; instead the global rank is computed distributed:
+    range-repartition on the sort key (disjoint ordered ranges), per-
+    partition row_number, plus a broadcast per-partition offset — the
+    same work a global window does, minus the single-partition bottleneck.
+    The exact ntile bucket then follows closed-form from (rank, n): the
+    first n%4 buckets take ceil(n/4) rows, the rest floor(n/4) — bit-
+    identical to SQL ntile for any n, so the DuckDB oracle stays ntile."""
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     spend = (
@@ -318,9 +322,35 @@ def q_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(exact_sum(F.col("o_totalprice"), 4).alias("spend"))
         .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
     )
-    w = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
+    par = spark.sparkContext.defaultParallelism
+    # (spend, o_custkey) is a unique total order, so range partitions are
+    # strictly disjoint and within-partition row_number + offset = global
+    # row_number
+    ranged = spend.repartitionByRange(par, F.desc("spend"), F.asc("o_custkey")).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        counts.withColumn("offset", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)))
+        .withColumn("n", F.sum("cnt").over(Window.partitionBy()))
+        .select("pid", "offset", "n")
+    )  # P rows — the only single-partition window runs over partition COUNTS
+    w_local = Window.partitionBy("pid").orderBy(F.desc("spend"), F.asc("o_custkey"))
+    q_sz = (F.col("n") / 4).cast("long")  # floor bucket size
+    rem = F.col("n") % 4  # first `rem` buckets take q_sz+1
+    big_span = rem * (q_sz + 1)
+    rank = F.col("local_rn") + F.col("offset")
+    quartile = (
+        F.when(q_sz == 0, rank)  # n < 4: one row per bucket
+        .when(rank <= big_span, F.ceil(rank / (q_sz + 1)))
+        .otherwise(rem + F.ceil((rank - big_span) / q_sz))
+        .cast("int")
+    )
     return (
-        spend.withColumn("quartile", F.ntile(4).over(w))
+        ranged.withColumn("local_rn", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "pid")
+        .withColumn("quartile", quartile)
         .groupBy("c_mktsegment", "quartile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
