@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..io import values_df
+from ..io import load, values_df
 from ..streaming.pipeline import decode_stream
 from ..sources.ttn import parse_envelopes
 
@@ -103,6 +103,129 @@ ORDER BY kit_id, ts, field
 """
 
 
+def q_station_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6+J5+R1 end-to-end: align each kit's hourly series against a
+    reference station's hourly observations and fit the calibration line
+    station ~ a0 + a1 * kit, with fit quality (r2, rmse, bias) — the
+    MakeReports.sh correlation-report pipeline (statistics/
+    MakeReports.sh:24-120: INTERVAL-bucketed series per table, then
+    MyRegression fit against the BAM1020 reference column).
+
+    The station side is sources/stations.synthetic_station_series —
+    a deterministic hourly profile (no network in the sandbox), joined
+    as a broadcast dimension keyed on the hour bucket: exactly the J5
+    shape at scale (facts shuffle once on (kit, hour); the station table
+    is ~1e2 stations x 24 rows/day and always broadcastable)."""
+    from pyspark.sql import functions as F
+
+    from ..sources.stations import station_value_sql
+    from .util import exact_avg
+
+    ev = load(spark, sf_dir, "events")
+    hour = F.expr("unix_micros(ts) DIV 1000000 DIV 3600")
+    kit_hourly = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy(F.col("user_id"), hour.alias("h"))
+        .agg(exact_avg(F.col("value"), 6).alias("x"))
+    )
+    # station series materialized from the observed hour range (the
+    # sandbox profile); round(.,6) pins the transcendental to a fixed
+    # decimal so both engines aggregate identical inputs
+    station = kit_hourly.select("h").distinct().selectExpr(
+        "h", f"round({station_value_sql('h')}, 6) AS y"
+    )
+    pairs = kit_hourly.join(F.broadcast(station), "h")
+    dec = "decimal(18,6)"
+    xd = F.col("x").cast(dec)
+    yd = F.col("y").cast(dec)
+    stats = pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(xd * yd).cast("double").alias("sxy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+        F.sum(yd * yd).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    return (
+        stats.where(
+            (n >= 5)
+            & (n * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+            & (n * F.col("syy") - F.col("sy") * F.col("sy") > 0)
+        )
+        .selectExpr(
+            "user_id",
+            "n",
+            "(n * sxy - sx * sy) / (n * sxx - sx * sx) AS a1",
+            "(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS a0",
+            "sxx - sx * sx / n AS cxx",
+            "syy - sy * sy / n AS cyy",
+            "sxy - sx * sy / n AS cxy",
+            "(sy - sx) / n AS bias",
+        )
+        .selectExpr(
+            "user_id",
+            "n",
+            "round(a1, 6) AS a1",
+            "round(a0, 6) AS a0",
+            "round(a1 * cxy / cyy, 6) AS r2",
+            "round(sqrt((cyy - a1 * cxy) / n), 6) AS rmse",
+            "round(bias, 6) AS bias",
+        )
+        .orderBy("user_id")
+    )
+
+
+def _sql_station_calibration() -> str:
+    from ..sources.stations import station_value_sql
+    from .util import sql_avg
+
+    return f"""
+WITH kit_hourly AS (
+  SELECT user_id, epoch_us(ts) // 1000000 // 3600 AS h,
+         {sql_avg('value', 6)} AS x
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+),
+station AS (
+  SELECT h, round({station_value_sql('h')}, 6) AS y
+  FROM (SELECT DISTINCT h FROM kit_hourly)
+),
+stats AS (
+  SELECT user_id, count(*) AS n,
+         CAST(sum(CAST(x AS DECIMAL(19,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS syy
+  FROM kit_hourly JOIN station USING (h)
+  GROUP BY user_id
+),
+derived AS (
+  SELECT user_id, n,
+         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS a1,
+         (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS a0,
+         sxx - sx * sx / n AS cxx,
+         syy - sy * sy / n AS cyy,
+         sxy - sx * sy / n AS cxy,
+         (sy - sx) / n AS bias
+  FROM stats
+  WHERE n >= 5 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+)
+SELECT user_id, n,
+       round(a1, 6) AS a1,
+       round(a0, 6) AS a0,
+       round(a1 * cxy / cyy, 6) AS r2,
+       round(sqrt((cyy - a1 * cxy) / n), 6) AS rmse,
+       round(bias, 6) AS bias
+FROM derived
+ORDER BY user_id
+"""
+
+
+SQL_STATION_CALIBRATION = _sql_station_calibration()
+
+
 QUERIES: dict[str, tuple] = {
     "ttn_decode": (q_ttn_decode, SQL_TTN_DECODE),
+    "station_calibration": (q_station_calibration, SQL_STATION_CALIBRATION),
 }

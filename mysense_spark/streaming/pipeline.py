@@ -189,14 +189,28 @@ def session_stats_stream(
     )
 
 
-def run_file_stream(spark, in_dir: str, checkpoint: str, out_dir: str, watermark: str = "2 hours"):
-    """Streaming twin: readStream on a drop directory, event-time
-    watermark + dedup on the upsert key, parquet upsert via foreachBatch.
+def kafka_lines(records: DataFrame) -> DataFrame:
+    """Normalize Kafka records to the dump-file line shape consumed by
+    parse_envelopes: the record key carries the MQTT topic (the bridge
+    convention for MQTT->Kafka mirroring), the value the JSON envelope —
+    reassembled as '<topic> <json>'. Pure transform, shared by the live
+    connector and its tests (no broker in this container)."""
+    return records.select(
+        F.concat_ws(
+            " ", F.col("key").cast("string"), F.col("value").cast("string")
+        ).alias("value")
+    )
+
+
+def run_lines_stream(lines: DataFrame, checkpoint: str, out_dir: str, watermark: str = "2 hours"):
+    """Shared S1/S2 tail: envelope parse -> decode -> watermark + dedup on
+    the upsert key -> parquet upsert via foreachBatch. Every source
+    (drop-dir, Kafka, replay file) funnels through this one chain, so a
+    connector swap cannot change pipeline semantics.
 
     Returns the StreamingQuery (caller awaits/stops)."""
     from ..sinks.upsert import upsert_parquet
 
-    lines = spark.readStream.text(in_dir)
     fact = (
         decode_stream(parse_envelopes(lines))
         .withWatermark("ts", watermark)
@@ -212,3 +226,33 @@ def run_file_stream(spark, in_dir: str, checkpoint: str, out_dir: str, watermark
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_file_stream(spark, in_dir: str, checkpoint: str, out_dir: str, watermark: str = "2 hours"):
+    """S2 live twin: readStream on a drop directory of MQTT dump files."""
+    return run_lines_stream(spark.readStream.text(in_dir), checkpoint, out_dir, watermark)
+
+
+def run_kafka_stream(
+    spark,
+    brokers: str,
+    topic: str,
+    checkpoint: str,
+    out_dir: str,
+    watermark: str = "2 hours",
+    starting_offsets: str = "earliest",
+):
+    """S1: live connector via the Kafka source (the TTN/MQTT broker is
+    mirrored into Kafka; a direct paho-MQTT receiver has no Spark source
+    and would serialize through the driver). Requires the
+    spark-sql-kafka package on the classpath at deploy time; everything
+    downstream of the source is run_lines_stream, identical to the file
+    path."""
+    records = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return run_lines_stream(kafka_lines(records), checkpoint, out_dir, watermark)

@@ -151,3 +151,103 @@ def test_date_partitioned_archive_prunes(spark, tmp_path):
     assert "PartitionFilters" in plan and "2024-01-15" in plan
     pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert "2024-01-15" in pf_line
+
+
+def test_station_csv_and_synthetic(spark, tmp_path):
+    """S6: station CSV reader (schema-pinned, corrupt rows quarantined)
+    and the deterministic synthetic profile agree on shape."""
+    from mysense_spark.sources.stations import (
+        read_station_csv,
+        station_value_sql,
+        synthetic_station_series,
+    )
+
+    p = tmp_path / "stations.csv"
+    p.write_text(
+        "station_id,ts,pm25,pm10,no2,o3\n"
+        "NL10131,2024-01-01T00:00:00,12.5,20.1,18.0,40.2\n"
+        "NL10131,2024-01-01T01:00:00,13.0,21.0,17.5,39.8\n"
+        "garbage-line-without-commas\n"
+    )
+    df = read_station_csv(spark, str(p))
+    rows = df.collect()
+    good = [r for r in rows if r["_corrupt"] is None]
+    bad = [r for r in rows if r["_corrupt"] is not None]
+    assert len(good) == 2 and len(bad) == 1
+    assert good[0]["pm25"] == 12.5
+
+    syn = synthetic_station_series(spark, 0, 48 * 3600).collect()
+    assert len(syn) == 48
+    # deterministic: re-generation is identical, and pm10 tracks pm25
+    syn2 = synthetic_station_series(spark, 0, 48 * 3600).collect()
+    assert [r["pm25"] for r in syn] == [r["pm25"] for r in syn2]
+    assert all(abs(r["pm10"] - 1.6 * r["pm25"]) < 1e-9 for r in syn)
+    # the SQL fragment is one shared text (used verbatim in the oracle)
+    assert "sin" in station_value_sql("h")
+
+
+def test_influx_and_mqtt_republish(spark):
+    """K5: line-protocol / MQTT serialization and breaker behavior."""
+    import datetime as dt
+
+    from mysense_spark.sinks.forward import CircuitBreaker
+    from mysense_spark.sinks.republish import (
+        make_influx_publisher,
+        make_mqtt_republisher,
+        to_influx_lines,
+        to_mqtt_messages,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    fact = spark.createDataFrame(
+        [
+            ("kitA", base, "pm25", 12.5),
+            ("kitA", base, "pm10", 20.0),
+            ("kitB", base, "temp", 21.0),
+        ],
+        "kit_id string, ts timestamp, field string, value double",
+    )
+    lines = sorted(r["line"] for r in to_influx_lines(fact).collect())
+    assert lines == [
+        "raw,kit=kitA pm10=20.0,pm25=12.5 1704067200000000000",
+        "raw,kit=kitB temp=21.0 1704067200000000000",
+    ]
+    msgs = {r["topic"]: r["payload"] for r in to_mqtt_messages(fact).collect()}
+    assert set(msgs) == {"IoS/kitA", "IoS/kitB"}
+    assert '"pm25":12.5' in msgs["IoS/kitA"]
+
+    sent = []
+    pub = make_influx_publisher(lambda host, ls: (sent.extend(ls), True)[1])
+    pub(fact, 0)
+    assert sorted(sent) == lines
+
+    # breaker opens after threshold failures and blocks the next batch
+    failed = []
+    breaker = CircuitBreaker(threshold=1, cooloff_s=9999)
+    mq = make_mqtt_republisher(lambda t, p: (failed.append(t), False)[1], breaker=breaker)
+    mq(fact, 0)
+    assert len(failed) == 1  # opened after first failure
+    mq(fact, 1)
+    assert len(failed) == 1  # still open
+
+
+def test_kafka_lines_shape(spark):
+    """S1: Kafka records (key=MQTT topic, value=envelope JSON) normalize
+    to the exact line shape the file source produces, so both connectors
+    share the full decode chain."""
+    from tests.fixtures_mqtt import V2_PORT2
+
+    from mysense_spark.sources.ttn import parse_envelopes
+    from mysense_spark.streaming.pipeline import decode_stream, kafka_lines
+
+    topic, payload = V2_PORT2.split(" ", 1)
+    records = spark.createDataFrame(
+        [(topic.encode(), payload.encode())], "key binary, value binary"
+    )
+    via_kafka = decode_stream(parse_envelopes(kafka_lines(records))).drop("ingest_ts")
+    via_file = decode_stream(
+        parse_envelopes(spark.createDataFrame([(V2_PORT2,)], "value string"))
+    ).drop("ingest_ts")
+    k = sorted(map(tuple, via_kafka.collect()))
+    f = sorted(map(tuple, via_file.collect()))
+    assert k == f and len(k) > 0
