@@ -225,7 +225,68 @@ ORDER BY user_id
 SQL_STATION_CALIBRATION = _sql_station_calibration()
 
 
+_CSV_FIXTURE = """kit_id,ts,field,value
+kitA,2024-01-01T00:00:00,pm25,12.5
+kitA,2024-01-01T01:00:00,pm25,13.1
+kitA,2024-01-01T02:00:00,pm25,not-a-number
+kitB,2024-01-01T00:00:00,temp,21.0
+kitB,2024-01-01T01:00:00,temp,21.4
+kitB,2024-01-01T02:00:00,temp,
+this line is garbage
+kitC,2024-01-01T00:00:00,rv,55.5
+"""
+
+
+def q_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: CSV measurement input through the real distributed reader
+    (sources/files.read_measurements_csv) — schema-pinned scan, malformed
+    rows quarantined to `_corrupt` (the reference dies on bad spreadsheet
+    rows; at scale quarantine-and-continue is the recoverable version).
+    Runs on a pinned fixture written to a temp dir so the driver can
+    hash-check parsing semantics: good rows aggregate per kit, bad rows
+    are counted, a blank value is NULL (not corrupt)."""
+    import os
+    import tempfile
+
+    from ..sources.files import read_measurements_csv
+
+    d = tempfile.mkdtemp(prefix="csv_ingest_")
+    with open(os.path.join(d, "dump.csv"), "w") as f:
+        f.write(_CSV_FIXTURE)
+    df = read_measurements_csv(spark, d)
+    from pyspark.sql import functions as F
+
+    return (
+        df.groupBy(F.coalesce("kit_id", F.lit("<corrupt>")).alias("kit"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("value").alias("n_values"),
+            F.count("_corrupt").alias("n_bad"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6).alias(
+                "sum_value"
+            ),
+        )
+        .orderBy("kit")
+    )
+
+
+# note the garbage line: Spark CSV pads too-few-column rows with NULLs
+# (only type mismatches set _corrupt), so it surfaces as a 1-row kit
+# with no timestamp/value — the expectation documents that semantic
+SQL_CSV_INGEST = """
+SELECT kit, n_rows, n_values, n_bad, sum_value
+FROM (VALUES
+  ('kitA', 3, 2, 1, 25.6),
+  ('kitB', 3, 2, 0, 42.4),
+  ('kitC', 1, 1, 0, 55.5),
+  ('this line is garbage', 1, 0, 0, CAST(NULL AS DOUBLE))
+) AS t(kit, n_rows, n_values, n_bad, sum_value)
+ORDER BY kit
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "ttn_decode": (q_ttn_decode, SQL_TTN_DECODE),
     "station_calibration": (q_station_calibration, SQL_STATION_CALIBRATION),
+    "csv_ingest": (q_csv_ingest, SQL_CSV_INGEST),
 }

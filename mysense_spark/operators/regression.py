@@ -417,9 +417,138 @@ ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# R6: Gaussian-smoothed series + sigma band
+# ---------------------------------------------------------------------------
+
+# Frozen Gaussian kernel (width 39, sigma 3) — the reference's
+# moving_average weights (grubbs.py:1043-1050: scipy gaussian(39,3)
+# convolution for the weighted-spline average and variance band,
+# MyRegression.py:1008-1018 makeSpline). Literals, not exp() at runtime,
+# so both engines consume identical weights.
+def _gaussian_kernel() -> list[tuple[int, float]]:
+    import math
+
+    ws = [(j, round(math.exp(-(j * j) / 18.0), 8)) for j in range(-19, 20)]
+    # entries that round to 0 at 8 dp (|j| = 19) contribute nothing but
+    # can make a lone far target's weight-sum exactly 0 -> divide-by-zero
+    return [(j, w) for j, w in ws if w > 0]
+
+
+_KERNEL = _gaussian_kernel()
+
+
+def q_sigma_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6: smoothed series + sigma band per kit — the reference's
+    weighted-spline preprocessing (grubbs.py:1039-1074): a Gaussian
+    kernel (39, sigma=3) moving average over the hourly series, the
+    kernel-weighted variance of deviations from it, and the resulting
+    avg +/- 2*sqrt(var) band with an outside-band flag (the sigma band
+    drawn on the correlation plots; propability(), grubbs.py:1073).
+    Kernel weights renormalize over present neighbours, so gaps widen
+    the band instead of biasing it.
+
+    Scale shape: the convolution is an explode-by-39 + one groupBy on
+    (kit, bucket) — bounded 39x row amplification, no window over
+    unbounded partitions, all exact decimal accumulation (order-
+    independent, hash-stable)."""
+    from ..io import values_df
+
+    ev = load(spark, sf_dir, "events")
+    bucket = F.expr("unix_micros(ts) DIV 1000000 DIV 3600").alias("b")
+    series = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy(F.col("user_id"), bucket)
+        .agg(exact_avg(F.col("value"), 6).alias("v"))
+    )
+    kern = values_df(
+        spark, [(j, str(w)) for j, w in _KERNEL], "off int, w_s string"
+    ).select("off", F.col("w_s").cast("decimal(10,8)").alias("w"))
+
+    def convolve(src: DataFrame, val_col: str, out: str) -> DataFrame:
+        """Σ w·val / Σ w at each present target bucket (renormalizing
+        over present neighbours, like convolve1d over a dense grid)."""
+        contrib = src.crossJoin(F.broadcast(kern)).select(
+            "user_id",
+            (F.col("b") + F.col("off")).alias("b"),
+            F.col("w"),
+            (F.col("w") * F.col(val_col).cast(_DEC)).alias("wv"),
+        )
+        sums = contrib.groupBy("user_id", "b").agg(
+            F.sum("w").alias("sw"), F.sum("wv").alias("swv")
+        )
+        return sums.select(
+            "user_id",
+            "b",
+            F.round(F.col("swv").cast("double") / F.col("sw").cast("double"), 6).alias(out),
+        )
+
+    smooth = convolve(series, "v", "smooth")
+    joined = series.join(smooth, ["user_id", "b"])
+    dev = joined.withColumn(
+        "dev2", F.round((F.col("v") - F.col("smooth")) * (F.col("v") - F.col("smooth")), 6)
+    )
+    var = convolve(dev, "dev2", "var_v")
+    return (
+        joined.join(var, ["user_id", "b"])
+        .select(
+            "user_id",
+            "b",
+            F.round("v", 6).alias("v"),
+            "smooth",
+            F.round(F.sqrt("var_v"), 6).alias("sigma"),
+            F.round(F.col("smooth") - 2 * F.sqrt("var_v"), 6).alias("band_lo"),
+            F.round(F.col("smooth") + 2 * F.sqrt("var_v"), 6).alias("band_hi"),
+            (F.abs(F.col("v") - F.col("smooth")) > 2 * F.sqrt("var_v")).alias("outside"),
+        )
+        .orderBy("user_id", "b")
+    )
+
+
+def _sql_sigma_band() -> str:
+    kern_rows = ", ".join(f"({j}, CAST({w!r} AS DECIMAL(10,8)))" for j, w in _KERNEL)
+    return f"""
+WITH series AS (
+  SELECT user_id, epoch_us(ts) // 1000000 // 3600 AS b, {sql_avg('value', 6)} AS v
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+),
+kern(off, w) AS (VALUES {kern_rows}),
+smooth AS (
+  SELECT user_id, b + off AS b,
+         round(CAST(sum(w * CAST(v AS DECIMAL(19,6))) AS DOUBLE)
+               / CAST(sum(w) AS DOUBLE), 6) AS smooth
+  FROM series CROSS JOIN kern
+  GROUP BY 1, 2
+),
+joined AS (
+  SELECT s.user_id, s.b, s.v, m.smooth,
+         round((s.v - m.smooth) * (s.v - m.smooth), 6) AS dev2
+  FROM series s JOIN smooth m ON s.user_id = m.user_id AND s.b = m.b
+),
+var_c AS (
+  SELECT user_id, b + off AS b,
+         round(CAST(sum(w * CAST(dev2 AS DECIMAL(19,6))) AS DOUBLE)
+               / CAST(sum(w) AS DOUBLE), 6) AS var_v
+  FROM joined CROSS JOIN kern
+  GROUP BY 1, 2
+)
+SELECT j.user_id, j.b, round(j.v, 6) AS v, j.smooth,
+       round(sqrt(c.var_v), 6) AS sigma,
+       round(j.smooth - 2 * sqrt(c.var_v), 6) AS band_lo,
+       round(j.smooth + 2 * sqrt(c.var_v), 6) AS band_hi,
+       abs(j.v - j.smooth) > 2 * sqrt(c.var_v) AS outside
+FROM joined j JOIN var_c c ON j.user_id = c.user_id AND j.b = c.b
+ORDER BY j.user_id, j.b
+"""
+
+
+SQL_SIGMA_BAND = _sql_sigma_band()
+
+
 QUERIES: dict[str, tuple] = {
     "linear_regression": (q_linear_regression, SQL_LINEAR_REGRESSION),
     "ols_summary": (q_ols_summary, SQL_OLS_SUMMARY),
+    "sigma_band": (q_sigma_band, SQL_SIGMA_BAND),
     "multilinear_regression": (q_multilinear_regression, SQL_MULTILINEAR_REGRESSION),
     "minmax_normalize": (q_minmax_normalize, SQL_MINMAX_NORMALIZE),
     "fit_apply": (q_fit_apply, SQL_FIT_APPLY),

@@ -54,29 +54,51 @@ _SQL_COS = (
 )
 
 
-def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-10 for each query vector (vec_id < 5),
-    excluding the query itself. One broadcast of the tiny query side; the
-    candidate scan parallelizes embarrassingly."""
-    vecs = _vectors(spark, sf_dir)
-    q = vecs.where(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
-    )
-    c = vecs.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm"))
+# Structural fence for the brute-force tier: it is the VERIFY/RE-RANK
+# stage, never candidate generation. A query side beyond this bound
+# means someone is pointing the full-scan kernel at a corpus — refuse
+# loudly instead of burning a cluster on an O(Q*N) cross join (candidate
+# generation belongs to ann_ivf / minhash_lsh).
+MAX_RERANK_QUERIES = 1024
+
+
+def knn_rerank(queries: DataFrame, candidates: DataFrame, top_k: int = 10) -> DataFrame:
+    """Broadcast the (bounded) query side, scan candidates in parallel,
+    keep top_k per query. Raises if the query side exceeds
+    MAX_RERANK_QUERIES — the fence is part of the contract, not a
+    docstring promise."""
+    n_q = queries.limit(MAX_RERANK_QUERIES + 1).count()
+    if n_q > MAX_RERANK_QUERIES:
+        raise ValueError(
+            f"knn_rerank is the re-rank tier: query side has more than "
+            f"{MAX_RERANK_QUERIES} rows; generate candidates with ann_ivf "
+            f"(or LSH) and re-rank those instead"
+        )
     cos = F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm")), 6)
     scored = (
-        F.broadcast(q)
-        .crossJoin(c)
+        F.broadcast(queries)
+        .crossJoin(candidates)
         .where(F.col("query_id") != F.col("cand_id"))
         .withColumn("cosine", cos)
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= _TOP_K)
+        .where(F.col("rank") <= top_k)
         .select("query_id", "rank", "cand_id", "cosine")
-        .orderBy("query_id", "rank")
     )
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for each query vector (vec_id < 5),
+    excluding the query itself — via knn_rerank, which enforces the
+    bounded-query-side fence structurally."""
+    vecs = _vectors(spark, sf_dir)
+    q = vecs.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
+    )
+    c = vecs.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm"))
+    return knn_rerank(q, c, _TOP_K).orderBy("query_id", "rank")
 
 
 SQL_KNN_BRUTEFORCE = f"""

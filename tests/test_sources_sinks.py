@@ -251,3 +251,38 @@ def test_kafka_lines_shape(spark):
     k = sorted(map(tuple, via_kafka.collect()))
     f = sorted(map(tuple, via_file.collect()))
     assert k == f and len(k) > 0
+
+
+def test_knn_rerank_fence(spark):
+    """The brute-force tier refuses an unbounded query side (structural
+    re-rank fence, not a docstring promise)."""
+    import pytest
+
+    from mysense_spark.operators.similarity import MAX_RERANK_QUERIES, knn_rerank
+
+    big = spark.range(MAX_RERANK_QUERIES + 10).selectExpr(
+        "id AS query_id", "array(1.0, 2.0) AS qv", "1.0 AS qnorm"
+    )
+    cand = spark.range(3).selectExpr("id AS cand_id", "array(1.0, 2.0) AS cv", "1.0 AS cnorm")
+    with pytest.raises(ValueError, match="re-rank"):
+        knn_rerank(big, cand)
+
+
+def test_measurements_csv_reader(spark, tmp_path):
+    """S8: schema-pinned CSV measurement input; type mismatches land in
+    _corrupt, blank values are NULL."""
+    from mysense_spark.sources.files import read_measurements_csv
+
+    p = tmp_path / "m.csv"
+    p.write_text(
+        "kit_id,ts,field,value\n"
+        "k1,2024-01-01T00:00:00,pm25,1.5\n"
+        "k1,2024-01-01T01:00:00,pm25,oops\n"
+        "k2,2024-01-01T00:00:00,temp,\n"
+    )
+    rows = read_measurements_csv(spark, str(p)).collect()
+    assert len(rows) == 3
+    by_bad = [r for r in rows if r["_corrupt"] is not None]
+    assert len(by_bad) == 1 and by_bad[0]["kit_id"] == "k1"
+    blank = [r for r in rows if r["kit_id"] == "k2"][0]
+    assert blank["value"] is None and blank["_corrupt"] is None
