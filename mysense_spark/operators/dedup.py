@@ -432,10 +432,114 @@ ORDER BY v1, v2
 """
 
 
+_CC_MAX_ITERS = 20
+
+
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution: connected components over the verified
+    MinHash-LSH pair graph, then one canonical keeper per cluster — the
+    step every real dedup pipeline runs after pair generation (pairs alone
+    don't tell you which docs to drop when A~B and B~C but A!~C).
+
+    Algorithm: min-label propagation (Hash-Min): every node starts
+    labelled with its own id; each round takes the min of its own and its
+    neighbours' labels; converges in O(component diameter) rounds. Each
+    round is one equi-join + one partial-aggregating groupBy on the edge
+    list — no driver-side graph. Near-dup components are shallow (dozens
+    of docs, diameter ~ a few hops), so the round count stays small even
+    at corpus scale; for adversarial deep chains the large-star/small-star
+    variant (Kiveris et al., SoCC'14) bounds rounds at O(log^2 n) with the
+    same join-shape per round. Lineage is truncated per round with
+    localCheckpoint (reliable checkpoint dir on a real cluster).
+
+    Output: one row per doc that has at least one near-dup; `cluster_id`
+    is the min doc_id in the component, `keep` marks the canonical
+    representative (the one a dedup pass retains).
+    """
+    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("d1", "d2")
+    edges = (
+        pairs.union(pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2")))
+        .repartition("d1")
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("d1").alias("doc_id")).distinct().withColumn("label", F.col("doc_id"))
+    ).localCheckpoint(eager=True)
+    for _ in range(_CC_MAX_ITERS):
+        nbr_lab = labels.select(F.col("doc_id").alias("n_id"), F.col("label").alias("n_label"))
+        nbr_min = (
+            edges.join(nbr_lab, F.col("d2") == F.col("n_id"))
+            .groupBy("d1")
+            .agg(F.min("n_label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["doc_id"] == nbr_min["d1"], "left")
+            .select(
+                labels["doc_id"],
+                F.least(labels["label"], F.coalesce(F.col("nbr_min"), labels["label"])).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            "doc_id",
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+            (F.col("doc_id") == F.col("label")).cast("int").alias("keep"),
+        )
+        .orderBy("cluster_id", "doc_id")
+    )
+
+
+def _sql_neardup_clusters() -> str:
+    # transitive closure via recursive CTE (fine at oracle scale; the
+    # Spark side is the iterative-join scale path)
+    pairs_sql = SQL_MINHASH_LSH_PAIRS.strip().rstrip().removesuffix("ORDER BY d1, d2")
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT d1 AS u, d2 AS v FROM pairs
+  UNION
+  SELECT d2 AS u, d1 AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+lab AS (
+  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       CAST(doc_id = cluster_id AS INT) AS keep
+FROM lab
+ORDER BY cluster_id, doc_id
+"""
+
+
+SQL_NEARDUP_CLUSTERS = _sql_neardup_clusters()
+
+
 QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
+    "neardup_clusters": (q_neardup_clusters, SQL_NEARDUP_CLUSTERS),
 }
