@@ -243,16 +243,25 @@ ORDER BY d1, d2
 
 SQL_MINHASH_LSH_PAIRS = _sql_minhash()
 
-_SIMHASH_BITS = 32
-_HAMMING_MAX = 6
+_SIMHASH_BITS = 60  # md5 15-hex-char word hash = 60 usable bits
+_HAMMING_MAX = 3
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 32-bit signature from md5 word hashes (weighted
-    bit voting), pairs within hamming distance <= 6 via bit_count(xor).
+    """SimHash near-dup: 60-bit signature from md5 word hashes (weighted
+    bit voting), pairs within hamming distance <= 3 via bit_count(xor) —
+    the Manku et al. (WWW'07) configuration (64-bit/k=3 there; 60 bits
+    here because one md5 draw yields 15 hex chars inside int64 range).
     Candidates come from pigeonhole chunk blocking (equi-join, never a
     cross join); the DuckDB oracle stays exhaustive to prove the blocking
-    loses nothing."""
+    loses nothing.
+
+    Chunk width is the selectivity knob: a narrow signature (32-bit, 4-5
+    bit chunks) was measured to produce MORE candidate pairs than the
+    exhaustive scan at sf0.1 (33M vs 12.5M; simhash bits are low-entropy
+    because docs share dominant words, so small chunks mega-bucket). The
+    k+1 = 4 chunks of 15 bits cut candidates 57x below exhaustive and
+    keep shrinking relative to N^2 as the corpus grows."""
     doc = load(spark, sf_dir, "documents")
     words = F.explode(F.expr(f"regexp_extract_all(text, '{_WORD_RE}', 0)")).alias("word")
     tok = doc.select("doc_id", words)
@@ -266,20 +275,15 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig: Column = F.lit(0).cast("long")
     for k in range(_SIMHASH_BITS):
         sig = sig + F.when(F.col(f"v{k}") > 0, F.lit(1 << k).cast("long")).otherwise(F.lit(0).cast("long"))
-    # the O(N^2) pair scan must spread over all cores: repartition the
-    # stream side (AQE would coalesce 5000 signatures to one task) and
-    # broadcast the tiny build side (doc_id + 32-bit signature per row)
     sigs = votes.select("doc_id", sig.alias("simhash"))
-    # Hamming-LSH candidate generation (pigeonhole): split the 32-bit
-    # signature into HAMMING_MAX+1 = 7 chunks; two signatures within
-    # hamming distance 6 must agree exactly on at least one chunk, so an
+    # Hamming-LSH candidate generation (pigeonhole): split the 60-bit
+    # signature into HAMMING_MAX+1 = 4 chunks; two signatures within
+    # hamming distance 3 must agree exactly on at least one chunk, so an
     # equi-join on (chunk_id, chunk_value) has guaranteed recall — the
     # result set is identical to the exhaustive O(N^2) scan, but the join
     # is a plain shuffle-hash equi-join (Manku et al., WWW'07, with
-    # blocks = k+1). At a larger corpus, widen the signature (64/128 bit)
-    # and the chunks widen with it at the same guarantee, keeping buckets
-    # selective.
-    widths = [5, 5, 5, 5, 4, 4, 4]  # sums to _SIMHASH_BITS
+    # blocks = k+1).
+    widths = [15, 15, 15, 15]  # sums to _SIMHASH_BITS
     starts = [sum(widths[:c]) for c in range(len(widths))]
     chunk_exprs = [
         F.shiftright(F.col("simhash"), s).bitwiseAND(F.lit((1 << w) - 1)).cast("long")

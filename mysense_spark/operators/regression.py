@@ -456,10 +456,14 @@ def q_sigma_band(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     bucket = F.expr("unix_micros(ts) DIV 1000000 DIV 3600").alias("b")
+    # series feeds three consumers (smooth convolve, the join, the
+    # variance convolve); without persist Spark re-scans and re-aggregates
+    # events for each (measured: 4 parquet scans, 0 reused exchanges)
     series = (
         ev.where(F.col("event_type") == "click")
         .groupBy(F.col("user_id"), bucket)
         .agg(exact_avg(F.col("value"), 6).alias("v"))
+        .persist()
     )
     kern = values_df(
         spark, [(j, str(w)) for j, w in _KERNEL], "off int, w_s string"
@@ -484,7 +488,7 @@ def q_sigma_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     smooth = convolve(series, "v", "smooth")
-    joined = series.join(smooth, ["user_id", "b"])
+    joined = series.join(smooth, ["user_id", "b"]).persist()
     dev = joined.withColumn(
         "dev2", F.round((F.col("v") - F.col("smooth")) * (F.col("v") - F.col("smooth")), 6)
     )
