@@ -539,6 +539,96 @@ ORDER BY cluster_id, doc_id
 SQL_NEARDUP_CLUSTERS = _sql_neardup_clusters()
 
 
+_DECON_N = 7  # shingle width: long enough that chance overlap ~ 0
+_DECON_MIN_FRAC = 0.1  # report docs with >= 10% of their shingles in train
+
+
+def q_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: for every test-split document, the
+    fraction of its distinct word-7-gram shingles that also occur in any
+    train-split document — the benchmark-contamination check an LLM data
+    pipeline runs before an eval split is trusted. Splits are the same
+    deterministic md5 buckets as q_hash_sample, so the report composes
+    with the split that training actually uses.
+
+    Scale shape: shingles are hashed to 60-bit ints before the join, so
+    the contamination probe is an equi-join on a long key (narrow
+    shuffle), test-side only rows flow into the final agg, and the train
+    side is a distinct-projection of hashes — no pairwise doc comparison
+    anywhere. 7-gram chance collisions are negligible; planted near-dups
+    across the split boundary surface at overlap ~ 1."""
+    doc = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long") % 100
+    )
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    words = F.expr(f"regexp_extract_all(text, '{_WORD_RE}', 0)")
+    grams = F.expr(
+        f"transform(sequence(0, size(words) - {_DECON_N}), i -> "
+        f"concat_ws(' ', slice(words, i + 1, {_DECON_N})))"
+    )
+    sh = (
+        doc.select("doc_id", split.alias("split"), words.alias("words"))
+        .where(F.size("words") >= _DECON_N)
+        .select("doc_id", "split", F.explode(grams).alias("shingle"))
+        .distinct()
+        .select("doc_id", "split", _shingle_hash(F.col("shingle")).alias("h"))
+    )
+    train = sh.where(F.col("split") == "train").select("h").distinct()
+    test = sh.where(F.col("split") == "test")
+    # single pass over the test side: left join against the distinct train
+    # hash set (<= 1 match per row), then one agg yields both the shingle
+    # total and the hit count — the test side is scanned once, not twice
+    per_doc = (
+        test.join(train.withColumn("hit", F.lit(1)), "h", "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"), F.count("hit").alias("n_hit"))
+    )
+    frac = F.round(F.col("n_hit") / F.col("n_shingles"), 6)
+    return (
+        per_doc.withColumn("overlap_frac", frac)
+        .where(F.col("overlap_frac") >= _DECON_MIN_FRAC)
+        .select("doc_id", "n_shingles", "n_hit", "overlap_frac")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_decontam() -> str:
+    j = " || ' ' || ".join(f"w[i+{k}]" for k in range(1, _DECON_N + 1))
+    return f"""
+WITH split AS (
+  SELECT doc_id,
+         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80
+              THEN 'train'
+              WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90
+              THEN 'val' ELSE 'test' END AS split,
+         regexp_extract_all(text, '{_WORD_RE}') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, split, {_sql_shingle_hash('shingle')} AS h
+  FROM (
+    SELECT DISTINCT doc_id, split,
+           unnest(list_transform(range(len(w) - {_DECON_N - 1}), i -> {j})) AS shingle
+    FROM split WHERE len(w) >= {_DECON_N}
+  )
+),
+train AS (SELECT DISTINCT h FROM sh WHERE split = 'train'),
+test AS (SELECT doc_id, h FROM sh WHERE split = 'test'),
+totals AS (SELECT doc_id, count(*) AS n_shingles FROM test GROUP BY doc_id),
+hits AS (
+  SELECT t.doc_id, count(*) AS n_hit FROM test t JOIN train tr ON t.h = tr.h GROUP BY t.doc_id
+)
+SELECT doc_id, n_shingles, n_hit, round(n_hit * 1.0 / n_shingles, 6) AS overlap_frac
+FROM totals JOIN hits USING (doc_id)
+WHERE round(n_hit * 1.0 / n_shingles, 6) >= {_DECON_MIN_FRAC}
+ORDER BY doc_id
+"""
+
+
+SQL_DECONTAM_REPORT = _sql_decontam()
+
+
 QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
@@ -546,4 +636,5 @@ QUERIES: dict[str, tuple] = {
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "neardup_clusters": (q_neardup_clusters, SQL_NEARDUP_CLUSTERS),
+    "decontam_report": (q_decontam_report, SQL_DECONTAM_REPORT),
 }

@@ -90,7 +90,100 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_ALPHA = 0.5  # temperature exponent: weight stratum s by n_s^alpha
+_MIX_TARGET_FRAC = 0.3  # sampled corpus size as a fraction of the input
+_MIX_RES = 1_000_000  # hash-threshold resolution (1e-6 rate granularity)
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based data mixing: re-balance the per-language corpus
+    mix by sampling stratum s at a rate proportional to n_s^alpha
+    (alpha < 1 up-weights low-resource strata — the standard multilingual
+    rebalancing step for training mixes). Acceptance is a deterministic
+    md5-hash threshold per doc, so the sample is reproducible on any
+    cluster size and stable under re-runs, like q_hash_sample.
+
+    Scale shape: one tiny per-stratum agg (|languages| rows), rates
+    derived on that agg and broadcast back onto the corpus — the corpus
+    itself sees one scan + one filter + one final agg, no global sort and
+    no per-stratum window. Thresholds are floor(rate * 1e6) compared
+    against an integer hash bucket, so the boundary arithmetic is
+    bit-identical in the DuckDB oracle."""
+    doc = load(spark, sf_dir, "documents")
+    counts = doc.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    total = counts.agg(
+        F.sum("n_total").alias("corpus_n"),
+        F.sum(F.pow(F.col("n_total").cast("double"), F.lit(_MIX_ALPHA))).alias("sum_w"),
+    )
+    # rates is |languages| rows but feeds three consumers; without persist
+    # each one re-scans the corpus for the counts agg (measured: 5 scans)
+    rates = (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "n_total",
+            F.least(
+                F.lit(1.0),
+                (
+                    F.lit(_MIX_TARGET_FRAC)
+                    * F.col("corpus_n")
+                    * F.pow(F.col("n_total").cast("double"), F.lit(_MIX_ALPHA))
+                    / F.col("sum_w")
+                    / F.col("n_total")
+                ),
+            ).alias("rate"),
+        )
+        .persist()
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+        % _MIX_RES
+    )
+    kept = (
+        doc.select("doc_id", "lang", "n_chars")
+        .withColumn("bucket", bucket)
+        .join(F.broadcast(rates), "lang")
+        .where(F.col("bucket") < F.floor(F.col("rate") * _MIX_RES).cast("long"))
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"), exact_avg(F.col("n_chars"), 4).alias("avg_chars"))
+        .join(rates, "lang")
+        .select("lang", "n_total", F.round("rate", 6).alias("rate"), "n_kept", "avg_chars")
+        .orderBy("lang")
+    )
+
+
+SQL_TEMPERATURE_MIX = f"""
+WITH counts AS (
+  SELECT lang, count(*) AS n_total FROM documents GROUP BY lang
+),
+total AS (
+  SELECT sum(n_total) AS corpus_n, sum(pow(CAST(n_total AS DOUBLE), {_MIX_ALPHA})) AS sum_w
+  FROM counts
+),
+rates AS (
+  SELECT lang, n_total,
+         least(1.0, {_MIX_TARGET_FRAC} * corpus_n
+                    * pow(CAST(n_total AS DOUBLE), {_MIX_ALPHA}) / sum_w / n_total) AS rate
+  FROM counts CROSS JOIN total
+),
+kept AS (
+  SELECT d.lang, d.n_chars
+  FROM documents d JOIN rates r ON d.lang = r.lang
+  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % {_MIX_RES}
+        < CAST(floor(r.rate * {_MIX_RES}) AS BIGINT)
+)
+SELECT k.lang, r.n_total, round(r.rate, 6) AS rate,
+       count(*) AS n_kept, {sql_avg('k.n_chars', 4)} AS avg_chars
+FROM kept k JOIN rates r ON k.lang = r.lang
+GROUP BY k.lang, r.n_total, r.rate
+ORDER BY k.lang
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
+    "temperature_mix": (q_temperature_mix, SQL_TEMPERATURE_MIX),
     "approx_distinct_users": (q_approx_distinct_users, None),
 }
