@@ -287,29 +287,16 @@ def _sql_norm_sf(z: str) -> str:
     return f"({pdf} * {poly})"
 
 
-def _sql_t_pvalue(t: str, df: str) -> str:
-    """Two-sided p-value for a t statistic (identical text in Spark SQL
-    and DuckDB — both dialects accept this expression verbatim).
-    Powers are written as explicit multiplication chains: IEEE-754 *, +,
-    / are exactly reproducible across engines, pow() need not be."""
-    at = f"abs({t})"
-    a = f"({df} - 0.5)"
-    b = f"(48.0 * {a} * {a})"
-    w = f"sqrt({a} * ln(1.0 + {at} * {at} / {df}))"
-    w2 = f"({w} * {w})"
-    z = (
-        f"({w} + ({w2} * {w} + 3.0 * {w}) / {b} "
-        f"- (4.0 * {w2} * {w2} * {w2} * {w} + 33.0 * {w2} * {w2} * {w} "
-        f"+ 240.0 * {w2} * {w} + 855.0 * {w}) "
-        f"/ (10.0 * {b} * ({b} + 0.8 * {w2} * {w2} + 100.0)))"
-    )
-    return f"(2.0 * {_sql_norm_sf(z)})"
-
-
-# Three projection layers (identical in both engines, so the float
-# arithmetic sequence is identical): centered moments -> unrounded
-# se/t -> rounded report + p-values. Layering keeps the expression tree
-# small (a single inlined layer bloated the task binary to ~6 MiB).
+# Projection layers (identical in both engines, so the float arithmetic
+# sequence is identical): centered moments -> unrounded se/t -> Hill w ->
+# Hill z -> rounded report + p-values. Layering keeps the expression tree
+# small (a single inlined layer bloated the task binary to ~6 MiB, and
+# the inlined-p variant cost ~1.4 s of driver-side planning alone: every
+# reference to `w` duplicated its whole subtree, and Catalyst re-walks
+# the duplicates per rule). Spark's CollapseProject leaves non-cheap
+# aliases that are referenced more than once in place, so the layers
+# survive optimization on the Spark side; DuckDB gets the same layers as
+# chained CTEs.
 _OLS_DERIVED = """
   SELECT user_id, n,
          (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
@@ -333,6 +320,46 @@ _OLS_TSTAT_COLS = """
   sqrt(((cyy - slope * cxy) / (n - 2.0)) * (1.0 / n + xbar * xbar / cxx)) AS se_i
 """
 
+# Hill's t->z (two-sided p = 2 * norm_sf(z)), split so each repeated
+# subterm is computed once as a named column. Powers stay explicit
+# multiplication chains: IEEE-754 *, +, / are exactly reproducible
+# across engines, pow() need not be.
+_OLS_W_COLS = """
+  user_id,
+  n,
+  slope,
+  intercept,
+  r2,
+  se_s,
+  se_i,
+  48.0 * ((n - 2.0) - 0.5) * ((n - 2.0) - 0.5) AS hb,
+  sqrt(((n - 2.0) - 0.5) * ln(1.0 + abs(slope / se_s) * abs(slope / se_s) / (n - 2.0))) AS w_s,
+  sqrt(((n - 2.0) - 0.5) * ln(1.0 + abs(intercept / se_i) * abs(intercept / se_i) / (n - 2.0))) AS w_i
+"""
+
+
+def _hill_z(w: str) -> str:
+    w2 = f"({w} * {w})"
+    return (
+        f"({w} + ({w2} * {w} + 3.0 * {w}) / hb "
+        f"- (4.0 * {w2} * {w2} * {w2} * {w} + 33.0 * {w2} * {w2} * {w} "
+        f"+ 240.0 * {w2} * {w} + 855.0 * {w}) "
+        f"/ (10.0 * hb * (hb + 0.8 * {w2} * {w2} + 100.0)))"
+    )
+
+
+_OLS_Z_COLS = f"""
+  user_id,
+  n,
+  slope,
+  intercept,
+  r2,
+  se_s,
+  se_i,
+  {_hill_z('w_s')} AS z_s,
+  {_hill_z('w_i')} AS z_i
+"""
+
 _OLS_FINAL_COLS = """
   user_id,
   n,
@@ -344,12 +371,9 @@ _OLS_FINAL_COLS = """
   round(se_i, 6) AS se_intercept,
   round(slope / se_s, 6) AS t_slope,
   round(intercept / se_i, 6) AS t_intercept,
-  round({p_slope}, 6) AS p_slope,
-  round({p_intercept}, 6) AS p_intercept
-""".format(
-    p_slope=_sql_t_pvalue("(slope / se_s)", "(n - 2.0)"),
-    p_intercept=_sql_t_pvalue("(intercept / se_i)", "(n - 2.0)"),
-)
+  round(2.0 * {p_s}, 6) AS p_slope,
+  round(2.0 * {p_i}, 6) AS p_intercept
+""".format(p_s=_sql_norm_sf("z_s"), p_i=_sql_norm_sf("z_i"))
 
 
 def q_ols_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -393,6 +417,8 @@ def q_ols_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         derived.selectExpr(*exprs(_OLS_TSTAT_COLS))
+        .selectExpr(*exprs(_OLS_W_COLS))
+        .selectExpr(*exprs(_OLS_Z_COLS))
         .selectExpr(*exprs(_OLS_FINAL_COLS))
         .orderBy("user_id")
     )
@@ -410,9 +436,11 @@ stats AS (
   FROM pairs GROUP BY user_id
 ),
 derived AS ({_OLS_DERIVED}),
-tstats AS (SELECT {_OLS_TSTAT_COLS} FROM derived)
+tstats AS (SELECT {_OLS_TSTAT_COLS} FROM derived),
+hw AS (SELECT {_OLS_W_COLS} FROM tstats),
+hz AS (SELECT {_OLS_Z_COLS} FROM hw)
 SELECT {_OLS_FINAL_COLS}
-FROM tstats
+FROM hz
 ORDER BY user_id
 """
 
