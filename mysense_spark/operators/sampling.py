@@ -182,8 +182,149 @@ ORDER BY k.lang
 """
 
 
+_PACK_BUDGET = 512  # tokens per training sequence (context window)
+_PACK_SHARDS = 8  # independent packing streams; 1 shard ~ 1 writer task
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay the tokenized corpus out
+    into fixed-size training sequences (GPT-style packing — documents
+    are concatenated in a deterministic order and chunked every
+    _PACK_BUDGET tokens, so a document can span a chunk boundary). Emits
+    each document's placement: its token offset within its packing
+    shard, the first/last chunk it lands in, and how many chunks it
+    spans — exactly what a downstream batch writer needs to materialize
+    the packed sequences.
+
+    Scale shape: the corpus is split into independent md5-keyed shards;
+    each shard is ONE ordered running sum (window, int64-exact). Packing
+    is inherently sequential *within* a stream, so shards are the
+    parallelism unit — at 100 TB you raise _PACK_SHARDS to O(cluster
+    cores) and every shard packs independently with no cross-shard
+    coordination, which is how production packers scale. One shuffle
+    (hash by shard), one sort per shard, no Python.
+    """
+    doc = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+        % _PACK_SHARDS
+    )
+    toks = doc.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).alias("n_tokens"),
+    ).where(F.col("n_tokens") > 0)
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = F.sum("n_tokens").over(w)
+    return (
+        toks.withColumn("tok_end", cum)
+        .select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            (F.col("tok_end") - F.col("n_tokens")).alias("tok_start"),
+            F.expr(f"(tok_end - n_tokens) DIV {_PACK_BUDGET}").alias("chunk_start"),
+            F.expr(f"(tok_end - 1) DIV {_PACK_BUDGET}").alias("chunk_end"),
+        )
+        .withColumn("n_chunks", F.col("chunk_end") - F.col("chunk_start") + 1)
+        .orderBy("doc_id")
+    )
+
+
+SQL_SEQUENCE_PACKING = f"""
+WITH toks AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % {_PACK_SHARDS} AS shard,
+         len(regexp_extract_all(text, '[a-z0-9]+')) AS n_tokens
+  FROM documents
+),
+placed AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS tok_end
+  FROM toks WHERE n_tokens > 0
+)
+SELECT doc_id, shard, n_tokens,
+       tok_end - n_tokens AS tok_start,
+       (tok_end - n_tokens) // {_PACK_BUDGET} AS chunk_start,
+       (tok_end - 1) // {_PACK_BUDGET} AS chunk_end,
+       (tok_end - 1) // {_PACK_BUDGET} - (tok_end - n_tokens) // {_PACK_BUDGET} + 1 AS n_chunks
+FROM placed
+ORDER BY doc_id
+"""
+
+
+_STRAT_DEN = 5  # sample 1/5 of every stratum, exact ceil per stratum
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count stratified sample: ceil(n_s/5) documents from every
+    source stratum, chosen by deterministic md5 rank — the
+    equal-representation complement to q_temperature_mix (rate-based,
+    approximate counts) and q_hash_sample (global split). Guarantees
+    every stratum is represented with an exact quota even when a
+    threshold sample would round it to zero.
+
+    Scale shape: one shuffle on source + one per-stratum sort for the
+    rank window; the quota join is a broadcast of |strata| rows. The
+    rank window is the price of exactness — when exact quotas don't
+    matter, q_temperature_mix's windowless threshold form is the scale
+    path. Quota = (n+4) DIV 5 in integer arithmetic: float ceil(0.2*n)
+    is off-by-one at representability boundaries (25*0.2 > 5).
+    """
+    doc = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    ranked = doc.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.md5(F.col("doc_id").cast("string")), "doc_id"
+            )
+        )
+        .alias("pick_rank"),
+    )
+    quota = doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("stratum_n"),
+    ).withColumn("quota", F.expr(f"(stratum_n + {_STRAT_DEN - 1}) DIV {_STRAT_DEN}"))
+    return (
+        ranked.join(F.broadcast(quota), "source")
+        .where(F.col("pick_rank") <= F.col("quota"))
+        .select("doc_id", "source", "stratum_n", "quota", "pick_rank", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pick_rank
+  FROM documents
+),
+quota AS (
+  SELECT source, count(*) AS stratum_n,
+         (count(*) + {_STRAT_DEN - 1}) // {_STRAT_DEN} AS quota
+  FROM documents GROUP BY source
+)
+SELECT r.doc_id, r.source, q.stratum_n, q.quota, r.pick_rank, r.n_chars
+FROM ranked r JOIN quota q ON r.source = q.source
+WHERE r.pick_rank <= q.quota
+ORDER BY r.doc_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
     "temperature_mix": (q_temperature_mix, SQL_TEMPERATURE_MIX),
+    "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "approx_distinct_users": (q_approx_distinct_users, None),
 }

@@ -353,8 +353,98 @@ ORDER BY doc_id
 """
 
 
+# PII patterns — kept to the Java-regex ∩ RE2 dialect intersection (no
+# lookaround, no backrefs) so Spark and DuckDB match identical spans.
+_PII_EMAIL = r"[a-z0-9._]+@[a-z0-9-]+\.[a-z][a-z]+"
+_PII_PHONE = r"\+[0-9][0-9-]{6,}"
+_PII_IP = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over the corpus: count and replace
+    emails, phone numbers, and IPv4 addresses with typed placeholder
+    tokens — the scrub step every training-data pipeline runs before
+    text leaves quarantine. The synthetic corpus contains no PII, so a
+    deterministic doc_id-keyed PII tail is appended first (the
+    ttn_decode fixture pattern: the fixture is part of the query text,
+    identical in both engines, so the redaction machinery is exercised
+    on known-true positives instead of vacuously matching nothing).
+
+    Scale shape: pure per-row JVM regex expressions — no shuffle at all
+    before the final presentation sort, linear in corpus bytes. The
+    redacted text itself is emitted as a 16-hex fingerprint, not the
+    full string, so the output stays narrow.
+    """
+    doc = load(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    aug = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.lit(" contact user"), did, F.lit("@example.com now"))).otherwise(""),
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit(" call +31-6-"), did, F.lit("1234 today"))).otherwise(""),
+        F.when(F.col("doc_id") % 11 == 0, F.concat(F.lit(" host 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit("."), (F.col("doc_id") % 100).cast("string"), F.lit(" up"))).otherwise(""),
+    )
+    scrubbed = doc.select("doc_id", aug.alias("aug")).select(
+        "doc_id",
+        F.size(F.regexp_extract_all("aug", F.lit(_PII_EMAIL), F.lit(0))).alias("n_email"),
+        F.size(F.regexp_extract_all("aug", F.lit(_PII_PHONE), F.lit(0))).alias("n_phone"),
+        F.size(F.regexp_extract_all("aug", F.lit(_PII_IP), F.lit(0))).alias("n_ip"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("aug", _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"
+            ),
+            _PII_IP,
+            "<IP>",
+        ).alias("red"),
+        F.length("aug").alias("len_aug"),
+    )
+    return (
+        scrubbed.where((F.col("n_email") + F.col("n_phone") + F.col("n_ip")) > 0)
+        .select(
+            "doc_id",
+            "n_email",
+            "n_phone",
+            "n_ip",
+            (F.col("len_aug") - F.length("red")).alias("chars_removed"),
+            F.substring(F.md5("red"), 1, 16).alias("redacted_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_PII_SCRUB = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' call +31-6-' || CAST(doc_id AS VARCHAR) || '1234 today' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) || ' up' ELSE '' END
+         AS aug
+  FROM documents
+),
+scrubbed AS (
+  SELECT doc_id,
+         len(regexp_extract_all(aug, '{_PII_EMAIL}')) AS n_email,
+         len(regexp_extract_all(aug, '{_PII_PHONE}')) AS n_phone,
+         len(regexp_extract_all(aug, '{_PII_IP}')) AS n_ip,
+         regexp_replace(regexp_replace(regexp_replace(aug,
+            '{_PII_EMAIL}', '<EMAIL>', 'g'),
+            '{_PII_PHONE}', '<PHONE>', 'g'),
+            '{_PII_IP}', '<IP>', 'g') AS red,
+         length(aug) AS len_aug
+  FROM aug
+)
+SELECT doc_id, n_email, n_phone, n_ip,
+       len_aug - length(red) AS chars_removed,
+       substr(md5(red), 1, 16) AS redacted_fp
+FROM scrubbed
+WHERE n_email + n_phone + n_ip > 0
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
