@@ -254,8 +254,150 @@ ORDER BY label
 """
 
 
+_KM_SCALE = 1_000_000  # 1e-6 quantization grid for exact-int k-means
+_KM_DESCALE = float(_KM_SCALE) ** 2  # distances are in grid² units
+
+
+def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled Lloyd iterations of k-means over the embedding
+    corpus — the actual 'train the IVF centroids' step that q_ann_ivf
+    consumes (its centroid list is the trained artifact). Init is the
+    same deterministic seed vectors ann_ivf uses (vec_id 100..107).
+
+    Exactness design: every coordinate is quantized to a 1e-6 integer
+    grid up front, so assignments (squared-L2 in grid² units), centroid
+    updates (integer mean, both engines truncate toward zero), inertia,
+    and centroid shift are pure int64 arithmetic — order-independent,
+    partition-independent, bit-identical to the DuckDB oracle. No float
+    enters any comparison; iterative float k-means is famously
+    non-reproducible across reduction orders, and this is the fix.
+
+    Scale shape: per iteration, one broadcast join of K*D centroid rows
+    onto the exploded corpus (N*D rows) and two partial-agg shuffles
+    keyed on (vec,cid) and (cid,d) — linear in N*K*D with map-side
+    combine, the standard IVF training cost. At 100 TB you train on a
+    stratified sample (q_stratified_sample) and only ASSIGN the full
+    corpus, so the loop never sees the full N.
+    """
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "x")
+    ).select(
+        "vec_id", "d", F.floor(F.col("x") * _KM_SCALE).cast("long").alias("q")
+    )
+    pts = pts.persist()  # consumed by 2 assign + 2 update passes
+
+    def assign(cent: DataFrame) -> DataFrame:
+        dist = (
+            pts.join(F.broadcast(cent), "d")
+            .groupBy("vec_id", "cid")
+            .agg(F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))).alias("dist"))
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        return (
+            dist.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "cid", "dist")
+        )
+
+    def update(a: DataFrame) -> DataFrame:
+        n = a.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+        return (
+            a.join(pts, "vec_id")
+            .groupBy("cid", "d")
+            .agg(F.sum("q").alias("s"))
+            .join(F.broadcast(n), "cid")
+            .select("cid", "d", F.expr("s DIV n").alias("cq"))
+        )
+
+    cent0 = pts.where(F.col("vec_id").between(_CENTROID_BASE, _CENTROID_BASE + _N_CENTROIDS - 1)).select(
+        (F.col("vec_id") - _CENTROID_BASE).alias("cid"), "d", F.col("q").alias("cq")
+    )
+    a1 = assign(cent0)
+    cent1 = update(a1).persist()  # feeds assign2 AND the shift metric
+    a2 = assign(cent1)
+    cent2 = update(a2)
+    summary = a2.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"), F.sum("dist").alias("inertia_raw")
+    )
+    shift = (
+        cent2.withColumnRenamed("cq", "cq2")
+        .join(cent1, ["cid", "d"])
+        .groupBy("cid")
+        .agg(F.sum((F.col("cq2") - F.col("cq")) * (F.col("cq2") - F.col("cq"))).alias("shift_raw"))
+    )
+    return (
+        summary.join(shift, "cid")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_members",
+            F.round(F.col("inertia_raw") / _KM_DESCALE, 6).alias("inertia"),
+            F.round(F.col("shift_raw") / _KM_DESCALE, 6).alias("centroid_shift"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+SQL_KMEANS_TRAIN = f"""
+WITH pts AS (
+  SELECT vec_id, i AS d, CAST(floor(v[i + 1] * {_KM_SCALE}) AS BIGINT) AS q
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), range(64) t(i)
+),
+cent0 AS (
+  SELECT vec_id - {_CENTROID_BASE} AS cid, d, q AS cq
+  FROM pts WHERE vec_id BETWEEN {_CENTROID_BASE} AND {_CENTROID_BASE + _N_CENTROIDS - 1}
+),
+dist1 AS (
+  SELECT p.vec_id, c.cid, sum((p.q - c.cq) * (p.q - c.cq)) AS dist
+  FROM pts p JOIN cent0 c ON p.d = c.d GROUP BY 1, 2
+),
+a1 AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM dist1
+  ) WHERE rn = 1
+),
+n1 AS (SELECT cid, count(*) AS n FROM a1 GROUP BY 1),
+cent1 AS (
+  SELECT a.cid, p.d, sum(p.q) // max(n1.n) AS cq
+  FROM a1 a JOIN pts p ON a.vec_id = p.vec_id JOIN n1 ON a.cid = n1.cid
+  GROUP BY a.cid, p.d
+),
+dist2 AS (
+  SELECT p.vec_id, c.cid, sum((p.q - c.cq) * (p.q - c.cq)) AS dist
+  FROM pts p JOIN cent1 c ON p.d = c.d GROUP BY 1, 2
+),
+a2 AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM dist2
+  ) WHERE rn = 1
+),
+n2 AS (SELECT cid, count(*) AS n FROM a2 GROUP BY 1),
+cent2 AS (
+  SELECT a.cid, p.d, sum(p.q) // max(n2.n) AS cq
+  FROM a2 a JOIN pts p ON a.vec_id = p.vec_id JOIN n2 ON a.cid = n2.cid
+  GROUP BY a.cid, p.d
+),
+summary AS (
+  SELECT cid, count(*) AS n_members, sum(dist) AS inertia_raw FROM a2 GROUP BY cid
+),
+shift AS (
+  SELECT c2.cid, sum((c2.cq - c1.cq) * (c2.cq - c1.cq)) AS shift_raw
+  FROM cent2 c2 JOIN cent1 c1 ON c2.cid = c1.cid AND c2.d = c1.d
+  GROUP BY c2.cid
+)
+SELECT s.cid AS cluster_id, s.n_members,
+       round(s.inertia_raw / {_KM_DESCALE}, 6) AS inertia,
+       round(sh.shift_raw / {_KM_DESCALE}, 6) AS centroid_shift
+FROM summary s JOIN shift sh ON s.cid = sh.cid
+ORDER BY cluster_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "knn_bruteforce": (q_knn_bruteforce, SQL_KNN_BRUTEFORCE),
     "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
     "cluster_stats": (q_cluster_stats, SQL_CLUSTER_STATS),
+    "kmeans_train": (q_kmeans_train, SQL_KMEANS_TRAIN),
 }
