@@ -145,3 +145,95 @@ def test_registered_sql_functions_match_operators(spark):
     assert abs(row.ppb - round(100 * 293.15 / (12.187 * 48.0), 4)) < 1e-9
     assert row.gh == geohash_encode(51.4173557, 6.1330886, 12)
     assert abs(row.lat_rt - 51.417356) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# Corpus-assembly operator invariants (beyond the oracle hash check)
+# ---------------------------------------------------------------------------
+
+
+def test_sequence_packing_layout_is_gapless(spark, sf_dir):
+    """Within every shard the token layout is contiguous: each document
+    starts exactly where its predecessor ended, and chunk ids follow
+    from integer division of the offsets."""
+    from mysense_spark.operators.sampling import _PACK_BUDGET, q_sequence_packing
+
+    rows = q_sequence_packing(spark, sf_dir).collect()
+    by_shard: dict = {}
+    for r in sorted(rows, key=lambda r: (r.shard, r.doc_id)):
+        assert r.tok_start == by_shard.get(r.shard, 0), r.doc_id
+        by_shard[r.shard] = r.tok_start + r.n_tokens
+        assert r.chunk_start == r.tok_start // _PACK_BUDGET
+        assert r.chunk_end == (r.tok_start + r.n_tokens - 1) // _PACK_BUDGET
+        assert r.n_chunks == r.chunk_end - r.chunk_start + 1 >= 1
+
+
+def test_stratified_sample_quotas_exact(spark, sf_dir):
+    """Every stratum contributes exactly ceil(n/5) documents and the
+    pick ranks are the contiguous prefix 1..quota (i.e. the selection
+    is the md5-minimal subset, not an arbitrary one)."""
+    from collections import defaultdict
+
+    from mysense_spark.operators.sampling import q_stratified_sample
+
+    rows = q_stratified_sample(spark, sf_dir).collect()
+    picked = defaultdict(list)
+    quotas = {}
+    for r in rows:
+        assert r.quota == (r.stratum_n + 4) // 5
+        picked[r.source].append(r.pick_rank)
+        quotas[r.source] = r.quota
+    for source, ranks in picked.items():
+        assert sorted(ranks) == list(range(1, quotas[source] + 1)), source
+
+
+def test_pii_scrub_redaction_is_complete(spark, sf_dir):
+    """Re-running the PII detectors over the redacted text must find
+    nothing: redaction removes every span the detectors match (the
+    counts and the redacted fingerprint come from the same pass)."""
+    from pyspark.sql import functions as F
+
+    from mysense_spark.io import load
+    from mysense_spark.operators.text import _PII_EMAIL, _PII_IP, _PII_PHONE
+
+    doc = load(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    aug = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.lit(" contact user"), did, F.lit("@example.com now"))).otherwise(""),
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit(" call +31-6-"), did, F.lit("1234 today"))).otherwise(""),
+        F.when(F.col("doc_id") % 11 == 0, F.concat(F.lit(" host 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit("."), (F.col("doc_id") % 100).cast("string"), F.lit(" up"))).otherwise(""),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(aug, _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"),
+        _PII_IP,
+        "<IP>",
+    )
+    residue = (
+        doc.select(red.alias("red"))
+        .where(
+            (F.size(F.regexp_extract_all("red", F.lit(_PII_EMAIL), F.lit(0))) > 0)
+            | (F.size(F.regexp_extract_all("red", F.lit(_PII_PHONE), F.lit(0))) > 0)
+            | (F.size(F.regexp_extract_all("red", F.lit(_PII_IP), F.lit(0))) > 0)
+        )
+        .count()
+    )
+    assert residue == 0
+
+
+def test_kmeans_train_partitions_the_corpus(spark, sf_dir):
+    """Cluster sizes sum to the corpus, every seed cluster survives,
+    and the second iteration's centroid shift is small relative to the
+    coordinate scale (Lloyd contracts; exact-int arithmetic must not
+    break that)."""
+    from mysense_spark.io import load
+    from mysense_spark.operators.similarity import q_kmeans_train
+
+    rows = q_kmeans_train(spark, sf_dir).collect()
+    n_vectors = load(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_members for r in rows) == n_vectors
+    assert len(rows) == 8
+    for r in rows:
+        assert r.n_members > 0
+        assert r.inertia > 0
+        assert 0 <= r.centroid_shift < 0.1  # grid units²: tiny vs |x| <= ~0.6
