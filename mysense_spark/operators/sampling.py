@@ -321,8 +321,82 @@ ORDER BY r.doc_id
 """
 
 
+_MIN_TOKENS = 30  # corpus_build quality floor
+_MARKER_RE = (
+    r"\b(the|and|of|to|a|der|die|das|und|ist|le|la|les|et|est|el|los|las|y|es)\b"
+)
+
+
+def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus build verdict: every document gets exactly one
+    disposition — dropped by a quality gate (too short / no recognizable
+    language marker) or kept and assigned a train/val/test split — and
+    the output is the per-disposition accounting (doc counts, total and
+    mean token budget) a pipeline operator reviews before launching a
+    training run.
+
+    Scale shape: the whole decision is ONE scan — every signal (token
+    count, language marker, split bucket) is a JVM column expression on
+    the same row, chained into a single verdict, then a 5-row partial
+    agg. No joins, no windows, no second pass over the corpus: at
+    100 TB this runs as a pure map stage plus a tiny reduce, which is
+    the only affordable shape for a gate every document must pass
+    through. Thresholds chosen to be live on this corpus (both drop
+    gates fire); the repetition gate (q_repetition_stats) stays a
+    separate verify-tier query because it needs an explode.
+    """
+    doc = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
+    # double the backslashes: Spark SQL string literals eat one level
+    has_marker = F.expr(
+        "text rlike '" + _MARKER_RE.replace("\\", "\\\\") + "'"
+    )
+    b = _bucket(F.col("doc_id"))
+    verdict = (
+        F.when(n_tokens < _MIN_TOKENS, "drop:too_short")
+        .when(~has_marker, "drop:lang_unknown")
+        .when(b < _TRAIN_PCT, "keep:train")
+        .when(b < _VAL_PCT, "keep:val")
+        .otherwise("keep:test")
+    )
+    return (
+        doc.select(verdict.alias("verdict"), n_tokens.alias("n_tokens"))
+        .groupBy("verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            exact_avg(F.col("n_tokens"), 4).alias("avg_tokens"),
+        )
+        .orderBy("verdict")
+    )
+
+
+SQL_CORPUS_BUILD = f"""
+WITH sig AS (
+  SELECT len(regexp_extract_all(text, '[a-z0-9]+')) AS n_tokens,
+         regexp_matches(text, '{_MARKER_RE}') AS has_marker,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+  FROM documents
+)
+SELECT CASE
+         WHEN n_tokens < {_MIN_TOKENS} THEN 'drop:too_short'
+         WHEN NOT has_marker THEN 'drop:lang_unknown'
+         WHEN bucket < {_TRAIN_PCT} THEN 'keep:train'
+         WHEN bucket < {_VAL_PCT} THEN 'keep:val'
+         ELSE 'keep:test'
+       END AS verdict,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       {sql_avg('n_tokens', 4)} AS avg_tokens
+FROM sig
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
+    "corpus_build": (q_corpus_build, SQL_CORPUS_BUILD),
     "temperature_mix": (q_temperature_mix, SQL_TEMPERATURE_MIX),
     "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
