@@ -28,9 +28,12 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# columns stored as TIMESTAMP(NANOS) in the driver parquet; Spark reads them
-# as long (spark.sql.legacy.parquet.nanosAsLong) and we convert to micros
-# with truncation — identical to DuckDB's ns->us cast.
+# events.ts has shipped as TIMESTAMP(NANOS) (read as long via
+# spark.sql.legacy.parquet.nanosAsLong, truncated to micros like DuckDB's
+# ns->us cast) and as TIMESTAMP(MICROS) without tz info (read as
+# TIMESTAMP_NTZ by Spark 4's parquet inference). Either way we normalize to
+# session-tz TIMESTAMP so `unix_micros`-based bucket arithmetic works; with
+# the session tz pinned to UTC the wall-clock values are unchanged.
 _NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
@@ -74,8 +77,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANO_TS_COLS.get(name, ()):
-        if dict(df.dtypes).get(col) == "bigint":
+        dtype = dict(df.dtypes).get(col)
+        if dtype == "bigint":
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+        elif dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
