@@ -62,17 +62,40 @@ def main() -> None:
     total = round(sum(t for t in timings.values() if t > 0), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "mysense_spark_query_suite",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Full per-query detail goes to a file; the stdout line must stay short.
+    # The driver captures only the LAST 2000 bytes of output and parses the
+    # final line as JSON — round 2's line (84 queries, ~2.1 kB) overflowed
+    # that window and recorded "parsed": null. Budget the line to 1400 bytes,
+    # keeping the slowest queries (the perf-relevant ones) inline.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(
+            {"metric": "mysense_spark_query_suite", "value": total, "unit": "sec",
+             "queries": timings, "sf": sf_val},
+            fh,
         )
-    )
+
+    budget = 1400
+    base = {"metric": "mysense_spark_query_suite", "value": total, "unit": "sec",
+            "n_queries": len(timings), "sf": sf_val, "detail": "BENCH_DETAIL.json"}
+    inline: dict[str, float] = {}
+    line = ""
+    for name, t in sorted(timings.items(), key=lambda kv: -kv[1]):
+        trial = dict(base)
+        trial["queries"] = {**inline, name: t}
+        trial["queries_elided"] = len(timings) - len(trial["queries"])
+        cand = json.dumps(trial, separators=(",", ":"))
+        if len(cand) > budget:
+            break
+        inline[name] = t
+        line = cand
+    if not line:  # pathological: even one entry overflows — emit base alone
+        base["queries"] = {}
+        base["queries_elided"] = len(timings)
+        line = json.dumps(base, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

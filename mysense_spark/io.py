@@ -81,7 +81,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if dtype == "bigint":
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
         elif dtype == "timestamp_ntz":
-            df = df.withColumn(col, F.col(col).cast("timestamp"))
+            # tz-independent: a plain cast("timestamp") resolves against the
+            # session timezone at EXECUTION time, so flipping
+            # spark.sql.session.timeZone between load() and the action would
+            # shift the instant (the bigint branch above is absolute either
+            # way). Wall-clock-diff against the NTZ epoch is pure arithmetic
+            # — same instant no matter what the session tz is when it runs.
+            df = df.withColumn(
+                col,
+                F.timestamp_micros(
+                    F.expr(
+                        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+                    )
+                ),
+            )
     return df
 
 

@@ -244,8 +244,10 @@ WITH toks AS (
 ),
 placed AS (
   SELECT doc_id, shard, n_tokens,
-         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                             ROWS UNBOUNDED PRECEDING) AS tok_end
+         -- CAST: DuckDB sum(BIGINT) is HUGEINT, which pandas reads as float64
+         -- and the driver's value hash then differs from Spark's int64
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_end
   FROM toks WHERE n_tokens > 0
 )
 SELECT doc_id, shard, n_tokens,

@@ -91,8 +91,9 @@ WITH per_doc AS (
   FROM documents
 )
 SELECT source, count(*) AS n_docs,
-       sum(bpe) AS total_bpe_tokens,
-       sum(ws) AS total_ws_tokens,
+       -- CAST: sum(BIGINT) is HUGEINT -> float64 in pandas; Spark emits int64
+       CAST(sum(bpe) AS BIGINT) AS total_bpe_tokens,
+       CAST(sum(ws) AS BIGINT) AS total_ws_tokens,
        round(sum(bpe) / count(*), 6) AS avg_bpe_tokens
 FROM per_doc
 GROUP BY source
@@ -337,7 +338,8 @@ WITH grams AS (
 cnt AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
 stat AS (
   SELECT doc_id,
-         sum(CASE WHEN g LIKE 'u:%' THEN c ELSE 0 END) AS n_tokens,
+         -- CAST: sum(BIGINT) is HUGEINT -> float64 in pandas; Spark emits int64
+         CAST(sum(CASE WHEN g LIKE 'u:%' THEN c ELSE 0 END) AS BIGINT) AS n_tokens,
          count(CASE WHEN g LIKE 'u:%' THEN 1 END) AS n_distinct,
          max(CASE WHEN g LIKE 'u:%' THEN c END) AS top_u,
          max(CASE WHEN g NOT LIKE 'u:%' THEN c END) AS top_b

@@ -59,6 +59,17 @@ def compare_frames(spark_df: pd.DataFrame, oracle_df: pd.DataFrame, float_tol: f
     a, b = _normalize(spark_df), _normalize(oracle_df)
     for col in a.columns:
         sa, sb = a[col], b[col]
+        # Driver-gate parity: the driver hashes canonicalized values, so an
+        # int64 column on one side vs float64 on the other (the DuckDB
+        # sum(BIGINT)->HUGEINT->float64 trap) mismatches even when every
+        # value is numerically equal. Treat dtype-class drift as a failure.
+        int_a, int_b = pd.api.types.is_integer_dtype(sa), pd.api.types.is_integer_dtype(sb)
+        if int_a != int_b:
+            return CompareResult(
+                False,
+                f"col {col}: dtype class differs: {sa.dtype} vs {sb.dtype} "
+                "(DuckDB HUGEINT? cast the oracle aggregate to BIGINT)",
+            )
         if pd.api.types.is_float_dtype(sa) or pd.api.types.is_float_dtype(sb):
             sa = pd.to_numeric(sa, errors="coerce").astype("float64")
             sb = pd.to_numeric(sb, errors="coerce").astype("float64")

@@ -31,11 +31,53 @@ def _modules():
 
 
 # Queries hoisted to the very front of the registry: new or changed this
-# round, so they must land inside the driver's correctness-gate window.
+# round, so they must land inside the driver's 50-row correctness-gate
+# window. Round-3 layout: (a) the three round-2 hash-mismatch rows, now
+# fixed (DuckDB HUGEINT sums cast to BIGINT); (b) queries new this round;
+# (c) the 34 queries round 2 rotated out (they were green in round 1 but
+# code has moved since — re-confirm them). Everything round 2 just proved
+# green rotates to the back.
 _PRIORITY = (
-    "sensor_set_diff",  # round-1 red row, output shape fixed
-    "grubbs_outliers",  # gained a deterministic oracle
-    "revenue_quartiles",  # re-planned without the global-window sort
+    # (a) fixed round-2 reds
+    "repetition_stats",
+    "token_count",
+    "sequence_packing",
+    # (b) new in round 3 — appended as they are built
+    # (c) r1-only rows, oldest evidence first
+    "joost_correction",
+    "dew_point",
+    "unit_conversion",
+    "taylor_calibration",
+    "pricing_summary",
+    "region_rollup",
+    "sql_interface",
+    "top_revenue_orders",
+    "region_revenue",
+    "part_supplier_stats",
+    "customers_without_orders",
+    "order_priority_counts",
+    "hourly_stats",
+    "event_sessions",
+    "maintenance_window_join",
+    "props_json_stats",
+    "unpivot_long",
+    "chatty_kits",
+    "percentile_summary",
+    "failing_sensor_report",
+    "distinct_active_kits",
+    "wide_view",
+    "timeslice_avg",
+    "latest_per_user",
+    "static_runs",
+    "gap_detection",
+    "interval_inference",
+    "dead_kits",
+    "hourly_gapfill",
+    "moving_average",
+    "asof_align",
+    "mode_per_user",
+    "coverage",
+    "dedup_upsert",
 )
 
 
