@@ -17,7 +17,7 @@ Scale design (100 TB corpus):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load
@@ -629,8 +629,208 @@ ORDER BY doc_id
 SQL_DECONTAM_REPORT = _sql_decontam()
 
 
+_INCR_MOD = 10  # doc_id % 10 == 0 plays the "newly arrived batch"
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus ingestion dedup: a new document batch (docs
+    with doc_id % 10 == 0, standing in for today's crawl) is checked
+    against the existing corpus (all other docs) — first for exact
+    duplicates by normalized-content fingerprint, then for near
+    duplicates via the same MinHash/LSH banding the batch pipeline uses,
+    verified with exact Jaccard. Every new doc gets one verdict:
+    exact_dup / near_dup / unique, plus its best corpus match. This is
+    the dedup mode a production pipeline actually runs daily — nobody
+    re-pairs the whole corpus per crawl.
+
+    Scale shape: fingerprints are one narrow projection per side joined
+    on hash; LSH candidates come from an equi-join on (band_id,
+    band_key) where the NEW side is small — at 100 TB the new batch's
+    signatures broadcast, so the corpus is touched by exactly one scan.
+    No quadratic stage.
+    """
+    raw = load(spark, sf_dir, "documents")
+    # Fixture (the pii_scrub pattern): the synthetic corpus has no exact
+    # duplicates, so every 20th new-batch doc takes the text of corpus
+    # doc (doc_id + 1) — known-true positives for the exact tier,
+    # constructed identically in both engines.
+    donor = raw.select((F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("donor_text"))
+    doc = raw.join(donor, "doc_id", "left").select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 20 == 0) & F.col("donor_text").isNotNull(), F.col("donor_text")
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    tagged = doc.withColumn("is_new", F.col("doc_id") % _INCR_MOD == 0).withColumn(
+        "fp", F.md5(norm)
+    )
+    new = tagged.where(F.col("is_new"))
+    old = tagged.where(~F.col("is_new"))
+
+    # tier 1: exact fingerprint match (best = min corpus doc_id)
+    old_fp = old.groupBy("fp").agg(F.min("doc_id").alias("exact_match"))
+    exact = new.select("doc_id", "fp").join(old_fp, "fp", "left").select("doc_id", "exact_match")
+
+    # tier 2: MinHash/LSH near-dup candidates (new side vs corpus side).
+    # The shingle table feeds four consumers (signatures, sizes, both
+    # sides of the Jaccard verify) — persist it so the donor join + the
+    # tokenizing regex run ONCE per corpus scan instead of four times
+    # (at 100 TB this is the difference between one pass and four; the
+    # production form checkpoints it to storage between stages).
+    sh = _shingles(doc).withColumn("h", _shingle_hash(F.col("shingle"))).persist()
+    minhash_aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % _P).alias(f"m{i}")
+        for i, (a, b) in enumerate(zip(_HASH_A, _HASH_B))
+    ]
+    sig = sh.groupBy("doc_id").agg(*minhash_aggs)
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "_", *[F.col(f"m{b * _ROWS_PER_BAND + r}") for r in range(_ROWS_PER_BAND)]
+            )
+            for b in range(_N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.posexplode(band_keys).alias("band_id", "band_key"))
+    nb = bands.where(F.col("doc_id") % _INCR_MOD == 0).alias("n")
+    ob = bands.where(F.col("doc_id") % _INCR_MOD != 0).alias("o")
+    cand = (
+        F.broadcast(nb)
+        .join(ob, (F.col("n.band_id") == F.col("o.band_id")) & (F.col("n.band_key") == F.col("o.band_key")))
+        .select(F.col("n.doc_id").alias("d_new"), F.col("o.doc_id").alias("d_old"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    s1 = sh.select(F.col("doc_id").alias("sd1"), F.col("shingle").alias("sh1"))
+    s2 = sh.select(F.col("doc_id").alias("sd2"), F.col("shingle").alias("sh2"))
+    common = (
+        cand.join(s1, F.col("d_new") == F.col("sd1"))
+        .join(s2, (F.col("d_old") == F.col("sd2")) & (F.col("sh1") == F.col("sh2")))
+        .groupBy("d_new", "d_old")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("d_new"), F.col("n_sh").alias("n1"))
+    sb = sizes.select(F.col("doc_id").alias("d_old"), F.col("n_sh").alias("n2"))
+    jac = F.round(F.col("common") / (F.col("n1") + F.col("n2") - F.col("common")), 6)
+    near = (
+        common.join(sa, "d_new")
+        .join(sb, "d_old")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    )
+    best_near = (
+        near.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("d_new").orderBy(F.desc("jaccard"), F.asc("d_old"))
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select(F.col("d_new").alias("doc_id"), F.col("d_old").alias("near_match"), "jaccard")
+    )
+
+    verdict = (
+        F.when(F.col("exact_match").isNotNull(), "exact_dup")
+        .when(F.col("near_match").isNotNull(), "near_dup")
+        .otherwise("unique")
+    )
+    return (
+        exact.join(best_near, "doc_id", "left")
+        .select(
+            "doc_id",
+            verdict.alias("verdict"),
+            F.coalesce("exact_match", "near_match").alias("match_doc_id"),
+            F.when(F.col("exact_match").isNull(), F.col("jaccard")).alias("jaccard"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_incremental_dedup() -> str:
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {_P}) AS m{i}" for i, (a, b) in enumerate(zip(_HASH_A, _HASH_B))
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {bid} AS band_id, ".format(bid=b)
+        + " || '_' || ".join(
+            f"CAST(m{b * _ROWS_PER_BAND + r} AS VARCHAR)" for r in range(_ROWS_PER_BAND)
+        )
+        + " AS band_key FROM sig"
+        for b in range(_N_BANDS)
+    )
+    return f"""
+WITH base AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 20 = 0 AND dn.text IS NOT NULL THEN dn.text
+              ELSE d.text END AS text
+  FROM documents d LEFT JOIN documents dn ON dn.doc_id = d.doc_id + 1
+),
+fp AS (
+  SELECT doc_id, doc_id % {_INCR_MOD} = 0 AS is_new,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM base
+),
+old_fp AS (SELECT fp, min(doc_id) AS exact_match FROM fp WHERE NOT is_new GROUP BY fp),
+exact AS (
+  SELECT f.doc_id, o.exact_match
+  FROM fp f LEFT JOIN old_fp o ON f.fp = o.fp
+  WHERE f.is_new
+),
+sh AS (
+  SELECT doc_id, shingle, {_sql_shingle_hash('shingle')} AS h
+  FROM ({_SQL_SHINGLES.replace("FROM documents", "FROM base")})
+),
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT n.doc_id AS d_new, o.doc_id AS d_old
+  FROM bands n JOIN bands o
+    ON n.band_id = o.band_id AND n.band_key = o.band_key
+  WHERE n.doc_id % {_INCR_MOD} = 0 AND o.doc_id % {_INCR_MOD} != 0
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.d_new, c.d_old, count(*) AS common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.d_new
+  JOIN sh b ON b.doc_id = c.d_old AND a.shingle = b.shingle
+  GROUP BY c.d_new, c.d_old
+),
+near AS (
+  SELECT d_new, d_old,
+         round(common / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = d_new
+  JOIN sizes sb ON sb.doc_id = d_old
+  WHERE round(common / (sa.n_sh + sb.n_sh - common), 6) >= {_JACCARD_THRESHOLD}
+),
+best_near AS (
+  SELECT d_new AS doc_id, d_old AS near_match, jaccard
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY d_new ORDER BY jaccard DESC, d_old ASC) AS rn
+    FROM near
+  ) WHERE rn = 1
+)
+SELECT e.doc_id,
+       CASE WHEN e.exact_match IS NOT NULL THEN 'exact_dup'
+            WHEN b.near_match IS NOT NULL THEN 'near_dup'
+            ELSE 'unique' END AS verdict,
+       coalesce(e.exact_match, b.near_match) AS match_doc_id,
+       CASE WHEN e.exact_match IS NULL THEN b.jaccard END AS jaccard
+FROM exact e LEFT JOIN best_near b ON e.doc_id = b.doc_id
+ORDER BY e.doc_id
+"""
+
+
+SQL_INCREMENTAL_DEDUP = _sql_incremental_dedup()
+
+
 QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),

@@ -396,7 +396,142 @@ ORDER BY 1
 """
 
 
+_CHUNK = 64  # tokens per retrieval chunk
+_STRIDE = 48  # chunk stride (overlap = _CHUNK - _STRIDE = 16 tokens)
+
+
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window document chunker (the RAG / long-context
+    preprocessing step): split every document into 64-token chunks with
+    a 48-token stride, emitting each chunk's placement and a content
+    fingerprint. A document shorter than one chunk yields exactly one
+    chunk; otherwise chunks start at 0, 48, 96, ... until the tail is
+    covered.
+
+    Chunk-count arithmetic is pure integer ((n - CHUNK + STRIDE - 1)
+    DIV STRIDE + 1) — float ceil() would be off-by-one at
+    representability boundaries.
+
+    Scale shape: one explode per document (~1.33x row expansion at this
+    overlap), all JVM expressions, no shuffle before the presentation
+    sort. At 100 TB this is a pure map stage writing chunk shards.
+    """
+    doc = load(spark, sf_dir, "documents")
+    toks = doc.select(
+        "doc_id", F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)").alias("w")
+    ).where(F.size("w") >= 1)
+    n = F.size("w")
+    n_chunks = F.when(n <= _CHUNK, F.lit(1)).otherwise(
+        F.expr(f"(size(w) - {_CHUNK} + {_STRIDE - 1}) DIV {_STRIDE} + 1")
+    )
+    chunks = toks.select(
+        "doc_id", "w", n.alias("n_tokens"), F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx")
+    )
+    tok_start = F.col("chunk_idx") * _STRIDE
+    tok_len = F.least(F.lit(_CHUNK), F.col("n_tokens") - tok_start)
+    return (
+        chunks.select(
+            "doc_id",
+            "chunk_idx",
+            tok_start.alias("tok_start"),
+            tok_len.alias("tok_len"),
+            F.substring(
+                F.md5(F.concat_ws(" ", F.slice(F.col("w"), tok_start + 1, tok_len))), 1, 16
+            ).alias("chunk_fp"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+SQL_CHUNK_OVERLAP = f"""
+WITH toks AS (
+  SELECT doc_id, w, len(w) AS n_tokens,
+         CASE WHEN len(w) <= {_CHUNK} THEN 1
+              ELSE (len(w) - {_CHUNK} + {_STRIDE - 1}) // {_STRIDE} + 1 END AS n_chunks
+  FROM (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS w FROM documents)
+  WHERE len(w) >= 1
+),
+chunks AS (
+  SELECT doc_id, w, n_tokens, unnest(range(n_chunks)) AS chunk_idx
+  FROM toks
+)
+SELECT doc_id, chunk_idx,
+       chunk_idx * {_STRIDE} AS tok_start,
+       least({_CHUNK}, n_tokens - chunk_idx * {_STRIDE}) AS tok_len,
+       substr(md5(array_to_string(
+         w[chunk_idx * {_STRIDE} + 1 : chunk_idx * {_STRIDE} + least({_CHUNK}, n_tokens - chunk_idx * {_STRIDE})],
+         ' ')), 1, 16) AS chunk_fp
+FROM chunks
+ORDER BY doc_id, chunk_idx
+"""
+
+
+# URL-filter fixture: a deterministic doc_id-keyed domain assignment (the
+# pii_scrub pattern — the synthetic corpus has no URL column, so the
+# fixture is part of the query text, identical in both engines, and the
+# filtering machinery is exercised on known-true positives).
+_DOMAINS = ("example.com", "news.site", "spam.biz", "blog.net", "ads.click", "wiki.org")
+_BLOCKLIST = ("spam.biz", "badsource.net")
+_BLOCK_SUFFIX = ".click"
+
+
+def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style URL/domain filtering: derive each document's source URL,
+    extract the domain, and gate it against an exact-domain blocklist
+    plus a TLD-suffix rule — the first filter every web-scrape corpus
+    passes through. Emits the per-document verdict so downstream splits
+    can anti-join the blocked set.
+
+    Scale shape: pure per-row expressions plus one broadcast-sized
+    blocklist (IN-list folded into the plan); linear scan, no shuffle
+    before the presentation sort.
+    """
+    doc = load(spark, sf_dir, "documents")
+    domain = F.element_at(
+        F.array(*[F.lit(d) for d in _DOMAINS]), (F.col("doc_id") % len(_DOMAINS) + 1).cast("int")
+    )
+    url = F.concat(F.lit("https://"), domain, F.lit("/p/"), F.col("doc_id").cast("string"))
+    verdict = (
+        F.when(domain.isin(*_BLOCKLIST), "blocked:domain")
+        .when(domain.endswith(_BLOCK_SUFFIX), "blocked:tld_rule")
+        .otherwise("kept")
+    )
+    return (
+        doc.select(
+            "doc_id",
+            url.alias("url"),
+            domain.alias("domain"),
+            verdict.alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_url_filter() -> str:
+    arr = ", ".join(f"'{d}'" for d in _DOMAINS)
+    blocked = ", ".join(f"'{d}'" for d in _BLOCKLIST)
+    return f"""
+WITH tagged AS (
+  SELECT doc_id, ([{arr}])[CAST(doc_id % {len(_DOMAINS)} AS INT) + 1] AS domain
+  FROM documents
+)
+SELECT doc_id,
+       'https://' || domain || '/p/' || CAST(doc_id AS VARCHAR) AS url,
+       domain,
+       CASE WHEN domain IN ({blocked}) THEN 'blocked:domain'
+            WHEN domain LIKE '%{_BLOCK_SUFFIX}' THEN 'blocked:tld_rule'
+            ELSE 'kept' END AS verdict
+FROM tagged
+ORDER BY doc_id
+"""
+
+
+SQL_URL_FILTER = _sql_url_filter()
+
+
 QUERIES: dict[str, tuple] = {
+    "chunk_overlap": (q_chunk_overlap, SQL_CHUNK_OVERLAP),
+    "url_filter": (q_url_filter, SQL_URL_FILTER),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
     "corpus_build": (q_corpus_build, SQL_CORPUS_BUILD),
     "temperature_mix": (q_temperature_mix, SQL_TEMPERATURE_MIX),

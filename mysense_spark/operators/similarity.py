@@ -395,8 +395,54 @@ ORDER BY cluster_id
 """
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF index against exact brute force — the
+    measurement every ANN deployment runs before trusting the index
+    (an index with unmeasured recall is a silent-quality bug at 100 TB,
+    where nobody can eyeball the misses). Per query: how many of the
+    exact top-5 the IVF probe returned.
+
+    Scale shape: both sides are the existing operators (the exact side
+    over a BOUNDED query sample — the fenced re-rank tier, never the
+    corpus); the comparison is a left join on (query, candidate) plus a
+    5-row agg.
+    """
+    exact = q_knn_bruteforce(spark, sf_dir).where(F.col("rank") <= 5).select(
+        "query_id", "cand_id"
+    )
+    ivf = q_ann_ivf(spark, sf_dir).select("query_id", F.col("cand_id").alias("ivf_cand"))
+    hits = exact.join(
+        ivf,
+        (exact["query_id"] == ivf["query_id"]) & (exact["cand_id"] == ivf["ivf_cand"]),
+        "left",
+    )
+    return (
+        hits.groupBy(exact["query_id"].alias("query_id"))
+        .agg(F.count("ivf_cand").alias("n_hits"))
+        .select("query_id", "n_hits", F.round(F.col("n_hits") / 5.0, 6).alias("recall_at_5"))
+        .orderBy("query_id")
+    )
+
+
+SQL_ANN_RECALL = f"""
+WITH exact AS (
+  SELECT query_id, cand_id FROM ({SQL_KNN_BRUTEFORCE}) WHERE rank <= 5
+),
+ivf AS (
+  SELECT query_id, cand_id FROM ({SQL_ANN_IVF})
+)
+SELECT e.query_id, count(i.cand_id) AS n_hits,
+       round(count(i.cand_id) / 5.0, 6) AS recall_at_5
+FROM exact e
+LEFT JOIN ivf i ON e.query_id = i.query_id AND e.cand_id = i.cand_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "knn_bruteforce": (q_knn_bruteforce, SQL_KNN_BRUTEFORCE),
+    "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
     "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
     "cluster_stats": (q_cluster_stats, SQL_CLUSTER_STATS),
     "kmeans_train": (q_kmeans_train, SQL_KMEANS_TRAIN),

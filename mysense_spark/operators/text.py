@@ -444,8 +444,218 @@ ORDER BY doc_id
 """
 
 
+_DUP_N = 5  # n-gram width for corpus-level duplicate-span detection
+_DUP_FRAC_MAX = 0.3  # docs above this duplicate-coverage fraction get flagged
+
+
+def q_dup_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicate n-gram coverage per document: the fraction
+    of a doc's word-5-grams that also appear in at least one OTHER
+    document. This is the cross-document complement of
+    q_repetition_stats (which is within-document): boilerplate headers,
+    license blocks, and templated spam share long spans across docs and
+    score high here even when each individual doc looks clean.
+
+    Scale shape: one explode -> count per (doc, gram) [shuffle 1] ->
+    docs-per-gram agg [shuffle 2, co-partitioned on gram so the
+    following join back is shuffle-free] -> per-doc agg [shuffle 3].
+    All integer counts; linear in corpus size, no quadratic stage, no
+    Python.
+    """
+    doc = load(spark, sf_dir, "documents")
+    toks = doc.select(
+        "doc_id", F.expr(f"regexp_extract_all(text, '{_WORD_RE}', 0)").alias("w")
+    ).where(F.size("w") >= _DUP_N)
+    grams = F.expr(
+        f"transform(sequence(0, size(w) - {_DUP_N}), i -> concat_ws(' ', slice(w, i + 1, {_DUP_N})))"
+    )
+    occ = (
+        toks.select("doc_id", F.explode(grams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # docs-per-gram as a window over g rather than agg+self-join: same
+    # result, one fewer exchange (the join form re-shuffles occ from
+    # (doc,g) to g a second time for the probe side)
+    from pyspark.sql import Window
+
+    docs_with = F.count(F.lit(1)).over(Window.partitionBy("g"))
+    per_doc = (
+        occ.withColumn("docs_with", docs_with)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.sum(F.when(F.col("docs_with") >= 2, F.col("c")).otherwise(0)).alias("dup_grams"),
+        )
+    )
+    frac = F.round(F.col("dup_grams").cast("double") / F.col("n_grams"), 6)
+    return (
+        per_doc.select(
+            "doc_id",
+            "n_grams",
+            "dup_grams",
+            frac.alias("dup_frac"),
+            (frac > _DUP_FRAC_MAX).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_dup_grams() -> str:
+    terms = " || ' ' || ".join(f"w[i+{k}]" for k in range(1, _DUP_N + 1))
+    return f"""
+WITH occ AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(len(w) - {_DUP_N - 1}), i -> {terms})) AS g
+    FROM (SELECT doc_id, regexp_extract_all(text, '{_WORD_RE}') AS w FROM documents)
+    WHERE len(w) >= {_DUP_N}
+  )
+  GROUP BY 1, 2
+),
+docs_with AS (SELECT g, count(*) AS docs_with FROM occ GROUP BY g),
+per_doc AS (
+  SELECT doc_id,
+         -- CAST: sum(BIGINT) is HUGEINT -> float64 in pandas; Spark emits int64
+         CAST(sum(c) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN docs_with >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_grams
+  FROM occ JOIN docs_with USING (g)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_grams, dup_grams,
+       round(CAST(dup_grams AS DOUBLE) / n_grams, 6) AS dup_frac,
+       round(CAST(dup_grams AS DOUBLE) / n_grams, 6) > {_DUP_FRAC_MAX} AS flagged
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
+SQL_DUP_NGRAM_FRAC = _sql_dup_grams()
+
+
+def q_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity proxy per document (the CCNet-style quality
+    gate): train a unigram model on the corpus itself (count/total), then
+    score every document by its mean token negative-log-likelihood.
+    Degenerate docs full of rare junk tokens score high; repetitive docs
+    full of the corpus's most common tokens score low — both tails get
+    cut in a real training mix.
+
+    Exactness: per-token nll = ln(total/count) is one IEEE division and
+    one libm log on integer-derived operands (identical in both
+    engines); the per-doc mean runs through exact_avg so the float
+    summation order cannot flip the rounded result.
+
+    Scale shape: vocab counts are one shuffle; the vocab join is
+    broadcast (a 100 TB corpus still has a bounded vocabulary after
+    regex tokenization); the per-doc agg is the second shuffle. Linear,
+    no Python.
+    """
+    from .util import exact_avg
+
+    doc = load(spark, sf_dir, "documents")
+    tok = doc.select(
+        "doc_id", F.explode(F.expr(f"regexp_extract_all(text, '{_WORD_RE}', 0)")).alias("t")
+    )
+    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    total = tok.count()  # scalar "model size" — one tiny job, folded as a literal
+    nll = F.log(F.lit(float(total)) / F.col("cnt"))
+    return (
+        tok.join(F.broadcast(counts), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            exact_avg(nll, 6).alias("avg_nll"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "avg_nll",
+            F.floor(F.col("avg_nll") * 2).cast("long").alias("nll_bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_perplexity() -> str:
+    from .util import sql_avg
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{_WORD_RE}')) AS t
+  FROM documents
+),
+counts AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t),
+total AS (SELECT count(*) AS n FROM tok),
+scored AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         {sql_avg('ln((SELECT CAST(n AS DOUBLE) FROM total) / cnt)', 6)} AS avg_nll
+  FROM tok JOIN counts USING (t)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, avg_nll,
+       CAST(floor(avg_nll * 2) AS BIGINT) AS nll_bucket
+FROM scored
+ORDER BY doc_id
+"""
+
+
+SQL_PERPLEXITY_BUCKET = _sql_perplexity()
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish tokens per whitespace
+    word and characters per token — the standard check that a tokenizer
+    doesn't over-fragment some languages in a multilingual mix (high
+    fertility = that language pays more sequence length for the same
+    text).
+
+    Scale shape: pure per-row JVM regex counts, one shuffle on lang.
+    """
+    doc = load(spark, sf_dir, "documents")
+    bpe = F.size(F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)"))
+    ws = F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)"))
+    alpha = F.length(F.regexp_replace("text", r"[^a-z0-9]", ""))
+    return (
+        doc.select("lang", bpe.alias("bpe"), ws.alias("ws"), alpha.alias("alpha"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("bpe").alias("total_tokens"),
+            F.sum("ws").alias("total_words"),
+            F.round(F.sum("bpe") / F.sum("ws"), 6).alias("fertility"),
+            F.round(F.sum("alpha") / F.sum("bpe"), 6).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_TOKENIZER_FERTILITY = r"""
+WITH per_doc AS (
+  SELECT lang,
+         len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe,
+         len(regexp_extract_all(text, '\S+')) AS ws,
+         length(regexp_replace(text, '[^a-z0-9]', '', 'g')) AS alpha
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       -- CAST: sum(BIGINT) is HUGEINT -> float64 in pandas; Spark emits int64
+       CAST(sum(bpe) AS BIGINT) AS total_tokens,
+       CAST(sum(ws) AS BIGINT) AS total_words,
+       round(sum(bpe) / sum(ws), 6) AS fertility,
+       round(sum(alpha) / sum(bpe), 6) AS chars_per_token
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
+    "dup_ngram_frac": (q_dup_ngram_frac, SQL_DUP_NGRAM_FRAC),
+    "perplexity_bucket": (q_perplexity_bucket, SQL_PERPLEXITY_BUCKET),
+    "tokenizer_fertility": (q_tokenizer_fertility, SQL_TOKENIZER_FERTILITY),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),

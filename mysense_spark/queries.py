@@ -42,7 +42,14 @@ _PRIORITY = (
     "repetition_stats",
     "token_count",
     "sequence_packing",
-    # (b) new in round 3 — appended as they are built
+    # (b) new in round 3
+    "dup_ngram_frac",
+    "perplexity_bucket",
+    "tokenizer_fertility",
+    "chunk_overlap",
+    "url_filter",
+    "incremental_dedup",
+    "ann_recall",
     # (c) r1-only rows, oldest evidence first
     "joost_correction",
     "dew_point",

@@ -237,3 +237,105 @@ def test_kmeans_train_partitions_the_corpus(spark, sf_dir):
         assert r.n_members > 0
         assert r.inertia > 0
         assert 0 <= r.centroid_shift < 0.1  # grid units²: tiny vs |x| <= ~0.6
+
+
+def test_chunk_overlap_covers_every_token(spark, sf_dir):
+    """Chunk layout invariants: chunk 0 starts at 0, strides are exactly
+    48, the last chunk reaches the document's final token, and no chunk
+    is empty or longer than the 64-token budget."""
+    from collections import defaultdict
+
+    from mysense_spark.operators.sampling import _CHUNK, _STRIDE, q_chunk_overlap
+
+    rows = q_chunk_overlap(spark, sf_dir).collect()
+    by_doc = defaultdict(list)
+    for r in rows:
+        by_doc[r.doc_id].append(r)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        assert chunks[0].tok_start == 0
+        for i, c in enumerate(chunks):
+            assert c.chunk_idx == i
+            assert c.tok_start == i * _STRIDE
+            assert 1 <= c.tok_len <= _CHUNK
+        # the last chunk must cover the tail: its end is the doc's token
+        # count, and a further stride would start at or past that end
+        last = chunks[-1]
+        end = last.tok_start + last.tok_len
+        assert last.tok_len < _CHUNK or end - (len(chunks) - 1) * _STRIDE == _CHUNK
+        assert (len(chunks)) * _STRIDE >= end - _CHUNK + _STRIDE
+
+
+def test_incremental_dedup_verdicts(spark, sf_dir):
+    """Every new-batch doc gets exactly one verdict; the constructed
+    donor-text docs are caught by the exact tier; matches point into the
+    corpus side (never at another new doc)."""
+    from mysense_spark.io import load
+    from mysense_spark.operators.dedup import _INCR_MOD, q_incremental_dedup
+
+    rows = q_incremental_dedup(spark, sf_dir).collect()
+    doc_ids = {r.doc_id for r in rows}
+    max_id = load(spark, sf_dir, "documents").agg({"doc_id": "max"}).collect()[0][0]
+    expected_new = {i for i in range(0, max_id + 1) if i % _INCR_MOD == 0}
+    assert doc_ids == expected_new
+    for r in rows:
+        if r.doc_id % 20 == 0 and r.doc_id + 1 <= max_id:
+            assert r.verdict == "exact_dup", r
+        if r.match_doc_id is not None:
+            assert r.match_doc_id % _INCR_MOD != 0  # matches live in the corpus
+        if r.verdict == "unique":
+            assert r.match_doc_id is None and r.jaccard is None
+
+
+def test_ann_recall_bounds(spark, sf_dir):
+    """One row per query vector; recall in [0,1] and consistent with
+    n_hits; and the IVF index finds at least SOMETHING across the query
+    set (a 0-recall index means the probe wiring is broken)."""
+    from mysense_spark.operators.similarity import _N_QUERIES, q_ann_recall
+
+    rows = q_ann_recall(spark, sf_dir).collect()
+    assert len(rows) == _N_QUERIES
+    assert sum(r.n_hits for r in rows) > 0
+    for r in rows:
+        assert 0 <= r.n_hits <= 5
+        assert abs(r.recall_at_5 - r.n_hits / 5.0) < 1e-9
+
+
+def test_dup_ngram_frac_bounds(spark, sf_dir):
+    from mysense_spark.operators.text import q_dup_ngram_frac
+
+    rows = q_dup_ngram_frac(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.dup_grams <= r.n_grams
+        assert 0.0 <= r.dup_frac <= 1.0
+
+
+def test_perplexity_bucket_is_positive(spark, sf_dir):
+    """Unigram nll is >= 0 (a probability <= 1), and the bucket is the
+    floored half-nat of the rounded mean."""
+    import math
+
+    from mysense_spark.operators.text import q_perplexity_bucket
+
+    rows = q_perplexity_bucket(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.avg_nll >= 0.0
+        assert r.nll_bucket == math.floor(r.avg_nll * 2)
+
+
+def test_url_filter_rules(spark, sf_dir):
+    from mysense_spark.operators.sampling import _BLOCKLIST, _BLOCK_SUFFIX, q_url_filter
+
+    rows = q_url_filter(spark, sf_dir).collect()
+    verdicts = {r.verdict for r in rows}
+    assert {"kept", "blocked:domain", "blocked:tld_rule"} <= verdicts
+    for r in rows:
+        if r.domain in _BLOCKLIST:
+            assert r.verdict == "blocked:domain"
+        elif r.domain.endswith(_BLOCK_SUFFIX):
+            assert r.verdict == "blocked:tld_rule"
+        else:
+            assert r.verdict == "kept"
+        assert r.url == f"https://{r.domain}/p/{r.doc_id}"
