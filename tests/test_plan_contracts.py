@@ -1,0 +1,120 @@
+"""Physical-plan contracts: the properties that make queries scale are
+asserted, not just documented. A refactor that silently turns a broadcast
+join into a nested-loop join, un-prunes a scan, or adds an exchange to a
+map-only query should fail CI here — at 100 TB those regressions are
+outages, and local wall-clock at sf0.001 won't catch them.
+
+Plan text comes from the executed plan (AQE's initial plan — join
+strategies, scan schemas, and pushed filters are all visible there).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from mysense_spark.queries import spark_queries
+
+
+def _plan(spark, name: str, sf_dir: str) -> str:
+    df = spark_queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# The fenced tiers: bounded-side crossJoins are their documented design
+# (knn re-rank broadcasts <= MAX_RERANK_QUERIES rows; IVF broadcasts K
+# centroids). Everything else must never nested-loop.
+_FENCED_CROSSJOIN = {"knn_bruteforce", "ann_ivf", "ann_recall", "embedding_neardup"}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "pricing_summary",
+        "region_revenue",
+        "hourly_stats",
+        "dedup_exact",
+        "minhash_lsh_pairs",
+        "incremental_dedup",
+        "corpus_build",
+        "url_filter",
+        "chunk_overlap",
+        "dup_ngram_frac",
+        "sequence_packing",
+        "daily_qc_report",
+    ],
+)
+def test_no_nested_loop_join(spark, sf_dir, name):
+    plan = _plan(spark, name, sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested-loop join crept in"
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product crept in"
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    """region_revenue joins facts to region/nation/customer dims — all
+    must be broadcast (a shuffle join on a dimension is wasted I/O at
+    every scale)."""
+    plan = _plan(spark, "region_revenue", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "dimension join fell back to sort-merge"
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """pricing_summary's ship-date filter must reach the parquet scan as
+    a pushed filter, not run post-scan."""
+    plan = _plan(spark, "pricing_summary", sf_dir)
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any(p.strip() for p in pushed), "no pushed filters on the lineitem scan"
+
+
+def test_column_pruning(spark, sf_dir):
+    """url_filter touches only doc_id; its parquet scan must not read
+    the text column (reading 100 TB of text to compute a pure-id
+    derivation is the canonical pruning failure)."""
+    plan = _plan(spark, "url_filter", sf_dir)
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert schemas, "no parquet scan found"
+    for s in schemas:
+        assert "text" not in s, f"url_filter reads text: {s}"
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("chunk_overlap", 1),  # map-only + presentation sort
+        ("url_filter", 1),
+        ("dedup_exact", 2),  # one hash shuffle + presentation sort
+        ("corpus_build", 2),  # one partial-agg shuffle + sort
+        ("tokenizer_fertility", 2),
+        ("dup_ngram_frac", 4),
+    ],
+)
+def test_exchange_budget(spark, sf_dir, name, max_exchanges):
+    """Shuffle-count ceilings for the linear-scan family: every exchange
+    is a full materialization of the stream at scale, so gaining one is
+    a structural regression, not noise."""
+    plan = _plan(spark, name, sf_dir)
+    n = len(re.findall(r"Exchange ", plan))
+    assert n <= max_exchanges, f"{name}: {n} exchanges (budget {max_exchanges})"
+
+
+def test_fenced_crossjoins_stay_fenced(spark, sf_dir):
+    """The similarity tiers MAY nested-loop — but only with a broadcast
+    (bounded) build side. An unbroadcast cartesian is never allowed."""
+    for name in sorted(_FENCED_CROSSJOIN):
+        plan = _plan(spark, name, sf_dir)
+        assert "CartesianProduct" not in plan, f"{name}: unbounded cartesian"
+
+
+def test_no_python_row_udfs_in_registry(spark, sf_dir):
+    """Hot-path queries must stay JVM-side: no row-at-a-time Python
+    UDFs anywhere in the registered batch queries (Arrow-batched pandas
+    stages — ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas —
+    are the sanctioned Python escape hatch)."""
+    offenders = []
+    for name, fn in spark_queries().items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, f"row-at-a-time Python UDFs in: {offenders}"

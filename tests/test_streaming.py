@@ -284,3 +284,52 @@ def test_static_monitor_null_resets_run(spark):
     rows2 = [("kit1", "temp", base + dt.timedelta(minutes=i), 21.5) for i in range(20)]
     df2 = spark.createDataFrame(rows2, "kit_id string, field string, ts timestamp, value double")
     assert static_value_monitor_batch(df2).count() == 1
+
+
+def _write_corpus(tmp_path, name, docs):
+    import json as _json
+
+    d = tmp_path / "corpus_in"
+    d.mkdir(exist_ok=True)
+    p = d / name
+    p.write_text("\n".join(_json.dumps(r) for r in docs))
+    return str(d)
+
+
+_CORPUS_DOCS = [
+    # two exact duplicates (same text, later ts/doc_id) and one fragment
+    {"doc_id": 1, "ts": "2026-01-01 10:00:00", "text": "the quick brown fox jumps over the lazy dog again and again", "lang": "en", "source": "crawl"},
+    {"doc_id": 2, "ts": "2026-01-01 10:05:00", "text": "the quick  brown fox jumps over the lazy dog again and again", "lang": "en", "source": "crawl"},
+    {"doc_id": 3, "ts": "2026-01-01 10:01:00", "text": "ein ganz anderes dokument mit vielen eigenen worten und noch mehr inhalt dazu", "lang": "de", "source": "crawl"},
+    {"doc_id": 4, "ts": "2026-01-01 10:02:00", "text": "too short", "lang": "en", "source": "crawl"},
+]
+
+
+def test_corpus_stream_dedupes_and_gates(spark, tmp_path):
+    """Streaming corpus ingestion: the whitespace-variant duplicate is
+    dropped by fingerprint state, the fragment by the quality gate; the
+    batch twin produces the identical kept set."""
+    from mysense_spark.streaming.corpus import corpus_batch, run_corpus_stream
+
+    in_dir = _write_corpus(tmp_path, "a.jsonl", _CORPUS_DOCS)
+    out = str(tmp_path / "corpus_out")
+    ckpt = str(tmp_path / "corpus_ckpt")
+    q = run_corpus_stream(spark, in_dir, ckpt, out)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    rows = {r.doc_id: r for r in got.collect()}
+    assert set(rows) == {1, 3}  # 2 = dup of 1 (first-seen wins), 4 = gated
+    assert rows[1].fingerprint == rows[1].fingerprint
+    assert all(r.verdict == "keep" for r in rows.values())
+
+    batch = {r.doc_id for r in corpus_batch(spark, in_dir).collect()}
+    assert batch == set(rows)
+
+    # replay the same input with a FRESH checkpoint: the parquet sink's
+    # _spark_metadata commit log already contains batch 0 for this path,
+    # so the replayed batch is recognized and skipped — the archive stays
+    # exactly-once even across checkpoint loss
+    q2 = run_corpus_stream(spark, in_dir, str(tmp_path / "ckpt2"), out)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 2
