@@ -118,3 +118,46 @@ def test_no_python_row_udfs_in_registry(spark, sf_dir):
         if "BatchEvalPython" in plan:
             offenders.append(name)
     assert not offenders, f"row-at-a-time Python UDFs in: {offenders}"
+
+
+def test_bucketed_join_elides_shuffle(spark, sf_dir):
+    """The co-located-join strategy: two tables bucketed identically on
+    the join key must join with ZERO exchanges (vs two for the plain
+    read), with broadcast disabled so the test exercises the bucketing
+    path, not the small-table shortcut."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from mysense_spark.io import load
+    from mysense_spark.materialize import co_located_join, write_bucketed
+
+    ev = load(spark, sf_dir, "events")
+    facts = ev.select("user_id", "event_type", "value")
+    profiles = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+
+    suffix = uuid.uuid4().hex[:8]
+    t1, t2 = f"facts_{suffix}", f"profiles_{suffix}"
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(facts, t1, ["user_id"], 8, sort_cols=["user_id"])
+        write_bucketed(profiles, t2, ["user_id"], 8, sort_cols=["user_id"])
+
+        joined = co_located_join(spark, t1, t2, ["user_id"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan[:800]}"
+
+        # sanity: the join is real (row count matches the plain-read join)
+        expected = facts.join(profiles, "user_id").count()
+        assert joined.count() == expected
+
+        # and the un-bucketed form DOES shuffle — the contrast proves the
+        # elision comes from bucketing, not from some other property
+        plain = facts.join(profiles, "user_id")
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plain_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql(f"DROP TABLE IF EXISTS {t1}")
+        spark.sql(f"DROP TABLE IF EXISTS {t2}")
