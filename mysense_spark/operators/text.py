@@ -651,8 +651,87 @@ ORDER BY lang
 """
 
 
+_VOCAB_TOP = 10  # concentration: share of all tokens held by the top-10 types
+
+
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary health per source — the Zipf sanity check run
+    after every tokenizer or filtering change: vocabulary size, hapax
+    (frequency-1) share of the vocabulary, and what fraction of all
+    token occurrences the top-10 types absorb. A collapsing vocabulary
+    or an exploding hapax share is how tokenizer regressions and boiler-
+    plate floods show up before they poison a training mix.
+
+    Scale shape: one (source, token) partial-agg shuffle, then a window
+    ranking per source over the (bounded) vocabulary, then a per-source
+    agg. All integer arithmetic until the final ratios.
+    """
+    from pyspark.sql import Window
+
+    doc = load(spark, sf_dir, "documents")
+    tok = doc.select(
+        "source", F.explode(F.expr(f"regexp_extract_all(text, '{_WORD_RE}', 0)")).alias("t")
+    )
+    counts = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("t"))
+    ranked = counts.withColumn("rnk", F.row_number().over(w))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("vocab_size"),
+            F.sum("cnt").alias("total_tokens"),
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).alias("hapax_types"),
+            F.sum(F.when(F.col("rnk") <= _VOCAB_TOP, F.col("cnt")).otherwise(0)).alias(
+                "top10_tokens"
+            ),
+        )
+        .select(
+            "source",
+            "vocab_size",
+            "total_tokens",
+            "hapax_types",
+            F.round(F.col("hapax_types").cast("double") / F.col("vocab_size"), 6).alias(
+                "hapax_frac"
+            ),
+            F.round(F.col("top10_tokens").cast("double") / F.col("total_tokens"), 6).alias(
+                "top10_share"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_VOCAB_STATS = f"""
+WITH counts AS (
+  SELECT source, t, count(*) AS cnt
+  FROM (SELECT source, unnest(regexp_extract_all(text, '{_WORD_RE}')) AS t FROM documents)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY cnt DESC, t ASC) AS rnk
+  FROM counts
+),
+agg AS (
+  SELECT source,
+         count(*) AS vocab_size,
+         -- CAST: sum(BIGINT) is HUGEINT -> float64 in pandas; Spark emits int64
+         CAST(sum(cnt) AS BIGINT) AS total_tokens,
+         CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_types,
+         CAST(sum(CASE WHEN rnk <= {_VOCAB_TOP} THEN cnt ELSE 0 END) AS BIGINT) AS top10_tokens
+  FROM ranked
+  GROUP BY source
+)
+SELECT source, vocab_size, total_tokens, hapax_types,
+       round(CAST(hapax_types AS DOUBLE) / vocab_size, 6) AS hapax_frac,
+       round(CAST(top10_tokens AS DOUBLE) / total_tokens, 6) AS top10_share
+FROM agg
+ORDER BY source
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
+    "vocab_stats": (q_vocab_stats, SQL_VOCAB_STATS),
     "dup_ngram_frac": (q_dup_ngram_frac, SQL_DUP_NGRAM_FRAC),
     "perplexity_bucket": (q_perplexity_bucket, SQL_PERPLEXITY_BUCKET),
     "tokenizer_fertility": (q_tokenizer_fertility, SQL_TOKENIZER_FERTILITY),

@@ -50,6 +50,7 @@ _PRIORITY = (
     "url_filter",
     "incremental_dedup",
     "ann_recall",
+    "vocab_stats",
     # (c) r1-only rows, oldest evidence first
     "joost_correction",
     "dew_point",
