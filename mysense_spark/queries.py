@@ -51,6 +51,8 @@ _PRIORITY = (
     "incremental_dedup",
     "ann_recall",
     "vocab_stats",
+    "media_embed",
+    "modality_mix",
     # (c) r1-only rows, oldest evidence first
     "joost_correction",
     "dew_point",
