@@ -87,3 +87,58 @@ def test_grubbs_constant_and_order(vals):
     assert grubbs_filter(const).all()
     m1, m2 = grubbs_filter(arr), grubbs_filter(arr)
     assert np.array_equal(m1, m2)
+
+
+def _chunk_layout(n: int, chunk: int = 64, stride: int = 48):
+    """Pure-python mirror of q_chunk_overlap's integer arithmetic."""
+    n_chunks = 1 if n <= chunk else (n - chunk + stride - 1) // stride + 1
+    out = []
+    for i in range(n_chunks):
+        start = i * stride
+        length = min(chunk, n - start)
+        out.append((start, length))
+    return out
+
+
+@given(n=st.integers(min_value=1, max_value=5000))
+@settings(max_examples=500, deadline=None)
+def test_chunk_layout_covers_exactly(n):
+    """For ANY document length: every token falls in >= 1 chunk, no chunk
+    is empty or overruns the document, the last chunk ends exactly at n,
+    and consecutive chunks overlap by exactly chunk-stride (except a
+    shorter final chunk)."""
+    chunks = _chunk_layout(n)
+    assert chunks[0][0] == 0
+    assert all(1 <= ln <= 64 for _, ln in chunks)
+    assert all(s + ln <= n for s, ln in chunks)
+    assert chunks[-1][0] + chunks[-1][1] == n
+    covered = set()
+    for s, ln in chunks:
+        covered.update(range(s, s + ln))
+    assert covered == set(range(n))
+    # a further chunk would be redundant: the last start must still add
+    # new tokens (start < n and previous chunks end before n)
+    if len(chunks) > 1:
+        prev_end = chunks[-2][0] + chunks[-2][1]
+        assert prev_end < n
+
+
+@given(
+    tokens=st.lists(st.integers(min_value=1, max_value=900), min_size=1, max_size=60),
+    budget=st.integers(min_value=16, max_value=1024),
+)
+@settings(max_examples=300, deadline=None)
+def test_sequence_packing_spans(tokens, budget):
+    """For ANY shard content and budget: per-doc chunk spans are
+    contiguous and consistent with the running sum (the q_sequence_packing
+    integer arithmetic), and every chunk boundary crossing is counted."""
+    cum = 0
+    for n in tokens:
+        tok_start, cum = cum, cum + n
+        chunk_start = tok_start // budget
+        chunk_end = (cum - 1) // budget
+        n_chunks = chunk_end - chunk_start + 1
+        assert chunk_start <= chunk_end
+        assert n_chunks >= 1
+        # crossings: a doc spans exactly the chunks its token range touches
+        assert n_chunks == len({t // budget for t in range(tok_start, cum)})
