@@ -861,7 +861,86 @@ ORDER BY event_type
 """
 
 
+def q_cascade_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup cascade (the hypertable continuous-
+    aggregate pattern): hourly aggregates computed from raw, daily
+    computed FROM THE HOURLY PARTIALS, weekly from the daily — raw is
+    scanned exactly once however many resolutions are materialized.
+    At 100 TB this is the only affordable shape for dashboard
+    hierarchies: each coarser level folds ~24x/7x fewer rows instead of
+    rescanning the fact table per resolution.
+
+    The DuckDB oracle recomputes every level DIRECTLY from raw, so the
+    driver's hash match proves the re-aggregation is lossless — which
+    holds because the inter-level representation is (scaled-int64 sum,
+    count): integer sums compose associatively where rounded doubles
+    would drift. This is exact_sum's two-stage argument applied across
+    rollup levels.
+    """
+    from .util import _scaled_long
+
+    ev = load(spark, sf_dir, "events")
+    hour = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_scaled_long(F.col("value"))).alias("s"),
+        )
+    )
+    day = (
+        hour.groupBy(F.date_trunc("day", "bucket").alias("bucket"))
+        .agg(F.sum("n_events").alias("n_events"), F.sum("s").alias("s"))
+    )
+    week = (
+        day.groupBy(F.date_trunc("week", "bucket").alias("bucket"))
+        .agg(F.sum("n_events").alias("n_events"), F.sum("s").alias("s"))
+    )
+
+    def finish(df: DataFrame, res: str) -> DataFrame:
+        sum_d = (F.col("s").cast("decimal(38,0)") / F.lit(1000000)).cast("double")
+        return df.select(
+            F.lit(res).alias("resolution"),
+            "bucket",
+            "n_events",
+            F.round(sum_d, 4).alias("sum_value"),
+            F.round(sum_d / F.col("n_events"), 6).alias("avg_value"),
+        )
+
+    return (
+        finish(hour, "hour")
+        .unionAll(finish(day, "day"))
+        .unionAll(finish(week, "week"))
+        .orderBy("resolution", "bucket")
+    )
+
+
+def _sql_cascade_rollup() -> str:
+    # every level recomputed directly from raw — hash equality with the
+    # Spark cascade proves the partial re-aggregation is lossless
+    def level(res: str) -> str:
+        return f"""
+SELECT '{res}' AS resolution, date_trunc('{res}', ts) AS bucket,
+       count(*) AS n_events,
+       {sql_sum('value', 4)} AS sum_value,
+       {sql_avg('value', 6)} AS avg_value
+FROM events
+GROUP BY 2"""
+
+    return (
+        level("hour")
+        + "\nUNION ALL"
+        + level("day")
+        + "\nUNION ALL"
+        + level("week")
+        + "\nORDER BY resolution, bucket"
+    )
+
+
+SQL_CASCADE_ROLLUP = _sql_cascade_rollup()
+
+
 QUERIES: dict[str, tuple] = {
+    "cascade_rollup": (q_cascade_rollup, SQL_CASCADE_ROLLUP),
     "hourly_stats": (q_hourly_stats, SQL_HOURLY_STATS),
     "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
     "maintenance_window_join": (q_maintenance_window_join, SQL_MAINTENANCE_WINDOW_JOIN),

@@ -53,6 +53,7 @@ _PRIORITY = (
     "vocab_stats",
     "media_embed",
     "modality_mix",
+    "cascade_rollup",
     # (c) r1-only rows, oldest evidence first
     "joost_correction",
     "dew_point",
