@@ -729,8 +729,153 @@ ORDER BY source
 """
 
 
+# BM25 parameters (the standard Robertson defaults) and a fixed query
+# set drawn from the corpus vocabulary (fixture pattern: literal in both
+# engines, so scoring exercises known-matching terms)
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_QUERIES = {
+    0: ("table", "row", "hash"),
+    1: ("merge", "window", "sort"),
+    2: ("spark", "batch", "value"),
+}
+_BM25_TOP_K = 5
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over the corpus for a fixed query set — the
+    relevance scoring a curation pipeline uses to pull topic-targeted
+    training slices ("find docs about X") and the lexical half of any
+    hybrid (BM25 + embedding) retrieval stack. Robertson defaults
+    (k1=1.2, b=0.75), ln-idf with the +1 floor so common terms never go
+    negative.
+
+    Exactness: tf/df/doclen are integers; avgdl is an exact-int-sum
+    division done identically in both engines; each per-term score is
+    one fixed float expression on integer-derived operands, and the
+    per-(query, doc) accumulation across terms runs through exact_sum's
+    quantized grid so term order cannot flip the rounding.
+
+    Scale shape: the token scan keeps ONLY query terms (an IN-list
+    filter folded into the explode — the corpus pass emits a few rows
+    per doc, not the full token stream); df and avgdl are tiny aggs;
+    the scoring join is broadcast. One corpus scan, top-k per query via
+    a bounded window.
+    """
+    from .util import exact_sum
+
+    doc = load(spark, sf_dir, "documents")
+    all_terms = sorted({t for ts in _BM25_QUERIES.values() for t in ts})
+    tok = doc.select(
+        "doc_id", F.explode(F.expr(f"regexp_extract_all(text, '{_WORD_RE}', 0)")).alias("t")
+    )
+    dl = doc.select(
+        "doc_id", F.size(F.expr(f"regexp_extract_all(text, '{_WORD_RE}', 0)")).alias("dl")
+    )
+    n_docs = doc.count()  # scalar dimension, folded as a literal
+    tf = (
+        tok.where(F.col("t").isin(*all_terms))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    # avgdl: exact integer sum / count — one IEEE division, identical in
+    # both engines
+    totals = dl.agg(F.sum("dl").alias("sdl"), F.count(F.lit(1)).alias("nd")).collect()[0]
+    avgdl = F.lit(int(totals["sdl"])) / F.lit(int(totals["nd"]))
+
+    from ..io import values_df
+
+    qdf = values_df(
+        spark,
+        [(qid, t) for qid, ts in sorted(_BM25_QUERIES.items()) for t in ts],
+        "query_id bigint, t string",
+    )
+
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf_part = (F.col("tf") * (_BM25_K1 + 1)) / (
+        F.col("tf") + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / avgdl)
+    )
+    # dl is corpus-sized — never broadcast it; the join keys on doc_id
+    # where the tf side is already reduced to matching docs only
+    scored = (
+        tf.join(F.broadcast(df_), "t")
+        .join(F.broadcast(qdf), "t")
+        .join(dl, "doc_id")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            exact_sum(idf * tf_part, 6).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _BM25_TOP_K)
+        .select("query_id", "rank", "doc_id", "n_terms_hit", "score")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _sql_bm25() -> str:
+    terms = ", ".join(f"'{t}'" for t in sorted({t for ts in _BM25_QUERIES.values() for t in ts}))
+    qvals = ", ".join(f"({qid}, '{t}')" for qid, ts in sorted(_BM25_QUERIES.items()) for t in ts)
+    from .util import sql_sum
+
+    term_score = (
+        "ln((CAST(s.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5) + 1.0)"
+        f" * (tf.tf * ({_BM25_K1} + 1))"
+        f" / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl"
+        " / (CAST(s.sdl AS DOUBLE) / s.nd)))"
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{_WORD_RE}')) AS t FROM documents
+),
+dl AS (
+  SELECT doc_id, len(regexp_extract_all(text, '{_WORD_RE}')) AS dl FROM documents
+),
+tf AS (
+  SELECT doc_id, t, count(*) AS tf FROM tok WHERE t IN ({terms}) GROUP BY 1, 2
+),
+df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+stats AS (
+  SELECT CAST(sum(dl) AS BIGINT) AS sdl, count(*) AS nd,
+         (SELECT count(*) FROM documents) AS n_docs
+  FROM dl
+),
+q(query_id, t) AS (VALUES {qvals}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         count(*) AS n_terms_hit,
+         {sql_sum(term_score, 6)} AS score
+  FROM tf
+  JOIN df ON tf.t = df.t
+  JOIN q ON tf.t = q.t
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, n_terms_hit, score
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {_BM25_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+SQL_BM25_SEARCH = _sql_bm25()
+
+
 QUERIES: dict[str, tuple] = {
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
+    "bm25_search": (q_bm25_search, SQL_BM25_SEARCH),
     "vocab_stats": (q_vocab_stats, SQL_VOCAB_STATS),
     "dup_ngram_frac": (q_dup_ngram_frac, SQL_DUP_NGRAM_FRAC),
     "perplexity_bucket": (q_perplexity_bucket, SQL_PERPLEXITY_BUCKET),

@@ -54,6 +54,7 @@ _PRIORITY = (
     "media_embed",
     "modality_mix",
     "cascade_rollup",
+    "bm25_search",
     # (c) r1-only rows, oldest evidence first
     "joost_correction",
     "dew_point",
