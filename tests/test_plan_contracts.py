@@ -43,6 +43,11 @@ _FENCED_CROSSJOIN = {"knn_bruteforce", "ann_ivf", "ann_recall", "embedding_neard
         "dup_ngram_frac",
         "sequence_packing",
         "daily_qc_report",
+        "vocab_stats",
+        "media_embed",
+        "modality_mix",
+        "cascade_rollup",
+        "bm25_search",
     ],
 )
 def test_no_nested_loop_join(spark, sf_dir, name):
@@ -88,6 +93,10 @@ def test_column_pruning(spark, sf_dir):
         ("corpus_build", 2),  # one partial-agg shuffle + sort
         ("tokenizer_fertility", 2),
         ("dup_ngram_frac", 4),
+        ("media_embed", 1),  # pure Arrow map stage + presentation sort
+        ("modality_mix", 2),
+        ("vocab_stats", 3),
+        ("cascade_rollup", 7),  # 3 levels x partial/final + presentation
     ],
 )
 def test_exchange_budget(spark, sf_dir, name, max_exchanges):
