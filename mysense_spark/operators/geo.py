@@ -192,7 +192,77 @@ ORDER BY user_id, ts
 """
 
 
+_PAIR_DIST_M = 2000.0
+_CELL_CENTI = 5  # cell = 0.05 deg (~5.5 km lat / ~3.4 km lon at 52N) >= pair radius
+
+
+def q_spatial_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial self-join: all kit pairs within 2 km — the distributed
+    all-pairs-within-distance pattern (who can cross-calibrate against
+    whom). Grid-cell bucketing is the spatial LSH: one side keeps its
+    home cell, the other replicates into its 3x3 cell neighborhood, the
+    join is a plain equi-join on cell, and the exact haversine verifies
+    candidates. A pair lands in the candidate set EXACTLY once (the
+    replica matching the other point's home cell is unique), so no
+    dedup pass is needed.
+
+    Cells come from integer centi-degrees (round(lat*100) DIV 5) — a
+    float floor(lat/0.05) sits a ulp from cell boundaries and both
+    engines must bucket identically.
+
+    Scale shape: 9x replication on one side, one shuffle join on the
+    cell key, exact distance only on co-celled candidates — O(N * local
+    density) instead of O(N^2). The classic Sedona/GeoSpark join without
+    the dependency.
+    """
+    pos = _kit_positions(spark, sf_dir)
+    home = pos.select(
+        F.col("c_custkey").alias("k1"),
+        F.col("lat").alias("lat1"),
+        F.col("lon").alias("lon1"),
+        F.expr(f"CAST(round(lat * 100, 0) AS BIGINT) DIV {_CELL_CENTI}").alias("ci"),
+        F.expr(f"CAST(round(lon * 100, 0) AS BIGINT) DIV {_CELL_CENTI}").alias("cj"),
+    )
+    nbr_cells = F.expr(
+        "explode(flatten(transform(sequence(-1, 1), di -> "
+        "transform(sequence(-1, 1), dj -> struct(ci + di AS ci, cj + dj AS cj)))))"
+    )
+    repl = pos.select(
+        F.col("c_custkey").alias("k2"),
+        F.col("lat").alias("lat2"),
+        F.col("lon").alias("lon2"),
+        F.expr(f"CAST(round(lat * 100, 0) AS BIGINT) DIV {_CELL_CENTI}").alias("ci"),
+        F.expr(f"CAST(round(lon * 100, 0) AS BIGINT) DIV {_CELL_CENTI}").alias("cj"),
+    ).select("k2", "lat2", "lon2", nbr_cells.alias("cell")).select(
+        "k2", "lat2", "lon2", F.col("cell.ci").alias("ci"), F.col("cell.cj").alias("cj")
+    )
+    dist = haversine_m(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2"))
+    return (
+        home.join(repl, ["ci", "cj"])
+        .where(F.col("k1") < F.col("k2"))
+        .withColumn("dist_m", F.round(dist, 3))
+        .where(F.col("dist_m") <= _PAIR_DIST_M)
+        .select("k1", "k2", "dist_m")
+        .orderBy("k1", "k2")
+    )
+
+
+# the oracle is EXHAUSTIVE O(N^2) — a different algorithm reaching the
+# same rows, which is exactly what proves the cell join loses no pair
+SQL_SPATIAL_PAIRS = f"""
+WITH pos AS (
+  SELECT c_custkey, {_LAT} AS lat, {_LON} AS lon FROM customer
+)
+SELECT a.c_custkey AS k1, b.c_custkey AS k2,
+       round({_sql_haversine('a.lat', 'a.lon', 'b.lat', 'b.lon')}, 3) AS dist_m
+FROM pos a JOIN pos b ON a.c_custkey < b.c_custkey
+WHERE round({_sql_haversine('a.lat', 'a.lon', 'b.lat', 'b.lon')}, 3) <= {_PAIR_DIST_M}
+ORDER BY k1, k2
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "neighbour_search": (q_neighbour_search, SQL_NEIGHBOUR_SEARCH),
     "geofence_transitions": (q_geofence_transitions, SQL_GEOFENCE_TRANSITIONS),
+    "spatial_pairs": (q_spatial_pairs, SQL_SPATIAL_PAIRS),
 }

@@ -55,6 +55,7 @@ _PRIORITY = (
     "modality_mix",
     "cascade_rollup",
     "bm25_search",
+    "spatial_pairs",
     # (c) r1-only rows, oldest evidence first
     "joost_correction",
     "dew_point",
