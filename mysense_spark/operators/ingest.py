@@ -131,8 +131,10 @@ def q_station_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # station series materialized from the observed hour range (the
     # sandbox profile); round(.,6) pins the transcendental to a fixed
     # decimal so both engines aggregate identical inputs
+    from .util import sql_ieee_round
+
     station = kit_hourly.select("h").distinct().selectExpr(
-        "h", f"round({station_value_sql('h')}, 6) AS y"
+        "h", f"{sql_ieee_round(station_value_sql('h'), 6)} AS y"
     )
     pairs = kit_hourly.join(F.broadcast(station), "h")
     dec = "decimal(18,6)"
@@ -166,11 +168,13 @@ def q_station_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "user_id",
             "n",
-            "round(a1, 6) AS a1",
-            "round(a0, 6) AS a0",
-            "round(a1 * cxy / cyy, 6) AS r2",
-            "round(sqrt((cyy - a1 * cxy) / n), 6) AS rmse",
-            "round(bias, 6) AS bias",
+            # IEEE floor-form rounding: Spark round(double) disagrees
+            # with DuckDB's on representation-edge values (util.ieee_round)
+            f"{sql_ieee_round('a1', 6)} AS a1",
+            f"{sql_ieee_round('a0', 6)} AS a0",
+            f"{sql_ieee_round('a1 * cxy / cyy', 6)} AS r2",
+            f"{sql_ieee_round('sqrt((cyy - a1 * cxy) / n)', 6)} AS rmse",
+            f"{sql_ieee_round('bias', 6)} AS bias",
         )
         .orderBy("user_id")
     )
@@ -178,7 +182,7 @@ def q_station_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_station_calibration() -> str:
     from ..sources.stations import station_value_sql
-    from .util import sql_avg
+    from .util import sql_avg, sql_ieee_round
 
     return f"""
 WITH kit_hourly AS (
@@ -187,7 +191,7 @@ WITH kit_hourly AS (
   FROM events WHERE event_type = 'click' GROUP BY 1, 2
 ),
 station AS (
-  SELECT h, round({station_value_sql('h')}, 6) AS y
+  SELECT h, {sql_ieee_round(station_value_sql('h'), 6)} AS y
   FROM (SELECT DISTINCT h FROM kit_hourly)
 ),
 stats AS (
@@ -212,11 +216,11 @@ derived AS (
   WHERE n >= 5 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
 )
 SELECT user_id, n,
-       round(a1, 6) AS a1,
-       round(a0, 6) AS a0,
-       round(a1 * cxy / cyy, 6) AS r2,
-       round(sqrt((cyy - a1 * cxy) / n), 6) AS rmse,
-       round(bias, 6) AS bias
+       {sql_ieee_round('a1', 6)} AS a1,
+       {sql_ieee_round('a0', 6)} AS a0,
+       {sql_ieee_round('a1 * cxy / cyy', 6)} AS r2,
+       {sql_ieee_round('sqrt((cyy - a1 * cxy) / n)', 6)} AS rmse,
+       {sql_ieee_round('bias', 6)} AS bias
 FROM derived
 ORDER BY user_id
 """

@@ -355,8 +355,17 @@ def q_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (spend, o_custkey) is a unique total order, so range partitions are
     # strictly disjoint and within-partition row_number + offset = global
     # row_number
-    ranged = spend.repartitionByRange(par, F.desc("spend"), F.asc("o_custkey")).withColumn(
-        "pid", F.spark_partition_id()
+    # persist is CORRECTNESS here, not caching: ranged feeds two plan
+    # branches (the per-partition counts and the final rank join), and
+    # each unpersisted execution re-runs repartitionByRange with its own
+    # boundary SAMPLE — offsets from one partitioning then pair with
+    # row_numbers from another, corrupting global ranks (observed at
+    # sf0.1: a phantom 5th quartile). Materializing pins one
+    # partitioning for both consumers.
+    ranged = (
+        spend.repartitionByRange(par, F.desc("spend"), F.asc("o_custkey"))
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
     )
     counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
     w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load
-from .util import exact_avg, exact_std, exact_sum, sql_avg, sql_std, sql_sum
+from .util import exact_avg, exact_std, exact_sum, ieee_round, sql_avg, sql_std, sql_sum
 
 
 def q_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -700,7 +700,9 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_sessions"),
             F.count(F.when(F.col("n_events") > 1, 1)).alias("multi_sessions"),
             F.max("n_events").alias("max_session_events"),
-            F.round(F.sum("dur_us") / F.lit(1000000.0), 4).alias("total_session_sec"),
+            # ieee_round: Spark round(double) disagrees with DuckDB's on
+            # representation-edge values (util.ieee_round)
+            ieee_round(F.sum("dur_us") / F.lit(1000000.0), 4).alias("total_session_sec"),
         )
         .orderBy("user_id")
     )
@@ -730,7 +732,7 @@ SELECT user_id,
        count(*) AS n_sessions,
        count(CASE WHEN n_events > 1 THEN 1 END) AS multi_sessions,
        max(n_events) AS max_session_events,
-       round(sum(dur_us) / 1000000.0, 4) AS total_session_sec
+       (floor((sum(dur_us) / 1000000.0) * 10000.0 + 0.5) / 10000.0) AS total_session_sec
 FROM per_session
 GROUP BY user_id
 ORDER BY user_id

@@ -24,17 +24,41 @@ _ROW_SCALE = 6
 _DEC = "decimal(18,6)"
 
 
-def _dec(expr: Column) -> Column:
-    return F.round(expr, _ROW_SCALE).cast(_DEC)
+# Engine-agnostic rounding. Spark's round(double, d) converts through the
+# SHORTEST DECIMAL REPR (BigDecimal.valueOf) then rounds HALF_UP; DuckDB
+# rounds the BINARY double. On values a ulp from the half-grid the two
+# disagree by one grid step (measured: 144 of 40k stress values; the
+# sf0.1 station_calibration/fit_apply/revenue_quartiles last-digit
+# flips). floor(x*10^d + 0.5)/10^d is pure IEEE multiply/add/floor —
+# bit-identical on any engine. Ties round toward +inf (engine-identical,
+# which is what parity needs).
+
+
+def ieee_round(expr: Column, nd: int) -> Column:
+    p = float(10**nd)
+    return F.floor(expr * F.lit(p) + F.lit(0.5)) / F.lit(p)
+
+
+def sql_ieee_round(e: str, nd: int) -> str:
+    p = float(10**nd)
+    return f"(floor(({e}) * {p} + 0.5) / {p})"
 
 
 def _scaled_long(expr: Column) -> Column:
-    # exact unscaled representation of the quantized value: round(x,6)*1e6
-    # as an integer. The decimal cast happens per row (cheap, codegen'd);
-    # what it buys is avoiding Spark's Decimal *aggregation buffer*, which
-    # runs ~6x slower than a long sum (measured: 7 decimal aggs over 600k
-    # rows = 3.2s vs 0.6s as longs).
-    return (_dec(expr) * 1000000).cast("long")
+    # exact unscaled representation of the quantized value:
+    # floor(x*1e6 + 0.5) as an integer — the IEEE-pure quantize (see
+    # ieee_round above). Exact while per-row |x| < ~9e9 (2^53 / 1e6);
+    # source columns are measurements/prices far below that. A long sum
+    # beats Spark's Decimal aggregation buffer ~6x (measured: 7 decimal
+    # aggs over 600k rows = 3.2s vs 0.6s as longs).
+    return F.floor(expr * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+
+
+def _dec(expr: Column) -> Column:
+    # the quantized value as exact decimal (for the square terms that
+    # need scale-12 products): scaled-long / 1e6 round-trips through
+    # double exactly for |x| < ~1e9, and the decimal cast pins the grid
+    return (_scaled_long(expr).cast("double") / F.lit(1000000.0)).cast(_DEC)
 
 
 def _unscale(sum_long: Column) -> Column:
@@ -54,12 +78,12 @@ def exact_sum(expr: Column, nd: int = 4) -> Column:
     or use the decimal-buffer form `F.sum(_dec(e))` — same semantics,
     slower buffer.
     """
-    return F.round(_unscale(F.sum(_scaled_long(expr))), nd)
+    return ieee_round(_unscale(F.sum(_scaled_long(expr))), nd)
 
 
 def exact_avg(expr: Column, nd: int = 6) -> Column:
     """Order-independent mean with SQL null-skipping semantics."""
-    return F.round(_unscale(F.sum(_scaled_long(expr))) / F.count(expr), nd)
+    return ieee_round(_unscale(F.sum(_scaled_long(expr))) / F.count(expr), nd)
 
 
 def exact_std(expr: Column, nd: int = 6) -> Column:
@@ -73,7 +97,7 @@ def exact_std(expr: Column, nd: int = 6) -> Column:
     s2 = F.sum(xd * xd).cast("double")
     n = F.count(expr)
     var = (s2 - s1 * s1 / n) / (n - F.lit(1))
-    return F.when(n > 1, F.round(F.sqrt(F.greatest(var, F.lit(0.0))), nd)).otherwise(F.lit(None).cast("double"))
+    return F.when(n > 1, ieee_round(F.sqrt(F.greatest(var, F.lit(0.0))), nd)).otherwise(F.lit(None).cast("double"))
 
 
 def exact_sum_grouped(df, keys: list[str], sums: dict[str, Column], nd: int = 4):
@@ -94,7 +118,7 @@ def exact_sum_grouped(df, keys: list[str], sums: dict[str, Column], nd: int = 4)
     )
     return stage1.groupBy(*keys).agg(
         *[
-            F.round(
+            ieee_round(
                 (F.sum(F.col(f"_s_{n}").cast("decimal(38,0)")) / F.lit(1000000)).cast("double"),
                 nd,
             ).alias(n)
@@ -105,18 +129,23 @@ def exact_sum_grouped(df, keys: list[str], sums: dict[str, Column], nd: int = 4)
 
 # --- SQL twins (DuckDB) ----------------------------------------------------
 
+def sql_scaled_long(e: str) -> str:
+    return f"CAST(floor(({e}) * 1000000.0 + 0.5) AS BIGINT)"
+
+
 def sql_dec(e: str) -> str:
     # 19 digits: forces DuckDB onto the int128 multiply path (exact scale-12
-    # products); Spark uses 18 to stay under its 38-digit cap without scale loss
-    return f"CAST(round({e}, {_ROW_SCALE}) AS DECIMAL(19,6))"
+    # products); Spark uses 18 to stay under its 38-digit cap without scale
+    # loss. Quantize via the IEEE-pure floor form (see ieee_round).
+    return f"CAST({sql_scaled_long(e)} / 1000000.0 AS DECIMAL(19,6))"
 
 
 def sql_sum(e: str, nd: int = 4) -> str:
-    return f"round(CAST(sum({sql_dec(e)}) AS DOUBLE), {nd})"
+    return sql_ieee_round(f"CAST(sum({sql_dec(e)}) AS DOUBLE)", nd)
 
 
 def sql_avg(e: str, nd: int = 6) -> str:
-    return f"round(CAST(sum({sql_dec(e)}) AS DOUBLE) / count({e}), {nd})"
+    return sql_ieee_round(f"CAST(sum({sql_dec(e)}) AS DOUBLE) / count({e})", nd)
 
 
 def sql_std(e: str, nd: int = 6) -> str:
@@ -124,7 +153,7 @@ def sql_std(e: str, nd: int = 6) -> str:
     s2 = f"CAST(sum({sql_dec(e)} * {sql_dec(e)}) AS DOUBLE)"
     n = f"count({e})"
     var = f"(({s2} - {s1} * {s1} / {n}) / ({n} - 1))"
-    return f"CASE WHEN {n} > 1 THEN round(sqrt(greatest({var}, 0.0)), {nd}) ELSE NULL END"
+    return f"CASE WHEN {n} > 1 THEN {sql_ieee_round(f'sqrt(greatest({var}, 0.0))', nd)} ELSE NULL END"
 
 
 def stddev_null(col) -> Column:
