@@ -339,3 +339,37 @@ def test_url_filter_rules(spark, sf_dir):
         else:
             assert r.verdict == "kept"
         assert r.url == f"https://{r.domain}/p/{r.doc_id}"
+
+
+def test_ieee_round_cross_engine_parity(spark):
+    """The rounding parity contract behind every oracle comparison:
+    util.ieee_round must produce bit-identical results in Spark and
+    DuckDB on values engineered to sit a ulp from the 6-dp half-grid —
+    exactly where the engines' native round() implementations disagree
+    (Spark rounds the shortest decimal repr, DuckDB the binary double)."""
+    import random
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    vals = [rng.uniform(-1e6, 1e6) for _ in range(3000)]
+    vals += [
+        rng.randint(-10**9, 10**9) / 1e6 + 5e-7 + d
+        for _ in range(3000)
+        for d in (rng.choice([-1e-10, 0.0, 1e-10]),)
+    ]
+    pdf = pd.DataFrame({"x": vals})
+
+    ieee = F.floor(F.col("x") * 1000000.0 + 0.5) / 1000000.0
+    got_spark = spark.createDataFrame(pdf).select(ieee.alias("r")).toPandas()["r"].to_numpy()
+
+    con = duckdb.connect()
+    con.register("t", pdf)
+    got_duck = con.execute(
+        "SELECT floor(x * 1000000.0 + 0.5) / 1000000.0 AS r FROM t"
+    ).fetchdf()["r"].to_numpy()
+    assert int(np.sum(got_spark != got_duck)) == 0
