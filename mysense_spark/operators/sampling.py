@@ -529,8 +529,79 @@ ORDER BY doc_id
 SQL_URL_FILTER = _sql_url_filter()
 
 
+_W_CAP = 400  # weight = min(n_chars, cap): longer docs sample more, bounded
+_W_RATE_DEN = 5  # base rate 1/5 at full weight
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted Bernoulli sampling: each document is kept
+    with probability (w / W_CAP) * (1 / RATE_DEN) where w = capped doc
+    length — the quality-weighted downsampling step of a corpus mix
+    (longer/better docs oversampled, junk undersampled), reproducible
+    on any cluster and under re-runs because the coin is an md5 hash,
+    not an RNG.
+
+    The keep decision is EXACT integer arithmetic: u32 * CAP * DEN <
+    2^32 * w cross-multiplied in int64 — no float ever enters the
+    decision, so there is no rounding edge to diverge on (the
+    float-free analog of the temperature_mix threshold).
+
+    Scale shape: one scan, one partial-agg shuffle on (source) for the
+    accounting. The kept set itself needs no shuffle at all.
+    """
+    doc = load(spark, sf_dir, "documents")
+    w = F.least(F.col("n_chars"), F.lit(_W_CAP))
+    u32 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+    keep = (u32 * _W_CAP * _W_RATE_DEN) < (F.lit(4294967296) * w)
+    return (
+        doc.select("source", w.alias("w"), keep.cast("int").alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("w").alias("total_w"),
+            F.sum("kept").alias("n_kept"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_w",
+            "n_kept",
+            F.round(F.col("n_kept").cast("double") / F.col("n_docs"), 6).alias("kept_frac"),
+            # expected kept count = sum(w) / (CAP * DEN): exact rational,
+            # one IEEE division — identical in both engines
+            F.round(
+                F.col("total_w").cast("double") / F.lit(float(_W_CAP * _W_RATE_DEN)), 2
+            ).alias("expected_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+WITH tagged AS (
+  SELECT source,
+         least(n_chars, {_W_CAP}) AS w,
+         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   * {_W_CAP} * {_W_RATE_DEN}
+                 < 4294967296 * least(n_chars, {_W_CAP})
+              THEN 1 ELSE 0 END AS kept
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       -- CAST: sum(BIGINT) is HUGEINT -> float64 in pandas; Spark emits int64
+       CAST(sum(w) AS BIGINT) AS total_w,
+       CAST(sum(kept) AS BIGINT) AS n_kept,
+       round(CAST(sum(kept) AS DOUBLE) / count(*), 6) AS kept_frac,
+       round(CAST(sum(w) AS DOUBLE) / {float(_W_CAP * _W_RATE_DEN)}, 2) AS expected_kept
+FROM tagged
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "chunk_overlap": (q_chunk_overlap, SQL_CHUNK_OVERLAP),
+    "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "url_filter": (q_url_filter, SQL_URL_FILTER),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
     "corpus_build": (q_corpus_build, SQL_CORPUS_BUILD),

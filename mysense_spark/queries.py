@@ -56,6 +56,7 @@ _PRIORITY = (
     "cascade_rollup",
     "bm25_search",
     "spatial_pairs",
+    "weighted_sample",
     # (c) r1-only rows, oldest evidence first
     "joost_correction",
     "dew_point",
