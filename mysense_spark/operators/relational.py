@@ -30,21 +30,48 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Single shuffle on the two low-cardinality group keys; partial
     aggregation (map-side combine) makes this bandwidth-bound on the scan.
     """
+    from .util import _scaled_long, ieee_round
+
     li = load(spark, sf_dir, "lineitem")
+    # Two-stage accumulation (the exact_sum_grouped form, inlined so the
+    # avg columns share the same partials): these groups span the WHOLE
+    # fact table, so a single int64 sum of scaled values overflows once
+    # |group value-sum| exceeds ~9.2e12 — certain at 100 TB. Stage 1
+    # sums scaled longs per (group, shuffle partition) — bounded by
+    # partition size, never overflows; stage 2 re-sums the few partials
+    # in decimal(38,0) — exact at any corpus size. Same bit-exact result
+    # as the direct form (integer addition is associative), one extra
+    # tiny shuffle.
+    filtered = li.where(F.col("l_shipdate") <= F.lit("2024-11-01").cast("timestamp"))
+    measures = {
+        "qty": F.col("l_quantity"),
+        "price": F.col("l_extendedprice"),
+        "disc_price": F.col("l_extendedprice") * (1 - F.col("l_discount")),
+        "charge": F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")),
+        "disc": F.col("l_discount"),
+    }
+    stage1 = filtered.groupBy(
+        "l_returnflag", "l_linestatus", F.spark_partition_id().alias("_pid")
+    ).agg(
+        *[F.sum(_scaled_long(c)).alias(f"_s_{k}") for k, c in measures.items()],
+        F.count(F.lit(1)).alias("_n"),
+    )
+
+    def final_sum(k: str) -> F.Column:
+        return (F.sum(F.col(f"_s_{k}").cast("decimal(38,0)")) / F.lit(1000000)).cast("double")
+
+    n = F.sum("_n")
     return (
-        li.where(F.col("l_shipdate") <= F.lit("2024-11-01").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
+        stage1.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            exact_sum(F.col("l_quantity"), 4).alias("sum_qty"),
-            exact_sum(F.col("l_extendedprice"), 4).alias("sum_base_price"),
-            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("sum_disc_price"),
-            exact_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 4
-            ).alias("sum_charge"),
-            exact_avg(F.col("l_quantity"), 6).alias("avg_qty"),
-            exact_avg(F.col("l_extendedprice"), 6).alias("avg_price"),
-            exact_avg(F.col("l_discount"), 6).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            ieee_round(final_sum("qty"), 4).alias("sum_qty"),
+            ieee_round(final_sum("price"), 4).alias("sum_base_price"),
+            ieee_round(final_sum("disc_price"), 4).alias("sum_disc_price"),
+            ieee_round(final_sum("charge"), 4).alias("sum_charge"),
+            ieee_round(final_sum("qty") / n, 6).alias("avg_qty"),
+            ieee_round(final_sum("price") / n, 6).alias("avg_price"),
+            ieee_round(final_sum("disc") / n, 6).alias("avg_disc"),
+            n.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
