@@ -38,10 +38,16 @@ def _modules():
 # code has moved since — re-confirm them). Everything round 2 just proved
 # green rotates to the back.
 _PRIORITY = (
-    # (a) fixed round-2 reds
+    # (a) fixed round-2 reds + r2-green queries whose code changed
+    # materially in round 3 (IEEE rounding, the ranged-persist fix) —
+    # changed code needs fresh driver evidence more than unchanged
+    # stale rows do
     "repetition_stats",
     "token_count",
     "sequence_packing",
+    "station_calibration",
+    "revenue_quartiles",
+    "fit_apply",
     # (b) new in round 3
     "dup_ngram_frac",
     "perplexity_bucket",
