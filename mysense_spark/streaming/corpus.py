@@ -94,3 +94,56 @@ def corpus_batch(spark: SparkSession, in_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# --- crawl-rate anomaly monitor (stateful) ---------------------------------
+
+_RATE_OUT = "source string, ts timestamp, n_batch int, ema_rate double, anomaly boolean"
+_RATE_STATE = "ema double, n_batches int"
+_RATE_ALPHA = 0.3  # EMA smoothing
+_RATE_SPIKE = 3.0  # batch flagged when > SPIKE x the running rate
+_RATE_WARMUP = 3  # no anomaly verdicts until the EMA has seen this many batches
+
+
+def crawl_rate_monitor(doc_stream):
+    """Stateful per-source crawl-rate anomaly monitor — the corpus-side
+    twin of the sensor pipeline's throttle/liveness state ops. Tracks an
+    exponential moving average of documents-per-batch per source and
+    flags batches that spike above 3x the running rate (a scraper loop,
+    a spam flood, a duplicated feed) so the downstream mix isn't
+    silently poisoned before the batch dedup runs.
+
+    State per source is two numbers (EMA, batch count) — constant
+    memory, no timeout needed; at 100 TB the cardinality of `source`
+    bounds the state store, not the corpus.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (source,) = key
+        ema, n_batches = state.get if state.exists else (0.0, 0)
+        n = 0
+        last_ts = None
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                t = pdf["ts"].max()
+                last_ts = t if last_ts is None else max(last_ts, t)
+        warmed = n_batches >= _RATE_WARMUP
+        anomaly = bool(warmed and ema > 0 and n > _RATE_SPIKE * ema)
+        # anomalous spikes do NOT pollute the running rate
+        if not anomaly:
+            ema = n if n_batches == 0 else (1 - _RATE_ALPHA) * ema + _RATE_ALPHA * n
+            n_batches += 1
+        state.update((float(ema), int(n_batches)))
+        yield pd.DataFrame(
+            [(source, last_ts, n, float(ema), anomaly)],
+            columns=["source", "ts", "n_batch", "ema_rate", "anomaly"],
+        )
+
+    return doc_stream.groupBy("source").applyInPandasWithState(
+        fn, _RATE_OUT, _RATE_STATE, "append", GroupStateTimeout.NoTimeout
+    )

@@ -333,3 +333,61 @@ def test_corpus_stream_dedupes_and_gates(spark, tmp_path):
     q2 = run_corpus_stream(spark, in_dir, str(tmp_path / "ckpt2"), out)
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == 2
+
+
+def test_crawl_rate_monitor_flags_spike(spark, tmp_path):
+    """Stateful crawl-rate anomaly: steady 5-doc batches warm the EMA,
+    then a 30-doc flood must be flagged — and must NOT drag the running
+    rate up (so the next normal batch isn't compared against the
+    flood)."""
+    import json as _json
+    import time as _time
+
+    from mysense_spark.streaming.corpus import DOC_SCHEMA, crawl_rate_monitor, curate
+
+    d = tmp_path / "rate_in"
+    d.mkdir()
+    doc_id = 0
+
+    def write_batch(name, n):
+        nonlocal doc_id
+        rows = []
+        for _ in range(n):
+            rows.append({
+                "doc_id": doc_id,
+                "ts": f"2026-01-01 10:{doc_id % 60:02d}:00",
+                "text": "steady crawl content with plenty of words to pass every quality gate here",
+                "lang": "en", "source": "crawl",
+            })
+            doc_id += 1
+        (d / name).write_text("\n".join(_json.dumps(r) for r in rows))
+        _time.sleep(0.05)  # distinct mtimes -> deterministic file order
+
+    for i in range(4):
+        write_batch(f"{i:02d}.jsonl", 5)
+    write_batch("04_spike.jsonl", 30)
+
+    raw = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    out = crawl_rate_monitor(curate(raw))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rate_mon")
+        .option("checkpointLocation", str(tmp_path / "rate_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM rate_mon ORDER BY ema_rate DESC, n_batch").collect()
+    # one emission per micro-batch that saw data
+    batches = [(r.n_batch, r.ema_rate, r.anomaly) for r in rows]
+    spikes = [b for b in batches if b[0] == 30]
+    normals = [b for b in batches if b[0] == 5]
+    assert len(spikes) == 1 and spikes[0][2] is True, batches
+    assert all(not b[2] for b in normals), batches
+    # the flood did not pollute the EMA: it stayed at the steady rate
+    assert abs(spikes[0][1] - 5.0) < 1e-9, batches
