@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load
+from .util import sql_ieee_round
 
 EARTH_RADIUS_M = 6371008.8
 
@@ -124,17 +125,21 @@ def q_neighbour_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pre-filter is a geohash-prefix bucket join; here the bounding
     predicate plays that role so the full haversine only runs on the
     pruned set."""
+    from .util import ieee_round
+
     pos = _kit_positions(spark, sf_dir)
     qlat, qlon = 51.5, 5.5
     # cheap bounding-box prune (geohash-prefix analog) before exact distance
     pruned = pos.where((F.abs(F.col("lat") - qlat) < 2.0) & (F.abs(F.col("lon") - qlon) < 3.0))
     dist = haversine_m(F.col("lat"), F.col("lon"), F.lit(qlat), F.lit(qlon))
+    # floor-form round before the threshold + top-50 cut: same
+    # quantize-before-threshold parity rule as q_spatial_pairs
     return (
-        pruned.withColumn("dist_m", F.round(dist, 3))
+        pruned.withColumn("dist_m", ieee_round(dist, 3))
         .where(F.col("dist_m") < 150000)
         .orderBy(F.asc("dist_m"), F.asc("c_custkey"))
         .limit(50)
-        .select("c_custkey", F.round("lat", 6).alias("lat"), F.round("lon", 6).alias("lon"), "dist_m")
+        .select("c_custkey", ieee_round(F.col("lat"), 6).alias("lat"), ieee_round(F.col("lon"), 6).alias("lon"), "dist_m")
     )
 
 
@@ -144,10 +149,10 @@ WITH pos AS (
 ), pruned AS (
   SELECT * FROM pos WHERE abs(lat - 51.5) < 2.0 AND abs(lon - 5.5) < 3.0
 )
-SELECT c_custkey, round(lat, 6) AS lat, round(lon, 6) AS lon,
-       round({_sql_haversine('lat', 'lon', '51.5', '5.5')}, 3) AS dist_m
+SELECT c_custkey, {sql_ieee_round('lat', 6)} AS lat, {sql_ieee_round('lon', 6)} AS lon,
+       {sql_ieee_round(_sql_haversine('lat', 'lon', '51.5', '5.5'), 3)} AS dist_m
 FROM pruned
-WHERE round({_sql_haversine('lat', 'lon', '51.5', '5.5')}, 3) < 150000
+WHERE {sql_ieee_round(_sql_haversine('lat', 'lon', '51.5', '5.5'), 3)} < 150000
 ORDER BY dist_m ASC, c_custkey ASC
 LIMIT 50
 """
@@ -236,11 +241,17 @@ def q_spatial_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("k2", "lat2", "lon2", nbr_cells.alias("cell")).select(
         "k2", "lat2", "lon2", F.col("cell.ci").alias("ci"), F.col("cell.cj").alias("cj")
     )
+    from .util import ieee_round
+
     dist = haversine_m(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2"))
+    # quantize-before-threshold with the engine-agnostic floor-form round:
+    # the haversine runs through libm trig independently per engine, and
+    # with F.round vs native round a representation-edge value can flip
+    # ROW MEMBERSHIP at the <= boundary, not just a last digit
     return (
         home.join(repl, ["ci", "cj"])
         .where(F.col("k1") < F.col("k2"))
-        .withColumn("dist_m", F.round(dist, 3))
+        .withColumn("dist_m", ieee_round(dist, 3))
         .where(F.col("dist_m") <= _PAIR_DIST_M)
         .select("k1", "k2", "dist_m")
         .orderBy("k1", "k2")
@@ -254,9 +265,9 @@ WITH pos AS (
   SELECT c_custkey, {_LAT} AS lat, {_LON} AS lon FROM customer
 )
 SELECT a.c_custkey AS k1, b.c_custkey AS k2,
-       round({_sql_haversine('a.lat', 'a.lon', 'b.lat', 'b.lon')}, 3) AS dist_m
+       {sql_ieee_round(_sql_haversine('a.lat', 'a.lon', 'b.lat', 'b.lon'), 3)} AS dist_m
 FROM pos a JOIN pos b ON a.c_custkey < b.c_custkey
-WHERE round({_sql_haversine('a.lat', 'a.lon', 'b.lat', 'b.lon')}, 3) <= {_PAIR_DIST_M}
+WHERE {sql_ieee_round(_sql_haversine('a.lat', 'a.lon', 'b.lat', 'b.lon'), 3)} <= {_PAIR_DIST_M}
 ORDER BY k1, k2
 """
 

@@ -140,7 +140,7 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     All four dims broadcast; the only shuffle is the final groupBy —
     and AQE coalesces it. At 100 TB this plan is unchanged.
     """
-    from .util import _scaled_long
+    from .util import _scaled_long, ieee_round
 
     region = load(spark, sf_dir, "region")
     nation = load(spark, sf_dir, "nation")
@@ -167,7 +167,9 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(
+            # ieee_round (floor form), matching sql_sum — F.round here is
+            # the cross-engine last-digit flip ADVICE r3 flagged
+            ieee_round(
                 (F.sum(F.col("rev_scaled").cast("decimal(38,0)")) / F.lit(1000000)).cast(
                     "double"
                 ),

@@ -881,31 +881,38 @@ def q_cascade_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .util import _scaled_long
 
+    from .util import ieee_round
+
     ev = load(spark, sf_dir, "events")
+    # n_vals = count(value) travels with the partials: sql_avg divides by
+    # count(value), not count(*) — they differ the moment value has a NULL
     hour = (
         ev.groupBy(F.date_trunc("hour", "ts").alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
+            F.count("value").alias("n_vals"),
             F.sum(_scaled_long(F.col("value"))).alias("s"),
         )
     )
     day = (
         hour.groupBy(F.date_trunc("day", "bucket").alias("bucket"))
-        .agg(F.sum("n_events").alias("n_events"), F.sum("s").alias("s"))
+        .agg(F.sum("n_events").alias("n_events"), F.sum("n_vals").alias("n_vals"), F.sum("s").alias("s"))
     )
     week = (
         day.groupBy(F.date_trunc("week", "bucket").alias("bucket"))
-        .agg(F.sum("n_events").alias("n_events"), F.sum("s").alias("s"))
+        .agg(F.sum("n_events").alias("n_events"), F.sum("n_vals").alias("n_vals"), F.sum("s").alias("s"))
     )
 
     def finish(df: DataFrame, res: str) -> DataFrame:
         sum_d = (F.col("s").cast("decimal(38,0)") / F.lit(1000000)).cast("double")
+        # ieee_round, not F.round: the oracle's sql_sum/sql_avg round via
+        # the floor form — mixing forms flips last digits (~1/1800/value)
         return df.select(
             F.lit(res).alias("resolution"),
             "bucket",
             "n_events",
-            F.round(sum_d, 4).alias("sum_value"),
-            F.round(sum_d / F.col("n_events"), 6).alias("avg_value"),
+            ieee_round(sum_d, 4).alias("sum_value"),
+            ieee_round(sum_d / F.col("n_vals"), 6).alias("avg_value"),
         )
 
     return (

@@ -30,9 +30,27 @@ STATION_SCHEMA = (
 # Deterministic hourly reference profile, shared TEXT with the DuckDB
 # oracle of station_calibration: diurnal cycle + slow 5-day sawtooth.
 # `h` is the integer hour index (epoch seconds / 3600).
+#
+# The diurnal term is a 24-entry pre-rounded LITERAL lookup (amplitude-7
+# sine sampled at each hour, rounded to 6 dp offline), NOT a live sin()
+# call: JVM Math.sin and DuckDB's libm can disagree in the last ulp, and
+# when that value then sits a half-ulp from the 6-dp rounding grid the
+# engines quantize to DIFFERENT decimals — the round-3
+# station_calibration hash mismatch. Literals are read identically by
+# both engines; everything left in the expression is IEEE +|*|/ and
+# integer %, which are correctly-rounded and bit-identical everywhere.
+_DIURNAL = [
+    0.0, 1.811733, 3.5, 4.949747, 6.062178, 6.761481,
+    7.0, 6.761481, 6.062178, 4.949747, 3.5, 1.811733,
+    0.0, -1.811733, -3.5, -4.949747, -6.062178, -6.761481,
+    -7.0, -6.761481, -6.062178, -4.949747, -3.5, -1.811733,
+]
+
+
 def station_value_sql(h: str) -> str:
+    branches = " ".join(f"WHEN {k} THEN {v!r}" for k, v in enumerate(_DIURNAL))
     return (
-        f"(18.0 + 7.0 * sin(2.0 * pi() * (({h}) % 24) / 24.0) "
+        f"(18.0 + (CASE (({h}) % 24) {branches} END) "
         f"+ 0.6 * (({h}) % 120) / 24.0)"
     )
 
