@@ -229,6 +229,89 @@ ORDER BY user_id
 SQL_STATION_CALIBRATION = _sql_station_calibration()
 
 
+# --- S7: SensorThings paginated REST pull, driver-graded --------------------
+#
+# A deterministic in-process "server": 20 observations (the last two are
+# exact duplicates of the first two — the duplicate-timestamp rows the
+# reference drops, SamenMetenThings.py:1449-1474), served in pages of 6,
+# plus one empty page past the end (the nextLink-exhausted case).
+_ST_N_OBS = 18
+_ST_PAGE = 6
+_ST_T0 = 1709251200  # 2024-03-01T00:00:00Z
+
+
+def _st_obs(i: int) -> dict:
+    k = i % _ST_N_OBS  # 18,19 wrap to 0,1: identical duplicate rows
+    from datetime import datetime, timezone
+
+    ts = datetime.fromtimestamp(_ST_T0 + 1800 * k, tz=timezone.utc)
+    return {
+        "station": "NL10131",
+        "phenomenonTime": ts.strftime("%Y-%m-%dT%H:%M:%SZ"),
+        "result": 10.0 + ((k * 7) % 13) * 0.5,
+    }
+
+
+def _fake_sensorthings_fetch(url: str) -> str:
+    """Injected transport (no network in this sandbox): serves the fixed
+    dataset honoring the $top/$skip paging params the query builder set.
+    Module-level so executors can unpickle it inside mapInPandas."""
+    import json as _json
+    import re as _re
+
+    top = int(_re.search(r"\$top=(\d+)", url).group(1))
+    skip = int(_re.search(r"\$skip=(\d+)", url).group(1))
+    rows = [_st_obs(i) for i in range(skip, min(skip + top, _ST_N_OBS + 2))]
+    return _json.dumps({"value": rows}) if rows else ""
+
+
+def q_sensorthings_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 end-to-end through the real distributed reader: page fan-out
+    over executors (sources/rest.read_paginated mapInPandas), then the
+    reference's observation post-processing (parse ts, drop duplicate
+    timestamps, time order). The transport is injected; the paging
+    arithmetic, JSON decode, schema projection and dedup are all the
+    production code path (sf-independent, like ttn_decode)."""
+    from pyspark.sql import functions as F
+
+    from ..sources.rest import observations_frame, read_paginated
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = read_paginated(
+        spark,
+        _fake_sensorthings_fetch,
+        "https://sensorthings.example/v1.1",
+        "Observations",
+        n_pages=5,  # 4 data pages + 1 empty page past the end
+        schema="station string, phenomenonTime string, result double",
+        select=["station", "phenomenonTime", "result"],
+        orderby="phenomenonTime asc",
+        page_size=_ST_PAGE,
+    )
+    return (
+        observations_frame(raw)
+        .select("station", "ts", F.col("result").alias("value"))
+        .orderBy("ts")
+    )
+
+
+def _sql_sensorthings_pull() -> str:
+    rows = []
+    for i in range(_ST_N_OBS):
+        o = _st_obs(i)
+        ts = o["phenomenonTime"].replace("T", " ").replace("Z", "")
+        rows.append(f"('{o['station']}', TIMESTAMP '{ts}', {o['result']!r})")
+    vals = ",\n       ".join(rows)
+    return f"""
+SELECT station, ts, value
+FROM (VALUES {vals}) AS t(station, ts, value)
+ORDER BY ts
+"""
+
+
+SQL_SENSORTHINGS_PULL = _sql_sensorthings_pull()
+
+
 _CSV_FIXTURE = """kit_id,ts,field,value
 kitA,2024-01-01T00:00:00,pm25,12.5
 kitA,2024-01-01T01:00:00,pm25,13.1
@@ -292,5 +375,6 @@ ORDER BY kit
 QUERIES: dict[str, tuple] = {
     "ttn_decode": (q_ttn_decode, SQL_TTN_DECODE),
     "station_calibration": (q_station_calibration, SQL_STATION_CALIBRATION),
+    "sensorthings_pull": (q_sensorthings_pull, SQL_SENSORTHINGS_PULL),
     "csv_ingest": (q_csv_ingest, SQL_CSV_INGEST),
 }

@@ -10,8 +10,9 @@ Scale design (100 TB):
 - approx_count_distinct is HyperLogLog++: constant memory per group vs
   a full shuffle+dedup for exact distinct — the only viable cardinality
   count over billions of keys. Sketch internals are engine-specific, so
-  this query is gated rows-only (no SQL oracle), with the exact count
-  alongside to show the error is within the configured rsd.
+  the graded output carries the exact count plus a within-tolerance
+  boolean asserting the estimate honors its rsd bound (the oracle
+  computes exact + literal TRUE).
 """
 
 from __future__ import annotations
@@ -70,24 +71,51 @@ ORDER BY 1, 2
 """
 
 
+# HLL++ rsd requested from the sketch; the gate asserts 5x that bound.
+# approx_count_distinct is deterministic for fixed data (no RNG), so the
+# boolean is stable run-to-run; 5 sigma makes it SF-independent too.
+_HLL_RSD = 0.02
+_HLL_TOLERANCE = 5 * _HLL_RSD
+
+
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct kits per event type next to the exact
-    count (A10-style activity accounting at sketch cost). No SQL oracle:
-    HLL estimates are engine-specific; the exact/approx columns make the
-    error auditable instead."""
+    """HyperLogLog++ distinct kits per event type, graded against the
+    exact count (A10-style activity accounting at sketch cost).
+
+    The sketch value itself is engine-specific, so the hash-checkable
+    CLAIM is emitted instead of the estimate: the exact cardinality plus
+    `within_tolerance` = |approx-exact|/exact <= 5*rsd. The DuckDB twin
+    computes the exact count and literal TRUE — the gate then PROVES the
+    HLL++ estimate honors its error bound instead of leaving the query
+    outside the oracle bar (the one no_oracle row in rounds 1-3)."""
     ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.approx_count_distinct("user_id", rsd=_HLL_RSD).alias("approx"),
             F.countDistinct("user_id").alias("exact_users"),
         )
-        .withColumn(
-            "rel_error",
-            F.round(F.abs(F.col("approx_users") - F.col("exact_users")) / F.col("exact_users"), 4),
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= F.lit(_HLL_TOLERANCE)
+            ).alias("within_tolerance"),
         )
         .orderBy("event_type")
     )
+
+
+SQL_APPROX_DISTINCT_USERS = """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS within_tolerance
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
 
 
 _MIX_ALPHA = 0.5  # temperature exponent: weight stratum s by n_s^alpha
@@ -608,5 +636,5 @@ QUERIES: dict[str, tuple] = {
     "temperature_mix": (q_temperature_mix, SQL_TEMPERATURE_MIX),
     "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
-    "approx_distinct_users": (q_approx_distinct_users, None),
+    "approx_distinct_users": (q_approx_distinct_users, SQL_APPROX_DISTINCT_USERS),
 }
