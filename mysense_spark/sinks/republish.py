@@ -12,11 +12,10 @@ Reference semantics:
 Spark-first split: the serialization (line protocol / topic + JSON) is a
 pure DataFrame transform — JVM string expressions, testable and
 distributed — and only the final transport callback touches the
-injected client. Lines are built per partition and handed to the
-transport in batches, so a 1000-executor run fans out POSTs without any
-driver collect (the driver-side loop here exists only for breaker
-bookkeeping on small result sets; the heavy lifting happened in the
-executors)."""
+injected client, per partition on the executors (foreachPartition). The
+driver never materializes a micro-batch: it sees ok/err accumulator
+scalars, which feed the shared circuit breaker that gates future
+batches."""
 
 from __future__ import annotations
 
@@ -25,7 +24,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .forward import CircuitBreaker
+from .forward import CircuitBreaker, drain_breaker as _drain_breaker
 
 
 def to_influx_lines(fact: DataFrame, measurement: str = "raw") -> DataFrame:
@@ -77,18 +76,41 @@ def make_influx_publisher(
 ):
     """foreachBatch sink: serialize the micro-batch to line protocol and
     hand the lines to `transport(host, lines) -> ok` in bounded chunks
-    (MyINFLUXPUB.py posts per-record; batching is the at-scale version)."""
+    (MyINFLUXPUB.py posts per-record; batching is the at-scale version).
+
+    The chunked writes run per PARTITION on executors (foreachPartition);
+    the driver sees only ok/err accumulator counts for breaker gating —
+    no micro-batch materialization (round-3 verdict #2)."""
     breaker = breaker or CircuitBreaker()
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if not breaker.allow(host):
             return
-        lines = [r["line"] for r in to_influx_lines(batch_df, measurement).collect()]
-        for i in range(0, len(lines), batch_lines):
-            if not breaker.allow(host):
-                break
-            ok = transport(host, lines[i : i + batch_lines])
-            breaker.record(host, ok)
+        sc = batch_df.sparkSession.sparkContext
+        ok_acc, err_acc = sc.accumulator(0), sc.accumulator(0)
+        thr = breaker.threshold
+
+        def write_partition(rows) -> None:
+            errs = 0
+            buf: list[str] = []
+
+            def flush() -> None:
+                nonlocal errs
+                if not buf or errs >= thr:
+                    return
+                ok = transport(host, list(buf))
+                (ok_acc if ok else err_acc).add(1)
+                errs = 0 if ok else errs + 1
+                buf.clear()
+
+            for row in rows:
+                buf.append(row["line"])
+                if len(buf) >= batch_lines:
+                    flush()
+            flush()
+
+        to_influx_lines(batch_df, measurement).foreachPartition(write_partition)
+        _drain_breaker(breaker, host, ok_acc.value, err_acc.value)
 
     return sink
 
@@ -99,15 +121,28 @@ def make_mqtt_republisher(
     breaker: CircuitBreaker | None = None,
     host: str = "mqtt.local",
 ):
-    """foreachBatch sink: one publish(topic, payload) per (kit, ts)."""
+    """foreachBatch sink: one publish(topic, payload) per (kit, ts),
+    fanned out per partition on executors with local error cut-off;
+    driver breaker fed by accumulator counts (no collect)."""
     breaker = breaker or CircuitBreaker()
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        msgs = to_mqtt_messages(batch_df, prefix).collect()
-        for row in msgs:
-            if not breaker.allow(host):
-                break
-            ok = publish(row["topic"], row["payload"])
-            breaker.record(host, ok)
+        if not breaker.allow(host):
+            return
+        sc = batch_df.sparkSession.sparkContext
+        ok_acc, err_acc = sc.accumulator(0), sc.accumulator(0)
+        thr = breaker.threshold
+
+        def publish_partition(rows) -> None:
+            errs = 0
+            for row in rows:
+                if errs >= thr:
+                    break
+                ok = publish(row["topic"], row["payload"])
+                (ok_acc if ok else err_acc).add(1)
+                errs = 0 if ok else errs + 1
+
+        to_mqtt_messages(batch_df, prefix).foreachPartition(publish_partition)
+        _drain_breaker(breaker, host, ok_acc.value, err_acc.value)
 
     return sink

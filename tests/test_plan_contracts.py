@@ -170,3 +170,20 @@ def test_bucketed_join_elides_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql(f"DROP TABLE IF EXISTS {t1}")
         spark.sql(f"DROP TABLE IF EXISTS {t2}")
+
+
+def test_sinks_never_materialize_on_driver():
+    """The sink hot path must stay executor-side: a fat micro-batch
+    .collect()ed on the driver OOMs it and serializes all HTTP through
+    one node (round-3 verdict). Static contract: no driver
+    materialization call anywhere under sinks/ — transports go through
+    foreachPartition, breaker state through accumulator scalars."""
+    import pathlib
+
+    sink_dir = pathlib.Path(__file__).resolve().parents[1] / "mysense_spark" / "sinks"
+    banned = (".collect(", ".toPandas(", ".toLocalIterator(")
+    offenders = []
+    for py in sorted(sink_dir.glob("*.py")):
+        src = py.read_text()
+        offenders += [f"{py.name}: {b}" for b in banned if b in src]
+    assert not offenders, f"driver materialization in sink path: {offenders}"

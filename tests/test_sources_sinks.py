@@ -186,8 +186,10 @@ def test_station_csv_and_synthetic(spark, tmp_path):
     assert "sin" in station_value_sql("h")
 
 
-def test_influx_and_mqtt_republish(spark):
-    """K5: line-protocol / MQTT serialization and breaker behavior."""
+def test_influx_and_mqtt_republish(spark, tmp_path):
+    """K5: line-protocol / MQTT serialization and breaker behavior.
+    Transports run in executor workers (foreachPartition), so recording
+    goes through the shared filesystem, not driver-side lists."""
     import datetime as dt
 
     from mysense_spark.sinks.forward import CircuitBreaker
@@ -216,19 +218,43 @@ def test_influx_and_mqtt_republish(spark):
     assert set(msgs) == {"IoS/kitA", "IoS/kitB"}
     assert '"pm25":12.5' in msgs["IoS/kitA"]
 
-    sent = []
-    pub = make_influx_publisher(lambda host, ls: (sent.extend(ls), True)[1])
+    sent_path = str(tmp_path / "influx.lines")
+
+    def ok_transport(host, ls):
+        with open(sent_path, "a") as fh:
+            fh.writelines(l + "\n" for l in ls)
+        return True
+
+    pub = make_influx_publisher(ok_transport)
     pub(fact, 0)
-    assert sorted(sent) == lines
+    with open(sent_path) as fh:
+        assert sorted(l.rstrip("\n") for l in fh) == lines
 
     # breaker opens after threshold failures and blocks the next batch
-    failed = []
+    failed_path = str(tmp_path / "mqtt.topics")
+
+    def failing_publish(topic, payload):
+        with open(failed_path, "a") as fh:
+            fh.write(topic + "\n")
+        return False
+
+    def n_failed():
+        try:
+            with open(failed_path) as fh:
+                return sum(1 for _ in fh)
+        except FileNotFoundError:
+            return 0
+
     breaker = CircuitBreaker(threshold=1, cooloff_s=9999)
-    mq = make_mqtt_republisher(lambda t, p: (failed.append(t), False)[1], breaker=breaker)
+    mq = make_mqtt_republisher(failing_publish, breaker=breaker)
     mq(fact, 0)
-    assert len(failed) == 1  # opened after first failure
+    # each parallel partition attempts at most `threshold` publishes
+    # before its local cut-off; the aggregate opens the driver breaker
+    n0 = n_failed()
+    assert 1 <= n0 <= 2
+    assert not breaker.allow("mqtt.local")
     mq(fact, 1)
-    assert len(failed) == 1  # still open
+    assert n_failed() == n0  # still open -> whole batch gated
 
 
 def test_kafka_lines_shape(spark):

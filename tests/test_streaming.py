@@ -200,8 +200,9 @@ def test_alarm_suppression(spark):
     assert out[("kit2", "dead", base + dt.timedelta(hours=2))] is True
 
 
-def test_forwarder_pin_split_and_breaker(spark):
+def test_forwarder_pin_split_and_breaker(spark, tmp_path):
     import datetime as dt
+    import json
 
     from mysense_spark.sinks.forward import CircuitBreaker, eligible_records, build_posts, make_forwarder
 
@@ -225,14 +226,33 @@ def test_forwarder_pin_split_and_breaker(spark):
     assert pins[1] == {"pm25": 12.5, "pm10": 20.0}
     assert pins[11] == {"temp": 21.0}
 
-    # circuit breaker opens after threshold errors
-    sent = []
+    # circuit breaker: the transport now runs in EXECUTOR python workers
+    # (foreachPartition), so recording goes through the shared filesystem
+    # (O_APPEND line writes), not a driver-side list
+    rec = str(tmp_path / "posts.jsonl")
+
+    def failing_transport(host, post):
+        with open(rec, "a") as fh:
+            fh.write(json.dumps(post) + "\n")
+        return False
+
+    def n_sent():
+        try:
+            with open(rec) as fh:
+                return sum(1 for _ in fh)
+        except FileNotFoundError:
+            return 0
+
     breaker = CircuitBreaker(threshold=2, cooloff_s=9999)
-    fwd = make_forwarder(routing, lambda host, post: (sent.append(post), False)[1], breaker=breaker)
+    fwd = make_forwarder(routing, failing_transport, breaker=breaker)
     fwd(fact, 0)
-    assert len(sent) == 2  # opened after 2 consecutive failures
+    # both posts attempted (parallel partitions each stop at their LOCAL
+    # consecutive-failure budget); the aggregated errors open the breaker
+    n0 = n_sent()
+    assert 1 <= n0 <= 2
+    assert not breaker.allow("api.sensor.community")
     fwd(fact, 1)
-    assert len(sent) == 2  # still open -> nothing sent
+    assert n_sent() == n0  # open breaker gates the whole next batch
 
 
 def test_port10_reaches_fact_path(spark):
