@@ -77,24 +77,16 @@ def main() -> None:
             fh,
         )
 
-    budget = 1400
-    base = {"metric": "mysense_spark_query_suite", "value": total, "unit": "sec",
-            "n_queries": len(timings), "sf": sf_val, "detail": "BENCH_DETAIL.json"}
-    inline: dict[str, float] = {}
-    line = ""
-    for name, t in sorted(timings.items(), key=lambda kv: -kv[1]):
-        trial = dict(base)
-        trial["queries"] = {**inline, name: t}
-        trial["queries_elided"] = len(timings) - len(trial["queries"])
-        cand = json.dumps(trial, separators=(",", ":"))
-        if len(cand) > budget:
-            break
-        inline[name] = t
-        line = cand
-    if not line:  # pathological: even one entry overflows — emit base alone
-        base["queries"] = {}
-        base["queries_elided"] = len(timings)
-        line = json.dumps(base, separators=(",", ":"))
+    # Inline only the slowest 10 — the driver records the LAST 2000 bytes
+    # of stdout, and a self-sufficient artifact beats a truncated full
+    # dict (round-3 judge note). Everything is in BENCH_DETAIL.json.
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    line = json.dumps(
+        {"metric": "mysense_spark_query_suite", "value": total, "unit": "sec",
+         "n_queries": len(timings), "sf": sf_val, "detail": "BENCH_DETAIL.json",
+         "queries": slowest, "queries_elided": len(timings) - len(slowest)},
+        separators=(",", ":"),
+    )
     print(line)
     spark.stop()
 

@@ -30,74 +30,71 @@ def _modules():
     return mods
 
 
-# Queries hoisted to the very front of the registry: new or changed this
-# round, so they must land inside the driver's 50-row correctness-gate
-# window. Round-3 layout: (a) the three round-2 hash-mismatch rows, now
-# fixed (DuckDB HUGEINT sums cast to BIGINT); (b) queries new this round;
-# (c) the 34 queries round 2 rotated out (they were green in round 1 but
-# code has moved since — re-confirm them). Everything round 2 just proved
-# green rotates to the back.
+# Queries hoisted to the very front of the registry: the driver's
+# correctness gate checks exactly the FIRST 50 entries, so this list is
+# kept to exactly 50. Round-4 layout: (a) the 8 queries fixed/changed/new
+# this round (the r3 station_calibration red now sin-free, the ADVICE
+# rounding-parity fixes, the oracle-ized HLL query, the new REST pull,
+# the bm25 re-plan); (b) the 4 rows whose last driver evidence is round 1
+# (displaced from the r3 window by its 50-row cap); (c) every row whose
+# latest driver evidence is round 2, oldest-evidence-first in registry
+# order. Four unchanged r2-green rows (lki_index, aqhi_index, caqi_index,
+# sensor_set_diff) deliberately roll to round 5 — the window is full; all
+# 46 rows behind it carry round-3 evidence.
 _PRIORITY = (
-    # (a) fixed round-2 reds + r2-green queries whose code changed
-    # materially in round 3 (IEEE rounding, the ranged-persist fix) —
-    # changed code needs fresh driver evidence more than unchanged
-    # stale rows do
-    "repetition_stats",
-    "token_count",
-    "sequence_packing",
+    # (a) fixed / changed / new in round 4
     "station_calibration",
-    "revenue_quartiles",
-    "fit_apply",
-    # (b) new in round 3
-    "dup_ngram_frac",
-    "perplexity_bucket",
-    "tokenizer_fertility",
-    "chunk_overlap",
-    "url_filter",
-    "incremental_dedup",
-    "ann_recall",
-    "vocab_stats",
-    "media_embed",
-    "modality_mix",
+    "sensorthings_pull",
+    "approx_distinct_users",
     "cascade_rollup",
-    "bm25_search",
-    "spatial_pairs",
-    "weighted_sample",
-    # (c) r1-only rows, oldest evidence first
-    "joost_correction",
-    "dew_point",
-    "unit_conversion",
-    "taylor_calibration",
-    "pricing_summary",
-    "region_rollup",
-    "sql_interface",
-    "top_revenue_orders",
     "region_revenue",
-    "part_supplier_stats",
-    "customers_without_orders",
-    "order_priority_counts",
-    "hourly_stats",
-    "event_sessions",
-    "maintenance_window_join",
-    "props_json_stats",
-    "unpivot_long",
-    "chatty_kits",
-    "percentile_summary",
-    "failing_sensor_report",
-    "distinct_active_kits",
-    "wide_view",
-    "timeslice_avg",
-    "latest_per_user",
-    "static_runs",
-    "gap_detection",
-    "interval_inference",
-    "dead_kits",
-    "hourly_gapfill",
-    "moving_average",
+    "spatial_pairs",
+    "neighbour_search",
+    "bm25_search",
+    # (b) last driver evidence: round 1
     "asof_align",
     "mode_per_user",
     "coverage",
     "dedup_upsert",
+    # (c) last driver evidence: round 2
+    "ttn_decode",
+    "csv_ingest",
+    "geofence_transitions",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "embedding_neardup",
+    "neardup_clusters",
+    "decontam_report",
+    "knn_bruteforce",
+    "ann_ivf",
+    "cluster_stats",
+    "kmeans_train",
+    "text_stats",
+    "pii_scrub",
+    "tfidf_top_terms",
+    "lang_id",
+    "quality_score",
+    "doc_fingerprint",
+    "blob_metadata",
+    "frame_sample",
+    "hash_sample",
+    "corpus_build",
+    "temperature_mix",
+    "stratified_sample",
+    "range_validate",
+    "tristate_validity",
+    "pm_mass_fill",
+    "zscore_outliers",
+    "grubbs_outliers",
+    "linear_regression",
+    "ols_summary",
+    "sigma_band",
+    "multilinear_regression",
+    "minmax_normalize",
+    "daily_qc_report",
+    "aqi_index",
 )
 
 

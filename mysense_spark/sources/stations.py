@@ -48,10 +48,15 @@ _DIURNAL = [
 
 
 def station_value_sql(h: str) -> str:
+    # CAST the lookup and the hour term to DOUBLE explicitly: both Spark
+    # and DuckDB parse bare fractional literals as DECIMAL, and their
+    # decimal-arithmetic scale rules differ — the whole expression must
+    # ride the IEEE double path in both engines (decimal→double literal
+    # conversion is correctly rounded and identical everywhere).
     branches = " ".join(f"WHEN {k} THEN {v!r}" for k, v in enumerate(_DIURNAL))
     return (
-        f"(18.0 + (CASE (({h}) % 24) {branches} END) "
-        f"+ 0.6 * (({h}) % 120) / 24.0)"
+        f"(18.0 + CAST((CASE (({h}) % 24) {branches} END) AS DOUBLE) "
+        f"+ 0.6 * CAST((({h}) % 120) AS DOUBLE) / 24.0)"
     )
 
 

@@ -183,7 +183,13 @@ def test_station_csv_and_synthetic(spark, tmp_path):
     assert [r["pm25"] for r in syn] == [r["pm25"] for r in syn2]
     assert all(abs(r["pm10"] - 1.6 * r["pm25"]) < 1e-9 for r in syn)
     # the SQL fragment is one shared text (used verbatim in the oracle)
-    assert "sin" in station_value_sql("h")
+    # and must stay transcendental-free: live sin()/cos() evaluate
+    # differently in the last ulp across engines (the r3 hash red) —
+    # the diurnal cycle is a pre-rounded literal CASE table instead
+    frag = station_value_sql("h")
+    assert "CASE" in frag and "sin(" not in frag and "cos(" not in frag
+    # diurnal peak present as a literal (hour 6 -> +7.0)
+    assert "WHEN 6 THEN 7.0" in frag
 
 
 def test_influx_and_mqtt_republish(spark, tmp_path):
