@@ -539,6 +539,72 @@ ORDER BY cluster_id, doc_id
 SQL_NEARDUP_CLUSTERS = _sql_neardup_clusters()
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection over the near-dup clusters: within each
+    connected component keep the LONGEST document (tie: lowest doc_id) —
+    the policy step after clustering that decides which rows actually
+    survive dedup. Real pipelines keep the longest/highest-quality
+    variant rather than an arbitrary min-id member: near-dup groups are
+    typically truncations and boilerplate-wrapped copies of one
+    canonical text.
+
+    Scale shape: everything q_neardup_clusters costs, plus one narrow
+    join against the (doc_id, n_chars) projection and a per-cluster
+    window rank — both on keys already produced by the clustering;
+    cluster sizes are small (near-dup components), so the window
+    partition is bounded.
+    """
+    from pyspark.sql import Window
+
+    clusters = q_neardup_clusters(spark, sf_dir).select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+    doc = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        clusters.join(doc, "doc_id")
+        .withColumn("keep", (F.row_number().over(w) == 1).cast("int"))
+        .select("doc_id", "cluster_id", "cluster_size", "n_chars", "keep")
+        .orderBy("cluster_id", "doc_id")
+    )
+
+
+def _sql_dedup_keep_best() -> str:
+    pairs_sql = SQL_MINHASH_LSH_PAIRS.strip().rstrip().removesuffix("ORDER BY d1, d2")
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT d1 AS u, d2 AS v FROM pairs
+  UNION
+  SELECT d2 AS u, d1 AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+lab AS (
+  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+),
+sized AS (
+  SELECT doc_id, cluster_id,
+         count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM lab
+)
+SELECT s.doc_id, s.cluster_id, s.cluster_size, d.n_chars,
+       CAST(row_number() OVER (
+              PARTITION BY s.cluster_id
+              ORDER BY d.n_chars DESC, s.doc_id ASC) = 1 AS INT) AS keep
+FROM sized s JOIN documents d ON s.doc_id = d.doc_id
+ORDER BY s.cluster_id, s.doc_id
+"""
+
+
+SQL_DEDUP_KEEP_BEST = _sql_dedup_keep_best()
+
+
 _DECON_N = 7  # shingle width: long enough that chance overlap ~ 0
 _DECON_MIN_FRAC = 0.1  # report docs with >= 10% of their shingles in train
 
@@ -836,5 +902,6 @@ QUERIES: dict[str, tuple] = {
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "neardup_clusters": (q_neardup_clusters, SQL_NEARDUP_CLUSTERS),
+    "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "decontam_report": (q_decontam_report, SQL_DECONTAM_REPORT),
 }

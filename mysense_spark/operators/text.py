@@ -541,6 +541,117 @@ ORDER BY doc_id
 SQL_DUP_NGRAM_FRAC = _sql_dup_grams()
 
 
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-SPAN structure per document: contiguous runs of word-
+    5-grams that also occur in other documents — the gram-granular
+    approximation of suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a long
+    shared license block shows up as ONE long span here, while
+    q_dup_ngram_frac would only report the same coverage fraction as
+    many scattered grams. Span length is the signal that separates
+    boilerplate blocks (remove the span) from happenstance overlap
+    (keep the doc).
+
+    Scale shape: positional grams via posexplode (ONE pass — the gram is
+    immediately replaced by a 60-bit md5 hash so the shuffle key is 8
+    bytes, not a ~35-byte string, and the oracle applies the identical
+    hash); cross-doc support is min(doc)!=max(doc) window aggs over the
+    hash partition — no distinct, no self-join, no gram recompute;
+    duplicated positions then run-length encode per doc (pos -
+    row_number is constant within a run); two bounded aggs finish.
+    Linear in corpus size, no quadratic stage, no Python.
+    """
+    from .util import ieee_round
+
+    doc = load(spark, sf_dir, "documents")
+    toks = doc.select(
+        "doc_id", F.expr(f"regexp_extract_all(text, '{_WORD_RE}', 0)").alias("w")
+    ).where(F.size("w") >= _DUP_N)
+    grams = F.expr(
+        f"transform(sequence(0, size(w) - {_DUP_N}), i -> concat_ws(' ', slice(w, i + 1, {_DUP_N})))"
+    )
+    # full 60-bit md5 hash (NOT dedup._shingle_hash, whose % 1e9+7 — an
+    # int64-overflow guard for minhash affine math — would shrink the
+    # space to ~30 bits and birthday-collide visibly at corpus scale)
+    gh = F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10).cast("long")
+    pg = toks.select("doc_id", F.posexplode(grams).alias("pos", "g")).select(
+        "doc_id", "pos", gh.alias("gh")
+    )
+    from pyspark.sql import Window
+
+    wg = Window.partitionBy("gh")
+    dup_pos = pg.withColumn(
+        "multi", F.min("doc_id").over(wg) != F.max("doc_id").over(wg)
+    ).where(F.col("multi"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = dup_pos.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    spans = runs.groupBy("doc_id", "grp").agg(F.count(F.lit(1)).alias("span_len"))
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_len").alias("dup_grams"),
+        F.max("span_len").alias("max_span"),
+    )
+    # cast: F.size is int32; the oracle's len() is BIGINT — emit int64
+    tot = toks.select(
+        "doc_id", (F.size("w") - F.lit(_DUP_N - 1)).cast("long").alias("n_grams")
+    )
+    return (
+        per_doc.join(tot, "doc_id")
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_spans",
+            "dup_grams",
+            "max_span",
+            ieee_round(F.col("dup_grams").cast("double") / F.col("n_grams"), 6).alias(
+                "dup_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_duplicate_spans() -> str:
+    from .util import sql_ieee_round
+
+    terms = " || ' ' || ".join(f"w[i+{k}]" for k in range(1, _DUP_N + 1))
+    gram = f"unnest(list_transform(range(len(w) - {_DUP_N - 1}), i -> {terms}))"
+    return f"""
+WITH pg AS (
+  SELECT doc_id, unnest(range(len(w) - {_DUP_N - 1})) AS pos,
+         ('0x' || substr(md5({gram}), 1, 15))::BIGINT AS gh
+  FROM (SELECT doc_id, regexp_extract_all(text, '{_WORD_RE}') AS w FROM documents)
+  WHERE len(w) >= {_DUP_N}
+),
+shared AS (
+  SELECT gh FROM (SELECT gh, count(DISTINCT doc_id) AS nd FROM pg GROUP BY gh) WHERE nd >= 2
+),
+dup_pos AS (SELECT doc_id, pos FROM pg WHERE gh IN (SELECT gh FROM shared)),
+runs AS (
+  SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dup_pos
+),
+spans AS (SELECT doc_id, grp, count(*) AS span_len FROM runs GROUP BY 1, 2),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_spans,
+         -- CAST: sum(BIGINT) is HUGEINT -> float64 in pandas; Spark emits int64
+         CAST(sum(span_len) AS BIGINT) AS dup_grams,
+         max(span_len) AS max_span
+  FROM spans GROUP BY doc_id
+),
+tot AS (SELECT doc_id, len(w) - {_DUP_N - 1} AS n_grams
+        FROM (SELECT doc_id, regexp_extract_all(text, '{_WORD_RE}') AS w FROM documents)
+        WHERE len(w) >= {_DUP_N})
+SELECT doc_id, n_grams, n_spans, dup_grams, max_span,
+       {sql_ieee_round('CAST(dup_grams AS DOUBLE) / n_grams', 6)} AS dup_frac
+FROM per_doc JOIN tot USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+SQL_DUPLICATE_SPANS = _sql_duplicate_spans()
+
+
 def q_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM perplexity proxy per document (the CCNet-style quality
     gate): train a unigram model on the corpus itself (count/total), then
@@ -889,6 +1000,7 @@ QUERIES: dict[str, tuple] = {
     "bm25_search": (q_bm25_search, SQL_BM25_SEARCH),
     "vocab_stats": (q_vocab_stats, SQL_VOCAB_STATS),
     "dup_ngram_frac": (q_dup_ngram_frac, SQL_DUP_NGRAM_FRAC),
+    "duplicate_spans": (q_duplicate_spans, SQL_DUPLICATE_SPANS),
     "perplexity_bucket": (q_perplexity_bucket, SQL_PERPLEXITY_BUCKET),
     "tokenizer_fertility": (q_tokenizer_fertility, SQL_TOKENIZER_FERTILITY),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),

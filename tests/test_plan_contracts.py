@@ -41,6 +41,8 @@ _FENCED_CROSSJOIN = {"knn_bruteforce", "ann_ivf", "ann_recall", "embedding_neard
         "url_filter",
         "chunk_overlap",
         "dup_ngram_frac",
+        "duplicate_spans",
+        "dedup_keep_best",
         "sequence_packing",
         "daily_qc_report",
         "vocab_stats",
