@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load
-from .util import sql_avg, sql_sum
+from .util import sql_avg, sql_ieee_round, sql_std, sql_sum
 
 _N_QUERIES = 5  # vec_id < 5 are the query vectors
 _TOP_K = 10
@@ -440,8 +440,63 @@ ORDER BY e.query_id
 """
 
 
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(label, dimension) feature statistics over the embedding
+    column: count, mean, std, min, max for each of the 64 dimensions
+    within each class — the feature-drift / class-separation diagnostic
+    a curation pipeline runs before trusting an embedding space (a
+    near-constant dimension or a label whose per-dim means collapse
+    toward the global mean both flag a degenerate encoder), and the
+    scaling statistics a standardization (z-score) step consumes.
+
+    Scale shape: one posexplode (vector -> 64 narrow rows) feeding one
+    two-level groupBy — map-side partial aggregation reduces each task
+    to at most |labels| x 64 partial rows before the single shuffle, so
+    the shuffle volume is bounded by cardinality, not corpus size. All
+    float accumulation runs through the exact_* quantized machinery so
+    the result is identical on any partitioning (and to the DuckDB
+    twin).
+    """
+    from .util import exact_avg, exact_std, ieee_round
+
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
+    )
+    return (
+        ex.groupBy("label", F.col("dim").cast("long").alias("dim"))
+        .agg(
+            F.count("x").alias("n"),
+            exact_avg(F.col("x"), 6).alias("mean_x"),
+            exact_std(F.col("x"), 6).alias("std_x"),
+            ieee_round(F.min("x"), 6).alias("min_x"),
+            ieee_round(F.max("x"), 6).alias("max_x"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+SQL_EMBEDDING_DIM_STATS = f"""
+WITH ex AS (
+  SELECT label,
+         unnest(range(len(embedding))) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+)
+SELECT label, dim, count(x) AS n,
+       {sql_avg('x', 6)} AS mean_x,
+       {sql_std('x', 6)} AS std_x,
+       {sql_ieee_round('min(x)', 6)} AS min_x,
+       {sql_ieee_round('max(x)', 6)} AS max_x
+FROM ex
+GROUP BY label, dim
+ORDER BY label, dim
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "knn_bruteforce": (q_knn_bruteforce, SQL_KNN_BRUTEFORCE),
+    "embedding_dim_stats": (q_embedding_dim_stats, SQL_EMBEDDING_DIM_STATS),
     "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
     "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
     "cluster_stats": (q_cluster_stats, SQL_CLUSTER_STATS),
