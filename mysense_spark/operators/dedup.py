@@ -62,12 +62,53 @@ _SQL_SHINGLES = f"""
 
 
 def _shingle_hash(c: Column) -> Column:
-    """Deterministic 60-bit shingle hash from md5 (same in DuckDB)."""
+    """Deterministic shingle hash into the affine minhash domain [0, _P)
+    (same in DuckDB). The % _P keeps a*h+b within int64 — it is NOT a
+    general-purpose hash: ~30 bits birthday-collides at corpus scale."""
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long") % _P
 
 
 def _sql_shingle_hash(e: str) -> str:
     return f"(('0x' || substr(md5({e}), 1, 15))::BIGINT % {_P})"
+
+
+def _h60(c: Column) -> Column:
+    """Full 60-bit md5 hash (no modulus) — the join/count-safe form."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def _hashed_shingles(doc: DataFrame) -> DataFrame:
+    """Distinct word-3-gram shingles per doc as 60-bit int64 hashes: the
+    narrow form every shingle join/count uses — an 8-byte shuffle key
+    instead of a ~40-byte string (5x less shuffle volume on the fattest
+    joins in the dedup family). Set semantics are over the hash; at 60
+    bits the birthday collision odds are ~1e-5 corpus-wide, and the
+    DuckDB twin applies the identical hash, so the gate stays bit-exact
+    either way."""
+    words = F.expr(f"regexp_extract_all(text, '{_WORD_RE}', 0)")
+    tri = F.expr(
+        "transform(sequence(0, size(words) - 3), i -> "
+        "concat(words[i], ' ', words[i+1], ' ', words[i+2]))"
+    )
+    return (
+        doc.select("doc_id", words.alias("words"))
+        .where(F.size("words") >= 3)
+        .select("doc_id", F.explode(tri).alias("shingle"))
+        .select("doc_id", _h60(F.col("shingle")).alias("hsh"))
+        .distinct()
+    )
+
+
+_SQL_HASHED_SHINGLES = f"""
+  SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS hsh
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(len(w) - 2),
+                                 i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+    FROM (SELECT doc_id, regexp_extract_all(text, '{_WORD_RE}') AS w FROM documents)
+    WHERE len(w) >= 3
+  )
+"""
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -93,52 +134,63 @@ ORDER BY keep_doc_id
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup verify step: exact word-3-gram Jaccard for all pairs
-    sharing >= 1 shingle, threshold 0.05. The shingle equi-join bounds the
-    pair explosion to co-bucketed docs (never a full cross join)."""
+    """Near-dup verify step: word-3-gram Jaccard for all pairs sharing
+    >= 1 shingle, threshold 0.05. The shingle equi-join bounds the pair
+    explosion to co-bucketed docs (never a full cross join); shingles
+    ride as 60-bit hashes so the self-join shuffles 8-byte keys."""
     doc = load(spark, sf_dir, "documents")
+    from .util import ieee_round
+
     # pin shingle-hash parallelism: the self-join output is much larger
     # than its input, so AQE (sizing on input bytes) would coalesce the
     # join down to 1-2 tasks and serialize the quadratic-per-bucket work
     par = spark.sparkContext.defaultParallelism
-    sh = _shingles(doc).repartition(par, "shingle").cache()
+    sh = _hashed_shingles(doc).repartition(par, "hsh").cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.hsh") == F.col("b.hsh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
     sa = sizes.select(F.col("doc_id").alias("d1"), F.col("n_shingles").alias("n1"))
     sb = sizes.select(F.col("doc_id").alias("d2"), F.col("n_shingles").alias("n2"))
     jac = F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
+    # floor-form round before the >= threshold (membership parity)
     return (
         common.join(F.broadcast(sa), "d1")
         .join(F.broadcast(sb), "d2")
-        .withColumn("jaccard", F.round(jac, 6))
+        .withColumn("jaccard", ieee_round(jac, 6))
         .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
         .select("d1", "d2", "common", "jaccard")
         .orderBy("d1", "d2")
     )
 
 
-SQL_NGRAM_JACCARD_PAIRS = f"""
-WITH sh AS ({_SQL_SHINGLES}),
+def _sql_ngram_jaccard() -> str:
+    from .util import sql_ieee_round
+
+    jac = sql_ieee_round("common / (sa.n_shingles + sb.n_shingles - common)", 6)
+    return f"""
+WITH sh AS ({_SQL_HASHED_SHINGLES}),
 sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM sh a JOIN sh b ON a.hsh = b.hsh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT d1, d2, common,
-       round(common / (sa.n_shingles + sb.n_shingles - common), 6) AS jaccard
+       {jac} AS jaccard
 FROM common
 JOIN sizes sa ON sa.doc_id = d1
 JOIN sizes sb ON sb.doc_id = d2
-WHERE round(common / (sa.n_shingles + sb.n_shingles - common), 6) >= {_JACCARD_THRESHOLD}
+WHERE {jac} >= {_JACCARD_THRESHOLD}
 ORDER BY d1, d2
 """
+
+
+SQL_NGRAM_JACCARD_PAIRS = _sql_ngram_jaccard()
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -149,9 +201,13 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the scale path: signatures are one groupBy over shingles,
     banding is an equi-join on (band_id, band_key) — no quadratic stage
-    touches the full corpus."""
+    touches the full corpus. Shingles ride as 60-bit int64 hashes
+    end-to-end (8-byte shuffle keys); the affine minhash domain is the
+    60-bit hash % _P, identical to the previous string-keyed form."""
+    from .util import ieee_round
+
     doc = load(spark, sf_dir, "documents")
-    sh = _shingles(doc).withColumn("h", _shingle_hash(F.col("shingle")))
+    sh = _hashed_shingles(doc).withColumn("h", F.col("hsh") % _P)
     minhash_aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % _P).alias(f"m{i}")
         for i, (a, b) in enumerate(zip(_HASH_A, _HASH_B))
@@ -178,13 +234,13 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
-    # verify candidates with exact Jaccard (reuses the shingle sets)
+    # verify candidates with exact Jaccard (reuses the hashed shingle sets)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    s1 = sh.select(F.col("doc_id").alias("sd1"), F.col("shingle").alias("sh1"))
-    s2 = sh.select(F.col("doc_id").alias("sd2"), F.col("shingle").alias("sh2"))
+    s1 = sh.select(F.col("doc_id").alias("sd1"), F.col("hsh").alias("h1"))
+    s2 = sh.select(F.col("doc_id").alias("sd2"), F.col("hsh").alias("h2"))
     common = (
         cand.join(s1, F.col("d1") == F.col("sd1"))
-        .join(s2, (F.col("d2") == F.col("sd2")) & (F.col("sh1") == F.col("sh2")))
+        .join(s2, (F.col("d2") == F.col("sd2")) & (F.col("h1") == F.col("h2")))
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("common"))
     )
@@ -194,7 +250,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         common.join(sa, "d1")
         .join(sb, "d2")
-        .withColumn("jaccard", F.round(jac, 6))
+        .withColumn("jaccard", ieee_round(jac, 6))
         .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
         .select("d1", "d2", "jaccard")
         .orderBy("d1", "d2")
@@ -211,10 +267,13 @@ def _sql_minhash() -> str:
         + " AS band_key FROM sig"
         for b in range(_N_BANDS)
     )
+    from .util import sql_ieee_round
+
+    jac = sql_ieee_round("common / (sa.n_shingles + sb.n_shingles - common)", 6)
     return f"""
 WITH sh AS (
-  SELECT doc_id, shingle, {_sql_shingle_hash('shingle')} AS h
-  FROM ({_SQL_SHINGLES})
+  SELECT doc_id, hsh, hsh % {_P} AS h
+  FROM ({_SQL_HASHED_SHINGLES})
 ),
 sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
 bands AS ({band_selects}),
@@ -228,15 +287,15 @@ common AS (
   SELECT c.d1, c.d2, count(*) AS common
   FROM cand c
   JOIN sh a ON a.doc_id = c.d1
-  JOIN sh b ON b.doc_id = c.d2 AND a.shingle = b.shingle
+  JOIN sh b ON b.doc_id = c.d2 AND a.hsh = b.hsh
   GROUP BY c.d1, c.d2
 )
 SELECT d1, d2,
-       round(common / (sa.n_shingles + sb.n_shingles - common), 6) AS jaccard
+       {jac} AS jaccard
 FROM common
 JOIN sizes sa ON sa.doc_id = d1
 JOIN sizes sb ON sb.doc_id = d2
-WHERE round(common / (sa.n_shingles + sb.n_shingles - common), 6) >= {_JACCARD_THRESHOLD}
+WHERE {jac} >= {_JACCARD_THRESHOLD}
 ORDER BY d1, d2
 """
 
