@@ -676,12 +676,14 @@ def q_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic md5 buckets as q_hash_sample, so the report composes
     with the split that training actually uses.
 
-    Scale shape: shingles are hashed to 60-bit ints before the join, so
-    the contamination probe is an equi-join on a long key (narrow
-    shuffle), test-side only rows flow into the final agg, and the train
-    side is a distinct-projection of hashes — no pairwise doc comparison
-    anywhere. 7-gram chance collisions are negligible; planted near-dups
-    across the split boundary surface at overlap ~ 1."""
+    Scale shape: shingles are hashed to FULL 60-bit ints before the
+    join (the affine-domain % 1e9+7 form would false-hit ~1% of clean
+    test shingles against a 10M-shingle train set — contamination
+    inflation, not noise), so the probe is an equi-join on a long key
+    (narrow shuffle), test-side only rows flow into the final agg, and
+    the train side is a distinct-projection of hashes — no pairwise doc
+    comparison anywhere. 60-bit chance collisions are negligible;
+    planted near-dups across the split boundary surface at overlap ~ 1."""
     doc = load(spark, sf_dir, "documents")
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long") % 100
@@ -697,7 +699,7 @@ def q_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.size("words") >= _DECON_N)
         .select("doc_id", "split", F.explode(grams).alias("shingle"))
         .distinct()
-        .select("doc_id", "split", _shingle_hash(F.col("shingle")).alias("h"))
+        .select("doc_id", "split", _h60(F.col("shingle")).alias("h"))
     )
     train = sh.where(F.col("split") == "train").select("h").distinct()
     test = sh.where(F.col("split") == "test")
@@ -709,7 +711,10 @@ def q_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shingles"), F.count("hit").alias("n_hit"))
     )
-    frac = F.round(F.col("n_hit") / F.col("n_shingles"), 6)
+    from .util import ieee_round
+
+    # floor-form round before the >= threshold (membership parity)
+    frac = ieee_round(F.col("n_hit") / F.col("n_shingles"), 6)
     return (
         per_doc.withColumn("overlap_frac", frac)
         .where(F.col("overlap_frac") >= _DECON_MIN_FRAC)
@@ -719,7 +724,10 @@ def q_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_decontam() -> str:
+    from .util import sql_ieee_round
+
     j = " || ' ' || ".join(f"w[i+{k}]" for k in range(1, _DECON_N + 1))
+    frac = sql_ieee_round("n_hit * 1.0 / n_shingles", 6)
     return f"""
 WITH split AS (
   SELECT doc_id,
@@ -731,7 +739,7 @@ WITH split AS (
   FROM documents
 ),
 sh AS (
-  SELECT doc_id, split, {_sql_shingle_hash('shingle')} AS h
+  SELECT doc_id, split, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
   FROM (
     SELECT DISTINCT doc_id, split,
            unnest(list_transform(range(len(w) - {_DECON_N - 1}), i -> {j})) AS shingle
@@ -744,9 +752,10 @@ totals AS (SELECT doc_id, count(*) AS n_shingles FROM test GROUP BY doc_id),
 hits AS (
   SELECT t.doc_id, count(*) AS n_hit FROM test t JOIN train tr ON t.h = tr.h GROUP BY t.doc_id
 )
-SELECT doc_id, n_shingles, n_hit, round(n_hit * 1.0 / n_shingles, 6) AS overlap_frac
+SELECT doc_id, n_shingles, n_hit,
+       {frac} AS overlap_frac
 FROM totals JOIN hits USING (doc_id)
-WHERE round(n_hit * 1.0 / n_shingles, 6) >= {_DECON_MIN_FRAC}
+WHERE {frac} >= {_DECON_MIN_FRAC}
 ORDER BY doc_id
 """
 
@@ -804,8 +813,10 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides of the Jaccard verify) — persist it so the donor join + the
     # tokenizing regex run ONCE per corpus scan instead of four times
     # (at 100 TB this is the difference between one pass and four; the
-    # production form checkpoints it to storage between stages).
-    sh = _shingles(doc).withColumn("h", _shingle_hash(F.col("shingle"))).persist()
+    # production form checkpoints it to storage between stages). Shingles
+    # ride as 60-bit int64 hashes (8-byte keys, smaller persist + 5x
+    # narrower verify shuffle); the affine minhash domain is hash % _P.
+    sh = _hashed_shingles(doc).withColumn("h", F.col("hsh") % _P).persist()
     minhash_aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % _P).alias(f"m{i}")
         for i, (a, b) in enumerate(zip(_HASH_A, _HASH_B))
@@ -829,17 +840,19 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    s1 = sh.select(F.col("doc_id").alias("sd1"), F.col("shingle").alias("sh1"))
-    s2 = sh.select(F.col("doc_id").alias("sd2"), F.col("shingle").alias("sh2"))
+    s1 = sh.select(F.col("doc_id").alias("sd1"), F.col("hsh").alias("h1"))
+    s2 = sh.select(F.col("doc_id").alias("sd2"), F.col("hsh").alias("h2"))
     common = (
         cand.join(s1, F.col("d_new") == F.col("sd1"))
-        .join(s2, (F.col("d_old") == F.col("sd2")) & (F.col("sh1") == F.col("sh2")))
+        .join(s2, (F.col("d_old") == F.col("sd2")) & (F.col("h1") == F.col("h2")))
         .groupBy("d_new", "d_old")
         .agg(F.count(F.lit(1)).alias("common"))
     )
     sa = sizes.select(F.col("doc_id").alias("d_new"), F.col("n_sh").alias("n1"))
     sb = sizes.select(F.col("doc_id").alias("d_old"), F.col("n_sh").alias("n2"))
-    jac = F.round(F.col("common") / (F.col("n1") + F.col("n2") - F.col("common")), 6)
+    from .util import ieee_round
+
+    jac = ieee_round(F.col("common") / (F.col("n1") + F.col("n2") - F.col("common")), 6)
     near = (
         common.join(sa, "d_new")
         .join(sb, "d_old")
@@ -875,6 +888,9 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_incremental_dedup() -> str:
+    from .util import sql_ieee_round
+
+    jac = sql_ieee_round("common / (sa.n_sh + sb.n_sh - common)", 6)
     mins = ", ".join(
         f"min(({a} * h + {b}) % {_P}) AS m{i}" for i, (a, b) in enumerate(zip(_HASH_A, _HASH_B))
     )
@@ -905,8 +921,8 @@ exact AS (
   WHERE f.is_new
 ),
 sh AS (
-  SELECT doc_id, shingle, {_sql_shingle_hash('shingle')} AS h
-  FROM ({_SQL_SHINGLES.replace("FROM documents", "FROM base")})
+  SELECT doc_id, hsh, hsh % {_P} AS h
+  FROM ({_SQL_HASHED_SHINGLES.replace("FROM documents", "FROM base")})
 ),
 sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
 bands AS ({band_selects}),
@@ -921,16 +937,16 @@ common AS (
   SELECT c.d_new, c.d_old, count(*) AS common
   FROM cand c
   JOIN sh a ON a.doc_id = c.d_new
-  JOIN sh b ON b.doc_id = c.d_old AND a.shingle = b.shingle
+  JOIN sh b ON b.doc_id = c.d_old AND a.hsh = b.hsh
   GROUP BY c.d_new, c.d_old
 ),
 near AS (
   SELECT d_new, d_old,
-         round(common / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+         {jac} AS jaccard
   FROM common
   JOIN sizes sa ON sa.doc_id = d_new
   JOIN sizes sb ON sb.doc_id = d_old
-  WHERE round(common / (sa.n_sh + sb.n_sh - common), 6) >= {_JACCARD_THRESHOLD}
+  WHERE {jac} >= {_JACCARD_THRESHOLD}
 ),
 best_near AS (
   SELECT d_new AS doc_id, d_old AS near_match, jaccard

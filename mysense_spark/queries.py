@@ -38,10 +38,10 @@ def _modules():
 # the bm25 re-plan); (b) the 4 rows whose last driver evidence is round 1
 # (displaced from the r3 window by its 50-row cap); (c) every row whose
 # latest driver evidence is round 2, oldest-evidence-first in registry
-# order. Seven unchanged r2-green rows (minmax_normalize,
-# daily_qc_report, aqi_index, lki_index, aqhi_index, caqi_index,
-# sensor_set_diff) deliberately roll to round 5 — the window is full;
-# every row behind it carries round-2 or round-3 evidence.
+# order. Eight unchanged r2-green rows (multilinear_regression,
+# minmax_normalize, daily_qc_report, aqi_index, lki_index, aqhi_index,
+# caqi_index, sensor_set_diff) deliberately roll to round 5 — the window
+# is full; every row behind it carries round-2 or round-3 evidence.
 _PRIORITY = (
     # (a) fixed / changed / new in round 4
     "station_calibration",
@@ -55,6 +55,7 @@ _PRIORITY = (
     "duplicate_spans",
     "dedup_keep_best",
     "embedding_dim_stats",
+    "incremental_dedup",
     # (b) last driver evidence: round 1
     "asof_align",
     "mode_per_user",
@@ -95,7 +96,6 @@ _PRIORITY = (
     "linear_regression",
     "ols_summary",
     "sigma_band",
-    "multilinear_regression",
 )
 
 
