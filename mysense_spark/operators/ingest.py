@@ -70,8 +70,13 @@ def q_ttn_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the ingest chain over the golden replay records (sf-independent)."""
     from pyspark.sql import functions as F
 
-    # pin tz: this query doesn't go through io.load, and the driver's
-    # session tz is unknown — the oracle's timestamps are UTC literals
+    # Pin tz: this query doesn't go through io.load (which pins UTC for
+    # every table query — the engine-wide policy), and the driver's
+    # session tz is unknown; the oracle's timestamps are UTC literals.
+    # Deliberately NOT save/restored: session tz is read at COLLECT time
+    # for the timestamp->pandas conversion, so restoring a non-UTC value
+    # before the driver collects would shift the result. Every registered
+    # query pins the same value on entry, so ordering cannot matter.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # VALUES literal (LocalRelation) + repartition(1): one task, one
     # python worker for the decode UDF; a python-list createDataFrame
@@ -276,6 +281,8 @@ def q_sensorthings_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.rest import observations_frame, read_paginated
 
+    # UTC pin, same engine-wide policy (and same non-restore rationale)
+    # as q_ttn_decode above / io.load
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = read_paginated(
         spark,

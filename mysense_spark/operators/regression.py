@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..cache import tracked_persist
 from ..io import load
 from .util import exact_avg, sql_avg
 
@@ -491,8 +492,8 @@ def q_sigma_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.where(F.col("event_type") == "click")
         .groupBy(F.col("user_id"), bucket)
         .agg(exact_avg(F.col("value"), 6).alias("v"))
-        .persist()
     )
+    series = tracked_persist(series)
     kern = values_df(
         spark, [(j, str(w)) for j, w in _KERNEL], "off int, w_s string"
     ).select("off", F.col("w_s").cast("decimal(10,8)").alias("w"))
@@ -516,7 +517,7 @@ def q_sigma_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     smooth = convolve(series, "v", "smooth")
-    joined = series.join(smooth, ["user_id", "b"]).persist()
+    joined = tracked_persist(series.join(smooth, ["user_id", "b"]))
     dev = joined.withColumn(
         "dev2", F.round((F.col("v") - F.col("smooth")) * (F.col("v") - F.col("smooth")), 6)
     )

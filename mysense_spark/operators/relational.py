@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..cache import tracked_persist
 from ..io import load
 from .util import exact_avg, exact_std, exact_sum, sql_avg, sql_std, sql_sum
 
@@ -394,8 +395,8 @@ def q_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranged = (
         spend.repartitionByRange(par, F.desc("spend"), F.asc("o_custkey"))
         .withColumn("pid", F.spark_partition_id())
-        .persist()
     )
+    ranged = tracked_persist(ranged)
     counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
     w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..cache import tracked_persist
 from ..io import load
 from .util import exact_avg, sql_avg
 
@@ -161,8 +162,8 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).alias("rate"),
         )
-        .persist()
     )
+    rates = tracked_persist(rates)
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
         % _MIX_RES

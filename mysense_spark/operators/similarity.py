@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..cache import tracked_persist
 from ..io import load
 from .util import sql_avg, sql_ieee_round, sql_std, sql_sum
 
@@ -287,7 +288,7 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id", "d", F.floor(F.col("x") * _KM_SCALE).cast("long").alias("q")
     )
-    pts = pts.persist()  # consumed by 2 assign + 2 update passes
+    pts = tracked_persist(pts)  # consumed by 2 assign + 2 update passes
 
     def assign(cent: DataFrame) -> DataFrame:
         dist = (
@@ -316,7 +317,7 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") - _CENTROID_BASE).alias("cid"), "d", F.col("q").alias("cq")
     )
     a1 = assign(cent0)
-    cent1 = update(a1).persist()  # feeds assign2 AND the shift metric
+    cent1 = tracked_persist(update(a1))  # feeds assign2 AND the shift metric
     a2 = assign(cent1)
     cent2 = update(a2)
     summary = a2.groupBy("cid").agg(
@@ -494,7 +495,93 @@ ORDER BY label, dim
 """
 
 
+_SEM_TAU = 0.4  # corpus-calibrated: the synthetic embeddings' near-dup
+# cosine scale (dedup's embedding_neardup threshold); real deployments
+# run 0.95+ on contrastive-trained encoders — the knob, not the shape.
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+    cluster the embedding space, then drop near-identical pairs WITHIN
+    each cluster — the trick that makes semantic dedup tractable is that
+    the pair stage never crosses cluster boundaries, so the quadratic
+    work is bounded per cluster instead of per corpus.
+
+    Shape here: nearest-centroid assignment is one broadcast join of K
+    centroid rows (the ann_ivf membership step — at scale the trained
+    IVF centroids, K ~ sqrt(N), keep expected cluster size ~ sqrt(N)),
+    then an equi-join on the cluster id generates in-cluster pairs and a
+    vector is DROPPED when it has cosine >= tau with any lower vec_id in
+    its cluster (min-id keeper, the engine's dedup convention). Output:
+    one row per dropped vector with its cluster, its keeper, and the
+    max offending cosine.
+
+    Reference scope note: the reference engine has no embedding surface;
+    this extends its dedup family (§2 A8-adjacent) to the
+    training-data-curation workload the brief names first-class."""
+    vecs = _vectors(spark, sf_dir)
+    cents = vecs.where(
+        (F.col("vec_id") >= _CENTROID_BASE) & (F.col("vec_id") < _CENTROID_BASE + _N_CENTROIDS)
+    ).select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm"))
+    cos_vc = F.round(_dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm")), 6)
+    assigned = (
+        vecs.crossJoin(F.broadcast(cents))
+        .withColumn("cent_cos", cos_vc)
+        .withColumn(
+            "crank",
+            F.row_number().over(Window.partitionBy("vec_id").orderBy(F.desc("cent_cos"), F.asc("cent_id"))),
+        )
+    )
+    membership = assigned.where(F.col("crank") == 1).select("vec_id", "v", "norm", "cent_id")
+    a = membership.select(
+        "cent_id", F.col("vec_id").alias("v1"), F.col("v").alias("va"), F.col("norm").alias("na")
+    )
+    b = membership.select(
+        "cent_id", F.col("vec_id").alias("v2"), F.col("v").alias("vb"), F.col("norm").alias("nb")
+    )
+    cos_ab = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    pairs = (
+        a.join(b, "cent_id")
+        .where(F.col("v1") < F.col("v2"))
+        .withColumn("cosine", cos_ab)
+        .where(F.col("cosine") >= _SEM_TAU)
+    )
+    return (
+        pairs.groupBy(F.col("v2").alias("vec_id"), F.col("cent_id"))
+        .agg(F.min("v1").alias("dup_of"), F.max("cosine").alias("max_cosine"))
+        .orderBy("vec_id")
+    )
+
+
+SQL_SEMDEDUP = f"""
+WITH vecs AS ({_SQL_VECTORS}),
+cents AS (
+  SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM vecs
+  WHERE vec_id >= {_CENTROID_BASE} AND vec_id < {_CENTROID_BASE + _N_CENTROIDS}
+),
+assigned AS (
+  SELECT q.vec_id, q.v, q.norm, c.cent_id,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY round(list_sum(list_transform(range(len(q.v)), i -> q.v[i+1] * c.cv[i+1]))
+                                           / (q.norm * c.cnorm), 6) DESC, c.cent_id ASC) AS crank
+  FROM vecs q CROSS JOIN cents c
+),
+membership AS (SELECT vec_id, v, norm, cent_id FROM assigned WHERE crank = 1),
+pairs AS (
+  SELECT a.cent_id, a.vec_id AS v1, b.vec_id AS v2,
+         round(list_sum(list_transform(range(len(a.v)), i -> a.v[i+1] * b.v[i+1]))
+               / (a.norm * b.norm), 6) AS cosine
+  FROM membership a JOIN membership b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+)
+SELECT v2 AS vec_id, cent_id, min(v1) AS dup_of, max(cosine) AS max_cosine
+FROM pairs WHERE cosine >= {_SEM_TAU}
+GROUP BY v2, cent_id
+ORDER BY vec_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "semdedup": (q_semdedup, SQL_SEMDEDUP),
     "knn_bruteforce": (q_knn_bruteforce, SQL_KNN_BRUTEFORCE),
     "embedding_dim_stats": (q_embedding_dim_stats, SQL_EMBEDDING_DIM_STATS),
     "ann_recall": (q_ann_recall, SQL_ANN_RECALL),

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..cache import tracked_persist
 from ..io import load
 
 _WORD_RE = "[a-z0-9]+"
@@ -888,9 +889,9 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # length side (dl) and the term side (tok) derive from it — one
     # parquet scan + one regex pass for the whole query (r3 ran the regex
     # twice and scanned three times: tok, dl, and a count())
-    arr = doc.select(
+    arr = tracked_persist(doc.select(
         "doc_id", F.expr(f"regexp_extract_all(text, '{_WORD_RE}', 0)").alias("w")
-    ).persist()
+    ))
     tok = arr.select("doc_id", F.explode("w").alias("t"))
     dl = arr.select("doc_id", F.size("w").alias("dl"))
     tf = (
@@ -995,7 +996,118 @@ ORDER BY query_id, rank
 SQL_BM25_SEARCH = _sql_bm25()
 
 
+# Gopher quality-filter rule set (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", appendix A1.1) — the published heuristics most
+# curation pipelines start from. Thresholds are the paper's.
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition/quality rules per document: word count in
+    [50, 100000], mean word length in [3, 10], symbol-to-word ratio
+    (# and ellipsis) < 0.1, < 90% bullet-started lines, < 30%
+    ellipsis-ended lines, >= 80% of words containing a letter, and >= 2
+    of the 8 Gopher stop words present. Pure JVM string expressions —
+    one linear scan, no shuffle beyond the presentation sort; every
+    ratio is floor-form rounded to 6 dp BEFORE its threshold compare so
+    rule membership is bit-identical across engines."""
+    from .util import ieee_round
+
+    doc = load(spark, sf_dir, "documents")
+    lines = F.split(F.col("text"), "\n")
+    base = doc.select(
+        "doc_id",
+        F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).cast("long").alias("n_words"),
+        F.length(F.regexp_replace("text", r"\s", "")).cast("long").alias("word_chars"),
+        (
+            F.length("text") - F.length(F.expr("replace(text, '#', '')"))
+            + F.expr("(length(text) - length(replace(text, '...', ''))) DIV 3")
+        ).cast("long").alias("n_symbols"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(F.filter(lines, lambda x: x.startswith("- ") | x.startswith("* "))).cast("long").alias("bullet_lines"),
+        F.size(F.filter(lines, lambda x: x.endswith("..."))).cast("long").alias("ellipsis_lines"),
+        F.size(F.expr(r"regexp_extract_all(text, '\\S*[a-z]\\S*', 0)")).cast("long").alias("alpha_words"),
+        sum(
+            (F.col("text").rlike(rf"\b{w}\b")).cast("long") for w in _GOPHER_STOPWORDS
+        ).alias("n_stopwords"),
+    )
+    nw = F.col("n_words").cast("double")
+    nl = F.col("n_lines").cast("double")
+    rated = base.select(
+        "doc_id",
+        "n_words",
+        ieee_round(F.col("word_chars") / nw, 6).alias("mean_word_len"),
+        ieee_round(F.col("n_symbols") / nw, 6).alias("symbol_ratio"),
+        ieee_round(F.col("bullet_lines") / nl, 6).alias("bullet_frac"),
+        ieee_round(F.col("ellipsis_lines") / nl, 6).alias("ellipsis_frac"),
+        ieee_round(F.col("alpha_words") / nw, 6).alias("alpha_word_frac"),
+        "n_stopwords",
+    )
+    keep = (
+        F.col("n_words").between(50, 100000)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("symbol_ratio") < 0.1)
+        & (F.col("bullet_frac") < 0.9)
+        & (F.col("ellipsis_frac") < 0.3)
+        & (F.col("alpha_word_frac") >= 0.8)
+        & (F.col("n_stopwords") >= 2)
+    )
+    return rated.withColumn("keep", keep.cast("int")).orderBy("doc_id")
+
+
+def _sql_gopher() -> str:
+    from .util import sql_ieee_round
+
+    stop_sum = " + ".join(
+        f"CAST(regexp_matches(text, '\\b{w}\\b') AS BIGINT)" for w in _GOPHER_STOPWORDS
+    )
+    mwl = sql_ieee_round("word_chars / CAST(n_words AS DOUBLE)", 6)
+    sym = sql_ieee_round("n_symbols / CAST(n_words AS DOUBLE)", 6)
+    bul = sql_ieee_round("bullet_lines / CAST(n_lines AS DOUBLE)", 6)
+    ell = sql_ieee_round("ellipsis_lines / CAST(n_lines AS DOUBLE)", 6)
+    alf = sql_ieee_round("alpha_words / CAST(n_words AS DOUBLE)", 6)
+    return rf"""
+WITH base AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\S+')) AS n_words,
+         length(regexp_replace(text, '\s', '', 'g')) AS word_chars,
+         (length(text) - length(replace(text, '#', '')))
+           + (length(text) - length(replace(text, '...', ''))) // 3 AS n_symbols,
+         len(string_split(text, chr(10))) AS n_lines,
+         len(list_filter(string_split(text, chr(10)),
+                         x -> starts_with(x, '- ') OR starts_with(x, '* '))) AS bullet_lines,
+         len(list_filter(string_split(text, chr(10)), x -> ends_with(x, '...'))) AS ellipsis_lines,
+         len(regexp_extract_all(text, '\S*[a-z]\S*')) AS alpha_words,
+         {stop_sum} AS n_stopwords
+  FROM documents
+),
+rated AS (
+  SELECT doc_id, n_words,
+         {mwl} AS mean_word_len,
+         {sym} AS symbol_ratio,
+         {bul} AS bullet_frac,
+         {ell} AS ellipsis_frac,
+         {alf} AS alpha_word_frac,
+         n_stopwords
+  FROM base
+)
+SELECT *, CAST(n_words BETWEEN 50 AND 100000
+               AND mean_word_len BETWEEN 3.0 AND 10.0
+               AND symbol_ratio < 0.1
+               AND bullet_frac < 0.9
+               AND ellipsis_frac < 0.3
+               AND alpha_word_frac >= 0.8
+               AND n_stopwords >= 2 AS INT) AS keep
+FROM rated
+ORDER BY doc_id
+"""
+
+
+SQL_GOPHER_FILTER = _sql_gopher()
+
+
 QUERIES: dict[str, tuple] = {
+    "gopher_filter": (q_gopher_filter, SQL_GOPHER_FILTER),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "bm25_search": (q_bm25_search, SQL_BM25_SEARCH),
     "vocab_stats": (q_vocab_stats, SQL_VOCAB_STATS),

@@ -40,8 +40,18 @@ def ieee_round(expr: Column, nd: int) -> Column:
 
 
 def sql_ieee_round(e: str, nd: int) -> str:
+    # Every operand is CAST-pinned to DOUBLE so the expression is
+    # engine-safe in BOTH dialects. Spark's SQL parser reads a bare
+    # fractional literal (1000000.0) as DECIMAL(8,1) and its floor(double)
+    # returns LONG, so the naked form `floor(e*1e6+0.5)/1e6` inside
+    # selectExpr produces a DECIMAL *column type* (LONG / DECIMAL) even
+    # when the value is bit-correct — which fails any dtype-sensitive
+    # comparison against a DOUBLE oracle column. With the casts, Spark
+    # computes LONG / DOUBLE -> DOUBLE and DuckDB treats them as no-ops
+    # (its floor(double) is already DOUBLE), so value AND type agree.
     p = float(10**nd)
-    return f"(floor(({e}) * {p} + 0.5) / {p})"
+    d = f"CAST({p} AS DOUBLE)"
+    return f"(floor(CAST(({e}) AS DOUBLE) * {d} + CAST(0.5 AS DOUBLE)) / {d})"
 
 
 def _scaled_long(expr: Column) -> Column:

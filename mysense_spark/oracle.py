@@ -70,7 +70,19 @@ def compare_frames(spark_df: pd.DataFrame, oracle_df: pd.DataFrame, float_tol: f
                 f"col {col}: dtype class differs: {sa.dtype} vs {sb.dtype} "
                 "(DuckDB HUGEINT? cast the oracle aggregate to BIGINT)",
             )
-        if pd.api.types.is_float_dtype(sa) or pd.api.types.is_float_dtype(sb):
+        # float-vs-object(Decimal) drift is the other driver-hash killer:
+        # Spark DecimalType arrives in pandas as object(Decimal) while the
+        # oracle emits float64, and pd.to_numeric below would silently
+        # coerce both to float64 and "pass" — exactly how the r3/r4
+        # station_calibration red survived a green local check. Fail it.
+        float_a, float_b = pd.api.types.is_float_dtype(sa), pd.api.types.is_float_dtype(sb)
+        if float_a != float_b:
+            return CompareResult(
+                False,
+                f"col {col}: dtype class differs: {sa.dtype} vs {sb.dtype} "
+                "(Spark DecimalType vs DOUBLE oracle? CAST the Spark projection AS DOUBLE)",
+            )
+        if float_a or float_b:
             sa = pd.to_numeric(sa, errors="coerce").astype("float64")
             sb = pd.to_numeric(sb, errors="coerce").astype("float64")
             na_mismatch = sa.isna() != sb.isna()

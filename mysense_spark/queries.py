@@ -32,71 +32,90 @@ def _modules():
 
 # Queries hoisted to the very front of the registry: the driver's
 # correctness gate checks exactly the FIRST 50 entries, so this list is
-# kept to exactly 50. Round-4 layout: (a) the 8 queries fixed/changed/new
-# this round (the r3 station_calibration red now sin-free, the ADVICE
-# rounding-parity fixes, the oracle-ized HLL query, the new REST pull,
-# the bm25 re-plan); (b) the 4 rows whose last driver evidence is round 1
-# (displaced from the r3 window by its 50-row cap); (c) every row whose
-# latest driver evidence is round 2, oldest-evidence-first in registry
-# order. Eight unchanged r2-green rows (multilinear_regression,
-# minmax_normalize, daily_qc_report, aqi_index, lki_index, aqhi_index,
-# caqi_index, sensor_set_diff) deliberately roll to round 5 — the window
-# is full; every row behind it carries round-2 or round-3 evidence.
+# kept to exactly 50. Round-5 layout: (a) the rows changed this round —
+# station_calibration (sql_ieee_round now CAST-pinned to DOUBLE, closing
+# the r3/r4 DecimalType hash red), ngram_jaccard_pairs (new hot-shingle
+# df cap, mirrored in its oracle), decontam_report (its oracle text rides
+# the sql_ieee_round change); (b) the 8 rows whose last driver evidence
+# is round 2 (rolled here from the full r4 window, exactly as planned);
+# (c) 37 of the 44 rows whose last evidence is round 3, registry order.
+# The remaining 7 r3-evidence rows (latest_per_user, static_runs,
+# gap_detection, interval_inference, dead_kits, hourly_gapfill,
+# moving_average) roll to round 6 — after this round no row's evidence
+# is older than round 3.
 _PRIORITY = (
-    # (a) fixed / changed / new in round 4
+    # (a) new / fixed / changed in round 5
+    "gopher_filter",
+    "semdedup",
     "station_calibration",
-    "sensorthings_pull",
-    "approx_distinct_users",
-    "cascade_rollup",
-    "region_revenue",
-    "spatial_pairs",
-    "neighbour_search",
-    "bm25_search",
-    "duplicate_spans",
-    "dedup_keep_best",
-    "embedding_dim_stats",
-    "incremental_dedup",
-    # (b) last driver evidence: round 1
-    "asof_align",
-    "mode_per_user",
-    "coverage",
-    "dedup_upsert",
-    # (c) last driver evidence: round 2
-    "ttn_decode",
-    "csv_ingest",
-    "geofence_transitions",
-    "dedup_exact",
     "ngram_jaccard_pairs",
-    "minhash_lsh_pairs",
-    "simhash_pairs",
-    "embedding_neardup",
-    "neardup_clusters",
     "decontam_report",
-    "knn_bruteforce",
-    "ann_ivf",
-    "cluster_stats",
-    "kmeans_train",
-    "text_stats",
-    "pii_scrub",
-    "tfidf_top_terms",
-    "lang_id",
-    "quality_score",
-    "doc_fingerprint",
-    "blob_metadata",
-    "frame_sample",
-    "hash_sample",
-    "corpus_build",
-    "temperature_mix",
-    "stratified_sample",
-    "range_validate",
-    "tristate_validity",
-    "pm_mass_fill",
-    "zscore_outliers",
-    "grubbs_outliers",
-    "linear_regression",
-    "ols_summary",
-    "sigma_band",
+    # (b) last driver evidence: round 2
+    "multilinear_regression",
+    "minmax_normalize",
+    "daily_qc_report",
+    "aqi_index",
+    "lki_index",
+    "aqhi_index",
+    "caqi_index",
+    "sensor_set_diff",
+    # (c) last driver evidence: round 3
+    "ann_recall",
+    "vocab_stats",
+    "dup_ngram_frac",
+    "perplexity_bucket",
+    "tokenizer_fertility",
+    "repetition_stats",
+    "token_count",
+    "media_embed",
+    "modality_mix",
+    "chunk_overlap",
+    "weighted_sample",
+    "url_filter",
+    "sequence_packing",
+    "fit_apply",
+    "joost_correction",
+    "dew_point",
+    "unit_conversion",
+    "taylor_calibration",
+    "pricing_summary",
+    "region_rollup",
+    "revenue_quartiles",
+    "sql_interface",
+    "top_revenue_orders",
+    "part_supplier_stats",
+    "customers_without_orders",
+    "order_priority_counts",
+    "hourly_stats",
+    "event_sessions",
+    "maintenance_window_join",
+    "props_json_stats",
+    "unpivot_long",
+    "chatty_kits",
+    "percentile_summary",
+    "failing_sensor_report",
+    "distinct_active_kits",
+    "wide_view",
+    "timeslice_avg",
 )
+
+
+def _hygienic(fn: Callable[[SparkSession, str], DataFrame]):
+    """Release the PREVIOUS query's tracked caches when a DIFFERENT
+    query enters (see cache.py): live cached storage stays bounded by
+    one query's working set across any sweep, each query's own persists
+    survive through its collect, and re-running the same query stays
+    cache-warm."""
+    import functools
+
+    from .cache import begin_query
+
+    @functools.wraps(fn)
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        begin_query(fn.__qualname__)
+        return fn(spark, sf_dir)
+
+    return run
 
 
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
@@ -105,7 +124,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         for name, pair in mod.QUERIES.items():
             if name in out:
                 raise ValueError(f"duplicate query name {name!r}")
-            out[name] = pair
+            out[name] = (_hygienic(pair[0]), pair[1])
     front = {n: out[n] for n in _PRIORITY if n in out}
     rest = {n: p for n, p in out.items() if n not in front}
     return {**front, **rest}

@@ -64,10 +64,18 @@ class CircuitBreaker:
 
 def drain_breaker(breaker: CircuitBreaker, host: str, n_ok: int, n_err: int) -> None:
     """Fold a batch's executor-side outcome counts (accumulator scalars)
-    into the driver breaker: errors count toward opening, a clean batch
-    resets the budget — the old per-record driver loop's policy, now fed
-    by aggregates."""
-    if n_err:
+    into the driver breaker.
+
+    Policy: a batch with successes and a sub-dominant error count is
+    HEALTHY and resets the budget — a steady 1-in-10k error trickle must
+    never accumulate across batches and latch the breaker (the
+    per-record loop it replaces reset on every success). Only an
+    error-DOMINATED batch counts against the host: no successes at all,
+    or errors both clearing the threshold and outnumbering successes;
+    then up to `threshold` failures replay so consecutive bad batches
+    open the breaker."""
+    dominated = n_err > 0 and (n_ok == 0 or (n_err >= breaker.threshold and n_err >= n_ok))
+    if dominated:
         for _ in range(min(n_err, breaker.threshold)):
             breaker.record(host, False)
     elif n_ok:

@@ -96,7 +96,14 @@ def make_influx_publisher(
 
             def flush() -> None:
                 nonlocal errs
-                if not buf or errs >= thr:
+                # clear BEFORE the tripped-breaker check: once the
+                # cut-off latches, the partition must stop buffering
+                # too, or the buffer grows unboundedly while nothing
+                # will ever be sent
+                if errs >= thr:
+                    buf.clear()
+                    return
+                if not buf:
                     return
                 ok = transport(host, list(buf))
                 (ok_acc if ok else err_acc).add(1)
@@ -104,6 +111,8 @@ def make_influx_publisher(
                 buf.clear()
 
             for row in rows:
+                if errs >= thr:
+                    break
                 buf.append(row["line"])
                 if len(buf) >= batch_lines:
                     flush()

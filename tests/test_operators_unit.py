@@ -373,3 +373,83 @@ def test_ieee_round_cross_engine_parity(spark):
         "SELECT floor(x * 1000000.0 + 0.5) / 1000000.0 AS r FROM t"
     ).fetchdf()["r"].to_numpy()
     assert int(np.sum(got_spark != got_duck)) == 0
+
+
+def test_sql_ieee_round_is_double_in_spark(spark):
+    """sql_ieee_round must be engine-safe as TEXT in BOTH dialects: in
+    Spark selectExpr the naked floor(e*1e6+0.5)/1e6 form yields a DECIMAL
+    column (bare fractional literal -> DECIMAL(8,1); floor -> LONG;
+    LONG/DECIMAL -> DECIMAL) — the exact r3/r4 station_calibration driver
+    red. The CAST-pinned form must come out DOUBLE with the same value."""
+    from mysense_spark.operators.util import sql_ieee_round
+
+    df = spark.range(1).selectExpr(f"{sql_ieee_round('1.2345678', 6)} AS r")
+    assert dict(df.dtypes)["r"] == "double"
+    assert df.collect()[0]["r"] == 1.234568
+
+
+def test_ngram_jaccard_df_cap(spark, tmp_path):
+    """Hot-shingle cap: a stop-shingle present in > df-cap docs must be
+    dropped from the Jaccard self-join input on BOTH engines — the pairs
+    it alone would bridge disappear, genuine near-dups survive, and the
+    oracle stays hash-identical (the cap is mirrored in SQL)."""
+    import os
+
+    import pandas as pd
+
+    from mysense_spark.io import TABLES
+    from mysense_spark.operators.dedup import _DF_CAP_MIN, _df_cap
+    from mysense_spark.oracle import check_query
+    from mysense_spark.queries import registry
+
+    assert _df_cap(500) == _DF_CAP_MIN
+    assert _df_cap(100_000) == 500
+
+    # corpus: 30 docs (> cap of 25) that share EXACTLY one shingle
+    # ("zzz yyy xxx") and are otherwise unique, sized so that one shared
+    # shingle alone clears the 0.05 threshold (1/19 ~ 0.0526)...
+    docs = []
+    for i in range(30):
+        filler = " ".join(f"u{i}w{j}" for j in range(9))
+        docs.append((i, f"{filler} zzz yyy xxx"))
+    # ...plus one genuine near-dup pair sharing many shingles
+    base = " ".join(f"common{j}" for j in range(12))
+    docs.append((100, base + " tail100a tail100b"))
+    docs.append((101, base + " tail101a tail101b"))
+
+    sf = tmp_path / "capsf"
+    sf.mkdir()
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet", sf / f"{t}.parquet")
+    pd.DataFrame(
+        [
+            {"doc_id": d, "text": t, "lang": "en", "source": "synthetic", "n_chars": len(t)}
+            for d, t in docs
+        ]
+    ).to_parquet(sf / "documents.parquet")
+
+    res = check_query(spark, "ngram_jaccard_pairs", str(sf))
+    assert res.ok, res.detail
+
+    fn, _sql = registry()["ngram_jaccard_pairs"]
+    rows = fn(spark, str(sf)).collect()
+    got_pairs = {(r["d1"], r["d2"]) for r in rows}
+    assert (100, 101) in got_pairs, "genuine near-dup lost"
+    assert all(d1 >= 100 for d1, _ in got_pairs), f"stop-shingle pair leaked: {got_pairs}"
+
+
+def test_query_cache_hygiene(spark, sf_dir):
+    """Query-internal persists must not accumulate across a sweep: every
+    registered query releases the PREVIOUS query's tracked caches at
+    entry (cache.py), so live cached storage is bounded by one query's
+    working set — the round-4 full-suite JVM-death fix, now structural
+    instead of session hygiene."""
+    from mysense_spark import cache
+    from mysense_spark.queries import spark_queries
+
+    q = spark_queries()
+    q["bm25_search"](spark, sf_dir).collect()  # persists its tokenize pass
+    assert len(cache._TRACKED) > 0, "bm25 no longer registers its persist"
+    q["pricing_summary"](spark, sf_dir)  # any next query releases at entry
+    assert len(cache._TRACKED) == 0, "tracked caches not released at query entry"

@@ -25,7 +25,7 @@ def _plan(spark, name: str, sf_dir: str) -> str:
 # The fenced tiers: bounded-side crossJoins are their documented design
 # (knn re-rank broadcasts <= MAX_RERANK_QUERIES rows; IVF broadcasts K
 # centroids). Everything else must never nested-loop.
-_FENCED_CROSSJOIN = {"knn_bruteforce", "ann_ivf", "ann_recall", "embedding_neardup"}
+_FENCED_CROSSJOIN = {"knn_bruteforce", "ann_ivf", "ann_recall", "embedding_neardup", "semdedup"}
 
 
 @pytest.mark.parametrize(
@@ -91,6 +91,7 @@ def test_column_pruning(spark, sf_dir):
     [
         ("chunk_overlap", 1),  # map-only + presentation sort
         ("url_filter", 1),
+        ("gopher_filter", 1),  # one linear scan + presentation sort
         ("dedup_exact", 2),  # one hash shuffle + presentation sort
         ("corpus_build", 2),  # one partial-agg shuffle + sort
         ("tokenizer_fertility", 2),
@@ -129,6 +130,35 @@ def test_no_python_row_udfs_in_registry(spark, sf_dir):
         if "BatchEvalPython" in plan:
             offenders.append(name)
     assert not offenders, f"row-at-a-time Python UDFs in: {offenders}"
+
+
+def test_ngram_jaccard_self_join_is_df_capped(spark, sf_dir):
+    """The Jaccard verify tier's one scale hazard is a hot-shingle bucket
+    (quadratic OUTPUT — AQE skew-split can't fix an output explosion).
+    The plan must contain the broadcast anti-join that drops shingles
+    above the document-frequency cap before the self-join."""
+    plan = _plan(spark, "ngram_jaccard_pairs", sf_dir)
+    assert "LeftAnti" in plan, "df-cap anti-join missing from ngram_jaccard plan"
+
+
+def test_no_decimal_output_columns(spark, sf_dir):
+    """Output-dtype contract: no registered query may emit a DecimalType
+    column. The driver gate hashes dtype-canonicalized values, and every
+    oracle emits DOUBLE for fractional results — a Spark DECIMAL column
+    (e.g. from a bare fractional literal in selectExpr: Spark parses
+    1000000.0 as DECIMAL(8,1) and LONG/DECIMAL division yields DECIMAL)
+    is a guaranteed hash mismatch even when values are bit-identical.
+    DECIMAL is fine INSIDE a plan (the exact-agg accumulators use it
+    deliberately); it must never survive to the output schema."""
+    from pyspark.sql.types import DecimalType
+
+    offenders = []
+    for name, fn in spark_queries().items():
+        schema = fn(spark, sf_dir).schema
+        decs = [f.name for f in schema.fields if isinstance(f.dataType, DecimalType)]
+        if decs:
+            offenders.append(f"{name}: {decs}")
+    assert not offenders, f"DecimalType in output schema: {offenders}"
 
 
 def test_bucketed_join_elides_shuffle(spark, sf_dir):
