@@ -50,44 +50,6 @@ def _df_cap(n_docs: int) -> int:
     return max(_DF_CAP_MIN, (n_docs + _DF_CAP_DEN - 1) // _DF_CAP_DEN)
 
 
-def _shingles(doc: DataFrame) -> DataFrame:
-    """Distinct word-3-gram shingles per doc (long format)."""
-    words = F.expr(f"regexp_extract_all(text, '{_WORD_RE}', 0)")
-    tri = F.expr(
-        "transform(sequence(0, size(words) - 3), i -> "
-        "concat(words[i], ' ', words[i+1], ' ', words[i+2]))"
-    )
-    return (
-        doc.select("doc_id", words.alias("words"))
-        .where(F.size("words") >= 3)
-        .select("doc_id", F.explode(tri).alias("shingle"))
-        .distinct()
-    )
-
-
-_SQL_SHINGLES = f"""
-  SELECT DISTINCT doc_id, shingle
-  FROM (
-    SELECT doc_id,
-           unnest(list_transform(range(len(w) - 2),
-                                 i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
-    FROM (SELECT doc_id, regexp_extract_all(text, '{_WORD_RE}') AS w FROM documents)
-    WHERE len(w) >= 3
-  )
-"""
-
-
-def _shingle_hash(c: Column) -> Column:
-    """Deterministic shingle hash into the affine minhash domain [0, _P)
-    (same in DuckDB). The % _P keeps a*h+b within int64 — it is NOT a
-    general-purpose hash: ~30 bits birthday-collides at corpus scale."""
-    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long") % _P
-
-
-def _sql_shingle_hash(e: str) -> str:
-    return f"(('0x' || substr(md5({e}), 1, 15))::BIGINT % {_P})"
-
-
 def _h60(c: Column) -> Column:
     """Full 60-bit md5 hash (no modulus) — the join/count-safe form."""
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
@@ -332,6 +294,66 @@ ORDER BY d1, d2
 
 
 SQL_MINHASH_LSH_PAIRS = _sql_minhash()
+
+
+def q_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit: verified near-dup pairs (the
+    minhash_lsh_pairs tier — LSH candidates, exact-Jaccard verified)
+    whose two members land in DIFFERENT splits of the deterministic md5
+    train/val/test split (sampling.hash_sample's rule). A near-dup of a
+    training document sitting in val/test is eval contamination; this
+    is the audit every split must pass before benchmark numbers mean
+    anything — dedup ACROSS splits, not just within them.
+
+    Scale shape: everything minhash_lsh_pairs costs, plus two narrow
+    hash-joins of the (doc_id, split) projection onto the pair list —
+    the split column derives from md5(doc_id), so no extra state ships
+    anywhere."""
+    from .sampling import _TRAIN_PCT, _VAL_PCT, _bucket
+
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    doc = load(spark, sf_dir, "documents")
+    b = _bucket(F.col("doc_id"))
+    split = F.when(b < _TRAIN_PCT, "train").when(b < _VAL_PCT, "val").otherwise("test")
+    splits = doc.select("doc_id", split.alias("split"))
+    s1 = splits.select(F.col("doc_id").alias("d1"), F.col("split").alias("split1"))
+    s2 = splits.select(F.col("doc_id").alias("d2"), F.col("split").alias("split2"))
+    return (
+        pairs.join(s1, "d1")
+        .join(s2, "d2")
+        .where(F.col("split1") != F.col("split2"))
+        .select("d1", "split1", "d2", "split2", "jaccard")
+        .orderBy("d1", "d2")
+    )
+
+
+def _sql_cross_split_leakage() -> str:
+    from .sampling import _TRAIN_PCT, _VAL_PCT
+
+    pairs_sql = SQL_MINHASH_LSH_PAIRS.strip().removesuffix("ORDER BY d1, d2\n").strip()
+    if pairs_sql.endswith("ORDER BY d1, d2"):
+        pairs_sql = pairs_sql.removesuffix("ORDER BY d1, d2")
+    return f"""
+WITH npairs AS ({pairs_sql}),
+splits AS (
+  SELECT doc_id,
+         CASE WHEN b < {_TRAIN_PCT} THEN 'train'
+              WHEN b < {_VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+        FROM documents)
+)
+SELECT d1, s1.split AS split1, d2, s2.split AS split2, jaccard
+FROM npairs
+JOIN splits s1 ON d1 = s1.doc_id
+JOIN splits s2 ON d2 = s2.doc_id
+WHERE s1.split <> s2.split
+ORDER BY d1, d2
+"""
+
+
+SQL_CROSS_SPLIT_LEAKAGE = _sql_cross_split_leakage()
 
 _SIMHASH_BITS = 60  # md5 15-hex-char word hash = 60 usable bits
 _HAMMING_MAX = 3
@@ -1033,6 +1055,7 @@ QUERIES: dict[str, tuple] = {
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
+    "cross_split_leakage": (q_cross_split_leakage, SQL_CROSS_SPLIT_LEAKAGE),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "neardup_clusters": (q_neardup_clusters, SQL_NEARDUP_CLUSTERS),

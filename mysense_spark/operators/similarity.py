@@ -580,8 +580,81 @@ ORDER BY vec_id
 """
 
 
+_Z_EXTREME = 3.0  # |z| threshold for an "extreme" coordinate
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level companion of embedding_dim_stats: z-score every
+    coordinate against its (label, dim) mean/std and report, per vector,
+    the count of extreme coordinates (|z| > 3) and the max |z| — the
+    per-row anomaly gate a curation pipeline runs to quarantine vectors
+    from a broken encoder batch before they poison ANN training.
+
+    Exactness: mean/std come from the exact_* quantized machinery
+    (already 6-dp pinned), so the z expression is pure IEEE arithmetic
+    on identical operands in both engines; |z| is floor-form rounded
+    before the threshold compare and the max. Scale shape: the stats
+    table is |labels| x 64 rows — broadcast — so the whole query is one
+    posexplode scan + map-side join + one (vec_id) partial agg."""
+    from .util import exact_avg, exact_std, ieee_round
+
+    emb = load(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "vec_id", "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
+    )
+    stats = pos.groupBy("label", F.col("dim").cast("long").alias("dim")).agg(
+        exact_avg(F.col("x"), 6).alias("mean_x"),
+        exact_std(F.col("x"), 6).alias("std_x"),
+    )
+    az = ieee_round(F.abs(F.col("x") - F.col("mean_x")) / F.col("std_x"), 6)
+    joined = (
+        pos.withColumn("dim", F.col("dim").cast("long"))
+        .join(F.broadcast(stats), ["label", "dim"])
+        .where(F.col("std_x") > 0)
+        .withColumn("az", az)
+    )
+    return (
+        joined.groupBy("vec_id", "label")
+        .agg(
+            F.count(F.when(F.col("az") > _Z_EXTREME, 1)).alias("n_extreme"),
+            F.max("az").alias("max_abs_z"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _sql_embedding_outliers() -> str:
+    return f"""
+WITH pos AS (
+  SELECT vec_id, label,
+         unnest(range(len(embedding))) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+stats AS (
+  SELECT label, dim, {sql_avg('x', 6)} AS mean_x, {sql_std('x', 6)} AS std_x
+  FROM pos GROUP BY 1, 2
+),
+z AS (
+  SELECT vec_id, p.label, {sql_ieee_round('abs(x - mean_x) / std_x', 6)} AS az
+  FROM pos p JOIN stats s ON p.label = s.label AND p.dim = s.dim
+  WHERE std_x > 0
+)
+SELECT vec_id, label,
+       count(*) FILTER (WHERE az > {_Z_EXTREME}) AS n_extreme,
+       max(az) AS max_abs_z
+FROM z
+GROUP BY vec_id, label
+ORDER BY vec_id
+"""
+
+
+SQL_EMBEDDING_OUTLIERS = _sql_embedding_outliers()
+
+
 QUERIES: dict[str, tuple] = {
     "semdedup": (q_semdedup, SQL_SEMDEDUP),
+    "embedding_outliers": (q_embedding_outliers, SQL_EMBEDDING_OUTLIERS),
     "knn_bruteforce": (q_knn_bruteforce, SQL_KNN_BRUTEFORCE),
     "embedding_dim_stats": (q_embedding_dim_stats, SQL_EMBEDDING_DIM_STATS),
     "ann_recall": (q_ann_recall, SQL_ANN_RECALL),

@@ -571,7 +571,8 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = F.expr(
         f"transform(sequence(0, size(w) - {_DUP_N}), i -> concat_ws(' ', slice(w, i + 1, {_DUP_N})))"
     )
-    # full 60-bit md5 hash (NOT dedup._shingle_hash, whose % 1e9+7 — an
+    # full 60-bit md5 hash (NOT dedup's affine-minhash domain hash
+    # `hsh % _P`, whose % 1e9+7 — an
     # int64-overflow guard for minhash affine math — would shrink the
     # space to ~30 bits and birthday-collide visibly at corpus scale)
     gh = F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10).cast("long")

@@ -50,6 +50,8 @@ _FENCED_CROSSJOIN = {"knn_bruteforce", "ann_ivf", "ann_recall", "embedding_neard
         "modality_mix",
         "cascade_rollup",
         "bm25_search",
+        "cross_split_leakage",
+        "embedding_outliers",
     ],
 )
 def test_no_nested_loop_join(spark, sf_dir, name):
