@@ -1107,7 +1107,134 @@ ORDER BY doc_id
 SQL_GOPHER_FILTER = _sql_gopher()
 
 
+# Winnowing (Schleimer, Wilkerson, Aiken — SIGMOD'03, the MOSS
+# algorithm): k-gram size and window width. Any match of at least
+# k + w - 1 = 8 consecutive tokens is GUARANTEED to share a selected
+# fingerprint; expected density of selected grams is 2/(w+1) = 0.4.
+_WIN_K = 5
+_WIN_W = 4
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection per document: hash every word
+    5-gram, slide a 4-wide window over consecutive gram hashes, keep
+    each window's MINIMUM — the classic local fingerprinting scheme
+    (MOSS) that stores ~2/(w+1) of the grams yet provably catches every
+    >= (k+w-1)-token overlap. Output per doc: total grams, selected
+    fingerprints, selection density, and how many of the selected
+    fingerprints also appear in another document (the plagiarism-hit
+    count).
+
+    Scale shape: one positional-gram pass (8-byte 60-bit hashes, same
+    as duplicate_spans), a per-doc ROWS window min (positions are dense
+    so row frames equal position frames), a distinct on the selected
+    set, and the min!=max-over-hash-partition trick for cross-doc
+    sharing — linear, no self-join, no Python."""
+    from pyspark.sql import Window
+
+    from .util import ieee_round
+
+    doc = load(spark, sf_dir, "documents")
+    min_words = _WIN_K + _WIN_W - 1
+    toks = doc.select(
+        "doc_id", F.expr(f"regexp_extract_all(text, '{_WORD_RE}', 0)").alias("w")
+    ).where(F.size("w") >= min_words)
+    grams = F.expr(
+        f"transform(sequence(0, size(w) - {_WIN_K}), i -> concat_ws(' ', slice(w, i + 1, {_WIN_K})))"
+    )
+    gh = F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10).cast("long")
+    pg = toks.select("doc_id", F.posexplode(grams).alias("pos", "g")).select(
+        "doc_id", "pos", gh.alias("gh")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
+    per_doc_all = Window.partitionBy("doc_id")
+    ext = pg.select(
+        "doc_id",
+        "pos",
+        F.min("gh").over(win).alias("wmin"),
+        F.max("pos").over(per_doc_all).alias("maxp"),
+    )
+    sel = (
+        ext.where(F.col("pos") <= F.col("maxp") - (_WIN_W - 1))
+        .select("doc_id", F.col("wmin").alias("fp"))
+        .distinct()
+    )
+    shared = F.min("doc_id").over(Window.partitionBy("fp")) != F.max("doc_id").over(
+        Window.partitionBy("fp")
+    )
+    per = (
+        sel.withColumn("is_shared", shared)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fp"),
+            F.count(F.when(F.col("is_shared"), 1)).alias("n_shared_fp"),
+        )
+    )
+    tot = toks.select("doc_id", (F.size("w") - F.lit(_WIN_K - 1)).cast("long").alias("n_grams"))
+    return (
+        per.join(tot, "doc_id")
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_fp",
+            "n_shared_fp",
+            ieee_round(F.col("n_fp").cast("double") / F.col("n_grams"), 6).alias("density"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_winnow() -> str:
+    from .util import sql_ieee_round
+
+    terms = " || ' ' || ".join(f"w[i+{k}]" for k in range(1, _WIN_K + 1))
+    gram = f"unnest(list_transform(range(len(w) - {_WIN_K - 1}), i -> {terms}))"
+    min_words = _WIN_K + _WIN_W - 1
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '{_WORD_RE}') AS w FROM documents
+),
+pg AS (
+  SELECT doc_id, unnest(range(len(w) - {_WIN_K - 1})) AS pos,
+         ('0x' || substr(md5({gram}), 1, 15))::BIGINT AS gh
+  FROM toks WHERE len(w) >= {min_words}
+),
+ext AS (
+  SELECT doc_id, pos,
+         min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS wmin,
+         max(pos) OVER (PARTITION BY doc_id) AS maxp
+  FROM pg
+),
+sel AS (
+  SELECT DISTINCT doc_id, wmin AS fp FROM ext WHERE pos <= maxp - {_WIN_W - 1}
+),
+marked AS (
+  SELECT doc_id, fp,
+         min(doc_id) OVER (PARTITION BY fp) <> max(doc_id) OVER (PARTITION BY fp) AS is_shared
+  FROM sel
+),
+per AS (
+  SELECT doc_id, count(*) AS n_fp,
+         count(*) FILTER (WHERE is_shared) AS n_shared_fp
+  FROM marked GROUP BY doc_id
+),
+tot AS (
+  SELECT doc_id, len(w) - {_WIN_K - 1} AS n_grams
+  FROM toks WHERE len(w) >= {min_words}
+)
+SELECT per.doc_id, n_grams, n_fp, n_shared_fp,
+       {sql_ieee_round('CAST(n_fp AS DOUBLE) / n_grams', 6)} AS density
+FROM per JOIN tot ON per.doc_id = tot.doc_id
+ORDER BY per.doc_id
+"""
+
+
+SQL_WINNOW_FINGERPRINTS = _sql_winnow()
+
+
 QUERIES: dict[str, tuple] = {
+    "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
     "gopher_filter": (q_gopher_filter, SQL_GOPHER_FILTER),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "bm25_search": (q_bm25_search, SQL_BM25_SEARCH),

@@ -38,11 +38,12 @@ def _modules():
 # df cap, mirrored in its oracle), decontam_report (its oracle text rides
 # the sql_ieee_round change); (b) the 8 rows whose last driver evidence
 # is round 2 (rolled here from the full r4 window, exactly as planned);
-# (c) 34 of the 44 rows whose last evidence is round 3, registry order.
-# The remaining 10 r3-evidence rows (distinct_active_kits, wide_view,
-# timeslice_avg, latest_per_user, static_runs, gap_detection,
-# interval_inference, dead_kits, hourly_gapfill, moving_average) roll
-# to round 6 — after this round no row's evidence is older than r3.
+# (c) 33 of the 44 rows whose last evidence is round 3, registry order.
+# The remaining 11 r3-evidence rows (failing_sensor_report,
+# distinct_active_kits, wide_view, timeslice_avg, latest_per_user,
+# static_runs, gap_detection, interval_inference, dead_kits,
+# hourly_gapfill, moving_average) roll to round 6 — after this round no
+# row's evidence is older than r3.
 _PRIORITY = (
     # (a) new / fixed / changed in round 5
     "gopher_filter",
@@ -50,6 +51,7 @@ _PRIORITY = (
     "cross_split_leakage",
     "embedding_outliers",
     "source_overlap",
+    "winnow_fingerprints",
     "station_calibration",
     "ngram_jaccard_pairs",
     "decontam_report",
@@ -96,7 +98,6 @@ _PRIORITY = (
     "unpivot_long",
     "chatty_kits",
     "percentile_summary",
-    "failing_sensor_report",
 )
 
 

@@ -481,3 +481,48 @@ def test_drain_breaker_mixed_batches_do_not_latch():
     br2 = CircuitBreaker(threshold=20, cooloff_s=3600)
     drain_breaker(br2, "h", n_ok=5, n_err=40)
     assert not br2.allow("h")
+
+
+def test_registry_gate_window_contract():
+    """The driver's correctness gate grades exactly the FIRST 50
+    registry entries, so the priority window must stay at exactly 50,
+    every name must resolve, and every windowed row should carry an
+    oracle (a rows-only row in the scarce window wastes a graded slot).
+    Also: every oracle SQL in the registry must at least parse in DuckDB
+    against empty same-shaped views — catches dialect typos without
+    running the data."""
+    import duckdb
+
+    from mysense_spark.queries import _PRIORITY, registry
+
+    reg = registry()
+    assert len(_PRIORITY) == 50, f"window is {len(_PRIORITY)}, gate grades exactly 50"
+    missing = [n for n in _PRIORITY if n not in reg]
+    assert not missing, f"window names not in registry: {missing}"
+    no_oracle = [n for n in _PRIORITY if reg[n][1] is None]
+    assert not no_oracle, f"rows-only queries waste window slots: {no_oracle}"
+
+    con = duckdb.connect()
+    schemas = {
+        "region": "r_regionkey BIGINT, r_name VARCHAR, r_comment VARCHAR",
+        "nation": "n_nationkey BIGINT, n_name VARCHAR, n_regionkey BIGINT, n_comment VARCHAR",
+        "customer": "c_custkey BIGINT, c_name VARCHAR, c_address VARCHAR, c_nationkey BIGINT, c_phone VARCHAR, c_acctbal DOUBLE, c_mktsegment VARCHAR, c_comment VARCHAR",
+        "supplier": "s_suppkey BIGINT, s_name VARCHAR, s_address VARCHAR, s_nationkey BIGINT, s_phone VARCHAR, s_acctbal DOUBLE, s_comment VARCHAR",
+        "part": "p_partkey BIGINT, p_name VARCHAR, p_mfgr VARCHAR, p_brand VARCHAR, p_type VARCHAR, p_size BIGINT, p_container VARCHAR, p_retailprice DOUBLE, p_comment VARCHAR",
+        "orders": "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus VARCHAR, o_totalprice DOUBLE, o_orderdate DATE, o_orderpriority VARCHAR, o_clerk VARCHAR, o_shippriority BIGINT, o_comment VARCHAR",
+        "lineitem": "l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT, l_linenumber BIGINT, l_quantity DOUBLE, l_extendedprice DOUBLE, l_discount DOUBLE, l_tax DOUBLE, l_returnflag VARCHAR, l_linestatus VARCHAR, l_shipdate DATE, l_commitdate DATE, l_receiptdate DATE, l_shipinstruct VARCHAR, l_shipmode VARCHAR, l_comment VARCHAR",
+        "events": "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type VARCHAR, value DOUBLE, props VARCHAR",
+        "documents": "doc_id BIGINT, text VARCHAR, lang VARCHAR, source VARCHAR, n_chars BIGINT",
+        "embeddings": "vec_id BIGINT, embedding DOUBLE[], label INTEGER",
+    }
+    for t, ddl in schemas.items():
+        con.execute(f"CREATE TABLE {t} ({ddl})")
+    bad = []
+    for name, (_fn, sql) in reg.items():
+        if sql is None:
+            continue
+        try:
+            con.execute(f"SELECT * FROM ({sql}) LIMIT 0")
+        except Exception as ex:
+            bad.append(f"{name}: {str(ex)[:120]}")
+    assert not bad, f"oracle SQL fails to parse/bind: {bad}"
