@@ -52,6 +52,9 @@ _FENCED_CROSSJOIN = {"knn_bruteforce", "ann_ivf", "ann_recall", "embedding_neard
         "bm25_search",
         "cross_split_leakage",
         "embedding_outliers",
+        "source_overlap",
+        "winnow_fingerprints",
+        "gopher_filter",
     ],
 )
 def test_no_nested_loop_join(spark, sf_dir, name):
