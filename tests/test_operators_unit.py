@@ -526,3 +526,42 @@ def test_registry_gate_window_contract():
         except Exception as ex:
             bad.append(f"{name}: {str(ex)[:120]}")
     assert not bad, f"oracle SQL fails to parse/bind: {bad}"
+
+
+def test_exact_agg_partitioning_independence(spark):
+    """The engine's core exactness claim, asserted directly: exact_sum /
+    exact_avg / exact_std produce BIT-IDENTICAL results regardless of
+    partition count, partitioning key, or row order — the property that
+    makes results reproducible across cluster sizes and lets the DuckDB
+    oracle compare with zero float tolerance."""
+    import random
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mysense_spark.operators.util import exact_avg, exact_std, exact_sum
+
+    rng = random.Random(11)
+    pdf = pd.DataFrame(
+        [(i % 7, rng.uniform(-1e4, 1e4)) for i in range(4000)], columns=["k", "x"]
+    )
+    base = spark.createDataFrame(pdf)
+    variants = [
+        base.repartition(1),
+        base.repartition(13, "k"),
+        base.orderBy(F.desc("x")).repartition(7),
+    ]
+    outs = []
+    for v in variants:
+        rows = (
+            v.groupBy("k")
+            .agg(
+                exact_sum(F.col("x"), 4).alias("s"),
+                exact_avg(F.col("x"), 6).alias("a"),
+                exact_std(F.col("x"), 6).alias("d"),
+            )
+            .orderBy("k")
+            .collect()
+        )
+        outs.append([(r["k"], r["s"], r["a"], r["d"]) for r in rows])
+    assert outs[0] == outs[1] == outs[2]
