@@ -1016,10 +1016,19 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     doc = load(spark, sf_dir, "documents")
     lines = F.split(F.col("text"), "\n")
+    # Two regex passes total over the text (a 100 TB corpus is scanned,
+    # not indexed — passes are the cost unit): ONE \S+ tokenization
+    # feeding n_words / word_chars / alpha_words as array expressions,
+    # and ONE alternation group-extract counting DISTINCT stop words
+    # (replaces 8 separate \b<w>\b rlike scans). replace()-based symbol
+    # counts and the line split are cheap non-regex scans.
+    # double backslash: Spark's SQL string literal would read '\b' as a
+    # backspace character; '\\b' reaches the regex engine as \b
+    stop_re = r"\\b(" + "|".join(_GOPHER_STOPWORDS) + r")\\b"
+    words = F.expr(r"regexp_extract_all(text, '\\S+', 0)")
     base = doc.select(
         "doc_id",
-        F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).cast("long").alias("n_words"),
-        F.length(F.regexp_replace("text", r"\s", "")).cast("long").alias("word_chars"),
+        words.alias("ws"),
         (
             F.length("text") - F.length(F.expr("replace(text, '#', '')"))
             + F.expr("(length(text) - length(replace(text, '...', ''))) DIV 3")
@@ -1027,10 +1036,17 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(lines).cast("long").alias("n_lines"),
         F.size(F.filter(lines, lambda x: x.startswith("- ") | x.startswith("* "))).cast("long").alias("bullet_lines"),
         F.size(F.filter(lines, lambda x: x.endswith("..."))).cast("long").alias("ellipsis_lines"),
-        F.size(F.expr(r"regexp_extract_all(text, '\\S*[a-z]\\S*', 0)")).cast("long").alias("alpha_words"),
-        sum(
-            (F.col("text").rlike(rf"\b{w}\b")).cast("long") for w in _GOPHER_STOPWORDS
-        ).alias("n_stopwords"),
+        F.size(F.array_distinct(F.expr(f"regexp_extract_all(text, '{stop_re}', 1)"))).cast("long").alias("n_stopwords"),
+    ).select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_words"),
+        F.aggregate("ws", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)).alias("word_chars"),
+        F.size(F.filter("ws", lambda x: x.rlike("[a-z]"))).cast("long").alias("alpha_words"),
+        "n_symbols",
+        "n_lines",
+        "bullet_lines",
+        "ellipsis_lines",
+        "n_stopwords",
     )
     nw = F.col("n_words").cast("double")
     nl = F.col("n_lines").cast("double")
