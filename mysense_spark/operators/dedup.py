@@ -47,6 +47,8 @@ _DF_CAP_DEN = 200  # 1/200 = 0.5 % of docs
 
 
 def _df_cap(n_docs: int) -> int:
+    """Eager twin of the lazy in-plan cap expression in
+    q_ngram_jaccard_pairs (kept for tests/documentation)."""
     return max(_DF_CAP_MIN, (n_docs + _DF_CAP_DEN - 1) // _DF_CAP_DEN)
 
 
@@ -129,10 +131,24 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # df cap: rows are distinct (doc_id, hsh), so count(*) per hsh IS the
     # document frequency; the groupBy reuses raw's hsh partitioning (no
     # extra shuffle) and heavy hitters are few by construction, so the
-    # anti-join build side broadcasts. n_docs is a control-plane scalar.
-    cap = _df_cap(doc.count())
-    hot = raw.groupBy("hsh").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") > cap)
-    sh = raw.join(F.broadcast(hot.select("hsh")), "hsh", "left_anti")
+    # anti-join build side broadcasts. The cap rides as a 1-row
+    # broadcast-crossJoin scalar (the lazy twin of _df_cap) so building
+    # this DataFrame never triggers an eager count() action.
+    nd = doc.agg(F.count(F.lit(1)).alias("nd"))
+    cap_col = F.greatest(
+        F.lit(_DF_CAP_MIN).cast("long"),
+        F.expr(f"(nd + {_DF_CAP_DEN - 1}) DIV {_DF_CAP_DEN}"),
+    )
+    hot = (
+        raw.groupBy("hsh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(nd))
+        .where(F.col("df") > cap_col)
+    )
+    # persist the post-cap join input too: it feeds THREE consumers
+    # (sizes + both self-join sides) — raw's cache alone would re-run
+    # the heavy-hitter agg and anti-join once per branch
+    sh = tracked_persist(raw.join(F.broadcast(hot.select("hsh")), "hsh", "left_anti"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -328,11 +344,9 @@ def q_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_cross_split_leakage() -> str:
-    from .sampling import _TRAIN_PCT, _VAL_PCT
+    from .sampling import _TRAIN_PCT, _VAL_PCT, SQL_DOC_BUCKET
 
-    pairs_sql = SQL_MINHASH_LSH_PAIRS.strip().removesuffix("ORDER BY d1, d2\n").strip()
-    if pairs_sql.endswith("ORDER BY d1, d2"):
-        pairs_sql = pairs_sql.removesuffix("ORDER BY d1, d2")
+    pairs_sql = SQL_MINHASH_LSH_PAIRS.strip().rstrip().removesuffix("ORDER BY d1, d2")
     return f"""
 WITH npairs AS ({pairs_sql}),
 splits AS (
@@ -340,9 +354,7 @@ splits AS (
          CASE WHEN b < {_TRAIN_PCT} THEN 'train'
               WHEN b < {_VAL_PCT} THEN 'val'
               ELSE 'test' END AS split
-  FROM (SELECT doc_id,
-               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
-        FROM documents)
+  FROM (SELECT doc_id, {SQL_DOC_BUCKET} AS b FROM documents)
 )
 SELECT d1, s1.split AS split1, d2, s2.split AS split2, jaccard
 FROM npairs
@@ -686,6 +698,16 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels
 
 
+def _sized_clusters(labels):
+    """(doc_id, cluster_id, cluster_size) from the converged label table
+    — the assembly q_neardup_clusters and q_dedup_keep_best share."""
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        "doc_id", F.col("label").alias("cluster_id"), "cluster_size"
+    )
+
+
+
 def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster resolution: connected components over the verified
     MinHash-LSH pair graph, then one canonical keeper per cluster — the
@@ -707,15 +729,13 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the min doc_id in the component, `keep` marks the canonical
     representative (the one a dedup pass retains).
     """
-    labels = _cluster_labels(spark, sf_dir)
-    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    clusters = _sized_clusters(_cluster_labels(spark, sf_dir))
     return (
-        labels.join(sizes, "label")
-        .select(
+        clusters.select(
             "doc_id",
-            F.col("label").alias("cluster_id"),
+            "cluster_id",
             "cluster_size",
-            (F.col("doc_id") == F.col("label")).cast("int").alias("keep"),
+            (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("keep"),
         )
         .orderBy("cluster_id", "doc_id")
     )
@@ -770,11 +790,7 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    labels = _cluster_labels(spark, sf_dir)
-    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
-    clusters = labels.join(sizes, "label").select(
-        "doc_id", F.col("label").alias("cluster_id"), "cluster_size"
-    )
+    clusters = _sized_clusters(_cluster_labels(spark, sf_dir))
     doc = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
     w = Window.partitionBy("cluster_id").orderBy(
         F.desc("n_chars"), F.asc("doc_id")
@@ -881,6 +897,7 @@ def q_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_decontam() -> str:
+    from .sampling import _TRAIN_PCT, _VAL_PCT, SQL_DOC_BUCKET
     from .util import sql_ieee_round
 
     j = " || ' ' || ".join(f"w[i+{k}]" for k in range(1, _DECON_N + 1))
@@ -888,9 +905,9 @@ def _sql_decontam() -> str:
     return f"""
 WITH split AS (
   SELECT doc_id,
-         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80
+         CASE WHEN {SQL_DOC_BUCKET} < {_TRAIN_PCT}
               THEN 'train'
-              WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90
+              WHEN {SQL_DOC_BUCKET} < {_VAL_PCT}
               THEN 'val' ELSE 'test' END AS split,
          regexp_extract_all(text, '{_WORD_RE}') AS w
   FROM documents

@@ -34,6 +34,13 @@ def _bucket(c) -> F.Column:
     return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long") % 100
 
 
+# DuckDB twin of _bucket over doc_id — shared by EVERY oracle that
+# derives the train/val/test split (hash_sample, corpus_build, dedup's
+# cross_split_leakage / incremental verdicts), so a split-rule change
+# cannot silently diverge one of them.
+SQL_DOC_BUCKET = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100"
+
+
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified train/val/test split of the document corpus by
     deterministic content-key hash, reported per (lang, split): counts
@@ -57,7 +64,7 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_HASH_SAMPLE = f"""
 WITH b AS (
   SELECT lang, n_chars,
-         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+         {SQL_DOC_BUCKET} AS bucket
   FROM documents
 )
 SELECT lang,
@@ -406,7 +413,7 @@ SQL_CORPUS_BUILD = f"""
 WITH sig AS (
   SELECT len(regexp_extract_all(text, '[a-z0-9]+')) AS n_tokens,
          regexp_matches(text, '{_MARKER_RE}') AS has_marker,
-         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+         {SQL_DOC_BUCKET} AS bucket
   FROM documents
 )
 SELECT CASE

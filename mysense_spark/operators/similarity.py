@@ -532,7 +532,11 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(Window.partitionBy("vec_id").orderBy(F.desc("cent_cos"), F.asc("cent_id"))),
         )
     )
-    membership = assigned.where(F.col("crank") == 1).select("vec_id", "v", "norm", "cent_id")
+    # persist the assignment: it feeds BOTH self-join sides — uncached,
+    # the N x K centroid cross join + per-vec window would run twice
+    membership = tracked_persist(
+        assigned.where(F.col("crank") == 1).select("vec_id", "v", "norm", "cent_id")
+    )
     a = membership.select(
         "cent_id", F.col("vec_id").alias("v1"), F.col("v").alias("va"), F.col("norm").alias("na")
     )
@@ -599,8 +603,12 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .util import exact_avg, exact_std, ieee_round
 
     emb = load(spark, sf_dir, "embeddings")
-    pos = emb.select(
-        "vec_id", "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
+    # persist the exploded view: it feeds the stats agg AND the z-score
+    # join — uncached, the corpus would be scanned and exploded twice
+    pos = tracked_persist(
+        emb.select(
+            "vec_id", "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
+        )
     )
     stats = pos.groupBy("label", F.col("dim").cast("long").alias("dim")).agg(
         exact_avg(F.col("x"), 6).alias("mean_x"),

@@ -417,11 +417,13 @@ def test_ngram_jaccard_df_cap(spark, tmp_path):
     docs.append((100, base + " tail100a tail100b"))
     docs.append((101, base + " tail101a tail101b"))
 
+    from tests.conftest import SF_SMOKE
+
     sf = tmp_path / "capsf"
     sf.mkdir()
     for t in TABLES:
         if t != "documents":
-            os.symlink(f"/root/testdata/sf0.001/{t}.parquet", sf / f"{t}.parquet")
+            os.symlink(f"{SF_SMOKE}/{t}.parquet", sf / f"{t}.parquet")
     pd.DataFrame(
         [
             {"doc_id": d, "text": t, "lang": "en", "source": "synthetic", "n_chars": len(t)}
