@@ -311,6 +311,10 @@ ORDER BY d1, d2
 
 SQL_MINHASH_LSH_PAIRS = _sql_minhash()
 
+# the pairs SQL as an embeddable CTE body (presentation ORDER BY
+# stripped) — shared by every oracle that composes on the pair list
+_PAIRS_CTE = SQL_MINHASH_LSH_PAIRS.strip().removesuffix("ORDER BY d1, d2")
+
 
 def q_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test leakage audit: verified near-dup pairs (the
@@ -346,9 +350,8 @@ def q_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_cross_split_leakage() -> str:
     from .sampling import _TRAIN_PCT, _VAL_PCT, SQL_DOC_BUCKET
 
-    pairs_sql = SQL_MINHASH_LSH_PAIRS.strip().rstrip().removesuffix("ORDER BY d1, d2")
     return f"""
-WITH npairs AS ({pairs_sql}),
+WITH npairs AS ({_PAIRS_CTE}),
 splits AS (
   SELECT doc_id,
          CASE WHEN b < {_TRAIN_PCT} THEN 'train'
@@ -653,10 +656,19 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash-LSH pair graph — the shared core of q_neardup_clusters and
     q_dedup_keep_best (see q_neardup_clusters' docstring for the
     algorithm and its at-scale story)."""
+    # Memoize only in local mode: the memoized table is a localCheckpoint
+    # whose blocks have NO lineage to recompute from — on a multi-executor
+    # cluster a reclaimed executor would make every later memo hit fail
+    # with an unrecoverable missing-block error. Locally (one JVM, the
+    # gate/bench/pytest sweeps) the blocks live exactly as long as the
+    # process, so the reuse is safe; on a cluster, recompute (or persist
+    # the labels to a reliable table between queries).
+    use_memo = spark.sparkContext.master.startswith("local")
     key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _LABELS_MEMO.get(key)
-    if hit is not None:
-        return hit
+    if use_memo:
+        hit = _LABELS_MEMO.get(key)
+        if hit is not None:
+            return hit
     pairs = q_minhash_lsh_pairs(spark, sf_dir).select("d1", "d2")
     edges = (
         pairs.union(pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2")))
@@ -693,8 +705,9 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    _LABELS_MEMO.clear()
-    _LABELS_MEMO[key] = labels
+    if use_memo:
+        _LABELS_MEMO.clear()
+        _LABELS_MEMO[key] = labels
     return labels
 
 
@@ -744,9 +757,8 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_neardup_clusters() -> str:
     # transitive closure via recursive CTE (fine at oracle scale; the
     # Spark side is the iterative-join scale path)
-    pairs_sql = SQL_MINHASH_LSH_PAIRS.strip().rstrip().removesuffix("ORDER BY d1, d2")
     return f"""
-WITH RECURSIVE pairs AS ({pairs_sql}),
+WITH RECURSIVE pairs AS ({_PAIRS_CTE}),
 edges AS (
   SELECT d1 AS u, d2 AS v FROM pairs
   UNION
@@ -804,9 +816,8 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_dedup_keep_best() -> str:
-    pairs_sql = SQL_MINHASH_LSH_PAIRS.strip().rstrip().removesuffix("ORDER BY d1, d2")
     return f"""
-WITH RECURSIVE pairs AS ({pairs_sql}),
+WITH RECURSIVE pairs AS ({_PAIRS_CTE}),
 edges AS (
   SELECT d1 AS u, d2 AS v FROM pairs
   UNION
@@ -857,11 +868,11 @@ def q_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the train side is a distinct-projection of hashes — no pairwise doc
     comparison anywhere. 60-bit chance collisions are negligible;
     planted near-dups across the split boundary surface at overlap ~ 1."""
+    from .sampling import _TRAIN_PCT, _VAL_PCT, _bucket
+
     doc = load(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long") % 100
-    )
-    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    b = _bucket(F.col("doc_id"))
+    split = F.when(b < _TRAIN_PCT, "train").when(b < _VAL_PCT, "val").otherwise("test")
     words = F.expr(f"regexp_extract_all(text, '{_WORD_RE}', 0)")
     grams = F.expr(
         f"transform(sequence(0, size(words) - {_DECON_N}), i -> "

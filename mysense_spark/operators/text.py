@@ -18,6 +18,16 @@ from ..io import load
 
 _WORD_RE = "[a-z0-9]+"
 
+# Explicit whitespace class, identical in BOTH regex engines: Java's \s
+# includes \x0B (vertical tab) where RE2's (DuckDB) does not, so a doc
+# containing \x0B would tokenize differently engine-to-engine. The
+# escapes are spelled out so each REGEX compiler (not the SQL string
+# parser) interprets them; _NWS_SPARK doubles the backslashes to survive
+# Spark's SQL string literal parsing.
+_NWS_SPARK = r"[^ \\t\\n\\r\\f\\x0B]"
+_NWS_SQL = r"[^ \t\n\r\f\x0B]"
+_WS_SQL = r"[ \t\n\r\f\x0B]"
+
 # language marker words for the n-gram/stopword heuristic language ID
 _LANG_MARKERS: dict[str, str] = {
     "en": r"\b(the|and|of|to|a)\b",
@@ -69,8 +79,8 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     punctuation chars each count as one token (the pre-tokenizer split
     every real BPE applies first)."""
     doc = load(spark, sf_dir, "documents")
-    bpe = F.size(F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)"))
-    ws = F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)"))
+    bpe = F.size(F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f\\x0B]', 0)"))
+    ws = F.size(F.expr(f"regexp_extract_all(text, '{_NWS_SPARK}+', 0)"))
     return (
         doc.select("source", bpe.alias("bpe"), ws.alias("ws"))
         .groupBy("source")
@@ -84,11 +94,11 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_TOKEN_COUNT = r"""
+SQL_TOKEN_COUNT = rf"""
 WITH per_doc AS (
   SELECT source,
-         len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe,
-         len(regexp_extract_all(text, '\S+')) AS ws
+         len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 \t\n\r\f\x0B]')) AS bpe,
+         len(regexp_extract_all(text, '{_NWS_SQL}+')) AS ws
   FROM documents
 )
 SELECT source, count(*) AS n_docs,
@@ -734,8 +744,8 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: pure per-row JVM regex counts, one shuffle on lang.
     """
     doc = load(spark, sf_dir, "documents")
-    bpe = F.size(F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)"))
-    ws = F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)"))
+    bpe = F.size(F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f\\x0B]', 0)"))
+    ws = F.size(F.expr(f"regexp_extract_all(text, '{_NWS_SPARK}+', 0)"))
     alpha = F.length(F.regexp_replace("text", r"[^a-z0-9]", ""))
     return (
         doc.select("lang", bpe.alias("bpe"), ws.alias("ws"), alpha.alias("alpha"))
@@ -751,11 +761,11 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_TOKENIZER_FERTILITY = r"""
+SQL_TOKENIZER_FERTILITY = rf"""
 WITH per_doc AS (
   SELECT lang,
-         len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe,
-         len(regexp_extract_all(text, '\S+')) AS ws,
+         len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 \t\n\r\f\x0B]')) AS bpe,
+         len(regexp_extract_all(text, '{_NWS_SQL}+')) AS ws,
          length(regexp_replace(text, '[^a-z0-9]', '', 'g')) AS alpha
   FROM documents
 )
@@ -1025,7 +1035,7 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # double backslash: Spark's SQL string literal would read '\b' as a
     # backspace character; '\\b' reaches the regex engine as \b
     stop_re = r"\\b(" + "|".join(_GOPHER_STOPWORDS) + r")\\b"
-    words = F.expr(r"regexp_extract_all(text, '\\S+', 0)")
+    words = F.expr(f"regexp_extract_all(text, '{_NWS_SPARK}+', 0)")
     base = doc.select(
         "doc_id",
         words.alias("ws"),
@@ -1086,15 +1096,15 @@ def _sql_gopher() -> str:
     return rf"""
 WITH base AS (
   SELECT doc_id,
-         len(regexp_extract_all(text, '\S+')) AS n_words,
-         length(regexp_replace(text, '\s', '', 'g')) AS word_chars,
+         len(regexp_extract_all(text, '{_NWS_SQL}+')) AS n_words,
+         length(regexp_replace(text, '{_WS_SQL}', '', 'g')) AS word_chars,
          (length(text) - length(replace(text, '#', '')))
            + (length(text) - length(replace(text, '...', ''))) // 3 AS n_symbols,
          len(string_split(text, chr(10))) AS n_lines,
          len(list_filter(string_split(text, chr(10)),
                          x -> starts_with(x, '- ') OR starts_with(x, '* '))) AS bullet_lines,
          len(list_filter(string_split(text, chr(10)), x -> ends_with(x, '...'))) AS ellipsis_lines,
-         len(regexp_extract_all(text, '\S*[a-z]\S*')) AS alpha_words,
+         len(regexp_extract_all(text, '{_NWS_SQL}*[a-z]{_NWS_SQL}*')) AS alpha_words,
          {stop_sum} AS n_stopwords
   FROM documents
 ),
@@ -1170,9 +1180,12 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gh").over(win).alias("wmin"),
         F.max("pos").over(per_doc_all).alias("maxp"),
     )
+    # maxp rides through the distinct (constant per doc, so cardinality
+    # is unchanged) — n_grams = maxp + 1 then comes from the SAME scan
+    # instead of a second tokenize pass + join (one corpus scan total)
     sel = (
         ext.where(F.col("pos") <= F.col("maxp") - (_WIN_W - 1))
-        .select("doc_id", F.col("wmin").alias("fp"))
+        .select("doc_id", F.col("wmin").alias("fp"), "maxp")
         .distinct()
     )
     shared = F.min("doc_id").over(Window.partitionBy("fp")) != F.max("doc_id").over(
@@ -1184,12 +1197,11 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_fp"),
             F.count(F.when(F.col("is_shared"), 1)).alias("n_shared_fp"),
+            (F.max("maxp") + 1).cast("long").alias("n_grams"),
         )
     )
-    tot = toks.select("doc_id", (F.size("w") - F.lit(_WIN_K - 1)).cast("long").alias("n_grams"))
     return (
-        per.join(tot, "doc_id")
-        .select(
+        per.select(
             "doc_id",
             "n_grams",
             "n_fp",
@@ -1223,26 +1235,23 @@ ext AS (
   FROM pg
 ),
 sel AS (
-  SELECT DISTINCT doc_id, wmin AS fp FROM ext WHERE pos <= maxp - {_WIN_W - 1}
+  SELECT DISTINCT doc_id, wmin AS fp, maxp FROM ext WHERE pos <= maxp - {_WIN_W - 1}
 ),
 marked AS (
-  SELECT doc_id, fp,
+  SELECT doc_id, fp, maxp,
          min(doc_id) OVER (PARTITION BY fp) <> max(doc_id) OVER (PARTITION BY fp) AS is_shared
   FROM sel
 ),
 per AS (
   SELECT doc_id, count(*) AS n_fp,
-         count(*) FILTER (WHERE is_shared) AS n_shared_fp
+         count(*) FILTER (WHERE is_shared) AS n_shared_fp,
+         max(maxp) + 1 AS n_grams
   FROM marked GROUP BY doc_id
-),
-tot AS (
-  SELECT doc_id, len(w) - {_WIN_K - 1} AS n_grams
-  FROM toks WHERE len(w) >= {min_words}
 )
-SELECT per.doc_id, n_grams, n_fp, n_shared_fp,
+SELECT doc_id, n_grams, n_fp, n_shared_fp,
        {sql_ieee_round('CAST(n_fp AS DOUBLE) / n_grams', 6)} AS density
-FROM per JOIN tot ON per.doc_id = tot.doc_id
-ORDER BY per.doc_id
+FROM per
+ORDER BY doc_id
 """
 
 

@@ -469,10 +469,16 @@ def test_drain_breaker_mixed_batches_do_not_latch():
         drain_breaker(br, "h", n_ok=5000, n_err=3)
     assert br.allow("h"), "mixed healthy batches latched the breaker"
 
-    # errors >= threshold but successes dominate: still healthy
+    # errors >= threshold but rate is low (25/5000 = 0.5%): still healthy
     for _ in range(50):
         drain_breaker(br, "h", n_ok=5000, n_err=25)
     assert br.allow("h")
+
+    # a large-minority failure rate (900/1900 ~ 47%) must NOT be
+    # laundered by the successes — one such batch opens the breaker
+    br3 = CircuitBreaker(threshold=20, cooloff_s=3600)
+    drain_breaker(br3, "h", n_ok=1000, n_err=900)
+    assert not br3.allow("h"), "47% sustained failure rate never opened the breaker"
 
     # total outage: consecutive all-error batches must open it
     for _ in range(4):
@@ -567,3 +573,39 @@ def test_exact_agg_partitioning_independence(spark):
         )
         outs.append([(r["k"], r["s"], r["a"], r["d"]) for r in rows])
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_tokenizer_whitespace_class_parity(spark, tmp_path):
+    """Java regex \\s includes \\x0B (vertical tab); RE2's (DuckDB) does
+    not — with plain \\S+/\\s tokenizers, a document containing \\x0B
+    tokenizes DIFFERENTLY per engine and flips the driver hash. The
+    tokenizing queries pin an explicit whitespace class instead; this
+    plants a vertical-tab document and proves engine parity holds."""
+    import os
+
+    import pandas as pd
+
+    from mysense_spark.io import TABLES
+    from mysense_spark.oracle import check_query
+    from tests.conftest import SF_SMOKE
+
+    sf = tmp_path / "wssf"
+    sf.mkdir()
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(f"{SF_SMOKE}/{t}.parquet", sf / f"{t}.parquet")
+    texts = [
+        "alpha\x0bbeta gamma the words of and that have with more words here now",
+        "plain text with the usual words of a document that goes on and on",
+        "tab\tsplit and\x0b\x0bdouble vtab the of and that have with tokens",
+    ]
+    pd.DataFrame(
+        [
+            {"doc_id": i, "text": t, "lang": "en", "source": "s", "n_chars": len(t)}
+            for i, t in enumerate(texts)
+        ]
+    ).to_parquet(sf / "documents.parquet")
+
+    for name in ("gopher_filter", "token_count", "tokenizer_fertility"):
+        res = check_query(spark, name, str(sf))
+        assert res.ok, f"{name}: {res.detail}"
