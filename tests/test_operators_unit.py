@@ -609,3 +609,14 @@ def test_tokenizer_whitespace_class_parity(spark, tmp_path):
     for name in ("gopher_filter", "token_count", "tokenizer_fertility"):
         res = check_query(spark, name, str(sf))
         assert res.ok, f"{name}: {res.detail}"
+
+
+def test_pairs_cte_strips_presentation_order():
+    """_PAIRS_CTE embeds the minhash pairs SQL inside other oracles'
+    CTEs; removesuffix() silently no-ops if the pairs SQL's tail is ever
+    reworded, which would leave an ORDER BY inside every composing CTE.
+    Pin the contract instead of trusting the suffix."""
+    from mysense_spark.operators.dedup import _PAIRS_CTE, SQL_MINHASH_LSH_PAIRS
+
+    assert SQL_MINHASH_LSH_PAIRS.strip().endswith("ORDER BY d1, d2")
+    assert not _PAIRS_CTE.rstrip().endswith("ORDER BY d1, d2")
