@@ -95,7 +95,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: group by normalized-content hash, keep min doc_id as
     representative (one shuffle on the hash — the 100 TB-safe baseline)."""
     doc = load(spark, sf_dir, "documents")
-    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    # explicit whitespace class: Java \s includes \x0B, RE2 (the
+    # oracle) does not — a vertical-tab doc would hash differently
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"[ \t\n\r\f\x0B]+", " "))
     return (
         doc.withColumn("fingerprint", F.md5(norm))
         .groupBy("fingerprint")
@@ -105,7 +107,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DEDUP_EXACT = r"""
-SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+SELECT md5(trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS fingerprint,
        min(doc_id) AS keep_doc_id, count(*) AS n_copies
 FROM documents
 GROUP BY 1
@@ -603,12 +605,17 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             # off-diagonal: each unordered pair appears exactly once
             mask = np.ones_like(cos, dtype=bool)
-        mask &= cos >= _COSINE_THRESHOLD - 1e-9
+        # margin must exceed HALF the 6-dp rounding grid (5e-7): raw
+        # cosines in [threshold-5e-7, threshold) round UP into membership,
+        # and the oracle has no prefilter — a 1e-9 margin dropped them
+        mask &= cos >= _COSINE_THRESHOLD - 1e-6
         r, c = np.nonzero(mask)
         a, b = l_ids[r], r_ids[c]
         return pd.DataFrame(
             {"v1": np.minimum(a, b), "v2": np.maximum(a, b), "cosine_raw": cos[r, c]}
         )
+
+    from .util import ieee_round
 
     pairs = (
         left.groupby("pair_id")
@@ -616,7 +623,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(gemm, schema="v1 long, v2 long, cosine_raw double")
     )
     return (
-        pairs.withColumn("cosine", F.round("cosine_raw", 6))
+        pairs.withColumn("cosine", ieee_round(F.col("cosine_raw"), 6))
         .where(F.col("cosine") >= _COSINE_THRESHOLD)
         .select("v1", "v2", "cosine")
         .orderBy("v1", "v2")
@@ -630,16 +637,16 @@ WITH v AS (
   FROM embeddings
 )
 SELECT a.vec_id AS v1, b.vec_id AS v2,
-       round(list_sum(list_transform(range(len(a.v)), i -> a.v[i+1] * b.v[i+1]))
-             / (a.norm * b.norm), 6) AS cosine
+       (floor((list_sum(list_transform(range(len(a.v)), i -> a.v[i+1] * b.v[i+1])) / (a.norm * b.norm)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS cosine
 FROM v a JOIN v b ON a.vec_id < b.vec_id
-WHERE round(list_sum(list_transform(range(len(a.v)), i -> a.v[i+1] * b.v[i+1]))
-            / (a.norm * b.norm), 6) >= {_COSINE_THRESHOLD}
+WHERE (floor((list_sum(list_transform(range(len(a.v)), i -> a.v[i+1] * b.v[i+1])) / (a.norm * b.norm)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) >= {_COSINE_THRESHOLD}
 ORDER BY v1, v2
 """
 
 
-_CC_MAX_ITERS = 20
+_CC_MAX_ITERS = 64  # safety valve only — the loop breaks on convergence;
+# 64 covers any plausible near-dup chain (the oracle resolves the full
+# closure, so an unconverged component would be a gate red)
 
 # one-entry memo for the converged label table, keyed by (application,
 # sf_dir): the table is localCheckpoint-materialized (tiny — one row per
@@ -982,7 +989,9 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    # explicit whitespace class: Java \s includes \x0B, RE2 (the
+    # oracle) does not — a vertical-tab doc would hash differently
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"[ \t\n\r\f\x0B]+", " "))
     tagged = doc.withColumn("is_new", F.col("doc_id") % _INCR_MOD == 0).withColumn(
         "fp", F.md5(norm)
     )
@@ -1096,7 +1105,7 @@ WITH base AS (
 ),
 fp AS (
   SELECT doc_id, doc_id % {_INCR_MOD} = 0 AS is_new,
-         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+         md5(trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS fp
   FROM base
 ),
 old_fp AS (SELECT fp, min(doc_id) AS exact_match FROM fp WHERE NOT is_new GROUP BY fp),

@@ -30,7 +30,7 @@ from ..registry import (
     LKI_BREAKPOINTS,
     TAYLOR_CHAINS,
 )
-from .util import exact_avg, sql_avg
+from .util import ieee_round, exact_avg, sql_avg
 
 
 # ---------------------------------------------------------------------------
@@ -342,13 +342,13 @@ def q_unit_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ppb = F.col("value") * (273.15 + t) / (12.187 * m)
     return (
         ev.where(F.col("event_type") == "signup")
-        .select("event_id", F.round("value", 4).alias("ugm3"), F.round(ppb, 4).alias("ppb"))
+        .select("event_id", ieee_round(F.col("value"), 4).alias("ugm3"), ieee_round(ppb, 4).alias("ppb"))
     )
 
 
 SQL_UNIT_CONVERSION = f"""
-SELECT event_id, round(value, 4) AS ugm3,
-       round(value * (273.15 + 20.0) / (12.187 * {GMOL['no2']!r}), 4) AS ppb
+SELECT event_id, (floor((value) * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(10000.0 AS DOUBLE)) AS ugm3,
+       (floor((value * {(273.15 + 20.0)!r} / {(12.187 * GMOL['no2'])!r}) * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(10000.0 AS DOUBLE)) AS ppb
 FROM events
 WHERE event_type = 'signup'
 ORDER BY event_id

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..cache import tracked_persist
 from ..io import load
-from .util import exact_avg, sql_avg
+from .util import exact_avg, ieee_round, sql_avg
 
 # decimal(18,6): wide enough for the 6-decimal bucket means, narrow
 # enough that products stay exact at scale 12 on BOTH engines (28,6
@@ -143,8 +143,8 @@ def q_fit_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             exact_avg(corrected, 6).alias("avg_corrected"),
-            F.round(F.min(corrected), 8).alias("min_corrected"),
-            F.round(F.max(corrected), 8).alias("max_corrected"),
+            ieee_round(F.min(corrected), 8).alias("min_corrected"),
+            ieee_round(F.max(corrected), 8).alias("max_corrected"),
         )
         .orderBy("user_id")
     )
@@ -153,8 +153,8 @@ def q_fit_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_FIT_APPLY = f"""
 SELECT user_id, count(*) AS n,
        {sql_avg('1.2345 + 0.9876 * value', 6)} AS avg_corrected,
-       round(min(1.2345 + 0.9876 * value), 8) AS min_corrected,
-       round(max(1.2345 + 0.9876 * value), 8) AS max_corrected
+       (floor((min(1.2345 + 0.9876 * value)) * CAST(100000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(100000000.0 AS DOUBLE)) AS min_corrected,
+       (floor((max(1.2345 + 0.9876 * value)) * CAST(100000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(100000000.0 AS DOUBLE)) AS max_corrected
 FROM events
 WHERE event_type = 'error'
 GROUP BY user_id

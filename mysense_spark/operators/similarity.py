@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..cache import tracked_persist
 from ..io import load
-from .util import sql_avg, sql_ieee_round, sql_std, sql_sum
+from .util import ieee_round, sql_avg, sql_ieee_round, sql_std, sql_sum
 
 _N_QUERIES = 5  # vec_id < 5 are the query vectors
 _TOP_K = 10
@@ -50,8 +50,9 @@ _SQL_VECTORS = """
 """
 
 _SQL_COS = (
-    "round(list_sum(list_transform(range(len(q.v)), i -> q.v[i+1] * c.v[i+1]))"
-    " / (q.norm * c.norm), 6)"
+    "(floor((list_sum(list_transform(range(len(q.v)), i -> q.v[i+1] * c.v[i+1]))"
+    " / (q.norm * c.norm)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+    " / CAST(1000000.0 AS DOUBLE))"
 )
 
 
@@ -75,7 +76,7 @@ def knn_rerank(queries: DataFrame, candidates: DataFrame, top_k: int = 10) -> Da
             f"{MAX_RERANK_QUERIES} rows; generate candidates with ann_ivf "
             f"(or LSH) and re-rank those instead"
         )
-    cos = F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm")), 6)
+    cos = ieee_round(_dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm")), 6)
     scored = (
         F.broadcast(queries)
         .crossJoin(candidates)
@@ -129,7 +130,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") >= _CENTROID_BASE) & (F.col("vec_id") < _CENTROID_BASE + _N_CENTROIDS)
     ).select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm"))
 
-    cos_vc = F.round(_dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm")), 6)
+    cos_vc = ieee_round(_dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm")), 6)
     # nearest centroid per vector (broadcast join: K rows)
     assigned = (
         vecs.crossJoin(F.broadcast(cents))
@@ -147,7 +148,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = membership.select(
         F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm"), "cent_id"
     )
-    cos_qc = F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm")), 6)
+    cos_qc = ieee_round(_dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm")), 6)
     scored = (
         probes.join(cand, "cent_id")
         .where(F.col("query_id") != F.col("cand_id"))
@@ -170,11 +171,11 @@ cents AS (
 ),
 assigned AS (
   SELECT q.vec_id, q.v, q.norm, c.cent_id,
-         round(list_sum(list_transform(range(len(q.v)), i -> q.v[i+1] * c.cv[i+1]))
-               / (q.norm * c.cnorm), 6) AS cent_cos,
+         (floor((list_sum(list_transform(range(len(q.v)), i -> q.v[i+1] * c.cv[i+1]))
+               / (q.norm * c.cnorm)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS cent_cos,
          row_number() OVER (PARTITION BY q.vec_id
-                            ORDER BY round(list_sum(list_transform(range(len(q.v)), i -> q.v[i+1] * c.cv[i+1]))
-                                           / (q.norm * c.cnorm), 6) DESC, c.cent_id ASC) AS crank
+                            ORDER BY (floor((list_sum(list_transform(range(len(q.v)), i -> q.v[i+1] * c.cv[i+1]))
+                                           / (q.norm * c.cnorm)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) DESC, c.cent_id ASC) AS crank
   FROM vecs q CROSS JOIN cents c
 ),
 membership AS (SELECT vec_id, v, norm, cent_id FROM assigned WHERE crank = 1),
@@ -184,8 +185,8 @@ probes AS (
 ),
 scored AS (
   SELECT p.query_id, m.vec_id AS cand_id,
-         round(list_sum(list_transform(range(len(p.qv)), i -> p.qv[i+1] * m.v[i+1]))
-               / (p.qnorm * m.norm), 6) AS cosine
+         (floor((list_sum(list_transform(range(len(p.qv)), i -> p.qv[i+1] * m.v[i+1]))
+               / (p.qnorm * m.norm)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS cosine
   FROM probes p JOIN membership m ON p.cent_id = m.cent_id
   WHERE p.query_id <> m.vec_id
 )
@@ -523,7 +524,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = vecs.where(
         (F.col("vec_id") >= _CENTROID_BASE) & (F.col("vec_id") < _CENTROID_BASE + _N_CENTROIDS)
     ).select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm"))
-    cos_vc = F.round(_dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm")), 6)
+    cos_vc = ieee_round(_dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm")), 6)
     assigned = (
         vecs.crossJoin(F.broadcast(cents))
         .withColumn("cent_cos", cos_vc)
@@ -543,7 +544,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = membership.select(
         "cent_id", F.col("vec_id").alias("v2"), F.col("v").alias("vb"), F.col("norm").alias("nb")
     )
-    cos_ab = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    cos_ab = ieee_round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
     pairs = (
         a.join(b, "cent_id")
         .where(F.col("v1") < F.col("v2"))
@@ -566,15 +567,15 @@ cents AS (
 assigned AS (
   SELECT q.vec_id, q.v, q.norm, c.cent_id,
          row_number() OVER (PARTITION BY q.vec_id
-                            ORDER BY round(list_sum(list_transform(range(len(q.v)), i -> q.v[i+1] * c.cv[i+1]))
-                                           / (q.norm * c.cnorm), 6) DESC, c.cent_id ASC) AS crank
+                            ORDER BY (floor((list_sum(list_transform(range(len(q.v)), i -> q.v[i+1] * c.cv[i+1]))
+                                           / (q.norm * c.cnorm)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) DESC, c.cent_id ASC) AS crank
   FROM vecs q CROSS JOIN cents c
 ),
 membership AS (SELECT vec_id, v, norm, cent_id FROM assigned WHERE crank = 1),
 pairs AS (
   SELECT a.cent_id, a.vec_id AS v1, b.vec_id AS v2,
-         round(list_sum(list_transform(range(len(a.v)), i -> a.v[i+1] * b.v[i+1]))
-               / (a.norm * b.norm), 6) AS cosine
+         (floor((list_sum(list_transform(range(len(a.v)), i -> a.v[i+1] * b.v[i+1]))
+               / (a.norm * b.norm)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS cosine
   FROM membership a JOIN membership b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
 )
 SELECT v2 AS vec_id, cent_id, min(v1) AS dup_of, max(cosine) AS max_cosine

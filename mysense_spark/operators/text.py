@@ -164,12 +164,14 @@ ORDER BY lang, predicted
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality scoring: length score + alpha ratio + token-count
     score, weighted; plus a decile bucket for corpus filtering."""
+    from .util import ieee_round
+
     doc = load(spark, sf_dir, "documents")
     n_tokens = _ntokens(F.col("text"))
     alpha_ratio = F.length(F.regexp_replace("text", "[^a-z0-9]", "")) / F.length("text")
     len_score = F.least(F.length("text") / 500.0, F.lit(1.0))
     tok_score = F.least(n_tokens / 100.0, F.lit(1.0))
-    score = F.round(F.lit(0.3) * len_score + F.lit(0.4) * alpha_ratio + F.lit(0.3) * tok_score, 6)
+    score = ieee_round(F.lit(0.3) * len_score + F.lit(0.4) * alpha_ratio + F.lit(0.3) * tok_score, 6)
     return (
         doc.select("doc_id", score.alias("quality"), F.floor(score * 10).cast("long").alias("decile"))
         .orderBy("doc_id")
@@ -179,9 +181,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_QUALITY_SCORE = f"""
 WITH scored AS (
   SELECT doc_id,
-         round(0.3 * least(length(text) / 500.0, 1.0)
-             + 0.4 * (length(regexp_replace(text, '[^a-z0-9]', '', 'g')) / length(text))
-             + 0.3 * least(len(regexp_extract_all(text, '{_WORD_RE}')) / 100.0, 1.0), 6) AS quality
+         (floor((0.3 * least(length(text) / 500.0, 1.0) + 0.4 * (length(regexp_replace(text, '[^a-z0-9]', '', 'g')) / length(text)) + 0.3 * least(len(regexp_extract_all(text, '{_WORD_RE}')) / 100.0, 1.0)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS quality
   FROM documents
 )
 SELECT doc_id, quality, CAST(floor(quality * 10) AS BIGINT) AS decile
@@ -195,7 +195,9 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact-dedup key (content-defined hashing) plus per-fingerprint
     duplicate counts."""
     doc = load(spark, sf_dir, "documents")
-    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    # explicit whitespace class: Java \s includes \x0B, RE2 (the
+    # oracle) does not — a vertical-tab doc would hash differently
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"[ \t\n\r\f\x0B]+", " "))
     fp = F.md5(norm)
     from pyspark.sql import Window
 
@@ -210,7 +212,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DOC_FINGERPRINT = r"""
 WITH fp AS (
-  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS fingerprint
   FROM documents
 )
 SELECT doc_id, fingerprint,
@@ -238,13 +240,15 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     second regex+shuffle pass saves. Kept recompute deliberately; the
     r3 +27% bench delta was shared-host noise (re-measured warm at the
     r2 level)."""
+    from .util import ieee_round
+
     doc = load(spark, sf_dir, "documents")
     n_docs = doc.count()  # scalar dimension — one tiny job, folded as a literal
     words = F.explode(F.expr(f"regexp_extract_all(text, '{_WORD_RE}', 0)")).alias("term")
     tf = doc.select("doc_id", words).groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(F.broadcast(df_), "term").withColumn(
-        "tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+        "tfidf", ieee_round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
     )
     from pyspark.sql import Window
 
@@ -266,7 +270,7 @@ WITH tf AS (
 df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
 scored AS (
   SELECT tf.doc_id, tf.term,
-         round(tf.tf * ln((SELECT count(*) FROM documents)::DOUBLE / df.df), 6) AS tfidf
+         (floor((tf.tf * ln((SELECT count(*) FROM documents)::DOUBLE / df.df)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS tfidf
   FROM tf JOIN df ON tf.term = df.term
 )
 SELECT doc_id, rank, term, tfidf
@@ -480,6 +484,8 @@ def q_dup_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     All integer counts; linear in corpus size, no quadratic stage, no
     Python.
     """
+    from .util import ieee_round
+
     doc = load(spark, sf_dir, "documents")
     toks = doc.select(
         "doc_id", F.expr(f"regexp_extract_all(text, '{_WORD_RE}', 0)").alias("w")
@@ -506,7 +512,7 @@ def q_dup_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("docs_with") >= 2, F.col("c")).otherwise(0)).alias("dup_grams"),
         )
     )
-    frac = F.round(F.col("dup_grams").cast("double") / F.col("n_grams"), 6)
+    frac = ieee_round(F.col("dup_grams").cast("double") / F.col("n_grams"), 6)
     return (
         per_doc.select(
             "doc_id",
@@ -962,7 +968,7 @@ def _sql_bm25() -> str:
 
     term_score = (
         "ln((CAST(s.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5) + 1.0)"
-        f" * (tf.tf * ({_BM25_K1} + 1))"
+        f" * (tf.tf * CAST({_BM25_K1 + 1!r} AS DOUBLE))"
         f" / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl"
         " / (CAST(s.sdl AS DOUBLE) / s.nd)))"
     )

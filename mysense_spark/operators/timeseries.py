@@ -832,7 +832,11 @@ def q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload with json.loads, MyMQTTclient.py:323-425) exercised as a
     graded query. get_json_object stays JVM-side (Jackson), no UDF."""
     ev = load(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    # try_cast, not cast: Spark 4 runs ANSI mode, so a non-integral
+    # payload ('1.5', 'abc') would ERROR the whole query; try_cast
+    # yields NULL, and the oracle mirrors with an integral-guard CASE
+    # (DuckDB's TRY_CAST would ROUND '1.5' to 2 instead of NULLing)
+    k = F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)")
     return (
         ev.withColumn("k", k)
         .groupBy("event_type")
@@ -850,7 +854,9 @@ def q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_PROPS_JSON_STATS = f"""
 WITH e AS (
-  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  SELECT event_type,
+         CASE WHEN regexp_matches(trim(json_extract_string(props, '$.k')), '^[+-]?[0-9]+$')
+              THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
   FROM events
 )
 SELECT event_type, count(*) AS n, count(k) AS n_with_k,

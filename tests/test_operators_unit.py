@@ -606,7 +606,18 @@ def test_tokenizer_whitespace_class_parity(spark, tmp_path):
         ]
     ).to_parquet(sf / "documents.parquet")
 
-    for name in ("gopher_filter", "token_count", "tokenizer_fertility"):
+    # tokenizers AND the md5 fingerprint normalizers (which collapse
+    # whitespace runs before hashing — a \x0B split difference would
+    # produce different fingerprints, dup counts and keep decisions)
+    for name in (
+        "gopher_filter",
+        "token_count",
+        "tokenizer_fertility",
+        "dedup_exact",
+        "doc_fingerprint",
+        "quality_score",
+        "tfidf_top_terms",
+    ):
         res = check_query(spark, name, str(sf))
         assert res.ok, f"{name}: {res.detail}"
 
