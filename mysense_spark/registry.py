@@ -64,13 +64,22 @@ FIELD_TRANSLATE: dict[str, str] = {
 }
 
 
+# canonical names that pass through untranslated even though they carry
+# no registry row (position/meta fields the LoRa decoder emits directly).
+# SHARED by translate_field and the pipeline's column-expression twin —
+# one set, so the two implementations cannot drift.
+PASSTHROUGH_FIELDS = frozenset(
+    {"geohash", "longitude", "latitude", "lat", "lon", "alt", "time", "event", "value", "version"}
+)
+
+
 def translate_field(name: str) -> str:
     """Normalize a sensor field name like the reference's translate()."""
     n = name.strip()
     if n in FIELD_TRANSLATE:
         return FIELD_TRANSLATE[n]
     low = n.lower().replace("_pcs", "_cnt").replace("2.5", "25").replace("0.3", "03").replace("0.5", "05")
-    if low in FIELD_REGISTRY or low in ("geohash", "longitude", "latitude", "time", "event", "value", "version"):
+    if low in FIELD_REGISTRY or low in PASSTHROUGH_FIELDS:
         return low
     if low in FIELD_TRANSLATE:
         return FIELD_TRANSLATE[low]

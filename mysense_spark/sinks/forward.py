@@ -97,12 +97,18 @@ def eligible_records(fact: DataFrame, routing: DataFrame) -> DataFrame:
 
 
 def build_posts(batch: DataFrame) -> DataFrame:
-    """Group a micro-batch into one POST per (kit, ts, pin): dust fields
-    to the dust pin, meteo fields to the meteo pin."""
-    pinned = batch.withColumn(
-        "pin",
-        F.when(F.col("field").isin(*DUST_FIELDS), F.lit(1)).otherwise(F.lit(11)),
+    """Group a micro-batch into one POST per (kit, ts, pin): the X-Pin
+    comes from the record's sensor_type via PIN_MAP (the reference's pin
+    tables — an SHT31/DHT22 meteo record posts on pin 7, not BME's 11),
+    with the dust/meteo split as the fallback for unknown sensors."""
+    pin_map = F.create_map(*[F.lit(x) for kv in PIN_MAP.items() for x in kv])
+    fallback = F.when(F.col("field").isin(*DUST_FIELDS), F.lit(1)).otherwise(F.lit(11))
+    pin = (
+        F.coalesce(pin_map[F.col("sensor_type")], fallback)
+        if "sensor_type" in batch.columns
+        else fallback
     )
+    pinned = batch.withColumn("pin", pin)
     return pinned.groupBy("kit_id", "ts", "pin").agg(
         F.map_from_entries(F.collect_list(F.struct("field", "value"))).alias("payload")
     )
@@ -129,6 +135,12 @@ def make_forwarder(
       per-channel error budget, MyDatacollector.py:2208-2218).
     """
     breaker = breaker or CircuitBreaker()
+    # accumulators are created ONCE per sink and reused: PySpark registers
+    # every accumulator permanently in the driver's global registry, so a
+    # per-batch pair leaks ~17k entries/day on a 10 s trigger. The breaker
+    # consumes per-batch DELTAS against the running totals.
+    accs: dict[str, tuple] = {}
+    seen: dict[str, tuple[int, int]] = {}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         active = [h for h in hosts if breaker.allow(h)]
@@ -136,7 +148,9 @@ def make_forwarder(
             return
         posts = build_posts(eligible_records(batch_df, routing))
         sc = batch_df.sparkSession.sparkContext
-        accs = {h: (sc.accumulator(0), sc.accumulator(0)) for h in active}
+        for h in active:
+            if h not in accs:
+                accs[h] = (sc.accumulator(0), sc.accumulator(0))
         thr = breaker.threshold
 
         def post_partition(rows) -> None:
@@ -157,6 +171,9 @@ def make_forwarder(
 
         posts.foreachPartition(post_partition)
         for host in active:
-            drain_breaker(breaker, host, accs[host][0].value, accs[host][1].value)
+            ok_total, err_total = accs[host][0].value, accs[host][1].value
+            prev_ok, prev_err = seen.get(host, (0, 0))
+            drain_breaker(breaker, host, ok_total - prev_ok, err_total - prev_err)
+            seen[host] = (ok_total, err_total)
 
     return sink

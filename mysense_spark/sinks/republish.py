@@ -82,12 +82,18 @@ def make_influx_publisher(
     the driver sees only ok/err accumulator counts for breaker gating —
     no micro-batch materialization (round-3 verdict #2)."""
     breaker = breaker or CircuitBreaker()
+    # one accumulator pair per sink, reused across batches (a per-batch
+    # pair leaks permanently in the driver's accumulator registry); the
+    # breaker consumes per-batch deltas against the running totals
+    state = {"accs": None, "seen": (0, 0)}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if not breaker.allow(host):
             return
         sc = batch_df.sparkSession.sparkContext
-        ok_acc, err_acc = sc.accumulator(0), sc.accumulator(0)
+        if state["accs"] is None:
+            state["accs"] = (sc.accumulator(0), sc.accumulator(0))
+        ok_acc, err_acc = state["accs"]
         thr = breaker.threshold
 
         def write_partition(rows) -> None:
@@ -119,7 +125,9 @@ def make_influx_publisher(
             flush()
 
         to_influx_lines(batch_df, measurement).foreachPartition(write_partition)
-        _drain_breaker(breaker, host, ok_acc.value, err_acc.value)
+        prev_ok, prev_err = state["seen"]
+        _drain_breaker(breaker, host, ok_acc.value - prev_ok, err_acc.value - prev_err)
+        state["seen"] = (ok_acc.value, err_acc.value)
 
     return sink
 
@@ -134,12 +142,18 @@ def make_mqtt_republisher(
     fanned out per partition on executors with local error cut-off;
     driver breaker fed by accumulator counts (no collect)."""
     breaker = breaker or CircuitBreaker()
+    # one accumulator pair per sink, reused across batches (a per-batch
+    # pair leaks permanently in the driver's accumulator registry); the
+    # breaker consumes per-batch deltas against the running totals
+    state = {"accs": None, "seen": (0, 0)}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if not breaker.allow(host):
             return
         sc = batch_df.sparkSession.sparkContext
-        ok_acc, err_acc = sc.accumulator(0), sc.accumulator(0)
+        if state["accs"] is None:
+            state["accs"] = (sc.accumulator(0), sc.accumulator(0))
+        ok_acc, err_acc = state["accs"]
         thr = breaker.threshold
 
         def publish_partition(rows) -> None:
@@ -152,6 +166,8 @@ def make_mqtt_republisher(
                 errs = 0 if ok else errs + 1
 
         to_mqtt_messages(batch_df, prefix).foreachPartition(publish_partition)
-        _drain_breaker(breaker, host, ok_acc.value, err_acc.value)
+        prev_ok, prev_err = state["seen"]
+        _drain_breaker(breaker, host, ok_acc.value - prev_ok, err_acc.value - prev_err)
+        state["seen"] = (ok_acc.value, err_acc.value)
 
     return sink

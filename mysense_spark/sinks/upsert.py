@@ -2,10 +2,14 @@
 semantics (lib/MyARCHIVE.py:360-456) as a latest-row-wins merge.
 
 Plain-parquet implementation (no Delta in this runtime): read existing,
-union, window-dedup on the key, atomic directory swap. On Delta/Iceberg
-the same contract is a one-line MERGE INTO; the operator interface stays
-identical. At scale the merge shuffles on the upsert key once — the same
-key the table is partitioned by, so only touched partitions rewrite.
+union, window-dedup on the key, crash-safe directory swap. This form
+rewrites the WHOLE dataset per merge — correct, but O(archive) I/O, so
+it is the small-archive / test-runtime path only. At scale the contract
+is a one-line Delta/Iceberg MERGE INTO (or, staying on plain parquet, a
+day-partitioned layout — write_date_partitioned — where the merge
+filters existing data to the days present in the batch and overwrites
+only those partitions with dynamic partitionOverwriteMode); the
+operator interface stays identical either way.
 """
 
 from __future__ import annotations
@@ -32,9 +36,21 @@ def upsert_parquet(new_df: DataFrame, path: str, keys: list[str], order_col: str
 
     tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
     deduped.write.mode("overwrite").parquet(tmp)
+    # crash-safe swap: move the OLD data aside before promoting the new
+    # — the previous rmtree-then-rename left a window where a driver
+    # crash lost the whole archive, and the checkpoint replay would then
+    # rebuild it from the last micro-batch alone
+    trash = f"{path}__old_{uuid.uuid4().hex[:8]}"
     if os.path.exists(path):
-        shutil.rmtree(path)
-    os.rename(tmp, path)
+        os.rename(path, trash)
+    try:
+        os.rename(tmp, path)
+    except Exception:
+        if os.path.exists(trash):  # roll the old data back
+            os.rename(trash, path)
+        raise
+    if os.path.exists(trash):
+        shutil.rmtree(trash)
 
 
 def write_date_partitioned(df: DataFrame, path: str, ts_col: str = "ts") -> None:

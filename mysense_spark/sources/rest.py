@@ -55,6 +55,11 @@ def read_paginated(
     into `schema`. Dedup/sort left to the caller (the reference drops
     duplicate timestamps and sorts after concat)."""
     pages = spark.range(n_pages).withColumnRenamed("id", "page")
+    # OData/SensorThings responses omit null-valued fields and may add
+    # extras; mapInPandas requires the frame's columns to EQUAL the
+    # declared schema, so reindex every page to it (missing -> null,
+    # extras dropped) instead of letting one sparse page kill the job
+    schema_cols = [c.strip().split()[0] for c in schema.split(",")]
 
     def fetch_pages(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -68,7 +73,9 @@ def read_paginated(
                     continue
                 payload = json.loads(body)
                 rows.extend(payload.get("value", []))
-            yield pd.DataFrame(rows) if rows else pd.DataFrame()
+            yield pd.DataFrame(rows).reindex(columns=schema_cols) if rows else pd.DataFrame(
+                columns=schema_cols
+            )
 
     raw = pages.mapInPandas(fetch_pages, schema=schema)
     return raw

@@ -130,9 +130,16 @@ def parse_envelopes(lines: DataFrame) -> DataFrame:
     raw_time = F.coalesce(
         F.col("r.metadata.time"), F.col("r.uplink_message.received_at"), F.col("r.received_at")
     )
-    # ISO8601 with fractional seconds and Z suffix; airtime is ns
+    # ISO8601 with fractional seconds and Z suffix; V2 airtime is ns,
+    # V3 carries a duration string ("0.061696s") in settings.airtime —
+    # both reduce to microseconds so BOTH envelope versions get the
+    # documented time-minus-airtime event timestamp
     t = F.to_timestamp(raw_time)
-    airtime_us = F.expr("coalesce(r.metadata.airtime, 0) DIV 1000")
+    airtime_us = F.expr(
+        "coalesce(r.metadata.airtime DIV 1000,"
+        " CAST(double(rtrim('s', r.uplink_message.settings.airtime)) * 1000000 AS BIGINT),"
+        " 0)"
+    )
     event_ts = F.coalesce(
         F.timestamp_micros(F.unix_micros(t) - airtime_us), F.col("ingest_ts")
     )

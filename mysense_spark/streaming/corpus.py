@@ -32,8 +32,13 @@ _MIN_TOKENS = 10  # streaming quality floor (gate fires on fragment docs)
 def curate(docs: DataFrame) -> DataFrame:
     """Normalize + fingerprint + quality verdict. Pure transform —
     identical semantics in batch and streaming."""
-    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
-    n_tokens = F.size(F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
+    # explicit whitespace class (Java \s includes \x0B, RE2 does not —
+    # keep the fingerprint identical to the batch dedup family's rule)
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"[ \t\n\r\f\x0B]+", " "))
+    # tokenize the LOWERCASED text: counting [a-z0-9] runs on the raw
+    # text scored every all-caps document as 0 tokens and silently
+    # dropped it as 'too_short' — real crawl content is mixed-case
+    n_tokens = F.size(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
     verdict = (
         F.when(F.col("text").isNull() | (F.length(F.trim("text")) == 0), "drop:empty")
         .when(n_tokens < _MIN_TOKENS, "drop:too_short")

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..io import values_df
-from ..registry import FIELD_REGISTRY, FIELD_TRANSLATE, VALID_BOUNDS
+from ..registry import FIELD_REGISTRY, FIELD_TRANSLATE, PASSTHROUGH_FIELDS, VALID_BOUNDS
 from ..sources.lora import make_decode_udf
 from ..sources.ttn import parse_envelopes
 
@@ -37,12 +37,28 @@ _DECODED_SCHEMA = "map<string, map<string, string>>"
 
 
 def _translate_expr(col):
-    """P1 field-name translation as a column expression built from the
-    registry (MyDatacollector.py:332-349)."""
-    expr = F.lower(col)
+    """P1 field-name translation as a column expression — the exact
+    column-side mirror of registry.translate_field (MyDatacollector.py:
+    332-349): exact map hit, else normalized lowercase (_pcs->_cnt,
+    2.5->25, 0.3->03, 0.5->05) against the registry / lowercase map,
+    else a 'field_' prefix so unknown names can't silently alias a
+    registered field. Previously this was a lowercase-and-exact-hit-only
+    reimplementation that let 'pm2.5_pcs'-style names through untranslated
+    (skipping the unit join and bounds validation)."""
+    n = F.trim(col)
+    exact = F.lit(None).cast("string")
     for src, dst in FIELD_TRANSLATE.items():
-        expr = F.when(F.lower(col) == src.lower(), F.lit(dst)).otherwise(expr)
-    return expr
+        exact = F.when(n == src, F.lit(dst)).otherwise(exact)
+    low = F.lower(n)
+    for pat, rep in ((r"_pcs", "_cnt"), (r"2\.5", "25"), (r"0\.3", "03"), (r"0\.5", "05")):
+        low = F.regexp_replace(low, pat, rep)
+    known = set(FIELD_REGISTRY) | set(PASSTHROUGH_FIELDS)
+    low_hit = F.when(low.isin(*sorted(known)), low)
+    low_map = F.lit(None).cast("string")
+    for src, dst in FIELD_TRANSLATE.items():
+        if src == src.lower():
+            low_map = F.when(low == src, F.lit(dst)).otherwise(low_map)
+    return F.coalesce(exact, low_hit, low_map, F.concat(F.lit("field_"), low))
 
 
 def decode_stream(normalized: DataFrame) -> DataFrame:

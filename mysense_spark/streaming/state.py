@@ -72,8 +72,12 @@ def static_value_monitor(fact_stream: DataFrame) -> DataFrame:
         trigger = _static_trigger(field)
         last_value, run_len = state.get if state.exists else (None, 0)
         out: list[tuple] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
+        # sort the WHOLE group once: pdfs delivers one Arrow chunk at a
+        # time (maxRecordsPerBatch=10000), and per-chunk sorting would
+        # process a >10k-row group out of time order at chunk boundaries
+        chunks = [c for c in pdfs if len(c)]
+        pdf = pd.concat(chunks).sort_values("ts") if chunks else pd.DataFrame(columns=["ts", "value"])
+        if len(pdf):
             for ts, value in zip(pdf["ts"], pdf["value"]):
                 # NULL (None or NaN) always resets the run — same contract
                 # as the batch twin's null-safe new_run predicate
@@ -150,8 +154,12 @@ def kit_throttle(record_stream: DataFrame) -> DataFrame:
             state.get if state.exists else (0, float(INTERVAL_CAP_S), None, 0.0)
         )
         out: list[tuple] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
+        # whole-group sort (same Arrow-chunk rationale as the static
+        # monitor above): a chatty kit flooding >10k rows per batch is
+        # exactly the case this operator exists for
+        chunks = [c for c in pdfs if len(c)]
+        pdf = pd.concat(chunks).sort_values("ts") if chunks else pd.DataFrame(columns=["ts"])
+        if len(pdf):
             for ts in pdf["ts"]:
                 epoch = ts.timestamp()
                 accepted = True
@@ -160,7 +168,9 @@ def kit_throttle(record_stream: DataFrame) -> DataFrame:
                     interval = (interval * count + delta) / (count + 1)
                     if epoch < (penalty_until or 0.0):
                         accepted = False
-                    elif count > THROTTLE_MIN_COUNT and delta < THROTTLE_RATE_S and interval < THROTTLE_RATE_S:
+                    elif count >= THROTTLE_MIN_COUNT and delta < THROTTLE_RATE_S and interval < THROTTLE_RATE_S:
+                        # >=, not >: 'after 3 records' means the 4th
+                        # fast record is already throttle-eligible
                         accepted = False
                         penalty_until = epoch + THROTTLE_PENALTY_S
                 count += 1
