@@ -218,14 +218,24 @@ def kafka_lines(records: DataFrame) -> DataFrame:
     )
 
 
-def run_lines_stream(lines: DataFrame, checkpoint: str, out_dir: str, watermark: str = "2 hours"):
+def run_lines_stream(
+    lines: DataFrame,
+    checkpoint: str,
+    out_dir: str,
+    watermark: str = "2 hours",
+    partitioned: bool = False,
+):
     """Shared S1/S2 tail: envelope parse -> decode -> watermark + dedup on
     the upsert key -> parquet upsert via foreachBatch. Every source
     (drop-dir, Kafka, replay file) funnels through this one chain, so a
     connector swap cannot change pipeline semantics.
 
+    `partitioned=True` selects the day-partitioned archive (the scale
+    path: per-batch I/O = touched days only, via dynamic partition
+    overwrite); the flat default suits tiny archives and tests.
+
     Returns the StreamingQuery (caller awaits/stops)."""
-    from ..sinks.upsert import upsert_parquet
+    from ..sinks.upsert import upsert_parquet, upsert_parquet_partitioned
 
     fact = (
         decode_stream(parse_envelopes(lines))
@@ -234,7 +244,12 @@ def run_lines_stream(lines: DataFrame, checkpoint: str, out_dir: str, watermark:
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        upsert_parquet(batch_df, out_dir, keys=["kit_id", "ts", "field"], order_col="ingest_ts")
+        if partitioned:
+            upsert_parquet_partitioned(
+                batch_df, out_dir, keys=["kit_id", "ts", "field"], order_col="ingest_ts", ts_col="ts"
+            )
+        else:
+            upsert_parquet(batch_df, out_dir, keys=["kit_id", "ts", "field"], order_col="ingest_ts")
 
     return (
         fact.writeStream.foreachBatch(sink)
@@ -244,9 +259,18 @@ def run_lines_stream(lines: DataFrame, checkpoint: str, out_dir: str, watermark:
     )
 
 
-def run_file_stream(spark, in_dir: str, checkpoint: str, out_dir: str, watermark: str = "2 hours"):
+def run_file_stream(
+    spark,
+    in_dir: str,
+    checkpoint: str,
+    out_dir: str,
+    watermark: str = "2 hours",
+    partitioned: bool = False,
+):
     """S2 live twin: readStream on a drop directory of MQTT dump files."""
-    return run_lines_stream(spark.readStream.text(in_dir), checkpoint, out_dir, watermark)
+    return run_lines_stream(
+        spark.readStream.text(in_dir), checkpoint, out_dir, watermark, partitioned=partitioned
+    )
 
 
 def run_kafka_stream(

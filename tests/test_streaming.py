@@ -102,6 +102,38 @@ def test_stream_batch_parity_and_upsert_idempotence(spark, tmp_path):
     assert spark.read.parquet(out_dir).count() == n_before
 
 
+def test_stream_drives_partitioned_archive(spark, tmp_path):
+    """run_file_stream(partitioned=True) lands the same facts as the flat
+    sink, laid out as day= partitions, and duplicate file delivery stays
+    idempotent through the dynamic-overwrite merge."""
+    import os
+
+    from mysense_spark.streaming.pipeline import run_file_batch, run_file_stream
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    _write_dump(in_dir, "batch1.mqtt", ALL_LINES)
+    out_dir = str(tmp_path / "archive_part")
+    q = run_file_stream(spark, str(in_dir), str(tmp_path / "ckpt"), out_dir, partitioned=True)
+    q.awaitTermination(120)
+
+    assert any(d.startswith("day=") for d in os.listdir(out_dir))
+    streamed = spark.read.parquet(out_dir)
+    batch = run_file_batch(spark, str(in_dir / "batch1.mqtt"))
+    skey = {(r["kit_id"], r["field"]): r["value"] for r in streamed.collect()}
+    bkey = {(r["kit_id"], r["field"]): r["value"] for r in batch.collect()}
+    assert skey == bkey, "partitioned stream result != batch twin"
+
+    # duplicate delivery -> merge keeps the row set unchanged
+    n_before = streamed.count()
+    _write_dump(in_dir, "batch2.mqtt", [V2_PORT2, V2_PORT4])
+    q2 = run_file_stream(
+        spark, str(in_dir), str(tmp_path / "ckpt2"), out_dir, partitioned=True
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == n_before
+
+
 def test_dead_letter_stream(spark, tmp_path):
     from mysense_spark.sources.ttn import parse_envelopes
     from mysense_spark.streaming.pipeline import dead_letter_stream
