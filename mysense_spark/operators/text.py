@@ -48,14 +48,17 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = load(spark, sf_dir, "documents")
     n_tokens = _ntokens(F.col("text"))
     alpha_chars = F.length(F.regexp_replace("text", "[^a-z0-9]", ""))
+    # nullif guards: an empty doc has length 0, a whitespace-only doc has
+    # 0 tokens — ANSI-mode division would throw DIVIDE_BY_ZERO where the
+    # DuckDB oracle's native x/0 yields NULL; NULL ratios match it
     return (
         doc.select(
             "doc_id",
             "source",
             F.length("text").alias("len_chars"),
             n_tokens.alias("n_tokens"),
-            F.round(alpha_chars / n_tokens, 6).alias("avg_word_len"),
-            F.round(alpha_chars / F.length("text"), 6).alias("alpha_ratio"),
+            F.round(alpha_chars / F.nullif(n_tokens, F.lit(0)), 6).alias("avg_word_len"),
+            F.round(alpha_chars / F.nullif(F.length("text"), F.lit(0)), 6).alias("alpha_ratio"),
         )
         .orderBy("doc_id")
     )
@@ -168,7 +171,11 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     doc = load(spark, sf_dir, "documents")
     n_tokens = _ntokens(F.col("text"))
-    alpha_ratio = F.length(F.regexp_replace("text", "[^a-z0-9]", "")) / F.length("text")
+    # nullif: an empty doc would hit ANSI DIVIDE_BY_ZERO; NULL quality
+    # (and NULL decile) matches the oracle's native x/0 -> NULL
+    alpha_ratio = F.length(F.regexp_replace("text", "[^a-z0-9]", "")) / F.nullif(
+        F.length("text"), F.lit(0)
+    )
     len_score = F.least(F.length("text") / 500.0, F.lit(1.0))
     tok_score = F.least(n_tokens / 100.0, F.lit(1.0))
     score = ieee_round(F.lit(0.3) * len_score + F.lit(0.4) * alpha_ratio + F.lit(0.3) * tok_score, 6)
@@ -917,12 +924,11 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df_ = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
-    # n_docs and avgdl from ONE scalar agg (the only driver action: a
-    # 1-row control-plane collect); exact integer sum / count — one IEEE
-    # division, identical in both engines
-    totals = dl.agg(F.sum("dl").alias("sdl"), F.count(F.lit(1)).alias("nd")).collect()[0]
-    n_docs = int(totals["nd"])
-    avgdl = F.lit(int(totals["sdl"])) / F.lit(n_docs)
+    # n_docs and avgdl as a 1-row broadcast dimension instead of a driver
+    # collect: the whole query stays ONE lazy plan (composable into
+    # saved views and streaming foreachBatch), with exact integer sum /
+    # count and one IEEE division, identical in both engines
+    totals = dl.agg(F.sum("dl").alias("sdl"), F.count(F.lit(1)).alias("nd"))
 
     from ..io import values_df
 
@@ -932,18 +938,22 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id bigint, t string",
     )
 
-    idf = F.log(
-        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-    )
+    n_docs = F.col("nd").cast("double")
+    avgdl = F.col("sdl").cast("double") / n_docs
+    idf = F.log((n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     tf_part = (F.col("tf") * (_BM25_K1 + 1)) / (
         F.col("tf") + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / avgdl)
     )
     # dl is corpus-sized — never broadcast it; the join keys on doc_id
-    # where the tf side is already reduced to matching docs only
+    # where the tf side is already reduced to matching docs only. The
+    # 1-row totals dimension rides a broadcast crossJoin (the bounded
+    # nested-loop pattern _FENCED_CROSSJOIN permits; a literal-key
+    # equi-join would be constant-folded back to the same plan anyway)
     scored = (
         tf.join(F.broadcast(df_), "t")
         .join(F.broadcast(qdf), "t")
         .join(dl, "doc_id")
+        .crossJoin(F.broadcast(totals))
         .groupBy("query_id", "doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_terms_hit"),
@@ -1064,7 +1074,15 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ellipsis_lines",
         "n_stopwords",
     )
-    nw = F.col("n_words").cast("double")
+    # NULL-guard the word denominator: an empty / whitespace-only doc has
+    # n_words=0 and ANSI-mode double division would throw DIVIDE_BY_ZERO,
+    # crashing the whole query on exactly the junk-document class a
+    # Gopher filter exists to drop. nullif makes the ratios NULL (same as
+    # the DuckDB oracle) and `keep` still evaluates FALSE via the
+    # n_words-between rule (FALSE AND NULL = FALSE in both engines).
+    # n_lines needs no guard: split() of even an empty string yields one
+    # element, so n_lines >= 1 always.
+    nw = F.nullif(F.col("n_words").cast("double"), F.lit(0.0))
     nl = F.col("n_lines").cast("double")
     rated = base.select(
         "doc_id",
@@ -1094,11 +1112,13 @@ def _sql_gopher() -> str:
     stop_sum = " + ".join(
         f"CAST(regexp_matches(text, '\\b{w}\\b') AS BIGINT)" for w in _GOPHER_STOPWORDS
     )
-    mwl = sql_ieee_round("word_chars / CAST(n_words AS DOUBLE)", 6)
-    sym = sql_ieee_round("n_symbols / CAST(n_words AS DOUBLE)", 6)
+    # nullif mirrors the Spark builder's zero-word guard (NULL ratios for
+    # empty docs; keep stays FALSE through the n_words rule)
+    mwl = sql_ieee_round("word_chars / CAST(nullif(n_words, 0) AS DOUBLE)", 6)
+    sym = sql_ieee_round("n_symbols / CAST(nullif(n_words, 0) AS DOUBLE)", 6)
     bul = sql_ieee_round("bullet_lines / CAST(n_lines AS DOUBLE)", 6)
     ell = sql_ieee_round("ellipsis_lines / CAST(n_lines AS DOUBLE)", 6)
-    alf = sql_ieee_round("alpha_words / CAST(n_words AS DOUBLE)", 6)
+    alf = sql_ieee_round("alpha_words / CAST(nullif(n_words, 0) AS DOUBLE)", 6)
     return rf"""
 WITH base AS (
   SELECT doc_id,

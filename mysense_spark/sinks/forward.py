@@ -70,14 +70,14 @@ def drain_breaker(breaker: CircuitBreaker, host: str, n_ok: int, n_err: int) -> 
     resets the budget — a steady 1-in-10k error trickle must never
     accumulate across batches and latch the breaker (the per-record
     loop it replaces reset on every success). A batch counts against
-    the host when it is error-heavy: no successes at all, or errors
-    clearing the threshold at a >= 10% error rate (n_err * 9 >= n_ok) —
-    so a host failing a large MINORITY of traffic (say 40%) still opens
-    the breaker instead of being laundered by its successes; then up to
-    `threshold` failures replay so consecutive bad batches open it."""
-    dominated = n_err > 0 and (
-        n_ok == 0 or (n_err >= breaker.threshold and n_err * 9 >= n_ok)
-    )
+    the host when it is error-heavy: no successes at all, or a >= 10%
+    error rate (n_err * 9 >= n_ok) — the rate check alone, with no
+    absolute-count precondition, so a low-traffic host failing 15 of 40
+    posts every batch (37% but under the 20-error threshold) still
+    accumulates toward opening the breaker instead of being reset as
+    healthy; then up to `threshold` failures replay so consecutive bad
+    batches open it."""
+    dominated = n_err > 0 and (n_ok == 0 or n_err * 9 >= n_ok)
     if dominated:
         for _ in range(min(n_err, breaker.threshold)):
             breaker.record(host, False)

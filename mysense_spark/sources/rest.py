@@ -59,7 +59,13 @@ def read_paginated(
     # extras; mapInPandas requires the frame's columns to EQUAL the
     # declared schema, so reindex every page to it (missing -> null,
     # extras dropped) instead of letting one sparse page kill the job
-    schema_cols = [c.strip().split()[0] for c in schema.split(",")]
+    # parse the DDL properly — a naive comma split breaks on any
+    # parameterized/nested type (decimal(10,2), map<string,string>,
+    # struct<...>) and the reindex would then silently null out real
+    # columns
+    from pyspark.sql.types import _parse_datatype_string
+
+    schema_cols = _parse_datatype_string(schema).fieldNames()
 
     def fetch_pages(batches: Iterator) -> Iterator:
         import pandas as pd

@@ -76,7 +76,14 @@ def static_value_monitor(fact_stream: DataFrame) -> DataFrame:
         # time (maxRecordsPerBatch=10000), and per-chunk sorting would
         # process a >10k-row group out of time order at chunk boundaries
         chunks = [c for c in pdfs if len(c)]
-        pdf = pd.concat(chunks).sort_values("ts") if chunks else pd.DataFrame(columns=["ts", "value"])
+        # stable sort: records sharing a timestamp keep arrival order —
+        # pandas' default quicksort would make run lengths for
+        # duplicate-ts input nondeterministic across runs
+        pdf = (
+            pd.concat(chunks).sort_values("ts", kind="stable")
+            if chunks
+            else pd.DataFrame(columns=["ts", "value"])
+        )
         if len(pdf):
             for ts, value in zip(pdf["ts"], pdf["value"]):
                 # NULL (None or NaN) always resets the run — same contract
@@ -97,11 +104,19 @@ def static_value_monitor(fact_stream: DataFrame) -> DataFrame:
     )
 
 
-def static_value_monitor_batch(fact: DataFrame) -> DataFrame:
+def static_value_monitor_batch(
+    fact: DataFrame,
+    triggers: dict[str, int] | None = None,
+    default: int | None = None,
+) -> DataFrame:
     """Batch twin: run-length via lag + cumulative sum; one row per run
-    that reaches its trigger (same output contract)."""
-    trig = F.lit(STATIC_TRIGGER_DEFAULT)
-    for fname, t in STATIC_TRIGGERS.items():
+    that reaches its trigger (same output contract). The trigger table
+    defaults to the registry's sensor thresholds
+    (MyDatacollector.py:211); callers monitoring non-sensor fields pass
+    their own."""
+    triggers = STATIC_TRIGGERS if triggers is None else triggers
+    trig = F.lit(STATIC_TRIGGER_DEFAULT if default is None else default)
+    for fname, t in triggers.items():
         trig = F.when(F.col("field") == fname, F.lit(t)).otherwise(trig)
     w = Window.partitionBy("kit_id", "field").orderBy("ts")
     runs = (
@@ -158,7 +173,12 @@ def kit_throttle(record_stream: DataFrame) -> DataFrame:
         # monitor above): a chatty kit flooding >10k rows per batch is
         # exactly the case this operator exists for
         chunks = [c for c in pdfs if len(c)]
-        pdf = pd.concat(chunks).sort_values("ts") if chunks else pd.DataFrame(columns=["ts"])
+        # stable sort (same duplicate-ts determinism contract as above)
+        pdf = (
+            pd.concat(chunks).sort_values("ts", kind="stable")
+            if chunks
+            else pd.DataFrame(columns=["ts"])
+        )
         if len(pdf):
             for ts in pdf["ts"]:
                 epoch = ts.timestamp()

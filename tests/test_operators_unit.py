@@ -480,6 +480,15 @@ def test_drain_breaker_mixed_batches_do_not_latch():
     drain_breaker(br3, "h", n_ok=1000, n_err=900)
     assert not br3.allow("h"), "47% sustained failure rate never opened the breaker"
 
+    # a low-traffic host failing 15 of 40 every batch (37%, below the
+    # 20-error absolute threshold) must still accumulate across batches
+    # and open — the rate test alone decides, with no count precondition
+    br4 = CircuitBreaker(threshold=20, cooloff_s=3600)
+    drain_breaker(br4, "h", n_ok=25, n_err=15)
+    assert br4.allow("h")  # first bad batch: budget accrued, not yet open
+    drain_breaker(br4, "h", n_ok=25, n_err=15)
+    assert not br4.allow("h"), "sustained 37% rate on small batches never opened the breaker"
+
     # total outage: consecutive all-error batches must open it
     for _ in range(4):
         drain_breaker(br, "h", n_ok=0, n_err=7)
@@ -618,6 +627,42 @@ def test_tokenizer_whitespace_class_parity(spark, tmp_path):
         "quality_score",
         "tfidf_top_terms",
     ):
+        res = check_query(spark, name, str(sf))
+        assert res.ok, f"{name}: {res.detail}"
+
+
+def test_empty_doc_parity(spark, tmp_path):
+    """A whitespace-only / empty document has n_words = 0; under ANSI
+    mode an unguarded ratio division crashes the whole query with
+    DIVIDE_BY_ZERO while the DuckDB oracle returns NULL — exactly the
+    junk-document class a quality filter exists to process. Plant both
+    degenerate docs and prove the doc-ratio queries stay engine-equal."""
+    import os
+
+    import pandas as pd
+
+    from mysense_spark.io import TABLES
+    from mysense_spark.oracle import check_query
+    from tests.conftest import SF_SMOKE
+
+    sf = tmp_path / "emptysf"
+    sf.mkdir()
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(f"{SF_SMOKE}/{t}.parquet", sf / f"{t}.parquet")
+    texts = [
+        "",  # fully empty
+        "   \t\n  \n\t ",  # whitespace-only
+        "a normal document with the usual words of and that have with more text here",
+    ]
+    pd.DataFrame(
+        [
+            {"doc_id": i, "text": t, "lang": "en", "source": "s", "n_chars": len(t)}
+            for i, t in enumerate(texts)
+        ]
+    ).to_parquet(sf / "documents.parquet")
+
+    for name in ("gopher_filter", "quality_score", "text_stats", "repetition_stats"):
         res = check_query(spark, name, str(sf))
         assert res.ok, f"{name}: {res.detail}"
 
