@@ -596,6 +596,124 @@ ORDER BY throttle_rate DESC, user_id ASC
 """
 
 
+# Static-value monitor trigger table for the events corpus: event values
+# quantized to 25-wide bins manufacture realistic "stuck sensor" runs;
+# per-field triggers exercise the trigger-table lookup exactly like the
+# sensor registry's (MyDatacollector.py:211 STATIC_TRIGGERS).
+_SVM_TRIGGERS = {"click": 5, "view": 6}
+_SVM_DEFAULT = 4
+_SVM_BIN = 25
+
+
+def q_static_value_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-graded batch twin of the streaming static-value detector
+    (streaming/state.py static_value_monitor — FluctCheck,
+    MyDatacollector.py:814-845): one row each time a (kit, field) run of
+    identical quantized values reaches its per-field trigger. This pins
+    the run-length semantics (null-reset, trigger-table lookup,
+    time-ordered processing) that the applyInPandasWithState handler
+    shares via the batch twin's parity pytest — the driver oracle now
+    guards the whole fix class (e.g. the r5 sort-once fix).
+
+    Scale shape: lag + two windows over (kit_id, field) — one shuffle by
+    the state key, identical to the streaming state-store sharding."""
+    from ..streaming.state import static_value_monitor_batch
+
+    ev = load(spark, sf_dir, "events")
+    fact = ev.select(
+        F.col("user_id").cast("string").alias("kit_id"),
+        F.col("event_type").alias("field"),
+        "ts",
+        F.floor(F.col("value") / _SVM_BIN).cast("double").alias("value"),
+    )
+    return static_value_monitor_batch(
+        fact, triggers=_SVM_TRIGGERS, default=_SVM_DEFAULT
+    ).orderBy("kit_id", "field", "ts")
+
+
+def _sql_static_value_monitor() -> str:
+    trig_case = "CASE field " + " ".join(
+        f"WHEN '{f}' THEN {t}" for f, t in _SVM_TRIGGERS.items()
+    ) + f" ELSE {_SVM_DEFAULT} END"
+    return f"""
+WITH fact AS (
+  SELECT CAST(user_id AS VARCHAR) AS kit_id, event_type AS field, ts,
+         CAST(floor(value / {_SVM_BIN}) AS DOUBLE) AS value
+  FROM events
+),
+runs AS (
+  SELECT kit_id, field, ts, value,
+         CASE WHEN value IS NULL
+                OR (lag(value) OVER (PARTITION BY kit_id, field ORDER BY ts)
+                    IS DISTINCT FROM value)
+              THEN 1 ELSE 0 END AS new_run
+  FROM fact
+),
+rid AS (
+  SELECT *, sum(new_run) OVER (PARTITION BY kit_id, field ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM runs
+),
+rl AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY kit_id, field, run_id ORDER BY ts) AS INT) AS run_len
+  FROM rid
+)
+SELECT kit_id, field, ts, value, run_len
+FROM rl
+WHERE run_len = {trig_case}
+ORDER BY kit_id, field, ts
+"""
+
+
+SQL_STATIC_VALUE_MONITOR = _sql_static_value_monitor()
+
+
+def q_dead_kit_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiered liveness report — the full DeadKits escalation semantics
+    (MyDatacollector.py:744-755): kits are 'ok' within 2 h of the fleet
+    max, 'silent' within 24 h (first notice), 'dead' beyond (operator
+    escalation). Same two-level agg + broadcast-scalar shape as
+    q_dead_kits; graded separately so the tier thresholds — the part the
+    reference's notice logic branches on — have their own oracle. The
+    streaming twin is streaming/state.py dead_kit_report."""
+    ev = load(spark, sf_dir, "events")
+    last_seen = ev.groupBy("user_id").agg(F.max("ts").alias("last_seen"))
+    fleet = last_seen.agg(F.max("last_seen").alias("fleet_max"))
+    tier = (
+        F.when(F.col("behind_sec") <= 7200, F.lit("ok"))
+        .when(F.col("behind_sec") <= 86400, F.lit("silent"))
+        .otherwise(F.lit("dead"))
+    )
+    return (
+        last_seen.crossJoin(F.broadcast(fleet))
+        .withColumn(
+            "behind_sec",
+            F.expr("(unix_micros(fleet_max) - unix_micros(last_seen)) DIV 1000000"),
+        )
+        .withColumn("tier", tier)
+        .select("user_id", "last_seen", "behind_sec", "tier")
+        .orderBy("user_id")
+    )
+
+
+SQL_DEAD_KIT_TIERS = """
+WITH last_seen AS (
+  SELECT user_id, max(ts) AS last_seen FROM events GROUP BY user_id
+),
+behind AS (
+  SELECT user_id, last_seen,
+         (epoch_us((SELECT max(last_seen) FROM last_seen)) - epoch_us(last_seen)) // 1000000 AS behind_sec
+  FROM last_seen
+)
+SELECT user_id, last_seen, behind_sec,
+       CASE WHEN behind_sec <= 7200 THEN 'ok'
+            WHEN behind_sec <= 86400 THEN 'silent'
+            ELSE 'dead' END AS tier
+FROM behind
+ORDER BY user_id
+"""
+
+
 def q_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (melt): the wide per-kit daily view stacked back into the
     long format, then per-field coverage stats — proving the §1.1 data
@@ -979,4 +1097,6 @@ QUERIES: dict[str, tuple] = {
     "coverage": (q_coverage, SQL_COVERAGE),
     "dedup_upsert": (q_dedup_upsert, SQL_DEDUP_UPSERT),
     "sensor_set_diff": (q_sensor_set_diff, SQL_SENSOR_SET_DIFF),
+    "static_value_monitor": (q_static_value_monitor, SQL_STATIC_VALUE_MONITOR),
+    "dead_kit_tiers": (q_dead_kit_tiers, SQL_DEAD_KIT_TIERS),
 }

@@ -32,72 +32,72 @@ def _modules():
 
 # Queries hoisted to the very front of the registry: the driver's
 # correctness gate checks exactly the FIRST 50 entries, so this list is
-# kept to exactly 50. Round-5 layout: (a) the rows changed this round —
-# station_calibration (sql_ieee_round now CAST-pinned to DOUBLE, closing
-# the r3/r4 DecimalType hash red), ngram_jaccard_pairs (new hot-shingle
-# df cap, mirrored in its oracle), decontam_report (its oracle text rides
-# the sql_ieee_round change); (b) the 8 rows whose last driver evidence
-# is round 2 (rolled here from the full r4 window, exactly as planned);
-# (c) 33 of the 44 rows whose last evidence is round 3, registry order.
-# The remaining 11 r3-evidence rows (failing_sensor_report,
-# distinct_active_kits, wide_view, timeslice_avg, latest_per_user,
-# static_runs, gap_detection, interval_inference, dead_kits,
-# hourly_gapfill, moving_average) roll to round 6 — after this round no
-# row's evidence is older than r3.
+# kept to exactly 50. Round-6 layout: (a) the rows new or changed this
+# round — static_value_monitor + dead_kit_tiers (new graded twins of the
+# stateful streaming operators), gopher_filter / text_stats /
+# quality_score (nullif zero-word guards in both engines), bm25_search
+# (corpus totals now a broadcast dimension instead of a driver collect);
+# (b) the 11 rows whose last driver evidence is round 3 (rolled here
+# from the r5 window, exactly as planned); (c) 33 of the 44 rows whose
+# last evidence is round 4, registry order. The remaining 11 r4-evidence
+# rows (zscore_outliers, grubbs_outliers, linear_regression,
+# ols_summary, sigma_band, region_revenue, cascade_rollup, asof_align,
+# mode_per_user, coverage, dedup_upsert) roll to round 7 — after this
+# round no row's evidence is older than r4.
 _PRIORITY = (
-    # (a) new / fixed / changed in round 5
+    # (a) new / fixed / changed in round 6
+    "static_value_monitor",
+    "dead_kit_tiers",
     "gopher_filter",
-    "semdedup",
-    "cross_split_leakage",
-    "embedding_outliers",
-    "source_overlap",
-    "winnow_fingerprints",
-    "station_calibration",
-    "ngram_jaccard_pairs",
-    "decontam_report",
-    # (b) last driver evidence: round 2
-    "multilinear_regression",
-    "minmax_normalize",
-    "daily_qc_report",
-    "aqi_index",
-    "lki_index",
-    "aqhi_index",
-    "caqi_index",
-    "sensor_set_diff",
-    # (c) last driver evidence: round 3
-    "ann_recall",
-    "vocab_stats",
-    "dup_ngram_frac",
-    "perplexity_bucket",
-    "tokenizer_fertility",
-    "repetition_stats",
-    "token_count",
-    "media_embed",
-    "modality_mix",
-    "chunk_overlap",
-    "weighted_sample",
-    "url_filter",
-    "sequence_packing",
-    "fit_apply",
-    "joost_correction",
-    "dew_point",
-    "unit_conversion",
-    "taylor_calibration",
-    "pricing_summary",
-    "region_rollup",
-    "revenue_quartiles",
-    "sql_interface",
-    "top_revenue_orders",
-    "part_supplier_stats",
-    "customers_without_orders",
-    "order_priority_counts",
-    "hourly_stats",
-    "event_sessions",
-    "maintenance_window_join",
-    "props_json_stats",
-    "unpivot_long",
-    "chatty_kits",
-    "percentile_summary",
+    "text_stats",
+    "quality_score",
+    "bm25_search",
+    # (b) last driver evidence: round 3
+    "failing_sensor_report",
+    "distinct_active_kits",
+    "wide_view",
+    "timeslice_avg",
+    "latest_per_user",
+    "static_runs",
+    "gap_detection",
+    "interval_inference",
+    "dead_kits",
+    "hourly_gapfill",
+    "moving_average",
+    # (c) last driver evidence: round 4 (first 33 in registry order)
+    "ttn_decode",
+    "sensorthings_pull",
+    "csv_ingest",
+    "neighbour_search",
+    "geofence_transitions",
+    "spatial_pairs",
+    "dedup_exact",
+    "incremental_dedup",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "embedding_neardup",
+    "neardup_clusters",
+    "dedup_keep_best",
+    "knn_bruteforce",
+    "embedding_dim_stats",
+    "ann_ivf",
+    "cluster_stats",
+    "kmeans_train",
+    "duplicate_spans",
+    "pii_scrub",
+    "tfidf_top_terms",
+    "lang_id",
+    "doc_fingerprint",
+    "blob_metadata",
+    "frame_sample",
+    "hash_sample",
+    "corpus_build",
+    "temperature_mix",
+    "stratified_sample",
+    "approx_distinct_users",
+    "range_validate",
+    "tristate_validity",
+    "pm_mass_fill",
 )
 
 
