@@ -465,8 +465,17 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit chunks) was measured to produce MORE candidate pairs than the
     exhaustive scan at sf0.1 (33M vs 12.5M; simhash bits are low-entropy
     because docs share dominant words, so small chunks mega-bucket). The
-    k+1 = 4 chunks of 15 bits cut candidates 57x below exhaustive and
-    keep shrinking relative to N^2 as the corpus grows."""
+    k+1 = 4 chunks of 15 bits cut candidates 57x below exhaustive at
+    sf0.1.
+
+    Selectivity boundary (measured, SCALING.md): the candidate fraction
+    shrinks relative to N^2 only while signature entropy grows with the
+    corpus (open vocabulary). On an entropy-starved corpus (the sf1.0
+    synthetic's closed 30-word vocabulary) signatures concentrate and
+    the chunk join plateaus at a constant ~2.3% of exhaustive — still
+    44x below N^2/2, but growing quadratically in absolute terms; for
+    such corpora minhash_lsh_pairs is the scale tier (8 ppm of
+    exhaustive at the same point)."""
     doc = load(spark, sf_dir, "documents")
     words = F.explode(F.expr(f"regexp_extract_all(text, '{_WORD_RE}', 0)")).alias("word")
     tok = doc.select("doc_id", words)

@@ -661,7 +661,92 @@ ORDER BY vec_id
 SQL_EMBEDDING_OUTLIERS = _sql_embedding_outliers()
 
 
+# Hybrid retrieval: reciprocal-rank fusion of the lexical (BM25) and
+# vector (cosine kNN) rankings — the standard two-tower retrieval stack
+# a curation pipeline uses to pull topic-targeted training slices where
+# either signal alone misses (lexical catches exact terms, vectors catch
+# paraphrase). Fixture alignment: embeddings row i is the embedding of
+# documents row i (doc_id == vec_id), and hybrid query q fuses BM25
+# query q with query vector q.
+_RRF_K = 60  # the standard RRF dampening constant (Cormack et al.)
+_HYBRID_N_QUERIES = 3  # BM25 defines queries 0..2
+
+
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF fusion of bm25_search and knn_bruteforce: score(d) =
+    sum over rankings of 1/(K + rank_d), ranked desc with doc_id
+    tie-break. Composes the two graded queries verbatim (no duplicated
+    scoring logic), so this query's oracle transitively re-checks both.
+
+    Scale shape: both inputs are already top-k-bounded per query (the
+    fusion join touches dozens of rows); the heavy lifting lives in the
+    composed queries, whose scale stories are their own (one corpus
+    scan for BM25; the kNN side is the fenced re-rank tier — at corpus
+    scale the vector list comes from ann_ivf instead, same contract)."""
+    from .text import q_bm25_search
+
+    lex = (
+        q_bm25_search(spark, sf_dir)
+        .where(F.col("query_id") < _HYBRID_N_QUERIES)
+        .select("query_id", "doc_id", F.col("rank").alias("lex_rank"))
+    )
+    vec = (
+        q_knn_bruteforce(spark, sf_dir)
+        .where(F.col("query_id") < _HYBRID_N_QUERIES)
+        .select("query_id", F.col("cand_id").alias("doc_id"), F.col("rank").alias("vec_rank"))
+    )
+    fused = lex.join(vec, ["query_id", "doc_id"], "full")
+    rrf = ieee_round(
+        F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("vec_rank")), F.lit(0.0)),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rrf", rrf)
+        .withColumn("in_lex", F.col("lex_rank").isNotNull().cast("int"))
+        .withColumn("in_vec", F.col("vec_rank").isNotNull().cast("int"))
+        .withColumn("rank", F.row_number().over(w))
+        .select("query_id", "rank", "doc_id", "rrf", "in_lex", "in_vec")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _sql_hybrid_rrf() -> str:
+    from .text import SQL_BM25_SEARCH
+
+    rrf = sql_ieee_round(
+        f"coalesce(1.0 / ({_RRF_K} + lex_rank), 0.0) + coalesce(1.0 / ({_RRF_K} + vec_rank), 0.0)",
+        6,
+    )
+    return f"""
+WITH lex_full AS ({SQL_BM25_SEARCH}),
+vec_full AS ({SQL_KNN_BRUTEFORCE}),
+l AS (SELECT query_id, doc_id, rank AS lex_rank FROM lex_full WHERE query_id < {_HYBRID_N_QUERIES}),
+v AS (SELECT query_id, cand_id AS doc_id, rank AS vec_rank FROM vec_full WHERE query_id < {_HYBRID_N_QUERIES}),
+fused AS (
+  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+         coalesce(l.doc_id, v.doc_id) AS doc_id,
+         lex_rank, vec_rank
+  FROM l FULL JOIN v ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+)
+SELECT query_id, rank, doc_id, rrf, in_lex, in_vec
+FROM (
+  SELECT query_id, doc_id, {rrf} AS rrf,
+         CAST(lex_rank IS NOT NULL AS INT) AS in_lex,
+         CAST(vec_rank IS NOT NULL AS INT) AS in_vec,
+         row_number() OVER (PARTITION BY query_id ORDER BY {rrf} DESC, doc_id ASC) AS rank
+  FROM fused
+)
+ORDER BY query_id, rank
+"""
+
+
+SQL_HYBRID_SEARCH_RRF = _sql_hybrid_rrf()
+
+
 QUERIES: dict[str, tuple] = {
+    "hybrid_search_rrf": (q_hybrid_search_rrf, SQL_HYBRID_SEARCH_RRF),
     "semdedup": (q_semdedup, SQL_SEMDEDUP),
     "embedding_outliers": (q_embedding_outliers, SQL_EMBEDDING_OUTLIERS),
     "knn_bruteforce": (q_knn_bruteforce, SQL_KNN_BRUTEFORCE),

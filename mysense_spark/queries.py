@@ -34,20 +34,22 @@ def _modules():
 # correctness gate checks exactly the FIRST 50 entries, so this list is
 # kept to exactly 50. Round-6 layout: (a) the rows new or changed this
 # round — static_value_monitor + dead_kit_tiers (new graded twins of the
-# stateful streaming operators), gopher_filter / text_stats /
-# quality_score (nullif zero-word guards in both engines), bm25_search
-# (corpus totals now a broadcast dimension instead of a driver collect);
+# stateful streaming operators), hybrid_search_rrf (new: BM25 (+) kNN
+# reciprocal-rank fusion), gopher_filter / text_stats / quality_score
+# (nullif zero-word guards in both engines), bm25_search (corpus totals
+# now a broadcast dimension instead of a driver collect);
 # (b) the 11 rows whose last driver evidence is round 3 (rolled here
-# from the r5 window, exactly as planned); (c) 33 of the 44 rows whose
-# last evidence is round 4, registry order. The remaining 11 r4-evidence
-# rows (zscore_outliers, grubbs_outliers, linear_regression,
-# ols_summary, sigma_band, region_revenue, cascade_rollup, asof_align,
-# mode_per_user, coverage, dedup_upsert) roll to round 7 — after this
-# round no row's evidence is older than r4.
+# from the r5 window, exactly as planned); (c) 32 of the 44 rows whose
+# last evidence is round 4, registry order. The remaining 12 r4-evidence
+# rows (pm_mass_fill, zscore_outliers, grubbs_outliers,
+# linear_regression, ols_summary, sigma_band, region_revenue,
+# cascade_rollup, asof_align, mode_per_user, coverage, dedup_upsert)
+# roll to round 7 — after this round no row's evidence is older than r4.
 _PRIORITY = (
     # (a) new / fixed / changed in round 6
     "static_value_monitor",
     "dead_kit_tiers",
+    "hybrid_search_rrf",
     "gopher_filter",
     "text_stats",
     "quality_score",
@@ -97,7 +99,6 @@ _PRIORITY = (
     "approx_distinct_users",
     "range_validate",
     "tristate_validity",
-    "pm_mass_fill",
 )
 
 

@@ -13,8 +13,11 @@ Assumes /tmp/scale/sf1.0 exists (see gen_scale_data.py).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SFS = {
     "sf0.01": "/root/testdata/sf0.01",
@@ -92,13 +95,38 @@ def minhash_candidates(spark, sf_dir: str) -> int:
 
 
 def simhash_candidates(spark, sf_dir: str) -> int:
-    """Candidate-pair count of the simhash pigeonhole chunk join."""
+    """Candidate-pair count of the simhash pigeonhole chunk join (the
+    set BEFORE the hamming<=3 filter) — replicated from q_simhash_pairs
+    (dedup.py) with the same signature construction."""
     from pyspark.sql import functions as F
 
-    from mysense_spark.operators.dedup import _simhash_chunked
+    from mysense_spark.io import load
+    from mysense_spark.operators.dedup import _SIMHASH_BITS, _WORD_RE
 
-    chunks = _simhash_chunked(spark, sf_dir)
-    a, b = chunks.alias("a"), chunks.alias("b")
+    doc = load(spark, sf_dir, "documents")
+    words = F.explode(F.expr(f"regexp_extract_all(text, '{_WORD_RE}', 0)")).alias("word")
+    tok = doc.select("doc_id", words).withColumn(
+        "h", F.conv(F.substring(F.md5(F.col("word")), 1, 15), 16, 10).cast("long")
+    )
+    bit_votes = [
+        F.sum(F.when(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"v{k}")
+        for k in range(_SIMHASH_BITS)
+    ]
+    votes = tok.groupBy("doc_id").agg(*bit_votes)
+    sig = F.lit(0).cast("long")
+    for k in range(_SIMHASH_BITS):
+        sig = sig + F.when(F.col(f"v{k}") > 0, F.lit(1 << k).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    sigs = votes.select("doc_id", sig.alias("simhash"))
+    widths = [15, 15, 15, 15]
+    starts = [sum(widths[:c]) for c in range(len(widths))]
+    chunk_exprs = [
+        F.shiftright(F.col("simhash"), s).bitwiseAND(F.lit((1 << w) - 1)).cast("long")
+        for s, w in zip(starts, widths)
+    ]
+    blocks = sigs.select("doc_id", F.posexplode(F.array(*chunk_exprs)).alias("chunk_id", "chunk_val"))
+    a, b = blocks.alias("a"), blocks.alias("b")
     return (
         a.join(
             b,
@@ -113,16 +141,32 @@ def simhash_candidates(spark, sf_dir: str) -> int:
 
 
 def shingle_join_candidates(spark, sf_dir: str) -> int:
-    """Row count of the df-capped hashed-shingle equi-join — the work
-    unit of the exact-Jaccard verify tier."""
-    from mysense_spark.operators.dedup import _capped_shingles
-
+    """Row count of the df-capped hashed-shingle self-equi-join — the
+    work unit of the exact-Jaccard verify tier (replicated from
+    q_ngram_jaccard_pairs' cap construction)."""
     from pyspark.sql import functions as F
 
-    sh = _capped_shingles(spark, sf_dir)
-    a = sh.select(F.col("doc_id").alias("d1"), "hsh")
-    b = sh.select(F.col("doc_id").alias("d2"), "hsh")
-    return a.join(b, "hsh").where(F.col("d1") < F.col("d2")).count()
+    from mysense_spark.io import load
+    from mysense_spark.operators.dedup import _DF_CAP_DEN, _DF_CAP_MIN, _hashed_shingles
+
+    doc = load(spark, sf_dir, "documents")
+    raw = _hashed_shingles(doc)
+    nd = doc.agg(F.count(F.lit(1)).alias("nd"))
+    cap_col = F.greatest(
+        F.lit(_DF_CAP_MIN).cast("long"),
+        F.expr(f"(nd + {_DF_CAP_DEN - 1}) DIV {_DF_CAP_DEN}"),
+    )
+    hot = (
+        raw.groupBy("hsh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(nd))
+        .where(F.col("df") > cap_col)
+    )
+    sh = raw.join(F.broadcast(hot.select("hsh")), "hsh", "left_anti")
+    a, b = sh.alias("a"), sh.alias("b")
+    return a.join(
+        b, (F.col("a.hsh") == F.col("b.hsh")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).count()
 
 
 def main() -> None:
@@ -147,6 +191,7 @@ def main() -> None:
         for cname, fn in (
             ("minhash_candidates", minhash_candidates),
             ("simhash_candidates", simhash_candidates),
+            ("shingle_join_candidates", shingle_join_candidates),
         ):
             t0 = time.monotonic()
             try:
