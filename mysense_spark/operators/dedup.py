@@ -115,6 +115,29 @@ ORDER BY keep_doc_id
 """
 
 
+def df_capped(raw: DataFrame, doc: DataFrame) -> DataFrame:
+    """Drop shingles above the document-frequency cap from the distinct
+    (doc_id, hsh) table before any self-join. Rows are distinct per doc,
+    so count(*) per hsh IS the document frequency; heavy hitters are few
+    by construction, so the anti-join build side broadcasts. The cap
+    rides as a 1-row broadcast-crossJoin scalar (the lazy twin of
+    _df_cap) so building this DataFrame never triggers an eager count()
+    action. Shared by the graded query and tools/scaling_sweep.py so the
+    measured join-row counts are measured on THIS code."""
+    nd = doc.agg(F.count(F.lit(1)).alias("nd"))
+    cap_col = F.greatest(
+        F.lit(_DF_CAP_MIN).cast("long"),
+        F.expr(f"(nd + {_DF_CAP_DEN - 1}) DIV {_DF_CAP_DEN}"),
+    )
+    hot = (
+        raw.groupBy("hsh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(nd))
+        .where(F.col("df") > cap_col)
+    )
+    return raw.join(F.broadcast(hot.select("hsh")), "hsh", "left_anti")
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup verify step: word-3-gram Jaccard for all pairs sharing
     >= 1 shingle, threshold 0.05. The shingle equi-join bounds the pair
@@ -130,27 +153,10 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join down to 1-2 tasks and serialize the quadratic-per-bucket work
     par = spark.sparkContext.defaultParallelism
     raw = tracked_persist(_hashed_shingles(doc).repartition(par, "hsh"))
-    # df cap: rows are distinct (doc_id, hsh), so count(*) per hsh IS the
-    # document frequency; the groupBy reuses raw's hsh partitioning (no
-    # extra shuffle) and heavy hitters are few by construction, so the
-    # anti-join build side broadcasts. The cap rides as a 1-row
-    # broadcast-crossJoin scalar (the lazy twin of _df_cap) so building
-    # this DataFrame never triggers an eager count() action.
-    nd = doc.agg(F.count(F.lit(1)).alias("nd"))
-    cap_col = F.greatest(
-        F.lit(_DF_CAP_MIN).cast("long"),
-        F.expr(f"(nd + {_DF_CAP_DEN - 1}) DIV {_DF_CAP_DEN}"),
-    )
-    hot = (
-        raw.groupBy("hsh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .crossJoin(F.broadcast(nd))
-        .where(F.col("df") > cap_col)
-    )
     # persist the post-cap join input too: it feeds THREE consumers
     # (sizes + both self-join sides) — raw's cache alone would re-run
     # the heavy-hitter agg and anti-join once per branch
-    sh = tracked_persist(raw.join(F.broadcast(hot.select("hsh")), "hsh", "left_anti"))
+    sh = tracked_persist(df_capped(raw, doc))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -204,6 +210,44 @@ ORDER BY d1, d2
 SQL_NGRAM_JACCARD_PAIRS = _sql_ngram_jaccard()
 
 
+def minhash_bands(sh: DataFrame) -> DataFrame:
+    """Banding stage over the minhash-domain shingle table (doc_id, h):
+    16 affine min-hashes, 4 bands of 4 rows -> (doc_id, band_id,
+    band_key). Shared by the graded query and tools/scaling_sweep.py so
+    the measured candidate counts are measured on THIS code."""
+    minhash_aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % _P).alias(f"m{i}")
+        for i, (a, b) in enumerate(zip(_HASH_A, _HASH_B))
+    ]
+    sig = sh.groupBy("doc_id").agg(*minhash_aggs)
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "_", *[F.col(f"m{b * _ROWS_PER_BAND + r}") for r in range(_ROWS_PER_BAND)]
+            )
+            for b in range(_N_BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.posexplode(band_keys).alias("band_id", "band_key"))
+
+
+def minhash_candidates(bands: DataFrame) -> DataFrame:
+    """Candidate pairs from the banding equi-join: distinct (d1, d2)
+    sharing any (band_id, band_key)."""
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding near-dup candidates, verified with exact
     Jaccard. 16 affine min-hashes over md5-based shingle hashes; 4 bands
@@ -219,32 +263,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     doc = load(spark, sf_dir, "documents")
     sh = _hashed_shingles(doc).withColumn("h", F.col("hsh") % _P)
-    minhash_aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % _P).alias(f"m{i}")
-        for i, (a, b) in enumerate(zip(_HASH_A, _HASH_B))
-    ]
-    sig = sh.groupBy("doc_id").agg(*minhash_aggs)
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                "_", *[F.col(f"m{b * _ROWS_PER_BAND + r}") for r in range(_ROWS_PER_BAND)]
-            )
-            for b in range(_N_BANDS)
-        ]
-    )
-    bands = sig.select("doc_id", F.posexplode(band_keys).alias("band_id", "band_key"))
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .distinct()
-    )
+    cand = minhash_candidates(minhash_bands(sh))
     # verify candidates with exact Jaccard (reuses the hashed shingle sets)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     s1 = sh.select(F.col("doc_id").alias("sd1"), F.col("hsh").alias("h1"))
@@ -452,6 +471,45 @@ _SIMHASH_BITS = 60  # md5 15-hex-char word hash = 60 usable bits
 _HAMMING_MAX = 3
 
 
+def simhash_signatures(doc: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 60-bit signature from md5 word hashes via
+    weighted bit voting. Shared by the graded query and
+    tools/scaling_sweep.py so the measured candidate counts are measured
+    on THIS code."""
+    words = F.explode(F.expr(f"regexp_extract_all(text, '{_WORD_RE}', 0)")).alias("word")
+    tok = doc.select("doc_id", words)
+    h = F.conv(F.substring(F.md5(F.col("word")), 1, 15), 16, 10).cast("long")
+    tok = tok.withColumn("h", h)
+    bit_votes = [
+        F.sum(F.when(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"v{k}")
+        for k in range(_SIMHASH_BITS)
+    ]
+    votes = tok.groupBy("doc_id").agg(*bit_votes)
+    sig: Column = F.lit(0).cast("long")
+    for k in range(_SIMHASH_BITS):
+        sig = sig + F.when(F.col(f"v{k}") > 0, F.lit(1 << k).cast("long")).otherwise(F.lit(0).cast("long"))
+    return votes.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_blocks(sigs: DataFrame) -> DataFrame:
+    """Hamming-LSH candidate generation (pigeonhole): split the 60-bit
+    signature into HAMMING_MAX+1 = 4 chunks; two signatures within
+    hamming distance 3 must agree exactly on at least one chunk, so an
+    equi-join on (chunk_id, chunk_value) has guaranteed recall — the
+    result set is identical to the exhaustive O(N^2) scan, but the join
+    is a plain shuffle-hash equi-join (Manku et al., WWW'07, with
+    blocks = k+1)."""
+    widths = [15, 15, 15, 15]  # sums to _SIMHASH_BITS
+    starts = [sum(widths[:c]) for c in range(len(widths))]
+    chunk_exprs = [
+        F.shiftright(F.col("simhash"), s).bitwiseAND(F.lit((1 << w) - 1)).cast("long")
+        for s, w in zip(starts, widths)
+    ]
+    return sigs.select(
+        "doc_id", "simhash", F.posexplode(F.array(*chunk_exprs)).alias("chunk_id", "chunk_val")
+    )
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 60-bit signature from md5 word hashes (weighted
     bit voting), pairs within hamming distance <= 3 via bit_count(xor) —
@@ -477,35 +535,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     such corpora minhash_lsh_pairs is the scale tier (8 ppm of
     exhaustive at the same point)."""
     doc = load(spark, sf_dir, "documents")
-    words = F.explode(F.expr(f"regexp_extract_all(text, '{_WORD_RE}', 0)")).alias("word")
-    tok = doc.select("doc_id", words)
-    h = F.conv(F.substring(F.md5(F.col("word")), 1, 15), 16, 10).cast("long")
-    tok = tok.withColumn("h", h)
-    bit_votes = [
-        F.sum(F.when(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"v{k}")
-        for k in range(_SIMHASH_BITS)
-    ]
-    votes = tok.groupBy("doc_id").agg(*bit_votes)
-    sig: Column = F.lit(0).cast("long")
-    for k in range(_SIMHASH_BITS):
-        sig = sig + F.when(F.col(f"v{k}") > 0, F.lit(1 << k).cast("long")).otherwise(F.lit(0).cast("long"))
-    sigs = votes.select("doc_id", sig.alias("simhash"))
-    # Hamming-LSH candidate generation (pigeonhole): split the 60-bit
-    # signature into HAMMING_MAX+1 = 4 chunks; two signatures within
-    # hamming distance 3 must agree exactly on at least one chunk, so an
-    # equi-join on (chunk_id, chunk_value) has guaranteed recall — the
-    # result set is identical to the exhaustive O(N^2) scan, but the join
-    # is a plain shuffle-hash equi-join (Manku et al., WWW'07, with
-    # blocks = k+1).
-    widths = [15, 15, 15, 15]  # sums to _SIMHASH_BITS
-    starts = [sum(widths[:c]) for c in range(len(widths))]
-    chunk_exprs = [
-        F.shiftright(F.col("simhash"), s).bitwiseAND(F.lit((1 << w) - 1)).cast("long")
-        for s, w in zip(starts, widths)
-    ]
-    blocks = sigs.select(
-        "doc_id", "simhash", F.posexplode(F.array(*chunk_exprs)).alias("chunk_id", "chunk_val")
-    )
+    blocks = simhash_blocks(simhash_signatures(doc))
     a = blocks.alias("a")
     b = blocks.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))

@@ -66,7 +66,7 @@ _PRIORITY = (
     "dead_kits",
     "hourly_gapfill",
     "moving_average",
-    # (c) last driver evidence: round 4 (first 33 in registry order)
+    # (c) last driver evidence: round 4 (first 32 in registry order)
     "ttn_decode",
     "sensorthings_pull",
     "csv_ingest",

@@ -77,7 +77,8 @@ def drain_breaker(breaker: CircuitBreaker, host: str, n_ok: int, n_err: int) -> 
     accumulates toward opening the breaker instead of being reset as
     healthy; then up to `threshold` failures replay so consecutive bad
     batches open it."""
-    dominated = n_err > 0 and (n_ok == 0 or n_err * 9 >= n_ok)
+    # n_err * 9 >= n_ok already covers the all-error case (n_ok == 0)
+    dominated = n_err > 0 and n_err * 9 >= n_ok
     if dominated:
         for _ in range(min(n_err, breaker.threshold)):
             breaker.record(host, False)

@@ -42,10 +42,22 @@ DAY_COL = "day"
 NULL_DAY = "0000-00-00"
 
 
-def _has_parquet(path: str) -> bool:
-    return os.path.exists(path) and any(
-        f.endswith(".parquet") or f.startswith(f"{DAY_COL}=") for f in os.listdir(path)
-    )
+def _layout(path: str) -> str | None:
+    """Detect the archive layout on disk: 'partitioned' (day= dirs),
+    'flat' (top-level parquet files), or None (absent/empty). Both
+    upsert variants check this at entry — pointing the flat merge at a
+    hive layout would silently rewrite it flat (destroying the
+    partitioning and flipping the day column's type), and pointing the
+    partitioned merge at a flat archive would crash on the missing day
+    column; a loud error beats either."""
+    if not os.path.exists(path):
+        return None
+    names = os.listdir(path)
+    if any(f.startswith(f"{DAY_COL}=") for f in names):
+        return "partitioned"
+    if any(f.endswith(".parquet") for f in names):
+        return "flat"
+    return None
 
 
 def _restore_orphans(path: str) -> None:
@@ -77,7 +89,14 @@ def upsert_parquet(new_df: DataFrame, path: str, keys: list[str], order_col: str
     with the greatest `order_col` per key (late/duplicate handling)."""
     spark = new_df.sparkSession
     _restore_orphans(path)
-    if _has_parquet(path):
+    layout = _layout(path)
+    if layout == "partitioned":
+        raise ValueError(
+            f"{path} is a day-partitioned archive; use "
+            f"upsert_parquet_partitioned (the flat merge would rewrite "
+            f"it flat and destroy the partition layout)"
+        )
+    if layout == "flat":
         existing = spark.read.parquet(path)
         merged = existing.unionByName(new_df, allowMissingColumns=True)
     else:
@@ -144,6 +163,14 @@ def _commit_stage(spark: SparkSession, stage: str, path: str) -> None:
     ):
         staged = spark.read.parquet(stage)
         staged.write.mode("overwrite").partitionBy(DAY_COL).parquet(path)
+    # drop the _SUCCESS marker FIRST: rmtree deletes entries in arbitrary
+    # order, so a crash mid-delete could otherwise leave _SUCCESS with the
+    # data gone, and recovery would then crash-loop trying to re-commit an
+    # unreadable stage; without the marker a partial remnant self-
+    # classifies as half-written garbage on the next entry
+    marker = os.path.join(stage, "_SUCCESS")
+    if os.path.exists(marker):
+        os.remove(marker)
     shutil.rmtree(stage)
 
 
@@ -157,7 +184,14 @@ def _recover_stage(spark: SparkSession, stage: str, path: str) -> None:
     if not os.path.exists(stage):
         return
     if os.path.exists(os.path.join(stage, "_SUCCESS")):
-        _commit_stage(spark, stage, path)
+        try:
+            _commit_stage(spark, stage, path)
+        except Exception:
+            # a marked-complete stage that cannot be read back (e.g. data
+            # files lost to a crashed cleanup) must not wedge the sink in
+            # a crash loop: checkpoint replay re-delivers the batch, so
+            # discarding the unreadable stage is safe
+            shutil.rmtree(stage, ignore_errors=True)
     else:
         shutil.rmtree(stage)
 
@@ -181,7 +215,24 @@ def upsert_parquet_partitioned(
     scan of ONLY the matching `day=` directories, one key-window dedup,
     one partitioned write of the merged days to the stage, one
     dynamic-overwrite promote. A year-deep archive with a 2-day
-    late-data watermark reads 2 partitions, not 365."""
+    late-data watermark reads 2 partitions, not 365.
+
+    Contract: `ts_col` must be one of `keys`. The merge reads only the
+    batch's touched days, so latest-row-wins resolves within a day — a
+    key that did not pin the timestamp could have an older row for the
+    same key sitting on an UNTOUCHED day, silently surviving alongside
+    the new one; time-free keys need the full-archive merge
+    (`upsert_parquet`). Single writer per archive path (the Structured
+    Streaming foreachBatch guarantee): concurrent writers would race
+    the fixed stage directory and the dynamic overwrite — multi-writer
+    archives are what Delta/Iceberg MERGE INTO exists for."""
+    if ts_col not in keys:
+        raise ValueError(
+            f"ts_col {ts_col!r} must be part of keys {keys!r}: the "
+            f"touched-day merge cannot resolve latest-row-wins across "
+            f"days for a key that does not pin the timestamp — use "
+            f"upsert_parquet (full-archive merge) for time-free keys"
+        )
     spark = new_df.sparkSession
     stage = f"{path}__stage"
     _recover_stage(spark, stage, path)
@@ -197,7 +248,14 @@ def upsert_parquet_partitioned(
     if not days:
         return
 
-    if _has_parquet(path):
+    layout = _layout(path)
+    if layout == "flat":
+        raise ValueError(
+            f"{path} is a flat parquet archive; use upsert_parquet "
+            f"(the partitioned merge needs the day= hive layout — "
+            f"rewrite the archive with write_date_partitioned first)"
+        )
+    if layout == "partitioned":
         with _scoped_conf(
             spark,
             **{"spark.sql.sources.partitionColumnTypeInference.enabled": "false"},

@@ -63,9 +63,9 @@ def read_paginated(
     # parameterized/nested type (decimal(10,2), map<string,string>,
     # struct<...>) and the reindex would then silently null out real
     # columns
-    from pyspark.sql.types import _parse_datatype_string
+    from pyspark.sql.types import StructType
 
-    schema_cols = _parse_datatype_string(schema).fieldNames()
+    schema_cols = StructType.fromDDL(schema).fieldNames()
 
     def fetch_pages(batches: Iterator) -> Iterator:
         import pandas as pd

@@ -267,6 +267,72 @@ def test_partitioned_upsert_stage_recovery(spark, tmp_path):
     assert out[("k1", "2024-01-01")] == 11.0 and out[("k3", "2024-01-06")] == 60.0
 
 
+def test_upsert_layout_and_key_guards(spark, tmp_path):
+    """Wrong-variant protection: the flat merge must refuse a day-
+    partitioned archive (it would silently rewrite it flat), the
+    partitioned merge must refuse a flat archive (missing day column),
+    and the partitioned merge must refuse a key set that does not pin
+    the timestamp (latest-row-wins could not resolve across untouched
+    days). Each failure is a loud ValueError, not silent corruption."""
+    import datetime as dt
+
+    import pytest
+
+    from mysense_spark.sinks.upsert import upsert_parquet, upsert_parquet_partitioned
+
+    t0 = dt.datetime(2024, 6, 1)
+    batch = _mk_batch(spark, [("k1", dt.datetime(2024, 1, 1, 8), "pm25", 10.0, t0)])
+
+    part = str(tmp_path / "part_archive")
+    upsert_parquet_partitioned(batch, part, keys=["kit_id", "ts", "field"], order_col="ingest_ts")
+    with pytest.raises(ValueError, match="day-partitioned"):
+        upsert_parquet(batch, part, keys=["kit_id", "ts", "field"], order_col="ingest_ts")
+
+    flat = str(tmp_path / "flat_archive")
+    upsert_parquet(batch, flat, keys=["kit_id", "ts", "field"], order_col="ingest_ts")
+    with pytest.raises(ValueError, match="flat parquet archive"):
+        upsert_parquet_partitioned(
+            batch, flat, keys=["kit_id", "ts", "field"], order_col="ingest_ts"
+        )
+
+    with pytest.raises(ValueError, match="must be part of keys"):
+        upsert_parquet_partitioned(
+            batch, str(tmp_path / "x"), keys=["kit_id", "field"], order_col="ingest_ts"
+        )
+
+
+def test_partitioned_upsert_unreadable_stage_selfheals(spark, tmp_path):
+    """A stage left with _SUCCESS but no readable data (crash during the
+    post-commit cleanup) must not wedge the sink in a crash loop: the
+    next upsert discards it and proceeds."""
+    import datetime as dt
+    import os
+
+    from mysense_spark.sinks.upsert import upsert_parquet_partitioned
+
+    path = str(tmp_path / "archive")
+    t0 = dt.datetime(2024, 6, 1)
+    upsert_parquet_partitioned(
+        _mk_batch(spark, [("k1", dt.datetime(2024, 1, 1, 8), "pm25", 10.0, t0)]),
+        path,
+        keys=["kit_id", "ts", "field"],
+        order_col="ingest_ts",
+    )
+    stage = path + "__stage"
+    os.makedirs(stage)
+    open(os.path.join(stage, "_SUCCESS"), "w").close()  # marker, no data
+
+    upsert_parquet_partitioned(
+        _mk_batch(spark, [("k2", dt.datetime(2024, 1, 2, 8), "pm25", 20.0, t0)]),
+        path,
+        keys=["kit_id", "ts", "field"],
+        order_col="ingest_ts",
+    )
+    assert not os.path.exists(stage)
+    out = {r["kit_id"]: r["value"] for r in spark.read.parquet(path).collect()}
+    assert out == {"k1": 10.0, "k2": 20.0}
+
+
 def test_flat_upsert_orphan_restore(spark, tmp_path):
     """Crash recovery for the flat swap: a crash between the two renames
     leaves the archive absent and its data in a __old_ sibling — the next

@@ -12,8 +12,9 @@ The generator mirrors the measured statistics of the driver's
   find), ~0.5% carry the rare 'dup' marker token.
 - embeddings: 64-dim float32, unit-normalized gaussian, weak label
   structure (10 labels, centroid norm ~0.07).
-- events: 10k rows and 15 users per 0.001 sf-unit, one month of
-  timestamps, 5 uniform event types, value ~ U[0, 560], props {"k": int}.
+- events: 10k rows and 150 users per 0.01 sf-unit (1M rows / 15k users
+  at sf1.0), one month of timestamps, 5 uniform event types,
+  value ~ U[0, 560], props {"k": int}.
 
 Synthesized data is used ONLY for scaling measurements (timings and
 candidate counts), never for correctness grading — the driver's own

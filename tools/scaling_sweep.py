@@ -51,81 +51,38 @@ QUERY_NAMES = [
 ]
 
 
-def minhash_candidates(spark, sf_dir: str) -> int:
+def minhash_candidate_count(spark, sf_dir: str) -> int:
     """Candidate-pair count of the minhash banding stage, BEFORE Jaccard
-    verification — the quantity that must grow near-linearly."""
+    verification — the quantity that must grow near-linearly. Calls the
+    SAME stage functions the graded query composes (dedup.minhash_bands /
+    minhash_candidates), so a change to the banding configuration is
+    automatically what gets measured."""
     from pyspark.sql import functions as F
 
     from mysense_spark.io import load
     from mysense_spark.operators.dedup import (
-        _HASH_A,
-        _HASH_B,
-        _N_BANDS,
         _P,
-        _ROWS_PER_BAND,
         _hashed_shingles,
+        minhash_bands,
+        minhash_candidates,
     )
 
     doc = load(spark, sf_dir, "documents")
     sh = _hashed_shingles(doc).withColumn("h", F.col("hsh") % _P)
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % _P).alias(f"m{i}")
-        for i, (a, b) in enumerate(zip(_HASH_A, _HASH_B))
-    ]
-    sig = sh.groupBy("doc_id").agg(*aggs)
-    band_keys = F.array(
-        *[
-            F.concat_ws("_", *[F.col(f"m{b * _ROWS_PER_BAND + r}") for r in range(_ROWS_PER_BAND)])
-            for b in range(_N_BANDS)
-        ]
-    )
-    bands = sig.select("doc_id", F.posexplode(band_keys).alias("band_id", "band_key"))
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select("a.doc_id", "b.doc_id")
-        .distinct()
-        .count()
-    )
+    return minhash_candidates(minhash_bands(sh)).count()
 
 
-def simhash_candidates(spark, sf_dir: str) -> int:
+def simhash_candidate_count(spark, sf_dir: str) -> int:
     """Candidate-pair count of the simhash pigeonhole chunk join (the
-    set BEFORE the hamming<=3 filter) — replicated from q_simhash_pairs
-    (dedup.py) with the same signature construction."""
+    set BEFORE the hamming<=3 filter) — via the query's own
+    simhash_signatures / simhash_blocks stage functions."""
     from pyspark.sql import functions as F
 
     from mysense_spark.io import load
-    from mysense_spark.operators.dedup import _SIMHASH_BITS, _WORD_RE
+    from mysense_spark.operators.dedup import simhash_blocks, simhash_signatures
 
     doc = load(spark, sf_dir, "documents")
-    words = F.explode(F.expr(f"regexp_extract_all(text, '{_WORD_RE}', 0)")).alias("word")
-    tok = doc.select("doc_id", words).withColumn(
-        "h", F.conv(F.substring(F.md5(F.col("word")), 1, 15), 16, 10).cast("long")
-    )
-    bit_votes = [
-        F.sum(F.when(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"v{k}")
-        for k in range(_SIMHASH_BITS)
-    ]
-    votes = tok.groupBy("doc_id").agg(*bit_votes)
-    sig = F.lit(0).cast("long")
-    for k in range(_SIMHASH_BITS):
-        sig = sig + F.when(F.col(f"v{k}") > 0, F.lit(1 << k).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    sigs = votes.select("doc_id", sig.alias("simhash"))
-    widths = [15, 15, 15, 15]
-    starts = [sum(widths[:c]) for c in range(len(widths))]
-    chunk_exprs = [
-        F.shiftright(F.col("simhash"), s).bitwiseAND(F.lit((1 << w) - 1)).cast("long")
-        for s, w in zip(starts, widths)
-    ]
-    blocks = sigs.select("doc_id", F.posexplode(F.array(*chunk_exprs)).alias("chunk_id", "chunk_val"))
+    blocks = simhash_blocks(simhash_signatures(doc))
     a, b = blocks.alias("a"), blocks.alias("b")
     return (
         a.join(
@@ -140,29 +97,17 @@ def simhash_candidates(spark, sf_dir: str) -> int:
     )
 
 
-def shingle_join_candidates(spark, sf_dir: str) -> int:
+def shingle_join_row_count(spark, sf_dir: str) -> int:
     """Row count of the df-capped hashed-shingle self-equi-join — the
-    work unit of the exact-Jaccard verify tier (replicated from
-    q_ngram_jaccard_pairs' cap construction)."""
+    work unit of the exact-Jaccard verify tier, built with the query's
+    own df_capped stage function."""
     from pyspark.sql import functions as F
 
     from mysense_spark.io import load
-    from mysense_spark.operators.dedup import _DF_CAP_DEN, _DF_CAP_MIN, _hashed_shingles
+    from mysense_spark.operators.dedup import _hashed_shingles, df_capped
 
     doc = load(spark, sf_dir, "documents")
-    raw = _hashed_shingles(doc)
-    nd = doc.agg(F.count(F.lit(1)).alias("nd"))
-    cap_col = F.greatest(
-        F.lit(_DF_CAP_MIN).cast("long"),
-        F.expr(f"(nd + {_DF_CAP_DEN - 1}) DIV {_DF_CAP_DEN}"),
-    )
-    hot = (
-        raw.groupBy("hsh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .crossJoin(F.broadcast(nd))
-        .where(F.col("df") > cap_col)
-    )
-    sh = raw.join(F.broadcast(hot.select("hsh")), "hsh", "left_anti")
+    sh = df_capped(_hashed_shingles(doc), doc)
     a, b = sh.alias("a"), sh.alias("b")
     return a.join(
         b, (F.col("a.hsh") == F.col("b.hsh")) & (F.col("a.doc_id") < F.col("b.doc_id"))
@@ -189,9 +134,9 @@ def main() -> None:
                 results[sf_name][name] = {"error": str(exc)[:200]}
             print(sf_name, name, results[sf_name][name], flush=True)
         for cname, fn in (
-            ("minhash_candidates", minhash_candidates),
-            ("simhash_candidates", simhash_candidates),
-            ("shingle_join_candidates", shingle_join_candidates),
+            ("minhash_candidates", minhash_candidate_count),
+            ("simhash_candidates", simhash_candidate_count),
+            ("shingle_join_candidates", shingle_join_row_count),
         ):
             t0 = time.monotonic()
             try:
