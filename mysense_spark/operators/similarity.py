@@ -661,6 +661,88 @@ ORDER BY vec_id
 SQL_EMBEDDING_OUTLIERS = _sql_embedding_outliers()
 
 
+# Seed-centroid quality scoring: the embedding analog of model-based
+# quality filtering (FineWeb-Edu / DCLM style) without a trained
+# classifier — curators label a small seed set as high-quality, every
+# corpus vector is scored by cosine to the seed centroid, and mixing /
+# filtering keys off the score buckets. Fixture: label 0 plays the
+# curated seed set.
+_SEED_LABEL = 0
+
+
+def q_quality_centroid_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-to-seed-centroid score and decile bucket per vector.
+
+    Exactness: the centroid is a per-dimension exact average (quantized
+    6-dp grid, order-independent); the cosine is one fixed float
+    expression over the centroid literal, floor-form rounded before
+    bucketing so bucket membership is bit-identical across engines.
+
+    Scale shape: centroid = one 64-row agg over the seed subset (a
+    posexplode + groupBy dim — map-side partials, tiny result),
+    broadcast back as a 1-row dimension; scoring is one linear scan.
+    No shuffle touches the corpus beyond the presentation sort."""
+    vecs = _vectors(spark, sf_dir)
+    from .util import exact_avg
+
+    seed_dims = (
+        vecs.where(F.col("label") == _SEED_LABEL)
+        .select(F.posexplode("v").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(exact_avg(F.col("val"), 6).alias("m"))
+    )
+    centroid = seed_dims.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "m"))), lambda x: x["m"]
+        ).alias("c")
+    ).select(
+        "c",
+        F.sqrt(
+            F.aggregate(F.expr("transform(c, x -> x * x)"), F.lit(0.0), lambda a, x: a + x)
+        ).alias("cnorm"),
+    )
+    cos = ieee_round(_dot(F.col("v"), F.col("c")) / (F.col("norm") * F.col("cnorm")), 6)
+    return (
+        vecs.crossJoin(F.broadcast(centroid))
+        .select(
+            "vec_id",
+            "label",
+            cos.alias("seed_cos"),
+            F.floor(cos * 10).cast("long").alias("bucket"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _sql_quality_centroid() -> str:
+    cos = sql_ieee_round(
+        "list_sum(list_transform(range(len(v.v)), i -> v.v[i+1] * c.c[i+1]))"
+        " / (v.norm * c.cnorm)",
+        6,
+    )
+    return f"""
+WITH vecs AS ({_SQL_VECTORS}),
+seed_dims AS (
+  SELECT t.i AS pos, {sql_avg('v[t.i + 1]', 6)} AS m
+  FROM vecs, range(64) t(i)
+  WHERE label = {_SEED_LABEL}
+  GROUP BY t.i
+),
+centroid AS (
+  SELECT list(m ORDER BY pos) AS c,
+         sqrt(list_sum(list_transform(list(m ORDER BY pos), x -> x * x))) AS cnorm
+  FROM seed_dims
+)
+SELECT vec_id, label, {cos} AS seed_cos,
+       CAST(floor({cos} * 10) AS BIGINT) AS bucket
+FROM vecs v CROSS JOIN centroid c
+ORDER BY vec_id
+"""
+
+
+SQL_QUALITY_CENTROID_SCORE = _sql_quality_centroid()
+
+
 # Hybrid retrieval: reciprocal-rank fusion of the lexical (BM25) and
 # vector (cosine kNN) rankings — the standard two-tower retrieval stack
 # a curation pipeline uses to pull topic-targeted training slices where
@@ -747,6 +829,7 @@ SQL_HYBRID_SEARCH_RRF = _sql_hybrid_rrf()
 
 QUERIES: dict[str, tuple] = {
     "hybrid_search_rrf": (q_hybrid_search_rrf, SQL_HYBRID_SEARCH_RRF),
+    "quality_centroid_score": (q_quality_centroid_score, SQL_QUALITY_CENTROID_SCORE),
     "semdedup": (q_semdedup, SQL_SEMDEDUP),
     "embedding_outliers": (q_embedding_outliers, SQL_EMBEDDING_OUTLIERS),
     "knn_bruteforce": (q_knn_bruteforce, SQL_KNN_BRUTEFORCE),

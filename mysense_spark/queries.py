@@ -35,21 +35,24 @@ def _modules():
 # kept to exactly 50. Round-6 layout: (a) the rows new or changed this
 # round — static_value_monitor + dead_kit_tiers (new graded twins of the
 # stateful streaming operators), hybrid_search_rrf (new: BM25 (+) kNN
-# reciprocal-rank fusion), gopher_filter / text_stats / quality_score
+# reciprocal-rank fusion), quality_centroid_score (new: seed-centroid
+# quality classifier), gopher_filter / text_stats / quality_score
 # (nullif zero-word guards in both engines), bm25_search (corpus totals
 # now a broadcast dimension instead of a driver collect);
 # (b) the 11 rows whose last driver evidence is round 3 (rolled here
-# from the r5 window, exactly as planned); (c) 32 of the 44 rows whose
-# last evidence is round 4, registry order. The remaining 12 r4-evidence
-# rows (pm_mass_fill, zscore_outliers, grubbs_outliers,
-# linear_regression, ols_summary, sigma_band, region_revenue,
-# cascade_rollup, asof_align, mode_per_user, coverage, dedup_upsert)
-# roll to round 7 — after this round no row's evidence is older than r4.
+# from the r5 window, exactly as planned); (c) 31 of the 44 rows whose
+# last evidence is round 4, registry order. The remaining 13 r4-evidence
+# rows (tristate_validity, pm_mass_fill, zscore_outliers,
+# grubbs_outliers, linear_regression, ols_summary, sigma_band,
+# region_revenue, cascade_rollup, asof_align, mode_per_user, coverage,
+# dedup_upsert) roll to round 7 — after this round no row's evidence is
+# older than r4.
 _PRIORITY = (
     # (a) new / fixed / changed in round 6
     "static_value_monitor",
     "dead_kit_tiers",
     "hybrid_search_rrf",
+    "quality_centroid_score",
     "gopher_filter",
     "text_stats",
     "quality_score",
@@ -66,7 +69,7 @@ _PRIORITY = (
     "dead_kits",
     "hourly_gapfill",
     "moving_average",
-    # (c) last driver evidence: round 4 (first 32 in registry order)
+    # (c) last driver evidence: round 4 (first 31 in registry order)
     "ttn_decode",
     "sensorthings_pull",
     "csv_ingest",
@@ -98,7 +101,6 @@ _PRIORITY = (
     "stratified_sample",
     "approx_distinct_users",
     "range_validate",
-    "tristate_validity",
 )
 
 
