@@ -333,6 +333,41 @@ def test_partitioned_upsert_unreadable_stage_selfheals(spark, tmp_path):
     assert out == {"k1": 10.0, "k2": 20.0}
 
 
+def test_partitioned_upsert_into_date_partitioned_archive(spark, tmp_path):
+    """Interop: an archive laid down by write_date_partitioned (the bulk
+    backfill path) accepts incremental partitioned upserts — same day
+    derivation, same layout, late data lands in its historical day."""
+    import datetime as dt
+    import os
+
+    from mysense_spark.sinks.upsert import upsert_parquet_partitioned, write_date_partitioned
+
+    path = str(tmp_path / "archive")
+    t0 = dt.datetime(2024, 6, 1)
+    bulk = _mk_batch(
+        spark,
+        [
+            ("k1", dt.datetime(2024, 1, 1, 8), "pm25", 10.0, t0),
+            ("k1", dt.datetime(2024, 1, 2, 8), "pm25", 20.0, t0),
+        ],
+    )
+    write_date_partitioned(bulk, path)
+    days_before = sorted(d for d in os.listdir(path) if d.startswith("day="))
+    assert days_before == ["day=2024-01-01", "day=2024-01-02"]
+
+    # incremental upsert: one late row for day 1 (update) + a new day
+    late = _mk_batch(
+        spark,
+        [
+            ("k1", dt.datetime(2024, 1, 1, 8), "pm25", 11.0, dt.datetime(2024, 6, 2)),
+            ("k1", dt.datetime(2024, 1, 3, 8), "pm25", 30.0, dt.datetime(2024, 6, 2)),
+        ],
+    )
+    upsert_parquet_partitioned(late, path, keys=["kit_id", "ts", "field"], order_col="ingest_ts")
+    out = {str(r["day"]): r["value"] for r in spark.read.parquet(path).collect()}
+    assert out == {"2024-01-01": 11.0, "2024-01-02": 20.0, "2024-01-03": 30.0}
+
+
 def test_flat_upsert_orphan_restore(spark, tmp_path):
     """Crash recovery for the flat swap: a crash between the two renames
     leaves the archive absent and its data in a __old_ sibling — the next

@@ -134,6 +134,39 @@ def test_stream_drives_partitioned_archive(spark, tmp_path):
     assert spark.read.parquet(out_dir).count() == n_before
 
 
+def test_partitioned_stream_multiday_late_data(spark, tmp_path):
+    """Late data crossing days through the streaming partitioned sink: a
+    second micro-batch carrying records for an EARLIER day merges into
+    that day's historical partition (and only it), not into today's."""
+    import os
+
+    from mysense_spark.streaming.pipeline import run_file_stream
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    day2 = V2_PORT2.replace("2020-11-07", "2020-11-08")
+    _write_dump(in_dir, "b1.mqtt", [day2])
+    out_dir = str(tmp_path / "arch")
+    q = run_file_stream(spark, str(in_dir), str(tmp_path / "c1"), out_dir, partitioned=True)
+    q.awaitTermination(120)
+    assert sorted(d for d in os.listdir(out_dir) if d.startswith("day=")) == ["day=2020-11-08"]
+
+    # late batch: the ORIGINAL day-1 record arrives after day-2 data
+    _write_dump(in_dir, "b2.mqtt", [V2_PORT2])
+    q2 = run_file_stream(spark, str(in_dir), str(tmp_path / "c2"), out_dir, partitioned=True)
+    q2.awaitTermination(120)
+    days = sorted(d for d in os.listdir(out_dir) if d.startswith("day="))
+    assert days == ["day=2020-11-07", "day=2020-11-08"]
+    per_day = (
+        spark.read.parquet(out_dir)
+        .groupBy("day")
+        .count()
+        .collect()
+    )
+    counts = {str(r["day"]): r["count"] for r in per_day}
+    assert counts["2020-11-07"] == counts["2020-11-08"] > 0  # same record shape per day
+
+
 def test_dead_letter_stream(spark, tmp_path):
     from mysense_spark.sources.ttn import parse_envelopes
     from mysense_spark.streaming.pipeline import dead_letter_stream
