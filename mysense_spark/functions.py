@@ -54,7 +54,8 @@ _SQL_FUNCTIONS: dict[str, str] = {
         CREATE OR REPLACE TEMPORARY FUNCTION joost_correct(
             pm DOUBLE, rh DOUBLE, a DOUBLE, b DOUBLE)
         RETURNS DOUBLE
-        RETURN CASE WHEN a * pow(rh, b) <= 1.0 THEN pm * a * pow(rh, b) END
+        RETURN CASE WHEN a * pow(least(greatest(rh, 0.0), 100.0), b) <= 1.0
+               THEN pm * a * pow(least(greatest(rh, 0.0), 100.0), b) END
     """,
     # Taylor chain a0 + a1 x + a2 x^2 (ARCHIVE calibration; order-2 covers
     # every chain shipped in SensorTypes, MySQLdbSetup.sql:85)

@@ -49,7 +49,12 @@ def values_df(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
     DDL string ("field string, unit string"); every column is cast so
     types don't depend on literal inference.
     """
-    cols = [c.strip().split(None, 1) for c in schema.split(",")]
+    # parse the DDL properly — a naive comma split breaks parameterized
+    # and nested types (decimal(10,2), map<string,string>) that are
+    # valid under this helper's "DDL string" contract
+    from pyspark.sql.types import StructType
+
+    cols = [(f.name, f.dataType.simpleString()) for f in StructType.fromDDL(schema).fields]
 
     def _lit(v) -> str:
         if v is None:

@@ -73,6 +73,18 @@ def t_ppf(q: float, df: float) -> float:
     if not 0.0 < q < 1.0:
         raise ValueError("q must be in (0,1)")
     lo, hi = -500.0, 500.0
+    # widen the bracket geometrically when the quantile lies outside
+    # [-500, 500] (extreme q at low df — e.g. t_ppf(1e-5, 1) ~ -31831):
+    # a hard clamp would silently return +/-500 and the lru_cache would
+    # pin the wrong critical value forever
+    for _ in range(60):
+        if t_cdf(lo, df) <= q:
+            break
+        lo *= 4.0
+    for _ in range(60):
+        if t_cdf(hi, df) >= q:
+            break
+        hi *= 4.0
     for _ in range(200):
         mid = 0.5 * (lo + hi)
         if t_cdf(mid, df) < q:

@@ -14,7 +14,11 @@ from pyspark.sql import functions as F
 
 
 def export_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
-    out = df.repartition(1) if single_file else df
+    """Write `path/` as a CSV directory (Spark layout: part files +
+    _SUCCESS). single_file=True narrows to ONE part file inside that
+    directory via coalesce — no shuffle (repartition(1) would pay a full
+    exchange for the same result)."""
+    out = df.coalesce(1) if single_file else df
     out.write.mode("overwrite").option("header", True).csv(path)
 
 

@@ -110,7 +110,16 @@ def build_posts(batch: DataFrame) -> DataFrame:
         else fallback
     )
     pinned = batch.withColumn("pin", pin)
-    return pinned.groupBy("kit_id", "ts", "pin").agg(
+    # collapse duplicate (kit, ts, pin, field) rows by averaging (A8
+    # semantics) and drop NULL values BEFORE the map build: two rows for
+    # one field would throw DUPLICATED_MAP_KEY in map_from_entries and
+    # kill the micro-batch on any pre-dedup redelivery
+    deduped = (
+        pinned.where(F.col("value").isNotNull())
+        .groupBy("kit_id", "ts", "pin", "field")
+        .agg(F.avg("value").alias("value"))
+    )
+    return deduped.groupBy("kit_id", "ts", "pin").agg(
         F.map_from_entries(F.collect_list(F.struct("field", "value"))).alias("payload")
     )
 

@@ -27,6 +27,22 @@ from pyspark.sql import functions as F
 from .forward import CircuitBreaker, drain_breaker as _drain_breaker
 
 
+def _publishable(fact: DataFrame) -> DataFrame:
+    """Pre-serialization normalization shared by both republishers:
+    NULL values are dropped (a NULL cannot be represented in line
+    protocol — concat_ws would silently emit a bare `field` token that
+    corrupts the record and gets the whole write batch rejected — nor in
+    the MQTT JSON map), and duplicate (kit, ts, field) rows collapse by
+    averaging (A8 duplicate-field semantics; two rows for one field
+    would otherwise throw DUPLICATED_MAP_KEY in map_from_entries and
+    kill the micro-batch on any pre-dedup redelivery)."""
+    return (
+        fact.where(F.col("value").isNotNull())
+        .groupBy("kit_id", "ts", "field")
+        .agg(F.avg("value").alias("value"))
+    )
+
+
 def to_influx_lines(fact: DataFrame, measurement: str = "raw") -> DataFrame:
     """Long fact rows -> one line-protocol string per (kit, ts):
     `raw,kit=<kit_id> <field>=<v>,... <epoch_ns>` (MyINFLUXPUB.py
@@ -36,7 +52,7 @@ def to_influx_lines(fact: DataFrame, measurement: str = "raw") -> DataFrame:
         F.collect_list(F.concat_ws("=", F.col("field"), F.col("value").cast("string")))
     )
     return (
-        fact.groupBy("kit_id", "ts")
+        _publishable(fact).groupBy("kit_id", "ts")
         .agg(fields.alias("fields"))
         .select(
             F.concat(
@@ -56,7 +72,7 @@ def to_mqtt_messages(fact: DataFrame, prefix: str = "IoS") -> DataFrame:
     `<prefix>/<kit_id>` with the field map as the telegram
     (MyMQTTPUB.py:204-206 topic layout)."""
     return (
-        fact.groupBy("kit_id", "ts")
+        _publishable(fact).groupBy("kit_id", "ts")
         .agg(F.map_from_entries(F.collect_list(F.struct("field", "value"))).alias("data"))
         .select(
             F.concat_ws("/", F.lit(prefix), F.col("kit_id")).alias("topic"),
@@ -125,9 +141,13 @@ def make_influx_publisher(
             flush()
 
         to_influx_lines(batch_df, measurement).foreachPartition(write_partition)
+        # read each accumulator ONCE: counts landing between two reads
+        # (straggler/speculative tasks) would otherwise be absorbed into
+        # state["seen"] without ever reaching the breaker
+        ok_v, err_v = ok_acc.value, err_acc.value
         prev_ok, prev_err = state["seen"]
-        _drain_breaker(breaker, host, ok_acc.value - prev_ok, err_acc.value - prev_err)
-        state["seen"] = (ok_acc.value, err_acc.value)
+        _drain_breaker(breaker, host, ok_v - prev_ok, err_v - prev_err)
+        state["seen"] = (ok_v, err_v)
 
     return sink
 
@@ -166,8 +186,11 @@ def make_mqtt_republisher(
                 errs = 0 if ok else errs + 1
 
         to_mqtt_messages(batch_df, prefix).foreachPartition(publish_partition)
+        # single accumulator read (same straggler rationale as the
+        # influx sink above)
+        ok_v, err_v = ok_acc.value, err_acc.value
         prev_ok, prev_err = state["seen"]
-        _drain_breaker(breaker, host, ok_acc.value - prev_ok, err_acc.value - prev_err)
-        state["seen"] = (ok_acc.value, err_acc.value)
+        _drain_breaker(breaker, host, ok_v - prev_ok, err_v - prev_err)
+        state["seen"] = (ok_v, err_v)
 
     return sink

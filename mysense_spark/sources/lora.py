@@ -89,7 +89,12 @@ def _decode_counts_p2(b: bytes) -> tuple[str, dict]:
         out["pm5_cnt"] = round(b[7] / 10.0, 1)
     if b[8]:
         out["pm10_cnt"] = round(b[8] / 10.0, 1)
-    sensor = "PMS7003" if (out.get("pm10_cnt") or out.get("pm5_cnt")) else "SDS011"
+    # reference (MyLoRaCode.py:615-620): `decoded['pm10_cnt'] or
+    # decoded['pm5_cnt']` uses BRACKET access inside try/finally — when
+    # byte 8 is zero the KeyError aborts the test before pm5_cnt is ever
+    # consulted and the finally-return keeps ID=2. Net semantics:
+    # PMS7003 iff byte 8 (pm10_cnt) is non-zero, SDS011 otherwise.
+    sensor = "PMS7003" if out.get("pm10_cnt") else "SDS011"
     return sensor, out
 
 
@@ -276,7 +281,14 @@ WEER_DIY1_RULES: dict[int, tuple[str, list[tuple]]] = {
     21: ("Argent", [("wr", "H", _NAN["h"], (0, 1.0), "degrees"), ("ws", "H", _NAN["H"], (0, 20.0), "m/sec")]),
     22: ("Ultrasonic", [("wr", "H", _NAN["h"], (0, 1.0), "degrees"), ("ws", "H", _NAN["H"], (0, 10.0), "m/sec")]),
     23: ("RainCounter", [("rain", "H", _NAN["H"], (0, 10.0), "mm/h")]),
-    254: ("time", [("time", "L", 2**31, (1, 1.0), "sec")]),
+    # sensor id 254: the reference's rule ['time','L',[2**31,1],'sec'] is
+    # MALFORMED — 4 elements where the engine expects 5, so the NaN slot
+    # holds [2**31,1] and the tailor slot holds the unit string; GetVal
+    # then raises TypeError inside the per-field try and the field is
+    # silently DROPPED while its 4 bytes still advance the frame
+    # (MyLoRaCode.py:250-251, 478-488). Parity = consume the bytes,
+    # decode nothing: a None name marks the swallowed field.
+    254: ("time", [(None, "L", None, (0, 1.0), "sec")]),
 }
 
 
@@ -298,6 +310,8 @@ def decode_port_12(payload: bytes) -> dict:
         i += size
         decoded: dict = {}
         for (name, _f, nan, (off, scale), _unit), raw in zip(fields, values):
+            if name is None:  # reference-swallowed field: bytes consumed, no value
+                continue
             if nan is not None and raw == nan:
                 continue
             val = (raw - off) / scale
@@ -398,9 +412,15 @@ def make_decode_udf():
     # no type hints: `from __future__ import annotations` stringifies them,
     # which the pandas_udf hint parser rejects
     def decode_series(payload, port):
+        # pd.notna, not `is not None`: Arrow hands a nullable int port
+        # column to pandas as float64, so a missing port arrives as NaN —
+        # `NaN is not None` is True and int(NaN) would crash the whole
+        # batch inside the very quarantine path built for malformed
+        # envelopes (Spark evaluates Python UDFs unconditionally, even
+        # under F.when)
         return pd.Series(
             [
-                decode_to_json(p, int(pt)) if p is not None and pt is not None else None
+                decode_to_json(p, int(pt)) if p is not None and pd.notna(pt) else None
                 for p, pt in zip(payload, port)
             ]
         )

@@ -105,6 +105,61 @@ def test_decode_port12_golden():
     assert d["windDIY1"]["ws"] == 34.4
 
 
+def test_decode_port2_counts_sensor_id_matches_reference_keyerror_path():
+    """Reference MyLoRaCode.py:615-620 tests `decoded['pm10_cnt'] or
+    decoded['pm5_cnt']` with BRACKET access inside try/finally: when
+    byte 8 (pm10_cnt) is zero the KeyError aborts the test before
+    pm5_cnt is consulted and the finally keeps ID=2 (SDS011). So
+    pm5_cnt alone must NOT flip the sensor to PMS7003."""
+    from mysense_spark.sources.lora import _decode_counts_p2
+
+    # counts layout HHHBBB: b[7]=pm5_cnt!=0, b[8]=pm10_cnt==0
+    sensor, out = _decode_counts_p2(bytes([0, 10, 0, 20, 0, 30, 4, 5, 0]))
+    assert sensor == "SDS011", (sensor, out)
+    assert out["pm5_cnt"] == 0.5
+    # with b[8] != 0 the same payload detects PMS7003
+    sensor2, _ = _decode_counts_p2(bytes([0, 10, 0, 20, 0, 30, 4, 5, 6]))
+    assert sensor2 == "PMS7003"
+
+
+def test_decode_port12_time_field_swallowed_but_frame_aligned():
+    """The reference's port-12 'time' rule is malformed (4 elements) and
+    its GetVal TypeError is swallowed per-field — the field is dropped
+    but its 4 bytes still advance the frame, so a sensor AFTER the time
+    record must still decode."""
+    import base64
+    import struct
+
+    from mysense_spark.sources.lora import decode_payload
+
+    # version 0, sensor 254 (time, 4 bytes), then sensor 3 (SHT31)
+    payload = bytes([0, 254]) + struct.pack(">L", 1700000000) + bytes([3]) + struct.pack(
+        ">hH", 222, 551
+    )
+    d = decode_payload(base64.b64encode(payload).decode(), 12)
+    assert "time" not in d or not d.get("time"), d  # field swallowed
+    assert d["SHT31"]["temp"] == 22.2  # frame stayed aligned
+    assert d["SHT31"]["rv"] == 55.1
+
+
+def test_decode_udf_nan_port_quarantined(spark):
+    """Arrow hands a nullable int port to pandas as float64 NaN; the
+    decode UDF must quarantine such rows (NULL JSON), not crash the
+    batch with int(NaN) — exercised through a real null-port row, the
+    exact shape a V3 envelope missing f_port produces."""
+    from pyspark.sql import functions as F
+
+    from mysense_spark.sources.lora import make_decode_udf
+
+    df = spark.createDataFrame(
+        [("hQAAAJsArgF4A3oD+gEOAJw=", 2), ("hQAAAJsArgF4A3oD+gEOAJw=", None)],
+        "payload_raw string, port int",
+    )
+    out = df.select(make_decode_udf()(F.col("payload_raw"), F.col("port")).alias("j")).collect()
+    assert out[0]["j"] is not None  # valid port decodes
+    assert out[1]["j"] is None  # null/NaN port quarantined, no crash
+
+
 def test_decode_port10_structural():
     # real WaspMote capture (inputtestP10.mqtt; the corpus embeds no
     # expected fields for port 10, so assertions are structural +

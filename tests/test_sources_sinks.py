@@ -459,6 +459,61 @@ def test_date_partitioned_archive_prunes(spark, tmp_path):
     assert "2024-01-15" in pf_line
 
 
+def test_republish_duplicate_fields_and_nulls(spark):
+    """Pre-dedup redelivery robustness: duplicate (kit, ts, field) rows
+    must NOT throw DUPLICATED_MAP_KEY and kill the micro-batch (they
+    collapse by A8 averaging), and a NULL value must not emit a bare
+    `field` token that corrupts the line-protocol record."""
+    import datetime as dt
+
+    from mysense_spark.sinks.forward import build_posts
+    from mysense_spark.sinks.republish import to_influx_lines, to_mqtt_messages
+
+    t = dt.datetime(2024, 1, 1, 12)
+    fact = spark.createDataFrame(
+        [
+            ("k1", t, "pm25", 10.0),
+            ("k1", t, "pm25", 20.0),  # duplicate field (redelivery)
+            ("k1", t, "temp", None),  # NULL value
+            ("k1", t, "rv", 55.0),
+        ],
+        "kit_id string, ts timestamp, field string, value double",
+    )
+    lines = [r["line"] for r in to_influx_lines(fact).collect()]
+    assert len(lines) == 1
+    assert "pm25=15.0" in lines[0]  # averaged, single key
+    assert "temp" not in lines[0]  # NULL dropped, no bare token
+
+    msgs = [r["payload"] for r in to_mqtt_messages(fact).collect()]
+    assert len(msgs) == 1 and '"pm25":15.0' in msgs[0] and "temp" not in msgs[0]
+
+    posts = build_posts(fact).collect()
+    payloads = {k: v for r in posts for k, v in r["payload"].items()}
+    assert payloads["pm25"] == 15.0 and "temp" not in payloads
+
+
+def test_values_df_nested_types(spark):
+    """values_df's DDL contract includes parameterized/nested types — a
+    naive comma split would shatter decimal(10,2) into garbage casts."""
+    from mysense_spark.io import values_df
+
+    df = values_df(spark, [("a", 1.25)], "name string, amount decimal(10,2)")
+    row = df.collect()[0]
+    assert row["name"] == "a" and float(row["amount"]) == 1.25
+    assert df.schema["amount"].dataType.simpleString() == "decimal(10,2)"
+
+
+def test_t_ppf_extreme_quantiles_not_clamped():
+    """t_ppf must widen its bracket for quantiles whose critical value
+    lies outside [-500, 500] (e.g. t_ppf(1e-5, 1) ~ -31831) instead of
+    silently returning the clamp boundary and caching it forever."""
+    from mysense_spark.operators._tdist import t_cdf, t_ppf
+
+    x = t_ppf(1e-5, 1.0)
+    assert x < -10000, x  # far beyond the old +/-500 clamp
+    assert abs(t_cdf(x, 1.0) - 1e-5) < 1e-7  # and actually the right quantile
+
+
 def test_station_csv_and_synthetic(spark, tmp_path):
     """S6: station CSV reader (schema-pinned, corrupt rows quarantined)
     and the deterministic synthetic profile agree on shape."""
