@@ -75,7 +75,15 @@ def _hourly_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_avg(series("click"), 6).alias("pm10"),
         exact_avg(series("view"), 6).alias("o3"),
         exact_avg(series("signup"), 6).alias("no2"),
-        exact_avg(F.least(series("purchase") / 2, F.lit(99.9)), 6).alias("rh"),
+        # least INSIDE the event-type guard: least() skips NULLs in both
+        # engines, so the outer form turned every non-purchase row into a
+        # 99.9 rh contribution — fabricating humidity for hours with no
+        # purchase events at all (both engines agreed, so the parity gate
+        # could not catch it; q_dew_point always had the correct form)
+        exact_avg(
+            F.when(F.col("event_type") == "purchase", F.least(F.col("value") / 2, F.lit(99.9))),
+            6,
+        ).alias("rh"),
     )
 
 
@@ -89,7 +97,7 @@ SELECT user_id, date_trunc('hour', ts) AS hour,
        {sql_avg(_sql_series('click'), 6)} AS pm10,
        {sql_avg(_sql_series('view'), 6)} AS o3,
        {sql_avg(_sql_series('signup'), 6)} AS no2,
-       {sql_avg(f"least(({_sql_series('purchase')}) / 2, 99.9)", 6)} AS rh
+       {sql_avg("CASE WHEN event_type = 'purchase' THEN least(value / 2, 99.9) END", 6)} AS rh
 FROM events
 GROUP BY 1, 2
 """
@@ -273,8 +281,16 @@ def q_joost_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
     a10, b10 = JOOST_COEFFS["pm10"]
     f25 = F.lit(a25) * F.pow(F.col("rh"), F.lit(b25))
     f10 = F.lit(a10) * F.pow(F.col("rh"), F.lit(b10))
+    # each pollutant corrects independently (JoostFactor is per
+    # pollutant); requiring BOTH pm series in one hour was never a
+    # reference constraint, and with the honest sparse rh (see
+    # _hourly_pivot) the triple intersection would be vacuous
     return (
-        h.where(F.col("pm25").isNotNull() & F.col("pm10").isNotNull() & F.col("rh").isNotNull() & (F.col("rh") > 0))
+        h.where(
+            F.col("rh").isNotNull()
+            & (F.col("rh") > 0)
+            & (F.col("pm25").isNotNull() | F.col("pm10").isNotNull())
+        )
         .select(
             "user_id",
             "hour",
@@ -293,7 +309,7 @@ SELECT user_id, hour,
        round(CASE WHEN {JOOST_COEFFS['pm10'][0]!r} * pow(rh, {JOOST_COEFFS['pm10'][1]!r}) <= 1.0
                   THEN pm10 * ({JOOST_COEFFS['pm10'][0]!r} * pow(rh, {JOOST_COEFFS['pm10'][1]!r})) END, 4) AS pm10_corrected
 FROM hourly
-WHERE pm25 IS NOT NULL AND pm10 IS NOT NULL AND rh IS NOT NULL AND rh > 0
+WHERE rh IS NOT NULL AND rh > 0 AND (pm25 IS NOT NULL OR pm10 IS NOT NULL)
 ORDER BY user_id, hour
 """
 

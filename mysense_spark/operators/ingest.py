@@ -178,7 +178,7 @@ def q_station_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{sql_ieee_round('a1', 6)} AS a1",
             f"{sql_ieee_round('a0', 6)} AS a0",
             f"{sql_ieee_round('a1 * cxy / cyy', 6)} AS r2",
-            f"{sql_ieee_round('sqrt((cyy - a1 * cxy) / n)', 6)} AS rmse",
+            f"{sql_ieee_round('sqrt(greatest(cyy - a1 * cxy, 0.0) / n)', 6)} AS rmse",
             f"{sql_ieee_round('bias', 6)} AS bias",
         )
         .orderBy("user_id")
@@ -224,7 +224,7 @@ SELECT user_id, n,
        {sql_ieee_round('a1', 6)} AS a1,
        {sql_ieee_round('a0', 6)} AS a0,
        {sql_ieee_round('a1 * cxy / cyy', 6)} AS r2,
-       {sql_ieee_round('sqrt((cyy - a1 * cxy) / n)', 6)} AS rmse,
+       {sql_ieee_round('sqrt(greatest(cyy - a1 * cxy, 0.0) / n)', 6)} AS rmse,
        {sql_ieee_round('bias', 6)} AS bias
 FROM derived
 ORDER BY user_id
@@ -296,7 +296,9 @@ def q_sensorthings_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
         page_size=_ST_PAGE,
     )
     return (
-        observations_frame(raw)
+        # per-station dedup key: the reference's duplicate-ts drop is
+        # within one datastream's series, and this pull spans stations
+        observations_frame(raw, key_cols=("station",))
         .select("station", "ts", F.col("result").alias("value"))
         .orderBy("ts")
     )
@@ -344,9 +346,15 @@ def q_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.files import read_measurements_csv
 
-    d = tempfile.mkdtemp(prefix="csv_ingest_")
-    with open(os.path.join(d, "dump.csv"), "w") as f:
-        f.write(_CSV_FIXTURE)
+    # one PINNED fixture dir per process, not a fresh mkdtemp per call:
+    # every gate sweep / bench iteration invoking this query would
+    # otherwise leak a new /tmp/csv_ingest_* directory without bound
+    d = os.path.join(tempfile.gettempdir(), f"csv_ingest_fixture_{os.getpid()}")
+    os.makedirs(d, exist_ok=True)
+    fixture = os.path.join(d, "dump.csv")
+    if not os.path.exists(fixture):
+        with open(fixture, "w") as f:
+            f.write(_CSV_FIXTURE)
     df = read_measurements_csv(spark, d)
     from pyspark.sql import functions as F
 

@@ -123,7 +123,11 @@ def q_pm_mass_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_PM_MASS_FILL = f"""
 SELECT event_type,
-       count(CASE WHEN value >= 150.0 THEN 1 END) AS n_filled,
+       -- NULL-inclusive, matching the Spark side's mass.isNull() count
+       -- AND the coalesce fill below: a NULL raw value IS a filled row
+       -- (value >= 150 alone would silently diverge the moment the
+       -- corpus gains a NULL value — FIXTURES.md allows them)
+       count(CASE WHEN value IS NULL OR value >= 150.0 THEN 1 END) AS n_filled,
        {sql_avg('coalesce(CASE WHEN value < 150.0 THEN value END, 0.013)', 6)} AS avg_filled
 FROM events
 GROUP BY event_type

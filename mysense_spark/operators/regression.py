@@ -310,15 +310,20 @@ _OLS_DERIVED = """
   WHERE n >= 4 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
 """
 
-# RSS = cyy - slope*cxy; s² = RSS/(n-2); se² per standard simple-OLS
+# RSS = cyy - slope*cxy; s² = RSS/(n-2); se² per standard simple-OLS.
+# greatest(RSS, 0): on perfectly collinear data the residual evaluates
+# to a tiny NEGATIVE double via cancellation — identical on both
+# engines, but DuckDB hard-errors on sqrt(negative) while Spark yields
+# NaN, so an unguarded form crashes the oracle (util.exact_std guards
+# the same pattern)
 _OLS_TSTAT_COLS = """
   user_id,
   n,
   slope,
   intercept,
   slope * cxy / cyy AS r2,
-  sqrt(((cyy - slope * cxy) / (n - 2.0)) / cxx) AS se_s,
-  sqrt(((cyy - slope * cxy) / (n - 2.0)) * (1.0 / n + xbar * xbar / cxx)) AS se_i
+  sqrt((greatest(cyy - slope * cxy, 0.0) / (n - 2.0)) / cxx) AS se_s,
+  sqrt((greatest(cyy - slope * cxy, 0.0) / (n - 2.0)) * (1.0 / n + xbar * xbar / cxx)) AS se_i
 """
 
 # Hill's t->z (two-sided p = 2 * norm_sf(z)), split so each repeated
@@ -334,8 +339,8 @@ _OLS_W_COLS = """
   se_s,
   se_i,
   48.0 * ((n - 2.0) - 0.5) * ((n - 2.0) - 0.5) AS hb,
-  sqrt(((n - 2.0) - 0.5) * ln(1.0 + abs(slope / se_s) * abs(slope / se_s) / (n - 2.0))) AS w_s,
-  sqrt(((n - 2.0) - 0.5) * ln(1.0 + abs(intercept / se_i) * abs(intercept / se_i) / (n - 2.0))) AS w_i
+  sqrt(((n - 2.0) - 0.5) * ln(1.0 + abs(slope / nullif(se_s, 0.0)) * abs(slope / nullif(se_s, 0.0)) / (n - 2.0))) AS w_s,
+  sqrt(((n - 2.0) - 0.5) * ln(1.0 + abs(intercept / nullif(se_i, 0.0)) * abs(intercept / nullif(se_i, 0.0)) / (n - 2.0))) AS w_i
 """
 
 

@@ -529,10 +529,13 @@ def q_wide_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     day = F.date_trunc("day", "ts").alias("day")
     types = ["click", "error", "purchase", "signup", "view"]
+    # exact_avg, not a hand-inlined native-round pipeline: mixing Spark's
+    # round(double) with the oracle's floor-form is the documented
+    # representation-edge flip class (util.py) — use the proven pair
     return (
         ev.groupBy("user_id", day)
         .pivot("event_type", types)
-        .agg(F.round(F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)")).cast("double") / F.count("value"), 6))
+        .agg(exact_avg(F.col("value"), 6))
         .orderBy("user_id", "day")
     )
 
@@ -726,7 +729,7 @@ def q_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = (
         ev.groupBy("user_id", day)
         .pivot("event_type", types)
-        .agg(F.round(F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)")).cast("double") / F.count("value"), 6))
+        .agg(exact_avg(F.col("value"), 6))  # same engine-pair as wide_view
     )
     stack_args = ", ".join(f"'{t}', {t}" for t in types)
     long = wide.selectExpr(

@@ -39,20 +39,38 @@ def _modules():
 # quality classifier), gopher_filter / text_stats / quality_score
 # (nullif zero-word guards in both engines), bm25_search (corpus totals
 # now a broadcast dimension instead of a driver collect);
-# (b) the 11 rows whose last driver evidence is round 3 (rolled here
-# from the r5 window, exactly as planned); (c) 31 of the 44 rows whose
-# last evidence is round 4, registry order. The remaining 13 r4-evidence
-# rows (tristate_validity, pm_mass_fill, zscore_outliers,
-# grubbs_outliers, linear_regression, ols_summary, sigma_band,
+# Late-round-6 additions to (a): a review pass changed five more graded
+# queries — joost_correction (the _hourly_pivot rh series was fabricated
+# by a least()-outside-the-guard slip, mirrored in the oracle so the
+# hash could not catch it; rh is now honestly sparse and the query
+# corrects each pollutant independently), pm_mass_fill (oracle's
+# n_filled now counts NULL raw values like the Spark side and the fill
+# itself), unpivot_long (pivot avg now the proven exact_avg/sql_avg
+# pair instead of a hand-inlined native round), station_calibration +
+# ols_summary (sqrt/division guards for collinear series in the shared
+# expression text).
+# Layout: (a) 13 new/changed rows (the 9 leading entries plus
+# gopher_filter / text_stats / quality_score / bm25_search further
+# down); (b) the 11 rows whose last driver evidence is round 3 (rolled
+# here from the r5 window, exactly as planned); (c) 26 of the 44 rows
+# whose last evidence is round 4, registry order (pm_mass_fill and
+# ols_summary — also r4 — sit in (a) as changed rows). The remaining 16
+# r4-evidence rows (corpus_build, temperature_mix, stratified_sample,
+# approx_distinct_users, range_validate, tristate_validity,
+# zscore_outliers, grubbs_outliers, linear_regression, sigma_band,
 # region_revenue, cascade_rollup, asof_align, mode_per_user, coverage,
-# dedup_upsert) roll to round 7 — after this round no row's evidence is
-# older than r4.
+# dedup_upsert) roll to round 7.
 _PRIORITY = (
     # (a) new / fixed / changed in round 6
     "static_value_monitor",
     "dead_kit_tiers",
     "hybrid_search_rrf",
     "quality_centroid_score",
+    "joost_correction",
+    "pm_mass_fill",
+    "unpivot_long",
+    "station_calibration",
+    "ols_summary",
     "gopher_filter",
     "text_stats",
     "quality_score",
@@ -96,11 +114,6 @@ _PRIORITY = (
     "blob_metadata",
     "frame_sample",
     "hash_sample",
-    "corpus_build",
-    "temperature_mix",
-    "stratified_sample",
-    "approx_distinct_users",
-    "range_validate",
 )
 
 

@@ -87,12 +87,19 @@ def read_paginated(
     return raw
 
 
-def observations_frame(raw: DataFrame, ts_col: str = "phenomenonTime") -> DataFrame:
+def observations_frame(
+    raw: DataFrame, ts_col: str = "phenomenonTime", key_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Post-processing the reference applies to every observation pull:
     parse timestamps, drop duplicate-timestamp rows, order by time
-    (SamenMetenThings.py:1449-1474)."""
+    (SamenMetenThings.py:1449-1474).
+
+    The reference dedups WITHIN one datastream's series; a multi-station
+    pull must pass the series key (e.g. key_cols=("station",)) or two
+    stations reporting at the same phenomenonTime would collapse to one
+    arbitrary row."""
     return (
         raw.withColumn("ts", F.to_timestamp(ts_col))
-        .dropDuplicates(["ts"])
+        .dropDuplicates([*key_cols, "ts"])
         .orderBy("ts")
     )

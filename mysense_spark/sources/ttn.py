@@ -115,16 +115,33 @@ def _strip_topic(line: Column) -> Column:
     )
 
 
+def envelope_identity(r: Column) -> Column:
+    """Device identity across both envelope versions — NULL means the
+    line carries no recognizable envelope (corrupt/truncated/foreign)."""
+    return F.coalesce(
+        r.getField("app_id"),
+        r.getField("end_device_ids").getField("application_ids").getField("application_id"),
+        r.getField("dev_id"),
+        r.getField("end_device_ids").getField("device_id"),
+    )
+
+
 def parse_envelopes(lines: DataFrame) -> DataFrame:
     """text lines (column `value`) -> normalized record columns.
 
     Output: app_id, dev_id, serial, port, counter, payload_raw, event_ts,
     gateways (strength-ordered), n_gateways, best_gateway, best_rssi.
     """
+    # corruption filter: PERMISSIVE from_json yields an ALL-NULL struct
+    # (not a NULL struct) for malformed JSON, so `r IS NOT NULL` would be
+    # vacuous — a truncated dump line would flow through as a no-identity
+    # record. A real envelope always carries device identity; lines
+    # without any are the envelope_dead_letters side output's job
+    # (streaming/pipeline.py), which preserves the raw line for replay.
     rec = lines.select(
         F.from_json(_strip_topic(F.col("value")), ENVELOPE_SCHEMA).alias("r"),
         F.current_timestamp().alias("ingest_ts"),
-    ).where(F.col("r").isNotNull())
+    ).where(envelope_identity(F.col("r")).isNotNull())
 
     is_v2 = F.col("r.payload_raw").isNotNull()
     raw_time = F.coalesce(
@@ -166,6 +183,10 @@ def parse_envelopes(lines: DataFrame) -> DataFrame:
         F.col("ingest_ts"),
         ordered.alias("gateways"),
         F.size(gateways).alias("n_gateways"),
-        ordered.getItem(0).getField("gtw_id").alias("best_gateway"),
-        ordered.getItem(0).getField("rssi").alias("best_rssi"),
+        # F.get, not getItem: an envelope with NO gateways (empty or
+        # absent rx_metadata — real TTN traffic) makes getItem(0) throw
+        # INVALID_ARRAY_INDEX under ANSI mode and kill the whole batch;
+        # get() yields NULL for the out-of-bounds index
+        F.get(ordered, 0).getField("gtw_id").alias("best_gateway"),
+        F.get(ordered, 0).getField("rssi").alias("best_rssi"),
     )

@@ -136,6 +136,42 @@ def dead_letter_stream(normalized: DataFrame) -> DataFrame:
     )
 
 
+def envelope_dead_letters(lines: DataFrame) -> DataFrame:
+    """Envelope-level quarantine: PERMISSIVE from_json turns a corrupted
+    or truncated line into an ALL-NULL struct, which parse_envelopes
+    filters out (no device identity) — so without this side output such
+    a line would vanish with no quarantine row, breaking the
+    quarantine-and-replay contract for envelope-level corruption. The
+    RAW LINE rides in payload_raw so replay after a parser fix is
+    possible."""
+    from ..sources.ttn import ENVELOPE_SCHEMA, _strip_topic, envelope_identity
+
+    parsed = lines.select(
+        F.col("value"),
+        F.from_json(_strip_topic(F.col("value")), ENVELOPE_SCHEMA).alias("r"),
+        F.current_timestamp().alias("ingest_ts"),
+    )
+    # blank lines (trailing newline in dump files) are not corruption
+    return parsed.where(
+        (F.trim("value") != "") & envelope_identity(F.col("r")).isNull()
+    ).select(
+        F.lit(None).cast("string").alias("kit_id"),
+        F.lit(None).cast("int").alias("port"),
+        F.col("value").alias("payload_raw"),
+        F.col("ingest_ts").alias("ts"),
+        F.lit("envelope_error").alias("reason"),
+    )
+
+
+def all_dead_letters(lines: DataFrame) -> DataFrame:
+    """The complete quarantine view over raw dump lines: envelope-level
+    failures (unparseable JSON) plus decoder-level failures (unsupported
+    port, missing/undecodable payload)."""
+    return envelope_dead_letters(lines).unionByName(
+        dead_letter_stream(parse_envelopes(lines))
+    )
+
+
 def events_stream(normalized: DataFrame) -> DataFrame:
     """Port-3 meta/event side output (SURVEY §2.11: registry mutations)."""
     decode_udf = make_decode_udf()

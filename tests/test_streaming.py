@@ -167,6 +167,47 @@ def test_partitioned_stream_multiday_late_data(spark, tmp_path):
     assert counts["2020-11-07"] == counts["2020-11-08"] > 0  # same record shape per day
 
 
+def test_envelope_without_gateways_parses(spark):
+    """An envelope with an empty (or absent) gateways array is real TTN
+    traffic; getItem(0) on the empty array would throw
+    INVALID_ARRAY_INDEX under ANSI mode and kill the batch — best
+    gateway must simply be NULL."""
+    from mysense_spark.sources.ttn import parse_envelopes
+
+    no_gw = (
+        'x/devices/d9/up {"app_id":"x","dev_id":"d9","hardware_serial":"AA","port":2,'
+        '"counter":1,"payload_raw":"hQAAAJsArgF4A3oD+gEOAJw=",'
+        '"metadata":{"time":"2021-01-01T00:00:00Z","airtime":0,"gateways":[]}}'
+    )
+    out = parse_envelopes(spark.createDataFrame([(no_gw,)], "value string")).collect()
+    assert len(out) == 1
+    assert out[0]["n_gateways"] == 0
+    assert out[0]["best_gateway"] is None
+    assert out[0]["best_rssi"] is None
+
+
+def test_envelope_dead_letters(spark):
+    """Envelope-level corruption (truncated JSON, non-JSON garbage) must
+    land in the quarantine with the RAW line preserved for replay —
+    previously such lines were silently filtered before the dead-letter
+    path ever saw them. Blank lines are not corruption."""
+    from mysense_spark.streaming.pipeline import all_dead_letters, envelope_dead_letters
+
+    truncated = V2_PORT2[: len(V2_PORT2) // 2]  # mid-write crash shape
+    garbage = "not json at all"
+    lines = spark.createDataFrame(
+        [(V2_PORT2,), (truncated,), (garbage,), ("   ",)], "value string"
+    )
+    dl = envelope_dead_letters(lines).collect()
+    assert len(dl) == 2
+    assert {r["reason"] for r in dl} == {"envelope_error"}
+    assert {r["payload_raw"] for r in dl} == {truncated, garbage}  # raw preserved
+
+    # composed view: envelope failures + decoder failures, valid rows absent
+    allr = all_dead_letters(lines).collect()
+    assert len(allr) == 2  # V2_PORT2 decodes fine; blank ignored
+
+
 def test_dead_letter_stream(spark, tmp_path):
     from mysense_spark.sources.ttn import parse_envelopes
     from mysense_spark.streaming.pipeline import dead_letter_stream
