@@ -605,10 +605,17 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    from ..io import values_df
+
     B = _GEMM_BLOCKS
     pair_list = [(i, j) for i in range(B) for j in range(i, B)]
-    pair_df = emb.sparkSession.createDataFrame(
-        [(p, i, j) for p, (i, j) in enumerate(pair_list)], "pair_id int, bi int, bj int"
+    # values_df, not createDataFrame: the latter routes a 36-row literal
+    # through a Python-RDD scan (one worker per core, ~10 s first touch
+    # on local[32]); VALUES is a JVM LocalRelation
+    pair_df = values_df(
+        emb.sparkSession,
+        [(p, i, j) for p, (i, j) in enumerate(pair_list)],
+        "pair_id int, bi int, bj int",
     )
     blocked = emb.withColumn("blk", F.pmod(F.hash("vec_id"), F.lit(B)))
     left = (
@@ -650,9 +657,22 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         mask &= cos >= _COSINE_THRESHOLD - 1e-6
         r, c = np.nonzero(mask)
         a, b = l_ids[r], r_ids[c]
-        return pd.DataFrame(
-            {"v1": np.minimum(a, b), "v2": np.maximum(a, b), "cosine_raw": cos[r, c]}
-        )
+        if len(r):
+            # authoritative raw value re-derived per candidate with
+            # strictly LEFT-TO-RIGHT adds (np.add.accumulate is
+            # sequential): the GEMM's blocked/FMA accumulation order is
+            # not bit-identical to the oracle's sequential list_sum, so
+            # a pair within an ulp of a rounding half-grid could flip
+            # membership between engines; candidates are few, the
+            # recompute is vectorized over pairs
+            lv, rv = lm[r], rm[c]
+            dots = np.add.accumulate(lv * rv, axis=1)[:, -1]
+            lnorm = np.sqrt(np.add.accumulate(lv * lv, axis=1)[:, -1])
+            rnorm = np.sqrt(np.add.accumulate(rv * rv, axis=1)[:, -1])
+            raw = dots / (lnorm * rnorm)
+        else:
+            raw = np.zeros(0)
+        return pd.DataFrame({"v1": np.minimum(a, b), "v2": np.maximum(a, b), "cosine_raw": raw})
 
     from .util import ieee_round
 
@@ -1050,20 +1070,10 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ride as 60-bit int64 hashes (8-byte keys, smaller persist + 5x
     # narrower verify shuffle); the affine minhash domain is hash % _P.
     sh = tracked_persist(_hashed_shingles(doc).withColumn("h", F.col("hsh") % _P))
-    minhash_aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % _P).alias(f"m{i}")
-        for i, (a, b) in enumerate(zip(_HASH_A, _HASH_B))
-    ]
-    sig = sh.groupBy("doc_id").agg(*minhash_aggs)
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                "_", *[F.col(f"m{b * _ROWS_PER_BAND + r}") for r in range(_ROWS_PER_BAND)]
-            )
-            for b in range(_N_BANDS)
-        ]
-    )
-    bands = sig.select("doc_id", F.posexplode(band_keys).alias("band_id", "band_key"))
+    # the SAME banding stage function the batch query and the scaling
+    # sweep use — a banding-configuration change cannot silently leave
+    # the incremental path on an old scheme
+    bands = minhash_bands(sh)
     nb = bands.where(F.col("doc_id") % _INCR_MOD == 0).alias("n")
     ob = bands.where(F.col("doc_id") % _INCR_MOD != 0).alias("o")
     cand = (

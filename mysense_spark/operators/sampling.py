@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..cache import tracked_persist
 from ..io import load
-from .util import exact_avg, sql_avg
+from .util import exact_avg, sql_avg, sql_sum
 
 _TRAIN_PCT = 80
 _VAL_PCT = 90  # train < 80 <= val < 90 <= test
@@ -145,11 +145,17 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     no per-stratum window. Thresholds are floor(rate * 1e6) compared
     against an integer hash bucket, so the boundary arithmetic is
     bit-identical in the DuckDB oracle."""
+    from .util import exact_sum
+
     doc = load(spark, sf_dir, "documents")
     counts = doc.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    # sum_w through the exact_sum quantized grid: a plain double sum of
+    # pow() terms is order-dependent across partitionings (and Java
+    # Math.pow vs libm can differ by an ulp), and sum_w feeds a floor()
+    # membership threshold — the one place an ulp flips the kept set
     total = counts.agg(
         F.sum("n_total").alias("corpus_n"),
-        F.sum(F.pow(F.col("n_total").cast("double"), F.lit(_MIX_ALPHA))).alias("sum_w"),
+        exact_sum(F.pow(F.col("n_total").cast("double"), F.lit(_MIX_ALPHA)), 6).alias("sum_w"),
     )
     # rates is |languages| rows but feeds three consumers; without persist
     # each one re-scans the corpus for the counts agg (measured: 5 scans)
@@ -162,10 +168,10 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(1.0),
                 (
                     F.lit(_MIX_TARGET_FRAC)
-                    * F.col("corpus_n")
+                    * F.col("corpus_n").cast("double")
                     * F.pow(F.col("n_total").cast("double"), F.lit(_MIX_ALPHA))
                     / F.col("sum_w")
-                    / F.col("n_total")
+                    / F.col("n_total").cast("double")
                 ),
             ).alias("rate"),
         )
@@ -195,13 +201,19 @@ WITH counts AS (
   SELECT lang, count(*) AS n_total FROM documents GROUP BY lang
 ),
 total AS (
-  SELECT sum(n_total) AS corpus_n, sum(pow(CAST(n_total AS DOUBLE), {_MIX_ALPHA})) AS sum_w
+  -- sum_w via the quantized exact-sum grid (mirrors Spark's exact_sum);
+  -- every literal/integer operand CAST-pinned to DOUBLE so DuckDB's
+  -- exact DECIMAL x HUGEINT arithmetic can't diverge from Spark's
+  -- double path at the ulp level (rate feeds a floor() threshold)
+  SELECT sum(n_total) AS corpus_n,
+         {sql_sum(f'pow(CAST(n_total AS DOUBLE), {_MIX_ALPHA})', 6)} AS sum_w
   FROM counts
 ),
 rates AS (
   SELECT lang, n_total,
-         least(1.0, {_MIX_TARGET_FRAC} * corpus_n
-                    * pow(CAST(n_total AS DOUBLE), {_MIX_ALPHA}) / sum_w / n_total) AS rate
+         least(CAST(1.0 AS DOUBLE),
+               CAST({_MIX_TARGET_FRAC} AS DOUBLE) * CAST(corpus_n AS DOUBLE)
+               * pow(CAST(n_total AS DOUBLE), {_MIX_ALPHA}) / sum_w / CAST(n_total AS DOUBLE)) AS rate
   FROM counts CROSS JOIN total
 ),
 kept AS (

@@ -120,26 +120,36 @@ ORDER BY query_id, rank
 """
 
 
-def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: assign every vector to its nearest of 8 centroids
-    (embeddings 100..107), probe the 2 closest clusters per query, rank
-    candidates inside the probed clusters only. Returns top-5 per query
-    — the cluster assignment is the partition-pruning key at scale."""
-    vecs = _vectors(spark, sf_dir)
+def ivf_assigned(vecs: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment over the fixture centroids (embeddings
+    100..107): (vec columns, cent_cos, crank). The single point of truth
+    for cluster membership — q_ann_ivf's index, q_semdedup's clusters and
+    any future IVF consumer must share one assignment rule or their
+    clusters silently drift apart."""
     cents = vecs.where(
         (F.col("vec_id") >= _CENTROID_BASE) & (F.col("vec_id") < _CENTROID_BASE + _N_CENTROIDS)
     ).select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm"))
-
     cos_vc = ieee_round(_dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm")), 6)
-    # nearest centroid per vector (broadcast join: K rows)
-    assigned = (
+    return (
         vecs.crossJoin(F.broadcast(cents))
         .withColumn("cent_cos", cos_vc)
         .withColumn(
             "crank",
             F.row_number().over(Window.partitionBy("vec_id").orderBy(F.desc("cent_cos"), F.asc("cent_id"))),
         )
+        .drop("cv", "cnorm")
     )
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest of 8 centroids
+    (embeddings 100..107), probe the 2 closest clusters per query, rank
+    candidates inside the probed clusters only. Returns top-5 per query
+    — the cluster assignment is the partition-pruning key at scale."""
+    vecs = _vectors(spark, sf_dir)
+    # nearest centroid per vector (broadcast join: K rows) — shared
+    # assignment rule (ivf_assigned)
+    assigned = ivf_assigned(vecs)
     membership = assigned.where(F.col("crank") == 1).select("vec_id", "v", "norm", "cent_id")
     probes = (
         assigned.where((F.col("vec_id") < _N_QUERIES) & (F.col("crank") <= _NPROBE))
@@ -521,22 +531,11 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     this extends its dedup family (§2 A8-adjacent) to the
     training-data-curation workload the brief names first-class."""
     vecs = _vectors(spark, sf_dir)
-    cents = vecs.where(
-        (F.col("vec_id") >= _CENTROID_BASE) & (F.col("vec_id") < _CENTROID_BASE + _N_CENTROIDS)
-    ).select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm"))
-    cos_vc = ieee_round(_dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm")), 6)
-    assigned = (
-        vecs.crossJoin(F.broadcast(cents))
-        .withColumn("cent_cos", cos_vc)
-        .withColumn(
-            "crank",
-            F.row_number().over(Window.partitionBy("vec_id").orderBy(F.desc("cent_cos"), F.asc("cent_id"))),
-        )
-    )
-    # persist the assignment: it feeds BOTH self-join sides — uncached,
-    # the N x K centroid cross join + per-vec window would run twice
+    # persist the shared-rule assignment (ivf_assigned): it feeds BOTH
+    # self-join sides — uncached, the N x K centroid cross join + the
+    # per-vec window would run twice
     membership = tracked_persist(
-        assigned.where(F.col("crank") == 1).select("vec_id", "v", "norm", "cent_id")
+        ivf_assigned(vecs).where(F.col("crank") == 1).select("vec_id", "v", "norm", "cent_id")
     )
     a = membership.select(
         "cent_id", F.col("vec_id").alias("v1"), F.col("v").alias("va"), F.col("norm").alias("na")

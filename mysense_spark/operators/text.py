@@ -598,7 +598,9 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `hsh % _P`, whose % 1e9+7 — an
     # int64-overflow guard for minhash affine math — would shrink the
     # space to ~30 bits and birthday-collide visibly at corpus scale)
-    gh = F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10).cast("long")
+    from .dedup import _h60
+
+    gh = _h60(F.col("g"))  # the one 60-bit md5 hash idiom (dedup._h60)
     pg = toks.select("doc_id", F.posexplode(grams).alias("pos", "g")).select(
         "doc_id", "pos", gh.alias("gh")
     )
@@ -767,8 +769,11 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("bpe").alias("total_tokens"),
             F.sum("ws").alias("total_words"),
-            F.round(F.sum("bpe") / F.sum("ws"), 6).alias("fertility"),
-            F.round(F.sum("alpha") / F.sum("bpe"), 6).alias("chars_per_token"),
+            # nullif: a stratum of all-empty docs sums to 0 tokens and
+            # ANSI-mode 0/0 throws where the oracle yields NULL (same
+            # guard class as text_stats/quality_score/gopher_filter)
+            F.round(F.sum("bpe") / F.nullif(F.sum("ws"), F.lit(0)), 6).alias("fertility"),
+            F.round(F.sum("alpha") / F.nullif(F.sum("bpe"), F.lit(0)), 6).alias("chars_per_token"),
         )
         .orderBy("lang")
     )
@@ -786,8 +791,8 @@ SELECT lang, count(*) AS n_docs,
        -- CAST: sum(BIGINT) is HUGEINT -> float64 in pandas; Spark emits int64
        CAST(sum(bpe) AS BIGINT) AS total_tokens,
        CAST(sum(ws) AS BIGINT) AS total_words,
-       round(sum(bpe) / sum(ws), 6) AS fertility,
-       round(sum(alpha) / sum(bpe), 6) AS chars_per_token
+       round(sum(bpe) / nullif(sum(ws), 0), 6) AS fertility,
+       round(sum(alpha) / nullif(sum(bpe), 0), 6) AS chars_per_token
 FROM per_doc
 GROUP BY lang
 ORDER BY lang
@@ -976,11 +981,15 @@ def _sql_bm25() -> str:
     qvals = ", ".join(f"({qid}, '{t}')" for qid, ts in sorted(_BM25_QUERIES.items()) for t in ts)
     from .util import sql_sum
 
+    # association matches the Spark side exactly: idf * (tf_part / denom)
+    # — the (a*b)/c grouping differs from a*(b/c) in the last bits for
+    # ~37% of operand draws, and the per-row value feeds exact_sum's
+    # quantizer, so the parenthesization is part of the parity contract
     term_score = (
         "ln((CAST(s.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5) + 1.0)"
-        f" * (tf.tf * CAST({_BM25_K1 + 1!r} AS DOUBLE))"
+        f" * ((tf.tf * CAST({_BM25_K1 + 1!r} AS DOUBLE))"
         f" / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl"
-        " / (CAST(s.sdl AS DOUBLE) / s.nd)))"
+        " / (CAST(s.sdl AS DOUBLE) / s.nd))))"
     )
     return f"""
 WITH tok AS (
@@ -1194,7 +1203,9 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = F.expr(
         f"transform(sequence(0, size(w) - {_WIN_K}), i -> concat_ws(' ', slice(w, i + 1, {_WIN_K})))"
     )
-    gh = F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10).cast("long")
+    from .dedup import _h60
+
+    gh = _h60(F.col("g"))  # the one 60-bit md5 hash idiom (dedup._h60)
     pg = toks.select("doc_id", F.posexplode(grams).alias("pos", "g")).select(
         "doc_id", "pos", gh.alias("gh")
     )

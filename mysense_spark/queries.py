@@ -49,13 +49,14 @@ def _modules():
 # pair instead of a hand-inlined native round), station_calibration +
 # ols_summary (sqrt/division guards for collinear series in the shared
 # expression text).
-# Layout: (a) 13 new/changed rows (the 9 leading entries plus
+# Layout: (a) 15 new/changed rows (the 11 leading entries plus
 # gopher_filter / text_stats / quality_score / bm25_search further
 # down); (b) the 11 rows whose last driver evidence is round 3 (rolled
-# here from the r5 window, exactly as planned); (c) 26 of the 44 rows
-# whose last evidence is round 4, registry order (pm_mass_fill and
-# ols_summary — also r4 — sit in (a) as changed rows). The remaining 16
-# r4-evidence rows (corpus_build, temperature_mix, stratified_sample,
+# here from the r5 window, exactly as planned); (c) 24 of the 44 rows
+# whose last evidence is round 4, registry order (pm_mass_fill,
+# ols_summary, temperature_mix and tokenizer_fertility — also r4 — sit
+# in (a) as changed rows). The remaining 16 r4-evidence rows
+# (frame_sample, hash_sample, corpus_build, stratified_sample,
 # approx_distinct_users, range_validate, tristate_validity,
 # zscore_outliers, grubbs_outliers, linear_regression, sigma_band,
 # region_revenue, cascade_rollup, asof_align, mode_per_user, coverage,
@@ -71,6 +72,8 @@ _PRIORITY = (
     "unpivot_long",
     "station_calibration",
     "ols_summary",
+    "temperature_mix",
+    "tokenizer_fertility",
     "gopher_filter",
     "text_stats",
     "quality_score",
@@ -112,8 +115,6 @@ _PRIORITY = (
     "lang_id",
     "doc_fingerprint",
     "blob_metadata",
-    "frame_sample",
-    "hash_sample",
 )
 
 
