@@ -671,6 +671,99 @@ ORDER BY kit_id, field, ts
 SQL_STATIC_VALUE_MONITOR = _sql_static_value_monitor()
 
 
+def q_crawl_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-graded batch twin of the streaming crawl-rate monitor
+    (streaming/corpus.py crawl_rate_monitor): per-source EMA of
+    documents-per-batch with a 3x spike flag, warmup, and
+    anomaly-EXCLUDED updates (a spike must not poison the running rate).
+    Batch = hour bucket here; the recursion is path-dependent (each
+    update depends on whether the PREVIOUS state called the batch
+    anomalous), so the twin runs per-source sequential pandas — the same
+    sanctioned escape hatch as the state handlers — and the oracle is a
+    DuckDB RECURSIVE CTE over the identical float expressions (every
+    literal CAST-pinned to DOUBLE so both engines walk the same IEEE
+    path). Constants imported from the streaming module: one point of
+    truth for the semantics the state store applies live.
+
+    Scale shape: the per-source series is bounded by the time horizon
+    (not the corpus), and sources partition the work — the same
+    state-sharding argument as the streaming op."""
+    from ..streaming.corpus import _RATE_ALPHA, _RATE_SPIKE, _RATE_WARMUP
+
+    ev = load(spark, sf_dir, "events")
+    batches = ev.groupBy(
+        F.col("event_type").alias("source"), F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+    def fn(pdf):
+        pdf = pdf.sort_values("hour", kind="stable").reset_index(drop=True)
+        ema, nb = 0.0, 0
+        emas, anoms = [], []
+        for n in pdf["n"]:
+            n = int(n)
+            warmed = nb >= _RATE_WARMUP
+            anomaly = bool(warmed and ema > 0 and n > _RATE_SPIKE * ema)
+            if not anomaly:
+                ema = float(n) if nb == 0 else (1 - _RATE_ALPHA) * ema + _RATE_ALPHA * n
+                nb += 1
+            emas.append(ema)
+            anoms.append(anomaly)
+        pdf["ema_rate"] = emas
+        pdf["anomaly"] = anoms
+        return pdf[["source", "hour", "n", "ema_rate", "anomaly"]]
+
+    out = batches.groupBy("source").applyInPandas(
+        fn, "source string, hour timestamp, n long, ema_rate double, anomaly boolean"
+    )
+    from .util import ieee_round
+
+    return out.select(
+        "source",
+        "hour",
+        F.col("n").alias("n_batch"),
+        ieee_round(F.col("ema_rate"), 6).alias("ema_rate"),
+        "anomaly",
+    ).orderBy("source", "hour")
+
+
+def _sql_crawl_rate_anomalies() -> str:
+    from ..streaming.corpus import _RATE_ALPHA, _RATE_SPIKE, _RATE_WARMUP
+    from .util import sql_ieee_round
+
+    spike = f"s.n_batches >= {_RATE_WARMUP} AND s.ema > 0 AND b.n > CAST({_RATE_SPIKE} AS DOUBLE) * s.ema"
+    # (1.0 - alpha) computed in DOUBLE, matching Python's (1 - alpha)
+    # bit-for-bit (the double nearest 0.7 differs from 1.0-0.3 in the
+    # last bit — the constant must be DERIVED identically, not spelled)
+    update = (
+        f"(CAST(1.0 AS DOUBLE) - CAST({_RATE_ALPHA} AS DOUBLE)) * s.ema"
+        f" + CAST({_RATE_ALPHA} AS DOUBLE) * b.n"
+    )
+    return f"""
+WITH RECURSIVE idx AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS hour, count(*) AS n,
+         row_number() OVER (PARTITION BY event_type ORDER BY date_trunc('hour', ts)) AS i
+  FROM events GROUP BY 1, 2
+),
+steps AS (
+  SELECT source, hour, n, i, CAST(n AS DOUBLE) AS ema, 1 AS n_batches, FALSE AS anomaly
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT b.source, b.hour, b.n, b.i,
+         CASE WHEN {spike} THEN s.ema ELSE {update} END AS ema,
+         CASE WHEN {spike} THEN s.n_batches ELSE s.n_batches + 1 END AS n_batches,
+         ({spike}) AS anomaly
+  FROM steps s JOIN idx b ON b.source = s.source AND b.i = s.i + 1
+)
+SELECT source, hour, CAST(n AS BIGINT) AS n_batch,
+       {sql_ieee_round('ema', 6)} AS ema_rate, anomaly
+FROM steps
+ORDER BY source, hour
+"""
+
+
+SQL_CRAWL_RATE_ANOMALIES = _sql_crawl_rate_anomalies()
+
+
 def q_dead_kit_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tiered liveness report — the full DeadKits escalation semantics
     (MyDatacollector.py:744-755): kits are 'ok' within 2 h of the fleet
@@ -1102,4 +1195,5 @@ QUERIES: dict[str, tuple] = {
     "sensor_set_diff": (q_sensor_set_diff, SQL_SENSOR_SET_DIFF),
     "static_value_monitor": (q_static_value_monitor, SQL_STATIC_VALUE_MONITOR),
     "dead_kit_tiers": (q_dead_kit_tiers, SQL_DEAD_KIT_TIERS),
+    "crawl_rate_anomalies": (q_crawl_rate_anomalies, SQL_CRAWL_RATE_ANOMALIES),
 }

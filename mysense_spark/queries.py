@@ -49,14 +49,17 @@ def _modules():
 # pair instead of a hand-inlined native round), station_calibration +
 # ols_summary (sqrt/division guards for collinear series in the shared
 # expression text).
-# Layout: (a) 15 new/changed rows (the 11 leading entries plus
+# crawl_rate_anomalies (new in late r6: batch twin of the streaming
+# crawl-rate monitor — path-dependent EMA graded via a DuckDB RECURSIVE
+# CTE oracle) also sits in (a).
+# Layout: (a) 16 new/changed rows (the 12 leading entries plus
 # gopher_filter / text_stats / quality_score / bm25_search further
 # down); (b) the 11 rows whose last driver evidence is round 3 (rolled
-# here from the r5 window, exactly as planned); (c) 24 of the 44 rows
+# here from the r5 window, exactly as planned); (c) 23 of the 44 rows
 # whose last evidence is round 4, registry order (pm_mass_fill,
 # ols_summary, temperature_mix and tokenizer_fertility — also r4 — sit
-# in (a) as changed rows). The remaining 16 r4-evidence rows
-# (frame_sample, hash_sample, corpus_build, stratified_sample,
+# in (a) as changed rows). The remaining 17 r4-evidence rows
+# (blob_metadata, frame_sample, hash_sample, corpus_build, stratified_sample,
 # approx_distinct_users, range_validate, tristate_validity,
 # zscore_outliers, grubbs_outliers, linear_regression, sigma_band,
 # region_revenue, cascade_rollup, asof_align, mode_per_user, coverage,
@@ -74,6 +77,7 @@ _PRIORITY = (
     "ols_summary",
     "temperature_mix",
     "tokenizer_fertility",
+    "crawl_rate_anomalies",
     "gopher_filter",
     "text_stats",
     "quality_score",
@@ -90,7 +94,7 @@ _PRIORITY = (
     "dead_kits",
     "hourly_gapfill",
     "moving_average",
-    # (c) last driver evidence: round 4 (first 31 in registry order)
+    # (c) last driver evidence: round 4 (first 23 in registry order)
     "ttn_decode",
     "sensorthings_pull",
     "csv_ingest",
@@ -114,7 +118,6 @@ _PRIORITY = (
     "tfidf_top_terms",
     "lang_id",
     "doc_fingerprint",
-    "blob_metadata",
 )
 
 
