@@ -667,6 +667,53 @@ def test_empty_doc_parity(spark, tmp_path):
         assert res.ok, f"{name}: {res.detail}"
 
 
+def test_hourly_pivot_rh_is_not_fabricated(spark, tmp_path):
+    """The r6 rh bug class: least() OUTSIDE the event-type guard made
+    every non-purchase row contribute the 99.9 cap, fabricating humidity
+    for hours with none measured — and the oracle mirrored it, so the
+    hash gate agreed on the wrong answer. Pin the SEMANTICS against an
+    independently computed expectation: no purchase in the hour -> rh
+    NULL; purchases present -> mean(min(value/2, 99.9)) over purchases
+    only, other event types never contributing."""
+    import datetime as dt
+    import os
+
+    import pandas as pd
+
+    from mysense_spark.io import TABLES
+    from mysense_spark.operators.indices import _hourly_pivot
+    from tests.conftest import SF_SMOKE
+
+    sf = tmp_path / "rhsf"
+    sf.mkdir()
+    for t in TABLES:
+        if t != "events":
+            os.symlink(f"{SF_SMOKE}/{t}.parquet", sf / f"{t}.parquet")
+    h0 = dt.datetime(2024, 1, 1, 10)
+    h1 = dt.datetime(2024, 1, 1, 11)
+    rows = [
+        # hour 10: clicks only -> rh must be NULL (was 99.9 pre-fix)
+        (1, h0, 1, "click", 50.0, "{}"),
+        (2, h0, 1, "click", 60.0, "{}"),
+        # hour 11: one purchase of 80 (-> 40) and three clicks -> rh 40,
+        # NOT (3*99.9 + 40)/4 = 84.925 as the buggy form computed
+        (3, h1, 1, "purchase", 80.0, "{}"),
+        (4, h1, 1, "click", 10.0, "{}"),
+        (5, h1, 1, "click", 20.0, "{}"),
+        (6, h1, 1, "click", 30.0, "{}"),
+        # hour 11: a 300-value purchase caps at 99.9 for user 2
+        (7, h1, 2, "purchase", 300.0, "{}"),
+    ]
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(sf / "events.parquet")
+
+    out = {(r["user_id"], r["hour"].hour): r["rh"] for r in _hourly_pivot(spark, str(sf)).collect()}
+    assert out[(1, 10)] is None, "rh fabricated for an hour with no humidity measurement"
+    assert out[(1, 11)] == 40.0
+    assert out[(2, 11)] == 99.9
+
+
 def test_pairs_cte_strips_presentation_order():
     """_PAIRS_CTE embeds the minhash pairs SQL inside other oracles'
     CTEs; removesuffix() silently no-ops if the pairs SQL's tail is ever
