@@ -346,15 +346,22 @@ def q_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.files import read_measurements_csv
 
-    # one PINNED fixture dir per process, not a fresh mkdtemp per call:
-    # every gate sweep / bench iteration invoking this query would
-    # otherwise leak a new /tmp/csv_ingest_* directory without bound
-    d = os.path.join(tempfile.gettempdir(), f"csv_ingest_fixture_{os.getpid()}")
+    # one PINNED fixture dir keyed on the fixture's CONTENT hash, not a
+    # fresh mkdtemp per call (a gate sweep / bench iteration would leak
+    # a /tmp dir per call) and not the pid (a recycled pid could reuse a
+    # stale file from an unrelated process; content-keying is idempotent
+    # across processes and stale-proof — edit the fixture, get a new dir)
+    import hashlib
+
+    tag = hashlib.sha256(_CSV_FIXTURE.encode()).hexdigest()[:16]
+    d = os.path.join(tempfile.gettempdir(), f"csv_ingest_fixture_{tag}")
     os.makedirs(d, exist_ok=True)
     fixture = os.path.join(d, "dump.csv")
     if not os.path.exists(fixture):
-        with open(fixture, "w") as f:
+        tmp = f"{fixture}.{os.getpid()}.tmp"
+        with open(tmp, "w") as f:
             f.write(_CSV_FIXTURE)
+        os.replace(tmp, fixture)  # atomic vs a concurrent bench/test process
     df = read_measurements_csv(spark, d)
     from pyspark.sql import functions as F
 

@@ -764,6 +764,180 @@ ORDER BY source, hour
 SQL_CRAWL_RATE_ANOMALIES = _sql_crawl_rate_anomalies()
 
 
+# Compressed-clock fixture knob for the throttle twin: the synthetic
+# events table is a browsing log (median per-user gap ~7 h), far too
+# polite to ever trip an 8-minute datagram floor — dividing the epoch
+# by 70 turns it into a plausibly-chatty sensor fleet (measured branch
+# mix at sf0.01: 7659 accepted / 98 fresh throttles / 2243 penalty
+# drops), exactly like _SVM_BIN manufactures stuck-sensor runs above.
+# Integer division of non-negative micros is identical in Spark (DIV),
+# DuckDB (//) and the recursion, so both engines walk the same clock.
+_THROTTLE_CLOCK_DIV = 70
+
+
+def q_kit_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-graded batch twin of the streaming per-device throttle
+    (streaming/state.py kit_throttle — IsBehavingKit,
+    MyDatacollector.py:937-970): running-average interval capped at
+    30 min; a kit sending faster than 480 s after 3 records is dropped
+    and penalized for 4 h. Path-dependent twice over — the running mean
+    AND the penalty clock (a drop at t blinds the limiter until t+4h,
+    and records landing inside a penalty do NOT extend it) — so the twin
+    runs the shared _throttle_step sequentially per kit and the oracle
+    is a DuckDB RECURSIVE CTE over the identical integer-microsecond /
+    double expressions. Constants and the step function are imported
+    from the streaming module: one point of truth with the live state
+    handler.
+
+    Scale shape: one shuffle on kit_id (the state store's own sharding);
+    per-kit history is bounded by retention, not corpus size."""
+    from ..streaming.state import kit_throttle_batch
+
+    ev = load(spark, sf_dir, "events")
+    recs = ev.select(
+        F.col("user_id").cast("string").alias("kit_id"),
+        "ts",
+        F.expr(f"unix_micros(ts) DIV {_THROTTLE_CLOCK_DIV}").alias("epoch_us"),
+    )
+    out = kit_throttle_batch(recs)
+    from .util import ieee_round
+
+    return out.select(
+        "kit_id",
+        "ts",
+        "accepted",
+        ieee_round(F.col("est_interval"), 6).alias("est_interval"),
+        F.col("count").alias("n"),
+    ).orderBy("kit_id", "ts")
+
+
+def _sql_kit_throttle() -> str:
+    from ..streaming.state import (
+        INTERVAL_CAP_S,
+        THROTTLE_MIN_COUNT,
+        THROTTLE_PENALTY_S,
+        THROTTLE_RATE_S,
+    )
+    from .util import sql_ieee_round
+
+    # every sub-expression mirrors _throttle_step verbatim: delta in
+    # exact int micros, the running mean's parenthesization, the
+    # post-update interval in the trigger test, and the elif ladder
+    # (in-penalty wins and does NOT extend the penalty)
+    delta = f"least(b.e_us - s.last_us, {INTERVAL_CAP_S * 1_000_000})"
+    new_iv = (
+        f"(s.iv * CAST(s.n AS DOUBLE)"
+        f" + CAST({delta} AS DOUBLE) / CAST(1000000.0 AS DOUBLE))"
+        f" / CAST(s.n + 1 AS DOUBLE)"
+    )
+    in_pen = "b.e_us < s.pen_us"
+    trigger = (
+        f"s.n >= {THROTTLE_MIN_COUNT} AND {delta} < {THROTTLE_RATE_S * 1_000_000}"
+        f" AND {new_iv} < CAST({THROTTLE_RATE_S} AS DOUBLE)"
+    )
+    return f"""
+WITH RECURSIVE idx AS (
+  SELECT CAST(user_id AS VARCHAR) AS kit_id, ts,
+         epoch_us(ts) // {_THROTTLE_CLOCK_DIV} AS e_us,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS i
+  FROM events
+),
+steps AS (
+  SELECT kit_id, ts, e_us, i, TRUE AS accepted,
+         CAST({INTERVAL_CAP_S} AS DOUBLE) AS iv, CAST(1 AS BIGINT) AS n,
+         e_us AS last_us, CAST(0 AS BIGINT) AS pen_us
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT b.kit_id, b.ts, b.e_us, b.i,
+         CASE WHEN {in_pen} THEN FALSE WHEN {trigger} THEN FALSE ELSE TRUE END,
+         {new_iv} AS iv,
+         s.n + 1,
+         b.e_us,
+         CASE WHEN {in_pen} THEN s.pen_us
+              WHEN {trigger} THEN b.e_us + {THROTTLE_PENALTY_S * 1_000_000}
+              ELSE s.pen_us END AS pen_us
+  FROM steps s JOIN idx b ON b.kit_id = s.kit_id AND b.i = s.i + 1
+)
+SELECT kit_id, ts, accepted, {sql_ieee_round('iv', 6)} AS est_interval,
+       CAST(n AS BIGINT) AS n
+FROM steps
+ORDER BY kit_id, ts
+"""
+
+
+SQL_KIT_THROTTLE = _sql_kit_throttle()
+
+
+# Alarm-suppression fixture: error/click events as the alarm feed, on a
+# clock compressed 8x from the 2024-01-01 origin (measured at sf0.01:
+# 2148 emitted / 1872 suppressed — both branches dense). The origin is a
+# constant, not min(ts), so the mapping needs no extra scan and is
+# identical across engines and scale factors (testdata starts 2024-01-01
+# at every sf; offsets are non-negative, so DIV == // == floor).
+_ALARM_CLOCK_DIV = 8
+_ALARM_EPOCH0_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
+
+
+def q_alarm_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-graded batch twin of the K6 notice rate limiter
+    (sinks/alerts.py suppress_alarms — AlarmMessage,
+    MyDatacollector.py:972-988): a repeated alarm for the same
+    (kit, event) within 6 h of the last EMITTED alarm is dropped. The
+    gap resets only on emitted alarms, so pass/drop is path-dependent
+    (a suppressed alarm must not re-arm the window) — sequential per-key
+    scan on the Spark side, RECURSIVE CTE carrying last_emit on the
+    oracle side.
+
+    Scale shape: one shuffle on (kit_id, event) — alarm feeds are tiny
+    relative to the fact table (they are its exceptions)."""
+    from ..sinks.alerts import suppress_alarms
+
+    ev = load(spark, sf_dir, "events")
+    alarms = ev.where(F.col("event_type").isin("error", "click")).select(
+        F.col("user_id").cast("string").alias("kit_id"),
+        F.col("event_type").alias("event"),
+        F.timestamp_micros(
+            F.expr(
+                f"{_ALARM_EPOCH0_US} + (unix_micros(ts) - {_ALARM_EPOCH0_US})"
+                f" DIV {_ALARM_CLOCK_DIV}"
+            )
+        ).alias("ts"),
+    )
+    return suppress_alarms(alarms).orderBy("kit_id", "event", "ts")
+
+
+def _sql_alarm_suppression() -> str:
+    from ..sinks.alerts import SUPPRESS_S
+
+    s_us = SUPPRESS_S * 1_000_000
+    emit = f"(epoch_us(a.ts) - epoch_us(s.last_emit)) >= {s_us}"
+    return f"""
+WITH RECURSIVE alarms AS (
+  SELECT CAST(user_id AS VARCHAR) AS kit_id, event_type AS event,
+         make_timestamp({_ALARM_EPOCH0_US}
+           + (epoch_us(ts) - {_ALARM_EPOCH0_US}) // {_ALARM_CLOCK_DIV}) AS ts,
+         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts) AS i
+  FROM events WHERE event_type IN ('error', 'click')
+),
+steps AS (
+  SELECT kit_id, event, ts, i, TRUE AS emitted, ts AS last_emit
+  FROM alarms WHERE i = 1
+  UNION ALL
+  SELECT a.kit_id, a.event, a.ts, a.i,
+         {emit} AS emitted,
+         CASE WHEN {emit} THEN a.ts ELSE s.last_emit END AS last_emit
+  FROM steps s JOIN alarms a ON a.kit_id = s.kit_id AND a.event = s.event
+                            AND a.i = s.i + 1
+)
+SELECT kit_id, event, ts, emitted
+FROM steps
+ORDER BY kit_id, event, ts
+"""
+
+
+SQL_ALARM_SUPPRESSION = _sql_alarm_suppression()
+
+
 def q_dead_kit_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tiered liveness report — the full DeadKits escalation semantics
     (MyDatacollector.py:744-755): kits are 'ok' within 2 h of the fleet
@@ -1196,4 +1370,6 @@ QUERIES: dict[str, tuple] = {
     "static_value_monitor": (q_static_value_monitor, SQL_STATIC_VALUE_MONITOR),
     "dead_kit_tiers": (q_dead_kit_tiers, SQL_DEAD_KIT_TIERS),
     "crawl_rate_anomalies": (q_crawl_rate_anomalies, SQL_CRAWL_RATE_ANOMALIES),
+    "kit_throttle": (q_kit_throttle, SQL_KIT_THROTTLE),
+    "alarm_suppression": (q_alarm_suppression, SQL_ALARM_SUPPRESSION),
 }

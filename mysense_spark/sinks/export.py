@@ -15,10 +15,14 @@ from pyspark.sql import functions as F
 
 def export_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
     """Write `path/` as a CSV directory (Spark layout: part files +
-    _SUCCESS). single_file=True narrows to ONE part file inside that
-    directory via coalesce — no shuffle (repartition(1) would pay a full
-    exchange for the same result)."""
-    out = df.coalesce(1) if single_file else df
+    _SUCCESS). single_file=True funnels to ONE part file via
+    repartition(1): it pays one exchange of the (small, report-sized)
+    result, but the plan upstream of the exchange keeps its parallelism.
+    coalesce(1) was used here before — it avoids the shuffle, but the
+    1-partition hint propagates DOWN through narrow stages and collapses
+    the whole upstream computation to a single task, a silent
+    perf cliff whenever the exported frame has a heavy plan behind it."""
+    out = df.repartition(1) if single_file else df
     out.write.mode("overwrite").option("header", True).csv(path)
 
 

@@ -71,17 +71,19 @@ def _restore_orphans(path: str) -> None:
     base = os.path.basename(os.path.abspath(path))
     if not os.path.isdir(parent):
         return
-    for d in sorted(os.listdir(parent)):
-        if not d.startswith(base + "__"):
-            continue
-        full = os.path.join(parent, d)
-        if d.startswith(base + "__old_"):
-            if not os.path.exists(path):
-                os.rename(full, path)
-            else:
-                shutil.rmtree(full)
-        elif d.startswith(base + "__tmp_"):
-            shutil.rmtree(full)
+    names = os.listdir(parent)
+    olds = [d for d in names if d.startswith(base + "__old_")]
+    if olds and not os.path.exists(path):
+        # a crash during rollback can leave TWO stashes; the most
+        # recently modified one is the later archive state — restoring
+        # lexicographically-first could resurrect the older archive
+        olds.sort(key=lambda d: os.path.getmtime(os.path.join(parent, d)))
+        os.rename(os.path.join(parent, olds.pop()), path)
+    for d in olds:
+        shutil.rmtree(os.path.join(parent, d))
+    for d in names:
+        if d.startswith(base + "__tmp_"):
+            shutil.rmtree(os.path.join(parent, d))
 
 
 def upsert_parquet(new_df: DataFrame, path: str, keys: list[str], order_col: str) -> None:
@@ -118,6 +120,7 @@ def upsert_parquet(new_df: DataFrame, path: str, keys: list[str], order_col: str
     except Exception:
         if os.path.exists(trash):  # roll the old data back
             os.rename(trash, path)
+        shutil.rmtree(tmp, ignore_errors=True)  # don't strand the failed promote
         raise
     if os.path.exists(trash):
         shutil.rmtree(trash)
@@ -184,14 +187,23 @@ def _recover_stage(spark: SparkSession, stage: str, path: str) -> None:
     if not os.path.exists(stage):
         return
     if os.path.exists(os.path.join(stage, "_SUCCESS")):
+        # Probe readability BEFORE committing. A marked-complete stage
+        # that cannot be read back (data files lost to a crashed cleanup)
+        # must not wedge the sink in a crash loop — checkpoint replay
+        # re-delivers the batch, so discarding the unreadable stage is
+        # safe. But if the stage IS readable and the re-commit fails
+        # TRANSIENTLY (OOM, disk full, FS hiccup), the stage may be the
+        # only surviving copy of the pre-crash archive rows for its days
+        # (the original crash can have happened mid-dynamic-overwrite) —
+        # discarding it then would silently lose them, so leave it in
+        # place and re-raise: the commit is idempotent and the next
+        # entry retries it.
         try:
-            _commit_stage(spark, stage, path)
+            spark.read.parquet(stage).schema
         except Exception:
-            # a marked-complete stage that cannot be read back (e.g. data
-            # files lost to a crashed cleanup) must not wedge the sink in
-            # a crash loop: checkpoint replay re-delivers the batch, so
-            # discarding the unreadable stage is safe
             shutil.rmtree(stage, ignore_errors=True)
+            return
+        _commit_stage(spark, stage, path)
     else:
         shutil.rmtree(stage)
 
@@ -280,6 +292,42 @@ def upsert_parquet_partitioned(
         )
         deduped.write.mode("overwrite").partitionBy(DAY_COL).parquet(stage)
     _commit_stage(spark, stage, path)
+
+
+def migrate_to_partitioned(spark: SparkSession, path: str, ts_col: str = "ts") -> bool:
+    """One-shot flat -> day-partitioned archive migration, so an old
+    archive can adopt the O(touched-days) sink. Reads the flat dataset,
+    rewrites it hive-partitioned into a tmp sibling, then swaps with the
+    same stash-and-rename protocol as the flat upsert (a crash at any
+    point leaves either the old archive, or a `__old_` stash that
+    _restore_orphans puts back). Returns True if a migration happened;
+    False if the archive is already partitioned or absent (idempotent —
+    safe to call unconditionally at pipeline setup)."""
+    _restore_orphans(path)
+    if _layout(path) != "flat":
+        return False
+    df = spark.read.parquet(path)
+    tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
+    (
+        df.withColumn(
+            DAY_COL,
+            F.coalesce(F.date_format(F.col(ts_col), "yyyy-MM-dd"), F.lit(NULL_DAY)),
+        )
+        .write.mode("overwrite")
+        .partitionBy(DAY_COL)
+        .parquet(tmp)
+    )
+    trash = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, trash)
+    try:
+        os.rename(tmp, path)
+    except Exception:
+        if os.path.exists(trash):
+            os.rename(trash, path)
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    shutil.rmtree(trash)
+    return True
 
 
 def write_date_partitioned(df: DataFrame, path: str, ts_col: str = "ts") -> None:

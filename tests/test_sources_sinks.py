@@ -333,6 +333,64 @@ def test_partitioned_upsert_unreadable_stage_selfheals(spark, tmp_path):
     assert out == {"k1": 10.0, "k2": 20.0}
 
 
+def test_partitioned_upsert_transient_commit_failure_keeps_stage(
+    spark, tmp_path, monkeypatch
+):
+    """A READABLE completed stage whose re-commit fails transiently (OOM,
+    disk full, FS hiccup) may be the only surviving copy of the pre-crash
+    archive rows for its days — recovery must NOT discard it (the old
+    behavior silently lost those rows): it re-raises with the stage left
+    in place, and the next entry retries the idempotent commit."""
+    import datetime as dt
+    import os
+
+    import pytest
+
+    import mysense_spark.sinks.upsert as up
+
+    path = str(tmp_path / "archive")
+    t0 = dt.datetime(2024, 6, 1)
+    up.upsert_parquet_partitioned(
+        _mk_batch(spark, [("k1", dt.datetime(2024, 1, 1, 8), "pm25", 10.0, t0)]),
+        path,
+        keys=["kit_id", "ts", "field"],
+        order_col="ingest_ts",
+    )
+    # fabricate a crashed-commit artifact: readable stage, merged truth
+    stage = path + "__stage"
+    _mk_batch(spark, [("k1", dt.datetime(2024, 1, 1, 8), "pm25", 11.0, dt.datetime(2024, 6, 2))]).withColumn(
+        "day", F.lit("2024-01-01")
+    ).write.mode("overwrite").partitionBy("day").parquet(stage)
+
+    real_commit = up._commit_stage
+
+    def flaky_commit(spark_, stage_, path_):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(up, "_commit_stage", flaky_commit)
+    with pytest.raises(OSError, match="disk full"):
+        up.upsert_parquet_partitioned(
+            _mk_batch(spark, [("k2", dt.datetime(2024, 1, 5, 8), "pm25", 50.0, t0)]),
+            path,
+            keys=["kit_id", "ts", "field"],
+            order_col="ingest_ts",
+        )
+    assert os.path.exists(os.path.join(stage, "_SUCCESS")), "stage must survive"
+
+    # transient condition clears -> next entry re-commits and proceeds
+    monkeypatch.setattr(up, "_commit_stage", real_commit)
+    up.upsert_parquet_partitioned(
+        _mk_batch(spark, [("k2", dt.datetime(2024, 1, 5, 8), "pm25", 50.0, t0)]),
+        path,
+        keys=["kit_id", "ts", "field"],
+        order_col="ingest_ts",
+    )
+    assert not os.path.exists(stage)
+    out = {(r["kit_id"], str(r["day"])): r["value"] for r in spark.read.parquet(path).collect()}
+    assert out[("k1", "2024-01-01")] == 11.0  # recovered stage won
+    assert out[("k2", "2024-01-05")] == 50.0
+
+
 def test_partitioned_upsert_into_date_partitioned_archive(spark, tmp_path):
     """Interop: an archive laid down by write_date_partitioned (the bulk
     backfill path) accepts incremental partitioned upserts — same day
@@ -398,6 +456,30 @@ def test_flat_upsert_orphan_restore(spark, tmp_path):
     out = {r["kit_id"]: r["value"] for r in spark.read.parquet(path).collect()}
     assert out == {"k1": 10.0, "k2": 20.0}  # stranded data recovered AND merged
     assert not os.path.exists(path + "__old_deadbeef")
+
+    # double-crash: TWO stashes coexist (crash during a rollback). The
+    # most recently MODIFIED stash is the later archive state and must
+    # win — lexicographic order would resurrect whichever hex sorts
+    # first. The older stash is dropped, not restored.
+    import shutil
+    import time
+
+    older = path + "__old_zzzz"  # lexicographically LAST, temporally first
+    newer = path + "__old_aaaa"  # lexicographically FIRST, temporally last
+    os.rename(path, older)
+    time.sleep(0.05)
+    _mk_batch(spark, [("k9", dt.datetime(2024, 1, 3), "pm25", 90.0, t0)]).write.mode(
+        "overwrite"
+    ).parquet(newer)
+    upsert_parquet(
+        _mk_batch(spark, [("k3", dt.datetime(2024, 1, 4), "pm25", 30.0, t0)]),
+        path,
+        keys=["kit_id", "ts", "field"],
+        order_col="ingest_ts",
+    )
+    out = {r["kit_id"]: r["value"] for r in spark.read.parquet(path).collect()}
+    assert out == {"k9": 90.0, "k3": 30.0}, "newest stash must be the one restored"
+    assert not os.path.exists(older) and not os.path.exists(newer)
 
 
 def test_calibration_roundtrip(spark):

@@ -85,7 +85,9 @@ def test_stream_batch_parity_and_upsert_idempotence(spark, tmp_path):
     out_dir = str(tmp_path / "archive")
     ckpt = str(tmp_path / "ckpt")
 
-    q = run_file_stream(spark, str(in_dir), ckpt, out_dir)
+    # flat layout forced: this test covers the O(archive) merge; the
+    # auto default (fresh archive -> partitioned) has its own test below
+    q = run_file_stream(spark, str(in_dir), ckpt, out_dir, partitioned=False)
     q.awaitTermination(120)
 
     streamed = spark.read.parquet(out_dir)
@@ -97,9 +99,58 @@ def test_stream_batch_parity_and_upsert_idempotence(spark, tmp_path):
     # replay the same file again (duplicate delivery) -> no new rows
     n_before = streamed.count()
     _write_dump(in_dir, "batch2.mqtt", [V2_PORT2, V2_PORT4])
+    # replay with NO flag: auto-select must respect the existing flat
+    # layout (no silent migration mid-stream), not force the scale path
     q2 = run_file_stream(spark, str(in_dir), str(tmp_path / "ckpt2"), out_dir)
     q2.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == n_before
+    import os
+
+    assert not any(d.startswith("day=") for d in os.listdir(out_dir))
+
+
+def test_stream_default_is_partitioned_and_migration(spark, tmp_path):
+    """A fresh pipeline with NO layout flag lands day-partitioned (the
+    scale path is the default, VERDICT r6 #3), and a legacy flat archive
+    adopts it via the one-shot migrate_to_partitioned helper with rows
+    preserved byte-for-value."""
+    import os
+
+    from mysense_spark.sinks.upsert import migrate_to_partitioned
+    from mysense_spark.streaming.pipeline import run_file_stream
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    _write_dump(in_dir, "batch1.mqtt", ALL_LINES)
+
+    # fresh archive, no flag -> partitioned on disk
+    out_dir = str(tmp_path / "archive_default")
+    q = run_file_stream(spark, str(in_dir), str(tmp_path / "ckpt_d"), out_dir)
+    q.awaitTermination(120)
+    assert any(d.startswith("day=") for d in os.listdir(out_dir))
+
+    # legacy flat archive -> migrate -> same facts, day= layout, and the
+    # auto-selecting stream keeps appending through the partitioned merge
+    flat_dir = str(tmp_path / "archive_legacy")
+    qf = run_file_stream(spark, str(in_dir), str(tmp_path / "ckpt_f"), flat_dir, partitioned=False)
+    qf.awaitTermination(120)
+    before = {
+        (r["kit_id"], r["ts"], r["field"]): r["value"]
+        for r in spark.read.parquet(flat_dir).collect()
+    }
+    assert migrate_to_partitioned(spark, flat_dir) is True
+    assert any(d.startswith("day=") for d in os.listdir(flat_dir))
+    after = {
+        (r["kit_id"], r["ts"], r["field"]): r["value"]
+        for r in spark.read.parquet(flat_dir).drop("day").collect()
+    }
+    assert after == before
+    # idempotent: a second call is a no-op
+    assert migrate_to_partitioned(spark, flat_dir) is False
+    # replay through the auto default -> partitioned merge, still no dupes
+    q2 = run_file_stream(spark, str(in_dir), str(tmp_path / "ckpt_f2"), flat_dir)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(flat_dir).count() == len(before)
 
 
 def test_stream_drives_partitioned_archive(spark, tmp_path):
@@ -282,6 +333,78 @@ def test_kit_throttle_stream(spark, tmp_path):
     assert all(r["accepted"] for r in polite)
     assert not all(r["accepted"] for r in chatty), "chatty kit must be throttled"
     assert all(r["accepted"] for r in chatty[:4]), "warmup records pass"
+
+
+def test_kit_throttle_hand_computed(spark):
+    """Independent expectation for the IsBehavingKit ladder (the joost
+    lesson: pin the semantics with numbers computed from the reference's
+    math, not from either engine). Records 60 s apart, starting interval
+    estimate 1800 s:
+      r1: first record, accepted, interval 1800
+      r2: delta 60 -> (1800*1+60)/2 = 930, count 1 < 3, accepted
+      r3: delta 60 -> (930*2+60)/3  = 640, count 2 < 3, accepted
+      r4: delta 60 -> (640*3+60)/4  = 495, count 3 >= 3 BUT 495 >= 480,
+          accepted (the mean hasn't crossed the floor yet)
+      r5: delta 60 -> (495*4+60)/5  = 408 < 480, count 4 -> DROP,
+          penalty until t4 + 4 h
+      r6 (t=300): inside penalty -> drop, penalty NOT extended,
+          interval still updates: (408*5+60)/6 = 350
+      r7 (t=20000 s): past penalty (14640 s), delta capped at 1800 ->
+          (350*6+1800)/7 = 557.14... >= 480 -> accepted again
+    """
+    import datetime as dt
+
+    from mysense_spark.streaming.state import kit_throttle_batch
+
+    base = dt.datetime(2024, 1, 1)
+    secs = [0, 60, 120, 180, 240, 300, 20000]
+    rows = [("k", base + dt.timedelta(seconds=s), s * 1_000_000) for s in secs]
+    df = spark.createDataFrame(rows, "kit_id string, ts timestamp, epoch_us long")
+    out = sorted(kit_throttle_batch(df).collect(), key=lambda r: r["ts"])
+    assert [r["accepted"] for r in out] == [True, True, True, True, False, False, True]
+    exp_iv = [1800.0, 930.0, 640.0, 495.0, 408.0, 350.0, (350.0 * 6 + 1800.0) / 7]
+    for r, iv in zip(out, exp_iv):
+        assert abs(r["est_interval"] - iv) < 1e-9, (r["ts"], r["est_interval"], iv)
+    assert [r["count"] for r in out] == [1, 2, 3, 4, 5, 6, 7]
+
+
+def test_kit_throttle_stream_batch_parity(spark, tmp_path):
+    """The streaming handler and the graded batch twin share
+    _throttle_step; prove the two drivers around it (state store vs
+    per-kit pandas scan) produce identical decisions on a mixed fleet."""
+    import datetime as dt
+
+    from mysense_spark.streaming.state import kit_throttle, kit_throttle_batch
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(12):
+        rows.append(("chatty", base + dt.timedelta(seconds=60 * i)))
+        rows.append(("polite", base + dt.timedelta(seconds=900 * i)))
+        rows.append(("bursty", base + dt.timedelta(seconds=(i % 4) * 30 + (i // 4) * 30000)))
+    src_dir = tmp_path / "throttle_parity_in"
+    src_dir.mkdir()
+    df = spark.createDataFrame(rows, "kit_id string, ts timestamp")
+    df.coalesce(1).write.mode("overwrite").parquet(str(src_dir))
+
+    stream = spark.readStream.schema("kit_id string, ts timestamp").parquet(str(src_dir))
+    got = []
+    q = (
+        kit_throttle(stream)
+        .writeStream.foreachBatch(lambda d, _id: got.extend(d.collect()))
+        .option("checkpointLocation", str(tmp_path / "throttle_parity_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    from pyspark.sql import functions as F
+
+    batch = kit_throttle_batch(df.withColumn("epoch_us", F.unix_micros("ts"))).collect()
+    key = lambda r: (r["kit_id"], r["ts"])
+    sgot = {key(r): (r["accepted"], round(r["est_interval"], 9), r["count"]) for r in got}
+    sbatch = {key(r): (r["accepted"], round(r["est_interval"], 9), r["count"]) for r in batch}
+    assert sgot == sbatch
 
 
 def test_alarm_suppression(spark):
