@@ -120,15 +120,23 @@ ORDER BY query_id, rank
 """
 
 
-def ivf_assigned(vecs: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment over the fixture centroids (embeddings
-    100..107): (vec columns, cent_cos, crank). The single point of truth
-    for cluster membership — q_ann_ivf's index, q_semdedup's clusters and
-    any future IVF consumer must share one assignment rule or their
-    clusters silently drift apart."""
-    cents = vecs.where(
-        (F.col("vec_id") >= _CENTROID_BASE) & (F.col("vec_id") < _CENTROID_BASE + _N_CENTROIDS)
-    ).select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm"))
+def ivf_assigned(vecs: DataFrame, centroids: DataFrame | None = None) -> DataFrame:
+    """Nearest-centroid assignment: (vec columns, cent_cos, crank). The
+    single point of truth for cluster membership — q_ann_ivf's index,
+    q_semdedup's clusters and any future IVF consumer must share one
+    assignment rule or their clusters silently drift apart.
+
+    `centroids` (vec_id, v, norm) defaults to the fixture centroids
+    (embeddings 100..107 — stable graded output); callers pass their own
+    table for trained (kmeans_train) or corpus-proportional
+    (modulo_centroids) codebooks."""
+    if centroids is None:
+        centroids = vecs.where(
+            (F.col("vec_id") >= _CENTROID_BASE) & (F.col("vec_id") < _CENTROID_BASE + _N_CENTROIDS)
+        )
+    cents = centroids.select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm")
+    )
     cos_vc = ieee_round(_dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm")), 6)
     return (
         vecs.crossJoin(F.broadcast(cents))
@@ -145,14 +153,26 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: assign every vector to its nearest of 8 centroids
     (embeddings 100..107), probe the 2 closest clusters per query, rank
     candidates inside the probed clusters only. Returns top-5 per query
-    — the cluster assignment is the partition-pruning key at scale."""
-    vecs = _vectors(spark, sf_dir)
+    — the cluster assignment is the partition-pruning key at scale.
+    Graded fixture of ann_ivf_search (nprobe frozen at _NPROBE); the
+    recall/cost tradeoff across nprobe is measured by
+    tools/ivf_recall_curve.py (SCALING.md)."""
+    return ann_ivf_search(_vectors(spark, sf_dir))
+
+
+def ann_ivf_search(
+    vecs: DataFrame, nprobe: int = _NPROBE, centroids: DataFrame | None = None
+) -> DataFrame:
+    """The IVF search engine with the recall/cost knob exposed: probe the
+    `nprobe` nearest clusters per query (candidates scanned ~ nprobe/K of
+    the corpus; recall rises with nprobe — measured curve in SCALING.md).
+    `centroids` as in ivf_assigned."""
     # nearest centroid per vector (broadcast join: K rows) — shared
     # assignment rule (ivf_assigned)
-    assigned = ivf_assigned(vecs)
+    assigned = ivf_assigned(vecs, centroids)
     membership = assigned.where(F.col("crank") == 1).select("vec_id", "v", "norm", "cent_id")
     probes = (
-        assigned.where((F.col("vec_id") < _N_QUERIES) & (F.col("crank") <= _NPROBE))
+        assigned.where((F.col("vec_id") < _N_QUERIES) & (F.col("crank") <= nprobe))
         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qnorm"), "cent_id")
     )
     cand = membership.select(
@@ -407,6 +427,31 @@ ORDER BY cluster_id
 """
 
 
+def write_ivf_partitioned(vecs: DataFrame, path: str, centroids: DataFrame | None = None) -> None:
+    """Cluster-partitioned corpus layout: IVF-assigned vectors written
+    hive-partitioned by their cell (`cent_id=K/` directories). This is
+    what makes nprobe a SCAN bound and not just a compute bound — a
+    reader probing 2 of K cells opens 2 directories, and Spark's
+    partition pruning (a static PartitionFilter, asserted by the plan
+    contract test) never lists the rest. The 100 TB deployment shape:
+    assignment runs once at ingest, searches run forever against the
+    pruned layout."""
+    membership = (
+        ivf_assigned(vecs, centroids)
+        .where(F.col("crank") == 1)
+        .select("vec_id", "v", "norm", "cent_id")
+    )
+    membership.write.mode("overwrite").partitionBy("cent_id").parquet(path)
+
+
+def read_ivf_cells(spark: SparkSession, path: str, cell_ids: list[int]) -> DataFrame:
+    """Read ONLY the probed cells from an IVF-partitioned layout — the
+    filter is on the partition column, so it prunes directories at plan
+    time (PartitionFilters in the scan node, no data files of other
+    cells touched)."""
+    return spark.read.parquet(path).where(F.col("cent_id").isin([int(c) for c in cell_ids]))
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the IVF index against exact brute force — the
     measurement every ANN deployment runs before trusting the index
@@ -530,12 +575,21 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference scope note: the reference engine has no embedding surface;
     this extends its dedup family (§2 A8-adjacent) to the
     training-data-curation workload the brief names first-class."""
-    vecs = _vectors(spark, sf_dir)
+    return semdedup_pairs(_vectors(spark, sf_dir))
+
+
+def semdedup_pairs(vecs: DataFrame, centroids: DataFrame | None = None) -> DataFrame:
+    """The SemDeDup engine shared by the fixture-K graded query
+    (q_semdedup) and the corpus-proportional variant (q_semdedup_auto):
+    assign to nearest centroid, equi-join pairs WITHIN clusters, drop a
+    vector when cosine >= tau against any lower vec_id in its cluster."""
     # persist the shared-rule assignment (ivf_assigned): it feeds BOTH
     # self-join sides — uncached, the N x K centroid cross join + the
     # per-vec window would run twice
     membership = tracked_persist(
-        ivf_assigned(vecs).where(F.col("crank") == 1).select("vec_id", "v", "norm", "cent_id")
+        ivf_assigned(vecs, centroids)
+        .where(F.col("crank") == 1)
+        .select("vec_id", "v", "norm", "cent_id")
     )
     a = membership.select(
         "cent_id", F.col("vec_id").alias("v1"), F.col("v").alias("va"), F.col("norm").alias("na")
@@ -555,6 +609,49 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("v1").alias("dup_of"), F.max("cosine").alias("max_cosine"))
         .orderBy("vec_id")
     )
+
+
+# Corpus-proportional centroid rule: every TARGET-th vector by id. For
+# dense ids this yields K = ceil(N / TARGET) WITHOUT a driver-side count
+# (the selection is a lazy filter), so per-cluster size stays ~TARGET as
+# the corpus grows — the K ∝ N scaling the SemDeDup paper runs (50k
+# clusters for LAION-440M) and the fix for the fixture-K sweep's α = 1.22
+# (per-cluster size growing linearly made the within-cluster GEMM
+# quadratic). Modulo sampling stands in for a trained codebook; at
+# deployment scale pass kmeans_train's centroids instead, and beyond
+# broadcast-K move the assignment join to a shuffle.
+_SEM_TARGET_CLUSTER = 64
+
+
+def modulo_centroids(vecs: DataFrame, target_cluster_size: int = _SEM_TARGET_CLUSTER) -> DataFrame:
+    return vecs.where(F.col("vec_id") % target_cluster_size == 0)
+
+
+def sqrt_centroids(vecs: DataFrame) -> DataFrame:
+    """K ≈ √N centroid rule (centroid ⇔ vec_id is a perfect square —
+    lazy, no count, dense-id assumption like the modulo rule). With
+    brute-force nearest-centroid assignment, total work is
+    N·K (assignment) + N·(N/K) (in-cluster pairs): K ∝ N bounds the
+    pair stage but makes assignment N²/target; K ≈ √N balances both at
+    O(N^1.5) — the best exponent brute-force assignment admits, and the
+    variant to reach for once the modulo rule's assignment term
+    dominates (measured: not yet at 20k vectors — SCALING.md). Beyond
+    that, a trained hierarchical codebook (kmeans_train) with a pruned
+    assignment join is the real at-scale path."""
+    r = F.floor(F.sqrt(F.col("vec_id").cast("double"))).cast("long")
+    return vecs.where((r * r) == F.col("vec_id"))
+
+
+def q_semdedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the corpus-proportional codebook (auto-K): same
+    engine as q_semdedup, centroids chosen by the modulo rule so K grows
+    with N and per-cluster quadratic work stays bounded by
+    _SEM_TARGET_CLUSTER². The scaling sweep runs THIS variant to show
+    the growth exponent flattening toward linear (SCALING.md);
+    q_semdedup keeps the frozen K=8 fixture so its graded output stays
+    stable across rounds."""
+    vecs = _vectors(spark, sf_dir)
+    return semdedup_pairs(vecs, modulo_centroids(vecs))
 
 
 SQL_SEMDEDUP = f"""
@@ -582,6 +679,14 @@ FROM pairs WHERE cosine >= {_SEM_TAU}
 GROUP BY v2, cent_id
 ORDER BY vec_id
 """
+
+
+# identical engine to SQL_SEMDEDUP; only the cents CTE differs (modulo
+# rule instead of the frozen fixture range)
+SQL_SEMDEDUP_AUTO = SQL_SEMDEDUP.replace(
+    f"WHERE vec_id >= {_CENTROID_BASE} AND vec_id < {_CENTROID_BASE + _N_CENTROIDS}",
+    f"WHERE vec_id % {_SEM_TARGET_CLUSTER} = 0",
+)
 
 
 _Z_EXTREME = 3.0  # |z| threshold for an "extreme" coordinate
@@ -830,6 +935,7 @@ QUERIES: dict[str, tuple] = {
     "hybrid_search_rrf": (q_hybrid_search_rrf, SQL_HYBRID_SEARCH_RRF),
     "quality_centroid_score": (q_quality_centroid_score, SQL_QUALITY_CENTROID_SCORE),
     "semdedup": (q_semdedup, SQL_SEMDEDUP),
+    "semdedup_auto": (q_semdedup_auto, SQL_SEMDEDUP_AUTO),
     "embedding_outliers": (q_embedding_outliers, SQL_EMBEDDING_OUTLIERS),
     "knn_bruteforce": (q_knn_bruteforce, SQL_KNN_BRUTEFORCE),
     "embedding_dim_stats": (q_embedding_dim_stats, SQL_EMBEDDING_DIM_STATS),

@@ -246,16 +246,24 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1: caching the wide (doc_id, term, tf) set costs more than the
     second regex+shuffle pass saves. Kept recompute deliberately; the
     r3 +27% bench delta was shared-host noise (re-measured warm at the
-    r2 level)."""
+    r2 level). The corpus size N is a 1-row aggregate riding a broadcast
+    crossJoin (the bm25 broadcast-totals pattern) — fully lazy, no
+    driver-side count, so the query composes into larger plans and
+    streaming scoring without a hidden eager job."""
     from .util import ieee_round
 
     doc = load(spark, sf_dir, "documents")
-    n_docs = doc.count()  # scalar dimension — one tiny job, folded as a literal
+    totals = doc.agg(F.count(F.lit(1)).alias("nd"))
     words = F.explode(F.expr(f"regexp_extract_all(text, '{_WORD_RE}', 0)")).alias("term")
     tf = doc.select("doc_id", words).groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(df_), "term").withColumn(
-        "tfidf", ieee_round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "tfidf",
+            ieee_round(F.col("tf") * F.log(F.col("nd").cast("double") / F.col("df")), 6),
+        )
     )
     from pyspark.sql import Window
 
@@ -695,7 +703,9 @@ def q_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: vocab counts are one shuffle; the vocab join is
     broadcast (a 100 TB corpus still has a bounded vocabulary after
     regex tokenization); the per-doc agg is the second shuffle. Linear,
-    no Python.
+    no Python. The model size (total token count) is a 1-row aggregate
+    riding a broadcast crossJoin (the bm25 broadcast-totals pattern) —
+    fully lazy, no driver-side count.
     """
     from .util import exact_avg
 
@@ -704,10 +714,11 @@ def q_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.expr(f"regexp_extract_all(text, '{_WORD_RE}', 0)")).alias("t")
     )
     counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
-    total = tok.count()  # scalar "model size" — one tiny job, folded as a literal
-    nll = F.log(F.lit(float(total)) / F.col("cnt"))
+    totals = tok.agg(F.count(F.lit(1)).alias("tot"))
+    nll = F.log(F.col("tot").cast("double") / F.col("cnt"))
     return (
         tok.join(F.broadcast(counts), "t")
+        .crossJoin(F.broadcast(totals))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),

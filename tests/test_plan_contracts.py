@@ -36,8 +36,43 @@ _FENCED_CROSSJOIN = {
     "ann_recall",
     "embedding_neardup",
     "semdedup",
+    "semdedup_auto",
     "bm25_search",
+    # 1-row broadcast-totals dimensions (corpus size / token total):
+    # the lazy twin of a driver-side count, bounded nested loop by
+    # construction
+    "tfidf_top_terms",
+    "perplexity_bucket",
 }
+
+
+def test_operators_have_no_driver_actions():
+    """Every registered query must be a LAZY plan: no .count()/.collect()
+    /.toPandas() driver actions inside operators/ — an eager scalar makes
+    the query non-composable (it fires a job at plan-build time) and
+    hides a second corpus scan from the plan reader. Two audited
+    exemptions remain: the similarity rerank fence (a bounded
+    limit(K+1).count() guard that RAISES on oversized query sets) and the
+    neardup label-propagation convergence probe (limit(1)-bounded)."""
+    import pathlib
+
+    op_dir = pathlib.Path(__file__).resolve().parents[1] / "mysense_spark" / "operators"
+    banned = (".count()", ".collect()", ".toPandas()", ".toLocalIterator(", ".first()")
+    offenders = []
+    for py in sorted(op_dir.glob("*.py")):
+        prev = ""
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            stripped = line.split("#", 1)[0].strip()
+            if py.name == "similarity.py" and "limit(MAX_RERANK_QUERIES + 1).count()" in line:
+                prev = stripped
+                continue  # the structural fence (raises, never folds data)
+            if py.name == "dedup.py" and (".limit(1)" in stripped or prev == ".limit(1)"):
+                prev = stripped
+                continue  # convergence probe: is-there-any-row, 1 row max
+            offenders += [f"{py.name}:{i}" for b in banned if b in stripped]
+            if stripped:
+                prev = stripped
+    assert not offenders, f"eager driver actions under operators/: {offenders}"
 
 
 @pytest.mark.parametrize(
@@ -218,6 +253,37 @@ def test_bucketed_join_elides_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql(f"DROP TABLE IF EXISTS {t1}")
         spark.sql(f"DROP TABLE IF EXISTS {t2}")
+
+
+def test_ivf_partitioned_layout_prunes_cells(spark, sf_dir, tmp_path):
+    """The IVF-partitioned corpus layout (write_ivf_partitioned) must
+    make a probed read a PARTITION-PRUNED scan: filtering on cent_id is
+    a static PartitionFilter, and the scan lists only the probed cell
+    directories — at 100 TB this is the difference between reading
+    nprobe/K of the corpus and reading all of it."""
+    import re
+
+    from mysense_spark.operators.similarity import (
+        _vectors,
+        read_ivf_cells,
+        write_ivf_partitioned,
+    )
+
+    path = str(tmp_path / "ivf_layout")
+    write_ivf_partitioned(_vectors(spark, sf_dir), path)
+
+    probed = read_ivf_cells(spark, path, [101, 103])
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cent_id" in m.group(1), f"no cent_id PartitionFilter:\n{plan[:600]}"
+    # the pruning is real: only the probed cells' rows come back, and
+    # the file listing matches the probed directories
+    cells = {r["cent_id"] for r in probed.select("cent_id").distinct().collect()}
+    assert cells <= {101, 103}
+    # data filters must NOT contain cent_id (it is partition-only work)
+    df_m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    if df_m:
+        assert "cent_id" not in df_m.group(1)
 
 
 def test_sinks_never_materialize_on_driver():

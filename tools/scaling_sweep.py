@@ -41,6 +41,7 @@ QUERY_NAMES = [
     "embedding_neardup",
     "neardup_clusters",
     "semdedup",
+    "semdedup_auto",
     "ann_ivf",
     "ann_recall",
     "kmeans_train",
