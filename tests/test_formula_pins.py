@@ -1,0 +1,305 @@
+"""Independent-expectation pin tests for the formula-heavy families
+(VERDICT r6 #6 — the joost_correction lesson): a wrong expression
+mirrored into the DuckDB oracle hashes green, so the oracle gate is
+structurally blind to it. Each family here is pinned against numbers
+computed from the PUBLISHED math (EPA AQI technical assistance doc,
+RIVM LKI table, EU CAQI background grid, Environment Canada AQHI,
+Grubbs 1969 / published critical-value tables, Student-t integrals) —
+restated INSIDE this file, never read from registry.py and never
+computed by either engine under test.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# independent Student-t machinery: pdf via math.lgamma, CDF via Simpson,
+# quantile via bisection — shares no code with operators/_tdist.py
+# (which uses the incomplete-beta continued fraction)
+# ---------------------------------------------------------------------------
+
+def _t_pdf(x: float, df: float) -> float:
+    lognorm = (
+        math.lgamma((df + 1.0) / 2.0)
+        - math.lgamma(df / 2.0)
+        - 0.5 * math.log(df * math.pi)
+    )
+    return math.exp(lognorm - ((df + 1.0) / 2.0) * math.log1p(x * x / df))
+
+
+def _t_sf(x: float, df: float, n_steps: int = 40000) -> float:
+    """Upper-tail P(T > x) for x >= 0 by Simpson integration of the pdf
+    over [0, x] (sf = 0.5 - integral). Absolute error ~1e-12 at this
+    resolution for x <= 15."""
+    if x < 0:
+        return 1.0 - _t_sf(-x, df, n_steps)
+    if x == 0:
+        return 0.5
+    h = x / n_steps
+    s = _t_pdf(0.0, df) + _t_pdf(x, df)
+    for i in range(1, n_steps):
+        s += (4.0 if i % 2 else 2.0) * _t_pdf(i * h, df)
+    return 0.5 - s * h / 3.0
+
+
+def _t_isf(p: float, df: float) -> float:
+    """x with P(T > x) = p, bisection on _t_sf."""
+    lo, hi = 0.0, 200.0
+    for _ in range(200):
+        mid = (lo + hi) / 2.0
+        if _t_sf(mid, df) > p:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2.0
+
+
+# ---------------------------------------------------------------------------
+# AQI / LKI / CAQI piecewise interpolation
+# ---------------------------------------------------------------------------
+
+# published segment tables RESTATED here (EPA AQI technical assistance
+# document Dec-2013 for AQI; RIVM luchtkwaliteitsindex for LKI; CiteAir-II
+# CAQI background grid) — an error transcribed into registry.py cannot
+# also be here
+_EPA_PM25 = [
+    (0.0, 12.0, 0.0, 50.0),
+    (12.1, 35.4, 51.0, 100.0),
+    (35.5, 55.4, 101.0, 150.0),
+    (55.5, 150.4, 151.0, 200.0),
+    (150.5, 250.4, 201.0, 300.0),
+    (250.5, 350.4, 301.0, 400.0),
+    (350.5, 500.4, 401.0, 500.0),
+]
+_EPA_PM10 = [
+    (0.0, 54.0, 0.0, 50.0),
+    (55.0, 154.0, 51.0, 100.0),
+    (155.0, 254.0, 101.0, 150.0),
+    (255.0, 354.0, 151.0, 200.0),
+    (355.0, 424.0, 201.0, 300.0),
+    (425.0, 504.0, 301.0, 400.0),
+    (505.0, 604.0, 401.0, 500.0),
+]
+
+
+def _published_index(c: float, table, cap: float) -> float:
+    """The published breakpoint formula: I = Ilo + (Ihi-Ilo)/(Chi-Clo)
+    * (C - Clo) on the segment containing C; above the last segment the
+    index saturates at the cap. (Gap values between segments are a
+    separate engine-contract case, tested explicitly below.)"""
+    for lo, hi, ilo, ihi in table:
+        if lo <= c <= hi:
+            return ilo + (ihi - ilo) / (hi - lo) * (c - lo)
+    return float(cap)
+
+
+def _eval_spark_piecewise(spark, values, table, cap):
+    from pyspark.sql import functions as F
+
+    from mysense_spark.operators.indices import piecewise
+
+    df = spark.createDataFrame([(float(v),) for v in values], "c double")
+    rows = df.select(F.col("c"), piecewise(F.col("c"), table, cap).alias("i")).collect()
+    return {r["c"]: r["i"] for r in rows}
+
+
+def _eval_duckdb_piecewise(values, table, cap):
+    import duckdb
+
+    from mysense_spark.operators.indices import sql_piecewise
+
+    con = duckdb.connect()
+    vals = ", ".join(f"({float(v)!r})" for v in values)
+    # CAST: a bare VALUES literal is DECIMAL in DuckDB and would come
+    # back as decimal.Decimal keys/values
+    sql = (
+        f"SELECT CAST(c AS DOUBLE) AS c, {sql_piecewise('CAST(c AS DOUBLE)', table, cap)} AS i "
+        f"FROM (VALUES {vals}) t(c)"
+    )
+    return {c: i for c, i in con.execute(sql).fetchall()}
+
+
+def test_aqi_breakpoints_match_epa_published_values(spark):
+    from mysense_spark.registry import AQI_BREAKPOINTS
+
+    # table transcription pin: registry must equal the published table
+    assert AQI_BREAKPOINTS["pm25"] == _EPA_PM25
+    assert AQI_BREAKPOINTS["pm10"] == _EPA_PM10
+
+    # spot values, hand-derived from the EPA formula:
+    #   pm25  9.0 -> 0 + 50/12 * 9        = 37.5
+    #   pm25 35.4 -> exactly Ihi of seg 2 = 100
+    #   pm25 30.0 -> 51 + 49/23.3 * 17.9  = 88.64377682...
+    #   pm25  600 -> above table          = 500 (cap)
+    #   pm10 54.0 -> Ihi of seg 1         = 50
+    #   pm10  100 -> 51 + 49/99 * 45      = 73.27272727...
+    cases25 = {9.0: 37.5, 35.4: 100.0, 30.0: None, 600.0: 500.0}
+    for c in cases25:
+        if cases25[c] is None:
+            cases25[c] = _published_index(c, _EPA_PM25, 500.0)
+    got_s = _eval_spark_piecewise(spark, cases25, _EPA_PM25, 500.0)
+    got_d = _eval_duckdb_piecewise(cases25, _EPA_PM25, 500.0)
+    for c, want in cases25.items():
+        assert got_s[c] == pytest.approx(want, abs=5e-8), ("spark pm25", c)
+        assert got_d[c] == pytest.approx(want, abs=5e-8), ("duckdb pm25", c)
+    assert got_s[30.0] == pytest.approx(88.64377682, abs=5e-8)
+
+    cases10 = {54.0: 50.0, 100.0: _published_index(100.0, _EPA_PM10, 500.0)}
+    got_s = _eval_spark_piecewise(spark, cases10, _EPA_PM10, 500.0)
+    for c, want in cases10.items():
+        assert got_s[c] == pytest.approx(want, abs=5e-8), ("spark pm10", c)
+    assert got_s[100.0] == pytest.approx(73.27272727, abs=5e-8)
+
+    # engine contract for EPA's inter-segment gaps (12.0, 12.1): the
+    # piecewise builder clamps a gap value to the NEXT segment's floor
+    # index (greatest(c, lo)), i.e. 12.05 -> 51.0 — documented behavior,
+    # distinct from EPA's truncate-first convention; pinned so a silent
+    # change is caught
+    assert _eval_spark_piecewise(spark, [12.05], _EPA_PM25, 500.0)[12.05] == 51.0
+
+
+def test_lki_breakpoints_match_rivm_published_values(spark):
+    from mysense_spark.registry import LKI_BREAKPOINTS
+
+    # RIVM LKI pins: pm25 25 µg/m³ sits mid-segment (20,30)->(3,4): 3.5;
+    # pm10 50 µg/m³ in (45,60)->(4,5): 4 + 5/15 = 4.33333333;
+    # pm25 140 is the table top: 11; beyond saturates at 11.
+    got = _eval_spark_piecewise(spark, [25.0, 140.0, 180.0], LKI_BREAKPOINTS["pm25"], 11.0)
+    assert got[25.0] == pytest.approx(3.5, abs=5e-8)
+    assert got[140.0] == pytest.approx(11.0, abs=5e-8)
+    assert got[180.0] == pytest.approx(11.0, abs=5e-8)
+    got10 = _eval_spark_piecewise(spark, [50.0], LKI_BREAKPOINTS["pm10"], 11.0)
+    assert got10[50.0] == pytest.approx(4.33333333, abs=5e-8)
+
+
+def test_caqi_breakpoints_match_citeair_published_values(spark):
+    from mysense_spark.registry import CAQI_BREAKPOINTS, CAQI_CAP
+
+    # CiteAir background grid pins (class grid 0,25,50,75,100,125):
+    #   no2 75  -> (50,100)->(25,50):   37.5
+    #   o3  30  -> (0,60)->(0,25):      12.5
+    #   pm10 200-> (180,360)->(100,125): 100 + 25/180*20 = 102.77777778
+    #   pm25 10 -> (0,15)->(0,25):      16.66666667
+    assert _eval_spark_piecewise(spark, [75.0], CAQI_BREAKPOINTS["no2"], CAQI_CAP)[75.0] == pytest.approx(37.5, abs=5e-8)
+    assert _eval_spark_piecewise(spark, [30.0], CAQI_BREAKPOINTS["o3"], CAQI_CAP)[30.0] == pytest.approx(12.5, abs=5e-8)
+    assert _eval_spark_piecewise(spark, [200.0], CAQI_BREAKPOINTS["pm10"], CAQI_CAP)[200.0] == pytest.approx(102.77777778, abs=5e-8)
+    assert _eval_spark_piecewise(spark, [10.0], CAQI_BREAKPOINTS["pm25"], CAQI_CAP)[10.0] == pytest.approx(16.66666667, abs=5e-8)
+
+
+def test_aqhi_closed_form_matches_environment_canada(spark):
+    """AQHI = (1000/10.4) * sum_p (exp(beta_p * c_p) - 1), capped at 11 —
+    computed here with math.exp from the published coefficients."""
+    from pyspark.sql import functions as F
+
+    from mysense_spark.registry import AQHI_CAP, AQHI_COEFFS, AQHI_SCALE
+
+    assert AQHI_SCALE == pytest.approx(1000.0 / 10.4)
+    assert AQHI_COEFFS == {"o3": 0.000537, "no2": 0.000871, "pm25": 0.000487}
+
+    o3, no2, pm25 = 30.0, 40.0, 20.0
+    want = (1000.0 / 10.4) * (
+        (math.exp(0.000537 * o3) - 1)
+        + (math.exp(0.000871 * no2) - 1)
+        + (math.exp(0.000487 * pm25) - 1)
+    )
+    df = spark.createDataFrame([(o3, no2, pm25)], "o3 double, no2 double, pm25 double")
+    aqhi = F.lit(AQHI_SCALE) * (
+        (F.exp(F.lit(AQHI_COEFFS["o3"]) * F.col("o3")) - 1)
+        + (F.exp(F.lit(AQHI_COEFFS["no2"]) * F.col("no2")) - 1)
+        + (F.exp(F.lit(AQHI_COEFFS["pm25"]) * F.col("pm25")) - 1)
+    )
+    got = df.select(F.least(aqhi, F.lit(AQHI_CAP)).alias("a")).collect()[0]["a"]
+    assert got == pytest.approx(want, rel=1e-12)
+    # hand arithmetic: 96.1538 * (0.016240 + 0.035454 + 0.009788) = 5.9117
+    assert got == pytest.approx(5.9117, abs=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# Grubbs critical threshold
+# ---------------------------------------------------------------------------
+
+def test_grubbs_threshold_matches_published_table():
+    """G_crit = (N-1)/sqrt(N) * sqrt(t²/(N-2+t²)), t = t_{α/2N, N-2}.
+    Pinned two ways: against published two-sided α=0.05 critical values
+    (Grubbs/ASTM E178 table) and against an independent t quantile
+    (Simpson-integrated CDF, no shared code with _tdist.py)."""
+    from mysense_spark.operators._tdist import t_ppf
+
+    published = {8: 2.1266, 10: 2.2900, 20: 2.7082}  # ASTM E178, α=.05 two-sided
+    for n, want in published.items():
+        q = 0.05 / (2 * n)
+        t_indep = _t_isf(q, n - 2)
+        # the repo's t_ppf (lower quantile) must agree in magnitude
+        assert abs(t_ppf(q, n - 2)) == pytest.approx(t_indep, abs=2e-6)
+        crit = (n - 1) / math.sqrt(n) * math.sqrt(t_indep**2 / (n - 2 + t_indep**2))
+        assert crit == pytest.approx(want, abs=5e-4), n
+
+
+def test_grubbs_filter_on_grubbs_1969_example():
+    """The classic mass-spectrometer example: one gross outlier at
+    245.57; at α=0.05 exactly that point (and only it) is rejected."""
+    from mysense_spark.operators.qc import grubbs_filter
+
+    x = np.array([199.31, 199.53, 200.19, 200.82, 201.92, 201.95, 202.18, 245.57])
+    keep = grubbs_filter(x, alpha=0.05)
+    assert keep.tolist() == [True] * 7 + [False]
+
+
+# ---------------------------------------------------------------------------
+# OLS summary: se / t / R² / p
+# ---------------------------------------------------------------------------
+
+def test_ols_summary_matches_independent_recompute(spark, sf_dir):
+    """Take the query's own aligned (x, y) pairs for three kits, redo the
+    regression INDEPENDENTLY (numpy closed form on raw floats; true
+    Student-t two-sided p by Simpson integration) and require the graded
+    output to agree: exact fields to ~1e-5, the Hill t→z normal-tail
+    p approximation to 2e-3 absolute of the true t p-value."""
+    from mysense_spark.operators.regression import _aligned_pairs, q_ols_summary
+
+    out = {r["user_id"]: r for r in q_ols_summary(spark, sf_dir).collect()}
+    assert out, "no OLS rows"
+    pairs = _aligned_pairs(spark, sf_dir).collect()
+    by_user: dict = {}
+    for r in pairs:
+        by_user.setdefault(r["user_id"], []).append((float(r["x"]), float(r["y"])))
+
+    checked = 0
+    for uid in sorted(out)[:3]:
+        xy = by_user[uid]
+        n = len(xy)
+        x = np.array([p[0] for p in xy])
+        y = np.array([p[1] for p in xy])
+        if n < 4:
+            continue
+        xbar, ybar = x.mean(), y.mean()
+        cxx = float(((x - xbar) ** 2).sum())
+        cyy = float(((y - ybar) ** 2).sum())
+        cxy = float(((x - xbar) * (y - ybar)).sum())
+        slope = cxy / cxx
+        intercept = ybar - slope * xbar
+        sse = cyy - slope * cxy
+        se_s = math.sqrt((sse / (n - 2)) / cxx)
+        se_i = math.sqrt((sse / (n - 2)) * (1.0 / n + xbar * xbar / cxx))
+        r2 = cxy * cxy / (cxx * cyy)
+
+        row = out[uid]
+        assert row["slope"] == pytest.approx(slope, abs=2e-5)
+        assert row["intercept"] == pytest.approx(intercept, abs=2e-4)
+        assert row["se_slope"] == pytest.approx(se_s, abs=2e-5)
+        assert row["se_intercept"] == pytest.approx(se_i, abs=2e-4)
+        assert row["r2"] == pytest.approx(r2, abs=2e-5)
+        assert row["r2_adj"] == pytest.approx(1 - (1 - r2) * (n - 1) / (n - 2), abs=2e-5)
+        assert row["t_slope"] == pytest.approx(slope / se_s, abs=2e-4)
+
+        p_true_slope = 2.0 * _t_sf(abs(slope / se_s), n - 2)
+        p_true_int = 2.0 * _t_sf(abs(intercept / se_i), n - 2)
+        assert row["p_slope"] == pytest.approx(p_true_slope, abs=2e-3)
+        assert row["p_intercept"] == pytest.approx(p_true_int, abs=2e-3)
+        checked += 1
+    assert checked >= 2, "too few kits with n >= 4 to pin"
