@@ -239,32 +239,46 @@ def kit_throttle_batch(records: DataFrame) -> DataFrame:
     epoch_us is separate so callers can run a compressed/synthetic clock
     (the graded fixture) while reporting the archive's real timestamps.
 
-    Scale shape: one shuffle on kit_id — identical to the streaming state
-    store's sharding; per-kit history is bounded by the retention window,
-    not the corpus."""
+    Scale shape: one shuffle on kit_id (repartition — identical sharding
+    to the streaming state store), then ONE mapInPandas scan per
+    partition over all of its kits: per-key applyInPandas pays ~5 ms of
+    Arrow/pandas overhead per GROUP (measured: 5.4 s over 1 500 kits at
+    sf0.1 vs ~1 s for the partition scan); per-kit history is bounded by
+    the retention window, not the corpus. Duplicate (kit_id, epoch_us)
+    rows would make within-tie order nondeterministic — the record
+    stream's key contract."""
+    import numpy as np
 
-    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("epoch_us", kind="stable")
-        count, interval, last_us, pen_us = 0, float(INTERVAL_CAP_S), None, 0
-        acc, ivs, ns = [], [], []
-        for e_us in pdf["epoch_us"]:
-            accepted, count, interval, last_us, pen_us = _throttle_step(
-                int(e_us), count, interval, last_us, pen_us
-            )
-            acc.append(accepted)
-            ivs.append(float(interval))
-            ns.append(count)
-        return pd.DataFrame(
-            {
-                "kit_id": pdf["kit_id"],
-                "ts": pdf["ts"],
-                "accepted": acc,
-                "est_interval": ivs,
-                "count": ns,
-            }
+    def scan(batches):
+        chunks = [b for b in batches if len(b)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["kit_id", "epoch_us"], kind="stable", ignore_index=True
         )
+        kits = pdf["kit_id"].to_numpy()
+        eus = pdf["epoch_us"].to_numpy()
+        acc = np.empty(len(pdf), dtype=bool)
+        ivs = np.empty(len(pdf), dtype=float)
+        ns = np.empty(len(pdf), dtype=np.int64)
+        pk = None
+        count, interval, last_us, pen_us = 0, float(INTERVAL_CAP_S), None, 0
+        for i in range(len(pdf)):
+            if kits[i] != pk:
+                pk = kits[i]
+                count, interval, last_us, pen_us = 0, float(INTERVAL_CAP_S), None, 0
+            accepted, count, interval, last_us, pen_us = _throttle_step(
+                int(eus[i]), count, interval, last_us, pen_us
+            )
+            acc[i] = accepted
+            ivs[i] = interval
+            ns[i] = count
+        pdf["accepted"] = acc
+        pdf["est_interval"] = ivs
+        pdf["count"] = ns
+        yield pdf[["kit_id", "ts", "accepted", "est_interval", "count"]]
 
-    return records.groupBy("kit_id").applyInPandas(scan, _THROTTLE_OUT)
+    return records.repartition("kit_id").mapInPandas(scan, _THROTTLE_OUT)
 
 
 def dead_kit_report(fact: DataFrame, behind_s: int = 7200) -> DataFrame:
