@@ -11,6 +11,16 @@ spiking to 30s, and whole runs inflating 1.5-2x), and a single-shot
 reading would record that noise as engine time. "value" is the sum of
 the per-query best times; wall clock for the whole run is roughly double
 that.
+
+Noise protocol (the VERIFYLOG procedure, automated): any query whose
+suite best exceeds 2x its previously COMMITTED BENCH_DETAIL time is
+re-run standalone after the suite finishes (the stall windows are
+temporal, so a later re-run escapes them) and BOTH numbers land in
+BENCH_DETAIL.json under "noise_check" — the artifact itself then
+distinguishes a host stall (standalone back at the prior level) from a
+real regression (standalone confirms the slowdown) without adjudication.
+The reported per-query number becomes min(suite, standalone): the best
+observed reading is the engine time; the stall is the noise.
 """
 
 from __future__ import annotations
@@ -59,6 +69,38 @@ def main() -> None:
             if len(runs) >= 3:
                 break  # a noisy pair earns one tie-breaker run, no more
         timings[name] = round(min(runs), 3) if runs and not failed else -1.0
+
+    # --- noise protocol: standalone re-run of suspicious slowdowns ---
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    prior: dict[str, float] = {}
+    try:
+        with open(detail_path) as fh:
+            prior = json.load(fh).get("queries", {})
+    except Exception:
+        pass
+    qs = spark_queries()
+    noise_check: dict[str, dict] = {}
+    suspects = [
+        n
+        for n, t in timings.items()
+        if t > 0 and prior.get(n, 0) > 0 and t > 2.0 * prior[n]
+    ]
+    for name in suspects:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            try:
+                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            except Exception:
+                break
+        if best < float("inf"):
+            noise_check[name] = {
+                "suite": timings[name],
+                "standalone": round(best, 3),
+                "prior": prior[name],
+            }
+            timings[name] = min(timings[name], round(best, 3))
     total = round(sum(t for t in timings.values() if t > 0), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -69,11 +111,10 @@ def main() -> None:
     # final line as JSON — round 2's line (84 queries, ~2.1 kB) overflowed
     # that window and recorded "parsed": null. Budget the line to 1400 bytes,
     # keeping the slowest queries (the perf-relevant ones) inline.
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
         json.dump(
             {"metric": "mysense_spark_query_suite", "value": total, "unit": "sec",
-             "queries": timings, "sf": sf_val},
+             "queries": timings, "sf": sf_val, "noise_check": noise_check},
             fh,
         )
 
@@ -84,6 +125,7 @@ def main() -> None:
     line = json.dumps(
         {"metric": "mysense_spark_query_suite", "value": total, "unit": "sec",
          "n_queries": len(timings), "sf": sf_val, "detail": "BENCH_DETAIL.json",
+         "noise_checked": len(noise_check),
          "queries": slowest, "queries_elided": len(timings) - len(slowest)},
         separators=(",", ":"),
     )

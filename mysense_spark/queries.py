@@ -32,92 +32,79 @@ def _modules():
 
 # Queries hoisted to the very front of the registry: the driver's
 # correctness gate checks exactly the FIRST 50 entries, so this list is
-# kept to exactly 50. Round-6 layout: (a) the rows new or changed this
-# round — static_value_monitor + dead_kit_tiers (new graded twins of the
-# stateful streaming operators), hybrid_search_rrf (new: BM25 (+) kNN
-# reciprocal-rank fusion), quality_centroid_score (new: seed-centroid
-# quality classifier), gopher_filter / text_stats / quality_score
-# (nullif zero-word guards in both engines), bm25_search (corpus totals
-# now a broadcast dimension instead of a driver collect);
-# Late-round-6 additions to (a): a review pass changed five more graded
-# queries — joost_correction (the _hourly_pivot rh series was fabricated
-# by a least()-outside-the-guard slip, mirrored in the oracle so the
-# hash could not catch it; rh is now honestly sparse and the query
-# corrects each pollutant independently), pm_mass_fill (oracle's
-# n_filled now counts NULL raw values like the Spark side and the fill
-# itself), unpivot_long (pivot avg now the proven exact_avg/sql_avg
-# pair instead of a hand-inlined native round), station_calibration +
-# ols_summary (sqrt/division guards for collinear series in the shared
-# expression text).
-# crawl_rate_anomalies (new in late r6: batch twin of the streaming
-# crawl-rate monitor — path-dependent EMA graded via a DuckDB RECURSIVE
-# CTE oracle) also sits in (a).
-# Layout: (a) 16 new/changed rows (the 12 leading entries plus
-# gopher_filter / text_stats / quality_score / bm25_search further
-# down); (b) the 11 rows whose last driver evidence is round 3 (rolled
-# here from the r5 window, exactly as planned); (c) 23 of the 44 rows
-# whose last evidence is round 4, registry order (pm_mass_fill,
-# ols_summary, temperature_mix and tokenizer_fertility — also r4 — sit
-# in (a) as changed rows). The remaining 17 r4-evidence rows
-# (blob_metadata, frame_sample, hash_sample, corpus_build, stratified_sample,
-# approx_distinct_users, range_validate, tristate_validity,
-# zscore_outliers, grubbs_outliers, linear_regression, sigma_band,
-# region_revenue, cascade_rollup, asof_align, mode_per_user, coverage,
-# dedup_upsert) roll to round 7.
+# kept to exactly 50. Round-7 layout:
+# (a) 7 rows new or changed this round — kit_throttle +
+# alarm_suppression (new graded batch twins of the last two oracle-less
+# stateful semantics: IsBehavingKit per-device throttle and the 6 h
+# per-(kit,event) alarm suppression, both via recursive-CTE oracles),
+# semdedup_auto (new: corpus-proportional-K SemDeDup, the α-flattening
+# variant), tfidf_top_terms + perplexity_bucket (eager driver-side
+# scalars retired for broadcast-totals crossJoins — now fully lazy),
+# semdedup + ann_ivf (refactored onto the shared semdedup_pairs /
+# ann_ivf_search engines; outputs unchanged, freshness re-proved);
+# (b) the 18 rows whose last driver evidence is round 4, rolled here
+# exactly as planned in the r6 comment;
+# (c) 25 of the 43 rows whose last evidence is round 5, registry order.
+# The remaining 18 r5-evidence rows (dew_point, unit_conversion,
+# taylor_calibration, pricing_summary, region_rollup, revenue_quartiles,
+# sql_interface, top_revenue_orders, part_supplier_stats,
+# customers_without_orders, order_priority_counts, hourly_stats,
+# event_sessions, maintenance_window_join, props_json_stats,
+# chatty_kits, percentile_summary, sensor_set_diff) roll to round 8.
 _PRIORITY = (
-    # (a) new / fixed / changed in round 6
-    "static_value_monitor",
-    "dead_kit_tiers",
-    "hybrid_search_rrf",
-    "quality_centroid_score",
-    "joost_correction",
-    "pm_mass_fill",
-    "unpivot_long",
-    "station_calibration",
-    "ols_summary",
-    "temperature_mix",
-    "tokenizer_fertility",
-    "crawl_rate_anomalies",
-    "gopher_filter",
-    "text_stats",
-    "quality_score",
-    "bm25_search",
-    # (b) last driver evidence: round 3
-    "failing_sensor_report",
-    "distinct_active_kits",
-    "wide_view",
-    "timeslice_avg",
-    "latest_per_user",
-    "static_runs",
-    "gap_detection",
-    "interval_inference",
-    "dead_kits",
-    "hourly_gapfill",
-    "moving_average",
-    # (c) last driver evidence: round 4 (first 23 in registry order)
-    "ttn_decode",
-    "sensorthings_pull",
-    "csv_ingest",
-    "neighbour_search",
-    "geofence_transitions",
-    "spatial_pairs",
-    "dedup_exact",
-    "incremental_dedup",
-    "minhash_lsh_pairs",
-    "simhash_pairs",
-    "embedding_neardup",
-    "neardup_clusters",
-    "dedup_keep_best",
-    "knn_bruteforce",
-    "embedding_dim_stats",
-    "ann_ivf",
-    "cluster_stats",
-    "kmeans_train",
-    "duplicate_spans",
-    "pii_scrub",
+    # (a) new / changed in round 7
+    "kit_throttle",
+    "alarm_suppression",
+    "semdedup_auto",
     "tfidf_top_terms",
-    "lang_id",
-    "doc_fingerprint",
+    "perplexity_bucket",
+    "semdedup",
+    "ann_ivf",
+    # (b) last driver evidence: round 4 (the planned 18)
+    "blob_metadata",
+    "frame_sample",
+    "hash_sample",
+    "corpus_build",
+    "stratified_sample",
+    "approx_distinct_users",
+    "range_validate",
+    "tristate_validity",
+    "zscore_outliers",
+    "grubbs_outliers",
+    "linear_regression",
+    "sigma_band",
+    "region_revenue",
+    "cascade_rollup",
+    "asof_align",
+    "mode_per_user",
+    "coverage",
+    "dedup_upsert",
+    # (c) last driver evidence: round 5 (first 25 in registry order)
+    "ngram_jaccard_pairs",
+    "cross_split_leakage",
+    "source_overlap",
+    "decontam_report",
+    "embedding_outliers",
+    "ann_recall",
+    "winnow_fingerprints",
+    "vocab_stats",
+    "dup_ngram_frac",
+    "repetition_stats",
+    "token_count",
+    "media_embed",
+    "modality_mix",
+    "chunk_overlap",
+    "weighted_sample",
+    "url_filter",
+    "sequence_packing",
+    "multilinear_regression",
+    "minmax_normalize",
+    "fit_apply",
+    "daily_qc_report",
+    "aqi_index",
+    "lki_index",
+    "aqhi_index",
+    "caqi_index",
 )
 
 
