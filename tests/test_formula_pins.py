@@ -219,6 +219,154 @@ def test_aqhi_closed_form_matches_environment_canada(spark):
     assert got == pytest.approx(5.9117, abs=5e-4)
 
 
+def _hourly_means(sf_dir: str, series: dict[str, str]) -> dict:
+    """Independent hourly pivot: plain DuckDB avg over the raw events —
+    recomputed here so the checks below do not inherit the engine's
+    exact_avg machinery (plain avg differs only in ~1e-12 float dust,
+    inside every tolerance used)."""
+    import duckdb
+
+    cols = ", ".join(
+        f"avg({expr}) AS {name}" for name, expr in series.items()
+    )
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT user_id, date_trunc('hour', ts) AS hour, {cols} "
+        f"FROM read_parquet('{sf_dir}/events.parquet') GROUP BY 1, 2"
+    ).fetchall()
+    return {(r[0], r[1]): r[2:] for r in rows}
+
+
+def test_dew_point_matches_magnus_sonntag(spark, sf_dir):
+    """Magnus/Sonntag-1990 dew point: gamma = ln(RH/100) +
+    17.62·T/(243.12+T); dew = 243.12·gamma/(17.62−gamma) — recomputed
+    with math.log from independently aggregated hourly means, plus the
+    meteorology-table sanity point T=20 °C, RH=60 % → ~12.0 °C."""
+    g20 = math.log(0.6) + 17.62 * 20.0 / (243.12 + 20.0)
+    assert 243.12 * g20 / (17.62 - g20) == pytest.approx(12.00, abs=0.05)
+
+    from mysense_spark.operators.indices import q_dew_point
+
+    means = _hourly_means(
+        sf_dir,
+        {
+            "temp": "CASE WHEN event_type = 'signup' THEN value / 10 END",
+            "rh": "CASE WHEN event_type = 'purchase' THEN least(value / 2, 99.9) END",
+        },
+    )
+    rows = q_dew_point(spark, sf_dir).collect()
+    assert rows
+    checked = 0
+    for r in rows[:25]:
+        temp, rh = means[(r["user_id"], r["hour"])]
+        gamma = math.log(rh / 100.0) + 17.62 * temp / (243.12 + temp)
+        want = 243.12 * gamma / (17.62 - gamma)
+        assert r["dew_point"] == pytest.approx(want, abs=5e-4), (r["user_id"], r["hour"])
+        checked += 1
+    # the temp∩rh hourly intersection is sparse at sf0.001 (3 rows) —
+    # every emitted row must pin, however few
+    assert checked == len(rows[:25]) and checked > 0
+
+
+def test_joost_correction_matches_reference_factor(spark, sf_dir):
+    """Joost 2018 humidity correction pm' = pm · a · rh^b with the
+    correction INVALID (NULL) when the factor exceeds 1. The published
+    coefficient pairs put the crit point (factor = 1) at rh ≈ 27.9 %
+    for pm2.5 and ≈ 22.4 % for pm10 (the reference's own comment) —
+    both re-derived here from e^(ln a / −b); per-row values recomputed
+    from independent hourly means."""
+    for (a, b), crit in (((3.9, -0.409), 27.9), ((4.31, -0.47), 22.4)):
+        assert math.e ** (math.log(a) / -b) == pytest.approx(crit, abs=0.1)
+        assert a * crit**b == pytest.approx(1.0, abs=2e-3)
+
+    from mysense_spark.operators.indices import q_joost_correction
+
+    means = _hourly_means(
+        sf_dir,
+        {
+            "pm25": "CASE WHEN event_type = 'error' THEN value END",
+            "pm10": "CASE WHEN event_type = 'click' THEN value END",
+            "rh": "CASE WHEN event_type = 'purchase' THEN least(value / 2, 99.9) END",
+        },
+    )
+    rows = q_joost_correction(spark, sf_dir).collect()
+    assert rows
+    checked = 0
+    for r in rows[:25]:
+        pm25, pm10, rh = means[(r["user_id"], r["hour"])]
+        for pm, (a, b), got in ((pm25, (3.9, -0.409), r["pm25_corrected"]),
+                                (pm10, (4.31, -0.47), r["pm10_corrected"])):
+            f = a * rh**b
+            if pm is None:
+                assert got is None
+            elif f > 1.0:
+                assert got is None, "factor > 1 must invalidate, not correct upward"
+                checked += 1
+            else:
+                assert got == pytest.approx(pm * f, abs=5e-4)
+                checked += 1
+    assert checked >= 5
+
+
+def test_unit_conversion_matches_molar_formula(spark, sf_dir):
+    """µg/m³ → ppb: ppb = c · (273.15 + T) / (12.187 · M) with
+    M(NO₂) = 46.0055 g/mol, T = 20 °C — the reference's gas-law constant
+    12.187 (= R·10⁶/10⁵ scaling in its units). Hand point: 100 µg/m³ →
+    100·293.15/(12.187·46.0055) = 52.287 ppb."""
+    assert 100.0 * 293.15 / (12.187 * 46.0055) == pytest.approx(52.287, abs=2e-3)
+
+    import duckdb
+
+    from mysense_spark.operators.indices import q_unit_conversion
+
+    con = duckdb.connect()
+    raw = {
+        e: v
+        for e, v in con.execute(
+            f"SELECT event_id, value FROM read_parquet('{sf_dir}/events.parquet') "
+            f"WHERE event_type = 'signup'"
+        ).fetchall()
+    }
+    rows = q_unit_conversion(spark, sf_dir).collect()
+    assert len(rows) >= 5
+    for r in rows[:25]:
+        want = raw[r["event_id"]] * (273.15 + 20.0) / (12.187 * 46.0055)
+        assert r["ppb"] == pytest.approx(want, abs=5e-4), r["event_id"]
+
+
+def test_taylor_calibration_matches_chain(spark, sf_dir):
+    """Taylor chains value' = max(Σ aᵢ·valueⁱ, 0) — recomputed from the
+    registry coefficients by plain Python arithmetic on the raw event
+    values read independently via DuckDB."""
+    import duckdb
+
+    from mysense_spark.operators.indices import q_taylor_calibration
+    from mysense_spark.registry import TAYLOR_CHAINS
+
+    chains = {
+        "error": (*TAYLOR_CHAINS[("PMSx003", "pm25")], 0.0),
+        "click": (*TAYLOR_CHAINS[("SPS30", "pm25")], 0.0),
+        "view": (0.5, 1.1, 0.0001),
+    }
+    con = duckdb.connect()
+    raw = {
+        e: v
+        for e, v in con.execute(
+            f"SELECT event_id, value FROM read_parquet('{sf_dir}/events.parquet')"
+        ).fetchall()
+    }
+    rows = q_taylor_calibration(spark, sf_dir).collect()
+    assert len(rows) >= 5
+    checked = 0
+    for r in rows[:40]:
+        a0, a1, a2 = chains[r["event_type"]]
+        v = raw[r["event_id"]]
+        want = max(a0 + a1 * v + a2 * v * v, 0.0)
+        assert r["calibrated"] == pytest.approx(want, abs=5e-4), r["event_id"]
+        checked += 1
+    assert checked >= 5
+
+
 # ---------------------------------------------------------------------------
 # Grubbs critical threshold
 # ---------------------------------------------------------------------------
