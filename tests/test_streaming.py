@@ -407,6 +407,103 @@ def test_kit_throttle_stream_batch_parity(spark, tmp_path):
     assert sgot == sbatch
 
 
+def test_partition_scan_twins_match_naive_reference(spark):
+    """The r7 mapInPandas rewrite processes MANY keys per partition with
+    manual key-boundary detection — the bug class that per-key
+    applyInPandas could not have (state bleeding across adjacent keys in
+    one partition, a key split across partitions, resets missed at
+    boundaries). 200 keys through 4 shuffle partitions, LCG-generated
+    irregular timestamps, checked row-for-row against naive per-key
+    Python references that share NO code with the operators."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from mysense_spark.sinks.alerts import SUPPRESS_S, suppress_alarms
+    from mysense_spark.streaming.state import (
+        INTERVAL_CAP_S,
+        THROTTLE_MIN_COUNT,
+        THROTTLE_PENALTY_S,
+        THROTTLE_RATE_S,
+        kit_throttle_batch,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    seed = 42
+    for k in range(200):
+        t = 0
+        for _ in range(12):
+            seed = (seed * 1103515245 + 12345) % (1 << 31)
+            t += 30 + seed % 900  # gaps 30..929 s — straddles the 480 s floor
+            rows.append((f"kit{k:03d}", base + dt.timedelta(seconds=t), t * 1_000_000))
+
+    df = spark.createDataFrame(rows, "kit_id string, ts timestamp, epoch_us long")
+
+    # --- throttle: naive per-key reference (independent reimplementation)
+    def naive_throttle(series):
+        out = []
+        count, interval, last, pen = 0, float(INTERVAL_CAP_S), None, 0
+        for e in series:
+            acc = True
+            if last is not None:
+                d = min(e - last, INTERVAL_CAP_S * 1_000_000)
+                interval = (interval * count + d / 1e6) / (count + 1)
+                if e < pen:
+                    acc = False
+                elif count >= THROTTLE_MIN_COUNT and d < THROTTLE_RATE_S * 1_000_000 and interval < THROTTLE_RATE_S:
+                    acc = False
+                    pen = e + THROTTLE_PENALTY_S * 1_000_000
+            count += 1
+            last = e
+            out.append((acc, round(interval, 9), count))
+        return out
+
+    by_kit: dict = {}
+    for kid, _ts, eus in rows:
+        by_kit.setdefault(kid, []).append(eus)
+    want = {
+        (kid, e): r
+        for kid, es in by_kit.items()
+        for e, r in zip(es, naive_throttle(es))
+    }
+    got_rows = kit_throttle_batch(df.repartition(4, "kit_id")).collect()
+    assert len(got_rows) == len(rows)
+    got = {
+        (r["kit_id"], by_kit[r["kit_id"]][r["count"] - 1]): (
+            r["accepted"],
+            round(r["est_interval"], 9),
+            r["count"],
+        )
+        for r in got_rows
+    }
+    assert got == want
+
+    # --- suppression: naive per-key reference over two event classes
+    alarms = df.select(
+        "kit_id",
+        (F.col("epoch_us") % 2).cast("string").alias("event"),
+        "ts",
+    )
+    got_s = {
+        (r["kit_id"], r["event"], r["ts"]): r["emitted"]
+        for r in suppress_alarms(alarms.repartition(4, "kit_id", "event")).collect()
+    }
+    by_key: dict = {}
+    for kid, ts, eus in rows:
+        by_key.setdefault((kid, str(eus % 2)), []).append(ts)
+    n_checked = 0
+    for (kid, ev), tss in by_key.items():
+        last = None
+        for ts in sorted(tss):
+            emit = last is None or (ts - last).total_seconds() >= SUPPRESS_S
+            if emit:
+                last = ts
+            assert got_s[(kid, ev, ts)] == emit, (kid, ev, ts)
+            n_checked += 1
+    assert n_checked == len(rows)
+
+
 def test_alarm_suppression(spark):
     import datetime as dt
 

@@ -42,6 +42,8 @@ QUERY_NAMES = [
     "neardup_clusters",
     "semdedup",
     "semdedup_auto",
+    "kit_throttle",
+    "alarm_suppression",
     "ann_ivf",
     "ann_recall",
     "kmeans_train",
