@@ -260,11 +260,17 @@ def run_lines_stream(
     out_dir: str,
     watermark: str = "2 hours",
     partitioned: bool | None = None,
+    trigger: str | None = "available_now",
 ):
     """Shared S1/S2 tail: envelope parse -> decode -> watermark + dedup on
     the upsert key -> parquet upsert via foreachBatch. Every source
-    (drop-dir, Kafka, replay file) funnels through this one chain, so a
-    connector swap cannot change pipeline semantics.
+    (drop-dir, Kafka, socket, replay file) funnels through this one
+    chain, so a connector swap cannot change pipeline semantics.
+
+    `trigger`: "available_now" (default — drain-and-stop, for replayable
+    sources), a processing-time interval string ("5 seconds"), or None
+    for as-fast-as-possible micro-batches (required for the socket
+    source, which cannot replay and so cannot run availableNow).
 
     Archive layout (`partitioned`): None (the default) auto-selects —
     an EXISTING archive keeps its on-disk layout (flat stays flat,
@@ -299,12 +305,12 @@ def run_lines_stream(
         else:
             upsert_parquet(batch_df, out_dir, keys=["kit_id", "ts", "field"], order_col="ingest_ts")
 
-    return (
-        fact.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
+    writer = fact.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint)
+    if trigger == "available_now":
+        writer = writer.trigger(availableNow=True)
+    elif trigger is not None:
+        writer = writer.trigger(processingTime=trigger)
+    return writer.start()
 
 
 def run_file_stream(
@@ -345,3 +351,37 @@ def run_kafka_stream(
         .load()
     )
     return run_lines_stream(kafka_lines(records), checkpoint, out_dir, watermark)
+
+
+def run_socket_stream(
+    spark,
+    host: str,
+    port: int,
+    checkpoint: str,
+    out_dir: str,
+    watermark: str = "2 hours",
+    partitioned: bool | None = None,
+):
+    """S1 live-PUSH transport via Spark's built-in socket source: an
+    MQTT bridge (e.g. `mosquitto_sub ... | nc -l`) pushes '<topic>
+    <json>' lines over TCP and the stream lands in the archive with NO
+    file staging — the transport-level behavior the drop-dir path
+    cannot exercise (unbounded push, no per-file atomicity). Everything
+    after the source is run_lines_stream, byte-identical to the file
+    and Kafka paths, so the connector swap cannot change pipeline
+    semantics (proven live by test_socket_stream_end_to_end, which
+    drives a real localhost TCP server through this function).
+
+    Deployment note: the socket source is at-most-once (no replay on
+    failure — Spark's own caveat) and single-connection; it is the
+    live-bridge/dev transport. The at-least-once production path is
+    Kafka (run_kafka_stream, package-gated in this runtime)."""
+    lines = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+    return run_lines_stream(
+        lines, checkpoint, out_dir, watermark, partitioned=partitioned, trigger=None
+    )

@@ -407,6 +407,68 @@ def test_kit_throttle_stream_batch_parity(spark, tmp_path):
     assert sgot == sbatch
 
 
+def test_socket_stream_end_to_end(spark, tmp_path):
+    """A REAL live push transport: a localhost TCP server pushes the
+    MQTT dump lines over a socket and the full pipeline (socket source →
+    parse → decode → watermark/dedup → partitioned upsert) lands them
+    with no file staging — the S1 transport behavior the drop-dir replay
+    cannot exercise. Result must equal the batch twin row-for-row."""
+    import socket
+    import threading
+    import time
+
+    from mysense_spark.streaming.pipeline import run_file_batch, run_socket_stream
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    done = threading.Event()
+
+    def serve():
+        conn, _ = srv.accept()
+        conn.sendall(("\n".join(ALL_LINES) + "\n").encode())
+        done.wait(120)  # keep the connection open until the test is done
+        conn.close()
+        srv.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    dump = tmp_path / "twin.mqtt"
+    dump.write_text("\n".join(ALL_LINES) + "\n")
+    out_dir = str(tmp_path / "socket_archive")
+    q = run_socket_stream(
+        spark, "127.0.0.1", port, str(tmp_path / "socket_ckpt"), out_dir
+    )
+    try:
+        deadline = time.time() + 120
+        n = 0
+        while time.time() < deadline:
+            try:
+                n = spark.read.parquet(out_dir).count()
+            except Exception:
+                n = 0
+            if n >= 31:
+                break
+            time.sleep(2)
+    finally:
+        done.set()
+        q.stop()
+    assert n == 31, f"socket stream landed {n} rows"
+
+    streamed = {
+        (r["kit_id"], r["field"]): r["value"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = {
+        (r["kit_id"], r["field"]): r["value"]
+        for r in run_file_batch(spark, str(dump)).collect()
+    }
+    assert streamed == batch, "socket stream result != batch twin"
+
+
 def test_partition_scan_twins_match_naive_reference(spark):
     """The r7 mapInPandas rewrite processes MANY keys per partition with
     manual key-boundary detection — the bug class that per-key
