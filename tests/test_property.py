@@ -142,3 +142,60 @@ def test_sequence_packing_spans(tokens, budget):
         assert n_chunks >= 1
         # crossings: a doc spans exactly the chunks its token range touches
         assert n_chunks == len({t // budget for t in range(tok_start, cum)})
+
+
+# gaps drawn to straddle every decision boundary of IsBehavingKit:
+# exactly the 480 s rate floor (the strict-< edge), just inside/outside
+# it, the 1800 s interval cap, and a penalty-clearing jump
+_gap_s = st.sampled_from([1, 60, 479, 480, 481, 1799, 1800, 1801, 14400, 20000])
+
+
+@given(gaps=st.lists(_gap_s, min_size=1, max_size=60))
+@settings(max_examples=300, deadline=None)
+def test_throttle_step_invariants(gaps):
+    """IsBehavingKit invariants for ANY record sequence (the shared
+    _throttle_step drives the streaming handler, the graded batch twin,
+    and — as mirrored text — the DuckDB oracle):
+    - the first record is always accepted; count increments by 1;
+    - the interval estimate stays in (0, INTERVAL_CAP_S] (deltas are
+      capped, the running mean of capped deltas cannot exceed the cap);
+    - every record inside a penalty window is dropped, and the penalty
+      is NOT extended by in-penalty records;
+    - a fresh throttle fires only with count >= 3, delta < 480 s AND
+      updated interval < 480 s — re-derived here from the published
+      constants, not from the step function's own branches."""
+    from mysense_spark.streaming.state import (
+        INTERVAL_CAP_S,
+        THROTTLE_MIN_COUNT,
+        THROTTLE_PENALTY_S,
+        THROTTLE_RATE_S,
+        _throttle_step,
+    )
+
+    e = 1_700_000_000_000_000
+    count, interval, last, pen = 0, float(INTERVAL_CAP_S), None, 0
+    prev_pen = 0
+    for i, g in enumerate(gaps):
+        if i:
+            e += g * 1_000_000
+        prev_count, prev_interval, prev_last, prev_pen = count, interval, last, pen
+        accepted, count, interval, last, pen = _throttle_step(e, count, interval, last, pen)
+        assert count == prev_count + 1
+        assert 0.0 < interval <= float(INTERVAL_CAP_S)
+        if i == 0:
+            assert accepted
+            continue
+        # independent re-derivation of the decision
+        d = min(e - prev_last, INTERVAL_CAP_S * 1_000_000)
+        want_interval = (prev_interval * prev_count + d / 1e6) / (prev_count + 1)
+        assert interval == want_interval
+        if e < prev_pen:
+            assert not accepted and pen == prev_pen, "penalty must not extend"
+        elif (
+            prev_count >= THROTTLE_MIN_COUNT
+            and d < THROTTLE_RATE_S * 1_000_000
+            and want_interval < THROTTLE_RATE_S
+        ):
+            assert not accepted and pen == e + THROTTLE_PENALTY_S * 1_000_000
+        else:
+            assert accepted and pen == prev_pen
