@@ -284,6 +284,16 @@ def test_ivf_partitioned_layout_prunes_cells(spark, sf_dir, tmp_path):
     df_m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
     if df_m:
         assert "cent_id" not in df_m.group(1)
+    # and the pruning is visible in the files ACTUALLY READ at execution
+    # (inputFiles() lists the relation pre-pruning and is useless here):
+    # the probed read touches strictly fewer files than the full read
+    from pyspark.sql import functions as F
+
+    n_probed = probed.select(F.input_file_name()).distinct().count()
+    n_full = (
+        spark.read.parquet(path).select(F.input_file_name()).distinct().count()
+    )
+    assert 0 < n_probed < n_full, (n_probed, n_full)
 
 
 def test_sinks_never_materialize_on_driver():
