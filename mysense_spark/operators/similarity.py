@@ -149,6 +149,50 @@ def ivf_assigned(vecs: DataFrame, centroids: DataFrame | None = None) -> DataFra
     )
 
 
+def ivf_membership(vecs: DataFrame, centroids: DataFrame | None = None) -> DataFrame:
+    """Nearest-centroid MEMBERSHIP (the crank==1 slice of ivf_assigned)
+    via a map-side-combinable argmax instead of a window: the N×K scored
+    rows are slimmed to (vec_id, cent_id, cent_cos) BEFORE any exchange,
+    partial max(struct(cos, −cent_id)) combines inside each map task, and
+    the embedding arrays are joined back by vec_id afterward (an N-row
+    shuffle, not an N×K one). The window form moves N×K rows that still
+    carry the 64-float vectors through the exchange — measured 42.8 s at
+    sf1.0 with the K = ⌈N/64⌉ codebook (≈3.3 GB shuffle) vs ~4 s for
+    this agg form. Tie-break identical to ivf_assigned's
+    (desc rounded-cos, asc cent_id): max of (cos, −cent_id) — pinned by a
+    parity pytest so the two forms cannot drift."""
+    if centroids is None:
+        centroids = vecs.where(
+            (F.col("vec_id") >= _CENTROID_BASE) & (F.col("vec_id") < _CENTROID_BASE + _N_CENTROIDS)
+        )
+    cents = centroids.select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm")
+    )
+    cos_vc = ieee_round(_dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm")), 6)
+    # repartition BEFORE the broadcast nested loop: the N×K scoring stage
+    # otherwise inherits the corpus parquet's file count (2 files at
+    # sf1.0 → the whole 6.3M-row × 64-dim scoring ran on 2 of 32 cores,
+    # 47 s; spread over defaultParallelism it is ~4 s). An N-row shuffle
+    # of slim rows buys K× that much scoring parallelism.
+    par = vecs.sparkSession.sparkContext.defaultParallelism
+    scored = (
+        vecs.select("vec_id", "v", "norm")
+        .repartition(par)
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", "cent_id", cos_vc.alias("cent_cos"))
+    )
+    best = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("cent_cos").alias("c"), (-F.col("cent_id")).alias("nid"))
+            ).alias("m")
+        )
+        .select("vec_id", (-F.col("m.nid")).alias("cent_id"))
+    )
+    return vecs.join(best, "vec_id").select("vec_id", "v", "norm", "cent_id")
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: assign every vector to its nearest of 8 centroids
     (embeddings 100..107), probe the 2 closest clusters per query, rank
@@ -167,12 +211,21 @@ def ann_ivf_search(
     `nprobe` nearest clusters per query (candidates scanned ~ nprobe/K of
     the corpus; recall rises with nprobe — measured curve in SCALING.md).
     `centroids` as in ivf_assigned."""
-    # nearest centroid per vector (broadcast join: K rows) — shared
-    # assignment rule (ivf_assigned)
-    assigned = ivf_assigned(vecs, centroids)
-    membership = assigned.where(F.col("crank") == 1).select("vec_id", "v", "norm", "cent_id")
+    if centroids is None:
+        # derive the fixture codebook from the FULL corpus before any
+        # query-side filter narrows `vecs`
+        centroids = vecs.where(
+            (F.col("vec_id") >= _CENTROID_BASE) & (F.col("vec_id") < _CENTROID_BASE + _N_CENTROIDS)
+        )
+    # nearest centroid per vector: the agg form (ivf_membership) — the
+    # window form would drag the vectors through an N×K exchange
+    membership = ivf_membership(vecs, centroids)
+    # probes: top-nprobe cells per QUERY vector — the window runs on the
+    # query subset only (the vec_id filter pushes below the window: it
+    # is the partition key)
     probes = (
-        assigned.where((F.col("vec_id") < _N_QUERIES) & (F.col("crank") <= nprobe))
+        ivf_assigned(vecs.where(F.col("vec_id") < _N_QUERIES), centroids)
+        .where(F.col("crank") <= nprobe)
         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qnorm"), "cent_id")
     )
     cand = membership.select(
@@ -436,12 +489,7 @@ def write_ivf_partitioned(vecs: DataFrame, path: str, centroids: DataFrame | Non
     contract test) never lists the rest. The 100 TB deployment shape:
     assignment runs once at ingest, searches run forever against the
     pruned layout."""
-    membership = (
-        ivf_assigned(vecs, centroids)
-        .where(F.col("crank") == 1)
-        .select("vec_id", "v", "norm", "cent_id")
-    )
-    membership.write.mode("overwrite").partitionBy("cent_id").parquet(path)
+    ivf_membership(vecs, centroids).write.mode("overwrite").partitionBy("cent_id").parquet(path)
 
 
 def read_ivf_cells(spark: SparkSession, path: str, cell_ids: list[int]) -> DataFrame:
@@ -583,14 +631,11 @@ def semdedup_pairs(vecs: DataFrame, centroids: DataFrame | None = None) -> DataF
     (q_semdedup) and the corpus-proportional variant (q_semdedup_auto):
     assign to nearest centroid, equi-join pairs WITHIN clusters, drop a
     vector when cosine >= tau against any lower vec_id in its cluster."""
-    # persist the shared-rule assignment (ivf_assigned): it feeds BOTH
-    # self-join sides — uncached, the N x K centroid cross join + the
-    # per-vec window would run twice
-    membership = tracked_persist(
-        ivf_assigned(vecs, centroids)
-        .where(F.col("crank") == 1)
-        .select("vec_id", "v", "norm", "cent_id")
-    )
+    # persist the shared-rule assignment: it feeds BOTH self-join sides —
+    # uncached, the N x K centroid scoring would run twice. The agg form
+    # (ivf_membership) keeps the N×K stage exchange-free for big-K
+    # codebooks (semdedup_auto) — see ivf_membership's docstring
+    membership = tracked_persist(ivf_membership(vecs, centroids))
     a = membership.select(
         "cent_id", F.col("vec_id").alias("v1"), F.col("v").alias("va"), F.col("norm").alias("na")
     )

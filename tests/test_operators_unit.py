@@ -723,3 +723,35 @@ def test_pairs_cte_strips_presentation_order():
 
     assert SQL_MINHASH_LSH_PAIRS.strip().endswith("ORDER BY d1, d2")
     assert not _PAIRS_CTE.rstrip().endswith("ORDER BY d1, d2")
+
+
+def test_ivf_membership_agg_matches_window_rule(spark, sf_dir):
+    """The agg-form membership (ivf_membership: max(struct(cos, -cent_id)),
+    map-side combinable) and the window-form rule (ivf_assigned crank==1)
+    encode the same nearest-centroid semantics in two plans — this pins
+    them together so they cannot drift, for BOTH the fixture codebook and
+    a big modulo codebook (where ties and the -cent_id tie-break actually
+    fire)."""
+    from pyspark.sql import functions as F
+
+    from mysense_spark.operators.similarity import (
+        _vectors,
+        ivf_assigned,
+        ivf_membership,
+        modulo_centroids,
+    )
+
+    vecs = _vectors(spark, sf_dir)
+    for cents in (None, modulo_centroids(vecs, 32)):
+        via_agg = {
+            r["vec_id"]: r["cent_id"]
+            for r in ivf_membership(vecs, cents).collect()
+        }
+        via_window = {
+            r["vec_id"]: r["cent_id"]
+            for r in ivf_assigned(vecs, cents)
+            .where(F.col("crank") == 1)
+            .select("vec_id", "cent_id")
+            .collect()
+        }
+        assert via_agg == via_window
