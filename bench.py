@@ -13,22 +13,35 @@ the per-query best times; wall clock for the whole run is roughly double
 that.
 
 Noise protocol (the VERIFYLOG procedure, automated): any query whose
-suite best exceeds 2x its previously COMMITTED BENCH_DETAIL time is
+suite best exceeds 1.8x its previously COMMITTED BENCH_DETAIL time is
 re-run standalone after the suite finishes (the stall windows are
 temporal, so a later re-run escapes them) and BOTH numbers land in
 BENCH_DETAIL.json under "noise_check" — the artifact itself then
 distinguishes a host stall (standalone back at the prior level) from a
 real regression (standalone confirms the slowdown) without adjudication.
-The reported per-query number becomes min(suite, standalone): the best
-observed reading is the engine time; the stall is the noise.
+The reported per-query number becomes min(suite, standalone) — but when
+the standalone best ALSO sits materially above the committed prior
+(>1.5x) the slowdown is real, the entry is marked
+"confirmed_regression": true, and min() cannot launder it away (the
+min-becomes-next-baseline ratchet only ever suppresses readings the
+standalone run disconfirms).
+
+Suite order is a seeded random shuffle (seed recorded in
+BENCH_DETAIL.json): the host's stall windows are temporal, so a FIXED
+alphabetical order correlates them with the same query names round
+after round — shuffling decorrelates the clusters across rounds.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import random
 import sys
 import time
+
+SUSPECT_X = 1.8  # suite/prior ratio that triggers a standalone re-run
+CONFIRM_X = 1.5  # standalone/prior ratio that marks a real regression
 
 
 def main() -> None:
@@ -48,8 +61,12 @@ def main() -> None:
     for t in TABLES:
         load(spark, sf_dir, t).count()
 
+    order_seed = int(os.environ.get("SPARK_GRAFT_BENCH_SEED", time.time_ns() % 2**31))
+    ordered = sorted(spark_queries().items())
+    random.Random(order_seed).shuffle(ordered)
+
     timings: dict[str, float] = {}
-    for name, fn in sorted(spark_queries().items()):
+    for name, fn in ordered:
         runs: list[float] = []
         failed = False
         while not failed:
@@ -83,7 +100,7 @@ def main() -> None:
     suspects = [
         n
         for n, t in timings.items()
-        if t > 0 and prior.get(n, 0) > 0 and t > 2.0 * prior[n]
+        if t > 0 and prior.get(n, 0) > 0 and t > SUSPECT_X * prior[n]
     ]
     for name in suspects:
         best = float("inf")
@@ -95,10 +112,12 @@ def main() -> None:
             except Exception:
                 break
         if best < float("inf"):
+            confirmed = best > CONFIRM_X * prior[name]
             noise_check[name] = {
                 "suite": timings[name],
                 "standalone": round(best, 3),
                 "prior": prior[name],
+                "confirmed_regression": confirmed,
             }
             timings[name] = min(timings[name], round(best, 3))
     total = round(sum(t for t in timings.values() if t > 0), 3)
@@ -114,7 +133,8 @@ def main() -> None:
     with open(detail_path, "w") as fh:
         json.dump(
             {"metric": "mysense_spark_query_suite", "value": total, "unit": "sec",
-             "queries": timings, "sf": sf_val, "noise_check": noise_check},
+             "queries": timings, "sf": sf_val, "noise_check": noise_check,
+             "order_seed": order_seed},
             fh,
         )
 

@@ -683,8 +683,13 @@ def sqrt_centroids(vecs: DataFrame) -> DataFrame:
     dominates (measured: not yet at 20k vectors — SCALING.md). Beyond
     that, a trained hierarchical codebook (kmeans_train) with a pruned
     assignment join is the real at-scale path."""
+    # integer-safe perfect-square test: double sqrt of a vec_id beyond
+    # ~2^52 can land a hair below the true root and floor to r-1, which
+    # would silently drop a centroid — so accept r*r OR (r+1)*(r+1),
+    # with both compares in exact int64
     r = F.floor(F.sqrt(F.col("vec_id").cast("double"))).cast("long")
-    return vecs.where((r * r) == F.col("vec_id"))
+    is_sq = ((r * r) == F.col("vec_id")) | (((r + 1) * (r + 1)) == F.col("vec_id"))
+    return vecs.where(is_sq)
 
 
 def q_semdedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:

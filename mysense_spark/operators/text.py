@@ -921,10 +921,23 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scoring join is broadcast. One corpus scan, top-k per query via
     a bounded window.
     """
+    return bm25_rank(load(spark, sf_dir, "documents"), _BM25_QUERIES)
+
+
+def bm25_rank(
+    doc: DataFrame,
+    queries: dict[int, tuple],
+    k1: float = _BM25_K1,
+    b: float = _BM25_B,
+    top_k: int = _BM25_TOP_K,
+) -> DataFrame:
+    """The BM25 engine behind q_bm25_search, over an injectable corpus
+    (doc_id, text) — the formula-pin test runs it on a planted corpus
+    whose Robertson scores are hand-computed from the published formula
+    restated in the test."""
     from .util import exact_sum
 
-    doc = load(spark, sf_dir, "documents")
-    all_terms = sorted({t for ts in _BM25_QUERIES.values() for t in ts})
+    all_terms = sorted({t for ts in queries.values() for t in ts})
     # tokenize ONCE: the token-array projection is persisted and both the
     # length side (dl) and the term side (tok) derive from it — one
     # parquet scan + one regex pass for the whole query (r3 ran the regex
@@ -949,16 +962,16 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..io import values_df
 
     qdf = values_df(
-        spark,
-        [(qid, t) for qid, ts in sorted(_BM25_QUERIES.items()) for t in ts],
+        doc.sparkSession,
+        [(qid, t) for qid, ts in sorted(queries.items()) for t in ts],
         "query_id bigint, t string",
     )
 
     n_docs = F.col("nd").cast("double")
     avgdl = F.col("sdl").cast("double") / n_docs
     idf = F.log((n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-    tf_part = (F.col("tf") * (_BM25_K1 + 1)) / (
-        F.col("tf") + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / avgdl)
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)
     )
     # dl is corpus-sized — never broadcast it; the join keys on doc_id
     # where the tf side is already reduced to matching docs only. The
@@ -981,7 +994,7 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= _BM25_TOP_K)
+        .where(F.col("rank") <= top_k)
         .select("query_id", "rank", "doc_id", "n_terms_hit", "score")
         .orderBy("query_id", "rank")
     )
@@ -1202,11 +1215,21 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     so row frames equal position frames), a distinct on the selected
     set, and the min!=max-over-hash-partition trick for cross-doc
     sharing — linear, no self-join, no Python."""
+    return winnow(load(spark, sf_dir, "documents"))
+
+
+def winnow(doc: DataFrame) -> DataFrame:
+    """The winnowing engine behind q_winnow_fingerprints, over an
+    injectable corpus (doc_id, text) — the formula-pin test runs it on
+    planted documents whose fingerprint sets, density, and the scheme's
+    published guarantees (Schleimer/Wilkerson/Aiken 2003: every window
+    of w consecutive grams contributes a fingerprint; any match of
+    length >= k+w-1 tokens is caught) are recomputed independently in
+    the test."""
     from pyspark.sql import Window
 
     from .util import ieee_round
 
-    doc = load(spark, sf_dir, "documents")
     min_words = _WIN_K + _WIN_W - 1
     toks = doc.select(
         "doc_id", F.expr(f"regexp_extract_all(text, '{_WORD_RE}', 0)").alias("w")

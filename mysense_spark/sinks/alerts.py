@@ -21,47 +21,51 @@ def suppress_alarms(alarms: DataFrame, suppress_s: int = SUPPRESS_S) -> DataFram
     for the same (kit_id, event) passed within the last `suppress_s`.
 
     Exact pass/drop needs a sequential scan per key (the gap resets only
-    on *emitted* alarms). Shape: repartition on the key, then ONE
-    mapInPandas scan per partition over all of its keys — a per-key
-    applyInPandas measured ~5 ms of Arrow/pandas overhead PER GROUP
-    (16 s for 3 000 tiny groups at sf0.1); the per-partition scan pays
-    that overhead once per partition (~1 s same data). Same shuffle
-    (hash on the key), same sequential semantics; the scan compares
-    exact int64 nanoseconds, boundary-identical to the oracle's
-    epoch_us arithmetic. Duplicate (kit, event, ts) rows would make the
+    on *emitted* alarms). Shape: repartition on the key plus a
+    partition-local sort on (kit_id, event, ts), then ONE mapInPandas
+    scan per partition over all of its keys — a per-key applyInPandas
+    measured ~5 ms of Arrow/pandas overhead PER GROUP (16 s for 3 000
+    tiny groups at sf0.1); the per-partition scan pays that overhead
+    once per Arrow batch. The sort makes keys group-contiguous ACROSS
+    batches, so the scan carries (last_emit, armed) from batch to batch
+    and never materializes the partition — task memory is one Arrow
+    batch, not data/shuffle-partitions (the old concat-everything form
+    could OOM on a large or skewed partition). Same shuffle (hash on
+    the key), same sequential semantics; the scan compares exact int64
+    nanoseconds, boundary-identical to the oracle's epoch_us
+    arithmetic. Duplicate (kit, event, ts) rows would make the
     within-tie order nondeterministic — the alarm feed's key contract,
     as with the throttle twin."""
     import numpy as np
-    import pandas as pd
 
     s_ns = int(suppress_s) * 1_000_000_000
 
     def scan(batches):
-        chunks = [b for b in batches if len(b)]
-        if not chunks:
-            return
-        pdf = pd.concat(chunks, ignore_index=True).sort_values(
-            ["kit_id", "event", "ts"], kind="stable", ignore_index=True
-        )
-        kit = pdf["kit_id"].to_numpy()
-        ev = pdf["event"].to_numpy()
-        ts_ns = pdf["ts"].astype("int64").to_numpy()
-        emitted = np.empty(len(pdf), dtype=bool)
         pk = pe = None
         last = 0
         have = False
-        for i in range(len(pdf)):
-            if kit[i] != pk or ev[i] != pe:
-                pk, pe, have = kit[i], ev[i], False
-            if not have or ts_ns[i] - last >= s_ns:
-                emitted[i] = True
-                last = ts_ns[i]
-                have = True
-            else:
-                emitted[i] = False
-        pdf["emitted"] = emitted
-        yield pdf[["kit_id", "event", "ts", "emitted"]]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            kit = pdf["kit_id"].to_numpy()
+            ev = pdf["event"].to_numpy()
+            ts_ns = pdf["ts"].astype("int64").to_numpy()
+            emitted = np.empty(len(pdf), dtype=bool)
+            for i in range(len(pdf)):
+                if kit[i] != pk or ev[i] != pe:
+                    pk, pe, have = kit[i], ev[i], False
+                if not have or ts_ns[i] - last >= s_ns:
+                    emitted[i] = True
+                    last = ts_ns[i]
+                    have = True
+                else:
+                    emitted[i] = False
+            out = pdf.copy()
+            out["emitted"] = emitted
+            yield out[["kit_id", "event", "ts", "emitted"]]
 
-    return alarms.repartition("kit_id", "event").mapInPandas(
-        scan, "kit_id string, event string, ts timestamp, emitted boolean"
+    return (
+        alarms.repartition("kit_id", "event")
+        .sortWithinPartitions("kit_id", "event", "ts")
+        .mapInPandas(scan, "kit_id string, event string, ts timestamp, emitted boolean")
     )

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -60,6 +61,14 @@ def _layout(path: str) -> str | None:
     return None
 
 
+def _stash_name(path: str) -> str:
+    """`__old_` stash with a zero-padded epoch-ns field: the monotonic
+    creation order is encoded in the NAME, so _restore_orphans can pick
+    the latest stash without trusting directory mtimes (which tie within
+    filesystem granularity and make 'latest' arbitrary)."""
+    return f"{path}__old_{time.time_ns():020d}_{uuid.uuid4().hex[:8]}"
+
+
 def _restore_orphans(path: str) -> None:
     """Automatic restart recovery for the flat swap: a crash between the
     two renames leaves the archive path absent with all data stranded in
@@ -74,10 +83,23 @@ def _restore_orphans(path: str) -> None:
     names = os.listdir(parent)
     olds = [d for d in names if d.startswith(base + "__old_")]
     if olds and not os.path.exists(path):
-        # a crash during rollback can leave TWO stashes; the most
-        # recently modified one is the later archive state — restoring
-        # lexicographically-first could resurrect the older archive
-        olds.sort(key=lambda d: os.path.getmtime(os.path.join(parent, d)))
+        # a crash during rollback can leave TWO stashes; the LATEST one
+        # is the later archive state — restoring an earlier one would
+        # resurrect the older archive. Order by the monotonic epoch-ns
+        # encoded in the stash name (_stash_name): directory mtimes tie
+        # within filesystem timestamp granularity and can be disturbed
+        # by tooling, making an mtime-only 'latest' pick arbitrary.
+        # Legacy stashes without the epoch field fall back to mtime on
+        # the same ns scale, so mixed old/new stash sets still order by
+        # (approximate) creation time.
+        def stamp(d: str) -> tuple[int, str]:
+            suffix = d[len(base + "__old_"):]
+            head = suffix.split("_", 1)[0]
+            if len(head) == 20 and head.isdigit():
+                return (int(head), d)
+            return (int(os.path.getmtime(os.path.join(parent, d)) * 1e9), d)
+
+        olds.sort(key=stamp)
         os.rename(os.path.join(parent, olds.pop()), path)
     for d in olds:
         shutil.rmtree(os.path.join(parent, d))
@@ -112,7 +134,7 @@ def upsert_parquet(new_df: DataFrame, path: str, keys: list[str], order_col: str
     # — the previous rmtree-then-rename left a window where a driver
     # crash lost the whole archive, and the checkpoint replay would then
     # rebuild it from the last micro-batch alone
-    trash = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    trash = _stash_name(path)
     if os.path.exists(path):
         os.rename(path, trash)
     try:
@@ -317,7 +339,7 @@ def migrate_to_partitioned(spark: SparkSession, path: str, ts_col: str = "ts") -
         .partitionBy(DAY_COL)
         .parquet(tmp)
     )
-    trash = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    trash = _stash_name(path)
     os.rename(path, trash)
     try:
         os.rename(tmp, path)

@@ -148,8 +148,18 @@ _THROTTLE_OUT = StructType(
         StructField("count", LongType()),
     ]
 )
+# Version 2: last_epoch / penalty_until hold integer MICROSECONDS (in a
+# double — micros < 2^53 round-trip exactly); version 1 held float
+# SECONDS in the same 4-field schema, so a v1 checkpoint restarted under
+# v2 code would silently misread seconds as micros (first delta caps
+# out; an active 4 h penalty expires instantly). The `ver` field makes
+# the unit change structural: Spark's state-schema compatibility check
+# rejects a 4-field v1 checkpoint outright, and the in-handler assert
+# below catches any future unit change that keeps the arity.
+_THROTTLE_STATE_VER = 2
 _THROTTLE_STATE = StructType(
     [
+        StructField("ver", LongType()),
         StructField("count", LongType()),
         StructField("interval", DoubleType()),
         StructField("last_epoch", DoubleType()),
@@ -194,9 +204,17 @@ def kit_throttle(record_stream: DataFrame) -> DataFrame:
 
     def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         (kit_id,) = key
-        count, interval, last_epoch, penalty_until = (
-            state.get if state.exists else (0, float(INTERVAL_CAP_S), None, 0.0)
+        ver, count, interval, last_epoch, penalty_until = (
+            state.get
+            if state.exists
+            else (_THROTTLE_STATE_VER, 0, float(INTERVAL_CAP_S), None, 0.0)
         )
+        if ver != _THROTTLE_STATE_VER:
+            raise ValueError(
+                f"throttle state version {ver} != {_THROTTLE_STATE_VER}: "
+                f"checkpoint written by incompatible code (state units "
+                f"changed) — reset the checkpoint instead of misreading it"
+            )
         # state holds epochs as DOUBLE; integer micros < 2^53 round-trip
         # exactly, so the int arithmetic in _throttle_step is preserved
         last_us = None if last_epoch is None else int(last_epoch)
@@ -219,7 +237,13 @@ def kit_throttle(record_stream: DataFrame) -> DataFrame:
                 )
                 out.append((kit_id, ts, accepted, float(interval), int(count)))
         state.update(
-            (count, interval, None if last_us is None else float(last_us), float(pen_us))
+            (
+                _THROTTLE_STATE_VER,
+                count,
+                interval,
+                None if last_us is None else float(last_us),
+                float(pen_us),
+            )
         )
         yield pd.DataFrame(out, columns=[f.name for f in _THROTTLE_OUT.fields])
 
@@ -240,45 +264,53 @@ def kit_throttle_batch(records: DataFrame) -> DataFrame:
     (the graded fixture) while reporting the archive's real timestamps.
 
     Scale shape: one shuffle on kit_id (repartition — identical sharding
-    to the streaming state store), then ONE mapInPandas scan per
-    partition over all of its kits: per-key applyInPandas pays ~5 ms of
-    Arrow/pandas overhead per GROUP (measured: 5.4 s over 1 500 kits at
-    sf0.1 vs ~1 s for the partition scan); per-kit history is bounded by
-    the retention window, not the corpus. Duplicate (kit_id, epoch_us)
-    rows would make within-tie order nondeterministic — the record
-    stream's key contract."""
+    to the streaming state store) with a partition-local sort on
+    (kit_id, epoch_us), then ONE mapInPandas scan per partition over all
+    of its kits: per-key applyInPandas pays ~5 ms of Arrow/pandas
+    overhead per GROUP (measured: 5.4 s over 1 500 kits at sf0.1 vs ~1 s
+    for the partition scan). The sort makes keys group-contiguous ACROSS
+    Arrow batches, so the scan carries the per-key registers from batch
+    to batch and never materializes the partition — task memory is one
+    Arrow batch (maxRecordsPerBatch rows), not data/shuffle-partitions
+    (a skewed partition under the old concat-everything form could OOM
+    an executor). Per-kit history is bounded by the retention window,
+    not the corpus. Duplicate (kit_id, epoch_us) rows would make
+    within-tie order nondeterministic — the record stream's key
+    contract."""
     import numpy as np
 
     def scan(batches):
-        chunks = [b for b in batches if len(b)]
-        if not chunks:
-            return
-        pdf = pd.concat(chunks, ignore_index=True).sort_values(
-            ["kit_id", "epoch_us"], kind="stable", ignore_index=True
-        )
-        kits = pdf["kit_id"].to_numpy()
-        eus = pdf["epoch_us"].to_numpy()
-        acc = np.empty(len(pdf), dtype=bool)
-        ivs = np.empty(len(pdf), dtype=float)
-        ns = np.empty(len(pdf), dtype=np.int64)
         pk = None
         count, interval, last_us, pen_us = 0, float(INTERVAL_CAP_S), None, 0
-        for i in range(len(pdf)):
-            if kits[i] != pk:
-                pk = kits[i]
-                count, interval, last_us, pen_us = 0, float(INTERVAL_CAP_S), None, 0
-            accepted, count, interval, last_us, pen_us = _throttle_step(
-                int(eus[i]), count, interval, last_us, pen_us
-            )
-            acc[i] = accepted
-            ivs[i] = interval
-            ns[i] = count
-        pdf["accepted"] = acc
-        pdf["est_interval"] = ivs
-        pdf["count"] = ns
-        yield pdf[["kit_id", "ts", "accepted", "est_interval", "count"]]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            kits = pdf["kit_id"].to_numpy()
+            eus = pdf["epoch_us"].to_numpy()
+            acc = np.empty(len(pdf), dtype=bool)
+            ivs = np.empty(len(pdf), dtype=float)
+            ns = np.empty(len(pdf), dtype=np.int64)
+            for i in range(len(pdf)):
+                if kits[i] != pk:
+                    pk = kits[i]
+                    count, interval, last_us, pen_us = 0, float(INTERVAL_CAP_S), None, 0
+                accepted, count, interval, last_us, pen_us = _throttle_step(
+                    int(eus[i]), count, interval, last_us, pen_us
+                )
+                acc[i] = accepted
+                ivs[i] = interval
+                ns[i] = count
+            out = pdf.copy()
+            out["accepted"] = acc
+            out["est_interval"] = ivs
+            out["count"] = ns
+            yield out[["kit_id", "ts", "accepted", "est_interval", "count"]]
 
-    return records.repartition("kit_id").mapInPandas(scan, _THROTTLE_OUT)
+    return (
+        records.repartition("kit_id")
+        .sortWithinPartitions("kit_id", "epoch_us")
+        .mapInPandas(scan, _THROTTLE_OUT)
+    )
 
 
 def dead_kit_report(fact: DataFrame, behind_s: int = 7200) -> DataFrame:

@@ -451,3 +451,195 @@ def test_ols_summary_matches_independent_recompute(spark, sf_dir):
         assert row["p_intercept"] == pytest.approx(p_true_int, abs=2e-3)
         checked += 1
     assert checked >= 2, "too few kits with n >= 4 to pin"
+
+
+# ---------------------------------------------------------------------------
+# BM25 (Robertson/Spärck Jones; k1=1.2, b=0.75, +1-floored ln idf)
+# ---------------------------------------------------------------------------
+
+def _bm25_expected(docs: dict[int, str], query_terms, k1=1.2, b=0.75):
+    """Hand restatement of the Robertson BM25 used by the engine:
+    idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1),
+    tf_part = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)),
+    score(q, d) = sum over query terms present in d of idf*tf_part.
+    Plain Python dict/loops on whitespace tokens — shares nothing with
+    the engine's Spark expressions or the DuckDB oracle."""
+    toks = {d: t.split() for d, t in docs.items()}
+    n = len(docs)
+    avgdl = sum(len(w) for w in toks.values()) / n
+    df = {t: sum(1 for w in toks.values() if t in w) for t in query_terms}
+    out = {}
+    for d, w in toks.items():
+        s = 0.0
+        hits = 0
+        for t in query_terms:
+            tf = w.count(t)
+            if tf == 0:
+                continue
+            hits += 1
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            tfp = (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(w) / avgdl))
+            s += idf * tfp
+        if hits:
+            out[d] = (hits, s)
+    return out
+
+
+def test_bm25_matches_hand_computed_robertson_scores(spark):
+    """Planted 5-doc corpus with known tf/df/dl; the engine's ranked
+    output must reproduce the hand-computed Robertson scores (saturation
+    AND length normalization both exercised: doc 3 repeats 'cat' 4x but
+    is long; doc 1 has one 'cat' and is short)."""
+    from mysense_spark.operators.text import bm25_rank
+
+    docs = {
+        1: "cat sat on the mat",
+        2: "dog ate my homework today ok fine",
+        3: "cat cat cat cat big fluffy cat house pet animal word pad len more toks here",
+        4: "mat under dog",
+        5: "nothing relevant here at all",
+    }
+    queries = {0: ("cat", "mat"), 1: ("dog",)}
+    doc_df = spark.createDataFrame(
+        [(d, t) for d, t in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        (r["query_id"], r["doc_id"]): r
+        for r in bm25_rank(doc_df, queries).collect()
+    }
+
+    exp0 = _bm25_expected(docs, queries[0])
+    exp1 = _bm25_expected(docs, queries[1])
+    # coverage: every doc containing a query term appears, nothing else
+    assert {d for (q, d) in got if q == 0} == set(exp0)
+    assert {d for (q, d) in got if q == 1} == set(exp1)
+    for d, (hits, score) in exp0.items():
+        row = got[(0, d)]
+        assert row["n_terms_hit"] == hits
+        assert row["score"] == pytest.approx(score, abs=2e-6)
+    for d, (hits, score) in exp1.items():
+        row = got[(1, d)]
+        assert row["n_terms_hit"] == hits
+        assert row["score"] == pytest.approx(score, abs=2e-6)
+    # ranking follows the hand scores (desc, doc_id tiebreak)
+    want_rank0 = [d for d, _ in sorted(exp0.items(), key=lambda kv: (-kv[1][1], kv[0]))]
+    got_rank0 = [d for (q, d), r in sorted(got.items(), key=lambda kv: kv[1]["rank"]) if q == 0]
+    assert got_rank0 == want_rank0
+
+
+def test_bm25_saturation_and_idf_properties(spark):
+    """Two structural consequences of the published formula, checked on
+    corpora BUILT to isolate them: (a) tf saturation — among equal-length
+    docs, score grows with tf but with strictly diminishing increments,
+    bounded by the k1+1 asymptote; (b) rarer terms outscore common ones
+    at equal tf/dl (the idf ordering)."""
+    from mysense_spark.operators.text import bm25_rank
+
+    # (a) equal-length docs, tf = 1..4 of 'cat' padded to length 8
+    pads = ["p1 p2 p3 p4 p5 p6 p7", "q1 q2 q3 q4 q5 q6", "r1 r2 r3 r4 r5", "s1 s2 s3 s4"]
+    docs = {
+        i + 1: (("cat " * (i + 1)) + pads[i]).strip() for i in range(4)
+    }
+    doc_df = spark.createDataFrame(
+        [(d, t) for d, t in docs.items()], "doc_id long, text string"
+    )
+    rows = bm25_rank(doc_df, {0: ("cat",)}).collect()
+    score = {r["doc_id"]: r["score"] for r in rows}
+    s = [score[i] for i in range(1, 5)]
+    assert s == sorted(s), "score must grow with tf"
+    incs = [s[i + 1] - s[i] for i in range(3)]
+    assert incs[0] > incs[1] > incs[2] > 0, "increments must diminish (saturation)"
+    # k1+1 asymptote on the tf part: score/idf < k1+1
+    n, df_ = 4, 4
+    idf = math.log((n - df_ + 0.5) / (df_ + 0.5) + 1.0)
+    assert all(x / idf < 2.2 for x in s)
+
+    # (b) idf ordering: 'rare' in 1 of 4 docs vs 'common' in 3 of 4
+    docs2 = {
+        1: "rare common filler a b c",
+        2: "common filler d e f g",
+        3: "common filler h i j k",
+        4: "filler l m n o p",
+    }
+    doc_df2 = spark.createDataFrame(
+        [(d, t) for d, t in docs2.items()], "doc_id long, text string"
+    )
+    rows2 = bm25_rank(doc_df2, {0: ("rare",), 1: ("common",)}).collect()
+    top = {r["query_id"]: r for r in rows2 if r["rank"] == 1}
+    assert top[0]["score"] > top[1]["score"], "rarer term must outscore commoner term"
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (Schleimer / Wilkerson / Aiken, SIGMOD 2003; k=5, w=4)
+# ---------------------------------------------------------------------------
+
+def _winnow_expected(words, k=5, w=4):
+    """Hand restatement of the winnowing selection: hash every word
+    k-gram (md5, first 15 hex digits as int — the corpus-wide 60-bit
+    hash idiom), slide a w-window over consecutive gram hashes, keep
+    each window's minimum, dedupe per document. Returns
+    (n_grams, fingerprint set)."""
+    import hashlib
+
+    grams = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+    gh = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+    fps = {min(gh[i:i + w]) for i in range(len(gh) - w + 1)}
+    return len(grams), fps
+
+
+def test_winnow_matches_hand_computed_selection(spark):
+    """Planted docs: the engine's per-doc n_grams / n_fp / density must
+    equal the independent Python recomputation, and the published
+    guarantee must hold — every window of w consecutive grams contains a
+    selected fingerprint, so any shared run of >= k+w-1 = 8 tokens
+    between two docs yields a shared fingerprint in BOTH docs' counts."""
+    from mysense_spark.operators.text import winnow
+
+    shared_run = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = {
+        1: f"one two three four five six {shared_run} seven eight nine ten",
+        2: f"uno dos tres cuatro {shared_run} cinco seis siete ocho nueve",
+        3: "lone wolf document with no overlap at all in here whatsoever now",
+    }
+    doc_df = spark.createDataFrame(
+        [(d, t) for d, t in docs.items()], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in winnow(doc_df).collect()}
+    assert set(got) == {1, 2, 3}
+
+    for d, text in docs.items():
+        n_grams, fps = _winnow_expected(text.split())
+        row = got[d]
+        assert row["n_grams"] == n_grams, f"doc {d} gram count"
+        assert row["n_fp"] == len(fps), f"doc {d} fingerprint count"
+        assert row["density"] == pytest.approx(len(fps) / n_grams, abs=1e-6)
+
+    # the >= k+w-1 token overlap guarantee: docs 1 and 2 share a
+    # fingerprint; the disjoint doc 3 shares none
+    _, fp1 = _winnow_expected(docs[1].split())
+    _, fp2 = _winnow_expected(docs[2].split())
+    assert fp1 & fp2, "hand check: the planted 8-token run must collide"
+    assert got[1]["n_shared_fp"] >= 1
+    assert got[2]["n_shared_fp"] >= 1
+    assert got[3]["n_shared_fp"] == 0
+    assert got[1]["n_shared_fp"] == len(fp1 & fp2)
+    assert got[2]["n_shared_fp"] == len(fp1 & fp2)
+
+
+def test_winnow_density_guarantee_on_random_text():
+    """The scheme's published expected density is 2/(w+1) for random
+    (collision-free) hashes; the guarantee is density <= 1 and >= 1/w
+    (one fingerprint per window, windows overlap w-fold). Checked purely
+    in the independent recomputation over a deterministic pseudo-random
+    vocabulary — no engine involvement, this pins the TEST's own
+    restatement against the paper's bounds so the engine comparison
+    above inherits them."""
+    import random
+
+    rng = random.Random(17)
+    words = [f"w{rng.randrange(10_000)}" for _ in range(600)]
+    n_grams, fps = _winnow_expected(words)
+    w = 4
+    density = len(fps) / n_grams
+    assert 1.0 / w <= density <= 1.0
+    assert density == pytest.approx(2.0 / (w + 1), abs=0.08)
