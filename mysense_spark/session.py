@@ -18,6 +18,11 @@ import os
 
 from pyspark.sql import SparkSession
 
+_STATE_STORE_PROVIDERS = {
+    "rocksdb": "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "hdfs": "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+}
+
 
 def get_spark(app_name: str = "mysense_spark", shuffle_partitions: int | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -38,6 +43,19 @@ def get_spark(app_name: str = "mysense_spark", shuffle_partitions: int | None = 
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+        # RocksDB-backed streaming state (overridable: SPARK_GRAFT_STATE_STORE=hdfs):
+        # the stateful operators key state per device/(kit,event)/session —
+        # at fleet scale (millions of keys) the default in-memory HDFS
+        # store holds every key's state in executor heap, while RocksDB
+        # spills to local SSD and bounds heap by the block cache. Each
+        # key's state is tiny (throttle: 4 registers ~50 B; static-value
+        # monitor: last value + run length; sessions: window bounds), so
+        # capacity scales with disk, not heap. The provider is recorded
+        # per checkpoint at first start; existing checkpoints keep theirs.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            _STATE_STORE_PROVIDERS[os.environ.get("SPARK_GRAFT_STATE_STORE", "rocksdb")],
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

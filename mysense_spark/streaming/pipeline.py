@@ -283,8 +283,20 @@ def run_lines_stream(
     upsert_parquet_partitioned's layout guard, refuses a flat archive —
     run sinks.upsert.migrate_to_partitioned once first).
 
+    State store: the dropDuplicates dedup keys state per
+    (kit_id, ts, field) within the watermark horizon — at fleet scale
+    that is millions of live keys, so the query starts under the
+    RocksDB provider (state spills to local disk; heap is bounded by
+    the block cache) unless the session already pins a provider. The
+    conf is snapshot per query at start() and recorded in the
+    checkpoint, so scoping it here neither leaks into the session nor
+    flips an existing checkpoint's provider. Per-key state is ~100 B
+    (key + watermark timestamp); sizing is keys-within-horizon x that,
+    per state partition.
+
     Returns the StreamingQuery (caller awaits/stops)."""
-    from ..sinks.upsert import _layout, upsert_parquet, upsert_parquet_partitioned
+    from ..session import _STATE_STORE_PROVIDERS
+    from ..sinks.upsert import _layout, _scoped_conf, upsert_parquet, upsert_parquet_partitioned
 
     fact = (
         decode_stream(parse_envelopes(lines))
@@ -310,6 +322,17 @@ def run_lines_stream(
         writer = writer.trigger(availableNow=True)
     elif trigger is not None:
         writer = writer.trigger(processingTime=trigger)
+    spark = lines.sparkSession
+    if spark.conf.get("spark.sql.streaming.stateStore.providerClass", None) is None:
+        with _scoped_conf(
+            spark,
+            **{
+                "spark.sql.streaming.stateStore.providerClass": _STATE_STORE_PROVIDERS[
+                    "rocksdb"
+                ]
+            },
+        ):
+            return writer.start()
     return writer.start()
 
 

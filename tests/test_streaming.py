@@ -799,3 +799,72 @@ def test_crawl_rate_monitor_flags_spike(spark, tmp_path):
     assert all(not b[2] for b in normals), batches
     # the flood did not pollute the EMA: it stayed at the steady rate
     assert abs(spikes[0][1] - 5.0) < 1e-9, batches
+
+
+def test_streaming_state_runs_under_rocksdb(spark, tmp_path):
+    """The session factory pins the RocksDB state store provider (fleet
+    scale: millions of per-device keys must spill to disk, not live in
+    executor heap). Drive a stateful query and assert the checkpoint
+    holds RocksDB zip snapshots — not the HDFS provider's .delta files —
+    so the whole streaming matrix in this file demonstrably runs under
+    RocksDB, not just a conf string."""
+    import datetime as dt
+    import glob
+
+    from mysense_spark.streaming.state import kit_throttle
+
+    assert "RocksDB" in spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [("k1", base + dt.timedelta(seconds=60 * i)) for i in range(6)]
+    src = tmp_path / "rdb_in"
+    src.mkdir()
+    spark.createDataFrame(rows, "kit_id string, ts timestamp").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src))
+    stream = spark.readStream.schema("kit_id string, ts timestamp").parquet(str(src))
+    out = []
+    q = (
+        kit_throttle(stream)
+        .writeStream.foreachBatch(lambda df, _id: out.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "rdb_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(out) == 6
+
+    state_files = glob.glob(str(tmp_path / "rdb_ckpt" / "state" / "**" / "*"), recursive=True)
+    assert any(f.endswith(".zip") for f in state_files), "no RocksDB snapshot zips"
+    assert not any(f.endswith(".delta") for f in state_files), "HDFS provider artifacts present"
+
+
+def test_pipeline_scopes_rocksdb_for_vanilla_sessions(spark, tmp_path):
+    """run_lines_stream must start its query under RocksDB even when the
+    caller's session never set a provider (the driver uses a vanilla
+    SparkSession) — and must NOT leak the conf into the session."""
+    import glob
+    import sys
+
+    sys.path.insert(0, "tests")
+    from fixtures_mqtt import ALL_LINES
+
+    from mysense_spark.streaming.pipeline import run_file_stream
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(key, None)
+    try:
+        spark.conf.unset(key)  # simulate the vanilla driver session
+        src = tmp_path / "in"
+        src.mkdir()
+        (src / "a.mqtt").write_text("\n".join(ALL_LINES))
+        q = run_file_stream(
+            spark, str(src), str(tmp_path / "ckpt"), str(tmp_path / "out"), partitioned=False
+        )
+        q.awaitTermination(120)
+        assert spark.conf.get(key, None) is None, "provider conf leaked into session"
+        state_files = glob.glob(str(tmp_path / "ckpt" / "state" / "**" / "*"), recursive=True)
+        assert any(f.endswith(".zip") for f in state_files), "dedup state not under RocksDB"
+    finally:
+        if prior is not None:
+            spark.conf.set(key, prior)
