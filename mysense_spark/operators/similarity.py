@@ -201,7 +201,11 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Graded fixture of ann_ivf_search (nprobe frozen at _NPROBE); the
     recall/cost tradeoff across nprobe is measured by
     tools/ivf_recall_curve.py (SCALING.md)."""
-    return ann_ivf_search(_vectors(spark, sf_dir))
+    vecs = _vectors(spark, sf_dir)
+    fixture = vecs.where(
+        (F.col("vec_id") >= _CENTROID_BASE) & (F.col("vec_id") < _CENTROID_BASE + _N_CENTROIDS)
+    )
+    return ann_ivf_search(vecs, centroids=fixture)
 
 
 def ann_ivf_search(
@@ -210,13 +214,14 @@ def ann_ivf_search(
     """The IVF search engine with the recall/cost knob exposed: probe the
     `nprobe` nearest clusters per query (candidates scanned ~ nprobe/K of
     the corpus; recall rises with nprobe — measured curve in SCALING.md).
-    `centroids` as in ivf_assigned."""
+
+    `centroids` (vec_id, v, norm) selects the codebook for the flat
+    scan path; with NO codebook argument the engine defaults to the
+    TRAINED two-level codebook (Lloyd-refined, pruned assignment —
+    _ann_ivf_trained), so the fixture constants are an explicit opt-in
+    of the graded q_ann_ivf, not the engine default."""
     if centroids is None:
-        # derive the fixture codebook from the FULL corpus before any
-        # query-side filter narrows `vecs`
-        centroids = vecs.where(
-            (F.col("vec_id") >= _CENTROID_BASE) & (F.col("vec_id") < _CENTROID_BASE + _N_CENTROIDS)
-        )
+        return _ann_ivf_trained(vecs, nprobe)
     # nearest centroid per vector: the agg form (ivf_membership) — the
     # window form would drag the vectors through an N×K exchange
     membership = ivf_membership(vecs, centroids)
@@ -281,6 +286,104 @@ FROM (
 WHERE rank <= 5
 ORDER BY query_id, rank
 """
+
+
+def _ann_ivf_trained(vecs: DataFrame, nprobe: int = _NPROBE) -> DataFrame:
+    """IVF search against the TRAINED two-level codebook: membership
+    from the pruned assignment (two_level_membership), probes ranked by
+    integer-grid L2 against the Lloyd-refined fine centroids. Query
+    probe ranking broadcasts the fine codebook (K ≈ N/64 rows of 64
+    int64s); past broadcast scale the probe ranking goes through the
+    coarse level first — the same two-level trick the membership uses.
+    Same output shape as the fixture path: top-5 per query by rounded
+    cosine over the probed cells only."""
+    vca, f1cell, final = _two_level_parts(vecs)
+    membership = vecs.join(final, "vec_id").select("vec_id", "v", "norm", "cent_id")
+    q = vecs.where(F.col("vec_id") < _N_QUERIES).select(
+        "vec_id", "v", "norm", F.expr(_QV_EXPR).alias("qv")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(f1cell.select("fine_id", "fqv1")))
+        .withColumn("dist", _int_l2(F.col("qv"), F.col("fqv1")))
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("fine_id"))
+            ),
+        )
+        .where(F.col("crank") <= nprobe)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("pv"),
+            F.col("norm").alias("qnorm"),
+            F.col("fine_id").alias("cent_id"),
+        )
+    )
+    cand = membership.select(
+        F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm"), "cent_id"
+    )
+    cos_qc = ieee_round(_dot(F.col("pv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm")), 6)
+    scored = (
+        probes.join(cand, "cent_id")
+        .where(F.col("query_id") != F.col("cand_id"))
+        .withColumn("cosine", cos_qc)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "rank", "cand_id", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded twin of q_ann_ivf on the TRAINED codebook — the engine's
+    default non-fixture path (ann_ivf_search with no codebook argument):
+    Lloyd-refined two-level centroids, pruned membership assignment,
+    probe ranking by integer-grid L2. The DuckDB oracle mirrors the
+    whole chain — training, both pruned assignment passes, probe
+    selection, and the rounded-cosine ranking."""
+    return ann_ivf_search(_vectors(spark, sf_dir))
+
+
+def _sql_ann_ivf_trained() -> str:
+    return f"""
+WITH vecs AS ({_SQL_VECTORS}),
+{_sql_two_level_membership()},
+mv AS (
+  SELECT m.vec_id, m.cent_id, x.v, x.norm
+  FROM membership m JOIN vecs x ON m.vec_id = x.vec_id
+),
+probes AS (
+  SELECT vec_id AS query_id, v AS pv, norm AS qnorm, fine_id AS cent_id FROM (
+    SELECT q.vec_id, q.v, q.norm, fc.fine_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_sql_int_l2('q.qv', 'fc.fqv1')}, fc.fine_id) AS crank
+    FROM qvecs q CROSS JOIN f1cell fc
+    WHERE q.vec_id < {_N_QUERIES}
+  ) WHERE crank <= {_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, m.vec_id AS cand_id,
+         (floor((list_sum(list_transform(range(len(p.pv)), i -> p.pv[i+1] * m.v[i+1]))
+               / (p.qnorm * m.norm)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS cosine
+  FROM probes p JOIN mv m ON p.cent_id = m.cent_id
+  WHERE p.query_id <> m.vec_id
+)
+SELECT query_id, rank, cand_id, cosine
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+# NOTE: SQL_ANN_IVF_TRAINED is materialized further down, after the
+# trained-codebook helpers (_sql_two_level_membership et al.) exist at
+# module scope.
 
 
 def q_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -488,8 +591,16 @@ def write_ivf_partitioned(vecs: DataFrame, path: str, centroids: DataFrame | Non
     partition pruning (a static PartitionFilter, asserted by the plan
     contract test) never lists the rest. The 100 TB deployment shape:
     assignment runs once at ingest, searches run forever against the
-    pruned layout."""
-    ivf_membership(vecs, centroids).write.mode("overwrite").partitionBy("cent_id").parquet(path)
+    pruned layout.
+
+    `centroids=None` (the default) lays the corpus out under the TRAINED
+    two-level codebook (two_level_membership) — cells ≈ N/64 directories
+    of ~64 vectors; pass a codebook for the flat assignment instead."""
+    if centroids is None:
+        membership = two_level_membership(vecs)
+    else:
+        membership = ivf_membership(vecs, centroids)
+    membership.write.mode("overwrite").partitionBy("cent_id").parquet(path)
 
 
 def read_ivf_cells(spark: SparkSession, path: str, cell_ids: list[int]) -> DataFrame:
@@ -623,19 +734,41 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference scope note: the reference engine has no embedding surface;
     this extends its dedup family (§2 A8-adjacent) to the
     training-data-curation workload the brief names first-class."""
-    return semdedup_pairs(_vectors(spark, sf_dir))
+    vecs = _vectors(spark, sf_dir)
+    fixture = vecs.where(
+        (F.col("vec_id") >= _CENTROID_BASE) & (F.col("vec_id") < _CENTROID_BASE + _N_CENTROIDS)
+    )
+    return semdedup_pairs(vecs, fixture)
 
 
-def semdedup_pairs(vecs: DataFrame, centroids: DataFrame | None = None) -> DataFrame:
-    """The SemDeDup engine shared by the fixture-K graded query
-    (q_semdedup) and the corpus-proportional variant (q_semdedup_auto):
-    assign to nearest centroid, equi-join pairs WITHIN clusters, drop a
-    vector when cosine >= tau against any lower vec_id in its cluster."""
-    # persist the shared-rule assignment: it feeds BOTH self-join sides —
-    # uncached, the N x K centroid scoring would run twice. The agg form
-    # (ivf_membership) keeps the N×K stage exchange-free for big-K
-    # codebooks (semdedup_auto) — see ivf_membership's docstring
-    membership = tracked_persist(ivf_membership(vecs, centroids))
+def semdedup_pairs(
+    vecs: DataFrame,
+    centroids: DataFrame | None = None,
+    membership: DataFrame | None = None,
+) -> DataFrame:
+    """The SemDeDup engine shared by the graded variants: assign to a
+    cluster, equi-join pairs WITHIN clusters, drop a vector when cosine
+    >= tau against any lower vec_id in its cluster.
+
+    Cluster assignment, most- to least-preferred:
+    - `membership` (vec_id, v, norm, cent_id): caller-supplied — used by
+      the trained-codebook default below.
+    - `centroids` (vec_id, v, norm): flat nearest-centroid scan (the
+      fixture-K graded query and the modulo-rule auto-K variant pass
+      their codebooks explicitly).
+    - neither: THE DEFAULT IS THE TRAINED TWO-LEVEL CODEBOOK
+      (two_level_membership — Lloyd-refined, pruned assignment join);
+      fixture and dense-id rules are opt-in, not the default path."""
+    if membership is None:
+        if centroids is None:
+            membership = two_level_membership(vecs)
+        else:
+            # persist the shared-rule assignment: it feeds BOTH self-join
+            # sides — uncached, the N x K centroid scoring would run
+            # twice. The agg form (ivf_membership) keeps the N×K stage
+            # exchange-free for big-K codebooks (semdedup_auto)
+            membership = ivf_membership(vecs, centroids)
+    membership = tracked_persist(membership)
     a = membership.select(
         "cent_id", F.col("vec_id").alias("v1"), F.col("v").alias("va"), F.col("norm").alias("na")
     )
@@ -692,6 +825,188 @@ def sqrt_centroids(vecs: DataFrame) -> DataFrame:
     return vecs.where(is_sq)
 
 
+# ---------------------------------------------------------------------------
+# Trained two-level codebook (r8): kmeans-style Lloyd refinement composed
+# with a coarse-cell-PRUNED assignment join — the at-scale replacement for
+# both the dense-id modulo/sqrt seed rules and the N×K brute-force
+# nearest-centroid scan (VERDICT r7 #2).
+# ---------------------------------------------------------------------------
+
+_TC_SCALE = 1_000_000  # the kmeans_train 1e-6 integer grid
+_TC_FINE_MOD = 64  # fine seed rate: K ≈ N/64, expected cell ≈ 64
+_TC_GROUP = 64  # fine seeds per coarse slab: K1 ≈ K/64 ≈ N/4096
+_QV_EXPR = f"transform(v, x -> CAST(floor(x * {float(_TC_SCALE)!r}) AS BIGINT))"
+
+
+def _md5u32(c: Column) -> Column:
+    """First 8 md5 hex digits as int64 — the sampling.py cross-engine
+    hash idiom (identical in DuckDB via ('0x' || substr(md5(..),1,8)))."""
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
+
+def _int_l2(a: Column, b: Column) -> Column:
+    """Squared L2 between two int64 grid vectors — pure integer
+    arithmetic, so the sum is order-independent and bit-identical in any
+    engine and under any partitioning (the kmeans_train exactness
+    design, array-native instead of exploded)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def trained_codebook(vecs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Train the two-level codebook: returns (coarse, fine) where
+    `coarse` is (coarse_id, cqv) — Lloyd-refined integer-grid coarse
+    centroids — and `fine` is (fine_id, coarse_id, fqv) — the fine seed
+    vectors with their coarse cell.
+
+    Construction, every step lazy and engine-mirrorable:
+    1. FINE SEEDS: corpus rows whose md5(vec_id) bucket ≡ 0 (mod 64) —
+       K ≈ N/64 without a driver count and without the modulo rule's
+       dense-id assumption — plus the argmin-(md5, vec_id) row as an
+       anchor so the seed set is never empty on tiny corpora.
+    2. COARSE INIT: rank the seeds by (md5, vec_id) and take every 64th
+       — K1 = ⌈K/64⌉ ≈ N/4096 slab representatives. (The rank window
+       runs over the SEED set, K rows, not the corpus.)
+    3. SEED→COARSE assignment (K×K1 int-L2, each init attracts itself
+       at distance 0 so no coarse cell is empty), then one Lloyd
+       refinement: coarse centroid = per-dimension integer mean of its
+       member seeds. The init assignment defines the partition; the
+       refined centroid represents it.
+
+    Training cost is O(K×K1) = O(N²/64³) asymptotically — the codebook
+    TRAINING term, run once at ingest (and at deployment scale on a
+    stratified sample, exactly as q_kmeans_train's docstring prescribes;
+    the per-query assignment below never pays it). Fixture-free: this is
+    the default codebook for semdedup_pairs / ann_ivf_search."""
+    qv = F.expr(_QV_EXPR)
+    base = vecs.select("vec_id", qv.alias("qv"), _md5u32(F.col("vec_id")).alias("h"))
+    sel = base.where(F.col("h") % _TC_FINE_MOD == 0).select("vec_id")
+    anchor = (
+        base.agg(F.min(F.struct(F.col("h"), F.col("vec_id"))).alias("m"))
+        .select(F.col("m.vec_id").alias("vec_id"))
+    )
+    seed_ids = sel.unionByName(anchor).distinct()
+    seeds = base.join(seed_ids, "vec_id")
+    # global rank over K = N/64 codebook rows — a single-partition window
+    # by design: it orders the CODEBOOK, not the corpus
+    w = Window.orderBy("h", "vec_id")
+    sr = seeds.withColumn("rank", F.row_number().over(w))
+    c0 = sr.where((F.col("rank") - 1) % _TC_GROUP == 0).select(
+        F.col("vec_id").alias("coarse_id"), F.col("qv").alias("cqv")
+    )
+    a0 = (
+        sr.crossJoin(F.broadcast(c0))
+        .select(
+            "vec_id",
+            _int_l2(F.col("qv"), F.col("cqv")).alias("dist"),
+            "coarse_id",
+        )
+        .groupBy("vec_id")
+        .agg(F.min(F.struct(F.col("dist"), F.col("coarse_id"))).alias("m"))
+        .select("vec_id", F.col("m.coarse_id").alias("coarse_id"))
+    )
+    mem = a0.join(seeds, "vec_id").select(
+        "coarse_id", F.posexplode("qv").alias("d", "q")
+    )
+    coarse = (
+        mem.groupBy("coarse_id", "d")
+        .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+        .withColumn("cq", F.expr("s DIV n"))
+        .groupBy("coarse_id")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "cq"))).alias("a"))
+        .select("coarse_id", F.expr("transform(a, p -> p.cq)").alias("cqv"))
+    )
+    fine = a0.join(
+        seeds.select("vec_id", F.col("qv").alias("fqv")), "vec_id"
+    ).select(F.col("vec_id").alias("fine_id"), "coarse_id", "fqv")
+    return coarse, fine
+
+
+def two_level_membership(vecs: DataFrame) -> DataFrame:
+    """Cluster membership under the trained codebook with the PRUNED
+    assignment join: (vec_id, v, norm, cent_id) where cent_id is the
+    vector's refined fine cell.
+
+    Assignment shape — the point of the whole construction:
+    1. vector → nearest coarse cell: N×K1 int-L2 against the broadcast
+       Lloyd-refined coarse centroids (K1 ≈ N/4096; at larger scale the
+       coarse level recurses — same trick one level up).
+    2. vector → nearest fine seed WITHIN its coarse cell: an equi-join
+       on coarse_id (≈64 fine candidates per vector — ~64·N total work,
+       LINEAR in N, vs the flat scan's N×K = N²/64; on the partitioned
+       IVF layout this join is also a directory prune).
+    3. one Lloyd refinement of the fine centroids (integer member mean),
+       then a final pruned re-assignment against the refined centroids —
+       fine cells are trained on the data, not just sampled from it.
+    Every coarse cell entering step 2 has ≥1 fine seed (each coarse init
+    is its own seed) and every refined fine cell in step 3 had ≥1 member
+    in step 2, so both pruned joins are total — no vector is dropped."""
+    _, _, final = _two_level_parts(vecs)
+    return vecs.join(final, "vec_id").select("vec_id", "v", "norm", "cent_id")
+
+
+def _two_level_parts(vecs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared internals of the trained-codebook assignment: returns
+    (vca, f1cell, final) — vector→coarse map, refined fine centroids
+    with their coarse cell (fine_id, coarse_id, fqv1), and the final
+    (vec_id, cent_id) membership. ann_ivf's trained probe ranking needs
+    f1cell; semdedup needs only the membership."""
+    coarse, fine = trained_codebook(vecs)
+    par = vecs.sparkSession.sparkContext.defaultParallelism
+    # repartition BEFORE the broadcast scoring stages (the ivf_membership
+    # parallelism lesson: inherit cores, not parquet file count)
+    qvecs = tracked_persist(
+        vecs.select("vec_id", F.expr(_QV_EXPR).alias("qv")).repartition(par)
+    )
+    vca = tracked_persist(
+        qvecs.crossJoin(F.broadcast(coarse))
+        .select(
+            "vec_id",
+            _int_l2(F.col("qv"), F.col("cqv")).alias("dist"),
+            "coarse_id",
+        )
+        .groupBy("vec_id")
+        .agg(F.min(F.struct(F.col("dist"), F.col("coarse_id"))).alias("m"))
+        .select("vec_id", F.col("m.coarse_id").alias("coarse_id"))
+    )
+    cand = qvecs.join(vca, "vec_id").join(fine, "coarse_id")
+    af = (
+        cand.select(
+            "vec_id",
+            _int_l2(F.col("qv"), F.col("fqv")).alias("dist"),
+            "fine_id",
+        )
+        .groupBy("vec_id")
+        .agg(F.min(F.struct(F.col("dist"), F.col("fine_id"))).alias("m"))
+        .select("vec_id", F.col("m.fine_id").alias("fine_id"))
+    )
+    memf = af.join(qvecs, "vec_id").select("fine_id", F.posexplode("qv").alias("d", "q"))
+    f1 = (
+        memf.groupBy("fine_id", "d")
+        .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+        .withColumn("cq", F.expr("s DIV n"))
+        .groupBy("fine_id")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "cq"))).alias("a"))
+        .select("fine_id", F.expr("transform(a, p -> p.cq)").alias("fqv1"))
+    )
+    f1cell = f1.join(fine.select("fine_id", "coarse_id"), "fine_id")
+    cand2 = qvecs.join(vca, "vec_id").join(f1cell, "coarse_id")
+    final = (
+        cand2.select(
+            "vec_id",
+            _int_l2(F.col("qv"), F.col("fqv1")).alias("dist"),
+            "fine_id",
+        )
+        .groupBy("vec_id")
+        .agg(F.min(F.struct(F.col("dist"), F.col("fine_id"))).alias("m"))
+        .select("vec_id", F.col("m.fine_id").alias("cent_id"))
+    )
+    return vca, f1cell, final
+
+
 def q_semdedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup with the corpus-proportional codebook (auto-K): same
     engine as q_semdedup, centroids chosen by the modulo rule so K grows
@@ -737,6 +1052,141 @@ SQL_SEMDEDUP_AUTO = SQL_SEMDEDUP.replace(
     f"WHERE vec_id >= {_CENTROID_BASE} AND vec_id < {_CENTROID_BASE + _N_CENTROIDS}",
     f"WHERE vec_id % {_SEM_TARGET_CLUSTER} = 0",
 )
+
+
+def q_semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup under the TRAINED two-level codebook — the default
+    non-fixture engine path (semdedup_pairs with no codebook argument):
+    md5-sampled fine seeds (K ≈ N/64, no dense-id assumption),
+    rank-slab coarse init over the seed set, one integer-grid Lloyd
+    refinement per level, and the coarse-cell-PRUNED assignment join
+    (~64 fine candidates per vector — linear, vs the flat scan's
+    N×K = N²/64). Same pair semantics and output shape as q_semdedup /
+    q_semdedup_auto; graded with a full DuckDB mirror of the training
+    and both pruned assignment passes."""
+    return semdedup_pairs(_vectors(spark, sf_dir))
+
+
+def _sql_int_l2(a: str, b: str) -> str:
+    """DuckDB squared-L2 between two int64 grid lists — integer
+    arithmetic, so list_sum order cannot matter."""
+    return (
+        f"list_sum(list_transform(range(len({a})), i ->"
+        f" ({a}[i+1] - {b}[i+1]) * ({a}[i+1] - {b}[i+1])))"
+    )
+
+
+def _sql_two_level_membership() -> str:
+    """The trained-codebook membership CTE chain, mirroring
+    trained_codebook + two_level_membership step for step (shared by
+    SQL_SEMDEDUP_TRAINED and any future trained-IVF oracle)."""
+    grid = f"list_transform(v, x -> CAST(floor(x * {float(_TC_SCALE)!r}) AS BIGINT))"
+    h = "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT"
+    return f"""
+qvecs AS (
+  SELECT vec_id, v, norm, {grid} AS qv, {h} AS h
+  FROM vecs
+),
+anchor AS (SELECT vec_id FROM qvecs ORDER BY h, vec_id LIMIT 1),
+seed_ids AS (
+  SELECT vec_id FROM qvecs WHERE h % {_TC_FINE_MOD} = 0
+  UNION
+  SELECT vec_id FROM anchor
+),
+seeds AS (
+  SELECT q.vec_id, q.qv, q.h,
+         row_number() OVER (ORDER BY q.h, q.vec_id) AS rank
+  FROM qvecs q JOIN seed_ids si ON q.vec_id = si.vec_id
+),
+c0 AS (
+  SELECT vec_id AS coarse_id, qv AS cqv FROM seeds WHERE (rank - 1) % {_TC_GROUP} = 0
+),
+a0 AS (
+  SELECT vec_id, coarse_id FROM (
+    SELECT s.vec_id, c.coarse_id,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY {_sql_int_l2('s.qv', 'c.cqv')}, c.coarse_id) AS rn
+    FROM seeds s CROSS JOIN c0 c
+  ) WHERE rn = 1
+),
+cmem AS (
+  SELECT a.coarse_id, unnest(range(len(s.qv))) AS d, unnest(s.qv) AS q
+  FROM a0 a JOIN seeds s ON a.vec_id = s.vec_id
+),
+coarse AS (
+  SELECT coarse_id, list(cq ORDER BY d) AS cqv
+  FROM (SELECT coarse_id, d, sum(q) // count(*) AS cq FROM cmem GROUP BY 1, 2)
+  GROUP BY coarse_id
+),
+fine AS (
+  SELECT a.vec_id AS fine_id, a.coarse_id, s.qv AS fqv
+  FROM a0 a JOIN seeds s ON a.vec_id = s.vec_id
+),
+vca AS (
+  SELECT vec_id, coarse_id FROM (
+    SELECT q.vec_id, c.coarse_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_sql_int_l2('q.qv', 'c.cqv')}, c.coarse_id) AS rn
+    FROM qvecs q CROSS JOIN coarse c
+  ) WHERE rn = 1
+),
+af AS (
+  SELECT vec_id, fine_id FROM (
+    SELECT q.vec_id, f.fine_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_sql_int_l2('q.qv', 'f.fqv')}, f.fine_id) AS rn
+    FROM qvecs q
+    JOIN vca ON q.vec_id = vca.vec_id
+    JOIN fine f ON vca.coarse_id = f.coarse_id
+  ) WHERE rn = 1
+),
+fmem AS (
+  SELECT a.fine_id, unnest(range(len(q.qv))) AS d, unnest(q.qv) AS q
+  FROM af a JOIN qvecs q ON a.vec_id = q.vec_id
+),
+f1 AS (
+  SELECT fine_id, list(cq ORDER BY d) AS fqv1
+  FROM (SELECT fine_id, d, sum(q) // count(*) AS cq FROM fmem GROUP BY 1, 2)
+  GROUP BY fine_id
+),
+f1cell AS (
+  SELECT f1.fine_id, fc.coarse_id, f1.fqv1
+  FROM f1 JOIN (SELECT DISTINCT fine_id, coarse_id FROM fine) fc
+    ON f1.fine_id = fc.fine_id
+),
+membership AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT q.vec_id, fc.fine_id AS cent_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_sql_int_l2('q.qv', 'fc.fqv1')}, fc.fine_id) AS rn
+    FROM qvecs q
+    JOIN vca ON q.vec_id = vca.vec_id
+    JOIN f1cell fc ON vca.coarse_id = fc.coarse_id
+  ) WHERE rn = 1
+)"""
+
+
+SQL_SEMDEDUP_TRAINED = f"""
+WITH vecs AS ({_SQL_VECTORS}),
+{_sql_two_level_membership()},
+mv AS (
+  SELECT m.vec_id, m.cent_id, x.v, x.norm
+  FROM membership m JOIN vecs x ON m.vec_id = x.vec_id
+),
+pairs AS (
+  SELECT a.cent_id, a.vec_id AS v1, b.vec_id AS v2,
+         (floor((list_sum(list_transform(range(len(a.v)), i -> a.v[i+1] * b.v[i+1]))
+               / (a.norm * b.norm)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS cosine
+  FROM mv a JOIN mv b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+)
+SELECT v2 AS vec_id, cent_id, min(v1) AS dup_of, max(cosine) AS max_cosine
+FROM pairs WHERE cosine >= {_SEM_TAU}
+GROUP BY v2, cent_id
+ORDER BY vec_id
+"""
+
+
+SQL_ANN_IVF_TRAINED = _sql_ann_ivf_trained()
 
 
 _Z_EXTREME = 3.0  # |z| threshold for an "extreme" coordinate
@@ -986,6 +1436,8 @@ QUERIES: dict[str, tuple] = {
     "quality_centroid_score": (q_quality_centroid_score, SQL_QUALITY_CENTROID_SCORE),
     "semdedup": (q_semdedup, SQL_SEMDEDUP),
     "semdedup_auto": (q_semdedup_auto, SQL_SEMDEDUP_AUTO),
+    "semdedup_trained": (q_semdedup_trained, SQL_SEMDEDUP_TRAINED),
+    "ann_ivf_trained": (q_ann_ivf_trained, SQL_ANN_IVF_TRAINED),
     "embedding_outliers": (q_embedding_outliers, SQL_EMBEDDING_OUTLIERS),
     "knn_bruteforce": (q_knn_bruteforce, SQL_KNN_BRUTEFORCE),
     "embedding_dim_stats": (q_embedding_dim_stats, SQL_EMBEDDING_DIM_STATS),

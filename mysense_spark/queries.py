@@ -32,79 +32,83 @@ def _modules():
 
 # Queries hoisted to the very front of the registry: the driver's
 # correctness gate checks exactly the FIRST 50 entries, so this list is
-# kept to exactly 50. Round-7 layout:
-# (a) 7 rows new or changed this round — kit_throttle +
-# alarm_suppression (new graded batch twins of the last two oracle-less
-# stateful semantics: IsBehavingKit per-device throttle and the 6 h
-# per-(kit,event) alarm suppression, both via recursive-CTE oracles),
-# semdedup_auto (new: corpus-proportional-K SemDeDup, the α-flattening
-# variant), tfidf_top_terms + perplexity_bucket (eager driver-side
-# scalars retired for broadcast-totals crossJoins — now fully lazy),
-# semdedup + ann_ivf (refactored onto the shared semdedup_pairs /
-# ann_ivf_search engines; outputs unchanged, freshness re-proved);
-# (b) the 18 rows whose last driver evidence is round 4, rolled here
-# exactly as planned in the r6 comment;
-# (c) 25 of the 43 rows whose last evidence is round 5, registry order.
-# The remaining 18 r5-evidence rows (dew_point, unit_conversion,
-# taylor_calibration, pricing_summary, region_rollup, revenue_quartiles,
-# sql_interface, top_revenue_orders, part_supplier_stats,
-# customers_without_orders, order_priority_counts, hourly_stats,
-# event_sessions, maintenance_window_join, props_json_stats,
-# chatty_kits, percentile_summary, sensor_set_diff) roll to round 8.
+# kept to exactly 50. Round-8 layout:
+# (a) 10 rows new or changed this round — semdedup_trained +
+# ann_ivf_trained (NEW: the trained two-level codebook — md5-sampled
+# fine seeds, Lloyd-refined coarse+fine levels, coarse-cell-PRUNED
+# assignment join — graded with full DuckDB mirrors of the training and
+# both pruned passes); semdedup / semdedup_auto / ann_ivf / ann_recall
+# (the engine default is now the trained codebook, fixture codebooks
+# passed explicitly — outputs unchanged, freshness re-proved);
+# bm25_search + winnow_fingerprints (engines refactored onto injectable
+# corpora for the new formula pins); kit_throttle + alarm_suppression
+# (partition scans rewritten group-contiguous over sorted Arrow batches
+# — task memory now one batch, not the partition);
+# (b) the 18 rows whose last driver evidence is round 5, rolled here
+# exactly as planned in the r7 comment;
+# (c) 22 of the 48 rows whose last evidence is round 6, registry order.
+# The remaining 26 r6-evidence rows (duplicate_spans, tokenizer_fertility,
+# pii_scrub, lang_id, quality_score, doc_fingerprint, temperature_mix,
+# pm_mass_fill, ols_summary, joost_correction, unpivot_long,
+# failing_sensor_report, distinct_active_kits, wide_view, timeslice_avg,
+# latest_per_user, static_runs, gap_detection, interval_inference,
+# dead_kits, hourly_gapfill, moving_average, static_value_monitor,
+# dead_kit_tiers, crawl_rate_anomalies, ...) roll to round 9, oldest
+# first, after any r9-changed rows.
 _PRIORITY = (
-    # (a) new / changed in round 7
+    # (a) new / changed in round 8
+    "semdedup_trained",
+    "ann_ivf_trained",
     "kit_throttle",
     "alarm_suppression",
-    "semdedup_auto",
-    "tfidf_top_terms",
-    "perplexity_bucket",
-    "semdedup",
-    "ann_ivf",
-    # (b) last driver evidence: round 4 (the planned 18)
-    "blob_metadata",
-    "frame_sample",
-    "hash_sample",
-    "corpus_build",
-    "stratified_sample",
-    "approx_distinct_users",
-    "range_validate",
-    "tristate_validity",
-    "zscore_outliers",
-    "grubbs_outliers",
-    "linear_regression",
-    "sigma_band",
-    "region_revenue",
-    "cascade_rollup",
-    "asof_align",
-    "mode_per_user",
-    "coverage",
-    "dedup_upsert",
-    # (c) last driver evidence: round 5 (first 25 in registry order)
-    "ngram_jaccard_pairs",
-    "cross_split_leakage",
-    "source_overlap",
-    "decontam_report",
-    "embedding_outliers",
-    "ann_recall",
+    "bm25_search",
     "winnow_fingerprints",
-    "vocab_stats",
-    "dup_ngram_frac",
-    "repetition_stats",
-    "token_count",
-    "media_embed",
-    "modality_mix",
-    "chunk_overlap",
-    "weighted_sample",
-    "url_filter",
-    "sequence_packing",
-    "multilinear_regression",
-    "minmax_normalize",
-    "fit_apply",
-    "daily_qc_report",
-    "aqi_index",
-    "lki_index",
-    "aqhi_index",
-    "caqi_index",
+    "semdedup",
+    "semdedup_auto",
+    "ann_ivf",
+    "ann_recall",
+    # (b) last driver evidence: round 5 (the planned 18)
+    "dew_point",
+    "unit_conversion",
+    "taylor_calibration",
+    "pricing_summary",
+    "region_rollup",
+    "revenue_quartiles",
+    "sql_interface",
+    "top_revenue_orders",
+    "part_supplier_stats",
+    "customers_without_orders",
+    "order_priority_counts",
+    "hourly_stats",
+    "event_sessions",
+    "maintenance_window_join",
+    "props_json_stats",
+    "chatty_kits",
+    "percentile_summary",
+    "sensor_set_diff",
+    # (c) last driver evidence: round 6 (first 22 in registry order)
+    "ttn_decode",
+    "station_calibration",
+    "sensorthings_pull",
+    "csv_ingest",
+    "neighbour_search",
+    "geofence_transitions",
+    "spatial_pairs",
+    "dedup_exact",
+    "incremental_dedup",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "embedding_neardup",
+    "neardup_clusters",
+    "dedup_keep_best",
+    "hybrid_search_rrf",
+    "quality_centroid_score",
+    "knn_bruteforce",
+    "embedding_dim_stats",
+    "cluster_stats",
+    "kmeans_train",
+    "gopher_filter",
+    "text_stats",
 )
 
 

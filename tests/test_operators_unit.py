@@ -755,3 +755,49 @@ def test_ivf_membership_agg_matches_window_rule(spark, sf_dir):
             .collect()
         }
         assert via_agg == via_window
+
+
+def test_two_level_membership_total_and_deterministic(spark, sf_dir):
+    """The trained-codebook assignment must be TOTAL (every vector gets
+    exactly one cell — the pruned joins can silently drop rows if a
+    coarse cell ever lacks fine centroids) and deterministic across
+    plans (two independent evaluations agree row for row). Cells must
+    also be genuinely plural and bounded by the corpus."""
+    from mysense_spark.operators.similarity import _vectors, two_level_membership
+
+    vecs = _vectors(spark, sf_dir)
+    n = vecs.count()
+    m1 = {r["vec_id"]: r["cent_id"] for r in two_level_membership(vecs).collect()}
+    assert len(m1) == n, "membership dropped or duplicated vectors"
+    m2 = {r["vec_id"]: r["cent_id"] for r in two_level_membership(vecs).collect()}
+    assert m1 == m2, "assignment not deterministic"
+    cells = set(m1.values())
+    assert 1 < len(cells) <= max(2, n // 8)
+    # cell ids are real corpus rows (fine seeds), not synthetic labels
+    ids = {r["vec_id"] for r in vecs.select("vec_id").collect()}
+    assert cells <= ids
+
+
+def test_trained_codebook_seed_anchor_never_empty(spark):
+    """A corpus whose ids all miss the md5 seed bucket must still train:
+    the argmin-(md5,vec_id) anchor guarantees >= 1 fine seed, one coarse
+    cell, and a total membership."""
+    import pyspark.sql.functions as F
+
+    from mysense_spark.operators.similarity import _md5u32, two_level_membership
+
+    rows = [(i, [float(i % 7), 1.0, 2.0]) for i in range(997, 1037)]
+    vecs = (
+        spark.createDataFrame(rows, "vec_id long, v array<double>")
+        .withColumn(
+            "norm",
+            F.sqrt(F.aggregate(F.expr("transform(v, x -> x * x)"), F.lit(0.0), lambda a, x: a + x)),
+        )
+    )
+    # keep only ids OUTSIDE the md5 seed bucket so only the anchor seeds
+    vecs = vecs.where(_md5u32(F.col("vec_id")) % 64 != 0)
+    n = vecs.count()
+    assert n > 10
+    m = two_level_membership(vecs).collect()
+    assert len(m) == n
+    assert len({r["cent_id"] for r in m}) == 1  # the single anchor cell

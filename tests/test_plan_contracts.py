@@ -269,17 +269,26 @@ def test_ivf_partitioned_layout_prunes_cells(spark, sf_dir, tmp_path):
         write_ivf_partitioned,
     )
 
-    path = str(tmp_path / "ivf_layout")
-    write_ivf_partitioned(_vectors(spark, sf_dir), path)
+    import os
 
-    probed = read_ivf_cells(spark, path, [101, 103])
+    path = str(tmp_path / "ivf_layout")
+    # default layout = the TRAINED two-level codebook (r8): cell ids are
+    # fine-seed vec_ids, discovered from the directories it wrote
+    write_ivf_partitioned(_vectors(spark, sf_dir), path)
+    all_cells = sorted(
+        int(d.split("=", 1)[1]) for d in os.listdir(path) if d.startswith("cent_id=")
+    )
+    assert len(all_cells) >= 2, f"trained layout produced {len(all_cells)} cells"
+    probe_cells = all_cells[:2]
+
+    probed = read_ivf_cells(spark, path, probe_cells)
     plan = probed._jdf.queryExecution().executedPlan().toString()
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "cent_id" in m.group(1), f"no cent_id PartitionFilter:\n{plan[:600]}"
     # the pruning is real: only the probed cells' rows come back, and
     # the file listing matches the probed directories
     cells = {r["cent_id"] for r in probed.select("cent_id").distinct().collect()}
-    assert cells <= {101, 103}
+    assert cells <= set(probe_cells)
     # data filters must NOT contain cent_id (it is partition-only work)
     df_m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
     if df_m:
@@ -314,6 +323,12 @@ def test_sinks_never_materialize_on_driver():
             # data rows) that becomes the static PartitionFilter — same
             # class as the similarity rerank fence's bounded count
             if py.name == "upsert.py" and 'select(DAY_COL).distinct().collect()' in line:
+                continue
+            # exemption 2 (r8): the file-pruning key list is control
+            # plane too — distinct (day, key) pairs, hard-capped at
+            # _MAX_PRUNE_KEYS by a limit() BEFORE the collect, with the
+            # over-cap case falling back to whole-day selection
+            if py.name == "upsert.py" and "limit(_MAX_PRUNE_KEYS + 1).collect()" in line:
                 continue
             offenders += [f"{py.name}:{i}: {b}" for b in banned if b in line]
     assert not offenders, f"driver materialization in sink path: {offenders}"

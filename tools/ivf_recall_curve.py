@@ -1,10 +1,14 @@
-"""IVF recall/cost curve (VERDICT r6 #7): recall@5 of ann_ivf_search
-against exact brute force as nprobe sweeps 1..K, plus the candidate
-fraction each nprobe actually scanned — the measurement that justifies
-an nprobe choice at deployment (recall you did not measure is recall
-you do not have). Results feed SCALING.md.
+"""IVF recall/cost curve: recall@5 of ann_ivf_search against exact brute
+force as nprobe sweeps, plus the corpus fraction each nprobe actually
+scans — the measurement that justifies an nprobe choice at deployment
+(recall you did not measure is recall you do not have). Results feed
+SCALING.md.
 
-Usage: python tools/ivf_recall_curve.py [sf_dir] [out_json]
+Default mode runs the TRAINED two-level codebook (the engine's default
+non-fixture path, r8); `--fixture` runs the frozen 8-centroid fixture
+codebook the graded q_ann_ivf uses (the r7 curve, kept reproducible).
+
+Usage: python tools/ivf_recall_curve.py [sf_dir] [out_json] [--fixture]
 Defaults: /tmp/scale/sf1.0, /tmp/ivf_recall_curve.json
 """
 
@@ -19,22 +23,40 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale/sf1.0"
-    out_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/ivf_recall_curve.json"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    fixture = "--fixture" in sys.argv
+    sf_dir = args[0] if len(args) > 0 else "/tmp/scale/sf1.0"
+    out_path = args[1] if len(args) > 1 else "/tmp/ivf_recall_curve.json"
 
     from pyspark.sql import functions as F
 
     from mysense_spark.operators.similarity import (
+        _CENTROID_BASE,
         _N_CENTROIDS,
         _vectors,
         ann_ivf_search,
         q_knn_bruteforce,
+        two_level_membership,
     )
     from mysense_spark.session import get_spark
 
     spark = get_spark("ivf-recall-curve")
     vecs = _vectors(spark, sf_dir)
     n_corpus = vecs.count()
+
+    if fixture:
+        centroids = vecs.where(
+            (F.col("vec_id") >= _CENTROID_BASE)
+            & (F.col("vec_id") < _CENTROID_BASE + _N_CENTROIDS)
+        )
+        n_cells = _N_CENTROIDS
+        nprobes = list(range(1, _N_CENTROIDS + 1))
+    else:
+        centroids = None  # engine default = trained two-level codebook
+        n_cells = (
+            two_level_membership(vecs).select("cent_id").distinct().count()
+        )
+        nprobes = [n for n in (1, 2, 4, 8, 16, 32, 64) if n <= n_cells]
 
     exact = {
         (r["query_id"], r["cand_id"])
@@ -43,17 +65,17 @@ def main() -> None:
     n_exact = len(exact)
 
     curve = []
-    for nprobe in range(1, _N_CENTROIDS + 1):
+    for nprobe in nprobes:
         t0 = time.monotonic()
         ivf = {
             (r["query_id"], r["cand_id"])
-            for r in ann_ivf_search(vecs, nprobe=nprobe).collect()
+            for r in ann_ivf_search(vecs, nprobe=nprobe, centroids=centroids).collect()
         }
         sec = time.monotonic() - t0
         recall = len(exact & ivf) / n_exact
         # candidate fraction: expected share of the corpus each query's
         # probe touches (cells are near-uniform for the synthetic mix)
-        frac = nprobe / _N_CENTROIDS
+        frac = nprobe / n_cells
         curve.append(
             {
                 "nprobe": nprobe,
@@ -64,7 +86,13 @@ def main() -> None:
         )
         print(curve[-1], flush=True)
 
-    out = {"sf_dir": sf_dir, "n_corpus": n_corpus, "curve": curve}
+    out = {
+        "sf_dir": sf_dir,
+        "n_corpus": n_corpus,
+        "codebook": "fixture" if fixture else "trained_two_level",
+        "n_cells": n_cells,
+        "curve": curve,
+    }
     with open(out_path, "w") as fh:
         json.dump(out, fh, indent=1)
     print("wrote", out_path)

@@ -42,6 +42,8 @@ QUERY_NAMES = [
     "neardup_clusters",
     "semdedup",
     "semdedup_auto",
+    "semdedup_trained",
+    "ann_ivf_trained",
     "kit_throttle",
     "alarm_suppression",
     "ann_ivf",
@@ -117,6 +119,38 @@ def shingle_join_row_count(spark, sf_dir: str) -> int:
     ).count()
 
 
+def trained_stage_split(spark, sf_dir: str) -> dict:
+    """Per-STAGE timing of the trained-codebook semdedup (VERDICT r7 #2:
+    'measured α ≤ ~1 for BOTH the assignment and pair stages'): the
+    assignment stage (codebook training + both pruned passes) is timed
+    through a persisted membership count; the pair stage is timed from
+    that cached membership to the dedup output, so neither stage's time
+    pollutes the other's exponent."""
+    from mysense_spark.operators.similarity import (
+        _vectors,
+        semdedup_pairs,
+        two_level_membership,
+    )
+
+    vecs = _vectors(spark, sf_dir)
+    t0 = time.monotonic()
+    m = two_level_membership(vecs).persist()
+    n_assigned = m.count()
+    t_assign = time.monotonic() - t0
+    n_cells = m.select("cent_id").distinct().count()
+    t0 = time.monotonic()
+    n_pairs = semdedup_pairs(vecs, membership=m).count()
+    t_pairs = time.monotonic() - t0
+    m.unpersist()
+    return {
+        "assign_sec": round(t_assign, 3),
+        "pair_sec": round(t_pairs, 3),
+        "n_assigned": n_assigned,
+        "n_cells": n_cells,
+        "n_dropped": n_pairs,
+    }
+
+
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scaling_sweep.json"
     from mysense_spark.queries import spark_queries
@@ -136,6 +170,11 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001 — record and continue
                 results[sf_name][name] = {"error": str(exc)[:200]}
             print(sf_name, name, results[sf_name][name], flush=True)
+        try:
+            results[sf_name]["semdedup_trained_stages"] = trained_stage_split(spark, sf_dir)
+        except Exception as exc:  # noqa: BLE001
+            results[sf_name]["semdedup_trained_stages"] = {"error": str(exc)[:200]}
+        print(sf_name, "semdedup_trained_stages", results[sf_name]["semdedup_trained_stages"], flush=True)
         for cname, fn in (
             ("minhash_candidates", minhash_candidate_count),
             ("simhash_candidates", simhash_candidate_count),
