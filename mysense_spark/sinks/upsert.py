@@ -230,6 +230,125 @@ def _recover_stage(spark: SparkSession, stage: str, path: str) -> None:
         shutil.rmtree(stage)
 
 
+# --- file-level pruned merge (r8): bound write amplification ----------------
+
+_BACKFILL_CHUNK_DAYS = 30  # days staged per commit on deep backfills
+_MANIFEST = "_MERGE_MANIFEST.json"
+# driver-side guard: above this many distinct (day, key) pairs the batch
+# is fleet-wide and file pruning cannot help — fall back to whole-day
+# selection instead of collecting an unbounded control-plane list
+_MAX_PRUNE_KEYS = 100_000
+
+
+def _file_key_ranges(files: list[str], col: str) -> dict[str, tuple]:
+    """Per-file [min, max] of `col` from parquet footer statistics
+    (pyarrow, driver-side control plane over the file LIST — never
+    data). Files without stats map to (None, None) = always selected."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, tuple] = {}
+    for f in files:
+        lo = hi = None
+        try:
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            if col in idx:
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx[col]).statistics
+                    if st is None or not st.has_min_max:
+                        lo = hi = None
+                        break
+                    lo = st.min if lo is None or st.min < lo else lo
+                    hi = st.max if hi is None or st.max > hi else hi
+        except Exception:
+            lo = hi = None
+        out[f] = (lo, hi)
+    return out
+
+
+def _select_files(day_dir: str, batch_keys: list | None, prune_col: str) -> tuple[list, list]:
+    """Split a day directory's parquet files into (replace, keep): a file
+    must be merged iff its footer [min, max] range of `prune_col`
+    contains ANY of the batch's keys for that day (None stats or a None
+    key list ⇒ conservatively merge). Files the batch cannot collide
+    with are never read, never rewritten, and stay byte-identical."""
+    import bisect
+
+    files = sorted(
+        os.path.join(day_dir, f)
+        for f in os.listdir(day_dir)
+        if f.endswith(".parquet")
+    )
+    if batch_keys is None or any(k is None for k in batch_keys):
+        # no key list (fleet-wide fallback) or NULL keys (footer stats
+        # say nothing about NULL rows): conservatively merge every file
+        return files, []
+    ks = sorted(batch_keys)
+    replace, keep = [], []
+    for f, (lo, hi) in _file_key_ranges(files, prune_col).items():
+        if lo is None:
+            replace.append(f)
+            continue
+        i = bisect.bisect_left(ks, lo)
+        (replace if i < len(ks) and ks[i] <= hi else keep).append(f)
+    return replace, keep
+
+
+def _recover_file_merge(spark: SparkSession, stage: str, path: str) -> bool:
+    """Entry-time recovery for a file-level merge stage: a stage carrying
+    the replaced-files manifest AND the write _SUCCESS marker crashed
+    mid-promote — re-promote it (idempotent: copies skip files already
+    in place, deletes skip files already gone). Returns True if this was
+    a file-merge stage (handled here), False to let the legacy
+    dynamic-overwrite recovery look at it."""
+    manifest = os.path.join(stage, _MANIFEST)
+    if not os.path.exists(manifest):
+        return False
+    if os.path.exists(os.path.join(stage, "_SUCCESS")):
+        try:
+            spark.read.parquet(stage).schema
+        except Exception:
+            shutil.rmtree(stage, ignore_errors=True)
+            return True
+        _promote_file_merge(stage, path)
+    else:
+        shutil.rmtree(stage)
+    return True
+
+
+def _promote_file_merge(stage: str, path: str) -> None:
+    """Idempotent file-level promote: move every staged day's new files
+    into the archive (skip ones already there), THEN delete the replaced
+    files listed in the manifest (skip ones already gone). A crash at
+    any point re-runs cleanly on the next entry; until recovery the
+    archive may transiently hold both old and new files for the merged
+    keys — the single-writer + recover-on-entry contract, same as the
+    legacy stage protocol."""
+    import json
+
+    with open(os.path.join(stage, _MANIFEST)) as fh:
+        replaced = json.load(fh)["replaced"]
+    for d in os.listdir(stage):
+        if not d.startswith(f"{DAY_COL}="):
+            continue
+        src_dir = os.path.join(stage, d)
+        dst_dir = os.path.join(path, d)
+        os.makedirs(dst_dir, exist_ok=True)
+        for f in os.listdir(src_dir):
+            if not f.endswith(".parquet"):
+                continue
+            dst = os.path.join(dst_dir, f)
+            if not os.path.exists(dst):
+                os.rename(os.path.join(src_dir, f), dst)
+    for f in replaced:
+        if os.path.exists(f):
+            os.remove(f)
+    marker = os.path.join(stage, "_SUCCESS")
+    if os.path.exists(marker):
+        os.remove(marker)
+    shutil.rmtree(stage)
+
+
 def upsert_parquet_partitioned(
     new_df: DataFrame,
     path: str,
@@ -238,18 +357,31 @@ def upsert_parquet_partitioned(
     ts_col: str = "ts",
 ) -> None:
     """Scale-path merge: day-partitioned archive, I/O proportional to the
-    days the batch touches (lib/MyARCHIVE.py:360-456 REPLACE INTO against
-    the per-day-indexed table — same cost model).
+    days — and within each day, the FILES — the batch touches
+    (lib/MyARCHIVE.py:360-456 REPLACE INTO against the per-day-indexed
+    table — same cost model, extended to the file level).
 
     Plan shape per micro-batch: one tiny distinct-day list (control
     plane — O(days in batch) rows, never data; a dynamic-partition-
     pruning semi-join was tried instead but DPP's benefit heuristic
     makes the pruning non-deterministic, while a literal isin() is a
-    STATIC PartitionFilter the plan-contract test can pin), one pruned
-    scan of ONLY the matching `day=` directories, one key-window dedup,
-    one partitioned write of the merged days to the stage, one
-    dynamic-overwrite promote. A year-deep archive with a 2-day
-    late-data watermark reads 2 partitions, not 365.
+    STATIC PartitionFilter the plan-contract test can pin), then per
+    chunk of ≤30 touched days: footer-statistics file pruning (only
+    files whose first-key [min,max] range intersects the batch's keys
+    are read and rewritten — merged output is range-partitioned on the
+    key so files keep narrow ranges and future merges stay selective),
+    one key-window dedup, one partitioned stage write, one idempotent
+    file-level promote. A year-deep archive with a 2-day late-data
+    watermark reads 2 partitions — and of those, only the files the
+    late kits actually live in; a 365-day backfill stages at most 30
+    days at a time instead of the whole year.
+
+    Write amplification: a batch rewrites Σ(selected file sizes) +
+    O(batch), NOT Σ(touched day sizes) — measured per-batch in
+    SCALING.md (tools/sink_write_amplification.py). A fleet-wide batch
+    (every kit reporting) still intersects every file of its days; the
+    tuning contract for that steady state is trigger interval ×
+    ingest rate ≈ day size / desired daily write factor.
 
     Contract: `ts_col` must be one of `keys`. The merge reads only the
     batch's touched days, so latest-row-wins resolves within a day — a
@@ -267,9 +399,12 @@ def upsert_parquet_partitioned(
             f"days for a key that does not pin the timestamp — use "
             f"upsert_parquet (full-archive merge) for time-free keys"
         )
+    import json
+
     spark = new_df.sparkSession
     stage = f"{path}__stage"
-    _recover_stage(spark, stage, path)
+    if not _recover_file_merge(spark, stage, path):
+        _recover_stage(spark, stage, path)
 
     batch = new_df.withColumn(
         DAY_COL,
@@ -278,7 +413,7 @@ def upsert_parquet_partitioned(
     # control-plane collect: bounded by distinct days per micro-batch
     # (exempted in test_sinks_never_materialize_on_driver, like the
     # similarity rerank fence) — this list IS the partition-pruning key
-    days = [r[0] for r in batch.select(DAY_COL).distinct().collect()]
+    days = sorted(r[0] for r in batch.select(DAY_COL).distinct().collect())
     if not days:
         return
 
@@ -289,31 +424,95 @@ def upsert_parquet_partitioned(
             f"(the partitioned merge needs the day= hive layout — "
             f"rewrite the archive with write_date_partitioned first)"
         )
-    if layout == "partitioned":
-        with _scoped_conf(
-            spark,
-            **{"spark.sql.sources.partitionColumnTypeInference.enabled": "false"},
-        ):
-            existing = spark.read.parquet(path).where(F.col(DAY_COL).isin(days))
-            merged = existing.unionByName(batch, allowMissingColumns=True)
+
+    # prune_col: the first non-time key — the axis batches are sparse on
+    # (a late-data batch touches few kits; footer stats on a key the
+    # merged files are range-partitioned by make the file selection
+    # sharp). With a single-key archive there is nothing to prune on.
+    prune_cols = [k for k in keys if k != ts_col]
+    prune_col = prune_cols[0] if prune_cols else None
+
+    # chunk deep backfills: a 365-day replay stages ≤30 days at a time,
+    # bounding peak stage size; a crash between chunks is covered by the
+    # committed chunks being idempotent re-merges under checkpoint replay
+    chunks = [days[i : i + _BACKFILL_CHUNK_DAYS] for i in range(0, len(days), _BACKFILL_CHUNK_DAYS)]
+    multi = len(chunks) > 1
+    if multi:
+        batch.persist()
+    try:
+        for chunk in chunks:
+            cbatch = batch.where(F.col(DAY_COL).isin(chunk))
             w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
-            deduped = (
-                merged.withColumn("__rn", F.row_number().over(w))
-                .where(F.col("__rn") == 1)
-                .drop("__rn")
-            )
-            # the stage write is an ACTION over a plan that reads `path`;
-            # it must fully materialize before the commit mutates `path`
-            deduped.write.mode("overwrite").partitionBy(DAY_COL).parquet(stage)
-    else:
-        w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
-        deduped = (
-            batch.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-        deduped.write.mode("overwrite").partitionBy(DAY_COL).parquet(stage)
-    _commit_stage(spark, stage, path)
+            if layout != "partitioned":
+                deduped = (
+                    cbatch.withColumn("__rn", F.row_number().over(w))
+                    .where(F.col("__rn") == 1)
+                    .drop("__rn")
+                )
+                _stage_write(deduped, stage, prune_col)
+                with open(os.path.join(stage, _MANIFEST), "w") as fh:
+                    json.dump({"replaced": []}, fh)
+                _promote_file_merge(stage, path)
+                layout = "partitioned"  # subsequent chunks merge
+                continue
+
+            # file pruning: per touched day, select only the files whose
+            # prune_col footer range intersects the batch's keys
+            if prune_col is not None:
+                kd = cbatch.select(DAY_COL, prune_col).distinct().limit(_MAX_PRUNE_KEYS + 1).collect()
+                keys_by_day: dict | None = {}
+                if len(kd) > _MAX_PRUNE_KEYS:
+                    keys_by_day = None  # fleet-wide batch: prune by day only
+                else:
+                    for r in kd:
+                        keys_by_day.setdefault(r[0], []).append(r[1])
+            else:
+                keys_by_day = None
+            replace_files: list[str] = []
+            for day in chunk:
+                day_dir = os.path.join(path, f"{DAY_COL}={day}")
+                if not os.path.isdir(day_dir):
+                    continue
+                bkeys = None if keys_by_day is None else keys_by_day.get(day, [])
+                rep, _keep = _select_files(day_dir, bkeys, prune_col)
+                replace_files.extend(rep)
+
+            with _scoped_conf(
+                spark,
+                **{"spark.sql.sources.partitionColumnTypeInference.enabled": "false"},
+            ):
+                if replace_files:
+                    existing = spark.read.option("basePath", path).parquet(*replace_files)
+                    merged = existing.unionByName(cbatch, allowMissingColumns=True)
+                else:
+                    merged = cbatch
+                deduped = (
+                    merged.withColumn("__rn", F.row_number().over(w))
+                    .where(F.col("__rn") == 1)
+                    .drop("__rn")
+                )
+                # the stage write is an ACTION over a plan that reads
+                # `path`; it must fully materialize before the promote
+                # mutates `path`
+                _stage_write(deduped, stage, prune_col)
+            with open(os.path.join(stage, _MANIFEST), "w") as fh:
+                json.dump({"replaced": replace_files}, fh)
+            _promote_file_merge(stage, path)
+    finally:
+        if multi:
+            batch.unpersist()
+
+
+def _stage_write(deduped: DataFrame, stage: str, prune_col: str | None) -> None:
+    """Stage the merged chunk day-partitioned and RANGE-partitioned on
+    (day, prune_col): each output file then covers a narrow key range,
+    which is exactly what keeps the NEXT merge's footer-stats file
+    selection sharp. Without the range partitioning, every file spans
+    the whole key space and file-level pruning degenerates to whole-day
+    rewrites."""
+    if prune_col is not None:
+        deduped = deduped.repartitionByRange(F.col(DAY_COL), F.col(prune_col))
+    deduped.write.mode("overwrite").partitionBy(DAY_COL).parquet(stage)
 
 
 def migrate_to_partitioned(spark: SparkSession, path: str, ts_col: str = "ts") -> bool:

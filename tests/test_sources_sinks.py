@@ -784,3 +784,145 @@ def test_measurements_csv_reader(spark, tmp_path):
     assert len(by_bad) == 1 and by_bad[0]["kit_id"] == "k1"
     blank = [r for r in rows if r["kit_id"] == "k2"][0]
     assert blank["value"] is None and blank["_corrupt"] is None
+
+
+def test_file_level_merge_keeps_untouched_files(spark, tmp_path):
+    """r8 write-amplification bound: within a TOUCHED day, only the
+    files whose kit range intersects the batch's kits are rewritten —
+    the rest stay byte-identical (path, size, mtime). The merged layout
+    is range-partitioned on kit_id, so the footer-stats selection is
+    sharp from the first write on."""
+    import datetime as dt
+    import os
+
+    from mysense_spark.sinks.upsert import upsert_parquet_partitioned
+
+    path = str(tmp_path / "archive")
+    day = dt.datetime(2024, 1, 1, 10)
+    t0 = dt.datetime(2024, 6, 1)
+    kits = [f"kit{chr(ord('a') + i)}" for i in range(26)]
+    base = _mk_batch(spark, [(k, day, "pm25", float(i), t0) for i, k in enumerate(kits)])
+    # AQE coalesces the range partitions of a 26-row write into one file
+    # — at real scale the ranges are file-sized; pin them off so the day
+    # genuinely has multiple kit-ranged files to prune between
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        upsert_parquet_partitioned(base, path, keys=["kit_id", "ts", "field"], order_col="ingest_ts")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    day_dir = os.path.join(path, "day=2024-01-01")
+    files = sorted(f for f in os.listdir(day_dir) if f.endswith(".parquet"))
+    assert len(files) > 1, "need a multi-file day to prove file-level pruning"
+
+    def snap():
+        return {
+            f: (os.path.getsize(os.path.join(day_dir, f)), os.path.getmtime(os.path.join(day_dir, f)))
+            for f in os.listdir(day_dir)
+            if f.endswith(".parquet")
+        }
+
+    before = snap()
+    # update ONE kit: only the file holding its range may change
+    upd = _mk_batch(spark, [("kita", day, "pm25", 999.0, dt.datetime(2024, 6, 2))])
+    upsert_parquet_partitioned(upd, path, keys=["kit_id", "ts", "field"], order_col="ingest_ts")
+
+    after = snap()
+    untouched_before = {f: v for f, v in before.items() if f in after}
+    assert untouched_before == {f: after[f] for f in untouched_before}, "surviving files mutated"
+    n_replaced = len(set(before) - set(after))
+    assert 1 <= n_replaced < len(before), f"replaced {n_replaced} of {len(before)} files"
+
+    out = {r["kit_id"]: r["value"] for r in spark.read.parquet(path).collect()}
+    assert out["kita"] == 999.0 and len(out) == 26 and out["kitb"] == 1.0
+
+
+def test_backfill_chunking_with_crash_between_chunks(spark, tmp_path, monkeypatch):
+    """r8 deep-backfill bound: a 90-day batch stages ≤30 days per
+    commit (>1 chunk), and a crash BETWEEN chunks recovers via replay —
+    the committed chunks re-merge idempotently and the remaining days
+    land on the retry."""
+    import datetime as dt
+    import os
+
+    from mysense_spark.sinks import upsert as U
+
+    path = str(tmp_path / "archive")
+    t0 = dt.datetime(2024, 6, 1)
+    days = [dt.datetime(2024, 1, 1) + dt.timedelta(days=i, hours=9) for i in range(90)]
+    batch = _mk_batch(spark, [("k1", d, "pm25", float(i), t0) for i, d in enumerate(days)])
+
+    calls = {"n": 0}
+    real_promote = U._promote_file_merge
+
+    def crashing_promote(stage, p):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash between chunks")
+        real_promote(stage, p)
+
+    monkeypatch.setattr(U, "_promote_file_merge", crashing_promote)
+    try:
+        U.upsert_parquet_partitioned(batch, path, keys=["kit_id", "ts", "field"], order_col="ingest_ts")
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError:
+        pass
+    n_after_crash = len([d for d in os.listdir(path) if d.startswith("day=")])
+    assert n_after_crash == 30, (
+        f"exactly the first 30-day chunk must be committed, got {n_after_crash}"
+    )
+
+    # checkpoint replay redelivers the batch; recovery + re-merge completes
+    monkeypatch.setattr(U, "_promote_file_merge", real_promote)
+    U.upsert_parquet_partitioned(batch, path, keys=["kit_id", "ts", "field"], order_col="ingest_ts")
+    got = {str(r["day"]): r["value"] for r in spark.read.parquet(path).collect()}
+    assert len(got) == 90
+    assert got["2024-01-01"] == 0.0 and got["2024-03-30"] == 89.0
+
+
+def test_file_merge_stage_recovery_idempotent(spark, tmp_path):
+    """A file-merge stage with manifest + _SUCCESS left by a crash
+    mid-promote is re-promoted on the next entry; a manifest stage
+    without _SUCCESS is discarded."""
+    import datetime as dt
+    import json
+    import os
+    import shutil
+
+    from mysense_spark.sinks import upsert as U
+
+    path = str(tmp_path / "archive")
+    day = dt.datetime(2024, 1, 1, 10)
+    t0 = dt.datetime(2024, 6, 1)
+    base = _mk_batch(spark, [("k1", day, "pm25", 1.0, t0), ("k2", day, "pm25", 2.0, t0)])
+    U.upsert_parquet_partitioned(base, path, keys=["kit_id", "ts", "field"], order_col="ingest_ts")
+
+    # fabricate a crashed promote: stage a merge, interrupt the promote
+    # halfway by hand (copy the machinery's own artifacts)
+    stage = f"{path}__stage"
+    upd = _mk_batch(spark, [("k1", day, "pm25", 5.0, dt.datetime(2024, 6, 2))])
+    real = U._promote_file_merge
+    try:
+        U._promote_file_merge = lambda s, p: None  # stage, never promote
+        U.upsert_parquet_partitioned(upd, path, keys=["kit_id", "ts", "field"], order_col="ingest_ts")
+    finally:
+        U._promote_file_merge = real
+    assert os.path.exists(os.path.join(stage, U._MANIFEST))
+    assert os.path.exists(os.path.join(stage, "_SUCCESS"))
+
+    # next entry recovers: the staged merge lands, replaced files go
+    tri = _mk_batch(spark, [("k9", dt.datetime(2024, 2, 1, 9), "pm25", 7.0, t0)])
+    U.upsert_parquet_partitioned(tri, path, keys=["kit_id", "ts", "field"], order_col="ingest_ts")
+    out = {r["kit_id"]: r["value"] for r in spark.read.parquet(path).collect()}
+    assert out == {"k1": 5.0, "k2": 2.0, "k9": 7.0}
+    assert not os.path.exists(stage)
+
+    # half-written manifest stage (no _SUCCESS) is garbage: discarded
+    os.makedirs(stage)
+    json.dump({"replaced": []}, open(os.path.join(stage, U._MANIFEST), "w"))
+    U.upsert_parquet_partitioned(
+        _mk_batch(spark, [("k9", dt.datetime(2024, 2, 2, 9), "pm25", 8.0, t0)]),
+        path, keys=["kit_id", "ts", "field"], order_col="ingest_ts",
+    )
+    assert not os.path.exists(stage)
+    assert {r["value"] for r in spark.read.parquet(path).collect()} == {5.0, 2.0, 7.0, 8.0}
