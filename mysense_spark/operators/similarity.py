@@ -889,7 +889,12 @@ def trained_codebook(vecs: DataFrame) -> tuple[DataFrame, DataFrame]:
         .select(F.col("m.vec_id").alias("vec_id"))
     )
     seed_ids = sel.unionByName(anchor).distinct()
-    seeds = base.join(seed_ids, "vec_id")
+    # persist the seed set (K ≈ N/64 slim rows): it roots FIVE consumers
+    # (rank window, coarse init, seed→coarse assignment, the coarse
+    # refinement, the fine table) — unpersisted, Catalyst re-expands the
+    # md5-scan+union+distinct subtree into every one of them and the
+    # whole training replans ~5×
+    seeds = tracked_persist(base.join(seed_ids, "vec_id"))
     # global rank over K = N/64 codebook rows — a single-partition window
     # by design: it orders the CODEBOOK, not the corpus
     w = Window.orderBy("h", "vec_id")
@@ -911,7 +916,10 @@ def trained_codebook(vecs: DataFrame) -> tuple[DataFrame, DataFrame]:
     mem = a0.join(seeds, "vec_id").select(
         "coarse_id", F.posexplode("qv").alias("d", "q")
     )
-    coarse = (
+    # both codebook tables are tiny (K1 / K rows) and feed multiple
+    # broadcast consumers downstream — persist so the Lloyd update runs
+    # once, not once per consumer
+    coarse = tracked_persist(
         mem.groupBy("coarse_id", "d")
         .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
         .withColumn("cq", F.expr("s DIV n"))
@@ -919,9 +927,11 @@ def trained_codebook(vecs: DataFrame) -> tuple[DataFrame, DataFrame]:
         .agg(F.array_sort(F.collect_list(F.struct("d", "cq"))).alias("a"))
         .select("coarse_id", F.expr("transform(a, p -> p.cq)").alias("cqv"))
     )
-    fine = a0.join(
-        seeds.select("vec_id", F.col("qv").alias("fqv")), "vec_id"
-    ).select(F.col("vec_id").alias("fine_id"), "coarse_id", "fqv")
+    fine = tracked_persist(
+        a0.join(seeds.select("vec_id", F.col("qv").alias("fqv")), "vec_id").select(
+            F.col("vec_id").alias("fine_id"), "coarse_id", "fqv"
+        )
+    )
     return coarse, fine
 
 
@@ -992,7 +1002,10 @@ def _two_level_parts(vecs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
         .agg(F.array_sort(F.collect_list(F.struct("d", "cq"))).alias("a"))
         .select("fine_id", F.expr("transform(a, p -> p.cq)").alias("fqv1"))
     )
-    f1cell = f1.join(fine.select("fine_id", "coarse_id"), "fine_id")
+    # refined fine codebook: K rows, consumed by the final re-assignment
+    # AND (in ann_ivf_trained) the probe ranking — persist like the rest
+    # of the codebook tables
+    f1cell = tracked_persist(f1.join(fine.select("fine_id", "coarse_id"), "fine_id"))
     cand2 = qvecs.join(vca, "vec_id").join(f1cell, "coarse_id")
     final = (
         cand2.select(
