@@ -795,9 +795,12 @@ def semdedup_pairs(
 # the corpus grows — the K ∝ N scaling the SemDeDup paper runs (50k
 # clusters for LAION-440M) and the fix for the fixture-K sweep's α = 1.22
 # (per-cluster size growing linearly made the within-cluster GEMM
-# quadratic). Modulo sampling stands in for a trained codebook; at
-# deployment scale pass kmeans_train's centroids instead, and beyond
-# broadcast-K move the assignment join to a shuffle.
+# quadratic). SUPERSEDED AS THE DEFAULT in r8: the modulo rule keeps its
+# graded query (semdedup_auto, output stability) but its N×K brute-force
+# assignment and dense-id assumption are retired — the engine default
+# with no codebook argument is the trained two-level codebook
+# (trained_codebook / two_level_membership below: md5-sampled seeds, no
+# dense-id assumption, Lloyd-refined, coarse-cell-PRUNED assignment).
 _SEM_TARGET_CLUSTER = 64
 
 
@@ -811,11 +814,11 @@ def sqrt_centroids(vecs: DataFrame) -> DataFrame:
     brute-force nearest-centroid assignment, total work is
     N·K (assignment) + N·(N/K) (in-cluster pairs): K ∝ N bounds the
     pair stage but makes assignment N²/target; K ≈ √N balances both at
-    O(N^1.5) — the best exponent brute-force assignment admits, and the
-    variant to reach for once the modulo rule's assignment term
-    dominates (measured: not yet at 20k vectors — SCALING.md). Beyond
-    that, a trained hierarchical codebook (kmeans_train) with a pruned
-    assignment join is the real at-scale path."""
+    O(N^1.5) — the best exponent BRUTE-FORCE assignment admits. Kept as
+    the documented balance point for flat scans; the engine default
+    since r8 is the trained two-level codebook below, whose PRUNED
+    assignment join drops the brute-force term entirely (measured
+    assignment α = 0.18, SCALING.md)."""
     # integer-safe perfect-square test: double sqrt of a vec_id beyond
     # ~2^52 can land a hair below the true root and floor to r-1, which
     # would silently drop a centroid — so accept r*r OR (r+1)*(r+1),
