@@ -120,6 +120,16 @@ ORDER BY query_id, rank
 """
 
 
+def _fixture_centroids(vecs: DataFrame) -> DataFrame:
+    """The frozen 8-row fixture codebook (embeddings 100..107) the
+    graded queries opt into — the single definition of the fixture
+    window, so a future change cannot silently diverge the graded
+    queries from the membership default."""
+    return vecs.where(
+        (F.col("vec_id") >= _CENTROID_BASE) & (F.col("vec_id") < _CENTROID_BASE + _N_CENTROIDS)
+    )
+
+
 def ivf_assigned(vecs: DataFrame, centroids: DataFrame | None = None) -> DataFrame:
     """Nearest-centroid assignment: (vec columns, cent_cos, crank). The
     single point of truth for cluster membership — q_ann_ivf's index,
@@ -131,9 +141,7 @@ def ivf_assigned(vecs: DataFrame, centroids: DataFrame | None = None) -> DataFra
     table for trained (kmeans_train) or corpus-proportional
     (modulo_centroids) codebooks."""
     if centroids is None:
-        centroids = vecs.where(
-            (F.col("vec_id") >= _CENTROID_BASE) & (F.col("vec_id") < _CENTROID_BASE + _N_CENTROIDS)
-        )
+        centroids = _fixture_centroids(vecs)
     cents = centroids.select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm")
     )
@@ -162,9 +170,7 @@ def ivf_membership(vecs: DataFrame, centroids: DataFrame | None = None) -> DataF
     (desc rounded-cos, asc cent_id): max of (cos, −cent_id) — pinned by a
     parity pytest so the two forms cannot drift."""
     if centroids is None:
-        centroids = vecs.where(
-            (F.col("vec_id") >= _CENTROID_BASE) & (F.col("vec_id") < _CENTROID_BASE + _N_CENTROIDS)
-        )
+        centroids = _fixture_centroids(vecs)
     cents = centroids.select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm")
     )
@@ -202,10 +208,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall/cost tradeoff across nprobe is measured by
     tools/ivf_recall_curve.py (SCALING.md)."""
     vecs = _vectors(spark, sf_dir)
-    fixture = vecs.where(
-        (F.col("vec_id") >= _CENTROID_BASE) & (F.col("vec_id") < _CENTROID_BASE + _N_CENTROIDS)
-    )
-    return ann_ivf_search(vecs, centroids=fixture)
+    return ann_ivf_search(vecs, centroids=_fixture_centroids(vecs))
 
 
 def ann_ivf_search(
@@ -288,7 +291,11 @@ ORDER BY query_id, rank
 """
 
 
-def _ann_ivf_trained(vecs: DataFrame, nprobe: int = _NPROBE) -> DataFrame:
+def _ann_ivf_trained(
+    vecs: DataFrame,
+    nprobe: int = _NPROBE,
+    parts: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+) -> DataFrame:
     """IVF search against the TRAINED two-level codebook: membership
     from the pruned assignment (two_level_membership), probes ranked by
     integer-grid L2 against the Lloyd-refined fine centroids. Query
@@ -296,8 +303,12 @@ def _ann_ivf_trained(vecs: DataFrame, nprobe: int = _NPROBE) -> DataFrame:
     int64s); past broadcast scale the probe ranking goes through the
     coarse level first — the same two-level trick the membership uses.
     Same output shape as the fixture path: top-5 per query by rounded
-    cosine over the probed cells only."""
-    vca, f1cell, final = _two_level_parts(vecs)
+    cosine over the probed cells only.
+
+    `parts` lets a sweep (tools/ivf_recall_curve.py) train the codebook
+    ONCE and vary nprobe against it — without it, every call retrains
+    and re-persists the whole two-level construction."""
+    _, f1cell, final = parts if parts is not None else _two_level_parts(vecs)
     membership = vecs.join(final, "vec_id").select("vec_id", "v", "norm", "cent_id")
     q = vecs.where(F.col("vec_id") < _N_QUERIES).select(
         "vec_id", "v", "norm", F.expr(_QV_EXPR).alias("qv")

@@ -24,6 +24,19 @@ _STATE_STORE_PROVIDERS = {
 }
 
 
+def _state_store_provider() -> str:
+    """Resolve $SPARK_GRAFT_STATE_STORE (case-insensitive) to a provider
+    class, with a usable error instead of a bare KeyError deep inside
+    the builder chain when the value is unrecognized."""
+    name = os.environ.get("SPARK_GRAFT_STATE_STORE", "rocksdb").strip().lower()
+    if name not in _STATE_STORE_PROVIDERS:
+        raise ValueError(
+            f"SPARK_GRAFT_STATE_STORE={name!r} is not a known state store; "
+            f"valid values: {sorted(_STATE_STORE_PROVIDERS)}"
+        )
+    return _STATE_STORE_PROVIDERS[name]
+
+
 def get_spark(app_name: str = "mysense_spark", shuffle_partitions: int | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
@@ -54,7 +67,7 @@ def get_spark(app_name: str = "mysense_spark", shuffle_partitions: int | None = 
         # per checkpoint at first start; existing checkpoints keep theirs.
         .config(
             "spark.sql.streaming.stateStore.providerClass",
-            _STATE_STORE_PROVIDERS[os.environ.get("SPARK_GRAFT_STATE_STORE", "rocksdb")],
+            _state_store_provider(),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

@@ -294,25 +294,81 @@ def _select_files(day_dir: str, batch_keys: list | None, prune_col: str) -> tupl
     return replace, keep
 
 
+def _manifest_path(path: str) -> str:
+    """The merge manifest lives BESIDE the stage, not inside it: the
+    stage write's mode("overwrite") clears the stage directory, and the
+    manifest must be durably on disk BEFORE the stage write begins (see
+    _recover_file_merge for why that ordering is load-bearing)."""
+    return f"{path}__stage_manifest.json"
+
+
+def _write_manifest(path: str, replaced: list[str]) -> None:
+    """Atomic manifest write (tmp + rename): a crash mid-write must not
+    leave a torn JSON at the final name — recovery decisions key off the
+    manifest's presence and content."""
+    import json
+
+    final = _manifest_path(path)
+    tmp = final + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"replaced": replaced}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, final)
+
+
 def _recover_file_merge(spark: SparkSession, stage: str, path: str) -> bool:
-    """Entry-time recovery for a file-level merge stage: a stage carrying
-    the replaced-files manifest AND the write _SUCCESS marker crashed
-    mid-promote — re-promote it (idempotent: copies skip files already
-    in place, deletes skip files already gone). Returns True if this was
-    a file-merge stage (handled here), False to let the legacy
-    dynamic-overwrite recovery look at it."""
-    manifest = os.path.join(stage, _MANIFEST)
-    if not os.path.exists(manifest):
+    """Entry-time recovery for a file-level merge. The writer's ordering
+    is manifest FIRST, stage write second, promote third — so:
+
+    - manifest + staged _SUCCESS: crashed mid-promote; re-promote
+      (idempotent: moves skip files already in place, deletes skip
+      files already gone).
+    - manifest, no completed stage: crashed before/during the stage
+      write; discard both — checkpoint replay re-delivers the batch.
+    - completed stage, NO manifest: NOT ours — return False so the
+      legacy full-day recovery (_recover_stage) judges it. The
+      manifest-first ordering is what makes this dichotomy sound: a
+      file-merge stage can never exist without its manifest, so a
+      manifest-less _SUCCESS stage is always legacy full-day truth.
+      (The pre-ordering code wrote the manifest AFTER the stage; a
+      crash in that window made the legacy recovery dynamic-overwrite
+      whole days with a files-subset stage — silent row loss for every
+      pruned-out keep file.)
+    - torn/unreadable manifest (only possible from a legacy writer —
+      _write_manifest is tmp+rename): discard manifest and stage
+      rather than crash-looping the sink; replay re-delivers.
+    """
+    import json
+
+    tmp = _manifest_path(path) + ".tmp"
+    if os.path.exists(tmp):
+        os.remove(tmp)  # torn tmp from a crashed _write_manifest
+    manifest = _manifest_path(path)
+    legacy = os.path.join(stage, _MANIFEST)  # pre-r8.1 in-stage location
+    if not os.path.exists(manifest) and not os.path.exists(legacy):
         return False
+    try:
+        with open(manifest if os.path.exists(manifest) else legacy) as fh:
+            json.load(fh)["replaced"]
+    except Exception:
+        shutil.rmtree(stage, ignore_errors=True)
+        if os.path.exists(manifest):
+            os.remove(manifest)
+        return True
     if os.path.exists(os.path.join(stage, "_SUCCESS")):
         try:
             spark.read.parquet(stage).schema
         except Exception:
             shutil.rmtree(stage, ignore_errors=True)
+            if os.path.exists(manifest):
+                os.remove(manifest)
             return True
         _promote_file_merge(stage, path)
     else:
-        shutil.rmtree(stage)
+        shutil.rmtree(stage, ignore_errors=True)
+        if os.path.exists(manifest):
+            os.remove(manifest)
     return True
 
 
@@ -323,10 +379,15 @@ def _promote_file_merge(stage: str, path: str) -> None:
     any point re-runs cleanly on the next entry; until recovery the
     archive may transiently hold both old and new files for the merged
     keys — the single-writer + recover-on-entry contract, same as the
-    legacy stage protocol."""
+    legacy stage protocol. The manifest is deleted LAST: it must outlive
+    the replaced-file deletes so an interrupted promote still knows what
+    to finish."""
     import json
 
-    with open(os.path.join(stage, _MANIFEST)) as fh:
+    manifest = _manifest_path(path)
+    if not os.path.exists(manifest):
+        manifest = os.path.join(stage, _MANIFEST)  # legacy in-stage
+    with open(manifest) as fh:
         replaced = json.load(fh)["replaced"]
     for d in os.listdir(stage):
         if not d.startswith(f"{DAY_COL}="):
@@ -347,6 +408,9 @@ def _promote_file_merge(stage: str, path: str) -> None:
     if os.path.exists(marker):
         os.remove(marker)
     shutil.rmtree(stage)
+    sibling = _manifest_path(path)
+    if os.path.exists(sibling):
+        os.remove(sibling)
 
 
 def upsert_parquet_partitioned(
@@ -399,8 +463,6 @@ def upsert_parquet_partitioned(
             f"days for a key that does not pin the timestamp — use "
             f"upsert_parquet (full-archive merge) for time-free keys"
         )
-    import json
-
     spark = new_df.sparkSession
     stage = f"{path}__stage"
     if not _recover_file_merge(spark, stage, path):
@@ -410,11 +472,17 @@ def upsert_parquet_partitioned(
         DAY_COL,
         F.coalesce(F.date_format(F.col(ts_col), "yyyy-MM-dd"), F.lit(NULL_DAY)),
     )
+    # persist unconditionally: even a single-chunk merge drives THREE
+    # actions over the batch lineage (the days collect below, the
+    # (day, key) prune collect, the stage write) — unpersisted, each one
+    # re-evaluates the micro-batch source on the hot ingest path
+    batch.persist()
     # control-plane collect: bounded by distinct days per micro-batch
     # (exempted in test_sinks_never_materialize_on_driver, like the
     # similarity rerank fence) — this list IS the partition-pruning key
     days = sorted(r[0] for r in batch.select(DAY_COL).distinct().collect())
     if not days:
+        batch.unpersist()
         return
 
     layout = _layout(path)
@@ -436,9 +504,6 @@ def upsert_parquet_partitioned(
     # bounding peak stage size; a crash between chunks is covered by the
     # committed chunks being idempotent re-merges under checkpoint replay
     chunks = [days[i : i + _BACKFILL_CHUNK_DAYS] for i in range(0, len(days), _BACKFILL_CHUNK_DAYS)]
-    multi = len(chunks) > 1
-    if multi:
-        batch.persist()
     try:
         for chunk in chunks:
             cbatch = batch.where(F.col(DAY_COL).isin(chunk))
@@ -449,9 +514,10 @@ def upsert_parquet_partitioned(
                     .where(F.col("__rn") == 1)
                     .drop("__rn")
                 )
+                # manifest BEFORE the stage write — the ordering that
+                # keeps recovery sound (_recover_file_merge docstring)
+                _write_manifest(path, [])
                 _stage_write(deduped, stage, prune_col)
-                with open(os.path.join(stage, _MANIFEST), "w") as fh:
-                    json.dump({"replaced": []}, fh)
                 _promote_file_merge(stage, path)
                 layout = "partitioned"  # subsequent chunks merge
                 continue
@@ -491,16 +557,21 @@ def upsert_parquet_partitioned(
                     .where(F.col("__rn") == 1)
                     .drop("__rn")
                 )
+                # manifest BEFORE the stage write: a stage that reaches
+                # _SUCCESS without its manifest would otherwise be
+                # promoted by the LEGACY recovery as full-day truth,
+                # dynamic-overwriting the day with only the selected
+                # files' rows — deleting every pruned-out keep file's
+                # rows. With the manifest durably first, that window
+                # cannot exist (_recover_file_merge).
+                _write_manifest(path, replace_files)
                 # the stage write is an ACTION over a plan that reads
                 # `path`; it must fully materialize before the promote
                 # mutates `path`
                 _stage_write(deduped, stage, prune_col)
-            with open(os.path.join(stage, _MANIFEST), "w") as fh:
-                json.dump({"replaced": replace_files}, fh)
             _promote_file_merge(stage, path)
     finally:
-        if multi:
-            batch.unpersist()
+        batch.unpersist()
 
 
 def _stage_write(deduped: DataFrame, stage: str, prune_col: str | None) -> None:

@@ -907,7 +907,9 @@ def test_file_merge_stage_recovery_idempotent(spark, tmp_path):
         U.upsert_parquet_partitioned(upd, path, keys=["kit_id", "ts", "field"], order_col="ingest_ts")
     finally:
         U._promote_file_merge = real
-    assert os.path.exists(os.path.join(stage, U._MANIFEST))
+    assert os.path.exists(U._manifest_path(path)), (
+        "manifest must be durable BESIDE the stage before any promote"
+    )
     assert os.path.exists(os.path.join(stage, "_SUCCESS"))
 
     # next entry recovers: the staged merge lands, replaced files go
@@ -916,8 +918,10 @@ def test_file_merge_stage_recovery_idempotent(spark, tmp_path):
     out = {r["kit_id"]: r["value"] for r in spark.read.parquet(path).collect()}
     assert out == {"k1": 5.0, "k2": 2.0, "k9": 7.0}
     assert not os.path.exists(stage)
+    assert not os.path.exists(U._manifest_path(path)), "manifest outlived its promote"
 
     # half-written manifest stage (no _SUCCESS) is garbage: discarded
+    # (legacy in-stage manifest location — pre-sibling writers)
     os.makedirs(stage)
     json.dump({"replaced": []}, open(os.path.join(stage, U._MANIFEST), "w"))
     U.upsert_parquet_partitioned(
@@ -926,3 +930,78 @@ def test_file_merge_stage_recovery_idempotent(spark, tmp_path):
     )
     assert not os.path.exists(stage)
     assert {r["value"] for r in spark.read.parquet(path).collect()} == {5.0, 2.0, 7.0, 8.0}
+
+    # a manifest with no stage at all (crash between manifest write and
+    # stage write — the post-reorder equivalent of the old lost-rows
+    # window) is discarded; checkpoint replay re-delivers the batch
+    json.dump({"replaced": []}, open(U._manifest_path(path), "w"))
+    U.upsert_parquet_partitioned(
+        _mk_batch(spark, [("k9", dt.datetime(2024, 2, 3, 9), "pm25", 9.0, t0)]),
+        path, keys=["kit_id", "ts", "field"], order_col="ingest_ts",
+    )
+    assert {r["value"] for r in spark.read.parquet(path).collect()} == {5.0, 2.0, 7.0, 8.0, 9.0}
+
+    # a TORN manifest (legacy writer crashed mid-json.dump) must not
+    # crash-loop the sink: discard it and the stage, replay re-delivers
+    os.makedirs(stage)
+    open(os.path.join(stage, "_SUCCESS"), "w").close()
+    with open(U._manifest_path(path), "w") as fh:
+        fh.write('{"replaced": ["/tmp/tr')  # truncated mid-write
+    U.upsert_parquet_partitioned(
+        _mk_batch(spark, [("k9", dt.datetime(2024, 2, 4, 9), "pm25", 10.0, t0)]),
+        path, keys=["kit_id", "ts", "field"], order_col="ingest_ts",
+    )
+    assert not os.path.exists(stage)
+    assert not os.path.exists(U._manifest_path(path))
+    assert 10.0 in {r["value"] for r in spark.read.parquet(path).collect()}
+
+
+def test_crash_before_promote_never_loses_pruned_out_rows(spark, tmp_path, monkeypatch):
+    """THE data-loss window the manifest-first ordering closes: a
+    file-pruned merge whose stage reached _SUCCESS but whose process
+    died before promote. Under manifest-AFTER-stage ordering the legacy
+    recovery saw a manifest-less _SUCCESS stage and dynamic-overwrote
+    the whole day with only the SELECTED files' rows — every pruned-out
+    keep file's rows silently deleted. With the manifest durable first,
+    recovery runs the file-level promote and every kit survives."""
+    import datetime as dt
+    import os
+
+    from mysense_spark.sinks import upsert as U
+
+    path = str(tmp_path / "archive")
+    day = dt.datetime(2024, 1, 1, 10)
+    t0 = dt.datetime(2024, 6, 1)
+    kits = [f"kit{chr(ord('a') + i)}" for i in range(26)]
+    base = _mk_batch(spark, [(k, day, "pm25", float(i), t0) for i, k in enumerate(kits)])
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        U.upsert_parquet_partitioned(base, path, keys=["kit_id", "ts", "field"], order_col="ingest_ts")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    day_dir = os.path.join(path, "day=2024-01-01")
+    n_files = len([f for f in os.listdir(day_dir) if f.endswith(".parquet")])
+    assert n_files > 1, "need pruned-out keep files for the scenario to bite"
+
+    # one-kit update, crash after the stage write / before the promote
+    upd = _mk_batch(spark, [("kita", day, "pm25", 999.0, dt.datetime(2024, 6, 2))])
+    real_promote = U._promote_file_merge
+
+    def crashing_promote(stage, p):
+        raise RuntimeError("injected crash before promote")
+
+    monkeypatch.setattr(U, "_promote_file_merge", crashing_promote)
+    try:
+        U.upsert_parquet_partitioned(upd, path, keys=["kit_id", "ts", "field"], order_col="ingest_ts")
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError:
+        pass
+    assert os.path.exists(U._manifest_path(path))
+    monkeypatch.setattr(U, "_promote_file_merge", real_promote)
+
+    # next entry: recovery must promote file-level, not day-overwrite
+    tri = _mk_batch(spark, [("kitz", dt.datetime(2024, 2, 1, 9), "pm25", 7.0, t0)])
+    U.upsert_parquet_partitioned(tri, path, keys=["kit_id", "ts", "field"], order_col="ingest_ts")
+    out = {r["kit_id"]: r["value"] for r in spark.read.parquet(path).where("day = '2024-01-01'").collect()}
+    assert len(out) == 26, f"pruned-out kits lost in recovery: kept {sorted(out)}"
+    assert out["kita"] == 999.0 and out["kitb"] == 1.0 and out["kity"] == 24.0

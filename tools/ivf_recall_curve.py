@@ -31,12 +31,13 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from mysense_spark.operators.similarity import (
-        _CENTROID_BASE,
         _N_CENTROIDS,
+        _ann_ivf_trained,
+        _fixture_centroids,
+        _two_level_parts,
         _vectors,
         ann_ivf_search,
         q_knn_bruteforce,
-        two_level_membership,
     )
     from mysense_spark.session import get_spark
 
@@ -45,17 +46,17 @@ def main() -> None:
     n_corpus = vecs.count()
 
     if fixture:
-        centroids = vecs.where(
-            (F.col("vec_id") >= _CENTROID_BASE)
-            & (F.col("vec_id") < _CENTROID_BASE + _N_CENTROIDS)
-        )
+        centroids = _fixture_centroids(vecs)
+        parts = None
         n_cells = _N_CENTROIDS
         nprobes = list(range(1, _N_CENTROIDS + 1))
     else:
-        centroids = None  # engine default = trained two-level codebook
-        n_cells = (
-            two_level_membership(vecs).select("cent_id").distinct().count()
-        )
+        # train the two-level codebook ONCE and sweep nprobe against it:
+        # a per-point ann_ivf_search(centroids=None) would retrain — and
+        # re-persist — the whole construction at every nprobe
+        centroids = None
+        parts = _two_level_parts(vecs)
+        n_cells = parts[2].select("cent_id").distinct().count()
         nprobes = [n for n in (1, 2, 4, 8, 16, 32, 64) if n <= n_cells]
 
     exact = {
@@ -67,10 +68,11 @@ def main() -> None:
     curve = []
     for nprobe in nprobes:
         t0 = time.monotonic()
-        ivf = {
-            (r["query_id"], r["cand_id"])
-            for r in ann_ivf_search(vecs, nprobe=nprobe, centroids=centroids).collect()
-        }
+        if centroids is not None:
+            searched = ann_ivf_search(vecs, nprobe=nprobe, centroids=centroids)
+        else:
+            searched = _ann_ivf_trained(vecs, nprobe=nprobe, parts=parts)
+        ivf = {(r["query_id"], r["cand_id"]) for r in searched.collect()}
         sec = time.monotonic() - t0
         recall = len(exact & ivf) / n_exact
         # candidate fraction: expected share of the corpus each query's
