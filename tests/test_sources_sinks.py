@@ -1005,3 +1005,97 @@ def test_crash_before_promote_never_loses_pruned_out_rows(spark, tmp_path, monke
     out = {r["kit_id"]: r["value"] for r in spark.read.parquet(path).where("day = '2024-01-01'").collect()}
     assert len(out) == 26, f"pruned-out kits lost in recovery: kept {sorted(out)}"
     assert out["kita"] == 999.0 and out["kitb"] == 1.0 and out["kity"] == 24.0
+
+
+def test_crash_point_sweep_recovery_is_total(spark, tmp_path, monkeypatch):
+    """Mechanical durability proof for the pruned-merge protocol: crash
+    at EVERY driver-side filesystem mutation (manifest replace, each
+    promote rename/remove, the marker removal, the stage rmtree, the
+    manifest cleanup) in turn, then replay the batch as checkpoint
+    redelivery would — the recovered archive must equal the uninjected
+    reference at every crash point. The two r8 review bugs (promote of
+    a manifest-less stage; torn-manifest crash loop) were single points
+    in this sequence found by hand; this sweep pins all of them."""
+    import datetime as dt
+    import os as _os
+    import shutil as _shutil
+
+    from mysense_spark.sinks import upsert as U
+
+    class InjectedCrash(Exception):
+        pass
+
+    day = dt.datetime(2024, 1, 1, 10)
+    t0 = dt.datetime(2024, 6, 1)
+    kits = [f"kit{chr(ord('a') + i)}" for i in range(8)]
+    base = _mk_batch(spark, [(k, day, "pm25", float(i), t0) for i, k in enumerate(kits)])
+    upd = _mk_batch(spark, [("kita", day, "pm25", 999.0, dt.datetime(2024, 6, 2))])
+
+    base_dir = str(tmp_path / "base")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        U.upsert_parquet_partitioned(base, base_dir, keys=["kit_id", "ts", "field"], order_col="ingest_ts")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert len([f for f in _os.listdir(_os.path.join(base_dir, "day=2024-01-01")) if f.endswith(".parquet")]) > 1
+
+    # uninjected reference result
+    ref_dir = str(tmp_path / "ref")
+    _shutil.copytree(base_dir, ref_dir)
+    U.upsert_parquet_partitioned(upd, ref_dir, keys=["kit_id", "ts", "field"], order_col="ingest_ts")
+    expected = {r["kit_id"]: r["value"] for r in spark.read.parquet(ref_dir).collect()}
+    assert expected["kita"] == 999.0 and len(expected) == 8
+
+    # fault injection: k-th tmp_path mutation raises; paths outside the
+    # sandbox (Spark temp dirs, etc.) pass through untouched
+    state = {"left": None, "seen": 0}
+    prefix = str(tmp_path)
+    real = {
+        "rename": _os.rename, "remove": _os.remove,
+        "replace": _os.replace, "rmtree": _shutil.rmtree,
+    }
+
+    def wrap(name):
+        orig = real[name]
+
+        def inner(*a, **kw):
+            p = a[0] if a else ""
+            if isinstance(p, (str, _os.PathLike)) and str(p).startswith(prefix):
+                state["seen"] += 1
+                if state["left"] is not None:
+                    if state["left"] == 0:
+                        raise InjectedCrash(f"{name} (mutation #{state['seen']})")
+                    state["left"] -= 1
+            return orig(*a, **kw)
+
+        return inner
+
+    monkeypatch.setattr(_os, "rename", wrap("rename"))
+    monkeypatch.setattr(_os, "remove", wrap("remove"))
+    monkeypatch.setattr(_os, "replace", wrap("replace"))
+    monkeypatch.setattr(_shutil, "rmtree", wrap("rmtree"))
+
+    k = 0
+    while True:
+        run_dir = str(tmp_path / f"run{k}")
+        state["left"] = None
+        real["rmtree"](run_dir, ignore_errors=True)
+        _shutil.copytree(base_dir, run_dir)  # copytree doesn't hit the wrapped calls
+        state["left"], state["seen"] = k, 0
+        crashed = False
+        try:
+            U.upsert_parquet_partitioned(upd, run_dir, keys=["kit_id", "ts", "field"], order_col="ingest_ts")
+        except InjectedCrash:
+            crashed = True
+        state["left"] = None
+        if crashed:
+            # checkpoint replay: same batch redelivered after restart
+            U.upsert_parquet_partitioned(upd, run_dir, keys=["kit_id", "ts", "field"], order_col="ingest_ts")
+        got = {r["kit_id"]: r["value"] for r in spark.read.parquet(run_dir).collect()}
+        assert got == expected, f"crash point {k}: archive diverged: {sorted(got.items())}"
+        assert not _os.path.exists(f"{run_dir}__stage")
+        assert not _os.path.exists(U._manifest_path(run_dir))
+        if not crashed:
+            break  # k exceeded the mutation count: full sequence covered
+        k += 1
+    assert k >= 5, f"sweep covered only {k} mutation points — injection not biting"
