@@ -586,6 +586,142 @@ def _stage_write(deduped: DataFrame, stage: str, prune_col: str | None) -> None:
     deduped.write.mode("overwrite").partitionBy(DAY_COL).parquet(stage)
 
 
+def append_day_partitioned(
+    new_df: DataFrame, path: str, ts_col: str = "ts", partitions: int | None = None
+) -> None:
+    """Steady-state fleet ingest: blind day-partitioned APPEND — write
+    amplification exactly 1 (each batch writes only its own bytes; no
+    existing file is read or rewritten). The complement of the merge
+    path for the workload where merging is hopeless: a fleet-wide batch
+    (every kit reporting) intersects every file of its day, so
+    `upsert_parquet_partitioned` rewrites the day per batch and a day
+    ingested as N batches costs ~N/2 × its resting size in writes
+    (measured: 13.8× at 24 batches — SCALING.md). Append + one
+    `compact_days` pass costs ~2×.
+
+    Semantics: at-least-once until compaction. Appended days may hold
+    multiple rows per (key) — later batches, foreachBatch retries after
+    a crash — resolved by latest-row-wins exactly as the merge resolves
+    them: run `compact_days` on a cadence (e.g. close out yesterday) to
+    rewrite the day deduped and range-partitioned, or read through
+    `latest_view` for dedup-on-read in the interim. A retried batch
+    appends byte-identical rows, which latest-row-wins collapses, so
+    append + compact converges to the same archive the per-batch merge
+    produces (pinned by pytest).
+
+    `partitions` bounds the files written per batch (a repartition
+    before the write). Small micro-batches otherwise inherit the
+    batch's partition count and write dozens of row-group-sized files
+    whose parquet footers dominate the bytes (measured: 24 tiny fleet
+    batches at 32 files each read as 4.6× amplification from footer
+    overhead alone; at 1 file/batch the same workload is ~2.1× —
+    SCALING.md). Size it so batch_bytes/partitions ≈ the archive's
+    file-size target; compact_days re-ranges the files at day close
+    regardless."""
+    layout = _layout(path)
+    if layout == "flat":
+        raise ValueError(
+            f"{path} is a flat parquet archive; append_day_partitioned "
+            f"needs the day= hive layout (migrate_to_partitioned first)"
+        )
+    spark = new_df.sparkSession
+    stage = f"{path}__stage"
+    # self-heal a crashed merge/compact before adding files: appending
+    # into a half-promoted day is safe (promote never deletes files it
+    # did not stage) but recovery keeps every entry point consistent
+    if not _recover_file_merge(spark, stage, path):
+        _recover_stage(spark, stage, path)
+    batch = new_df.withColumn(
+        DAY_COL,
+        F.coalesce(F.date_format(F.col(ts_col), "yyyy-MM-dd"), F.lit(NULL_DAY)),
+    )
+    if partitions is not None:
+        batch = batch.repartition(partitions)
+    batch.write.mode("append").partitionBy(DAY_COL).parquet(path)
+
+
+def compact_days(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    order_col: str,
+    days: list[str] | None = None,
+    ts_col: str = "ts",
+) -> list[str]:
+    """Close out appended days: rewrite each target day latest-row-wins
+    deduped and range-partitioned on (day, first non-time key) — the
+    layout that keeps future pruned merges' footer-stats file selection
+    sharp. Runs on the merge machinery's stage/manifest/promote
+    protocol, so compaction inherits its crash safety (manifest first;
+    every crash point in the promote sequence recovers — the sweep
+    test), and deep backlogs chunk ≤30 days per idempotent commit.
+
+    `days` defaults to every day in the archive; a steady-state
+    deployment passes yesterday once per day (compaction cost = 1× the
+    day, so append-ingest + daily compact ≈ 2× total write
+    amplification vs ~batches/2 × for merge-per-batch). Same contract
+    as the merge: `ts_col` must be in `keys` so latest-row-wins
+    resolves within the day. Returns the compacted day list."""
+    if ts_col not in keys:
+        raise ValueError(
+            f"ts_col {ts_col!r} must be part of keys {keys!r} (see "
+            f"upsert_parquet_partitioned: dedup is per-day)"
+        )
+    stage = f"{path}__stage"
+    if not _recover_file_merge(spark, stage, path):
+        _recover_stage(spark, stage, path)
+    if _layout(path) != "partitioned":
+        raise ValueError(f"{path} is not a day-partitioned archive")
+    on_disk = sorted(
+        d.split("=", 1)[1] for d in os.listdir(path) if d.startswith(f"{DAY_COL}=")
+    )
+    targets = on_disk if days is None else [d for d in on_disk if d in set(days)]
+    prune_cols = [k for k in keys if k != ts_col]
+    prune_col = prune_cols[0] if prune_cols else None
+    w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
+    for i in range(0, len(targets), _BACKFILL_CHUNK_DAYS):
+        chunk = targets[i : i + _BACKFILL_CHUNK_DAYS]
+        replace_files = []
+        for day in chunk:
+            day_dir = os.path.join(path, f"{DAY_COL}={day}")
+            replace_files.extend(
+                os.path.join(day_dir, f)
+                for f in sorted(os.listdir(day_dir))
+                if f.endswith(".parquet")
+            )
+        if not replace_files:
+            continue
+        with _scoped_conf(
+            spark,
+            **{"spark.sql.sources.partitionColumnTypeInference.enabled": "false"},
+        ):
+            deduped = (
+                spark.read.option("basePath", path)
+                .parquet(*replace_files)
+                .withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+            _write_manifest(path, replace_files)
+            _stage_write(deduped, stage, prune_col)
+        _promote_file_merge(stage, path)
+    return targets
+
+
+def latest_view(archive: DataFrame, keys: list[str], order_col: str) -> DataFrame:
+    """Dedup-on-read for an appended-but-not-yet-compacted archive: the
+    same latest-row-wins rule the merge and compaction apply, as a view
+    (one window over the scanned rows; day-filter pushdown still prunes
+    partitions below it — the window key starts with the row key, not
+    the day)."""
+    w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
+    return (
+        archive.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def migrate_to_partitioned(spark: SparkSession, path: str, ts_col: str = "ts") -> bool:
     """One-shot flat -> day-partitioned archive migration, so an old
     archive can adopt the O(touched-days) sink. Reads the flat dataset,

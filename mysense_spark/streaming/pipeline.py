@@ -261,6 +261,7 @@ def run_lines_stream(
     watermark: str = "2 hours",
     partitioned: bool | None = None,
     trigger: str | None = "available_now",
+    archive_mode: str = "merge",
 ):
     """Shared S1/S2 tail: envelope parse -> decode -> watermark + dedup on
     the upsert key -> parquet upsert via foreachBatch. Every source
@@ -283,6 +284,14 @@ def run_lines_stream(
     upsert_parquet_partitioned's layout guard, refuses a flat archive —
     run sinks.upsert.migrate_to_partitioned once first).
 
+    `archive_mode`: "merge" (default) upserts each micro-batch —
+    latest-row-wins visible immediately, but a fleet-wide steady state
+    rewrites each day ~batches/2 times (SCALING.md). "append" writes
+    only the batch's own bytes (amplification 1; requires the
+    partitioned layout) and defers dedup to a scheduled
+    `sinks.upsert.compact_days` (or `latest_view` on read) — the
+    at-scale ingest shape: append all day, compact the closed day once.
+
     State store: the dropDuplicates dedup keys state per
     (kit_id, ts, field) within the watermark horizon — at fleet scale
     that is millions of live keys, so the query starts under the
@@ -296,7 +305,18 @@ def run_lines_stream(
 
     Returns the StreamingQuery (caller awaits/stops)."""
     from ..session import _STATE_STORE_PROVIDERS
-    from ..sinks.upsert import _layout, _scoped_conf, upsert_parquet, upsert_parquet_partitioned
+    from ..sinks.upsert import (
+        _layout,
+        _scoped_conf,
+        append_day_partitioned,
+        upsert_parquet,
+        upsert_parquet_partitioned,
+    )
+
+    if archive_mode not in ("merge", "append"):
+        raise ValueError(f"archive_mode {archive_mode!r}: use 'merge' or 'append'")
+    if archive_mode == "append" and partitioned is False:
+        raise ValueError("archive_mode='append' requires the partitioned layout")
 
     fact = (
         decode_stream(parse_envelopes(lines))
@@ -305,6 +325,9 @@ def run_lines_stream(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if archive_mode == "append":
+            append_day_partitioned(batch_df, out_dir, ts_col="ts")
+            return
         use_partitioned = partitioned
         if use_partitioned is None:
             # resolved per batch, not at stream build: the archive may
@@ -343,11 +366,13 @@ def run_file_stream(
     out_dir: str,
     watermark: str = "2 hours",
     partitioned: bool | None = None,
+    archive_mode: str = "merge",
 ):
     """S2 live twin: readStream on a drop directory of MQTT dump files.
     Fresh archives land day-partitioned (see run_lines_stream)."""
     return run_lines_stream(
-        spark.readStream.text(in_dir), checkpoint, out_dir, watermark, partitioned=partitioned
+        spark.readStream.text(in_dir), checkpoint, out_dir, watermark,
+        partitioned=partitioned, archive_mode=archive_mode,
     )
 
 

@@ -1099,3 +1099,104 @@ def test_crash_point_sweep_recovery_is_total(spark, tmp_path, monkeypatch):
             break  # k exceeded the mutation count: full sequence covered
         k += 1
     assert k >= 5, f"sweep covered only {k} mutation points — injection not biting"
+
+
+def test_append_then_compact_equals_merge(spark, tmp_path):
+    """The steady-state contract: N fleet-wide batches through blind
+    append + one compaction converge to the SAME archive the per-batch
+    merge produces — latest-row-wins per key, range-partitioned layout
+    restored for future pruned merges."""
+    import datetime as dt
+    import os
+
+    from mysense_spark.sinks import upsert as U
+
+    day = dt.datetime(2024, 1, 1, 10)
+    kits = [f"kit{i}" for i in range(6)]
+    batches = [
+        _mk_batch(
+            spark,
+            [(k, day, "pm25", float(b * 10 + i), dt.datetime(2024, 6, 1 + b)) for i, k in enumerate(kits)],
+        )
+        for b in range(3)
+    ]
+
+    merged = str(tmp_path / "merged")
+    appended = str(tmp_path / "appended")
+    for b in batches:
+        U.upsert_parquet_partitioned(b, merged, keys=["kit_id", "ts", "field"], order_col="ingest_ts")
+        U.append_day_partitioned(b, appended)
+    # pre-compaction: every batch's rows are on disk (write amp 1, dedup deferred)
+    assert spark.read.parquet(appended).count() == 18
+    # dedup-on-read matches the merge result before any compaction
+    lv = U.latest_view(
+        spark.read.parquet(appended), keys=["kit_id", "ts", "field"], order_col="ingest_ts"
+    )
+    want = {r["kit_id"]: r["value"] for r in spark.read.parquet(merged).collect()}
+    assert {r["kit_id"]: r["value"] for r in lv.collect()} == want
+
+    done = U.compact_days(spark, appended, keys=["kit_id", "ts", "field"], order_col="ingest_ts")
+    assert done == ["2024-01-01"]
+    got = {r["kit_id"]: r["value"] for r in spark.read.parquet(appended).collect()}
+    assert got == want and got["kit0"] == 20.0
+    assert spark.read.parquet(appended).count() == 6  # physically deduped
+    assert not os.path.exists(f"{appended}__stage")
+    assert not os.path.exists(U._manifest_path(appended))
+
+
+def test_append_retry_is_collapsed_by_compaction(spark, tmp_path):
+    """foreachBatch retry semantics: a redelivered batch appends
+    byte-identical rows; compaction (and latest_view) collapse them, so
+    append-mode ingest is effectively exactly-once after compaction."""
+    import datetime as dt
+
+    from mysense_spark.sinks import upsert as U
+
+    day = dt.datetime(2024, 1, 1, 10)
+    t0 = dt.datetime(2024, 6, 1)
+    b = _mk_batch(spark, [("k1", day, "pm25", 1.0, t0), ("k2", day, "pm25", 2.0, t0)])
+    path = str(tmp_path / "arch")
+    U.append_day_partitioned(b, path)
+    U.append_day_partitioned(b, path)  # retry after a crashed checkpoint commit
+    assert spark.read.parquet(path).count() == 4
+    U.compact_days(spark, path, keys=["kit_id", "ts", "field"], order_col="ingest_ts")
+    rows = spark.read.parquet(path).collect()
+    assert len(rows) == 2
+    assert {r["kit_id"]: r["value"] for r in rows} == {"k1": 1.0, "k2": 2.0}
+
+
+def test_compact_crash_recovery(spark, tmp_path, monkeypatch):
+    """Compaction rides the merge machinery's manifest-first protocol:
+    a crash before the promote leaves manifest + stage, and the next
+    sink entry (here: another compact) finishes the job losslessly."""
+    import datetime as dt
+
+    from mysense_spark.sinks import upsert as U
+
+    day = dt.datetime(2024, 1, 1, 10)
+    t0 = dt.datetime(2024, 6, 1)
+    path = str(tmp_path / "arch")
+    U.append_day_partitioned(
+        _mk_batch(spark, [(f"k{i}", day, "pm25", float(i), t0) for i in range(6)]), path
+    )
+    U.append_day_partitioned(
+        _mk_batch(spark, [("k0", day, "pm25", 99.0, dt.datetime(2024, 6, 2))]), path
+    )
+
+    real_promote = U._promote_file_merge
+
+    def crashing_promote(stage, p):
+        raise RuntimeError("injected crash before promote")
+
+    monkeypatch.setattr(U, "_promote_file_merge", crashing_promote)
+    try:
+        U.compact_days(spark, path, keys=["kit_id", "ts", "field"], order_col="ingest_ts")
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(U, "_promote_file_merge", real_promote)
+
+    U.compact_days(spark, path, keys=["kit_id", "ts", "field"], order_col="ingest_ts")
+    rows = spark.read.parquet(path).collect()
+    assert len(rows) == 6
+    assert {r["kit_id"]: r["value"] for r in rows}["k0"] == 99.0

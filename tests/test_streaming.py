@@ -868,3 +868,46 @@ def test_pipeline_scopes_rocksdb_for_vanilla_sessions(spark, tmp_path):
     finally:
         if prior is not None:
             spark.conf.set(key, prior)
+
+
+def test_stream_append_mode_plus_compaction(spark, tmp_path):
+    """archive_mode='append': the foreachBatch sink writes only the
+    batch's own bytes (steady-state fleet ingest, write amplification
+    1), and a scheduled compact_days closes the day out to the same
+    latest-row-wins archive the merge mode produces."""
+    import os
+
+    from mysense_spark.sinks.upsert import compact_days, latest_view
+    from mysense_spark.streaming.pipeline import run_file_stream
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    _write_dump(in_dir, "batch1.mqtt", ALL_LINES)
+
+    merge_dir = str(tmp_path / "archive_merge")
+    q = run_file_stream(spark, str(in_dir), str(tmp_path / "ckpt_m"), merge_dir)
+    q.awaitTermination(120)
+    want = {
+        (r["kit_id"], r["ts"], r["field"]): r["value"]
+        for r in spark.read.parquet(merge_dir).collect()
+    }
+    assert len(want) == 31
+
+    app_dir = str(tmp_path / "archive_append")
+    qa = run_file_stream(
+        spark, str(in_dir), str(tmp_path / "ckpt_a"), app_dir, archive_mode="append"
+    )
+    qa.awaitTermination(120)
+    assert any(d.startswith("day=") for d in os.listdir(app_dir))
+    lv = latest_view(
+        spark.read.parquet(app_dir), keys=["kit_id", "ts", "field"], order_col="ingest_ts"
+    )
+    got_view = {(r["kit_id"], r["ts"], r["field"]): r["value"] for r in lv.collect()}
+    assert got_view == want
+
+    compact_days(spark, app_dir, keys=["kit_id", "ts", "field"], order_col="ingest_ts")
+    got = {
+        (r["kit_id"], r["ts"], r["field"]): r["value"]
+        for r in spark.read.parquet(app_dir).collect()
+    }
+    assert got == want

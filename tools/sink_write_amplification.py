@@ -7,7 +7,11 @@ workload shapes that bracket reality:
   file of the day intersects the batch, so file pruning cannot help and
   amplification is bounded only by the trigger-interval contract);
 - late: each batch touches 1% of kits (late/corrected data — the
-  file-level pruned merge should rewrite only the intersecting files).
+  file-level pruned merge should rewrite only the intersecting files);
+- fleet_append_compact: the same fleet workload through the r8 append
+  path (amplification 1 per batch) plus one day-close compact_days pass
+  — the steady-state contract (≈2× total vs ≈batches/2× for
+  merge-per-batch).
 
 Prints one JSON line per scenario and a summary; feeds SCALING.md.
 
@@ -44,8 +48,12 @@ def _bytes_written(before: dict[str, int], after: dict[str, int]) -> int:
     return sum(sz for p, sz in after.items() if p not in before)
 
 
-def run_scenario(spark, name: str, kit_sel) -> dict:
-    from mysense_spark.sinks.upsert import upsert_parquet_partitioned
+def run_scenario(spark, name: str, kit_sel, mode: str = "merge") -> dict:
+    from mysense_spark.sinks.upsert import (
+        append_day_partitioned,
+        compact_days,
+        upsert_parquet_partitioned,
+    )
 
     base_day = dt.datetime(2024, 1, 1)
     path = tempfile.mkdtemp(prefix=f"wamp_{name}_") + "/archive"
@@ -60,7 +68,19 @@ def run_scenario(spark, name: str, kit_sel) -> dict:
             rows, "kit_id string, ts timestamp, field string, value double, ingest_ts timestamp"
         )
         before = _tree_files(path)
-        upsert_parquet_partitioned(batch, path, keys=["kit_id", "ts", "field"], order_col="ingest_ts")
+        if mode == "append":
+            # file-per-batch append: the tuned shape for micro-batches (the
+            # partitions knob models batch_bytes ~ file-size target; without
+            # it 32 tiny files/batch make parquet footers dominate)
+            append_day_partitioned(batch, path, partitions=1)
+        else:
+            upsert_parquet_partitioned(batch, path, keys=["kit_id", "ts", "field"], order_col="ingest_ts")
+        after = _tree_files(path)
+        written_per_batch.append(_bytes_written(before, after))
+    if mode == "append":
+        # the day-close pass: one rewrite of the appended day
+        before = _tree_files(path)
+        compact_days(spark, path, keys=["kit_id", "ts", "field"], order_col="ingest_ts")
         after = _tree_files(path)
         written_per_batch.append(_bytes_written(before, after))
     final = sum(_tree_files(path).values())
@@ -98,8 +118,11 @@ def main() -> None:
         lambda b: (range(N_KITS) if b == 0 else
                    range((b * 37) % N_KITS, (b * 37) % N_KITS + int(N_KITS * LATE_FRAC))),
     )
+    fleet_ac = run_scenario(
+        spark, "fleet_append_compact", lambda b: range(N_KITS), mode="append"
+    )
     with open(out_path, "w") as fh:
-        json.dump({"fleet": fleet, "late": late}, fh, indent=1)
+        json.dump({"fleet": fleet, "late": late, "fleet_append_compact": fleet_ac}, fh, indent=1)
     print("wrote", out_path)
     spark.stop()
 
