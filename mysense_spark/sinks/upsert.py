@@ -710,10 +710,14 @@ def compact_days(
 
 def latest_view(archive: DataFrame, keys: list[str], order_col: str) -> DataFrame:
     """Dedup-on-read for an appended-but-not-yet-compacted archive: the
-    same latest-row-wins rule the merge and compaction apply, as a view
-    (one window over the scanned rows; day-filter pushdown still prunes
-    partitions below it — the window key starts with the row key, not
-    the day)."""
+    same latest-row-wins rule the merge and compaction apply, as a view.
+
+    Apply day/partition filters to `archive` BEFORE this view: a filter
+    added ABOVE the window cannot push below it (`day` is not one of
+    the window's partition keys), so it would scan the whole archive.
+    Pre-filtering by day is always safe here — `ts` is part of the row
+    key, so every duplicate of a key lives on the same day and a day
+    filter never splits a key group across the boundary."""
     w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
     return (
         archive.withColumn("__rn", F.row_number().over(w))
