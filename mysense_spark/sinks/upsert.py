@@ -464,6 +464,12 @@ def upsert_parquet_partitioned(
             f"upsert_parquet (full-archive merge) for time-free keys"
         )
     spark = new_df.sparkSession
+    # a crashed migrate_to_partitioned strands the archive in a __old_
+    # stash with `path` absent; entering through any sink then MUST
+    # restore it first — otherwise a fresh archive grows at `path` and a
+    # later orphan pass deletes the stash (path exists ⇒ stale) along
+    # with the entire pre-migration history
+    _restore_orphans(path)
     stage = f"{path}__stage"
     if not _recover_file_merge(spark, stage, path):
         _recover_stage(spark, stage, path)
@@ -609,28 +615,34 @@ def append_day_partitioned(
     append + compact converges to the same archive the per-batch merge
     produces (pinned by pytest).
 
-    `partitions` bounds the files written per batch (a repartition
-    before the write). Small micro-batches otherwise inherit the
-    batch's partition count and write dozens of row-group-sized files
-    whose parquet footers dominate the bytes (measured: 24 tiny fleet
-    batches at 32 files each read as 4.6× amplification from footer
-    overhead alone; at 1 file/batch the same workload is ~2.1× —
-    SCALING.md). Size it so batch_bytes/partitions ≈ the archive's
-    file-size target; compact_days re-ranges the files at day close
-    regardless."""
+    `partitions` bounds the files written per batch PER TOUCHED DAY (a
+    plain repartition before the per-day split, so total files ≈
+    partitions × touched days; a steady-state batch touches 1-2 days).
+    Small micro-batches otherwise inherit the batch's partition count
+    and write dozens of row-group-sized files whose parquet footers
+    dominate the bytes (measured: 24 tiny fleet batches at 32 files
+    each read as 4.6× amplification from footer overhead alone; at
+    1 file/batch the same workload is ~2.1× — SCALING.md). Size it so
+    batch_bytes/partitions ≈ the archive's file-size target;
+    compact_days re-ranges the files at day close regardless.
+
+    Concurrency: append NEVER touches the stage/manifest — not even
+    for recovery — so appends are safe to run concurrently with the
+    ONE merger/compactor the single-writer contract allows (an append
+    that ran recovery here could destroy a LIVE compaction's manifest
+    mid-stage-write, and the orphaned _SUCCESS stage would then read
+    as legacy full-day truth — the exact loss the manifest ordering
+    exists to prevent). A compaction crash before append only leaves
+    the day transiently un-deduped; the next compact/merge entry
+    recovers it. Files appended while a compaction is in flight are
+    not in its manifest, so its promote never deletes them."""
+    _restore_orphans(path)
     layout = _layout(path)
     if layout == "flat":
         raise ValueError(
             f"{path} is a flat parquet archive; append_day_partitioned "
             f"needs the day= hive layout (migrate_to_partitioned first)"
         )
-    spark = new_df.sparkSession
-    stage = f"{path}__stage"
-    # self-heal a crashed merge/compact before adding files: appending
-    # into a half-promoted day is safe (promote never deletes files it
-    # did not stage) but recovery keeps every entry point consistent
-    if not _recover_file_merge(spark, stage, path):
-        _recover_stage(spark, stage, path)
     batch = new_df.withColumn(
         DAY_COL,
         F.coalesce(F.date_format(F.col(ts_col), "yyyy-MM-dd"), F.lit(NULL_DAY)),
@@ -667,6 +679,7 @@ def compact_days(
             f"ts_col {ts_col!r} must be part of keys {keys!r} (see "
             f"upsert_parquet_partitioned: dedup is per-day)"
         )
+    _restore_orphans(path)
     stage = f"{path}__stage"
     if not _recover_file_merge(spark, stage, path):
         _recover_stage(spark, stage, path)
@@ -678,7 +691,6 @@ def compact_days(
     targets = on_disk if days is None else [d for d in on_disk if d in set(days)]
     prune_cols = [k for k in keys if k != ts_col]
     prune_col = prune_cols[0] if prune_cols else None
-    w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
     for i in range(0, len(targets), _BACKFILL_CHUNK_DAYS):
         chunk = targets[i : i + _BACKFILL_CHUNK_DAYS]
         replace_files = []
@@ -695,12 +707,10 @@ def compact_days(
             spark,
             **{"spark.sql.sources.partitionColumnTypeInference.enabled": "false"},
         ):
-            deduped = (
-                spark.read.option("basePath", path)
-                .parquet(*replace_files)
-                .withColumn("__rn", F.row_number().over(w))
-                .where(F.col("__rn") == 1)
-                .drop("__rn")
+            deduped = latest_view(
+                spark.read.option("basePath", path).parquet(*replace_files),
+                keys,
+                order_col,
             )
             _write_manifest(path, replace_files)
             _stage_write(deduped, stage, prune_col)

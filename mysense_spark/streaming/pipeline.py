@@ -262,6 +262,7 @@ def run_lines_stream(
     partitioned: bool | None = None,
     trigger: str | None = "available_now",
     archive_mode: str = "merge",
+    append_partitions: int | None = None,
 ):
     """Shared S1/S2 tail: envelope parse -> decode -> watermark + dedup on
     the upsert key -> parquet upsert via foreachBatch. Every source
@@ -291,6 +292,11 @@ def run_lines_stream(
     partitioned layout) and defers dedup to a scheduled
     `sinks.upsert.compact_days` (or `latest_view` on read) — the
     at-scale ingest shape: append all day, compact the closed day once.
+    `append_partitions` is append_day_partitioned's files-per-batch
+    bound: without it each micro-batch writes shuffle-partition-count
+    row-group-sized files per day and parquet footers dominate the
+    bytes (measured 4.6x vs ~2.1x tuned — SCALING.md); size it so
+    batch_bytes/append_partitions ~ the archive's file-size target.
 
     State store: the dropDuplicates dedup keys state per
     (kit_id, ts, field) within the watermark horizon — at fleet scale
@@ -326,7 +332,9 @@ def run_lines_stream(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if archive_mode == "append":
-            append_day_partitioned(batch_df, out_dir, ts_col="ts")
+            append_day_partitioned(
+                batch_df, out_dir, ts_col="ts", partitions=append_partitions
+            )
             return
         use_partitioned = partitioned
         if use_partitioned is None:
@@ -367,12 +375,14 @@ def run_file_stream(
     watermark: str = "2 hours",
     partitioned: bool | None = None,
     archive_mode: str = "merge",
+    append_partitions: int | None = None,
 ):
     """S2 live twin: readStream on a drop directory of MQTT dump files.
     Fresh archives land day-partitioned (see run_lines_stream)."""
     return run_lines_stream(
         spark.readStream.text(in_dir), checkpoint, out_dir, watermark,
         partitioned=partitioned, archive_mode=archive_mode,
+        append_partitions=append_partitions,
     )
 
 

@@ -1200,3 +1200,85 @@ def test_compact_crash_recovery(spark, tmp_path, monkeypatch):
     rows = spark.read.parquet(path).collect()
     assert len(rows) == 6
     assert {r["kit_id"]: r["value"] for r in rows}["k0"] == 99.0
+
+
+def test_append_never_disturbs_inflight_compaction_state(spark, tmp_path):
+    """The documented steady state runs appends CONCURRENTLY with one
+    compactor, so append must never touch the stage/manifest — an
+    append that 'recovered' a live compaction's manifest mid-stage
+    would orphan a _SUCCESS stage as manifest-less legacy full-day
+    truth (the exact loss mode the manifest ordering closes). Appends
+    leave compactor state alone; the next compact entry recovers a
+    crashed compaction AND keeps the rows appended after its
+    snapshot."""
+    import datetime as dt
+    import os
+
+    from mysense_spark.sinks import upsert as U
+
+    day = dt.datetime(2024, 1, 1, 10)
+    t0 = dt.datetime(2024, 6, 1)
+    path = str(tmp_path / "arch")
+    U.append_day_partitioned(
+        _mk_batch(spark, [(f"k{i}", day, "pm25", float(i), t0) for i in range(4)]), path
+    )
+
+    # crash a compaction after its stage write, before its promote
+    real_promote = U._promote_file_merge
+    try:
+        U._promote_file_merge = lambda s, p: None
+        U.compact_days(spark, path, keys=["kit_id", "ts", "field"], order_col="ingest_ts")
+    finally:
+        U._promote_file_merge = real_promote
+    stage = f"{path}__stage"
+    assert os.path.exists(U._manifest_path(path)) and os.path.exists(stage)
+
+    # appends while the compactor state sits there: both survive
+    U.append_day_partitioned(
+        _mk_batch(spark, [("k9", day, "pm25", 9.0, t0)]), path
+    )
+    assert os.path.exists(U._manifest_path(path)), "append deleted a compaction manifest"
+    assert os.path.exists(stage), "append deleted a compaction stage"
+
+    # the next compactor entry recovers the crashed promote, then
+    # compacts the whole day including the row appended after the
+    # crashed compaction's snapshot
+    U.compact_days(spark, path, keys=["kit_id", "ts", "field"], order_col="ingest_ts")
+    rows = {r["kit_id"]: r["value"] for r in spark.read.parquet(path).collect()}
+    assert rows == {"k0": 0.0, "k1": 1.0, "k2": 2.0, "k3": 3.0, "k9": 9.0}
+    assert not os.path.exists(stage) and not os.path.exists(U._manifest_path(path))
+
+
+def test_sinks_restore_migrate_stash_before_writing(spark, tmp_path):
+    """A crashed migrate_to_partitioned strands the whole archive in a
+    __old_ stash with the real path absent. Every partitioned entry
+    point (append, merge, compact) must restore it BEFORE writing —
+    otherwise a fresh archive grows at the path and a later orphan pass
+    deletes the stash, i.e. the entire pre-migration history."""
+    import datetime as dt
+    import os
+
+    from mysense_spark.sinks import upsert as U
+
+    day = dt.datetime(2024, 1, 1, 10)
+    t0 = dt.datetime(2024, 6, 1)
+    for entry in ("append", "merge", "compact"):
+        path = str(tmp_path / f"arch_{entry}")
+        U.append_day_partitioned(
+            _mk_batch(spark, [("k1", day, "pm25", 1.0, t0)]), path
+        )
+        # simulate the crash window: archive renamed aside, path absent
+        os.rename(path, U._stash_name(path))
+        assert not os.path.exists(path)
+
+        b2 = _mk_batch(spark, [("k2", day, "pm25", 2.0, t0)])
+        if entry == "append":
+            U.append_day_partitioned(b2, path)
+        elif entry == "merge":
+            U.upsert_parquet_partitioned(b2, path, keys=["kit_id", "ts", "field"], order_col="ingest_ts")
+        else:
+            U.compact_days(spark, path, keys=["kit_id", "ts", "field"], order_col="ingest_ts")
+        rows = {r["kit_id"] for r in spark.read.parquet(path).collect()}
+        assert "k1" in rows, f"{entry}: stranded archive not restored before writing"
+        if entry in ("append", "merge"):
+            assert "k2" in rows
