@@ -1282,3 +1282,73 @@ def test_sinks_restore_migrate_stash_before_writing(spark, tmp_path):
         assert "k1" in rows, f"{entry}: stranded archive not restored before writing"
         if entry in ("append", "merge"):
             assert "k2" in rows
+
+
+def test_sink_random_op_interleavings_match_model(spark, tmp_path):
+    """Semantic twin of the crash sweep: a seeded random interleaving of
+    merge / append / compact operations against one archive must end in
+    exactly the state of a pure-Python latest-row-wins model, and
+    latest_view must agree with the model at every step. The crash sweep
+    proves durability of each op; this proves the OPS COMPOSE — merge
+    over appended-but-uncompacted days, compact over merged days, etc."""
+    import datetime as dt
+    import random
+
+    from mysense_spark.sinks import upsert as U
+
+    rng = random.Random(20260814)
+    days = [dt.datetime(2024, 1, d, 10) for d in (1, 2, 3)]
+    kits = [f"k{i}" for i in range(6)]
+    base_ingest = dt.datetime(2024, 6, 1)
+    path = str(tmp_path / "arch")
+    model: dict[tuple, tuple] = {}  # (kit, ts, field) -> (ingest_ts, value)
+
+    def mk(rows):
+        return _mk_batch(spark, rows)
+
+    def read_latest():
+        lv = U.latest_view(
+            spark.read.parquet(path), keys=["kit_id", "ts", "field"], order_col="ingest_ts"
+        )
+        return {
+            (r["kit_id"], r["ts"], r["field"]): r["value"] for r in lv.collect()
+        }
+
+    n_ops = 14
+    for i in range(n_ops):
+        op = rng.choice(["merge", "append", "append", "compact"])
+        if op == "compact" and U._layout(path) is None:
+            op = "append"
+        if op in ("merge", "append"):
+            rows = []
+            ingest = base_ingest + dt.timedelta(hours=i)  # monotonic: no order ties
+            in_batch = set()
+            for _ in range(rng.randint(1, 5)):
+                kit, day = rng.choice(kits), rng.choice(days)
+                key = (kit, day, "pm25")
+                if key in in_batch:
+                    continue  # same key twice at one ingest_ts would tie on order_col
+                in_batch.add(key)
+                val = float(rng.randint(0, 999))
+                rows.append((kit, day, "pm25", val, ingest))
+                prev = model.get(key)
+                if prev is None or ingest > prev[0]:
+                    model[key] = (ingest, val)
+            if op == "merge":
+                U.upsert_parquet_partitioned(
+                    mk(rows), path, keys=["kit_id", "ts", "field"], order_col="ingest_ts"
+                )
+            else:
+                U.append_day_partitioned(mk(rows), path)
+        else:
+            U.compact_days(spark, path, keys=["kit_id", "ts", "field"], order_col="ingest_ts")
+        want = {k: v for k, (_, v) in model.items()}
+        assert read_latest() == want, f"divergence after op {i} ({op})"
+
+    U.compact_days(spark, path, keys=["kit_id", "ts", "field"], order_col="ingest_ts")
+    physical = {
+        (r["kit_id"], r["ts"], r["field"]): r["value"]
+        for r in spark.read.parquet(path).collect()
+    }
+    assert physical == {k: v for k, (_, v) in model.items()}
+    assert spark.read.parquet(path).count() == len(model), "compaction left duplicates"
