@@ -870,11 +870,17 @@ def _int_l2(a: Column, b: Column) -> Column:
     )
 
 
-def trained_codebook(vecs: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Train the two-level codebook: returns (coarse, fine) where
-    `coarse` is (coarse_id, cqv) — Lloyd-refined integer-grid coarse
-    centroids — and `fine` is (fine_id, coarse_id, fqv) — the fine seed
-    vectors with their coarse cell.
+def trained_codebook(
+    vecs: DataFrame,
+    route_group: int | None = None,
+    fine_mod: int = _TC_FINE_MOD,
+    group: int = _TC_GROUP,
+) -> tuple[DataFrame, DataFrame, tuple[DataFrame, DataFrame] | None]:
+    """Train the two-level codebook: returns (coarse, fine, routing)
+    where `coarse` is (coarse_id, cqv) — Lloyd-refined integer-grid
+    coarse centroids — `fine` is (fine_id, coarse_id, fqv) — the fine
+    seed vectors with their coarse cell — and `routing` is None, or
+    (route, croute) when `route_group` is set (below).
 
     Construction, every step lazy and engine-mirrorable:
     1. FINE SEEDS: corpus rows whose md5(vec_id) bucket ≡ 0 (mod 64) —
@@ -894,10 +900,31 @@ def trained_codebook(vecs: DataFrame) -> tuple[DataFrame, DataFrame]:
     TRAINING term, run once at ingest (and at deployment scale on a
     stratified sample, exactly as q_kmeans_train's docstring prescribes;
     the per-query assignment below never pays it). Fixture-free: this is
-    the default codebook for semdedup_pairs / ann_ivf_search."""
+    the default codebook for semdedup_pairs / ann_ivf_search.
+
+    `route_group` adds the THIRD level the two-level docstrings name
+    ("the coarse level recurses — same trick one level up"): route
+    anchors = every (group × route_group)-th seed by the same rank, so
+    K2 ≈ K1/route_group, and BOTH remaining quadratic terms become
+    pruned equi-joins — seed→coarse goes K×K2 (anchor scan) + ~route_group
+    candidates per seed instead of K×K1, and _two_level_parts' vec→coarse
+    goes N×K2 + ~route_group candidates instead of N×K1. Each level
+    divides the leading quadratic constant by route_group; recursing to
+    depth log_{64}(N) makes the whole construction O(N log N). At the
+    default strides the route level only matters beyond K1 ≈ 10^5
+    coarse cells (N ≳ 4×10^8 vectors) — below that it is a single cell
+    and the construction REDUCES to the two-level one (the equivalence
+    is pytest-pinned exactly, not just approximately). Totality holds
+    level by level: every route cell contains its own anchor as a
+    coarse init, and every seed's route cell therefore offers ≥1 coarse
+    candidate.
+
+    `fine_mod` / `group` expose the sampling strides so tests can force
+    genuinely multi-level codebooks on small fixtures; production uses
+    the defaults."""
     qv = F.expr(_QV_EXPR)
     base = vecs.select("vec_id", qv.alias("qv"), _md5u32(F.col("vec_id")).alias("h"))
-    sel = base.where(F.col("h") % _TC_FINE_MOD == 0).select("vec_id")
+    sel = base.where(F.col("h") % fine_mod == 0).select("vec_id")
     anchor = (
         base.agg(F.min(F.struct(F.col("h"), F.col("vec_id"))).alias("m"))
         .select(F.col("m.vec_id").alias("vec_id"))
@@ -913,20 +940,71 @@ def trained_codebook(vecs: DataFrame) -> tuple[DataFrame, DataFrame]:
     # by design: it orders the CODEBOOK, not the corpus
     w = Window.orderBy("h", "vec_id")
     sr = seeds.withColumn("rank", F.row_number().over(w))
-    c0 = sr.where((F.col("rank") - 1) % _TC_GROUP == 0).select(
+    c0 = sr.where((F.col("rank") - 1) % group == 0).select(
         F.col("vec_id").alias("coarse_id"), F.col("qv").alias("cqv")
     )
-    a0 = (
-        sr.crossJoin(F.broadcast(c0))
-        .select(
-            "vec_id",
-            _int_l2(F.col("qv"), F.col("cqv")).alias("dist"),
-            "coarse_id",
+    routing: tuple[DataFrame, DataFrame] | None = None
+    if route_group is None:
+        a0 = (
+            sr.crossJoin(F.broadcast(c0))
+            .select(
+                "vec_id",
+                _int_l2(F.col("qv"), F.col("cqv")).alias("dist"),
+                "coarse_id",
+            )
+            .groupBy("vec_id")
+            .agg(F.min(F.struct(F.col("dist"), F.col("coarse_id"))).alias("m"))
+            .select("vec_id", F.col("m.coarse_id").alias("coarse_id"))
         )
-        .groupBy("vec_id")
-        .agg(F.min(F.struct(F.col("dist"), F.col("coarse_id"))).alias("m"))
-        .select("vec_id", F.col("m.coarse_id").alias("coarse_id"))
-    )
+    else:
+        # third level: every (group × route_group)-th seed — a SUBSET of
+        # the coarse inits (same rank, coarser stride), so each route
+        # cell contains its own anchor as a coarse candidate and the
+        # pruned seed→coarse join below is total
+        route = tracked_persist(
+            sr.where((F.col("rank") - 1) % (group * route_group) == 0).select(
+                F.col("vec_id").alias("route_id"), F.col("qv").alias("rqv")
+            )
+        )
+        # coarse init → route cell (K1×K2; an anchor attracts itself at 0)
+        croute = tracked_persist(
+            c0.crossJoin(F.broadcast(route))
+            .select(
+                "coarse_id",
+                _int_l2(F.col("cqv"), F.col("rqv")).alias("dist"),
+                "route_id",
+            )
+            .groupBy("coarse_id")
+            .agg(F.min(F.struct(F.col("dist"), F.col("route_id"))).alias("m"))
+            .select("coarse_id", F.col("m.route_id").alias("route_id"))
+        )
+        # seed → route (K×K2 anchor scan), then seed → coarse WITHIN the
+        # route cell (~group coarse candidates per seed — the same
+        # pruned-equi-join shape as the vec→fine assignment)
+        s_route = (
+            sr.crossJoin(F.broadcast(route))
+            .select(
+                "vec_id",
+                _int_l2(F.col("qv"), F.col("rqv")).alias("dist"),
+                "route_id",
+            )
+            .groupBy("vec_id")
+            .agg(F.min(F.struct(F.col("dist"), F.col("route_id"))).alias("m"))
+            .select("vec_id", F.col("m.route_id").alias("route_id"))
+        )
+        a0 = (
+            sr.join(s_route, "vec_id")
+            .join(F.broadcast(c0.join(croute, "coarse_id")), "route_id")
+            .select(
+                "vec_id",
+                _int_l2(F.col("qv"), F.col("cqv")).alias("dist"),
+                "coarse_id",
+            )
+            .groupBy("vec_id")
+            .agg(F.min(F.struct(F.col("dist"), F.col("coarse_id"))).alias("m"))
+            .select("vec_id", F.col("m.coarse_id").alias("coarse_id"))
+        )
+        routing = (route, croute)
     mem = a0.join(seeds, "vec_id").select(
         "coarse_id", F.posexplode("qv").alias("d", "q")
     )
@@ -946,18 +1024,20 @@ def trained_codebook(vecs: DataFrame) -> tuple[DataFrame, DataFrame]:
             F.col("vec_id").alias("fine_id"), "coarse_id", "fqv"
         )
     )
-    return coarse, fine
+    return coarse, fine, routing
 
 
-def two_level_membership(vecs: DataFrame) -> DataFrame:
+def two_level_membership(vecs: DataFrame, route_group: int | None = None) -> DataFrame:
     """Cluster membership under the trained codebook with the PRUNED
     assignment join: (vec_id, v, norm, cent_id) where cent_id is the
     vector's refined fine cell.
 
     Assignment shape — the point of the whole construction:
     1. vector → nearest coarse cell: N×K1 int-L2 against the broadcast
-       Lloyd-refined coarse centroids (K1 ≈ N/4096; at larger scale the
-       coarse level recurses — same trick one level up).
+       Lloyd-refined coarse centroids (K1 ≈ N/4096; beyond K1 ≈ 10^5
+       pass `route_group` to recurse the coarse level — the trained
+       third level turns this step into an N×K2 anchor scan plus a
+       pruned equi-join, see trained_codebook).
     2. vector → nearest fine seed WITHIN its coarse cell: an equi-join
        on coarse_id (≈64 fine candidates per vector — ~64·N total work,
        LINEAR in N, vs the flat scan's N×K = N²/64; on the partitioned
@@ -968,26 +1048,54 @@ def two_level_membership(vecs: DataFrame) -> DataFrame:
     Every coarse cell entering step 2 has ≥1 fine seed (each coarse init
     is its own seed) and every refined fine cell in step 3 had ≥1 member
     in step 2, so both pruned joins are total — no vector is dropped."""
-    _, _, final = _two_level_parts(vecs)
+    _, _, final = _two_level_parts(vecs, route_group)
     return vecs.join(final, "vec_id").select("vec_id", "v", "norm", "cent_id")
 
 
-def _two_level_parts(vecs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+def _two_level_parts(
+    vecs: DataFrame,
+    route_group: int | None = None,
+    fine_mod: int = _TC_FINE_MOD,
+    group: int = _TC_GROUP,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared internals of the trained-codebook assignment: returns
     (vca, f1cell, final) — vector→coarse map, refined fine centroids
     with their coarse cell (fine_id, coarse_id, fqv1), and the final
     (vec_id, cent_id) membership. ann_ivf's trained probe ranking needs
-    f1cell; semdedup needs only the membership."""
-    coarse, fine = trained_codebook(vecs)
+    f1cell; semdedup needs only the membership. `route_group` routes the
+    vec→coarse step through the trained third level (see
+    trained_codebook) instead of the N×K1 broadcast scan."""
+    coarse, fine, routing = trained_codebook(vecs, route_group, fine_mod, group)
     par = vecs.sparkSession.sparkContext.defaultParallelism
     # repartition BEFORE the broadcast scoring stages (the ivf_membership
     # parallelism lesson: inherit cores, not parquet file count)
     qvecs = tracked_persist(
         vecs.select("vec_id", F.expr(_QV_EXPR).alias("qv")).repartition(par)
     )
+    if routing is None:
+        cand_coarse = qvecs.crossJoin(F.broadcast(coarse))
+    else:
+        # vec → route (N×K2 anchor scan), then score only the ~route_group
+        # coarse cells of that route — the Lloyd-refined coarse centroids
+        # keep their INIT's route label (the routing is trained on inits;
+        # refinement moves centroids within their cell)
+        route, croute = routing
+        v_route = (
+            qvecs.crossJoin(F.broadcast(route))
+            .select(
+                "vec_id",
+                _int_l2(F.col("qv"), F.col("rqv")).alias("dist"),
+                "route_id",
+            )
+            .groupBy("vec_id")
+            .agg(F.min(F.struct(F.col("dist"), F.col("route_id"))).alias("m"))
+            .select("vec_id", F.col("m.route_id").alias("route_id"))
+        )
+        cand_coarse = qvecs.join(v_route, "vec_id").join(
+            F.broadcast(coarse.join(croute, "coarse_id")), "route_id"
+        )
     vca = tracked_persist(
-        qvecs.crossJoin(F.broadcast(coarse))
-        .select(
+        cand_coarse.select(
             "vec_id",
             _int_l2(F.col("qv"), F.col("cqv")).alias("dist"),
             "coarse_id",

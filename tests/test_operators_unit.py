@@ -801,3 +801,65 @@ def test_trained_codebook_seed_anchor_never_empty(spark):
     m = two_level_membership(vecs).collect()
     assert len(m) == n
     assert len({r["cent_id"] for r in m}) == 1  # the single anchor cell
+
+
+def _clustered_vecs(spark, n=480, n_clusters=12, dim=8):
+    """Deterministic well-separated clusters: cluster j sits at 50·e_j
+    (+50·e_{j-dim} for j >= dim), members jitter by ≤0.3 in one dim."""
+    import pyspark.sql.functions as F
+
+    rows = []
+    for i in range(n):
+        j = i % n_clusters
+        v = [0.0] * dim
+        v[j % dim] += 50.0
+        if j >= dim:
+            v[(j + 3) % dim] += 50.0
+        v[(i // n_clusters) % dim] += 0.3 * ((i // n_clusters) % 3)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, v array<double>").withColumn(
+        "norm",
+        F.sqrt(F.aggregate(F.expr("transform(v, x -> x * x)"), F.lit(0.0), lambda a, x: a + x)),
+    )
+
+
+def test_routed_codebook_reduces_exactly_to_two_level(spark):
+    """The third (routing) level with a single route cell must reproduce
+    the two-level membership EXACTLY — the equivalence that lets the
+    graded two-level oracles cover the routed construction at every
+    scale where routing has not yet engaged (route_group larger than
+    the coarse count ⇒ one route cell containing every coarse init ⇒
+    identical candidate sets at every argmin)."""
+    from mysense_spark.operators.similarity import two_level_membership
+
+    vecs = _clustered_vecs(spark)
+    flat = {r["vec_id"]: r["cent_id"] for r in two_level_membership(vecs).collect()}
+    routed = {
+        r["vec_id"]: r["cent_id"]
+        for r in two_level_membership(vecs, route_group=10**6).collect()
+    }
+    assert routed == flat
+
+
+def test_routed_codebook_multi_level_total_and_sane(spark):
+    """Force a GENUINELY three-level codebook on a small fixture (tight
+    strides: ~240 seeds, ~60 coarse, ~15 route anchors) and pin the
+    level-by-level totality argument: every vector assigned exactly
+    once, cell ids are real seeds, and on well-separated clusters the
+    routed pruning agrees with the flat two-level assignment for the
+    overwhelming majority of vectors (routing is an approximation; on
+    this fixture the disagreement set must stay small)."""
+    from mysense_spark.operators.similarity import _two_level_parts
+
+    vecs = _clustered_vecs(spark)
+    n = vecs.count()
+    _, _, final_flat = _two_level_parts(vecs, fine_mod=2, group=4)
+    _, _, final_routed = _two_level_parts(vecs, route_group=4, fine_mod=2, group=4)
+    flat = {r["vec_id"]: r["cent_id"] for r in final_flat.collect()}
+    routed = {r["vec_id"]: r["cent_id"] for r in final_routed.collect()}
+    assert len(routed) == n, "routed membership dropped or duplicated vectors"
+    ids = {r["vec_id"] for r in vecs.select("vec_id").collect()}
+    assert set(routed.values()) <= ids
+    assert len(set(routed.values())) > 4, "routing collapsed the codebook"
+    agree = sum(1 for k in flat if routed[k] == flat[k])
+    assert agree >= 0.8 * n, f"routed assignment diverged on {n - agree}/{n} vectors"
