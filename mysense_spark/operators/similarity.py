@@ -870,6 +870,35 @@ def _int_l2(a: Column, b: Column) -> Column:
     )
 
 
+def _nearest(
+    rows: DataFrame,
+    cands: DataFrame,
+    rid: str,
+    rvec: str,
+    cid: str,
+    cvec: str,
+    on: str | None = None,
+    bcast: bool = True,
+) -> DataFrame:
+    """The argmin-assignment kernel every codebook level shares: nearest
+    candidate per row by integer-grid L2, ties to the smallest candidate
+    id (min over struct(dist, id)). ONE definition so the distance
+    expression and tie-break — both part of the cross-engine parity
+    contract and of the routed/flat equivalence pin — cannot drift
+    between the seven call sites. `on=None` scans every candidate
+    (broadcast nested loop over a small codebook table); `on=<col>`
+    prunes candidates to the row's cell (equi-join — the shape that
+    keeps each level's per-row work bounded)."""
+    c = F.broadcast(cands) if bcast else cands
+    joined = rows.crossJoin(c) if on is None else rows.join(c, on)
+    return (
+        joined.select(rid, _int_l2(F.col(rvec), F.col(cvec)).alias("dist"), cid)
+        .groupBy(rid)
+        .agg(F.min(F.struct(F.col("dist"), F.col(cid))).alias("m"))
+        .select(rid, F.col(f"m.{cid}").alias(cid))
+    )
+
+
 def trained_codebook(
     vecs: DataFrame,
     route_group: int | None = None,
@@ -922,6 +951,12 @@ def trained_codebook(
     `fine_mod` / `group` expose the sampling strides so tests can force
     genuinely multi-level codebooks on small fixtures; production uses
     the defaults."""
+    if route_group is not None and route_group < 1:
+        raise ValueError(
+            f"route_group must be >= 1, got {route_group!r}: a non-positive "
+            f"stride would NULL out the route modulo and silently empty "
+            f"the membership"
+        )
     qv = F.expr(_QV_EXPR)
     base = vecs.select("vec_id", qv.alias("qv"), _md5u32(F.col("vec_id")).alias("h"))
     sel = base.where(F.col("h") % fine_mod == 0).select("vec_id")
@@ -945,17 +980,7 @@ def trained_codebook(
     )
     routing: tuple[DataFrame, DataFrame] | None = None
     if route_group is None:
-        a0 = (
-            sr.crossJoin(F.broadcast(c0))
-            .select(
-                "vec_id",
-                _int_l2(F.col("qv"), F.col("cqv")).alias("dist"),
-                "coarse_id",
-            )
-            .groupBy("vec_id")
-            .agg(F.min(F.struct(F.col("dist"), F.col("coarse_id"))).alias("m"))
-            .select("vec_id", F.col("m.coarse_id").alias("coarse_id"))
-        )
+        a0 = _nearest(sr, c0, "vec_id", "qv", "coarse_id", "cqv")
     else:
         # third level: every (group × route_group)-th seed — a SUBSET of
         # the coarse inits (same rank, coarser stride), so each route
@@ -966,43 +991,27 @@ def trained_codebook(
                 F.col("vec_id").alias("route_id"), F.col("qv").alias("rqv")
             )
         )
-        # coarse init → route cell (K1×K2; an anchor attracts itself at 0)
+        # seed → route (K×K2 anchor scan; an anchor attracts itself at 0)
+        s_route = tracked_persist(_nearest(sr, route, "vec_id", "qv", "route_id", "rqv"))
+        # coarse init → route cell: the coarse inits ARE seeds with the
+        # same pre-refinement qv, so their route assignment is exactly
+        # s_route restricted to the init ids — one computation, no
+        # second K1×K2 scan to drift from it
         croute = tracked_persist(
-            c0.crossJoin(F.broadcast(route))
-            .select(
-                "coarse_id",
-                _int_l2(F.col("cqv"), F.col("rqv")).alias("dist"),
-                "route_id",
-            )
-            .groupBy("coarse_id")
-            .agg(F.min(F.struct(F.col("dist"), F.col("route_id"))).alias("m"))
-            .select("coarse_id", F.col("m.route_id").alias("route_id"))
+            s_route.join(
+                c0.select(F.col("coarse_id").alias("vec_id")), "vec_id"
+            ).select(F.col("vec_id").alias("coarse_id"), "route_id")
         )
-        # seed → route (K×K2 anchor scan), then seed → coarse WITHIN the
-        # route cell (~group coarse candidates per seed — the same
-        # pruned-equi-join shape as the vec→fine assignment)
-        s_route = (
-            sr.crossJoin(F.broadcast(route))
-            .select(
-                "vec_id",
-                _int_l2(F.col("qv"), F.col("rqv")).alias("dist"),
-                "route_id",
-            )
-            .groupBy("vec_id")
-            .agg(F.min(F.struct(F.col("dist"), F.col("route_id"))).alias("m"))
-            .select("vec_id", F.col("m.route_id").alias("route_id"))
-        )
-        a0 = (
-            sr.join(s_route, "vec_id")
-            .join(F.broadcast(c0.join(croute, "coarse_id")), "route_id")
-            .select(
-                "vec_id",
-                _int_l2(F.col("qv"), F.col("cqv")).alias("dist"),
-                "coarse_id",
-            )
-            .groupBy("vec_id")
-            .agg(F.min(F.struct(F.col("dist"), F.col("coarse_id"))).alias("m"))
-            .select("vec_id", F.col("m.coarse_id").alias("coarse_id"))
+        # seed → coarse WITHIN the route cell (~group coarse candidates
+        # per seed — the same pruned-equi-join shape as vec→fine)
+        a0 = _nearest(
+            sr.join(s_route, "vec_id"),
+            c0.join(croute, "coarse_id"),
+            "vec_id",
+            "qv",
+            "coarse_id",
+            "cqv",
+            on="route_id",
         )
         routing = (route, croute)
     mem = a0.join(seeds, "vec_id").select(
@@ -1073,47 +1082,27 @@ def _two_level_parts(
         vecs.select("vec_id", F.expr(_QV_EXPR).alias("qv")).repartition(par)
     )
     if routing is None:
-        cand_coarse = qvecs.crossJoin(F.broadcast(coarse))
+        vca_plan = _nearest(qvecs, coarse, "vec_id", "qv", "coarse_id", "cqv")
     else:
         # vec → route (N×K2 anchor scan), then score only the ~route_group
         # coarse cells of that route — the Lloyd-refined coarse centroids
         # keep their INIT's route label (the routing is trained on inits;
         # refinement moves centroids within their cell)
         route, croute = routing
-        v_route = (
-            qvecs.crossJoin(F.broadcast(route))
-            .select(
-                "vec_id",
-                _int_l2(F.col("qv"), F.col("rqv")).alias("dist"),
-                "route_id",
-            )
-            .groupBy("vec_id")
-            .agg(F.min(F.struct(F.col("dist"), F.col("route_id"))).alias("m"))
-            .select("vec_id", F.col("m.route_id").alias("route_id"))
-        )
-        cand_coarse = qvecs.join(v_route, "vec_id").join(
-            F.broadcast(coarse.join(croute, "coarse_id")), "route_id"
-        )
-    vca = tracked_persist(
-        cand_coarse.select(
+        v_route = _nearest(qvecs, route, "vec_id", "qv", "route_id", "rqv")
+        vca_plan = _nearest(
+            qvecs.join(v_route, "vec_id"),
+            coarse.join(croute, "coarse_id"),
             "vec_id",
-            _int_l2(F.col("qv"), F.col("cqv")).alias("dist"),
+            "qv",
             "coarse_id",
+            "cqv",
+            on="route_id",
         )
-        .groupBy("vec_id")
-        .agg(F.min(F.struct(F.col("dist"), F.col("coarse_id"))).alias("m"))
-        .select("vec_id", F.col("m.coarse_id").alias("coarse_id"))
-    )
-    cand = qvecs.join(vca, "vec_id").join(fine, "coarse_id")
-    af = (
-        cand.select(
-            "vec_id",
-            _int_l2(F.col("qv"), F.col("fqv")).alias("dist"),
-            "fine_id",
-        )
-        .groupBy("vec_id")
-        .agg(F.min(F.struct(F.col("dist"), F.col("fine_id"))).alias("m"))
-        .select("vec_id", F.col("m.fine_id").alias("fine_id"))
+    vca = tracked_persist(vca_plan)
+    af = _nearest(
+        qvecs.join(vca, "vec_id"), fine, "vec_id", "qv", "fine_id", "fqv",
+        on="coarse_id", bcast=False,
     )
     memf = af.join(qvecs, "vec_id").select("fine_id", F.posexplode("qv").alias("d", "q"))
     f1 = (
@@ -1128,17 +1117,10 @@ def _two_level_parts(
     # AND (in ann_ivf_trained) the probe ranking — persist like the rest
     # of the codebook tables
     f1cell = tracked_persist(f1.join(fine.select("fine_id", "coarse_id"), "fine_id"))
-    cand2 = qvecs.join(vca, "vec_id").join(f1cell, "coarse_id")
-    final = (
-        cand2.select(
-            "vec_id",
-            _int_l2(F.col("qv"), F.col("fqv1")).alias("dist"),
-            "fine_id",
-        )
-        .groupBy("vec_id")
-        .agg(F.min(F.struct(F.col("dist"), F.col("fine_id"))).alias("m"))
-        .select("vec_id", F.col("m.fine_id").alias("cent_id"))
-    )
+    final = _nearest(
+        qvecs.join(vca, "vec_id"), f1cell, "vec_id", "qv", "fine_id", "fqv1",
+        on="coarse_id", bcast=False,
+    ).select("vec_id", F.col("fine_id").alias("cent_id"))
     return vca, f1cell, final
 
 

@@ -804,8 +804,11 @@ def test_trained_codebook_seed_anchor_never_empty(spark):
 
 
 def _clustered_vecs(spark, n=480, n_clusters=12, dim=8):
-    """Deterministic well-separated clusters: cluster j sits at 50·e_j
-    (+50·e_{j-dim} for j >= dim), members jitter by ≤0.3 in one dim."""
+    """Deterministic well-separated clusters: cluster j sits at
+    50·e_{j mod dim}, plus 50·e_{(j+3) mod dim} for j >= dim so the
+    wrapped clusters stay distinct from the single-spike ones; members
+    jitter by at most 0.6 in one dimension (0.3·((i//n_clusters) % 3)),
+    two orders of magnitude under the 50-unit cluster separation."""
     import pyspark.sql.functions as F
 
     rows = []
@@ -863,3 +866,12 @@ def test_routed_codebook_multi_level_total_and_sane(spark):
     assert len(set(routed.values())) > 4, "routing collapsed the codebook"
     agree = sum(1 for k in flat if routed[k] == flat[k])
     assert agree >= 0.8 * n, f"routed assignment diverged on {n - agree}/{n} vectors"
+
+    # a non-positive stride must fail loudly at the argument, not as a
+    # NULL modulo that silently empties the membership deep in the plan
+    import pytest
+
+    from mysense_spark.operators.similarity import trained_codebook
+
+    with pytest.raises(ValueError, match="route_group"):
+        trained_codebook(vecs, route_group=0)
