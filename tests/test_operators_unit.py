@@ -875,3 +875,132 @@ def test_routed_codebook_multi_level_total_and_sane(spark):
 
     with pytest.raises(ValueError, match="route_group"):
         trained_codebook(vecs, route_group=0)
+
+
+def _wav_bytes(freq=440.0, amp=0.5, sr=8000, dur=0.25, channels=1, bits=16):
+    """Synthesize a PCM WAV in-test (RIFF writer ~15 lines) so the
+    decoder is checked against ground truth it did not produce."""
+    import math
+    import struct
+
+    n = int(sr * dur)
+    samples = []
+    for i in range(n):
+        v = amp * math.sin(2 * math.pi * freq * i / sr)
+        for _ in range(channels):
+            samples.append(v)
+    if bits == 16:
+        data = b"".join(struct.pack("<h", int(round(v * 32767))) for v in samples)
+    else:
+        data = bytes(min(255, max(0, int(round(v * 127 + 128)))) for v in samples)
+    block = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, channels, sr, sr * block, block, bits)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_wav_decoder_against_synthesized_ground_truth():
+    """A 440 Hz sine at amplitude 0.5: rms must be amp/sqrt(2), peak ~amp,
+    duration and layout exact — real decode math, not byte arithmetic."""
+    import math
+
+    from mysense_spark.operators.multimodal import decode_wav
+
+    w = decode_wav(_wav_bytes())
+    assert (w["sample_rate"], w["channels"], w["bits"]) == (8000, 1, 16)
+    assert w["n_samples"] == 2000 and abs(w["duration_s"] - 0.25) < 1e-9
+    assert abs(w["rms"] - 0.5 / math.sqrt(2)) < 0.005
+    assert abs(w["peak"] - 0.5) < 0.005
+
+    st = decode_wav(_wav_bytes(channels=2, bits=8, dur=0.1))
+    assert (st["channels"], st["bits"], st["n_samples"]) == (2, 8, 800)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF\x00\x00\x00\x00AVI ")  # not WAVE
+    with pytest.raises(ValueError):
+        decode_wav(_wav_bytes()[:-50])  # truncated data chunk
+
+
+def test_netpbm_and_bmp_decoders_exact_pixels():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from mysense_spark.operators.multimodal import decode_bmp, decode_netpbm, resize_nearest
+
+    # P6 with a header comment: 2x3 RGB, known bytes
+    pix = bytes([255, 0, 0,  0, 255, 0,
+                 0, 0, 255,  10, 20, 30,
+                 0, 0, 0,    255, 255, 255])
+    ppm = b"P6\n# test comment\n2 3\n255\n" + pix
+    meta, arr = decode_netpbm(ppm)
+    assert (meta["width"], meta["height"], meta["channels"]) == (2, 3, 3)
+    assert arr.shape == (3, 2, 3) and arr[0, 0, 0] == 255 and arr[1, 1, 2] == 30
+    assert meta["mean"] == float(np.frombuffer(pix, np.uint8).mean())
+
+    # P5 grayscale
+    meta5, arr5 = decode_netpbm(b"P5\n3 2\n255\n" + bytes([0, 128, 255, 1, 2, 3]))
+    assert arr5.shape == (2, 3) and arr5[0, 1] == 128
+
+    # nearest-neighbor resize: 2x upscale duplicates each pixel into 2x2
+    up = resize_nearest(arr5, 6, 4)
+    assert up.shape == (4, 6)
+    assert (up[0:2, 2:4] == 128).all()
+
+    # 24-bit BMP, 3x2, bottom-up, stride padded 9 -> 12: pixel (0,0)
+    # red in RGB terms must survive the BGR flip and the row flip
+    row_top = bytes([0, 0, 255,  0, 255, 0,  255, 0, 0]) + b"\x00\x00\x00"   # B,G,R per pixel
+    row_bot = bytes([1, 2, 3,    4, 5, 6,    7, 8, 9]) + b"\x00\x00\x00"
+    raster = row_bot + row_top  # bottom-up storage: last row first
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 24, 0, len(raster), 0, 0, 0, 0))
+    metab, arrb = decode_bmp(header + raster)
+    assert (metab["width"], metab["height"]) == (3, 2)
+    assert tuple(arrb[0, 0]) == (255, 0, 0)  # top-left red (RGB)
+    assert tuple(arrb[1, 0]) == (3, 2, 1)    # bottom row, BGR flipped
+
+    with pytest.raises(ValueError):
+        decode_netpbm(b"P6\n2 3\n255\n" + pix[:5])  # truncated raster
+    with pytest.raises(NotImplementedError):
+        decode_bmp(header[:28] + struct.pack("<H", 8) + header[30:] + raster)  # 8bpp
+
+
+def test_media_properties_stage_mixes_real_and_fallback(spark):
+    """The mapInPandas properties stage over a corpus mixing REAL formats
+    (WAV, PPM, BMP) and an unknown text blob: real rows carry decoded
+    truth, unknown rows carry NULL modality + the documented fallback."""
+    import struct
+
+    from mysense_spark.operators.multimodal import media_properties
+
+    ppm = b"P6\n2 3\n255\n" + bytes(range(18))
+    wav = _wav_bytes(dur=2.5)
+    txt = b"just some text bytes"
+    blobs = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(ppm)), (3, bytearray(txt))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r.asDict() for r in media_properties(blobs).collect()}
+    assert rows[1]["modality"] == "audio"
+    assert rows[1]["sample_rate"] == 8000 and abs(rows[1]["duration_s"] - 2.5) < 1e-9
+    assert rows[1]["n_frames"] == 2  # floor(duration)
+    assert rows[2]["modality"] == "image"
+    assert (rows[2]["width"], rows[2]["height"], rows[2]["n_frames"]) == (2, 3, 1)
+    assert rows[3]["modality"] is None
+    n = len(txt)
+    assert rows[3]["n_frames"] == n % 5 + 1 and rows[3]["width"] == 16 * (n % 40 + 1)
+
+
+def test_magic_false_positive_falls_back_not_crashes():
+    """Text that happens to start with a short media magic ('BM...',
+    'P6 ...') — inevitable in a 100 TB text corpus — must take the
+    documented fallback, not fail the Arrow batch."""
+    from mysense_spark.operators.multimodal import decode_media
+
+    for txt in (b"BMW sales rose in Q3", b"P6 is a chess opening move", b"RIFFle through the docs"):
+        meta = decode_media(txt)
+        n = len(txt)
+        assert meta["n_frames"] == n % 5 + 1 and meta["width"] == 16 * (n % 40 + 1)
