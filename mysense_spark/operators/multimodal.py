@@ -68,6 +68,11 @@ def decode_wav(payload: bytes) -> dict:
     audio_format, channels, sample_rate, _, _, bits = fmt
     if audio_format != 1:
         raise NotImplementedError(f"non-PCM WAVE format {audio_format} needs a codec library")
+    if sample_rate < 1:
+        # a zero rate is corrupt, not merely odd — and the duration
+        # division below must never raise anything but ValueError
+        # (decode_media's fallback filter catches exactly that)
+        raise ValueError(f"invalid sample rate {sample_rate}")
     if bits == 8:
         x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
     elif bits == 16:
@@ -90,11 +95,13 @@ def decode_wav(payload: bytes) -> dict:
     }
 
 
-def decode_netpbm(payload: bytes):
+def decode_netpbm(payload: bytes, pixels: bool = True):
     """REAL binary netpbm decoder (P5 grayscale / P6 RGB) — header is
     ASCII tokens (with # comments), body is raw samples. Returns
-    (meta dict, numpy array HxW or HxWx3). Maxval ≤ 255 only (the
-    1-byte-per-sample tier)."""
+    (meta dict, numpy array HxW or HxWx3 — or None with pixels=False,
+    which still validates the raster length but skips materializing the
+    array and its mean: the O(1) header tier a properties scan needs).
+    Maxval ≤ 255 only (the 1-byte-per-sample tier)."""
     import numpy as np
 
     b = bytes(payload)
@@ -119,30 +126,31 @@ def decode_netpbm(payload: bytes):
         toks.append(b[start:pos])
     pos += 1  # the single whitespace after maxval
     width, height, maxval = (int(t) for t in toks)
+    if width < 1 or height < 1:
+        # negative dims would ride numpy's reshape(-1) inference into a
+        # "successful" decode with bogus geometry; zero dims give a nan
+        # mean — both are corrupt headers, reject cleanly
+        raise ValueError(f"invalid netpbm dimensions {width}x{height}")
     if not (0 < maxval <= 255):
         raise ValueError(f"unsupported netpbm maxval {maxval}")
     channels = 3 if b[:2] == b"P6" else 1
     need = width * height * channels
-    raster = np.frombuffer(b, dtype=np.uint8, count=-1, offset=pos)
-    if raster.size < need:
+    if len(b) - pos < need:
         raise ValueError("truncated netpbm raster")
-    arr = raster[:need].reshape(
-        (height, width, 3) if channels == 3 else (height, width)
-    )
-    meta = {
-        "width": width,
-        "height": height,
-        "channels": channels,
-        "maxval": maxval,
-        "mean": float(arr.mean()),
-    }
+    meta = {"width": width, "height": height, "channels": channels, "maxval": maxval}
+    if not pixels:
+        return meta, None
+    raster = np.frombuffer(b, dtype=np.uint8, count=need, offset=pos)
+    arr = raster.reshape((height, width, 3) if channels == 3 else (height, width))
+    meta["mean"] = float(arr.mean())
     return meta, arr
 
 
-def decode_bmp(payload: bytes):
+def decode_bmp(payload: bytes, pixels: bool = True):
     """REAL uncompressed 24-bit BMP decoder — fixed-offset little-endian
     header, bottom-up rows padded to 4 bytes. Returns (meta, HxWx3 RGB
-    array)."""
+    array — or None with pixels=False: length-validated header-only
+    parse)."""
     import struct
 
     import numpy as np
@@ -158,16 +166,27 @@ def decode_bmp(payload: bytes):
         raise NotImplementedError(f"BMP bpp={bpp} compression={compression} needs a codec library")
     bottom_up = height > 0
     height = abs(height)
+    # width must be positive (only HEIGHT's sign encodes orientation);
+    # a negative width would zero the stride and reshape into garbage.
+    # data_off below the 54-byte header would decode the header's own
+    # bytes as pixels — corrupt, not clever.
+    if width < 1 or height < 1:
+        raise ValueError(f"invalid BMP dimensions {width}x{height}")
+    if data_off < 54:
+        raise ValueError(f"BMP pixel data offset {data_off} points into the header")
     stride = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
     need = data_off + stride * height
     if len(b) < need:
         raise ValueError("truncated BMP raster")
+    meta = {"width": width, "height": height, "channels": 3}
+    if not pixels:
+        return meta, None
     rows = np.frombuffer(b, dtype=np.uint8, count=stride * height, offset=data_off)
     arr = rows.reshape(height, stride)[:, : width * 3].reshape(height, width, 3)
     arr = arr[:, :, ::-1]  # BGR -> RGB
     if bottom_up:
         arr = arr[::-1]
-    meta = {"width": width, "height": height, "channels": 3, "mean": float(arr.mean())}
+    meta["mean"] = float(arr.mean())
     return meta, arr
 
 
@@ -183,16 +202,27 @@ def resize_nearest(arr, out_w: int, out_h: int):
     return arr[yi][:, xi]
 
 
-def sniff_modality(payload: bytes) -> str | None:
-    """Magic-byte dispatch over the REAL formats: RIFF/WAVE -> audio,
-    P5/P6/BM -> image; None for anything else (unknown or a codec-gated
-    format such as JPEG/MP4)."""
-    b = bytes(payload)
+def _sniff_format(b: bytes) -> str | None:
+    """Magic-byte dispatch to a concrete decoder tag — the ONE place the
+    magic-number knowledge lives (sniff_modality and decode_media both
+    derive from it): 'wav' | 'netpbm' | 'bmp' | None."""
     if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
-        return "audio"
-    if b[:2] in (b"P5", b"P6", b"BM"):
-        return "image"
+        return "wav"
+    if b[:2] in (b"P5", b"P6"):
+        return "netpbm"
+    if b[:2] == b"BM":
+        return "bmp"
     return None
+
+
+_FORMAT_MODALITY = {"wav": "audio", "netpbm": "image", "bmp": "image"}
+
+
+def sniff_modality(payload: bytes) -> str | None:
+    """Modality of the sniffed format: RIFF/WAVE -> audio, P5/P6/BM ->
+    image; None for anything else (unknown or a codec-gated format such
+    as JPEG/MP4)."""
+    return _FORMAT_MODALITY.get(_sniff_format(bytes(payload)))
 
 
 def decode_media(payload: bytes) -> dict:
@@ -213,8 +243,8 @@ def decode_media(payload: bytes) -> dict:
     # failing the batch (quarantine-grade strictness lives in the
     # decoders themselves for callers that demand it)
     try:
-        kind = sniff_modality(b)
-        if kind == "audio":
+        kind = _sniff_format(b)
+        if kind == "wav":
             w = decode_wav(b)
             return {
                 "n_frames": max(1, int(w["duration_s"])),
@@ -222,8 +252,11 @@ def decode_media(payload: bytes) -> dict:
                 "height": 0,
                 **w,
             }
-        if kind == "image":
-            meta, _ = decode_netpbm(b) if b[:2] in (b"P5", b"P6") else decode_bmp(b)
+        if kind is not None:
+            # header-only image parse: properties need geometry, not an
+            # O(raster) pixel materialization per blob
+            decoder = decode_netpbm if kind == "netpbm" else decode_bmp
+            meta, _ = decoder(b, pixels=False)
             return {"n_frames": 1, **meta}
     except (ValueError, NotImplementedError):
         pass

@@ -1004,3 +1004,54 @@ def test_magic_false_positive_falls_back_not_crashes():
         meta = decode_media(txt)
         n = len(txt)
         assert meta["n_frames"] == n % 5 + 1 and meta["width"] == 16 * (n % 40 + 1)
+
+
+def test_corrupt_media_headers_reject_cleanly_and_fall_back():
+    """The corrupt-but-structurally-plausible headers a crawl corpus
+    will contain: zero sample rate, negative/zero image dims, a BMP
+    pixel offset pointing into its own header. Each decoder must raise
+    ValueError (not ZeroDivisionError, not a 'successful' decode with
+    width=-1 or nan mean), and decode_media must fall back, keeping the
+    batch alive."""
+    import struct
+
+    import pytest
+
+    from mysense_spark.operators.multimodal import (
+        decode_bmp,
+        decode_media,
+        decode_netpbm,
+        decode_wav,
+    )
+
+    # WAV with sample_rate=0
+    fmt = struct.pack("<HHIIHH", 1, 1, 0, 0, 2, 16)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    bad_wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    with pytest.raises(ValueError, match="sample rate"):
+        decode_wav(bad_wav)
+
+    # netpbm with negative / zero dims
+    for hdr in (b"P5\n-1 6\n255\n", b"P5\n0 5\n255\n"):
+        with pytest.raises(ValueError, match="dimensions"):
+            decode_netpbm(hdr + b"\x00" * 64)
+
+    def bmp(width, height, data_off=54):
+        return (b"BM" + struct.pack("<IHHI", 2048, 0, 0, data_off)
+                + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, 0, 0, 0, 0, 0)
+                + b"\x00" * 2048)
+
+    with pytest.raises(ValueError, match="dimensions"):
+        decode_bmp(bmp(-1, 2))
+    with pytest.raises(ValueError, match="header"):
+        decode_bmp(bmp(3, 2, data_off=0))
+
+    # every one of them falls back in decode_media instead of killing the batch
+    for blob in (bad_wav, b"P5\n-1 6\n255\n" + b"\x00" * 64, bmp(-1, 2), bmp(3, 2, 0)):
+        meta = decode_media(blob)
+        n = len(blob)
+        assert meta["n_frames"] == n % 5 + 1 and meta["width"] == 16 * (n % 40 + 1)
+
+    # header-only parse still validates raster length
+    with pytest.raises(ValueError, match="truncated"):
+        decode_netpbm(b"P6\n4 4\n255\n" + b"\x00" * 10, pixels=False)
