@@ -2,9 +2,9 @@
 
 CSV is `df.write.csv` with the reference's header/rounding conventions
 (statistics/MySQL2CSV.sh, SamenMetenTools/Things2CSV.py:81-371). XLSX
-(K7, Things2XLSX.py) needs xlsxwriter, which may be absent — gated
-behind an import-try; the summary QUERY that feeds it (per-sensor
-min/avg/max) is engine-side and always available.
+(K7, Things2XLSX.py) writes through the stdlib zip+XML codec
+(sources/xlsx.py) — a real artifact with no xlsxwriter dependency; the
+summary QUERY that feeds it (per-sensor min/avg/max) is engine-side.
 """
 
 from __future__ import annotations
@@ -42,20 +42,11 @@ def sensor_summary(fact: DataFrame) -> DataFrame:
 
 
 def export_xlsx(summary_rows: list[dict], path: str) -> bool:
-    """Write the summary as XLSX when xlsxwriter is available; returns
-    False (no-op) otherwise — driver-level artifact, not engine work."""
-    try:
-        import xlsxwriter  # noqa: F401
-    except ImportError:
-        return False
-    wb = xlsxwriter.Workbook(path)
-    ws = wb.add_worksheet("summary")
-    if summary_rows:
-        headers = list(summary_rows[0].keys())
-        for c, h in enumerate(headers):
-            ws.write(0, c, h)
-        for r, row in enumerate(summary_rows, start=1):
-            for c, h in enumerate(headers):
-                ws.write(r, c, row[h])
-    wb.close()
+    """Write the summary as a real XLSX — the stdlib zip+XML writer
+    (sources/xlsx.py), no xlsxwriter needed; the import gate this used
+    to hide behind is gone. Returns True (kept bool for API compat) —
+    driver-level artifact, not engine work."""
+    from ..sources.xlsx import write_xlsx
+
+    write_xlsx(summary_rows, path)
     return True

@@ -34,15 +34,24 @@ def read_measurements_csv(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_measurements_xlsx(spark: SparkSession, path: str, sheet: str | int = 0) -> DataFrame:
-    """XLSX input via openpyxl -> createDataFrame. Raises ImportError
-    with a clear message when the codec is absent (this container)."""
+    """XLSX input (S8) via the stdlib zip+XML reader (sources/xlsx.py —
+    shared strings, inline strings and numbers; sparse rows placed by
+    cell reference). openpyxl, when present, handles anything fancier
+    (dates-as-styles, multiple sheets by name); the codec gate is only
+    for that tier now, not for reading tabular sheets at all."""
     try:
         import openpyxl  # noqa: F401
         import pandas as pd
-    except ImportError as e:  # pragma: no cover - absent in container
-        raise ImportError(
-            "XLSX input needs openpyxl; install it or convert the sheet "
-            "to CSV and use read_measurements_csv"
-        ) from e
-    pdf = pd.read_excel(path, sheet_name=sheet)  # pragma: no cover
-    return spark.createDataFrame(pdf)  # pragma: no cover
+
+        pdf = pd.read_excel(path, sheet_name=sheet)  # pragma: no cover
+        return spark.createDataFrame(pdf)  # pragma: no cover
+    except ImportError:
+        pass
+    from .xlsx import read_xlsx
+
+    rows = read_xlsx(path)
+    if not rows:
+        raise ValueError(f"{path}: empty or headerless sheet")
+    import pandas as pd
+
+    return spark.createDataFrame(pd.DataFrame(rows))

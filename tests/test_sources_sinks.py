@@ -1352,3 +1352,56 @@ def test_sink_random_op_interleavings_match_model(spark, tmp_path):
     }
     assert physical == {k: v for k, (_, v) in model.items()}
     assert spark.read.parquet(path).count() == len(model), "compaction left duplicates"
+
+
+def test_xlsx_codec_roundtrip_and_foreign_file(spark, tmp_path):
+    """The stdlib XLSX codec (K7 writer / S8 reader): a write->read
+    round-trip preserves values and types, a hand-built 'foreign' file
+    using SHARED strings and sparse rows (cells absent from the XML)
+    reads correctly by cell reference, and the Spark-side S8 reader
+    lands a usable DataFrame without openpyxl."""
+    import zipfile
+
+    from mysense_spark.sinks.export import export_xlsx
+    from mysense_spark.sources.files import read_measurements_xlsx
+    from mysense_spark.sources.xlsx import read_xlsx, write_xlsx
+
+    # round-trip: strings, ints, floats, None, a value needing XML escape
+    rows = [
+        {"kit_id": "k<1>&", "field": "pm25", "n": 3, "avg_value": 12.5},
+        {"kit_id": "k2", "field": "temp", "n": 7, "avg_value": -0.25},
+        {"kit_id": "k3", "field": "rh", "n": 1, "avg_value": None},
+    ]
+    path = str(tmp_path / "report.xlsx")
+    assert export_xlsx(rows, path) is True
+    back = read_xlsx(path)
+    assert back == rows
+    # the container is genuinely a ZIP with the OOXML parts
+    with zipfile.ZipFile(path) as z:
+        assert "xl/worksheets/sheet1.xml" in z.namelist()
+
+    # foreign producer shape: sharedStrings + sparse row (B missing)
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    sheet = (
+        f'<worksheet xmlns="{ns}"><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c>'
+        '<c r="C1" t="s"><v>2</v></c></row>'
+        '<row r="2"><c r="A2" t="s"><v>3</v></c><c r="C2"><v>42</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    strings = (
+        f'<sst xmlns="{ns}"><si><t>kit_id</t></si><si><t>note</t></si>'
+        "<si><t>value</t></si><si><t>kitx</t></si></sst>"
+    )
+    foreign = str(tmp_path / "foreign.xlsx")
+    with zipfile.ZipFile(foreign, "w") as z:
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+        z.writestr("xl/sharedStrings.xml", strings)
+    got = read_xlsx(foreign)
+    assert got == [{"kit_id": "kitx", "note": None, "value": 42}]
+
+    # Spark S8 reader over the written file (no openpyxl in container)
+    df = read_measurements_xlsx(spark, path)
+    out = {r["kit_id"]: r for r in df.collect()}
+    assert out["k2"]["avg_value"] == -0.25 and out["k2"]["n"] == 7
+    assert set(df.columns) == {"kit_id", "field", "n", "avg_value"}
