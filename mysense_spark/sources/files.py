@@ -41,17 +41,31 @@ def read_measurements_xlsx(spark: SparkSession, path: str, sheet: str | int = 0)
     for that tier now, not for reading tabular sheets at all."""
     try:
         import openpyxl  # noqa: F401
+
+        have_openpyxl = True
+    except ImportError:
+        have_openpyxl = False
+    if have_openpyxl:  # pragma: no cover - absent in container
         import pandas as pd
 
-        pdf = pd.read_excel(path, sheet_name=sheet)  # pragma: no cover
-        return spark.createDataFrame(pdf)  # pragma: no cover
-    except ImportError:
-        pass
+        pdf = pd.read_excel(path, sheet_name=sheet)
+        return spark.createDataFrame(pdf)
+    if sheet not in (0, None):
+        # the stdlib reader reads the FIRST sheet only; silently
+        # returning another sheet's data would be worse than the error
+        raise ImportError(
+            f"selecting sheet {sheet!r} needs openpyxl; the stdlib XLSX "
+            f"reader handles only the first worksheet"
+        )
     from .xlsx import read_xlsx
 
     rows = read_xlsx(path)
     if not rows:
         raise ValueError(f"{path}: empty or headerless sheet")
-    import pandas as pd
+    # build Rows directly, NOT via pandas: pd.DataFrame turns None into
+    # NaN for numeric columns, which breaks SQL NULL semantics (IS NULL
+    # misses, aggregates propagate NaN — the cross-engine parity rules)
+    from pyspark.sql import Row
 
-    return spark.createDataFrame(pd.DataFrame(rows))
+    cols = list(rows[0].keys())
+    return spark.createDataFrame([Row(**{c: r[c] for c in cols}) for r in rows])

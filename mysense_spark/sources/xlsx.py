@@ -57,6 +57,10 @@ def write_xlsx(rows: list[dict], path: str, sheet: str = "summary") -> None:
             return ""
         if isinstance(v, bool):
             return f'<c r="{ref}" t="b"><v>{int(v)}</v></c>'
+        if isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
+            # NaN/inf are not valid OOXML numbers — Excel would refuse
+            # the whole file; a blank cell is the honest rendering
+            return ""
         if isinstance(v, (int, float)):
             return f'<c r="{ref}"><v>{v!r}</v></c>'
         return f'<c r="{ref}" t="inlineStr"><is><t>{escape(str(v))}</t></is></c>'
@@ -76,11 +80,15 @@ def write_xlsx(rows: list[dict], path: str, sheet: str = "summary") -> None:
         '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
         "<sheetData>" + "".join(body) + "</sheetData></worksheet>"
     )
+    from xml.sax.saxutils import quoteattr
+
     workbook_xml = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
         'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
-        f'<sheets><sheet name="{escape(sheet)}" sheetId="1" r:id="rId1"/></sheets></workbook>'
+        # quoteattr, not escape: attribute context must escape quotes
+        # too, or a sheet name containing one corrupts the workbook
+        f'<sheets><sheet name={quoteattr(sheet)} sheetId="1" r:id="rId1"/></sheets></workbook>'
     )
     wb_rels = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
@@ -125,21 +133,35 @@ def read_xlsx(path: str) -> list[dict]:
         if "xl/sharedStrings.xml" in names:
             root = ET.fromstring(z.read("xl/sharedStrings.xml"))
             for si in root.iter(f"{_NS}si"):
-                shared.append("".join(t.text or "" for t in si.iter(f"{_NS}t")))
+                # only direct <t> and rich-run <r><t> text — NOT the
+                # <rPh> phonetic (furigana) runs Japanese-locale Excel
+                # embeds, which would concatenate into the string
+                parts = [t.text or "" for t in si.findall(f"{_NS}t")]
+                for run in si.findall(f"{_NS}r"):
+                    parts.extend(t.text or "" for t in run.findall(f"{_NS}t"))
+                shared.append("".join(parts))
+        # "first sheet" by the NUMBER in the part name, not lexicographic
+        # order (sheet10.xml sorts before sheet2.xml; Excel does not
+        # renumber parts when sheets are deleted)
         sheet_names = sorted(
-            n for n in names if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+            (n for n in names if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+            key=lambda n: int(re.search(r"\d+", n).group(0)),
         )
         if not sheet_names:
             raise ValueError(f"{path}: no worksheet part found")
         root = ET.fromstring(z.read(sheet_names[0]))
 
     rows: dict[int, dict[int, object]] = {}
+    next_row = 0
     for row in root.iter(f"{_NS}row"):
-        r = int(row.get("r", len(rows) + 1)) - 1
+        r = int(row.get("r")) - 1 if row.get("r") else next_row
+        next_row = r + 1
         cells: dict[int, object] = {}
-        for c in row.iter(f"{_NS}c"):
-            ref = c.get("r")
-            col = _col_index(ref) if ref else len(cells)
+        next_col = 0  # positional fallback: count EVERY cell element,
+        for c in row.iter(f"{_NS}c"):  # including empty ones, or a
+            ref = c.get("r")  # skipped blank shifts later values left
+            col = _col_index(ref) if ref else next_col
+            next_col = col + 1
             ctype = c.get("t", "n")
             if ctype == "inlineStr":
                 cells[col] = "".join(
@@ -152,18 +174,34 @@ def read_xlsx(path: str) -> list[dict]:
             if ctype == "s":
                 cells[col] = shared[int(v.text)]
             elif ctype == "b":
-                cells[col] = v.text == "1"
+                cells[col] = v.text in ("1", "true")  # xsd:boolean admits both
             elif ctype == "str":  # formula cached string result
                 cells[col] = v.text
             else:
-                x = float(v.text)
-                cells[col] = int(x) if x.is_integer() else x
+                # integers parse as int directly: float() first would
+                # silently round anything >= 2^53 (ns timestamps, ids)
+                txt = v.text
+                if re.fullmatch(r"-?\d+", txt):
+                    cells[col] = int(txt)
+                else:
+                    x = float(txt)
+                    cells[col] = int(x) if x.is_integer() else x
         rows[r] = cells
     if not rows:
         return []
     header_row = rows.pop(min(rows))
-    n_cols = (max(header_row) + 1) if header_row else 0
+    # width from ALL rows, not just the header: a ragged sheet (data
+    # beyond the last header cell) must not silently drop columns
+    n_cols = max(
+        [(max(header_row) + 1) if header_row else 0]
+        + [(max(c) + 1) if c else 0 for c in rows.values()]
+    )
     headers = [str(header_row.get(i, f"col{i}")) for i in range(n_cols)]
+    if len(set(headers)) != len(headers):
+        raise ValueError(
+            f"{path}: duplicate header names {headers} — a dict row would "
+            f"silently keep only the rightmost duplicate column"
+        )
     out = []
     for r in sorted(rows):
         cells = rows[r]

@@ -1405,3 +1405,116 @@ def test_xlsx_codec_roundtrip_and_foreign_file(spark, tmp_path):
     out = {r["kit_id"]: r for r in df.collect()}
     assert out["k2"]["avg_value"] == -0.25 and out["k2"]["n"] == 7
     assert set(df.columns) == {"kit_id", "field", "n", "avg_value"}
+
+
+def test_xlsx_codec_edge_cases(spark, tmp_path):
+    """The foreign-producer edge cases a real corpus of sheets contains:
+    big integers (>= 2^53), NaN summary values, quote-bearing sheet
+    names, part numbering after sheet deletion, positional cells with
+    gaps, ragged rows wider than the header, phonetic shared-string
+    runs, and 'true'-spelled booleans."""
+    import zipfile
+
+    import pytest
+
+    from mysense_spark.sources.files import read_measurements_xlsx
+    from mysense_spark.sources.xlsx import read_xlsx, write_xlsx
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+
+    # big ints survive exactly; NaN writes as a blank (readable) cell;
+    # a quoted sheet name stays well-formed XML
+    big = 9007199254740993  # 2^53 + 1: float round-trip would alter it
+    p = str(tmp_path / "edge.xlsx")
+    write_xlsx(
+        [{"id": big, "v": float("nan")}], p, sheet='my "quoted" sheet'
+    )
+    back = read_xlsx(p)
+    assert back == [{"id": big, "v": None}]
+
+    # part numbering: sheet10 + sheet2 (sheet1 deleted) -> numeric-first
+    def mk(pathname, sheets):
+        with zipfile.ZipFile(pathname, "w") as z:
+            for name, a1 in sheets:
+                z.writestr(
+                    f"xl/worksheets/{name}",
+                    f'<worksheet xmlns="{ns}"><sheetData>'
+                    f'<row r="1"><c r="A1" t="inlineStr"><is><t>h</t></is></c></row>'
+                    f'<row r="2"><c r="A2"><v>{a1}</v></c></row>'
+                    f"</sheetData></worksheet>",
+                )
+
+    p2 = str(tmp_path / "numbered.xlsx")
+    mk(p2, [("sheet10.xml", 10), ("sheet2.xml", 2)])
+    assert read_xlsx(p2) == [{"h": 2}], "lexicographic part order picked sheet10"
+
+    # positional cells (no r=): an empty <c/> must keep its column
+    p3 = str(tmp_path / "positional.xlsx")
+    with zipfile.ZipFile(p3, "w") as z:
+        z.writestr(
+            "xl/worksheets/sheet1.xml",
+            f'<worksheet xmlns="{ns}"><sheetData>'
+            '<row><c t="inlineStr"><is><t>a</t></is></c>'
+            '<c t="inlineStr"><is><t>b</t></is></c>'
+            '<c t="inlineStr"><is><t>c</t></is></c></row>'
+            "<row><c><v>1</v></c><c/><c><v>3</v></c></row>"
+            "</sheetData></worksheet>",
+        )
+    assert read_xlsx(p3) == [{"a": 1, "b": None, "c": 3}]
+
+    # ragged row wider than the header: extra column surfaces, not drops
+    p4 = str(tmp_path / "ragged.xlsx")
+    with zipfile.ZipFile(p4, "w") as z:
+        z.writestr(
+            "xl/worksheets/sheet1.xml",
+            f'<worksheet xmlns="{ns}"><sheetData>'
+            '<row r="1"><c r="A1" t="inlineStr"><is><t>h1</t></is></c></row>'
+            '<row r="2"><c r="A2"><v>1</v></c><c r="B2"><v>2</v></c></row>'
+            "</sheetData></worksheet>",
+        )
+    assert read_xlsx(p4) == [{"h1": 1, "col1": 2}]
+
+    # shared string with a phonetic <rPh> run: furigana must NOT leak in
+    p5 = str(tmp_path / "phonetic.xlsx")
+    with zipfile.ZipFile(p5, "w") as z:
+        z.writestr(
+            "xl/worksheets/sheet1.xml",
+            f'<worksheet xmlns="{ns}"><sheetData>'
+            '<row r="1"><c r="A1" t="s"><v>0</v></c></row>'
+            '<row r="2"><c r="A2" t="s"><v>1</v></c>'
+            '<c r="B2" t="b"><v>true</v></c></row>'
+            "</sheetData></worksheet>",
+        )
+        z.writestr(
+            "xl/sharedStrings.xml",
+            f'<sst xmlns="{ns}"><si><t>name</t></si>'
+            "<si><r><t>東京</t></r><rPh><t>トウキョウ</t></rPh></si></sst>",
+        )
+    got = read_xlsx(p5)
+    assert got[0]["name"] == "東京"
+    assert got[0]["col1"] is True  # xsd:boolean 'true'
+
+    # duplicate headers would silently collapse a column -> loud error
+    with zipfile.ZipFile(str(tmp_path / "dup2.xlsx"), "w") as z:
+        z.writestr(
+            "xl/worksheets/sheet1.xml",
+            f'<worksheet xmlns="{ns}"><sheetData>'
+            '<row r="1"><c r="A1" t="inlineStr"><is><t>x</t></is></c>'
+            '<c r="B1" t="inlineStr"><is><t>x</t></is></c></row>'
+            '<row r="2"><c r="A2"><v>1</v></c><c r="B2"><v>2</v></c></row>'
+            "</sheetData></worksheet>",
+        )
+    with pytest.raises(ValueError, match="duplicate header"):
+        read_xlsx(str(tmp_path / "dup2.xlsx"))
+
+    # Spark fallback reader: None stays SQL NULL (not NaN), and a
+    # non-default sheet selection fails loudly instead of reading the
+    # wrong sheet
+    p7 = str(tmp_path / "nulls.xlsx")
+    write_xlsx(
+        [{"kit_id": "k1", "v": 1.5}, {"kit_id": "k2", "v": None}], p7
+    )
+    df = read_measurements_xlsx(spark, p7)
+    assert df.where("v IS NULL").count() == 1
+    with pytest.raises(ImportError, match="sheet"):
+        read_measurements_xlsx(spark, p7, sheet="calibration")
