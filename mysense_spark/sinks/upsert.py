@@ -101,11 +101,16 @@ def _restore_orphans(path: str) -> None:
 
         olds.sort(key=stamp)
         os.rename(os.path.join(parent, olds.pop()), path)
+    # stale-stash/tmp sweeps tolerate a concurrent entry having already
+    # deleted the same sibling: append_day_partitioned is documented
+    # safe beside the single merger/compactor, and BOTH call this — a
+    # bare rmtree racing the other entry's sweep raises FileNotFoundError
+    # and fails a healthy micro-batch
     for d in olds:
-        shutil.rmtree(os.path.join(parent, d))
+        shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
     for d in names:
         if d.startswith(base + "__tmp_"):
-            shutil.rmtree(os.path.join(parent, d))
+            shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
 
 
 def upsert_parquet(new_df: DataFrame, path: str, keys: list[str], order_col: str) -> None:
@@ -744,7 +749,13 @@ def migrate_to_partitioned(spark: SparkSession, path: str, ts_col: str = "ts") -
     point leaves either the old archive, or a `__old_` stash that
     _restore_orphans puts back). Returns True if a migration happened;
     False if the archive is already partitioned or absent (idempotent —
-    safe to call unconditionally at pipeline setup)."""
+    safe to call unconditionally at pipeline setup).
+
+    NOT concurrency-safe: unlike append_day_partitioned (documented safe
+    beside the single merger/compactor), this must run with NO other
+    sink entry on the same path — a concurrent entry's _restore_orphans
+    can rename the stash back during the swap window and fail the final
+    rename. Run it once at adoption time, pipeline stopped."""
     _restore_orphans(path)
     if _layout(path) != "flat":
         return False

@@ -33,12 +33,40 @@ def read_measurements_csv(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def _xlsx_schema(rows: list[dict], cols: list[str]):
+    """Explicit Spark schema for read_xlsx output, replacing
+    createDataFrame inference — which raises [CANNOT_MERGE_TYPE] on the
+    most common real-sheet shape: a measurement column mixing 21.5 and
+    22 (Excel stores 22.0 as '22', which the codec reads back as int).
+    Per column: any float present -> double (ints widened below); pure
+    int stays long so 2^53+1 ids survive; any str present -> string
+    (sheets spell missing numbers 'NA'); all-None -> string (no
+    evidence; string is the safe carrier)."""
+    from pyspark.sql import types as T
+
+    fields = []
+    for c in cols:
+        vals = [r.get(c) for r in rows if r.get(c) is not None]
+        if not vals:
+            t = T.StringType()
+        elif any(isinstance(v, str) for v in vals):
+            t = T.StringType()
+        elif all(isinstance(v, bool) for v in vals):
+            t = T.BooleanType()
+        elif any(isinstance(v, float) for v in vals):
+            t = T.DoubleType()
+        else:
+            t = T.LongType()
+        fields.append(T.StructField(c, t, True))
+    return T.StructType(fields)
+
+
 def read_measurements_xlsx(spark: SparkSession, path: str, sheet: str | int = 0) -> DataFrame:
     """XLSX input (S8) via the stdlib zip+XML reader (sources/xlsx.py —
     shared strings, inline strings and numbers; sparse rows placed by
-    cell reference). openpyxl, when present, handles anything fancier
-    (dates-as-styles, multiple sheets by name); the codec gate is only
-    for that tier now, not for reading tabular sheets at all."""
+    cell reference; sheets selected by workbook name or index). openpyxl,
+    when present, handles the styled tier (dates-as-styles, formats);
+    the codec gate is only for that tier now."""
     try:
         import openpyxl  # noqa: F401
 
@@ -50,22 +78,28 @@ def read_measurements_xlsx(spark: SparkSession, path: str, sheet: str | int = 0)
 
         pdf = pd.read_excel(path, sheet_name=sheet)
         return spark.createDataFrame(pdf)
-    if sheet not in (0, None):
-        # the stdlib reader reads the FIRST sheet only; silently
-        # returning another sheet's data would be worse than the error
-        raise ImportError(
-            f"selecting sheet {sheet!r} needs openpyxl; the stdlib XLSX "
-            f"reader handles only the first worksheet"
-        )
     from .xlsx import read_xlsx
 
-    rows = read_xlsx(path)
+    rows = read_xlsx(path, sheet=0 if sheet is None else sheet)
     if not rows:
         raise ValueError(f"{path}: empty or headerless sheet")
-    # build Rows directly, NOT via pandas: pd.DataFrame turns None into
-    # NaN for numeric columns, which breaks SQL NULL semantics (IS NULL
-    # misses, aggregates propagate NaN — the cross-engine parity rules)
-    from pyspark.sql import Row
-
+    # build plain tuples against an EXPLICIT schema, NOT via pandas
+    # (pd.DataFrame turns None into NaN for numeric columns, breaking
+    # SQL NULL semantics) and NOT via inference (mixed int/float or
+    # all-None columns raise [CANNOT_MERGE_TYPE] / cannot infer)
     cols = list(rows[0].keys())
-    return spark.createDataFrame([Row(**{c: r[c] for c in cols}) for r in rows])
+    schema = _xlsx_schema(rows, cols)
+    str_cols = {f.name for f in schema.fields if f.dataType.typeName() == "string"}
+    dbl_cols = {f.name for f in schema.fields if f.dataType.typeName() == "double"}
+
+    def coerce(c: str, v):
+        if v is None:
+            return None
+        if c in str_cols:
+            return v if isinstance(v, str) else str(v)
+        if c in dbl_cols:
+            return float(v)
+        return v
+
+    data = [tuple(coerce(c, r.get(c)) for c in cols) for r in rows]
+    return spark.createDataFrame(data, schema)

@@ -44,12 +44,32 @@ def _col_index(ref: str) -> int:
     return idx - 1
 
 
+def _rich_text(el) -> str:
+    """Concatenated text of a rich-text container (<si> or <is>): direct
+    <t> children plus rich-run <r><t> — NOT the <rPh> phonetic (furigana)
+    runs Japanese-locale Excel embeds, which would concatenate into the
+    string. ONE helper for both the sharedStrings and inline-string
+    paths so the rPh rule cannot drift between them."""
+    parts = [t.text or "" for t in el.findall(f"{_NS}t")]
+    for run in el.findall(f"{_NS}r"):
+        parts.extend(t.text or "" for t in run.findall(f"{_NS}t"))
+    return "".join(parts)
+
+
 def write_xlsx(rows: list[dict], path: str, sheet: str = "summary") -> None:
     """Write a list of uniform dicts as a single-sheet XLSX: header row
     from the first dict's keys, strings as inline strings (no
     sharedStrings part needed), ints/floats as native numbers, None as
-    a blank (absent) cell."""
-    headers = list(rows[0].keys()) if rows else []
+    a blank (absent) cell. Multi-sheet: pass `write_xlsx_sheets`."""
+    write_xlsx_sheets({sheet: rows}, path)
+
+
+def write_xlsx_sheets(sheets: dict[str, list[dict]], path: str) -> None:
+    """Write several named worksheets into one workbook — the reference's
+    per-region report shape (SamenMetenTools/Things2XLSX.py writes one
+    sheet per municipality). Sheet order = dict order."""
+    if not sheets:
+        raise ValueError("write_xlsx_sheets: need at least one sheet")
 
     def cell(r: int, c: int, v) -> str:
         ref = f"{_col_letter(c)}{r + 1}"
@@ -65,37 +85,48 @@ def write_xlsx(rows: list[dict], path: str, sheet: str = "summary") -> None:
             return f'<c r="{ref}"><v>{v!r}</v></c>'
         return f'<c r="{ref}" t="inlineStr"><is><t>{escape(str(v))}</t></is></c>'
 
-    body = []
-    body.append(
-        "<row r=\"1\">" + "".join(cell(0, c, h) for c, h in enumerate(headers)) + "</row>"
-    )
-    for r, row in enumerate(rows, start=1):
+    def sheet_xml(rows: list[dict]) -> str:
+        headers = list(rows[0].keys()) if rows else []
+        body = []
         body.append(
-            f'<row r="{r + 1}">'
-            + "".join(cell(r, c, row.get(h)) for c, h in enumerate(headers))
-            + "</row>"
+            "<row r=\"1\">" + "".join(cell(0, c, h) for c, h in enumerate(headers)) + "</row>"
         )
-    sheet_xml = (
-        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
-        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
-        "<sheetData>" + "".join(body) + "</sheetData></worksheet>"
-    )
+        for r, row in enumerate(rows, start=1):
+            body.append(
+                f'<row r="{r + 1}">'
+                + "".join(cell(r, c, row.get(h)) for c, h in enumerate(headers))
+                + "</row>"
+            )
+        return (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+            "<sheetData>" + "".join(body) + "</sheetData></worksheet>"
+        )
+
     from xml.sax.saxutils import quoteattr
 
+    # quoteattr, not escape: attribute context must escape quotes
+    # too, or a sheet name containing one corrupts the workbook
+    sheet_tags = "".join(
+        f'<sheet name={quoteattr(name)} sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+        for i, name in enumerate(sheets)
+    )
     workbook_xml = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
         'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
-        # quoteattr, not escape: attribute context must escape quotes
-        # too, or a sheet name containing one corrupts the workbook
-        f'<sheets><sheet name={quoteattr(sheet)} sheetId="1" r:id="rId1"/></sheets></workbook>'
+        f"<sheets>{sheet_tags}</sheets></workbook>"
+    )
+    rel_tags = "".join(
+        f'<Relationship Id="rId{i + 1}" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" '
+        f'Target="worksheets/sheet{i + 1}.xml"/>'
+        for i in range(len(sheets))
     )
     wb_rels = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
-        '<Relationship Id="rId1" '
-        'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" '
-        'Target="worksheets/sheet1.xml"/></Relationships>'
+        f"{rel_tags}</Relationships>"
     )
     root_rels = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
@@ -103,6 +134,11 @@ def write_xlsx(rows: list[dict], path: str, sheet: str = "summary") -> None:
         '<Relationship Id="rId1" '
         'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" '
         'Target="xl/workbook.xml"/></Relationships>'
+    )
+    sheet_overrides = "".join(
+        f'<Override PartName="/xl/worksheets/sheet{i + 1}.xml" ContentType='
+        '"application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        for i in range(len(sheets))
     )
     content_types = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
@@ -112,44 +148,92 @@ def write_xlsx(rows: list[dict], path: str, sheet: str = "summary") -> None:
         '<Default Extension="xml" ContentType="application/xml"/>'
         '<Override PartName="/xl/workbook.xml" ContentType='
         '"application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
-        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType='
-        '"application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/></Types>'
+        f"{sheet_overrides}</Types>"
     )
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
         z.writestr("[Content_Types].xml", content_types)
         z.writestr("_rels/.rels", root_rels)
         z.writestr("xl/workbook.xml", workbook_xml)
         z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
-        z.writestr("xl/worksheets/sheet1.xml", sheet_xml)
+        for i, rows in enumerate(sheets.values()):
+            z.writestr(f"xl/worksheets/sheet{i + 1}.xml", sheet_xml(rows))
 
 
-def read_xlsx(path: str) -> list[dict]:
-    """Read the first worksheet back as a list of dicts keyed on the
-    header row. Numbers come back as float (int when integral), shared
-    and inline strings as str, missing cells as None."""
+_REL_NS = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+_DOC_NS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+
+
+def _workbook_sheets(z: zipfile.ZipFile, names: list[str]) -> list[tuple[str, str]]:
+    """[(sheet name, zip part path)] in workbook order, resolved via
+    workbook.xml + its rels — the authoritative mapping (part NUMBERS lie
+    once sheets are deleted or reordered; Excel does not renumber).
+    Returns [] when either part is absent/unreadable so the caller can
+    fall back to part-number order."""
+    if "xl/workbook.xml" not in names or "xl/_rels/workbook.xml.rels" not in names:
+        return []
+    try:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+    except ET.ParseError:
+        return []
+    targets: dict[str, str] = {}
+    for rel in rels.iter(f"{_REL_NS}Relationship"):
+        tgt = rel.get("Target", "")
+        # Target is relative to xl/ unless absolute ("/xl/worksheets/..")
+        part = tgt.lstrip("/") if tgt.startswith("/") else f"xl/{tgt}"
+        targets[rel.get("Id", "")] = part
+    out = []
+    for sheet in wb.iter(f"{_NS}sheet"):
+        part = targets.get(sheet.get(f"{_DOC_NS}id", ""))
+        if part in names:
+            out.append((sheet.get("name", ""), part))
+    return out
+
+
+def list_sheets(path: str) -> list[str]:
+    """Worksheet names in workbook order (empty list when the workbook
+    part is missing — a part-number-only file)."""
+    with zipfile.ZipFile(path) as z:
+        return [n for n, _ in _workbook_sheets(z, z.namelist())]
+
+
+def read_xlsx(path: str, sheet: str | int = 0) -> list[dict]:
+    """Read one worksheet back as a list of dicts keyed on the header
+    row. Numbers come back as float (int when integral), shared and
+    inline strings as str, missing cells as None. `sheet` selects by
+    workbook name or by 0-based workbook-order index (default: first)."""
     with zipfile.ZipFile(path) as z:
         names = z.namelist()
         shared: list[str] = []
         if "xl/sharedStrings.xml" in names:
             root = ET.fromstring(z.read("xl/sharedStrings.xml"))
-            for si in root.iter(f"{_NS}si"):
-                # only direct <t> and rich-run <r><t> text — NOT the
-                # <rPh> phonetic (furigana) runs Japanese-locale Excel
-                # embeds, which would concatenate into the string
-                parts = [t.text or "" for t in si.findall(f"{_NS}t")]
-                for run in si.findall(f"{_NS}r"):
-                    parts.extend(t.text or "" for t in run.findall(f"{_NS}t"))
-                shared.append("".join(parts))
-        # "first sheet" by the NUMBER in the part name, not lexicographic
-        # order (sheet10.xml sorts before sheet2.xml; Excel does not
-        # renumber parts when sheets are deleted)
-        sheet_names = sorted(
-            (n for n in names if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
-            key=lambda n: int(re.search(r"\d+", n).group(0)),
-        )
-        if not sheet_names:
-            raise ValueError(f"{path}: no worksheet part found")
-        root = ET.fromstring(z.read(sheet_names[0]))
+            shared = [_rich_text(si) for si in root.iter(f"{_NS}si")]
+        book = _workbook_sheets(z, names)
+        if isinstance(sheet, str):
+            by_name = dict(book)
+            if sheet not in by_name:
+                raise ValueError(
+                    f"{path}: no worksheet named {sheet!r}; have "
+                    f"{[n for n, _ in book]}"
+                )
+            part = by_name[sheet]
+        elif book:
+            if not 0 <= sheet < len(book):
+                raise ValueError(
+                    f"{path}: sheet index {sheet} out of range ({len(book)} sheets)"
+                )
+            part = book[sheet][1]
+        else:
+            # workbook part absent: fall back to the part NUMBER, not
+            # lexicographic order (sheet10.xml sorts before sheet2.xml)
+            sheet_parts = sorted(
+                (n for n in names if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+                key=lambda n: int(re.search(r"\d+", n).group(0)),
+            )
+            if not 0 <= sheet < len(sheet_parts):
+                raise ValueError(f"{path}: no worksheet part for index {sheet}")
+            part = sheet_parts[sheet]
+        root = ET.fromstring(z.read(part))
 
     rows: dict[int, dict[int, object]] = {}
     next_row = 0
@@ -164,9 +248,10 @@ def read_xlsx(path: str) -> list[dict]:
             next_col = col + 1
             ctype = c.get("t", "n")
             if ctype == "inlineStr":
-                cells[col] = "".join(
-                    t.text or "" for t in c.iter(f"{_NS}t")
-                )
+                is_el = c.find(f"{_NS}is")
+                # same rPh-skipping parse as sharedStrings <si> — c.iter
+                # would recurse into phonetic runs and concatenate them
+                cells[col] = _rich_text(is_el) if is_el is not None else ""
                 continue
             v = c.find(f"{_NS}v")
             if v is None or v.text is None:

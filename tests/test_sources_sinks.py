@@ -1508,13 +1508,114 @@ def test_xlsx_codec_edge_cases(spark, tmp_path):
         read_xlsx(str(tmp_path / "dup2.xlsx"))
 
     # Spark fallback reader: None stays SQL NULL (not NaN), and a
-    # non-default sheet selection fails loudly instead of reading the
-    # wrong sheet
+    # MISSING sheet name fails loudly instead of reading the wrong sheet
     p7 = str(tmp_path / "nulls.xlsx")
     write_xlsx(
         [{"kit_id": "k1", "v": 1.5}, {"kit_id": "k2", "v": None}], p7
     )
     df = read_measurements_xlsx(spark, p7)
     assert df.where("v IS NULL").count() == 1
-    with pytest.raises(ImportError, match="sheet"):
+    with pytest.raises(ValueError, match="no worksheet named"):
         read_measurements_xlsx(spark, p7, sheet="calibration")
+
+
+def test_xlsx_multi_sheet_and_schema_coercion(spark, tmp_path):
+    """Round 9: named-sheet selection without openpyxl (workbook.xml +
+    rels resolution, K7's per-region report shape) and the explicit
+    Spark schema for the shapes real sheets emit — a measurement column
+    mixing 21.5 with Excel's '22' (int), an all-None column, and a
+    numeric column with 'NA' strings — all of which broke
+    createDataFrame inference with [CANNOT_MERGE_TYPE]."""
+    import zipfile
+
+    import pytest
+
+    from mysense_spark.sources.files import read_measurements_xlsx
+    from mysense_spark.sources.xlsx import list_sheets, read_xlsx, write_xlsx_sheets
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+
+    # multi-sheet write -> read by name and by workbook index
+    p = str(tmp_path / "regions.xlsx")
+    write_xlsx_sheets(
+        {
+            "Venray": [{"kit_id": "k1", "pm25": 12.5}],
+            "Venlo": [{"kit_id": "k2", "pm25": 9.0}],
+        },
+        p,
+    )
+    assert list_sheets(p) == ["Venray", "Venlo"]
+    assert read_xlsx(p, sheet="Venlo") == [{"kit_id": "k2", "pm25": 9.0}]
+    assert read_xlsx(p, sheet=1) == read_xlsx(p, sheet="Venlo")
+    assert read_xlsx(p) == [{"kit_id": "k1", "pm25": 12.5}]
+
+    # foreign producer: workbook order disagrees with part numbers —
+    # the workbook.xml mapping must win over sheetN.xml numbering
+    p2 = str(tmp_path / "reordered.xlsx")
+    with zipfile.ZipFile(p2, "w") as z:
+        for part, val in (("sheet1.xml", 111), ("sheet2.xml", 222)):
+            z.writestr(
+                f"xl/worksheets/{part}",
+                f'<worksheet xmlns="{ns}"><sheetData>'
+                '<row r="1"><c r="A1" t="inlineStr"><is><t>h</t></is></c></row>'
+                f'<row r="2"><c r="A2"><v>{val}</v></c></row>'
+                "</sheetData></worksheet>",
+            )
+        z.writestr(
+            "xl/workbook.xml",
+            f'<workbook xmlns="{ns}" '
+            'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+            '<sheets><sheet name="second" sheetId="1" r:id="rA"/>'
+            '<sheet name="first" sheetId="2" r:id="rB"/></sheets></workbook>',
+        )
+        z.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<Relationships xmlns='
+            '"http://schemas.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rA" Type="t" Target="worksheets/sheet2.xml"/>'
+            '<Relationship Id="rB" Type="t" Target="/xl/worksheets/sheet1.xml"/>'
+            "</Relationships>",
+        )
+    assert list_sheets(p2) == ["second", "first"]
+    assert read_xlsx(p2, sheet=0) == [{"h": 222}]  # workbook order, not part order
+    assert read_xlsx(p2, sheet="first") == [{"h": 111}]  # absolute Target resolved
+
+    # inline string with an <rPh> phonetic run: furigana must not leak
+    # into the value (the sharedStrings rule, applied to <is> too)
+    p3 = str(tmp_path / "inline_rph.xlsx")
+    with zipfile.ZipFile(p3, "w") as z:
+        z.writestr(
+            "xl/worksheets/sheet1.xml",
+            f'<worksheet xmlns="{ns}"><sheetData>'
+            '<row r="1"><c r="A1" t="inlineStr"><is><t>city</t></is></c></row>'
+            '<row r="2"><c r="A2" t="inlineStr">'
+            "<is><r><t>東京</t></r><rPh><t>トウキョウ</t></rPh></is></c></row>"
+            "</sheetData></worksheet>",
+        )
+    assert read_xlsx(p3) == [{"city": "東京"}]
+
+    # schema coercion: int+float mixes to double, all-None -> string
+    # NULLs, numeric column polluted with 'NA' -> string
+    p4 = str(tmp_path / "mixed.xlsx")
+    with zipfile.ZipFile(p4, "w") as z:
+        z.writestr(
+            "xl/worksheets/sheet1.xml",
+            f'<worksheet xmlns="{ns}"><sheetData>'
+            '<row r="1"><c r="A1" t="inlineStr"><is><t>temp</t></is></c>'
+            '<c r="B1" t="inlineStr"><is><t>spare</t></is></c>'
+            '<c r="C1" t="inlineStr"><is><t>rh</t></is></c>'
+            '<c r="D1" t="inlineStr"><is><t>id</t></is></c></row>'
+            '<row r="2"><c r="A2"><v>21.5</v></c><c r="C2"><v>55</v></c>'
+            '<c r="D2"><v>9007199254740993</v></c></row>'
+            '<row r="3"><c r="A3"><v>22</v></c>'
+            '<c r="C3" t="inlineStr"><is><t>NA</t></is></c>'
+            '<c r="D3"><v>2</v></c></row>'
+            "</sheetData></worksheet>",
+        )
+    df = read_measurements_xlsx(spark, p4)
+    types = dict(df.dtypes)
+    assert types == {"temp": "double", "spare": "string", "rh": "string", "id": "bigint"}
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[9007199254740993]["temp"] == 21.5  # 2^53+1 survives as long
+    assert rows[2]["temp"] == 22.0 and rows[2]["rh"] == "NA"
+    assert df.where("spare IS NULL").count() == 2
