@@ -848,7 +848,16 @@ def sqrt_centroids(vecs: DataFrame) -> DataFrame:
 
 _TC_SCALE = 1_000_000  # the kmeans_train 1e-6 integer grid
 _TC_FINE_MOD = 64  # fine seed rate: K ≈ N/64, expected cell ≈ 64
-_TC_GROUP = 64  # fine seeds per coarse slab: K1 ≈ K/64 ≈ N/4096
+_TC_GROUP = 64  # fine seeds per coarse stratum: K1 ≈ K/64 ≈ N/4096
+# route stride (r9): K2 ≈ K1/route_group, so with the default the route
+# level is a SINGLE cell until K1 ≈ 10^5 coarse cells (N ≈ 4×10^8
+# vectors) — below that the construction reduces EXACTLY to the
+# two-level form (pytest-pinned), above it the vec→coarse scan is
+# route-pruned instead of growing as N×K1
+_TC_ROUTE_GROUP = 100_000
+# test-only sentinel: build the codebook with NO route level (the flat
+# two-level form the exact-reduction pin compares the default against)
+_FLAT_ROUTING = object()
 _QV_EXPR = f"transform(v, x -> CAST(floor(x * {float(_TC_SCALE)!r}) AS BIGINT))"
 
 
@@ -879,23 +888,118 @@ def _nearest(
     cvec: str,
     on: str | None = None,
     bcast: bool = True,
+    keep: list[str] | None = None,
 ) -> DataFrame:
-    """The argmin-assignment kernel every codebook level shares: nearest
-    candidate per row by integer-grid L2, ties to the smallest candidate
-    id (min over struct(dist, id)). ONE definition so the distance
-    expression and tie-break — both part of the cross-engine parity
-    contract and of the routed/flat equivalence pin — cannot drift
-    between the seven call sites. `on=None` scans every candidate
-    (broadcast nested loop over a small codebook table); `on=<col>`
-    prunes candidates to the row's cell (equi-join — the shape that
-    keeps each level's per-row work bounded)."""
+    """The argmin-assignment kernel for NON-broadcastable candidate sets
+    (the K ≈ N/64 fine codebook): nearest candidate per row by
+    integer-grid L2, ties to the smallest candidate id (min over
+    struct(dist, id)). `on=<col>` prunes candidates to the row's cell
+    (equi-join — the shape that keeps each level's per-row work
+    bounded); `on=None` scans every candidate. `keep` carries extra ROW
+    columns through the argmin (appended to the min-struct AFTER
+    (dist, id) — (dist, id) is unique per row×candidate, so the payload
+    never influences the comparison), saving the join-back to re-attach
+    them. For codebook tables small enough to broadcast, use
+    _nearest_bcast / _nearest_in_cell — same distance, same tie-break,
+    zero shuffle."""
     c = F.broadcast(cands) if bcast else cands
     joined = rows.crossJoin(c) if on is None else rows.join(c, on)
+    keep = keep or []
+    payload = [F.col(k) for k in keep]
     return (
-        joined.select(rid, _int_l2(F.col(rvec), F.col(cvec)).alias("dist"), cid)
+        joined.select(rid, _int_l2(F.col(rvec), F.col(cvec)).alias("dist"), cid, *keep)
         .groupBy(rid)
-        .agg(F.min(F.struct(F.col("dist"), F.col(cid))).alias("m"))
-        .select(rid, F.col(f"m.{cid}").alias(cid))
+        .agg(F.min(F.struct(F.col("dist"), F.col(cid), *payload)).alias("m"))
+        .select(rid, F.col(f"m.{cid}").alias(cid), *[F.col(f"m.{k}").alias(k) for k in keep])
+    )
+
+
+def _argmin_expr(rvec: str, arr: str) -> Column:
+    """Inline argmin over a broadcast array of (i, q) candidate structs:
+    the SAME integer-grid L2 and (dist, id) lexicographic tie-break as
+    _nearest, evaluated as a pure MAP expression — no shuffle, no
+    groupBy, no join-back (pinned bit-identical to _nearest by
+    test_broadcast_argmin_matches_nearest)."""
+    return F.expr(
+        f"array_min(transform({arr}, c -> struct("
+        f"aggregate(zip_with({rvec}, c.q, (x, y) -> (x - y) * (x - y)),"
+        f" CAST(0 AS BIGINT), (a, x) -> a + x) AS dist, c.i AS i))).i"
+    )
+
+
+def _nearest_bcast(
+    rows: DataFrame, cands: DataFrame, rvec: str, cid: str, cvec: str
+) -> DataFrame:
+    """Map-side argmin over ALL candidates: the candidate table
+    collapses into ONE broadcast array row, and each input row picks its
+    nearest inline — rows + a new `cid` column, every row column kept.
+    For codebook-sized candidate sets only (they must fit a broadcast —
+    the same bound the broadcast hash joins already assume)."""
+    arr = cands.agg(
+        F.collect_list(F.struct(F.col(cid).alias("i"), F.col(cvec).alias("q"))).alias("_c")
+    )
+    return (
+        rows.crossJoin(F.broadcast(arr))
+        .withColumn(cid, _argmin_expr(rvec, "_c"))
+        .drop("_c")
+    )
+
+
+def _nearest_in_cell(
+    rows: DataFrame, cands: DataFrame, rvec: str, cid: str, cvec: str, cell: str
+) -> DataFrame:
+    """Map-side argmin WITHIN the row's cell: candidates group into one
+    broadcast array per cell value, rows broadcast-hash-join on `cell`
+    and pick the nearest inline — the pruned-assignment shape with zero
+    shuffle on the row side. Total for every row whose cell has ≥1
+    candidate (the codebook construction guarantees it level by
+    level)."""
+    grouped = cands.groupBy(cell).agg(
+        F.collect_list(F.struct(F.col(cid).alias("i"), F.col(cvec).alias("q"))).alias("_c")
+    )
+    return (
+        rows.join(F.broadcast(grouped), cell)
+        .withColumn(cid, _argmin_expr(rvec, "_c"))
+        .drop("_c")
+    )
+
+
+def _nearest_routed(
+    rows: DataFrame, rvec: str, route: DataFrame, cands: DataFrame, cid: str, cvec: str
+) -> DataFrame:
+    """The fused routed argmin: nearest route anchor, then nearest
+    candidate WITHIN that route cell — both picked inline in ONE map
+    stage over ONE broadcast (the route cells with their candidate
+    arrays). Semantically identical to the two-step form
+    (_nearest_bcast to the route, then _nearest_in_cell), pinned by
+    test_routed_codebook_reduces_exactly_to_two_level: only NON-EMPTY
+    route cells are broadcast, which cannot change any argmin — an
+    empty cell only arises when two route anchors share an exact qv
+    (each anchor is its own coarse candidate otherwise), and the
+    (dist, id) tie-break already makes the smaller-id twin win every
+    row the empty twin could have claimed."""
+    grouped = cands.groupBy("route_id").agg(
+        F.collect_list(F.struct(F.col(cid).alias("i"), F.col(cvec).alias("q"))).alias("cs")
+    )
+    cells = route.join(grouped, "route_id").agg(
+        F.collect_list(F.struct("route_id", "rqv", "cs")).alias("_rc")
+    )
+    l2r = (
+        f"aggregate(zip_with({rvec}, r.rqv, (x, y) -> (x - y) * (x - y)),"
+        f" CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    return (
+        rows.crossJoin(F.broadcast(cells))
+        .withColumn(
+            "_rid",
+            F.expr(f"array_min(transform(_rc, r -> struct({l2r} AS dist, r.route_id AS rid))).rid"),
+        )
+        .withColumn(
+            "_cs",
+            F.expr("element_at(map_from_entries(transform(_rc, r -> struct(r.route_id, r.cs))), _rid)"),
+        )
+        .withColumn(cid, _argmin_expr(rvec, "_cs"))
+        .drop("_rc", "_rid", "_cs")
     )
 
 
@@ -908,50 +1012,64 @@ def trained_codebook(
     """Train the two-level codebook: returns (coarse, fine, routing)
     where `coarse` is (coarse_id, cqv) — Lloyd-refined integer-grid
     coarse centroids — `fine` is (fine_id, coarse_id, fqv) — the fine
-    seed vectors with their coarse cell — and `routing` is None, or
-    (route, croute) when `route_group` is set (below).
+    seed vectors with their coarse cell — and `routing` is
+    (route, croute), the self-routing third level (r9: always built;
+    `route_group=None` means the default `_TC_ROUTE_GROUP` stride —
+    None only under the test-only `_FLAT_ROUTING` sentinel).
 
-    Construction, every step lazy and engine-mirrorable:
-    1. FINE SEEDS: corpus rows whose md5(vec_id) bucket ≡ 0 (mod 64) —
-       K ≈ N/64 without a driver count and without the modulo rule's
-       dense-id assumption — plus the argmin-(md5, vec_id) row as an
-       anchor so the seed set is never empty on tiny corpora.
-    2. COARSE INIT: rank the seeds by (md5, vec_id) and take every 64th
-       — K1 = ⌈K/64⌉ ≈ N/4096 slab representatives. (The rank window
-       runs over the SEED set, K rows, not the corpus.)
-    3. SEED→COARSE assignment (K×K1 int-L2, each init attracts itself
-       at distance 0 so no coarse cell is empty), then one Lloyd
-       refinement: coarse centroid = per-dimension integer mean of its
-       member seeds. The init assignment defines the partition; the
-       refined centroid represents it.
+    Construction, every step lazy, ORDER-FREE, and engine-mirrorable —
+    each level is an md5-stride SUBSET of the one below (no rank window
+    anywhere, so no stage sorts codebook rows through one task):
+    1. FINE SEEDS: corpus rows whose md5(vec_id) bucket ≡ 0 (mod
+       fine_mod) — K ≈ N/64 without a driver count and without the
+       modulo rule's dense-id assumption — plus the argmin-(md5, vec_id)
+       row as an anchor so the seed set is never empty on tiny corpora.
+    2. COARSE INIT: seeds with md5 ≡ 0 (mod fine_mod·group) ∪ anchor —
+       K1 ≈ K/64 ≈ N/4096 stratum representatives, selected by the SAME
+       hash rule one stratum up (a pure filter, embarrassingly parallel;
+       r8 used a rank window here — the one single-partition stage in
+       the training lineage, removed in r9).
+    3. ROUTE ANCHORS (always on): seeds with md5 ≡ 0 (mod
+       fine_mod·group·route_group) ∪ anchor — a SUBSET of the coarse
+       inits, so each route cell contains its own anchor as a coarse
+       candidate and every pruned join below is total.
+    4. SEED→COARSE assignment pruned through the route level (seed→route
+       K×K2 anchor scan, then ~group·route_group/…, in practice a few
+       coarse candidates per seed within its route cell; each init
+       attracts itself at distance 0 so no coarse cell is empty), then
+       one Lloyd refinement: coarse centroid = per-dimension integer
+       mean of its member seeds. The init assignment defines the
+       partition; the refined centroid represents it.
 
-    Training cost is O(K×K1) = O(N²/64³) asymptotically — the codebook
-    TRAINING term, run once at ingest (and at deployment scale on a
-    stratified sample, exactly as q_kmeans_train's docstring prescribes;
-    the per-query assignment below never pays it). Fixture-free: this is
-    the default codebook for semdedup_pairs / ann_ivf_search.
+    With the default strides K2 ≈ K1/10^5: the route level is a single
+    cell until K1 ≈ 10^5 coarse cells (N ≈ 4×10^8 vectors), where the
+    construction REDUCES to the two-level one (the equivalence is
+    pytest-pinned exactly, not just approximately — a one-cell route
+    prunes nothing, so every argmin sees the identical candidate set);
+    beyond that the route level caps both remaining scan terms —
+    seed→coarse at K×K2 and _two_level_parts' vec→coarse at N×K2 —
+    instead of letting them grow as K×K1 / N×K1. The coarse level
+    recurses — the same trick one level up — so recursing to depth
+    log_{64}(N) makes the whole construction O(N log N); one route
+    level covers every deployment until K2 itself reaches broadcast
+    scale (N ≈ 4×10^13).
 
-    `route_group` adds the THIRD level the two-level docstrings name
-    ("the coarse level recurses — same trick one level up"): route
-    anchors = every (group × route_group)-th seed by the same rank, so
-    K2 ≈ K1/route_group, and BOTH remaining quadratic terms become
-    pruned equi-joins — seed→coarse goes K×K2 (anchor scan) + ~route_group
-    candidates per seed instead of K×K1, and _two_level_parts' vec→coarse
-    goes N×K2 + ~route_group candidates instead of N×K1. Each level
-    divides the leading quadratic constant by route_group; recursing to
-    depth log_{64}(N) makes the whole construction O(N log N). At the
-    default strides the route level only matters beyond K1 ≈ 10^5
-    coarse cells (N ≳ 4×10^8 vectors) — below that it is a single cell
-    and the construction REDUCES to the two-level one (the equivalence
-    is pytest-pinned exactly, not just approximately). Totality holds
-    level by level: every route cell contains its own anchor as a
-    coarse init, and every seed's route cell therefore offers ≥1 coarse
+    Totality holds level by level: a non-empty route cell's anchor
+    self-assigns (distance 0, ties to the smallest id — identical-qv
+    anchors collapse into the smallest one, leaving the duplicates
+    empty, never partially filled), and that anchor is a coarse init,
+    so every seed's and every vector's route cell offers ≥1 coarse
     candidate.
 
-    `fine_mod` / `group` expose the sampling strides so tests can force
-    genuinely multi-level codebooks on small fixtures; production uses
-    the defaults."""
-    if route_group is not None and route_group < 1:
+    `fine_mod` / `group` / `route_group` expose the sampling strides so
+    tests can force genuinely multi-level codebooks on small fixtures;
+    production uses the defaults. `route_group=_FLAT_ROUTING` builds
+    the two-level form with no route level — test-only, the reference
+    side of the exact-reduction pin."""
+    flat = route_group is _FLAT_ROUTING
+    if route_group is None:
+        route_group = _TC_ROUTE_GROUP
+    if not flat and route_group < 1:
         raise ValueError(
             f"route_group must be >= 1, got {route_group!r}: a non-positive "
             f"stride would NULL out the route modulo and silently empty "
@@ -959,68 +1077,80 @@ def trained_codebook(
         )
     qv = F.expr(_QV_EXPR)
     base = vecs.select("vec_id", qv.alias("qv"), _md5u32(F.col("vec_id")).alias("h"))
-    sel = base.where(F.col("h") % fine_mod == 0).select("vec_id")
+    sel = base.where(F.col("h") % fine_mod == 0).select(
+        "vec_id", F.lit(False).alias("is_anchor")
+    )
     anchor = (
         base.agg(F.min(F.struct(F.col("h"), F.col("vec_id"))).alias("m"))
-        .select(F.col("m.vec_id").alias("vec_id"))
+        .select(F.col("m.vec_id").alias("vec_id"), F.lit(True).alias("is_anchor"))
     )
-    seed_ids = sel.unionByName(anchor).distinct()
-    # persist the seed set (K ≈ N/64 slim rows): it roots FIVE consumers
-    # (rank window, coarse init, seed→coarse assignment, the coarse
-    # refinement, the fine table) — unpersisted, Catalyst re-expands the
-    # md5-scan+union+distinct subtree into every one of them and the
-    # whole training replans ~5×
+    seed_ids = (
+        sel.unionByName(anchor).groupBy("vec_id").agg(F.max("is_anchor").alias("is_anchor"))
+    )
+    # persist the seed set (K ≈ N/64 slim rows): it roots every level
+    # above — unpersisted, Catalyst re-expands the md5-scan+union
+    # subtree into each consumer and the training replans ~5×. This is
+    # the ONLY training table built from the corpus, and it CARRIES the
+    # anchor as a flag column, so every coarser level is a pure filter
+    # over this cache — no broadcast, no join, no window (r9 — r8
+    # ranked the seeds through a single-partition window instead)
     seeds = tracked_persist(base.join(seed_ids, "vec_id"))
-    # global rank over K = N/64 codebook rows — a single-partition window
-    # by design: it orders the CODEBOOK, not the corpus
-    w = Window.orderBy("h", "vec_id")
-    sr = seeds.withColumn("rank", F.row_number().over(w))
-    c0 = sr.where((F.col("rank") - 1) % group == 0).select(
-        F.col("vec_id").alias("coarse_id"), F.col("qv").alias("cqv")
+
+    def stratum(rows: DataFrame, stride: int) -> DataFrame:
+        # one hash rule for every level: md5 bucket ≡ 0 (mod stride),
+        # plus the anchor — each coarser stride divides the finer one,
+        # so the selection is a CHAIN of subsets and stays order-free
+        return rows.where((F.col("h") % stride == 0) | F.col("is_anchor"))
+
+    # coarse inits: K1 rows, a pure filter over the cached seeds (WITH
+    # h/is_anchor so the route level below is one more filter) — cheap
+    # enough to recompute per consumer, no persist boundary
+    c0 = stratum(seeds, fine_mod * group).select(
+        F.col("vec_id").alias("coarse_id"), F.col("qv").alias("cqv"), "h", "is_anchor"
     )
     routing: tuple[DataFrame, DataFrame] | None = None
-    if route_group is None:
-        a0 = _nearest(sr, c0, "vec_id", "qv", "coarse_id", "cqv")
-    else:
-        # third level: every (group × route_group)-th seed — a SUBSET of
-        # the coarse inits (same rank, coarser stride), so each route
-        # cell contains its own anchor as a coarse candidate and the
-        # pruned seed→coarse join below is total
-        route = tracked_persist(
-            sr.where((F.col("rank") - 1) % (group * route_group) == 0).select(
-                F.col("vec_id").alias("route_id"), F.col("qv").alias("rqv")
+    if flat:
+        a0 = tracked_persist(
+            _nearest_bcast(seeds, c0, "qv", "coarse_id", "cqv").select(
+                "vec_id", "qv", "coarse_id"
             )
         )
-        # seed → route (K×K2 anchor scan; an anchor attracts itself at 0)
-        s_route = tracked_persist(_nearest(sr, route, "vec_id", "qv", "route_id", "rqv"))
+    else:
+        # third level: the same hash rule one more stratum up — a SUBSET
+        # of the coarse inits (so each route cell contains its own
+        # anchor as a coarse candidate and the pruned joins below are
+        # total), derived as a filter over the CACHED c0, not a new scan
+        route = stratum(
+            c0.withColumnRenamed("coarse_id", "vec_id"), fine_mod * group * route_group
+        ).select(F.col("vec_id").alias("route_id"), F.col("cqv").alias("rqv"))
         # coarse init → route cell: the coarse inits ARE seeds with the
-        # same pre-refinement qv, so their route assignment is exactly
-        # s_route restricted to the init ids — one computation, no
-        # second K1×K2 scan to drift from it
-        croute = tracked_persist(
-            s_route.join(
-                c0.select(F.col("coarse_id").alias("vec_id")), "vec_id"
-            ).select(F.col("vec_id").alias("coarse_id"), "route_id")
+        # same pre-refinement qv, so the map-side argmin over the route
+        # table IS the seed→route assignment restricted to the init ids
+        # — one expression, no join, nothing to drift
+        croute = _nearest_bcast(c0, route, "cqv", "route_id", "rqv").select(
+            "coarse_id", "route_id"
         )
-        # seed → coarse WITHIN the route cell (~group coarse candidates
-        # per seed — the same pruned-equi-join shape as vec→fine)
-        a0 = _nearest(
-            sr.join(s_route, "vec_id"),
-            c0.join(croute, "coarse_id"),
-            "vec_id",
-            "qv",
-            "coarse_id",
-            "cqv",
-            on="route_id",
+        # seed → (nearest route cell → nearest coarse init within it),
+        # fused into one map stage over one broadcast (an anchor
+        # attracts itself at 0, so every seed's route cell offers ≥1
+        # coarse candidate)
+        # persisted: a0 is the K-row trained fine codebook (it IS `fine`
+        # modulo renames) and its materialization absorbs the route /
+        # croute broadcast builds, which would otherwise re-execute in
+        # every downstream consumer
+        a0 = tracked_persist(
+            _nearest_routed(
+                seeds, "qv", route, c0.join(croute, "coarse_id"), "coarse_id", "cqv"
+            ).select("vec_id", "qv", "coarse_id")
         )
         routing = (route, croute)
-    mem = a0.join(seeds, "vec_id").select(
-        "coarse_id", F.posexplode("qv").alias("d", "q")
-    )
-    # both codebook tables are tiny (K1 / K rows) and feed multiple
-    # broadcast consumers downstream — persist so the Lloyd update runs
-    # once, not once per consumer
-    coarse = tracked_persist(
+    # a0 carries qv (map-derived), so the Lloyd refinement and the fine
+    # table need no join-back to seeds
+    mem = a0.select("coarse_id", F.posexplode("qv").alias("d", "q"))
+    # coarse has ONE consumer (the vec→coarse scoring in
+    # _two_level_parts) — no persist boundary; fine (K rows) feeds the
+    # af equi-join AND f1cell, so it keeps its persist
+    coarse = (
         mem.groupBy("coarse_id", "d")
         .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
         .withColumn("cq", F.expr("s DIV n"))
@@ -1028,10 +1158,8 @@ def trained_codebook(
         .agg(F.array_sort(F.collect_list(F.struct("d", "cq"))).alias("a"))
         .select("coarse_id", F.expr("transform(a, p -> p.cq)").alias("cqv"))
     )
-    fine = tracked_persist(
-        a0.join(seeds.select("vec_id", F.col("qv").alias("fqv")), "vec_id").select(
-            F.col("vec_id").alias("fine_id"), "coarse_id", "fqv"
-        )
+    fine = a0.select(
+        F.col("vec_id").alias("fine_id"), "coarse_id", F.col("qv").alias("fqv")
     )
     return coarse, fine, routing
 
@@ -1042,11 +1170,12 @@ def two_level_membership(vecs: DataFrame, route_group: int | None = None) -> Dat
     vector's refined fine cell.
 
     Assignment shape — the point of the whole construction:
-    1. vector → nearest coarse cell: N×K1 int-L2 against the broadcast
-       Lloyd-refined coarse centroids (K1 ≈ N/4096; beyond K1 ≈ 10^5
-       pass `route_group` to recurse the coarse level — the trained
-       third level turns this step into an N×K2 anchor scan plus a
-       pruned equi-join, see trained_codebook).
+    1. vector → nearest coarse cell, SELF-ROUTED (r9): an N×K2 route
+       anchor scan (K2 ≈ K1/10^5 — a single cell until N ≈ 4×10^8, then
+       growing 10^5× slower than the coarse level) followed by a pruned
+       equi-join that scores only the route cell's coarse centroids —
+       no N×K1 term at any N, and the two-level reduction is exact
+       while the route level is one cell (see trained_codebook).
     2. vector → nearest fine seed WITHIN its coarse cell: an equi-join
        on coarse_id (≈64 fine candidates per vector — ~64·N total work,
        LINEAR in N, vs the flat scan's N×K = N²/64; on the partitioned
@@ -1071,40 +1200,37 @@ def _two_level_parts(
     (vca, f1cell, final) — vector→coarse map, refined fine centroids
     with their coarse cell (fine_id, coarse_id, fqv1), and the final
     (vec_id, cent_id) membership. ann_ivf's trained probe ranking needs
-    f1cell; semdedup needs only the membership. `route_group` routes the
-    vec→coarse step through the trained third level (see
-    trained_codebook) instead of the N×K1 broadcast scan."""
+    f1cell; semdedup needs only the membership. The vec→coarse step
+    goes through the trained route level by default (r9 — see
+    trained_codebook); `route_group` overrides the stride, and the
+    test-only `_FLAT_ROUTING` sentinel builds the unrouted two-level
+    form for the exact-reduction pin."""
     coarse, fine, routing = trained_codebook(vecs, route_group, fine_mod, group)
     par = vecs.sparkSession.sparkContext.defaultParallelism
     # repartition BEFORE the broadcast scoring stages (the ivf_membership
     # parallelism lesson: inherit cores, not parquet file count)
-    qvecs = tracked_persist(
-        vecs.select("vec_id", F.expr(_QV_EXPR).alias("qv")).repartition(par)
-    )
+    qvecs = vecs.select("vec_id", F.expr(_QV_EXPR).alias("qv")).repartition(par)
     if routing is None:
-        vca_plan = _nearest(qvecs, coarse, "vec_id", "qv", "coarse_id", "cqv")
+        vca_plan = _nearest_bcast(qvecs, coarse, "qv", "coarse_id", "cqv")
     else:
-        # vec → route (N×K2 anchor scan), then score only the ~route_group
-        # coarse cells of that route — the Lloyd-refined coarse centroids
-        # keep their INIT's route label (the routing is trained on inits;
-        # refinement moves centroids within their cell)
+        # vec → (nearest route cell → nearest refined coarse centroid
+        # within it), fused into one map stage over one broadcast — the
+        # Lloyd-refined coarse centroids keep their INIT's route label
+        # (the routing is trained on inits; refinement moves centroids
+        # within their cell). The vec→coarse step costs ZERO shuffles
+        # at any N
         route, croute = routing
-        v_route = _nearest(qvecs, route, "vec_id", "qv", "route_id", "rqv")
-        vca_plan = _nearest(
-            qvecs.join(v_route, "vec_id"),
-            coarse.join(croute, "coarse_id"),
-            "vec_id",
-            "qv",
-            "coarse_id",
-            "cqv",
-            on="route_id",
-        )
-    vca = tracked_persist(vca_plan)
+        vca_plan = _nearest_routed(
+            qvecs, "qv", route, coarse.join(croute, "coarse_id"), "coarse_id", "cqv"
+        ).select("vec_id", "qv", "coarse_id")
+    # vca carries qv through (map-derived, so no qvecs join-back): ONE
+    # persisted corpus-wide table replaces r8's two (qvecs + vca)
+    vca = tracked_persist(vca_plan.select("vec_id", "qv", "coarse_id"))
     af = _nearest(
-        qvecs.join(vca, "vec_id"), fine, "vec_id", "qv", "fine_id", "fqv",
-        on="coarse_id", bcast=False,
+        vca, fine, "vec_id", "qv", "fine_id", "fqv",
+        on="coarse_id", bcast=False, keep=["qv"],
     )
-    memf = af.join(qvecs, "vec_id").select("fine_id", F.posexplode("qv").alias("d", "q"))
+    memf = af.select("fine_id", F.posexplode("qv").alias("d", "q"))
     f1 = (
         memf.groupBy("fine_id", "d")
         .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
@@ -1118,7 +1244,7 @@ def _two_level_parts(
     # of the codebook tables
     f1cell = tracked_persist(f1.join(fine.select("fine_id", "coarse_id"), "fine_id"))
     final = _nearest(
-        qvecs.join(vca, "vec_id"), f1cell, "vec_id", "qv", "fine_id", "fqv1",
+        vca, f1cell, "vec_id", "qv", "fine_id", "fqv1",
         on="coarse_id", bcast=False,
     ).select("vec_id", F.col("fine_id").alias("cent_id"))
     return vca, f1cell, final
@@ -1195,8 +1321,11 @@ def _sql_int_l2(a: str, b: str) -> str:
 
 def _sql_two_level_membership() -> str:
     """The trained-codebook membership CTE chain, mirroring
-    trained_codebook + two_level_membership step for step (shared by
-    SQL_SEMDEDUP_TRAINED and any future trained-IVF oracle)."""
+    trained_codebook + two_level_membership step for step — including
+    the r9 order-free md5-stride level selection and the always-on
+    route level, so the oracle stays exact at ANY corpus size, not just
+    while the route level is a single cell (shared by
+    SQL_SEMDEDUP_TRAINED and the trained-IVF oracle)."""
     grid = f"list_transform(v, x -> CAST(floor(x * {float(_TC_SCALE)!r}) AS BIGINT))"
     h = "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT"
     return f"""
@@ -1211,19 +1340,40 @@ seed_ids AS (
   SELECT vec_id FROM anchor
 ),
 seeds AS (
-  SELECT q.vec_id, q.qv, q.h,
-         row_number() OVER (ORDER BY q.h, q.vec_id) AS rank
+  SELECT q.vec_id, q.qv, q.h
   FROM qvecs q JOIN seed_ids si ON q.vec_id = si.vec_id
 ),
 c0 AS (
-  SELECT vec_id AS coarse_id, qv AS cqv FROM seeds WHERE (rank - 1) % {_TC_GROUP} = 0
+  SELECT vec_id AS coarse_id, qv AS cqv FROM seeds
+  WHERE h % {_TC_FINE_MOD * _TC_GROUP} = 0
+     OR vec_id IN (SELECT vec_id FROM anchor)
+),
+route AS (
+  SELECT vec_id AS route_id, qv AS rqv FROM seeds
+  WHERE h % {_TC_FINE_MOD * _TC_GROUP * _TC_ROUTE_GROUP} = 0
+     OR vec_id IN (SELECT vec_id FROM anchor)
+),
+s_route AS (
+  SELECT vec_id, route_id FROM (
+    SELECT s.vec_id, r.route_id,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY {_sql_int_l2('s.qv', 'r.rqv')}, r.route_id) AS rn
+    FROM seeds s CROSS JOIN route r
+  ) WHERE rn = 1
+),
+croute AS (
+  SELECT sr.vec_id AS coarse_id, sr.route_id
+  FROM s_route sr JOIN c0 ON sr.vec_id = c0.coarse_id
 ),
 a0 AS (
   SELECT vec_id, coarse_id FROM (
     SELECT s.vec_id, c.coarse_id,
            row_number() OVER (PARTITION BY s.vec_id
                               ORDER BY {_sql_int_l2('s.qv', 'c.cqv')}, c.coarse_id) AS rn
-    FROM seeds s CROSS JOIN c0 c
+    FROM seeds s
+    JOIN s_route sr ON s.vec_id = sr.vec_id
+    JOIN croute cr ON sr.route_id = cr.route_id
+    JOIN c0 c ON cr.coarse_id = c.coarse_id
   ) WHERE rn = 1
 ),
 cmem AS (
@@ -1239,12 +1389,23 @@ fine AS (
   SELECT a.vec_id AS fine_id, a.coarse_id, s.qv AS fqv
   FROM a0 a JOIN seeds s ON a.vec_id = s.vec_id
 ),
+v_route AS (
+  SELECT vec_id, route_id FROM (
+    SELECT q.vec_id, r.route_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_sql_int_l2('q.qv', 'r.rqv')}, r.route_id) AS rn
+    FROM qvecs q CROSS JOIN route r
+  ) WHERE rn = 1
+),
 vca AS (
   SELECT vec_id, coarse_id FROM (
     SELECT q.vec_id, c.coarse_id,
            row_number() OVER (PARTITION BY q.vec_id
                               ORDER BY {_sql_int_l2('q.qv', 'c.cqv')}, c.coarse_id) AS rn
-    FROM qvecs q CROSS JOIN coarse c
+    FROM qvecs q
+    JOIN v_route vr ON q.vec_id = vr.vec_id
+    JOIN croute cr ON vr.route_id = cr.route_id
+    JOIN coarse c ON cr.coarse_id = c.coarse_id
   ) WHERE rn = 1
 ),
 af AS (

@@ -827,21 +827,96 @@ def _clustered_vecs(spark, n=480, n_clusters=12, dim=8):
 
 
 def test_routed_codebook_reduces_exactly_to_two_level(spark):
-    """The third (routing) level with a single route cell must reproduce
-    the two-level membership EXACTLY — the equivalence that lets the
-    graded two-level oracles cover the routed construction at every
-    scale where routing has not yet engaged (route_group larger than
-    the coarse count ⇒ one route cell containing every coarse init ⇒
-    identical candidate sets at every argmin)."""
-    from mysense_spark.operators.similarity import two_level_membership
+    """The route level with a single route cell must reproduce the flat
+    two-level membership EXACTLY — the equivalence that lets the graded
+    trained-codebook oracles stay meaningful at every scale where
+    routing has not yet engaged (route stride larger than the hash
+    range coverage ⇒ one route cell containing every coarse init ⇒
+    identical candidate sets at every argmin). Since r9 the route level
+    is ALWAYS on (self-routing default), so this pins the DEFAULT
+    construction against the test-only flat form, and an explicit
+    override against both."""
+    from mysense_spark.operators.similarity import _FLAT_ROUTING, two_level_membership
 
     vecs = _clustered_vecs(spark)
-    flat = {r["vec_id"]: r["cent_id"] for r in two_level_membership(vecs).collect()}
+    flat = {
+        r["vec_id"]: r["cent_id"]
+        for r in two_level_membership(vecs, route_group=_FLAT_ROUTING).collect()
+    }
+    default = {r["vec_id"]: r["cent_id"] for r in two_level_membership(vecs).collect()}
+    assert default == flat
     routed = {
         r["vec_id"]: r["cent_id"]
         for r in two_level_membership(vecs, route_group=10**6).collect()
     }
     assert routed == flat
+
+
+def test_broadcast_argmin_matches_nearest(spark):
+    """The map-side broadcast-array argmin (r9: _nearest_bcast /
+    _nearest_in_cell) must be BIT-IDENTICAL to the groupBy-min kernel
+    (_nearest) — same integer L2, same (dist, id) tie-break — including
+    on planted exact ties, where the smallest candidate id must win in
+    both. The codebook construction mixes the two kernels (map-side for
+    broadcastable levels, equi-join for the fine level), so any drift
+    between them would silently split the assignment."""
+    import pyspark.sql.functions as F
+
+    from mysense_spark.operators.similarity import _nearest, _nearest_bcast, _nearest_in_cell
+
+    rows = spark.createDataFrame(
+        [(i, [int(i * 7 % 50), int(i * 13 % 50)]) for i in range(200)],
+        "vec_id long, qv array<long>",
+    )
+    # candidates include an exact duplicate pair (ids 90, 91 share a
+    # vector) so the tie-break is actually exercised
+    cands = spark.createDataFrame(
+        [(90, [10, 10]), (91, [10, 10]), (92, [40, 5]), (93, [5, 40])],
+        "cid long, cqv array<long>",
+    )
+    via_group = {
+        r["vec_id"]: r["cid"]
+        for r in _nearest(rows, cands, "vec_id", "qv", "cid", "cqv").collect()
+    }
+    via_map = {
+        r["vec_id"]: r["cid"]
+        for r in _nearest_bcast(rows, cands, "qv", "cid", "cqv").collect()
+    }
+    assert via_map == via_group
+    assert 91 not in set(via_map.values())  # ties go to the smaller id
+    # celled form: split candidates into two cells, rows pre-labelled
+    celled = cands.withColumn("cell", (F.col("cid") % 2).cast("long"))
+    labelled = rows.withColumn("cell", (F.col("vec_id") % 2).cast("long"))
+    via_cell = {
+        r["vec_id"]: r["cid"]
+        for r in _nearest_in_cell(labelled, celled, "qv", "cid", "cqv", "cell").collect()
+    }
+    via_join = {
+        r["vec_id"]: r["cid"]
+        for r in _nearest(labelled, celled, "vec_id", "qv", "cid", "cqv", on="cell").collect()
+    }
+    assert via_cell == via_join and len(via_cell) == 200
+
+
+def test_trained_codebook_lineage_has_no_window(spark):
+    """Plan contract (r9): NO stage in the trained-codebook lineage may
+    sort codebook rows through a window — r8's coarse init ranked the
+    K ≈ N/64 seed set (vectors attached) through a single-partition
+    row_number window, ~1.5×10^8 rows in one task at N = 10^10. Every
+    level is now an md5-stride filter and every argmin a groupBy-min,
+    so the physical plan must contain no Window operator at all. (The
+    one remaining Exchange SinglePartition is the anchor's global min —
+    a reduce of 32 partial rows, not a data-bearing sort.)"""
+    from mysense_spark.operators.similarity import two_level_membership
+
+    vecs = _clustered_vecs(spark)
+    plan = (
+        two_level_membership(vecs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan, "rank/window stage crept back into the training lineage"
 
 
 def test_routed_codebook_multi_level_total_and_sane(spark):
@@ -852,11 +927,11 @@ def test_routed_codebook_multi_level_total_and_sane(spark):
     routed pruning agrees with the flat two-level assignment for the
     overwhelming majority of vectors (routing is an approximation; on
     this fixture the disagreement set must stay small)."""
-    from mysense_spark.operators.similarity import _two_level_parts
+    from mysense_spark.operators.similarity import _FLAT_ROUTING, _two_level_parts
 
     vecs = _clustered_vecs(spark)
     n = vecs.count()
-    _, _, final_flat = _two_level_parts(vecs, fine_mod=2, group=4)
+    _, _, final_flat = _two_level_parts(vecs, route_group=_FLAT_ROUTING, fine_mod=2, group=4)
     _, _, final_routed = _two_level_parts(vecs, route_group=4, fine_mod=2, group=4)
     flat = {r["vec_id"]: r["cent_id"] for r in final_flat.collect()}
     routed = {r["vec_id"]: r["cent_id"] for r in final_routed.collect()}
