@@ -855,9 +855,6 @@ _TC_GROUP = 64  # fine seeds per coarse stratum: K1 ≈ K/64 ≈ N/4096
 # two-level form (pytest-pinned), above it the vec→coarse scan is
 # route-pruned instead of growing as N×K1
 _TC_ROUTE_GROUP = 100_000
-# test-only sentinel: build the codebook with NO route level (the flat
-# two-level form the exact-reduction pin compares the default against)
-_FLAT_ROUTING = object()
 _QV_EXPR = f"transform(v, x -> CAST(floor(x * {float(_TC_SCALE)!r}) AS BIGINT))"
 
 
@@ -945,39 +942,26 @@ def _nearest_bcast(
     )
 
 
-def _nearest_in_cell(
-    rows: DataFrame, cands: DataFrame, rvec: str, cid: str, cvec: str, cell: str
-) -> DataFrame:
-    """Map-side argmin WITHIN the row's cell: candidates group into one
-    broadcast array per cell value, rows broadcast-hash-join on `cell`
-    and pick the nearest inline — the pruned-assignment shape with zero
-    shuffle on the row side. Total for every row whose cell has ≥1
-    candidate (the codebook construction guarantees it level by
-    level)."""
-    grouped = cands.groupBy(cell).agg(
-        F.collect_list(F.struct(F.col(cid).alias("i"), F.col(cvec).alias("q"))).alias("_c")
-    )
-    return (
-        rows.join(F.broadcast(grouped), cell)
-        .withColumn(cid, _argmin_expr(rvec, "_c"))
-        .drop("_c")
-    )
-
-
 def _nearest_routed(
     rows: DataFrame, rvec: str, route: DataFrame, cands: DataFrame, cid: str, cvec: str
 ) -> DataFrame:
     """The fused routed argmin: nearest route anchor, then nearest
     candidate WITHIN that route cell — both picked inline in ONE map
     stage over ONE broadcast (the route cells with their candidate
-    arrays). Semantically identical to the two-step form
-    (_nearest_bcast to the route, then _nearest_in_cell), pinned by
-    test_routed_codebook_reduces_exactly_to_two_level: only NON-EMPTY
-    route cells are broadcast, which cannot change any argmin — an
-    empty cell only arises when two route anchors share an exact qv
-    (each anchor is its own coarse candidate otherwise), and the
-    (dist, id) tie-break already makes the smaller-id twin win every
-    row the empty twin could have claimed."""
+    arrays). Semantically identical to the two-step form (_nearest_bcast
+    to the route, then _nearest pruned on the cell) — pinned at the
+    kernel level by test_broadcast_argmin_matches_nearest and at the
+    construction level by the flat-reduction and multi-cell oracle-
+    parity tests. Only NON-EMPTY route cells are broadcast, which
+    cannot change any argmin: an empty cell only arises when two route
+    anchors share an exact qv (each anchor is its own candidate
+    otherwise), and the (dist, id) tie-break already makes the
+    smaller-id twin win every row the empty twin could have claimed.
+
+    The chosen cell's candidate array rides through the route argmin as
+    struct payload — (dist, route_id) is unique per row×cell, so the
+    payload never influences the comparison and the route array is
+    traversed ONCE per row."""
     grouped = cands.groupBy("route_id").agg(
         F.collect_list(F.struct(F.col(cid).alias("i"), F.col(cvec).alias("q"))).alias("cs")
     )
@@ -991,15 +975,14 @@ def _nearest_routed(
     return (
         rows.crossJoin(F.broadcast(cells))
         .withColumn(
-            "_rid",
-            F.expr(f"array_min(transform(_rc, r -> struct({l2r} AS dist, r.route_id AS rid))).rid"),
-        )
-        .withColumn(
             "_cs",
-            F.expr("element_at(map_from_entries(transform(_rc, r -> struct(r.route_id, r.cs))), _rid)"),
+            F.expr(
+                f"array_min(transform(_rc, r -> struct({l2r} AS dist,"
+                f" r.route_id AS rid, r.cs AS cs))).cs"
+            ),
         )
         .withColumn(cid, _argmin_expr(rvec, "_cs"))
-        .drop("_rc", "_rid", "_cs")
+        .drop("_rc", "_cs")
     )
 
 
@@ -1008,6 +991,7 @@ def trained_codebook(
     route_group: int | None = None,
     fine_mod: int = _TC_FINE_MOD,
     group: int = _TC_GROUP,
+    flat: bool = False,
 ) -> tuple[DataFrame, DataFrame, tuple[DataFrame, DataFrame] | None]:
     """Train the two-level codebook: returns (coarse, fine, routing)
     where `coarse` is (coarse_id, cqv) — Lloyd-refined integer-grid
@@ -1015,7 +999,7 @@ def trained_codebook(
     seed vectors with their coarse cell — and `routing` is
     (route, croute), the self-routing third level (r9: always built;
     `route_group=None` means the default `_TC_ROUTE_GROUP` stride —
-    None only under the test-only `_FLAT_ROUTING` sentinel).
+    routing is None only under the test-only `flat=True` build).
 
     Construction, every step lazy, ORDER-FREE, and engine-mirrorable —
     each level is an md5-stride SUBSET of the one below (no rank window
@@ -1063,10 +1047,9 @@ def trained_codebook(
 
     `fine_mod` / `group` / `route_group` expose the sampling strides so
     tests can force genuinely multi-level codebooks on small fixtures;
-    production uses the defaults. `route_group=_FLAT_ROUTING` builds
-    the two-level form with no route level — test-only, the reference
-    side of the exact-reduction pin."""
-    flat = route_group is _FLAT_ROUTING
+    production uses the defaults. `flat=True` builds the two-level
+    form with no route level — test-only, the reference side of the
+    exact-reduction pin."""
     if route_group is None:
         route_group = _TC_ROUTE_GROUP
     if not flat and route_group < 1:
@@ -1092,8 +1075,10 @@ def trained_codebook(
     # subtree into each consumer and the training replans ~5×. This is
     # the ONLY training table built from the corpus, and it CARRIES the
     # anchor as a flag column, so every coarser level is a pure filter
-    # over this cache — no broadcast, no join, no window (r9 — r8
-    # ranked the seeds through a single-partition window instead)
+    # over this cache — no per-level broadcast, join, or window (r9 —
+    # r8 ranked the seeds through a single-partition window instead;
+    # the argmins above still build K-row broadcast arrays, the same
+    # movement any broadcast exchange performs)
     seeds = tracked_persist(base.join(seed_ids, "vec_id"))
 
     def stratum(rows: DataFrame, stride: int) -> DataFrame:
@@ -1164,7 +1149,9 @@ def trained_codebook(
     return coarse, fine, routing
 
 
-def two_level_membership(vecs: DataFrame, route_group: int | None = None) -> DataFrame:
+def two_level_membership(
+    vecs: DataFrame, route_group: int | None = None, flat: bool = False
+) -> DataFrame:
     """Cluster membership under the trained codebook with the PRUNED
     assignment join: (vec_id, v, norm, cent_id) where cent_id is the
     vector's refined fine cell.
@@ -1186,7 +1173,7 @@ def two_level_membership(vecs: DataFrame, route_group: int | None = None) -> Dat
     Every coarse cell entering step 2 has ≥1 fine seed (each coarse init
     is its own seed) and every refined fine cell in step 3 had ≥1 member
     in step 2, so both pruned joins are total — no vector is dropped."""
-    _, _, final = _two_level_parts(vecs, route_group)
+    _, _, final = _two_level_parts(vecs, route_group, flat=flat)
     return vecs.join(final, "vec_id").select("vec_id", "v", "norm", "cent_id")
 
 
@@ -1195,6 +1182,7 @@ def _two_level_parts(
     route_group: int | None = None,
     fine_mod: int = _TC_FINE_MOD,
     group: int = _TC_GROUP,
+    flat: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared internals of the trained-codebook assignment: returns
     (vca, f1cell, final) — vector→coarse map, refined fine centroids
@@ -1203,9 +1191,9 @@ def _two_level_parts(
     f1cell; semdedup needs only the membership. The vec→coarse step
     goes through the trained route level by default (r9 — see
     trained_codebook); `route_group` overrides the stride, and the
-    test-only `_FLAT_ROUTING` sentinel builds the unrouted two-level
-    form for the exact-reduction pin."""
-    coarse, fine, routing = trained_codebook(vecs, route_group, fine_mod, group)
+    test-only `flat=True` builds the unrouted two-level form for the
+    exact-reduction pin."""
+    coarse, fine, routing = trained_codebook(vecs, route_group, fine_mod, group, flat=flat)
     par = vecs.sparkSession.sparkContext.defaultParallelism
     # repartition BEFORE the broadcast scoring stages (the ivf_membership
     # parallelism lesson: inherit cores, not parquet file count)
@@ -1319,13 +1307,21 @@ def _sql_int_l2(a: str, b: str) -> str:
     )
 
 
-def _sql_two_level_membership() -> str:
+def _sql_two_level_membership(
+    fine_mod: int = _TC_FINE_MOD,
+    group: int = _TC_GROUP,
+    route_group: int = _TC_ROUTE_GROUP,
+) -> str:
     """The trained-codebook membership CTE chain, mirroring
     trained_codebook + two_level_membership step for step — including
     the r9 order-free md5-stride level selection and the always-on
     route level, so the oracle stays exact at ANY corpus size, not just
     while the route level is a single cell (shared by
-    SQL_SEMDEDUP_TRAINED and the trained-IVF oracle)."""
+    SQL_SEMDEDUP_TRAINED and the trained-IVF oracle). The strides are
+    parameters so the multi-cell routed construction can be
+    oracle-pinned on small fixtures (tight strides force several route
+    cells), not just at production strides where the gate-scale route
+    level is one cell."""
     grid = f"list_transform(v, x -> CAST(floor(x * {float(_TC_SCALE)!r}) AS BIGINT))"
     h = "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT"
     return f"""
@@ -1335,7 +1331,7 @@ qvecs AS (
 ),
 anchor AS (SELECT vec_id FROM qvecs ORDER BY h, vec_id LIMIT 1),
 seed_ids AS (
-  SELECT vec_id FROM qvecs WHERE h % {_TC_FINE_MOD} = 0
+  SELECT vec_id FROM qvecs WHERE h % {fine_mod} = 0
   UNION
   SELECT vec_id FROM anchor
 ),
@@ -1345,12 +1341,12 @@ seeds AS (
 ),
 c0 AS (
   SELECT vec_id AS coarse_id, qv AS cqv FROM seeds
-  WHERE h % {_TC_FINE_MOD * _TC_GROUP} = 0
+  WHERE h % {fine_mod * group} = 0
      OR vec_id IN (SELECT vec_id FROM anchor)
 ),
 route AS (
   SELECT vec_id AS route_id, qv AS rqv FROM seeds
-  WHERE h % {_TC_FINE_MOD * _TC_GROUP * _TC_ROUTE_GROUP} = 0
+  WHERE h % {fine_mod * group * route_group} = 0
      OR vec_id IN (SELECT vec_id FROM anchor)
 ),
 s_route AS (

@@ -836,12 +836,12 @@ def test_routed_codebook_reduces_exactly_to_two_level(spark):
     is ALWAYS on (self-routing default), so this pins the DEFAULT
     construction against the test-only flat form, and an explicit
     override against both."""
-    from mysense_spark.operators.similarity import _FLAT_ROUTING, two_level_membership
+    from mysense_spark.operators.similarity import two_level_membership
 
     vecs = _clustered_vecs(spark)
     flat = {
         r["vec_id"]: r["cent_id"]
-        for r in two_level_membership(vecs, route_group=_FLAT_ROUTING).collect()
+        for r in two_level_membership(vecs, flat=True).collect()
     }
     default = {r["vec_id"]: r["cent_id"] for r in two_level_membership(vecs).collect()}
     assert default == flat
@@ -853,16 +853,16 @@ def test_routed_codebook_reduces_exactly_to_two_level(spark):
 
 
 def test_broadcast_argmin_matches_nearest(spark):
-    """The map-side broadcast-array argmin (r9: _nearest_bcast /
-    _nearest_in_cell) must be BIT-IDENTICAL to the groupBy-min kernel
-    (_nearest) — same integer L2, same (dist, id) tie-break — including
-    on planted exact ties, where the smallest candidate id must win in
-    both. The codebook construction mixes the two kernels (map-side for
-    broadcastable levels, equi-join for the fine level), so any drift
-    between them would silently split the assignment."""
+    """The map-side broadcast-array argmins (r9: _nearest_bcast and the
+    fused _nearest_routed) must be BIT-IDENTICAL to the groupBy-min
+    kernel (_nearest) — same integer L2, same (dist, id) tie-break —
+    including on planted exact ties, where the smallest candidate id
+    must win in both. The codebook construction mixes the kernels
+    (map-side for broadcastable levels, equi-join for the fine level),
+    so any drift between them would silently split the assignment."""
     import pyspark.sql.functions as F
 
-    from mysense_spark.operators.similarity import _nearest, _nearest_bcast, _nearest_in_cell
+    from mysense_spark.operators.similarity import _nearest, _nearest_bcast, _nearest_routed
 
     rows = spark.createDataFrame(
         [(i, [int(i * 7 % 50), int(i * 13 % 50)]) for i in range(200)],
@@ -884,18 +884,70 @@ def test_broadcast_argmin_matches_nearest(spark):
     }
     assert via_map == via_group
     assert 91 not in set(via_map.values())  # ties go to the smaller id
-    # celled form: split candidates into two cells, rows pre-labelled
-    celled = cands.withColumn("cell", (F.col("cid") % 2).cast("long"))
-    labelled = rows.withColumn("cell", (F.col("vec_id") % 2).cast("long"))
-    via_cell = {
+    # the fused routed kernel against its two-step equivalent: route to
+    # a cell by nearest anchor (two anchors, one an exact duplicate of
+    # the other so the empty-twin pruning argument is exercised), then
+    # argmin within the cell
+    route = spark.createDataFrame(
+        [(10, [10, 10]), (11, [10, 10]), (12, [40, 5])],
+        "route_id long, rqv array<long>",
+    )
+    celled = cands.withColumn(
+        "route_id", F.when(F.col("cid") < 92, 10).otherwise(12).cast("long")
+    )
+    via_fused = {
         r["vec_id"]: r["cid"]
-        for r in _nearest_in_cell(labelled, celled, "qv", "cid", "cqv", "cell").collect()
+        for r in _nearest_routed(rows, "qv", route, celled, "cid", "cqv").collect()
     }
-    via_join = {
+    two_step_route = _nearest_bcast(rows, route, "qv", "route_id", "rqv")
+    via_two_step = {
         r["vec_id"]: r["cid"]
-        for r in _nearest(labelled, celled, "vec_id", "qv", "cid", "cqv", on="cell").collect()
+        for r in _nearest(
+            two_step_route, celled, "vec_id", "qv", "cid", "cqv", on="route_id"
+        ).collect()
     }
-    assert via_cell == via_join and len(via_cell) == 200
+    assert via_fused == via_two_step and len(via_fused) == 200
+    # anchor 11 is the empty duplicate twin: no row may route to it in
+    # the two-step form, and the fused form never broadcasts it
+    assert all(r["route_id"] != 11 for r in two_step_route.collect())
+
+
+def test_routed_membership_matches_oracle_multi_cell(spark):
+    """Cross-engine pin of the ROUTED construction with the route level
+    genuinely multi-cell: tight strides on the sf0.01 embeddings force
+    several route cells, and the Spark membership must match the DuckDB
+    mirror row for row. The graded oracles only ever exercise a
+    single-cell route (production strides at gate scale), so without
+    this test the routed CTEs of the mirror — and the Spark side's
+    empty-cell pruning argument — would be pinned only by same-engine
+    tests."""
+    from mysense_spark.operators.similarity import (
+        _SQL_VECTORS,
+        _sql_two_level_membership,
+        _two_level_parts,
+        _vectors,
+    )
+    from mysense_spark.oracle import run_oracle
+
+    sf_dir = "/root/testdata/sf0.01"
+    vecs = _vectors(spark, sf_dir)
+    _, _, final = _two_level_parts(vecs, route_group=4, fine_mod=2, group=4)
+    got = {r["vec_id"]: r["cent_id"] for r in final.collect()}
+    sql = (
+        f"WITH vecs AS ({_SQL_VECTORS}),"
+        f"{_sql_two_level_membership(fine_mod=2, group=4, route_group=4)}\n"
+        "SELECT vec_id, cent_id FROM membership ORDER BY vec_id"
+    )
+    odf = run_oracle(sql, sf_dir)
+    want = dict(zip(odf["vec_id"].astype(int), odf["cent_id"].astype(int)))
+    assert got == want
+    # the route level really was plural, or this test pins nothing
+    route_sql = (
+        f"WITH vecs AS ({_SQL_VECTORS}),"
+        f"{_sql_two_level_membership(fine_mod=2, group=4, route_group=4)}\n"
+        "SELECT count(DISTINCT route_id) AS n FROM s_route"
+    )
+    assert int(run_oracle(route_sql, sf_dir)["n"][0]) > 3
 
 
 def test_trained_codebook_lineage_has_no_window(spark):
@@ -903,10 +955,13 @@ def test_trained_codebook_lineage_has_no_window(spark):
     sort codebook rows through a window — r8's coarse init ranked the
     K ≈ N/64 seed set (vectors attached) through a single-partition
     row_number window, ~1.5×10^8 rows in one task at N = 10^10. Every
-    level is now an md5-stride filter and every argmin a groupBy-min,
-    so the physical plan must contain no Window operator at all. (The
-    one remaining Exchange SinglePartition is the anchor's global min —
-    a reduce of 32 partial rows, not a data-bearing sort.)"""
+    level is now an md5-stride filter and every argmin a groupBy-min or
+    a map expression, so the physical plan must contain no Window
+    operator at all. (Exchange SinglePartition still appears — the
+    anchor's global min is a reduce of partial rows, and each
+    broadcast-array build collapses a K-row codebook level into one
+    array, the same data movement any broadcast exchange performs; the
+    pin guarantees specifically that no stage SORTS codebook rows.)"""
     from mysense_spark.operators.similarity import two_level_membership
 
     vecs = _clustered_vecs(spark)
@@ -927,11 +982,11 @@ def test_routed_codebook_multi_level_total_and_sane(spark):
     routed pruning agrees with the flat two-level assignment for the
     overwhelming majority of vectors (routing is an approximation; on
     this fixture the disagreement set must stay small)."""
-    from mysense_spark.operators.similarity import _FLAT_ROUTING, _two_level_parts
+    from mysense_spark.operators.similarity import _two_level_parts
 
     vecs = _clustered_vecs(spark)
     n = vecs.count()
-    _, _, final_flat = _two_level_parts(vecs, route_group=_FLAT_ROUTING, fine_mod=2, group=4)
+    _, _, final_flat = _two_level_parts(vecs, fine_mod=2, group=4, flat=True)
     _, _, final_routed = _two_level_parts(vecs, route_group=4, fine_mod=2, group=4)
     flat = {r["vec_id"]: r["cent_id"] for r in final_flat.collect()}
     routed = {r["vec_id"]: r["cent_id"] for r in final_routed.collect()}
