@@ -271,12 +271,90 @@ def _file_key_ranges(files: list[str], col: str) -> dict[str, tuple]:
     return out
 
 
+_RANGES = "_key_ranges.json"
+
+
+def _ranges_path(day_dir: str) -> str:
+    # underscore-prefixed ⇒ invisible to Spark's parquet listing
+    return os.path.join(day_dir, _RANGES)
+
+
+def _load_ranges(day_dir: str, prune_col: str) -> dict[str, list]:
+    """The day's recorded file key ranges: {file name: [lo, hi, size]}.
+    Empty on any problem — missing sidecar (legacy day), torn JSON, or a
+    sidecar recorded for a DIFFERENT prune column — the caller falls
+    back to footer reads, so a bad sidecar can only cost I/O, never
+    correctness."""
+    import json
+
+    try:
+        with open(_ranges_path(day_dir)) as fh:
+            doc = json.load(fh)
+        if doc.get("col") != prune_col:
+            return {}
+        files = doc.get("files", {})
+        return files if isinstance(files, dict) else {}
+    except Exception:
+        return {}
+
+
+def _record_ranges(day_dir: str, prune_col: str) -> None:
+    """Refresh the day's sidecar after a promote: keep still-valid
+    entries, footer-read only the files NOT yet recorded (the
+    just-promoted ones — plus, once per legacy day, its pre-sidecar
+    files, which self-heals old archives into the recorded path), drop
+    entries whose file is gone or resized. Written atomically
+    (tmp + os.replace) by the single merger/compactor — appends never
+    write it (their files simply fall back to footer reads until the
+    day-close compaction records them). Values that do not survive JSON
+    (e.g. timestamp keys) are left unrecorded — permanent footer
+    fallback for that file, never a wrong range."""
+    import json
+
+    if prune_col is None or not os.path.isdir(day_dir):
+        return
+    old = _load_ranges(day_dir, prune_col)
+    out: dict[str, list] = {}
+    missing: list[str] = []
+    for f in sorted(os.listdir(day_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        size = os.path.getsize(os.path.join(day_dir, f))
+        ent = old.get(f)
+        if isinstance(ent, list) and len(ent) == 3 and ent[2] == size:
+            out[f] = ent
+        else:
+            missing.append(f)
+    for f, (lo, hi) in _file_key_ranges(
+        [os.path.join(day_dir, f) for f in missing], prune_col
+    ).items():
+        name = os.path.basename(f)
+        ent = [lo, hi, os.path.getsize(f)]
+        try:
+            json.dumps(ent)
+        except TypeError:
+            continue
+        out[name] = ent
+    final = _ranges_path(day_dir)
+    tmp = final + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"col": prune_col, "files": out}, fh)
+    os.replace(tmp, final)
+
+
 def _select_files(day_dir: str, batch_keys: list | None, prune_col: str) -> tuple[list, list]:
     """Split a day directory's parquet files into (replace, keep): a file
-    must be merged iff its footer [min, max] range of `prune_col`
-    contains ANY of the batch's keys for that day (None stats or a None
-    key list ⇒ conservatively merge). Files the batch cannot collide
-    with are never read, never rewritten, and stay byte-identical."""
+    must be merged iff its [min, max] range of `prune_col` contains ANY
+    of the batch's keys for that day (None stats or a None key list ⇒
+    conservatively merge). Files the batch cannot collide with are never
+    read, never rewritten, and stay byte-identical.
+
+    Ranges come from the day's `_key_ranges.json` sidecar (recorded at
+    promote time — r9), validated per entry by file size; files missing
+    from the sidecar (legacy days, fresh appends, stale entries) fall
+    back to the driver-side parquet-footer read. At a multi-thousand-
+    file day the sidecar turns the per-merge footer loop into one JSON
+    read + one stat per file (SCALING.md)."""
     import bisect
 
     files = sorted(
@@ -288,9 +366,24 @@ def _select_files(day_dir: str, batch_keys: list | None, prune_col: str) -> tupl
         # no key list (fleet-wide fallback) or NULL keys (footer stats
         # say nothing about NULL rows): conservatively merge every file
         return files, []
+    recorded = _load_ranges(day_dir, prune_col)
+    ranges: dict[str, tuple] = {}
+    fallback: list[str] = []
+    for f in files:
+        ent = recorded.get(os.path.basename(f))
+        if (
+            isinstance(ent, list)
+            and len(ent) == 3
+            and ent[2] == os.path.getsize(f)
+        ):
+            ranges[f] = (ent[0], ent[1])
+        else:
+            fallback.append(f)
+    ranges.update(_file_key_ranges(fallback, prune_col))
     ks = sorted(batch_keys)
     replace, keep = [], []
-    for f, (lo, hi) in _file_key_ranges(files, prune_col).items():
+    for f in files:
+        lo, hi = ranges[f]
         if lo is None:
             replace.append(f)
             continue
@@ -377,7 +470,7 @@ def _recover_file_merge(spark: SparkSession, stage: str, path: str) -> bool:
     return True
 
 
-def _promote_file_merge(stage: str, path: str) -> None:
+def _promote_file_merge(stage: str, path: str, prune_col: str | None = None) -> None:
     """Idempotent file-level promote: move every staged day's new files
     into the archive (skip ones already there), THEN delete the replaced
     files listed in the manifest (skip ones already gone). A crash at
@@ -386,7 +479,14 @@ def _promote_file_merge(stage: str, path: str) -> None:
     keys — the single-writer + recover-on-entry contract, same as the
     legacy stage protocol. The manifest is deleted LAST: it must outlive
     the replaced-file deletes so an interrupted promote still knows what
-    to finish."""
+    to finish.
+
+    With `prune_col`, each touched day's `_key_ranges.json` sidecar is
+    refreshed after the deletes (r9): the sidecar is a pure optimization
+    cache — recovery promotes pass None and simply leave the new files
+    on the footer-fallback path until the next successful merge records
+    them — so it sits OUTSIDE the crash protocol: no crash point can
+    make it wrong, only absent."""
     import json
 
     manifest = _manifest_path(path)
@@ -394,12 +494,14 @@ def _promote_file_merge(stage: str, path: str) -> None:
         manifest = os.path.join(stage, _MANIFEST)  # legacy in-stage
     with open(manifest) as fh:
         replaced = json.load(fh)["replaced"]
+    touched_days: list[str] = []
     for d in os.listdir(stage):
         if not d.startswith(f"{DAY_COL}="):
             continue
         src_dir = os.path.join(stage, d)
         dst_dir = os.path.join(path, d)
         os.makedirs(dst_dir, exist_ok=True)
+        touched_days.append(dst_dir)
         for f in os.listdir(src_dir):
             if not f.endswith(".parquet"):
                 continue
@@ -409,6 +511,9 @@ def _promote_file_merge(stage: str, path: str) -> None:
     for f in replaced:
         if os.path.exists(f):
             os.remove(f)
+    if prune_col is not None:
+        for dst_dir in touched_days:
+            _record_ranges(dst_dir, prune_col)
     marker = os.path.join(stage, "_SUCCESS")
     if os.path.exists(marker):
         os.remove(marker)
@@ -529,7 +634,7 @@ def upsert_parquet_partitioned(
                 # keeps recovery sound (_recover_file_merge docstring)
                 _write_manifest(path, [])
                 _stage_write(deduped, stage, prune_col)
-                _promote_file_merge(stage, path)
+                _promote_file_merge(stage, path, prune_col)
                 layout = "partitioned"  # subsequent chunks merge
                 continue
 
@@ -580,7 +685,7 @@ def upsert_parquet_partitioned(
                 # `path`; it must fully materialize before the promote
                 # mutates `path`
                 _stage_write(deduped, stage, prune_col)
-            _promote_file_merge(stage, path)
+            _promote_file_merge(stage, path, prune_col)
     finally:
         batch.unpersist()
 
@@ -719,7 +824,64 @@ def compact_days(
             )
             _write_manifest(path, replace_files)
             _stage_write(deduped, stage, prune_col)
-        _promote_file_merge(stage, path)
+        _promote_file_merge(stage, path, prune_col)
+    return targets
+
+
+def compact_closed_days(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    order_col: str,
+    before_day: str,
+    ts_col: str = "ts",
+) -> list[str]:
+    """Compact exactly the CLOSED-but-uncompacted days: days strictly
+    before `before_day` (the watermark frontier — no more rows can reach
+    them through the stream's late-data horizon) whose directory holds
+    parquet files not recorded in the day's `_key_ranges.json` sidecar.
+
+    The sidecar IS the compaction marker: appends never write it, while
+    compaction's promote records every surviving file — so "closed and
+    has unrecorded files" means "appended since last compacted". That
+    makes the detection self-healing under at-least-once replay: a
+    checkpoint replay that re-appends rows to an already-compacted day
+    adds files the sidecar does not know, and the next batch end
+    re-compacts the day — no separate high-water marker that a replayed
+    append could silently invalidate. Cost per batch end: one listdir +
+    one JSON read per closed day, driver-side control plane.
+
+    Requires a non-time key to prune on (the sidecar is keyed to it);
+    raises otherwise — a single-key archive has no sidecar to mark
+    compaction with, and blind re-compaction every batch would rewrite
+    history per micro-batch."""
+    prune_cols = [k for k in keys if k != ts_col]
+    if not prune_cols:
+        raise ValueError(
+            f"compact_closed_days needs a non-time key in {keys!r}: the "
+            f"key-ranges sidecar doubles as the compaction marker, and "
+            f"it is keyed to the first non-time key"
+        )
+    prune_col = prune_cols[0]
+    if _layout(path) != "partitioned":
+        return []
+    targets: list[str] = []
+    for d in sorted(os.listdir(path)):
+        if not d.startswith(f"{DAY_COL}="):
+            continue
+        day = d.split("=", 1)[1]
+        if day >= before_day:
+            continue
+        day_dir = os.path.join(path, d)
+        recorded = _load_ranges(day_dir, prune_col)
+        if any(
+            f not in recorded
+            for f in os.listdir(day_dir)
+            if f.endswith(".parquet")
+        ):
+            targets.append(day)
+    if targets:
+        compact_days(spark, path, keys, order_col, days=targets, ts_col=ts_col)
     return targets
 
 

@@ -254,6 +254,33 @@ def kafka_lines(records: DataFrame) -> DataFrame:
     )
 
 
+def _parse_interval(spec: str):
+    """A watermark interval string ("2 hours", "30 seconds") as a
+    timedelta — the same `<n> <unit>` shape Spark's withWatermark
+    accepts for the units a day-close decision can meaningfully use.
+    Loud on anything else: silently mis-parsing the watermark would
+    close days early and compact rows the stream can still touch."""
+    import datetime as dt
+
+    parts = spec.strip().lower().split()
+    units = {
+        "second": "seconds", "seconds": "seconds",
+        "minute": "minutes", "minutes": "minutes",
+        "hour": "hours", "hours": "hours",
+        "day": "days", "days": "days",
+        "week": "weeks", "weeks": "weeks",
+    }
+    if len(parts) != 2 or not parts[0].lstrip("-").isdigit() or parts[1] not in units:
+        raise ValueError(
+            f"cannot parse watermark interval {spec!r} for the day-close "
+            f"decision (expected '<n> <seconds|minutes|hours|days|weeks>')"
+        )
+    n = int(parts[0])
+    if n < 0:
+        raise ValueError(f"negative watermark interval {spec!r}")
+    return dt.timedelta(**{units[parts[1]]: n})
+
+
 def run_lines_stream(
     lines: DataFrame,
     checkpoint: str,
@@ -263,6 +290,7 @@ def run_lines_stream(
     trigger: str | None = "available_now",
     archive_mode: str = "merge",
     append_partitions: int | None = None,
+    auto_compact: bool = True,
 ):
     """Shared S1/S2 tail: envelope parse -> decode -> watermark + dedup on
     the upsert key -> parquet upsert via foreachBatch. Every source
@@ -297,6 +325,16 @@ def run_lines_stream(
     row-group-sized files per day and parquet footers dominate the
     bytes (measured 4.6x vs ~2.1x tuned — SCALING.md); size it so
     batch_bytes/append_partitions ~ the archive's file-size target.
+    With `auto_compact` (default, r9) the append tail closes days
+    ITSELF: at each micro-batch end, days that have rolled past the
+    watermark frontier (max event time seen minus the watermark — the
+    stream drops anything older, so no row can reach them again) and
+    still hold files not recorded in their `_key_ranges.json` sidecar
+    are compacted in-batch via `compact_closed_days` — serialized with
+    the appends inside foreachBatch, so it is STRICTLY safer than the
+    documented append-beside-compactor concurrency. Steady state needs
+    no external scheduler: append all day, and the first batch after
+    midnight compacts yesterday.
 
     State store: the dropDuplicates dedup keys state per
     (kit_id, ts, field) within the watermark horizon — at fleet scale
@@ -315,6 +353,7 @@ def run_lines_stream(
         _layout,
         _scoped_conf,
         append_day_partitioned,
+        compact_closed_days,
         upsert_parquet,
         upsert_parquet_partitioned,
     )
@@ -335,6 +374,22 @@ def run_lines_stream(
             append_day_partitioned(
                 batch_df, out_dir, ts_col="ts", partitions=append_partitions
             )
+            if auto_compact:
+                # control-plane 1-row agg: the batch's event-time
+                # frontier; days strictly before (frontier - watermark)
+                # are closed — the stream's dedup drops anything older
+                hi = batch_df.agg(F.max("ts")).first()[0]
+                if hi is not None:
+                    close_before = (hi - _parse_interval(watermark)).strftime(
+                        "%Y-%m-%d"
+                    )
+                    compact_closed_days(
+                        batch_df.sparkSession,
+                        out_dir,
+                        keys=["kit_id", "ts", "field"],
+                        order_col="ingest_ts",
+                        before_day=close_before,
+                    )
             return
         use_partitioned = partitioned
         if use_partitioned is None:
@@ -376,13 +431,14 @@ def run_file_stream(
     partitioned: bool | None = None,
     archive_mode: str = "merge",
     append_partitions: int | None = None,
+    auto_compact: bool = True,
 ):
     """S2 live twin: readStream on a drop directory of MQTT dump files.
     Fresh archives land day-partitioned (see run_lines_stream)."""
     return run_lines_stream(
         spark.readStream.text(in_dir), checkpoint, out_dir, watermark,
         partitioned=partitioned, archive_mode=archive_mode,
-        append_partitions=append_partitions,
+        append_partitions=append_partitions, auto_compact=auto_compact,
     )
 
 

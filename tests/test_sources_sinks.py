@@ -837,6 +837,102 @@ def test_file_level_merge_keeps_untouched_files(spark, tmp_path):
     assert out["kita"] == 999.0 and len(out) == 26 and out["kitb"] == 1.0
 
 
+def test_key_ranges_sidecar_matches_footer_selection(spark, tmp_path, monkeypatch):
+    """r9: file selection from the promote-time `_key_ranges.json`
+    sidecar must be IDENTICAL to the driver-side footer-loop selection —
+    with the sidecar present, absent (legacy day), stale (size
+    mismatch), or missing fresh appends — and when every entry is valid,
+    zero parquet footers are opened. The sidecar is an optimization
+    cache: every degradation path falls back to footer reads, never to
+    a wrong selection."""
+    import datetime as dt
+    import os
+
+    from mysense_spark.sinks import upsert as U
+
+    path = str(tmp_path / "archive")
+    day = dt.datetime(2024, 1, 1, 10)
+    t0 = dt.datetime(2024, 6, 1)
+    kits = [f"kit{chr(ord('a') + i)}" for i in range(26)]
+    base = _mk_batch(spark, [(k, day, "pm25", float(i), t0) for i, k in enumerate(kits)])
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        U.upsert_parquet_partitioned(base, path, keys=["kit_id", "ts", "field"], order_col="ingest_ts")
+        upd = _mk_batch(spark, [("kita", day, "pm25", 999.0, dt.datetime(2024, 6, 2))])
+        U.upsert_parquet_partitioned(upd, path, keys=["kit_id", "ts", "field"], order_col="ingest_ts")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    day_dir = os.path.join(path, "day=2024-01-01")
+    sidecar = U._ranges_path(day_dir)
+    assert os.path.exists(sidecar), "promote did not record the day's key ranges"
+    files = [f for f in os.listdir(day_dir) if f.endswith(".parquet")]
+    assert len(files) > 1
+
+    real_ranges = U._file_key_ranges
+    footer_reads = {"files": 0}
+
+    def counting_ranges(fs, col):
+        footer_reads["files"] += len(fs)
+        return real_ranges(fs, col)
+
+    monkeypatch.setattr(U, "_file_key_ranges", counting_ranges)
+
+    bkeys = ["kitc", "kitz"]
+    via_sidecar = U._select_files(day_dir, bkeys, "kit_id")
+    assert footer_reads["files"] == 0, "valid sidecar entries must not open footers"
+    assert via_sidecar[0] and via_sidecar[1], "expected a genuine replace/keep split"
+
+    os.remove(sidecar)
+    via_footer = U._select_files(day_dir, bkeys, "kit_id")
+    assert footer_reads["files"] == len(files)
+    assert via_sidecar == via_footer
+
+    # stale entry (size mismatch): only that file falls back to a footer
+    # read; the selection is unchanged
+    U._record_ranges(day_dir, "kit_id")
+    import json
+
+    with open(sidecar) as fh:
+        doc = json.load(fh)
+    victim = sorted(doc["files"])[0]
+    doc["files"][victim][2] += 1
+    with open(sidecar, "w") as fh:
+        json.dump(doc, fh)
+    footer_reads["files"] = 0
+    assert U._select_files(day_dir, bkeys, "kit_id") == via_footer
+    assert footer_reads["files"] == 1
+
+    # a sidecar recorded for a different prune column is ignored wholesale
+    with open(sidecar) as fh:
+        doc = json.load(fh)
+    doc["col"] = "field"
+    with open(sidecar, "w") as fh:
+        json.dump(doc, fh)
+    footer_reads["files"] = 0
+    assert U._select_files(day_dir, bkeys, "kit_id") == via_footer
+    assert footer_reads["files"] == len(files)
+
+    # fresh appends are not in the sidecar (append never writes it):
+    # they fall back to footer reads; compaction then records everything
+    U._record_ranges(day_dir, "kit_id")
+    app = _mk_batch(spark, [("kitq", day, "pm25", 5.0, dt.datetime(2024, 6, 3))])
+    U.append_day_partitioned(app, path, partitions=1)
+    all_files = [f for f in os.listdir(day_dir) if f.endswith(".parquet")]
+    appended = set(all_files) - set(files)
+    assert appended
+    footer_reads["files"] = 0
+    sel = U._select_files(day_dir, ["kitq"], "kit_id")
+    assert footer_reads["files"] == len(appended)
+    assert any(os.path.basename(f) in appended for f in sel[0])
+    U.compact_days(spark, path, keys=["kit_id", "ts", "field"], order_col="ingest_ts")
+    with open(sidecar) as fh:
+        doc = json.load(fh)
+    assert set(doc["files"]) == {
+        f for f in os.listdir(day_dir) if f.endswith(".parquet")
+    }, "compaction must record every surviving file"
+
+
 def test_backfill_chunking_with_crash_between_chunks(spark, tmp_path, monkeypatch):
     """r8 deep-backfill bound: a 90-day batch stages ≤30 days per
     commit (>1 chunk), and a crash BETWEEN chunks recovers via replay —
@@ -855,11 +951,11 @@ def test_backfill_chunking_with_crash_between_chunks(spark, tmp_path, monkeypatc
     calls = {"n": 0}
     real_promote = U._promote_file_merge
 
-    def crashing_promote(stage, p):
+    def crashing_promote(stage, p, prune_col=None):
         calls["n"] += 1
         if calls["n"] == 2:
             raise RuntimeError("injected crash between chunks")
-        real_promote(stage, p)
+        real_promote(stage, p, prune_col)
 
     monkeypatch.setattr(U, "_promote_file_merge", crashing_promote)
     try:
@@ -903,7 +999,7 @@ def test_file_merge_stage_recovery_idempotent(spark, tmp_path):
     upd = _mk_batch(spark, [("k1", day, "pm25", 5.0, dt.datetime(2024, 6, 2))])
     real = U._promote_file_merge
     try:
-        U._promote_file_merge = lambda s, p: None  # stage, never promote
+        U._promote_file_merge = lambda s, p, pc=None: None  # stage, never promote
         U.upsert_parquet_partitioned(upd, path, keys=["kit_id", "ts", "field"], order_col="ingest_ts")
     finally:
         U._promote_file_merge = real
@@ -987,7 +1083,7 @@ def test_crash_before_promote_never_loses_pruned_out_rows(spark, tmp_path, monke
     upd = _mk_batch(spark, [("kita", day, "pm25", 999.0, dt.datetime(2024, 6, 2))])
     real_promote = U._promote_file_merge
 
-    def crashing_promote(stage, p):
+    def crashing_promote(stage, p, prune_col=None):
         raise RuntimeError("injected crash before promote")
 
     monkeypatch.setattr(U, "_promote_file_merge", crashing_promote)
@@ -1185,7 +1281,7 @@ def test_compact_crash_recovery(spark, tmp_path, monkeypatch):
 
     real_promote = U._promote_file_merge
 
-    def crashing_promote(stage, p):
+    def crashing_promote(stage, p, prune_col=None):
         raise RuntimeError("injected crash before promote")
 
     monkeypatch.setattr(U, "_promote_file_merge", crashing_promote)
@@ -1226,7 +1322,7 @@ def test_append_never_disturbs_inflight_compaction_state(spark, tmp_path):
     # crash a compaction after its stage write, before its promote
     real_promote = U._promote_file_merge
     try:
-        U._promote_file_merge = lambda s, p: None
+        U._promote_file_merge = lambda s, p, pc=None: None
         U.compact_days(spark, path, keys=["kit_id", "ts", "field"], order_col="ingest_ts")
     finally:
         U._promote_file_merge = real_promote

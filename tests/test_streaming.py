@@ -870,6 +870,85 @@ def test_pipeline_scopes_rocksdb_for_vanilla_sessions(spark, tmp_path):
             spark.conf.set(key, prior)
 
 
+def test_stream_append_mode_auto_compacts_closed_days(spark, tmp_path):
+    """r9: the append tail closes days ITSELF. Replaying a multi-day
+    corpus in two micro-batches: while the frontier sits on day 1 the
+    day stays appended (open); when a later batch advances the event-
+    time frontier past the watermark, the now-closed day is compacted
+    at batch end — duplicate rows (a simulated checkpoint-replay
+    re-append) collapse latest-wins, the sidecar records every
+    surviving file — while the new open day keeps its appended files
+    and stays un-compacted."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mysense_spark.sinks import upsert as U
+    from mysense_spark.streaming.pipeline import run_file_stream
+
+    lines_2020 = [l for l in ALL_LINES if "2020-11-07" in l]
+    # the frontier-advancer must carry FACT rows: the 2021-08-20 line is
+    # the port-3 event (side output only), so use the V3 uplink
+    # (received_at 2021-09-01)
+    lines_2021 = [l for l in ALL_LINES if l.startswith("v3/")]
+    assert lines_2020 and lines_2021
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    app_dir = str(tmp_path / "archive")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: day 2020-11-07 only — the day is OPEN (frontier minus
+    # watermark still inside it), so nothing may compact
+    _write_dump(in_dir, "batch1.mqtt", lines_2020)
+    q = run_file_stream(spark, str(in_dir), ckpt, app_dir, archive_mode="append")
+    q.awaitTermination(120)
+    day_dir = os.path.join(app_dir, "day=2020-11-07")
+    assert os.path.isdir(day_dir)
+    assert not os.path.exists(U._ranges_path(day_dir)), "open day must not compact"
+
+    # simulate a crash-replay re-append: a duplicate key with a newer
+    # ingest_ts and a marker value — compaction must keep THIS row
+    one = spark.read.parquet(app_dir).where(F.col("day") == "2020-11-07").limit(1)
+    key = one.select("kit_id", "ts", "field").first()
+    dup = one.withColumn("value", F.lit(777.0)).withColumn(
+        "ingest_ts", F.col("ingest_ts") + F.expr("INTERVAL 1 HOUR")
+    )
+    U.append_day_partitioned(dup.drop("day"), app_dir)
+    n_keys = spark.read.parquet(app_dir).select("kit_id", "ts", "field").distinct().count()
+    assert spark.read.parquet(app_dir).count() == n_keys + 1  # dup on disk
+
+    # batch 2: a 2021 line advances the frontier -> 2020-11-07 is closed
+    # and the batch-end auto-compaction rewrites exactly that day
+    _write_dump(in_dir, "batch2.mqtt", lines_2021)
+    q = run_file_stream(spark, str(in_dir), ckpt, app_dir, archive_mode="append")
+    q.awaitTermination(120)
+
+    assert os.path.exists(U._ranges_path(day_dir)), "closed day not compacted"
+    import json
+
+    with open(U._ranges_path(day_dir)) as fh:
+        recorded = set(json.load(fh)["files"])
+    on_disk = {f for f in os.listdir(day_dir) if f.endswith(".parquet")}
+    assert recorded == on_disk, "compaction must record every surviving file"
+    rows = spark.read.parquet(app_dir)
+    assert rows.count() == rows.select("kit_id", "ts", "field").distinct().count(), (
+        "closed day still holds duplicate keys after auto-compaction"
+    )
+    got = rows.where(
+        (F.col("kit_id") == key["kit_id"])
+        & (F.col("ts") == key["ts"])
+        & (F.col("field") == key["field"])
+    ).first()
+    assert got["value"] == 777.0, "latest-wins kept the older row"
+    # the open day keeps its appended (sidecar-less) files
+    open_dir = os.path.join(app_dir, "day=2021-09-01")
+    assert os.path.isdir(open_dir)
+    assert not os.path.exists(U._ranges_path(open_dir)), "open day was compacted"
+    assert not os.path.exists(f"{app_dir}__stage")
+    assert not os.path.exists(U._manifest_path(app_dir))
+
+
 def test_stream_append_mode_plus_compaction(spark, tmp_path):
     """archive_mode='append': the foreachBatch sink writes only the
     batch's own bytes (steady-state fleet ingest, write amplification
