@@ -274,6 +274,20 @@ def _file_key_ranges(files: list[str], col: str) -> dict[str, tuple]:
 _RANGES = "_key_ranges.json"
 
 
+def _prune_col(keys: list[str], ts_col: str) -> str | None:
+    """The file-pruning axis: the first non-time key (batches are sparse
+    on it, and the stage write range-partitions by it) — one definition
+    for the merge, the compactor, and the day-close detector."""
+    cols = [k for k in keys if k != ts_col]
+    return cols[0] if cols else None
+
+
+def _valid_entry(ent, size: int) -> bool:
+    """A sidecar entry vouches for a file iff it has the [lo, hi, size]
+    shape and the recorded size still matches the file on disk."""
+    return isinstance(ent, list) and len(ent) == 3 and ent[2] == size
+
+
 def _ranges_path(day_dir: str) -> str:
     # underscore-prefixed ⇒ invisible to Spark's parquet listing
     return os.path.join(day_dir, _RANGES)
@@ -307,8 +321,9 @@ def _record_ranges(day_dir: str, prune_col: str) -> None:
     (tmp + os.replace) by the single merger/compactor — appends never
     write it (their files simply fall back to footer reads until the
     day-close compaction records them). Values that do not survive JSON
-    (e.g. timestamp keys) are left unrecorded — permanent footer
-    fallback for that file, never a wrong range."""
+    (e.g. timestamp keys) are recorded as [None, None] — still counted
+    as recorded by the day-close detector, but footer-read at selection
+    time; never a wrong range."""
     import json
 
     if prune_col is None or not os.path.isdir(day_dir):
@@ -321,7 +336,7 @@ def _record_ranges(day_dir: str, prune_col: str) -> None:
             continue
         size = os.path.getsize(os.path.join(day_dir, f))
         ent = old.get(f)
-        if isinstance(ent, list) and len(ent) == 3 and ent[2] == size:
+        if _valid_entry(ent, size):
             out[f] = ent
         else:
             missing.append(f)
@@ -329,12 +344,16 @@ def _record_ranges(day_dir: str, prune_col: str) -> None:
         [os.path.join(day_dir, f) for f in missing], prune_col
     ).items():
         name = os.path.basename(f)
-        ent = [lo, hi, os.path.getsize(f)]
         try:
-            json.dumps(ent)
+            json.dumps([lo, hi])
         except TypeError:
-            continue
-        out[name] = ent
+            # range values that do not survive JSON (date/bytes/decimal
+            # prune keys): record [None, None] — the file is RECORDED
+            # (so the day-close detector does not mistake it for a fresh
+            # append and re-compact the day forever) but carries no
+            # usable range, and _select_files footer-reads it instead
+            lo = hi = None
+        out[name] = [lo, hi, os.path.getsize(f)]
     final = _ranges_path(day_dir)
     tmp = final + ".tmp"
     with open(tmp, "w") as fh:
@@ -372,9 +391,11 @@ def _select_files(day_dir: str, batch_keys: list | None, prune_col: str) -> tupl
     for f in files:
         ent = recorded.get(os.path.basename(f))
         if (
-            isinstance(ent, list)
-            and len(ent) == 3
-            and ent[2] == os.path.getsize(f)
+            _valid_entry(ent, os.path.getsize(f))
+            # a recorded [None, None] means "recorded, range unusable"
+            # (JSON-hostile key type, or genuinely stat-less) — consult
+            # the footer, which yields a real range when one exists
+            and not (ent[0] is None and ent[1] is None)
         ):
             ranges[f] = (ent[0], ent[1])
         else:
@@ -387,8 +408,15 @@ def _select_files(day_dir: str, batch_keys: list | None, prune_col: str) -> tupl
         if lo is None:
             replace.append(f)
             continue
-        i = bisect.bisect_left(ks, lo)
-        (replace if i < len(ks) and ks[i] <= hi else keep).append(f)
+        try:
+            i = bisect.bisect_left(ks, lo)
+            hit = i < len(ks) and ks[i] <= hi
+        except TypeError:
+            # bounds not comparable with the batch keys (key type
+            # migrated, hand-edited sidecar): conservatively merge the
+            # file — a replace is always safe, a crash loop never is
+            hit = True
+        (replace if hit else keep).append(f)
     return replace, keep
 
 
@@ -609,12 +637,11 @@ def upsert_parquet_partitioned(
             f"rewrite the archive with write_date_partitioned first)"
         )
 
-    # prune_col: the first non-time key — the axis batches are sparse on
-    # (a late-data batch touches few kits; footer stats on a key the
-    # merged files are range-partitioned by make the file selection
-    # sharp). With a single-key archive there is nothing to prune on.
-    prune_cols = [k for k in keys if k != ts_col]
-    prune_col = prune_cols[0] if prune_cols else None
+    # prune_col: the axis batches are sparse on (a late-data batch
+    # touches few kits; stats on a key the merged files are
+    # range-partitioned by make the file selection sharp). With a
+    # single-key archive there is nothing to prune on.
+    prune_col = _prune_col(keys, ts_col)
 
     # chunk deep backfills: a 365-day replay stages ≤30 days at a time,
     # bounding peak stage size; a crash between chunks is covered by the
@@ -799,8 +826,7 @@ def compact_days(
         d.split("=", 1)[1] for d in os.listdir(path) if d.startswith(f"{DAY_COL}=")
     )
     targets = on_disk if days is None else [d for d in on_disk if d in set(days)]
-    prune_cols = [k for k in keys if k != ts_col]
-    prune_col = prune_cols[0] if prune_cols else None
+    prune_col = _prune_col(keys, ts_col)
     for i in range(0, len(targets), _BACKFILL_CHUNK_DAYS):
         chunk = targets[i : i + _BACKFILL_CHUNK_DAYS]
         replace_files = []
@@ -855,14 +881,13 @@ def compact_closed_days(
     raises otherwise — a single-key archive has no sidecar to mark
     compaction with, and blind re-compaction every batch would rewrite
     history per micro-batch."""
-    prune_cols = [k for k in keys if k != ts_col]
-    if not prune_cols:
+    prune_col = _prune_col(keys, ts_col)
+    if prune_col is None:
         raise ValueError(
             f"compact_closed_days needs a non-time key in {keys!r}: the "
             f"key-ranges sidecar doubles as the compaction marker, and "
             f"it is keyed to the first non-time key"
         )
-    prune_col = prune_cols[0]
     if _layout(path) != "partitioned":
         return []
     targets: list[str] = []
@@ -870,7 +895,12 @@ def compact_closed_days(
         if not d.startswith(f"{DAY_COL}="):
             continue
         day = d.split("=", 1)[1]
-        if day >= before_day:
+        # NULL_DAY never closes: null-ts rows keep landing on it forever
+        # (it sorts before every real day, so a naive compare would call
+        # it permanently closed and rewrite the growing partition at
+        # every batch end) — dedup it on read (latest_view) or with a
+        # manual compact_days
+        if day >= before_day or day == NULL_DAY:
             continue
         day_dir = os.path.join(path, d)
         recorded = _load_ranges(day_dir, prune_col)
@@ -880,6 +910,10 @@ def compact_closed_days(
             if f.endswith(".parquet")
         ):
             targets.append(day)
+    # bound the in-stream work: a deep backlog (first enablement on a
+    # pre-sidecar archive) drains oldest-first at one merge-chunk per
+    # batch end instead of stalling a micro-batch on the whole history
+    targets = targets[:_BACKFILL_CHUNK_DAYS]
     if targets:
         compact_days(spark, path, keys, order_col, days=targets, ts_col=ts_col)
     return targets

@@ -254,33 +254,6 @@ def kafka_lines(records: DataFrame) -> DataFrame:
     )
 
 
-def _parse_interval(spec: str):
-    """A watermark interval string ("2 hours", "30 seconds") as a
-    timedelta — the same `<n> <unit>` shape Spark's withWatermark
-    accepts for the units a day-close decision can meaningfully use.
-    Loud on anything else: silently mis-parsing the watermark would
-    close days early and compact rows the stream can still touch."""
-    import datetime as dt
-
-    parts = spec.strip().lower().split()
-    units = {
-        "second": "seconds", "seconds": "seconds",
-        "minute": "minutes", "minutes": "minutes",
-        "hour": "hours", "hours": "hours",
-        "day": "days", "days": "days",
-        "week": "weeks", "weeks": "weeks",
-    }
-    if len(parts) != 2 or not parts[0].lstrip("-").isdigit() or parts[1] not in units:
-        raise ValueError(
-            f"cannot parse watermark interval {spec!r} for the day-close "
-            f"decision (expected '<n> <seconds|minutes|hours|days|weeks>')"
-        )
-    n = int(parts[0])
-    if n < 0:
-        raise ValueError(f"negative watermark interval {spec!r}")
-    return dt.timedelta(**{units[parts[1]]: n})
-
-
 def run_lines_stream(
     lines: DataFrame,
     checkpoint: str,
@@ -290,7 +263,7 @@ def run_lines_stream(
     trigger: str | None = "available_now",
     archive_mode: str = "merge",
     append_partitions: int | None = None,
-    auto_compact: bool = True,
+    auto_compact: bool = False,
 ):
     """Shared S1/S2 tail: envelope parse -> decode -> watermark + dedup on
     the upsert key -> parquet upsert via foreachBatch. Every source
@@ -325,16 +298,23 @@ def run_lines_stream(
     row-group-sized files per day and parquet footers dominate the
     bytes (measured 4.6x vs ~2.1x tuned — SCALING.md); size it so
     batch_bytes/append_partitions ~ the archive's file-size target.
-    With `auto_compact` (default, r9) the append tail closes days
+    With `auto_compact` (r9, opt-in) the append tail closes days
     ITSELF: at each micro-batch end, days that have rolled past the
     watermark frontier (max event time seen minus the watermark — the
     stream drops anything older, so no row can reach them again) and
     still hold files not recorded in their `_key_ranges.json` sidecar
     are compacted in-batch via `compact_closed_days` — serialized with
-    the appends inside foreachBatch, so it is STRICTLY safer than the
-    documented append-beside-compactor concurrency. Steady state needs
-    no external scheduler: append all day, and the first batch after
-    midnight compacts yesterday.
+    the appends inside foreachBatch. Steady state then needs no
+    external scheduler: append all day, and the first batch after
+    midnight compacts yesterday. OPT-IN, not default: enabling it makes
+    the STREAM the archive's one compactor, so remove any externally
+    scheduled `compact_days` first — two compactors on one path violate
+    the single merger/compactor contract and can race the shared
+    stage/manifest into data loss. On a pre-sidecar archive (days
+    compacted before r9 recorded ranges), run `compact_days` once
+    offline before enabling, or the first enabled batch treats every
+    closed day as uncompacted (the in-stream backlog drains at most
+    30 days per batch end, oldest first).
 
     State store: the dropDuplicates dedup keys state per
     (kit_id, ts, field) within the watermark horizon — at fleet scale
@@ -371,18 +351,32 @@ def run_lines_stream(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if archive_mode == "append":
-            append_day_partitioned(
-                batch_df, out_dir, ts_col="ts", partitions=append_partitions
-            )
-            if auto_compact:
-                # control-plane 1-row agg: the batch's event-time
-                # frontier; days strictly before (frontier - watermark)
-                # are closed — the stream's dedup drops anything older
-                hi = batch_df.agg(F.max("ts")).first()[0]
-                if hi is not None:
-                    close_before = (hi - _parse_interval(watermark)).strftime(
-                        "%Y-%m-%d"
+            if not auto_compact:
+                append_day_partitioned(
+                    batch_df, out_dir, ts_col="ts", partitions=append_partitions
+                )
+                return
+            # two actions over the batch lineage (append + frontier agg)
+            # — persist so the decode UDF chain runs once, the same
+            # rule upsert_parquet_partitioned applies
+            batch_df.persist()
+            try:
+                append_day_partitioned(
+                    batch_df, out_dir, ts_col="ts", partitions=append_partitions
+                )
+                # control-plane 1-row agg: the day of (event-time
+                # frontier - watermark), computed IN SPARK so the day
+                # string uses the same session timezone as the archive's
+                # day column (a driver-local strftime would shift the
+                # close decision by the tz offset), and the interval is
+                # parsed by the same engine grammar withWatermark uses
+                close_before = batch_df.agg(
+                    F.date_format(
+                        F.max("ts") - F.expr(f"INTERVAL {watermark}"),
+                        "yyyy-MM-dd",
                     )
+                ).first()[0]
+                if close_before is not None:
                     compact_closed_days(
                         batch_df.sparkSession,
                         out_dir,
@@ -390,6 +384,8 @@ def run_lines_stream(
                         order_col="ingest_ts",
                         before_day=close_before,
                     )
+            finally:
+                batch_df.unpersist()
             return
         use_partitioned = partitioned
         if use_partitioned is None:

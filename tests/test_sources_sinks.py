@@ -933,6 +933,105 @@ def test_key_ranges_sidecar_matches_footer_selection(spark, tmp_path, monkeypatc
     }, "compaction must record every surviving file"
 
 
+def test_sidecar_hardening_edges(spark, tmp_path):
+    """Post-review r9 edges: (a) sidecar bounds that stopped being
+    comparable with the batch keys demote the file to a conservative
+    replace, never a crash loop; (b) prune-key types that cannot survive
+    JSON are recorded as [None, None] — counted as recorded by the
+    day-close detector (no perpetual re-compaction) but footer-read at
+    selection time; (c) compact_closed_days skips the NULL_DAY sentinel
+    and bounds one call's backlog to a merge chunk."""
+    import datetime as dt
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mysense_spark.sinks import upsert as U
+
+    # (a) incomparable recorded bounds -> conservative replace, no raise
+    day_dir = str(tmp_path / "arch" / "day=2024-01-01")
+    os.makedirs(day_dir)
+    pq.write_table(
+        pa.table({"kit_id": ["kita", "kitb"], "value": [1.0, 2.0]}),
+        os.path.join(day_dir, "part-0.parquet"),
+    )
+    U._record_ranges(day_dir, "kit_id")
+    with open(U._ranges_path(day_dir)) as fh:
+        doc = json.load(fh)
+    name = next(iter(doc["files"]))
+    doc["files"][name][0] = 5  # int bounds vs string batch keys
+    doc["files"][name][1] = 9
+    with open(U._ranges_path(day_dir), "w") as fh:
+        json.dump(doc, fh)
+    rep, keep = U._select_files(day_dir, ["kitz"], "kit_id")
+    assert rep == [os.path.join(day_dir, name)] and keep == []
+
+    # (b) date-typed prune key: stats exist but are not JSON-able
+    day2 = str(tmp_path / "arch2" / "day=2024-01-01")
+    os.makedirs(day2)
+    pq.write_table(
+        pa.table({"when": [dt.date(2024, 1, 1), dt.date(2024, 1, 2)], "v": [1.0, 2.0]}),
+        os.path.join(day2, "part-0.parquet"),
+    )
+    U._record_ranges(day2, "when")
+    with open(U._ranges_path(day2)) as fh:
+        doc2 = json.load(fh)
+    (ent,) = doc2["files"].values()
+    assert ent[0] is None and ent[1] is None, "unrecordable range must record as nulls"
+    # recorded ⇒ the day-close detector sees nothing to compact
+    assert all(
+        f in doc2["files"] for f in os.listdir(day2) if f.endswith(".parquet")
+    )
+    # selection still prunes through the footer: a miss keeps the file
+    rep2, keep2 = U._select_files(day2, [dt.date(2025, 6, 6)], "when")
+    assert rep2 == [] and len(keep2) == 1
+    rep3, _ = U._select_files(day2, [dt.date(2024, 1, 1)], "when")
+    assert len(rep3) == 1
+
+    # (c) NULL_DAY is never "closed"; backlog bounded per call
+    arch3 = str(tmp_path / "arch3")
+    os.makedirs(os.path.join(arch3, f"day={U.NULL_DAY}"))
+    pq.write_table(
+        pa.table({"kit_id": ["kitx"], "value": [0.0], "ts": [dt.datetime(2023, 1, 1)]}),
+        os.path.join(arch3, f"day={U.NULL_DAY}", "part-0.parquet"),
+    )
+    n_days = U._BACKFILL_CHUNK_DAYS + 5
+    for i in range(n_days):
+        d = (dt.date(2023, 1, 1) + dt.timedelta(days=i)).isoformat()
+        os.makedirs(os.path.join(arch3, f"day={d}"))
+        pq.write_table(
+            pa.table(
+                {
+                    "kit_id": [f"kit{i}"],
+                    "value": [float(i)],
+                    "ts": [dt.datetime(2023, 1, 1) + dt.timedelta(days=i)],
+                }
+            ),
+            os.path.join(arch3, f"day={d}", "part-0.parquet"),
+        )
+    done = U.compact_closed_days(
+        spark, arch3, keys=["kit_id", "ts"], order_col="ts", before_day="2030-01-01"
+    )
+    assert len(done) == U._BACKFILL_CHUNK_DAYS, "backlog must drain chunk-bounded"
+    assert done == sorted(done) and U.NULL_DAY not in done
+    done2 = U.compact_closed_days(
+        spark, arch3, keys=["kit_id", "ts"], order_col="ts", before_day="2030-01-01"
+    )
+    assert len(done2) == 5 and U.NULL_DAY not in done2
+    assert U.compact_closed_days(
+        spark, arch3, keys=["kit_id", "ts"], order_col="ts", before_day="2030-01-01"
+    ) == [], "steady state: everything recorded, nothing to compact"
+
+    import pytest
+
+    with pytest.raises(ValueError, match="non-time key"):
+        U.compact_closed_days(
+            spark, arch3, keys=["ts"], order_col="ts", before_day="2030-01-01"
+        )
+
+
 def test_backfill_chunking_with_crash_between_chunks(spark, tmp_path, monkeypatch):
     """r8 deep-backfill bound: a 90-day batch stages ≤30 days per
     commit (>1 chunk), and a crash BETWEEN chunks recovers via replay —

@@ -901,7 +901,9 @@ def test_stream_append_mode_auto_compacts_closed_days(spark, tmp_path):
     # batch 1: day 2020-11-07 only — the day is OPEN (frontier minus
     # watermark still inside it), so nothing may compact
     _write_dump(in_dir, "batch1.mqtt", lines_2020)
-    q = run_file_stream(spark, str(in_dir), ckpt, app_dir, archive_mode="append")
+    q = run_file_stream(
+        spark, str(in_dir), ckpt, app_dir, archive_mode="append", auto_compact=True
+    )
     q.awaitTermination(120)
     day_dir = os.path.join(app_dir, "day=2020-11-07")
     assert os.path.isdir(day_dir)
@@ -921,7 +923,9 @@ def test_stream_append_mode_auto_compacts_closed_days(spark, tmp_path):
     # batch 2: a 2021 line advances the frontier -> 2020-11-07 is closed
     # and the batch-end auto-compaction rewrites exactly that day
     _write_dump(in_dir, "batch2.mqtt", lines_2021)
-    q = run_file_stream(spark, str(in_dir), ckpt, app_dir, archive_mode="append")
+    q = run_file_stream(
+        spark, str(in_dir), ckpt, app_dir, archive_mode="append", auto_compact=True
+    )
     q.awaitTermination(120)
 
     assert os.path.exists(U._ranges_path(day_dir)), "closed day not compacted"
