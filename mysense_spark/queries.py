@@ -32,83 +32,78 @@ def _modules():
 
 # Queries hoisted to the very front of the registry: the driver's
 # correctness gate checks exactly the FIRST 50 entries, so this list is
-# kept to exactly 50. Round-8 layout:
-# (a) 10 rows new or changed this round — semdedup_trained +
-# ann_ivf_trained (NEW: the trained two-level codebook — md5-sampled
-# fine seeds, Lloyd-refined coarse+fine levels, coarse-cell-PRUNED
-# assignment join — graded with full DuckDB mirrors of the training and
-# both pruned passes); semdedup / semdedup_auto / ann_ivf / ann_recall
-# (the engine default is now the trained codebook, fixture codebooks
-# passed explicitly — outputs unchanged, freshness re-proved);
-# bm25_search + winnow_fingerprints (engines refactored onto injectable
-# corpora for the new formula pins); kit_throttle + alarm_suppression
-# (partition scans rewritten group-contiguous over sorted Arrow batches
-# — task memory now one batch, not the partition);
-# (b) the 18 rows whose last driver evidence is round 5, rolled here
-# exactly as planned in the r7 comment;
-# (c) 22 of the 48 rows whose last evidence is round 6, registry order.
-# The remaining 26 r6-evidence rows (duplicate_spans, tokenizer_fertility,
-# pii_scrub, lang_id, quality_score, doc_fingerprint, temperature_mix,
-# pm_mass_fill, ols_summary, joost_correction, unpivot_long,
-# failing_sensor_report, distinct_active_kits, wide_view, timeslice_avg,
-# latest_per_user, static_runs, gap_detection, interval_inference,
-# dead_kits, hourly_gapfill, moving_average, static_value_monitor,
-# dead_kit_tiers, crawl_rate_anomalies, ...) roll to round 9, oldest
-# first, after any r9-changed rows.
+# kept to exactly 50. Round-9 layout:
+# (a) 3 rows whose code changed this round — semdedup_trained +
+# ann_ivf_trained (the trained codebook rebuilt ORDER-FREE: md5-stride
+# level selection instead of the rank window, always-on self-routing
+# third level, fused map-side routed argmin; DuckDB mirrors now cover
+# the routing too), and dedup_upsert (file selection now reads the
+# promote-time _key_ranges.json sidecar with footer fallback);
+# (b) the 25 rows whose last driver evidence is round 6 — rolled here
+# exactly as planned in the r8 comment (which miscounted them as 26);
+# (c) 22 of the 43 rows whose last evidence is round 7, alphabetical.
+# The remaining 20 r7-evidence rows (minmax_normalize, modality_mix,
+# mode_per_user, multilinear_regression, ngram_jaccard_pairs,
+# perplexity_bucket, range_validate, region_revenue, repetition_stats,
+# sequence_packing, sigma_band, source_overlap, stratified_sample,
+# tfidf_top_terms, token_count, tristate_validity, url_filter,
+# vocab_stats, weighted_sample, zscore_outliers) roll to round 10,
+# after any r10-changed rows. After this window no registry row's
+# driver evidence is older than round 7.
 _PRIORITY = (
-    # (a) new / changed in round 8
+    # (a) code changed in round 9
     "semdedup_trained",
     "ann_ivf_trained",
-    "kit_throttle",
-    "alarm_suppression",
-    "bm25_search",
-    "winnow_fingerprints",
-    "semdedup",
-    "semdedup_auto",
-    "ann_ivf",
-    "ann_recall",
-    # (b) last driver evidence: round 5 (the planned 18)
-    "dew_point",
-    "unit_conversion",
-    "taylor_calibration",
-    "pricing_summary",
-    "region_rollup",
-    "revenue_quartiles",
-    "sql_interface",
-    "top_revenue_orders",
-    "part_supplier_stats",
-    "customers_without_orders",
-    "order_priority_counts",
-    "hourly_stats",
-    "event_sessions",
-    "maintenance_window_join",
-    "props_json_stats",
-    "chatty_kits",
-    "percentile_summary",
-    "sensor_set_diff",
-    # (c) last driver evidence: round 6 (first 22 in registry order)
-    "ttn_decode",
-    "station_calibration",
-    "sensorthings_pull",
-    "csv_ingest",
-    "neighbour_search",
-    "geofence_transitions",
-    "spatial_pairs",
-    "dedup_exact",
-    "incremental_dedup",
-    "minhash_lsh_pairs",
-    "simhash_pairs",
-    "embedding_neardup",
-    "neardup_clusters",
-    "dedup_keep_best",
-    "hybrid_search_rrf",
-    "quality_centroid_score",
-    "knn_bruteforce",
-    "embedding_dim_stats",
-    "cluster_stats",
-    "kmeans_train",
-    "gopher_filter",
-    "text_stats",
+    "dedup_upsert",
+    # (b) last driver evidence: round 6 (the planned 25)
+    "duplicate_spans",
+    "tokenizer_fertility",
+    "pii_scrub",
+    "lang_id",
+    "quality_score",
+    "doc_fingerprint",
+    "temperature_mix",
+    "pm_mass_fill",
+    "ols_summary",
+    "joost_correction",
+    "unpivot_long",
+    "failing_sensor_report",
+    "distinct_active_kits",
+    "wide_view",
+    "timeslice_avg",
+    "latest_per_user",
+    "static_runs",
+    "gap_detection",
+    "interval_inference",
+    "dead_kits",
+    "hourly_gapfill",
+    "moving_average",
+    "static_value_monitor",
+    "dead_kit_tiers",
+    "crawl_rate_anomalies",
+    # (c) last driver evidence: round 7 (first 22, alphabetical)
+    "approx_distinct_users",
+    "aqhi_index",
+    "aqi_index",
+    "asof_align",
+    "blob_metadata",
+    "caqi_index",
+    "cascade_rollup",
+    "chunk_overlap",
+    "corpus_build",
+    "coverage",
+    "cross_split_leakage",
+    "daily_qc_report",
+    "decontam_report",
+    "dup_ngram_frac",
+    "embedding_outliers",
+    "fit_apply",
+    "frame_sample",
+    "grubbs_outliers",
+    "hash_sample",
+    "linear_regression",
+    "lki_index",
+    "media_embed",
 )
 
 
