@@ -1185,3 +1185,281 @@ def test_corrupt_media_headers_reject_cleanly_and_fall_back():
     # header-only parse still validates raster length
     with pytest.raises(ValueError, match="truncated"):
         decode_netpbm(b"P6\n4 4\n255\n" + b"\x00" * 10, pixels=False)
+
+
+def test_png_codec_roundtrip_and_filters():
+    """r9 stdlib PNG codec: write_png -> decode_png round-trips exact
+    pixels for gray/RGB/RGBA; every scanline filter (Sub/Up/Average/
+    Paeth) reconstructs a hand-built IDAT exactly; palette PNGs expand
+    through PLTE; the header tier needs no inflate."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from mysense_spark.operators.codecs import _PNG_SIG, decode_png, write_png
+
+    rng = np.random.default_rng(9)
+    for shape in ((5, 7), (4, 6, 3), (3, 5, 4)):
+        arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        meta, back = decode_png(write_png(arr))
+        assert np.array_equal(back, arr if len(shape) > 2 else arr)
+        assert (meta["width"], meta["height"]) == (shape[1], shape[0])
+        assert meta["mean"] == float(arr.mean())
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    # hand-built grayscale 2x4 exercising every filter type, expected
+    # reconstruction computed by the spec's formulas by hand:
+    # row0 filter 1 (Sub):  raw 10,20,30,40 -> 10,30,60,100
+    # row1 filter 2 (Up):   raw 1,2,3,4     -> 11,32,63,104
+    # row2 filter 3 (Avg):  raw 5,5,5,5     -> 10+... a=left,b=up:
+    #   x0: 5+(0+11)//2=10; x1: 5+(10+32)//2=26; x2: 5+(26+63)//2=49;
+    #   x3: 5+(49+104)//2=81
+    # row3 filter 4 (Paeth): raw 1,1,1,1 -> a/b/c per spec:
+    #   x0: p(a=0,b=10,c=0)=10 -> 11; x1: p(11,26,10)=26+? p=11+26-10=27,
+    #   pa=16,pb=1,pc=17 -> b=26 -> 27; x2: p(27,49,26)=50, pa=23,pb=1,
+    #   pc=24 -> 49 -> 50; x3: p(50,81,49)=82, pa=32,pb=1,pc=33 -> 81 -> 82
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    raw = (
+        b"\x01" + bytes([10, 20, 30, 40])
+        + b"\x02" + bytes([1, 2, 3, 4])
+        + b"\x03" + bytes([5, 5, 5, 5])
+        + b"\x04" + bytes([1, 1, 1, 1])
+    )
+    png = (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    _, arr = decode_png(png)
+    want = np.array(
+        [
+            [10, 30, 60, 100],
+            [11, 32, 63, 104],
+            [10, 26, 49, 81],
+            [11, 27, 50, 82],
+        ],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(arr, want), arr
+
+    # palette: 2x2 of indices 0..2 expands through PLTE to RGB
+    ihdr_p = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    raw_p = b"\x00" + bytes([0, 1]) + b"\x00" + bytes([2, 0])
+    png_p = (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr_p)
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(raw_p))
+        + chunk(b"IEND", b"")
+    )
+    meta_p, arr_p = decode_png(png_p)
+    assert meta_p["channels"] == 3
+    assert arr_p.tolist() == [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 0, 0]]]
+
+    # header tier: geometry without inflating — even for gated depths
+    ihdr16 = struct.pack(">IIBBBBB", 9, 7, 16, 2, 0, 0, 0)
+    png16 = _PNG_SIG + chunk(b"IHDR", ihdr16) + chunk(b"IEND", b"")
+    meta16, none = decode_png(png16, pixels=False)
+    assert none is None and (meta16["width"], meta16["height"]) == (9, 7)
+
+
+def test_png_codec_corrupt_battery():
+    """Corrupt PNGs reject with ValueError (bit-flipped CRC, truncated
+    chunk, bogus raster length, palette index out of range, missing
+    IDAT); the genuinely-gated tiers (16-bit pixels, Adam7) raise
+    NotImplementedError; decode_media falls back on all of them."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from mysense_spark.operators.codecs import _PNG_SIG, decode_png, write_png
+    from mysense_spark.operators.multimodal import decode_media
+
+    good = write_png(np.zeros((3, 3), dtype=np.uint8))
+
+    flipped = bytearray(good)
+    flipped[len(_PNG_SIG) + 8 + 5] ^= 0x01  # a byte inside IHDR's body
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(flipped))
+
+    with pytest.raises(ValueError, match="truncated|IEND"):
+        decode_png(good[:-8])
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    # raster length mismatch: 4x4 geometry, one scanline of data
+    bad_raster = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" + bytes(4)))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="raster length"):
+        decode_png(bad_raster)
+
+    # palette index beyond PLTE
+    oob = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", bytes([1, 2, 3]))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x05"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(oob)
+
+    no_idat = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="IDAT"):
+        decode_png(no_idat)
+
+    deep = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(10)))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        decode_png(deep)
+    interlaced = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(bytes(10)))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="Adam7"):
+        decode_png(interlaced)
+
+    # header-tier corruption (bad IHDR CRC) falls back in decode_media;
+    # raster-tier corruption is INVISIBLE to the header tier by design
+    # (validating it would mean inflating every blob in a properties
+    # scan) — decode_media reports the header geometry, and the full
+    # decode above is what rejects the raster
+    meta = decode_media(bytes(flipped))
+    assert meta["n_frames"] == len(flipped) % 5 + 1, "bad-CRC PNG must fall back"
+    for blob in (bad_raster, oob, no_idat):
+        meta = decode_media(blob)
+        assert (meta["n_frames"], meta["width"], meta["height"]) == (1, 4, 4) or (
+            meta["width"] in (1, 2)
+        ), "header tier should report IHDR geometry"
+
+
+def test_jpeg_and_mp4_header_parsers():
+    """r9 structural parsers: JPEG SOF walk (geometry, components,
+    progressive flag, APPn/COM skipping, fill bytes) and the ISO-BMFF
+    moov tree (mvhd duration v0+v1, tkhd 16.16 geometry, hdlr track
+    classification) — hand-built payloads, hand-computed expectations;
+    decode_media integrates both and the pixel/sample tiers stay
+    gated."""
+    import struct
+
+    import pytest
+
+    from mysense_spark.operators.codecs import (
+        decode_jpeg,
+        decode_mp4,
+        parse_jpeg_header,
+        parse_mp4_header,
+    )
+    from mysense_spark.operators.multimodal import decode_media, media_properties
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    sof0 = seg(0xC0, struct.pack(">BHHB", 8, 480, 640, 3) + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01")
+    jpeg = b"\xff\xd8" + app0 + b"\xff" + seg(0xDB, bytes(65)) + sof0 + seg(0xDA, b"\x01\x01\x00")
+    m = parse_jpeg_header(jpeg)
+    assert m == {"width": 640, "height": 480, "channels": 3, "bit_depth": 8, "progressive": False}
+    prog = b"\xff\xd8" + seg(0xC2, struct.pack(">BHHB", 8, 10, 20, 1) + b"\x01\x11\x00")
+    assert parse_jpeg_header(prog)["progressive"] is True
+    with pytest.raises(ValueError, match="no SOF"):
+        parse_jpeg_header(b"\xff\xd8" + app0 + b"\xff\xd9")
+    with pytest.raises(NotImplementedError, match="entropy"):
+        decode_jpeg(jpeg)
+    meta = decode_media(jpeg)
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (640, 480, 1)
+
+    def box(btype, body):
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    # mvhd v0: timescale 1000, duration 90500 -> 90.5 s
+    mvhd = box(b"mvhd", b"\x00" + b"\x00" * 3 + b"\x00" * 8 + struct.pack(">II", 1000, 90500) + bytes(80))
+    # tkhd v0: width 1920.0, height 1080.0 in 16.16 fixed at offset 76
+    tkhd = box(b"tkhd", b"\x00" + b"\x00" * 3 + bytes(72) + struct.pack(">II", 1920 << 16, 1080 << 16))
+    hdlr_v = box(b"hdlr", bytes(8) + b"vide" + bytes(12))
+    hdlr_a = box(b"hdlr", bytes(8) + b"soun" + bytes(12))
+    trak_v = box(b"trak", tkhd + box(b"mdia", hdlr_v))
+    trak_a = box(b"trak", box(b"tkhd", b"\x00" + bytes(83)) + box(b"mdia", hdlr_a))
+    mp4 = box(b"ftyp", b"isom\x00\x00\x02\x00isom") + box(b"moov", mvhd + trak_v + trak_a)
+    m = parse_mp4_header(mp4)
+    assert m == {
+        "duration_s": 90.5, "n_tracks": 2, "video_tracks": 1,
+        "audio_tracks": 1, "width": 1920, "height": 1080,
+    }
+    # mvhd v1 (64-bit duration)
+    mvhd1 = box(b"mvhd", b"\x01" + b"\x00" * 3 + b"\x00" * 16 + struct.pack(">IQ", 600, 1200) + bytes(80))
+    m1 = parse_mp4_header(box(b"ftyp", b"isom") + box(b"moov", mvhd1))
+    assert m1["duration_s"] == 2.0 and m1["n_tracks"] == 0
+    with pytest.raises(ValueError, match="moov"):
+        parse_mp4_header(box(b"ftyp", b"isom") + box(b"mdat", bytes(4)))
+    with pytest.raises(NotImplementedError, match="sample"):
+        decode_mp4(mp4)
+    meta = decode_media(mp4)
+    assert meta["n_frames"] == 90 and meta["width"] == 1920
+
+    # text with 'ftyp' at offset 4 sniffs mp4 but falls back cleanly
+    fake = b"abcdftyp just text, not a movie"
+    meta = decode_media(fake)
+    assert meta["n_frames"] == len(fake) % 5 + 1
+
+
+def test_media_properties_covers_all_real_formats(spark):
+    """The Arrow properties stage over every REAL format at once: WAV ->
+    audio, PPM/BMP/PNG/JPEG -> image with true geometry, MP4 -> video
+    with true duration; text stays NULL-modality fallback."""
+    import struct
+
+    import numpy as np
+
+    from mysense_spark.operators.codecs import write_png
+    from mysense_spark.operators.multimodal import media_properties
+
+    png = write_png(np.zeros((30, 40, 3), dtype=np.uint8))
+    sof_body = struct.pack(">BHHB", 8, 12, 34, 3) + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    jpeg = (
+        b"\xff\xd8"
+        + bytes([0xFF, 0xC0]) + struct.pack(">H", len(sof_body) + 2) + sof_body
+    )
+
+    def box(btype, body):
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    mvhd = box(b"mvhd", b"\x00" * 12 + struct.pack(">II", 10, 35) + bytes(80))
+    mp4 = box(b"ftyp", b"isom") + box(b"moov", mvhd)
+    blobs = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(jpeg)), (3, bytearray(mp4)), (4, bytearray(b"plain text"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r.asDict() for r in media_properties(blobs).collect()}
+    assert rows[1]["modality"] == "image" and (rows[1]["width"], rows[1]["height"]) == (40, 30)
+    assert rows[2]["modality"] == "image" and (rows[2]["width"], rows[2]["height"]) == (34, 12)
+    assert rows[3]["modality"] == "video" and abs(rows[3]["duration_s"] - 3.5) < 1e-9
+    assert rows[4]["modality"] is None
