@@ -78,7 +78,10 @@ def decode_png(payload: bytes, pixels: bool = True):
     width, height, depth, color, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr
     )
-    if width < 1 or height < 1:
+    if width < 1 or height < 1 or width > 2**31 - 1 or height > 2**31 - 1:
+        # the PNG spec itself caps dimensions at 2^31-1; a "larger"
+        # header is corrupt, and letting it through would also overflow
+        # the int32 Arrow properties schema downstream
         raise ValueError(f"invalid PNG dimensions {width}x{height}")
     if comp != 0 or filt != 0 or color not in _PNG_CHANNELS:
         raise ValueError(f"corrupt PNG header (compression={comp} filter={filt} color={color})")
@@ -106,13 +109,18 @@ def decode_png(payload: bytes, pixels: bool = True):
             idat.append(body)
     if not idat:
         raise ValueError("PNG has no IDAT data")
-    try:
-        raw = zlib.decompress(b"".join(idat))
-    except zlib.error as exc:
-        raise ValueError(f"PNG IDAT inflate failed: {exc}") from None
     ch = _PNG_CHANNELS[color]
     stride = width * ch
-    if len(raw) != height * (1 + stride):
+    expected = height * (1 + stride)
+    try:
+        # bounded inflate: the geometry already says exactly how many
+        # bytes the raster must be, so cap the decompression there — a
+        # zip-bomb IDAT is rejected after expected+1 bytes instead of
+        # ballooning to its full inflated size first
+        raw = zlib.decompressobj().decompress(b"".join(idat), expected + 1)
+    except zlib.error as exc:
+        raise ValueError(f"PNG IDAT inflate failed: {exc}") from None
+    if len(raw) != expected:
         raise ValueError("PNG raster length does not match geometry")
     raw = np.frombuffer(raw, dtype=np.uint8).reshape(height, 1 + stride)
     filters, lines = raw[:, 0], raw[:, 1:].astype(np.int64)
@@ -122,18 +130,23 @@ def decode_png(payload: bytes, pixels: bool = True):
         f, line = int(filters[y]), lines[y]
         if f == 0:
             rec = line
+        elif f == 1:
+            # Sub telescopes: recon[x] = Σ raw over the channel lane,
+            # mod 256 — a per-lane cumsum, vectorized like Up
+            rec = np.mod(
+                line.reshape(width, ch).cumsum(axis=0, dtype=np.int64), 256
+            ).reshape(stride)
         elif f == 2:  # Up — vectorized (the common photographic filter)
             rec = (line + prev) & 0xFF
-        elif f in (1, 3, 4):
-            # Sub/Average/Paeth recur along x — per-byte loop, exact
+        elif f in (3, 4):
+            # Average/Paeth mix the up row into the left recursion —
+            # genuinely sequential along x, per-byte loop, exact
             rec = np.zeros(stride, dtype=np.int64)
             for x in range(stride):
                 left = rec[x - ch] if x >= ch else 0
                 up = prev[x]
                 ul = prev[x - ch] if x >= ch else 0
-                if f == 1:
-                    rec[x] = (line[x] + left) & 0xFF
-                elif f == 3:
+                if f == 3:
                     rec[x] = (line[x] + (left + up) // 2) & 0xFF
                 else:
                     rec[x] = (line[x] + _paeth(int(left), int(up), int(ul))) & 0xFF
@@ -287,7 +300,13 @@ def parse_mp4_header(payload: bytes) -> dict:
         for t2, s2, e2 in _mp4_boxes(b, s, e):
             if t2 == b"mvhd" and e2 - s2 >= 20:
                 version = b[s2]
-                if version == 1 and e2 - s2 >= 28:
+                if version == 1:
+                    # v1 widens creation/modification/duration to 64 bits:
+                    # timescale at +20, duration (8 bytes) at +24 — the
+                    # box must hold all 32 bytes or it is corrupt, not
+                    # "close enough to read as v0"
+                    if e2 - s2 < 32:
+                        raise ValueError("truncated MP4 mvhd v1 box")
                     (timescale,) = struct.unpack_from(">I", b, s2 + 20)
                     (dur,) = struct.unpack_from(">Q", b, s2 + 24)
                 else:

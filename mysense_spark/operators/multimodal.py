@@ -212,7 +212,9 @@ def _sniff_format(b: bytes) -> str | None:
     | None."""
     if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return "wav"
-    if b[:8] == b"\x89PNG\r\n\x1a\n":
+    from .codecs import _PNG_SIG
+
+    if b[: len(_PNG_SIG)] == _PNG_SIG:
         return "png"
     if b[:3] == b"\xff\xd8\xff":
         return "jpeg"
@@ -273,7 +275,11 @@ def decode_media(payload: bytes) -> dict:
             from .codecs import parse_mp4_header
 
             m = parse_mp4_header(b)
-            return {"n_frames": max(1, int(m["duration_s"])), **m}
+            # cap the frame count: q_frame_sample emits n_frames rows per
+            # blob, and a forged mvhd can claim a 64-bit duration — one
+            # sample per second up to a day bounds the explode without
+            # losing real-corpus fidelity (also keeps int32 Arrow happy)
+            return {"n_frames": max(1, min(int(m["duration_s"]), 86_400)), **m}
         if kind is not None:
             # header-only image parse: properties need geometry, not an
             # O(raster) pixel materialization per blob
@@ -326,12 +332,21 @@ def media_properties(blobs: DataFrame) -> DataFrame:
                 # modality from the decode that actually SUCCEEDED, not
                 # the sniff alone — a text blob starting with a short
                 # magic sniffs as media but falls back to the fake
-                modality = (
-                    "audio" if "sample_rate" in meta
-                    else "video" if "n_tracks" in meta
-                    else "image" if "channels" in meta
-                    else None
-                )
+                if "sample_rate" in meta:
+                    modality = "audio"
+                elif "n_tracks" in meta:
+                    # an ISO-BMFF container is whatever its tracks say:
+                    # an .m4a (soun track, no vide) is audio — the
+                    # track-less or video-bearing cases report video
+                    modality = (
+                        "audio"
+                        if meta["audio_tracks"] and not meta["video_tracks"]
+                        else "video"
+                    )
+                elif "channels" in meta:
+                    modality = "image"
+                else:
+                    modality = None
                 rows.append(
                     (
                         int(doc_id),

@@ -1203,7 +1203,7 @@ def test_png_codec_roundtrip_and_filters():
     for shape in ((5, 7), (4, 6, 3), (3, 5, 4)):
         arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
         meta, back = decode_png(write_png(arr))
-        assert np.array_equal(back, arr if len(shape) > 2 else arr)
+        assert np.array_equal(back, arr)
         assert (meta["width"], meta["height"]) == (shape[1], shape[0])
         assert meta["mean"] == float(arr.mean())
 
@@ -1454,8 +1454,17 @@ def test_media_properties_covers_all_real_formats(spark):
 
     mvhd = box(b"mvhd", b"\x00" * 12 + struct.pack(">II", 10, 35) + bytes(80))
     mp4 = box(b"ftyp", b"isom") + box(b"moov", mvhd)
+    hdlr_a = box(b"hdlr", bytes(8) + b"soun" + bytes(12))
+    trak_a = box(b"trak", box(b"tkhd", b"\x00" + bytes(83)) + box(b"mdia", hdlr_a))
+    m4a = box(b"ftyp", b"M4A ") + box(b"moov", mvhd + trak_a)
     blobs = spark.createDataFrame(
-        [(1, bytearray(png)), (2, bytearray(jpeg)), (3, bytearray(mp4)), (4, bytearray(b"plain text"))],
+        [
+            (1, bytearray(png)),
+            (2, bytearray(jpeg)),
+            (3, bytearray(mp4)),
+            (4, bytearray(b"plain text")),
+            (5, bytearray(m4a)),
+        ],
         "doc_id long, payload binary",
     )
     rows = {r["doc_id"]: r.asDict() for r in media_properties(blobs).collect()}
@@ -1463,3 +1472,68 @@ def test_media_properties_covers_all_real_formats(spark):
     assert rows[2]["modality"] == "image" and (rows[2]["width"], rows[2]["height"]) == (34, 12)
     assert rows[3]["modality"] == "video" and abs(rows[3]["duration_s"] - 3.5) < 1e-9
     assert rows[4]["modality"] is None
+    # an audio-only container is audio, even though it sniffs as mp4
+    assert rows[5]["modality"] == "audio"
+
+
+def test_codec_adversarial_blobs_bounded_and_classified():
+    """Post-review r9 edges: a forged 64-bit mvhd duration cannot demand
+    2^60 frame rows (decode_media caps n_frames), a truncated mvhd v1
+    box is ValueError (not a struct.error escaping the batch or a
+    silent v0 misread), audio-only ISO-BMFF classifies as audio, an
+    over-spec PNG header rejects, and a zip-bomb IDAT is rejected by the
+    bounded inflate."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from mysense_spark.operators.codecs import _PNG_SIG, decode_png, parse_mp4_header
+    from mysense_spark.operators.multimodal import decode_media
+
+    def box(btype, body):
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    # forged duration: timescale 1, duration 2^31-1 seconds (~68 years)
+    # — v0 layout: ver/flags(4) + times(8) + timescale(4) + duration(4)
+    mvhd = box(b"mvhd", b"\x00" * 12 + struct.pack(">II", 1, 2**31 - 1) + bytes(80))
+    forged = box(b"ftyp", b"isom") + box(b"moov", mvhd)
+    meta = decode_media(forged)
+    assert meta["n_frames"] == 86_400, "frame count must be capped"
+
+    # truncated mvhd v1 (28-byte body: too short for the 64-bit duration)
+    bad_v1 = box(b"ftyp", b"isom") + box(
+        b"moov", box(b"mvhd", b"\x01" + b"\x00" * 27)
+    )
+    with pytest.raises(ValueError, match="mvhd v1"):
+        parse_mp4_header(bad_v1)
+    assert decode_media(bad_v1)["n_frames"] == len(bad_v1) % 5 + 1  # falls back
+
+    # audio-only container (one soun track, no vide) -> audio
+    hdlr_a = box(b"hdlr", bytes(8) + b"soun" + bytes(12))
+    trak_a = box(b"trak", box(b"tkhd", b"\x00" + bytes(83)) + box(b"mdia", hdlr_a))
+    m4a = box(b"ftyp", b"M4A ") + box(b"moov", mvhd + trak_a)
+    m = parse_mp4_header(m4a)
+    assert m["audio_tracks"] == 1 and m["video_tracks"] == 0
+
+    # over-spec PNG header (width 3e9 > 2^31-1) rejects at the header tier
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    huge = _PNG_SIG + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 3_000_000_000, 2, 8, 0, 0, 0, 0)
+    ) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="dimensions"):
+        decode_png(huge, pixels=False)
+    assert decode_media(huge)["n_frames"] == len(huge) % 5 + 1
+
+    # zip bomb: IDAT inflates far past the declared 2x2 geometry — the
+    # bounded inflate must reject it having produced at most expected+1
+    bomb = _PNG_SIG + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    ) + chunk(b"IDAT", zlib.compress(bytes(50_000_000))) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="raster length"):
+        decode_png(bomb)
