@@ -50,3 +50,46 @@ def export_xlsx(summary_rows: list[dict], path: str) -> bool:
 
     write_xlsx(summary_rows, path)
     return True
+
+
+# a report is kits × fields rows; anything bigger is data masquerading
+# as a report and must not be collected into one workbook
+_MAX_REPORT_ROWS = 100_000
+
+
+def export_region_xlsx(
+    summary: DataFrame, path: str, region_col: str = "region"
+) -> list[str]:
+    """K7's actual artifact shape: ONE WORKSHEET PER REGION
+    (SamenMetenTools/Things2XLSX.py writes a sheet per municipality),
+    written through the stdlib multi-sheet codec
+    (sources/xlsx.py:write_xlsx_sheets). Sheets are ordered by region
+    name; each sheet's rows are ordered by the remaining columns so the
+    artifact is byte-deterministic. Returns the sheet names.
+
+    The collect here is a bounded REPORT materialization, not the sink
+    hot path: a summary is kits × fields rows, and the _MAX_REPORT_ROWS
+    fence (limit() BEFORE the collect) fails loudly if someone points
+    this at a fact table."""
+    cols = [c for c in summary.columns if c != region_col]
+    rows = (
+        summary.orderBy(region_col, *cols)
+        .limit(_MAX_REPORT_ROWS + 1)
+        .collect()
+    )
+    if len(rows) > _MAX_REPORT_ROWS:
+        raise ValueError(
+            f"export_region_xlsx: summary exceeds {_MAX_REPORT_ROWS} rows — "
+            f"this is a report writer, not a data sink; aggregate first"
+        )
+    sheets: dict[str, list[dict]] = {}
+    for r in rows:
+        d = r.asDict()
+        region = str(d.pop(region_col))
+        sheets.setdefault(region, []).append(d)
+    if not sheets:
+        raise ValueError("export_region_xlsx: empty summary — nothing to write")
+    from ..sources.xlsx import write_xlsx_sheets
+
+    write_xlsx_sheets(sheets, path)
+    return list(sheets)

@@ -1814,3 +1814,42 @@ def test_xlsx_multi_sheet_and_schema_coercion(spark, tmp_path):
     assert rows[9007199254740993]["temp"] == 21.5  # 2^53+1 survives as long
     assert rows[2]["temp"] == 22.0 and rows[2]["rh"] == "NA"
     assert df.where("spare IS NULL").count() == 2
+
+
+def test_region_xlsx_report_round_trip(spark, tmp_path):
+    """K7's real artifact shape: one worksheet per region via the
+    stdlib multi-sheet writer, round-tripped through the stdlib reader
+    — sheet names from the region column, rows deterministic, the
+    report fence rejecting fact-table-sized input loudly."""
+    import pytest
+
+    from mysense_spark.sinks import export as E
+    from mysense_spark.sources.xlsx import list_sheets, read_xlsx
+
+    summary = spark.createDataFrame(
+        [
+            ("Venray", "kit1", "pm25", 12.5),
+            ("Venray", "kit2", "pm25", 9.0),
+            ("Venlo", "kit3", "rv", 55.0),
+        ],
+        "region string, kit_id string, field string, avg_value double",
+    )
+    p = str(tmp_path / "regions.xlsx")
+    names = E.export_region_xlsx(summary, p)
+    assert names == ["Venlo", "Venray"]
+    assert list_sheets(p) == names
+    venray = read_xlsx(p, sheet="Venray")
+    assert [r["kit_id"] for r in venray] == ["kit1", "kit2"]
+    assert venray[0]["avg_value"] == 12.5
+    assert read_xlsx(p, sheet="Venlo") == [
+        {"kit_id": "kit3", "field": "rv", "avg_value": 55.0}
+    ]
+
+    # the fence: report-sized or bust
+    import pyspark.sql.functions as F
+
+    big = spark.range(E._MAX_REPORT_ROWS + 1).select(
+        F.lit("r").alias("region"), F.col("id").alias("kit_id")
+    )
+    with pytest.raises(ValueError, match="report writer"):
+        E.export_region_xlsx(big, str(tmp_path / "big.xlsx"))
