@@ -40,8 +40,12 @@ def _xlsx_schema(rows: list[dict], cols: list[str]):
     22 (Excel stores 22.0 as '22', which the codec reads back as int).
     Per column: any float present -> double (ints widened below); pure
     int stays long so 2^53+1 ids survive; any str present -> string
-    (sheets spell missing numbers 'NA'); all-None -> string (no
-    evidence; string is the safe carrier)."""
+    (sheets spell missing numbers 'NA'); pure datetime (the r9
+    dates-as-styles tier) -> timestamp, datetime mixed with anything ->
+    string (ISO render); all-None -> string (no evidence; string is the
+    safe carrier)."""
+    import datetime as dt
+
     from pyspark.sql import types as T
 
     fields = []
@@ -53,6 +57,10 @@ def _xlsx_schema(rows: list[dict], cols: list[str]):
             t = T.StringType()
         elif all(isinstance(v, bool) for v in vals):
             t = T.BooleanType()
+        elif all(isinstance(v, dt.datetime) for v in vals):
+            t = T.TimestampType()
+        elif any(isinstance(v, dt.datetime) for v in vals):
+            t = T.StringType()
         elif any(isinstance(v, float) for v in vals):
             t = T.DoubleType()
         else:
@@ -64,9 +72,10 @@ def _xlsx_schema(rows: list[dict], cols: list[str]):
 def read_measurements_xlsx(spark: SparkSession, path: str, sheet: str | int = 0) -> DataFrame:
     """XLSX input (S8) via the stdlib zip+XML reader (sources/xlsx.py —
     shared strings, inline strings and numbers; sparse rows placed by
-    cell reference; sheets selected by workbook name or index). openpyxl,
-    when present, handles the styled tier (dates-as-styles, formats);
-    the codec gate is only for that tier now."""
+    cell reference; sheets selected by workbook name or index; r9:
+    date-styled numeric cells convert to timestamps via styles.xml,
+    honoring the 1904 epoch flag). openpyxl, when present, is used as a
+    fast path; nothing value-relevant needs it anymore."""
     try:
         import openpyxl  # noqa: F401
 

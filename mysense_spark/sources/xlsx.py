@@ -190,6 +190,83 @@ def _workbook_sheets(z: zipfile.ZipFile, names: list[str]) -> list[tuple[str, st
     return out
 
 
+# builtin number-format ids that render as dates/times (ECMA-376 §18.8.30)
+_BUILTIN_DATE_FMTS = (
+    frozenset(range(14, 23)) | frozenset(range(27, 37)) | frozenset(range(45, 48)) | frozenset(range(50, 59))
+)
+
+
+def _date_styles(z: zipfile.ZipFile, names: list[str]) -> frozenset[int]:
+    """The cellXfs style indices whose number format renders a NUMBER as
+    a date/time — the 'dates-as-styles' tier that used to need openpyxl:
+    Excel stores a date cell as a plain serial number plus a style
+    reference, so without styles.xml a date column reads back as floats.
+    Builtin ids per the spec table; custom formats by the standard
+    heuristic (any y/m/d/h/s date token AFTER stripping quoted literals,
+    [..] sections, and escapes — '0.00' and '\"mm\" units' stay numeric).
+    Empty set when styles.xml is absent/unreadable (values then stay
+    numeric — degraded, never wrong types invented)."""
+    if "xl/styles.xml" not in names:
+        return frozenset()
+    try:
+        root = ET.fromstring(z.read("xl/styles.xml"))
+    except ET.ParseError:
+        return frozenset()
+    custom: dict[int, str] = {}
+    for nf in root.iter(f"{_NS}numFmt"):
+        try:
+            custom[int(nf.get("numFmtId"))] = nf.get("formatCode") or ""
+        except (TypeError, ValueError):
+            continue
+
+    def is_date(fmt_id: int) -> bool:
+        if fmt_id in _BUILTIN_DATE_FMTS:
+            return True
+        code = custom.get(fmt_id)
+        if not code:
+            return False
+        bare = re.sub(r'"[^"]*"|\[[^\]]*\]|\\.', "", code)
+        return bool(re.search(r"[ymdhs]", bare, re.IGNORECASE))
+
+    cell_xfs = root.find(f"{_NS}cellXfs")
+    if cell_xfs is None:
+        return frozenset()
+    out = set()
+    for i, xf in enumerate(cell_xfs.findall(f"{_NS}xf")):
+        try:
+            if is_date(int(xf.get("numFmtId", "0"))):
+                out.add(i)
+        except ValueError:
+            continue
+    return frozenset(out)
+
+
+def _uses_1904_epoch(z: zipfile.ZipFile, names: list[str]) -> bool:
+    """Mac Excel's 1904 date system, declared on workbookPr — reading a
+    1904-epoch serial against the 1900 epoch shifts every date by four
+    years and a day, so the flag must be honored, not assumed."""
+    if "xl/workbook.xml" not in names:
+        return False
+    try:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+    except ET.ParseError:
+        return False
+    pr = wb.find(f"{_NS}workbookPr")
+    return pr is not None and pr.get("date1904", "0").lower() in ("1", "true")
+
+
+def _serial_to_datetime(x, date1904: bool):
+    """Excel serial day count -> datetime. Epoch 1899-12-30 absorbs the
+    deliberate Lotus 1-2-3 leap-year bug for every serial >= 61 (all
+    post-Feb-1900 dates — i.e. any real measurement); 1904-01-00 under
+    the Mac system. Sub-day fractions round to the microsecond, the same
+    stabilization openpyxl applies to float serial jitter."""
+    import datetime as dt
+
+    base = dt.datetime(1904, 1, 1) if date1904 else dt.datetime(1899, 12, 30)
+    return base + dt.timedelta(microseconds=round(float(x) * 86_400_000_000))
+
+
 def list_sheets(path: str) -> list[str]:
     """Worksheet names in workbook order (empty list when the workbook
     part is missing — a part-number-only file)."""
@@ -208,6 +285,8 @@ def read_xlsx(path: str, sheet: str | int = 0) -> list[dict]:
         if "xl/sharedStrings.xml" in names:
             root = ET.fromstring(z.read("xl/sharedStrings.xml"))
             shared = [_rich_text(si) for si in root.iter(f"{_NS}si")]
+        date_styles = _date_styles(z, names)
+        date1904 = _uses_1904_epoch(z, names)
         book = _workbook_sheets(z, names)
         if isinstance(sheet, str):
             by_name = dict(book)
@@ -263,9 +342,16 @@ def read_xlsx(path: str, sheet: str | int = 0) -> list[dict]:
             elif ctype == "str":  # formula cached string result
                 cells[col] = v.text
             else:
+                txt = v.text
+                style = c.get("s")
+                if style is not None and style.isdigit() and int(style) in date_styles:
+                    # dates-as-styles (r9): a date cell is a serial
+                    # number plus a date-formatted style — convert here
+                    # so date columns read back as datetimes, not floats
+                    cells[col] = _serial_to_datetime(txt, date1904)
+                    continue
                 # integers parse as int directly: float() first would
                 # silently round anything >= 2^53 (ns timestamps, ids)
-                txt = v.text
                 if re.fullmatch(r"-?\d+", txt):
                     cells[col] = int(txt)
                 else:

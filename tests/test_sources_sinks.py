@@ -1853,3 +1853,101 @@ def test_region_xlsx_report_round_trip(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="report writer"):
         E.export_region_xlsx(big, str(tmp_path / "big.xlsx"))
+
+
+def test_xlsx_date_styles_tier(spark, tmp_path):
+    """r9: the 'dates-as-styles' tier without openpyxl — numeric cells
+    whose cellXfs style resolves to a date format (builtin id, or a
+    custom code with date tokens after stripping quotes/[..]) convert to
+    datetimes against the declared epoch (1900 and Mac-1904 systems);
+    styled NON-date numbers stay numeric; no styles.xml means values
+    stay numeric. The Spark reader types a pure date column timestamp."""
+    import datetime as dt
+    import zipfile
+
+    from mysense_spark.sources.files import read_measurements_xlsx
+    from mysense_spark.sources.xlsx import read_xlsx
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    styles = (
+        f'<styleSheet xmlns="{ns}">'
+        '<numFmts count="2">'
+        '<numFmt numFmtId="164" formatCode="yyyy-mm-dd hh:mm"/>'
+        # quoted literal "mm" and [Red] must NOT read as date tokens
+        '<numFmt numFmtId="165" formatCode="[Red]0.00&quot;mm&quot;"/>'
+        "</numFmts>"
+        "<cellXfs count=\"4\">"
+        '<xf numFmtId="0"/><xf numFmtId="14"/>'
+        '<xf numFmtId="164"/><xf numFmtId="165"/>'
+        "</cellXfs></styleSheet>"
+    )
+
+    def sheet(rows_xml):
+        return f'<worksheet xmlns="{ns}"><sheetData>{rows_xml}</sheetData></worksheet>'
+
+    hdr = (
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>when</t></is></c>'
+        '<c r="B1" t="inlineStr"><is><t>len_mm</t></is></c>'
+        '<c r="C1" t="inlineStr"><is><t>plain</t></is></c></row>'
+    )
+    # 45292.5 = 2024-01-01 12:00 under the 1900 system
+    body = (
+        '<row r="2"><c r="A2" s="1"><v>45292.5</v></c>'
+        '<c r="B2" s="3"><v>7.25</v></c><c r="C2" s="0"><v>3</v></c></row>'
+        '<row r="3"><c r="A3" s="2"><v>45292.75</v></c>'
+        '<c r="B3" s="3"><v>8</v></c><c r="C3"><v>4.5</v></c></row>'
+    )
+    p = str(tmp_path / "dates.xlsx")
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("xl/styles.xml", styles)
+        z.writestr("xl/worksheets/sheet1.xml", sheet(hdr + body))
+    rows = read_xlsx(p)
+    assert rows[0]["when"] == dt.datetime(2024, 1, 1, 12, 0)
+    assert rows[1]["when"] == dt.datetime(2024, 1, 1, 18, 0)  # custom fmt
+    assert rows[0]["len_mm"] == 7.25 and rows[1]["len_mm"] == 8  # styled non-date
+    assert rows[0]["plain"] == 3
+
+    df = read_measurements_xlsx(spark, p)
+    assert dict(df.dtypes)["when"] == "timestamp"
+    got = {r["plain"]: r["when"] for r in df.collect()}
+    assert got[3] == dt.datetime(2024, 1, 1, 12, 0)
+
+    # 1904 epoch: the same serial shifts by the Mac epoch
+    p2 = str(tmp_path / "mac.xlsx")
+    with zipfile.ZipFile(p2, "w") as z:
+        z.writestr("xl/styles.xml", styles)
+        z.writestr(
+            "xl/workbook.xml",
+            f'<workbook xmlns="{ns}" '
+            'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+            '<workbookPr date1904="1"/>'
+            '<sheets><sheet name="s" sheetId="1" r:id="rId1"/></sheets></workbook>',
+        )
+        z.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<Relationships xmlns='
+            '"http://schemas.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/>'
+            "</Relationships>",
+        )
+        z.writestr(
+            "xl/worksheets/sheet1.xml",
+            sheet(
+                '<row r="1"><c r="A1" t="inlineStr"><is><t>when</t></is></c></row>'
+                '<row r="2"><c r="A2" s="1"><v>100.5</v></c></row>'
+            ),
+        )
+    (row,) = read_xlsx(p2)
+    assert row["when"] == dt.datetime(1904, 1, 1) + dt.timedelta(days=100.5)
+
+    # no styles.xml: the serial stays a number (degraded, never invented)
+    p3 = str(tmp_path / "nostyles.xlsx")
+    with zipfile.ZipFile(p3, "w") as z:
+        z.writestr(
+            "xl/worksheets/sheet1.xml",
+            sheet(
+                '<row r="1"><c r="A1" t="inlineStr"><is><t>when</t></is></c></row>'
+                '<row r="2"><c r="A2" s="1"><v>45292.5</v></c></row>'
+            ),
+        )
+    assert read_xlsx(p3) == [{"when": 45292.5}]
