@@ -7,9 +7,12 @@ the stdlib (the image data is zlib, the rest is chunk framing and
 per-scanline filters), and JPEG/MP4 expose their geometry/duration in
 plain marker/box structures long before any entropy coding starts — so
 `media_properties`' header tier is real for all five image/video
-formats, and only the JPEG entropy decode and MP4 sample decode remain
-honestly gated behind NotImplementedError (those genuinely need a codec
-library).
+formats. Since late r9 the BASELINE JPEG pixel tier is real too
+(decode_jpeg_pixels: Huffman entropy decode, dequant, IDCT, chroma
+upsampling, YCbCr→RGB — validated by a unit-quant encoder round-trip
+AND a hand-crafted bitstream); only progressive/arithmetic JPEG scans
+and MP4 sample decode remain honestly gated behind NotImplementedError
+(those genuinely need a codec library).
 
 Reference parity: the reference pipelines never decode media at all
 (sensor kits ship numbers); these kernels serve the training-data
@@ -247,13 +250,15 @@ def parse_jpeg_header(payload: bytes) -> dict:
 
 def decode_jpeg(payload: bytes, pixels: bool = True):
     """JPEG decode: the header tier (geometry/components/progressive) is
-    REAL — parse_jpeg_header above; the pixel tier (Huffman entropy
-    decode + dequant + IDCT + chroma upsampling) genuinely needs a codec
-    library and stays gated."""
+    parse_jpeg_header; the pixel tier is REAL for baseline sequential
+    JPEG since r9 (decode_jpeg_pixels below — Huffman entropy decode,
+    dequant, IDCT, 4:2:x chroma upsampling, YCbCr→RGB); progressive and
+    arithmetic-coded scans raise NotImplementedError (genuinely a codec-
+    library tier)."""
     meta = parse_jpeg_header(payload)
     if not pixels:
         return meta, None
-    raise NotImplementedError("JPEG entropy decode needs a codec library")
+    return decode_jpeg_pixels(payload)
 
 
 def _mp4_boxes(b: bytes, start: int, end: int):
@@ -354,3 +359,444 @@ def decode_mp4(payload: bytes, pixels: bool = True):
     if not pixels:
         return meta, None
     raise NotImplementedError("MP4 sample decode needs a codec library")
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG entropy decode (r9): Huffman + dequant + IDCT + chroma
+# upsampling + YCbCr->RGB, pure stdlib + numpy. This closes the "JPEG
+# needs a codec library" gate for the baseline sequential tier (ITU T.81
+# — the overwhelming majority of crawl-corpus JPEGs); progressive scans
+# stay gated. Correctness tier: the entropy loop is per-symbol Python,
+# fine for validation and sampled decodes; bulk throughput is what a
+# codec library is FOR, and media_properties never runs this (header
+# tier only).
+# ---------------------------------------------------------------------------
+
+
+def _dct_matrix():
+    """Orthonormal 8x8 DCT-II basis C: forward F = C f C^T, inverse
+    f = C^T F C — one matrix shared by the decoder and the test
+    encoder, so round-trip error is quantization only."""
+    import numpy as np
+
+    n = np.arange(8)
+    c = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16) / 2
+    c[0] /= np.sqrt(2)
+    return c
+
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+class _Bits:
+    """MSB-first bit reader over a destuffed entropy segment."""
+
+    def __init__(self, data: bytes):
+        self.d, self.pos = data, 0
+
+    def bit(self) -> int:
+        byte, off = divmod(self.pos, 8)
+        if byte >= len(self.d):
+            raise ValueError("JPEG entropy data truncated")
+        self.pos += 1
+        return (self.d[byte] >> (7 - off)) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode(bits: _Bits, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | bits.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _build_huff(counts: list[int], symbols: list[int]) -> dict:
+    """Canonical Huffman table: {(length, code): symbol} from the DHT
+    wire format (16 per-length counts + symbols in code order)."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def decode_jpeg_pixels(payload: bytes):
+    """REAL baseline-JPEG pixel decoder — marker walk, canonical Huffman
+    entropy decode (restart intervals honored), dequantization, inverse
+    zigzag, orthonormal IDCT, replicated chroma upsampling for 4:2:x,
+    and JFIF YCbCr->RGB. Returns (meta, HxW uint8 grayscale or HxWx3
+    RGB). Progressive (SOF2) raises NotImplementedError; malformed
+    structures raise ValueError. Validated by round-trip against the
+    unit-quant encoder below plus hand-computed flat-field cases."""
+    import numpy as np
+
+    b = bytes(payload)
+    if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
+        raise ValueError("not a JPEG payload")
+    quant: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    sof = None
+    restart = 0
+    pos = 2
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError(f"JPEG marker desync at byte {pos}")
+        marker = b[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker in _JPEG_STANDALONE:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        (size,) = struct.unpack_from(">H", b, pos + 2)
+        if size < 2 or pos + 2 + size > len(b):
+            raise ValueError("truncated JPEG segment")
+        body = b[pos + 4 : pos + 2 + size]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                n = 64 * (2 if pq else 1)
+                if i + 1 + n > len(body):
+                    raise ValueError("truncated JPEG DQT")
+                raw = body[i + 1 : i + 1 + n]
+                vals = (
+                    np.frombuffer(raw, dtype=">u2") if pq else np.frombuffer(raw, dtype=np.uint8)
+                ).astype(np.int64)
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[_ZIGZAG] = vals  # wire order is zigzag
+                quant[tq] = tbl.reshape(8, 8)
+                i += 1 + n
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i + 17 <= len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                counts = list(body[i + 1 : i + 17])
+                nsym = sum(counts)
+                symbols = list(body[i + 17 : i + 17 + nsym])
+                if len(symbols) < nsym:
+                    raise ValueError("truncated JPEG DHT")
+                huff[(tc, th)] = _build_huff(counts, symbols)
+                i += 17 + nsym
+        elif marker in _JPEG_SOF:
+            if marker not in (0xC0, 0xC1):
+                raise NotImplementedError(
+                    "non-baseline JPEG (progressive/arithmetic) needs a codec library"
+                )
+            precision, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if precision != 8 or width < 1 or height < 1 or ncomp not in (1, 3):
+                raise ValueError("unsupported JPEG SOF parameters")
+            comps = []
+            for ci in range(ncomp):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * ci)
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            sof = (width, height, comps)
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            if sof is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            width, height, comps = sof
+            if ns != len(comps):
+                raise NotImplementedError("multi-scan JPEG needs a codec library")
+            for si in range(ns):
+                cs, tabs = body[1 + 2 * si], body[2 + 2 * si]
+                for c in comps:
+                    if c["id"] == cs:
+                        c["dc"], c["ac"] = tabs >> 4, tabs & 0xF
+            scan_start = pos + 2 + size
+            return _decode_scan(b, scan_start, width, height, comps, quant, huff, restart)
+        pos += 2 + size
+    raise ValueError("JPEG has no SOS scan")
+
+
+def _decode_scan(b, pos, width, height, comps, quant, huff, restart):
+    import numpy as np
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if not all(1 <= c["h"] <= 2 and 1 <= c["v"] <= 2 for c in comps):
+        raise NotImplementedError("JPEG sampling factors beyond 2 need a codec library")
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    total_mcus = mcux * mcuy
+    for c in comps:
+        if c["tq"] not in quant or (0, c.get("dc", 0)) not in huff or (1, c.get("ac", 0)) not in huff:
+            raise ValueError("JPEG scan references a missing quant/Huffman table")
+        c["plane"] = np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+
+    # split the entropy stream into destuffed restart segments: inside
+    # entropy data 0xFF is always followed by 0x00 (stuffed literal) or
+    # a marker — RSTn separate segments, anything else ends the scan
+    segments, cur = [], bytearray()
+    i = pos
+    while i < len(b):
+        byte = b[i]
+        if byte != 0xFF:
+            cur.append(byte)
+            i += 1
+            continue
+        nxt = b[i + 1] if i + 1 < len(b) else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= nxt <= 0xD7:
+            segments.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:
+            break
+        continue
+    segments.append(bytes(cur))
+
+    C = _dct_matrix()
+    mcus_per_seg = restart if restart else total_mcus
+    mcu = 0
+    for seg_idx, seg in enumerate(segments):
+        bits = _Bits(seg)
+        pred = {c["id"]: 0 for c in comps}
+        seg_mcus = min(mcus_per_seg, total_mcus - mcu)
+        for _ in range(seg_mcus):
+            my, mx = divmod(mcu, mcux)
+            for c in comps:
+                dc_t, ac_t = huff[(0, c["dc"])], huff[(1, c["ac"])]
+                q = quant[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coef = np.zeros(64, dtype=np.int64)
+                        t = _huff_decode(bits, dc_t)
+                        if t > 11:
+                            raise ValueError("invalid JPEG DC size")
+                        pred[c["id"]] += _extend(bits.bits(t), t)
+                        coef[0] = pred[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(bits, ac_t)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC run overflows the block")
+                            coef[k] = _extend(bits.bits(s), s)
+                            k += 1
+                        block = np.zeros(64, dtype=np.int64)
+                        block[_ZIGZAG] = coef
+                        block = block.reshape(8, 8) * q
+                        spatial = C.T @ block @ C + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        c["plane"][y0 : y0 + 8, x0 : x0 + 8] = spatial
+            mcu += 1
+        if mcu >= total_mcus:
+            break
+    if mcu < total_mcus:
+        raise ValueError("JPEG scan ended before the last MCU")
+
+    planes = []
+    for c in comps:
+        p = np.repeat(np.repeat(c["plane"], vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        planes.append(p[:height, :width])
+    meta = {
+        "width": int(width),
+        "height": int(height),
+        "channels": len(comps),
+        "bit_depth": 8,
+        "progressive": False,
+    }
+    if len(planes) == 1:
+        arr = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        meta["mean"] = float(arr.mean())
+        return meta, arr
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb], axis=2
+    )
+    arr = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    meta["mean"] = float(arr.mean())
+    return meta, arr
+
+
+def write_jpeg(arr, subsample: bool = False, restart: int = 0) -> bytes:
+    """Baseline-JPEG encoder with UNIT quantization tables — the
+    validation partner of decode_jpeg_pixels (quant 1 makes the codec
+    near-lossless: round-trip error is DCT float rounding only, ≤ a few
+    levels), and an honest minimal artifact writer. HxW uint8 grayscale
+    or HxWx3 RGB; `subsample=True` encodes 4:2:0 chroma (exercises the
+    decoder's upsampling path), `restart=N` emits DRI + RSTn markers
+    every N MCUs (exercises predictor resets). Huffman tables are
+    fixed-length canonical (DC: 12 symbols at 4 bits; AC: 162 at 8) —
+    valid, simple, and emitted in the DHT so ANY spec decoder reads the
+    file."""
+    import numpy as np
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2
+    if not gray and (a.ndim != 3 or a.shape[2] != 3):
+        raise ValueError(f"write_jpeg needs HxW or HxWx3; got {arr.shape}")
+    h, w = a.shape[0], a.shape[1]
+    if gray:
+        planes = [a.astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        r, g, bl = (a[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * bl
+        cb = 128 - 0.168736 * r - 0.331264 * g + 0.5 * bl
+        cr = 128 + 0.5 * r - 0.418688 * g - 0.081312 * bl
+        if subsample:
+            def down(p):
+                ph = p[: (p.shape[0] // 2) * 2 or 2, : (p.shape[1] // 2) * 2 or 2]
+                if ph.size == 0:
+                    ph = p
+                return (ph[0::2, 0::2] + ph[1::2, 0::2] + ph[0::2, 1::2] + ph[1::2, 1::2]) / 4.0
+
+            # pad to even first so 2x2 averaging is total
+            ye = np.pad(y, ((0, h % 2), (0, w % 2)), mode="edge")
+            cbp = np.pad(cb, ((0, h % 2), (0, w % 2)), mode="edge")
+            crp = np.pad(cr, ((0, h % 2), (0, w % 2)), mode="edge")
+            planes = [ye, down(cbp), down(crp)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # pad every plane to its MCU-aligned size (edge replicate)
+    padded = []
+    for p, (sh, sv) in zip(planes, samp):
+        th, tw = mcuy * sv * 8, mcux * sh * 8
+        padded.append(np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"))
+
+    dc_syms = list(range(12))
+    dc_counts = [0, 0, 0, 12] + [0] * 12
+    ac_syms = [0x00] + [(r << 4) | s for r in range(16) for s in range(1, 11)] + [0xF0]
+    ac_counts = [0] * 7 + [len(ac_syms)] + [0] * 8
+    dc_codes = {sym: (4, i) for i, sym in enumerate(dc_syms)}
+    ac_codes = {sym: (8, i) for i, sym in enumerate(ac_syms)}
+
+    out = bytearray()
+    bitbuf, nbits = 0, 0
+
+    def put(code: int, length: int):
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << length) | (code & ((1 << length) - 1))
+        nbits += length
+        while nbits >= 8:
+            nbits -= 8
+            byte = (bitbuf >> nbits) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)  # stuff
+
+    def flush():
+        nonlocal bitbuf, nbits
+        if nbits:
+            put(0x7F, 8 - nbits)  # pad with ones... (1s per spec)
+
+    def size_of(v: int) -> int:
+        return v.bit_length() if v >= 0 else (-v).bit_length()
+
+    C = _dct_matrix()
+    pred = [0] * len(planes)
+    total_mcus = mcux * mcuy
+    seg_out = []  # entropy bytes per restart segment
+    mcu = 0
+    while mcu < total_mcus:
+        if restart and mcu and mcu % restart == 0:
+            flush()
+            seg_out.append(bytes(out))
+            out.clear()
+            pred = [0] * len(planes)
+        my, mx = divmod(mcu, mcux)
+        for ci, (p, (sh, sv)) in enumerate(zip(padded, samp)):
+            for by in range(sv):
+                for bx in range(sh):
+                    y0, x0 = (my * sv + by) * 8, (mx * sh + bx) * 8
+                    block = p[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                    coef = np.round(C @ block @ C.T).astype(np.int64)
+                    zz = coef.reshape(-1)[_ZIGZAG]
+                    diff = int(zz[0]) - pred[ci]
+                    pred[ci] = int(zz[0])
+                    t = size_of(diff)
+                    if t > 11:
+                        raise ValueError("DC difference out of baseline range")
+                    length, code = dc_codes[t]
+                    put(code, length)
+                    if t:
+                        put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+                    run = 0
+                    for k in range(1, 64):
+                        v = int(zz[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run >= 16:
+                            length, code = ac_codes[0xF0]
+                            put(code, length)
+                            run -= 16
+                        s = size_of(v)
+                        if s > 10:
+                            raise ValueError("AC coefficient out of range for the fixed table")
+                        length, code = ac_codes[(run << 4) | s]
+                        put(code, length)
+                        put(v if v >= 0 else v + (1 << s) - 1, s)
+                        run = 0
+                    if run:
+                        length, code = ac_codes[0x00]
+                        put(code, length)
+        mcu += 1
+    flush()
+    seg_out.append(bytes(out))
+
+    def seg16(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg16(0xDB, bytes([0x00]) + bytes([1] * 64))
+    ncomp = len(planes)
+    sof_body = struct.pack(">BHHB", 8, h, w, ncomp) + b"".join(
+        bytes([i + 1, (sh << 4) | sv, 0]) for i, (sh, sv) in enumerate(samp)
+    )
+    sof = seg16(0xC0, sof_body)
+    dht = seg16(
+        0xC4,
+        bytes([0x00]) + bytes(dc_counts[:16]) + bytes(dc_syms)
+        + bytes([0x10]) + bytes(ac_counts[:16]) + bytes(ac_syms),
+    )
+    dri = seg16(0xDD, struct.pack(">H", restart)) if restart else b""
+    sos = seg16(0xDA, bytes([ncomp]) + b"".join(bytes([i + 1, 0x00]) for i in range(ncomp)) + b"\x00\x3f\x00")
+    entropy = bytearray(seg_out[0])
+    for i, seg in enumerate(seg_out[1:]):
+        entropy += bytes([0xFF, 0xD0 + (i % 8)]) + seg
+    return b"\xff\xd8" + dqt + sof + dht + dri + sos + bytes(entropy) + b"\xff\xd9"

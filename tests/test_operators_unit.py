@@ -1392,8 +1392,13 @@ def test_jpeg_and_mp4_header_parsers():
     assert parse_jpeg_header(prog)["progressive"] is True
     with pytest.raises(ValueError, match="no SOF"):
         parse_jpeg_header(b"\xff\xd8" + app0 + b"\xff\xd9")
-    with pytest.raises(NotImplementedError, match="entropy"):
+    # the pixel tier is REAL for baseline since late r9: this crafted
+    # file declares 3 components but scans only 1 — a partial-scan
+    # structure the baseline decoder gates as multi-scan
+    with pytest.raises(NotImplementedError, match="multi-scan"):
         decode_jpeg(jpeg)
+    with pytest.raises(NotImplementedError, match="codec library"):
+        decode_jpeg(prog + b"\xff\xd9")
     meta = decode_media(jpeg)
     assert (meta["width"], meta["height"], meta["n_frames"]) == (640, 480, 1)
 
@@ -1537,3 +1542,78 @@ def test_codec_adversarial_blobs_bounded_and_classified():
     ) + chunk(b"IDAT", zlib.compress(bytes(50_000_000))) + chunk(b"IEND", b"")
     with pytest.raises(ValueError, match="raster length"):
         decode_png(bomb)
+
+
+def test_jpeg_baseline_pixel_decode():
+    """r9 baseline-JPEG pixel tier. Validation is NOT circular: (a) a
+    fully HAND-CRAFTED bitstream — fixed-length canonical tables, DC
+    code 1010 + ten bits of 576 + EOB, hand-packed to 0xA9 0x00 0x03 —
+    must decode to a uniform 200 field (DC 576 = 8·(200−128) under the
+    orthonormal DCT); (b) encoder round-trips with UNIT quant tables are
+    near-lossless (gray exact on a gradient, RGB within ±2 from YCbCr
+    rounding), including 4:2:0 subsampling (flat chroma exact) and
+    restart intervals; (c) progressive stays gated; corrupt entropy data
+    rejects with ValueError."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from mysense_spark.operators.codecs import (
+        decode_jpeg,
+        decode_jpeg_pixels,
+        write_jpeg,
+    )
+
+    # (a) hand-crafted 8x8 flat-200 grayscale
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    dc_counts = [0, 0, 0, 12] + [0] * 12
+    ac_syms = [0x00] + [(r << 4) | s for r in range(16) for s in range(1, 11)] + [0xF0]
+    ac_counts = [0] * 7 + [len(ac_syms)] + [0] * 8
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(dc_counts) + bytes(range(12))
+        + bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms),
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00]) + b"\x00\x3f\x00")
+    # bits: 1010 (DC size 10) | 1001000000 (576) | 00000000 (EOB) | pad 11
+    entropy = bytes([0xA9, 0x00, 0x03])
+    jp = b"\xff\xd8" + dqt + sof + dht + sos + entropy + b"\xff\xd9"
+    meta, arr = decode_jpeg_pixels(jp)
+    assert arr.shape == (8, 8) and int(arr.min()) == 200 and int(arr.max()) == 200
+    assert meta["channels"] == 1
+
+    # (b) encoder round-trips
+    g = (np.arange(64).reshape(8, 8) * 3 % 256).astype(np.uint8)
+    _, back = decode_jpeg_pixels(write_jpeg(g))
+    assert np.array_equal(back, g), "unit-quant grayscale must be exact"
+    rng = np.random.default_rng(3)
+    c = rng.integers(0, 256, (24, 17, 3), dtype=np.uint8)
+    for kw in ({}, {"restart": 2}):
+        _, rc = decode_jpeg_pixels(write_jpeg(c, **kw))
+        assert int(np.abs(rc.astype(int) - c.astype(int)).max()) <= 2, kw
+    flat = np.zeros((20, 20, 3), np.uint8)
+    flat[:, :, 0], flat[:, :, 1], flat[:, :, 2] = 100, 150, 50
+    _, f420 = decode_jpeg_pixels(write_jpeg(flat, subsample=True))
+    assert np.array_equal(f420, flat), "flat-chroma 4:2:0 must round-trip exactly"
+    # decode_jpeg(pixels=True) is the same real tier now
+    m, full = decode_jpeg(write_jpeg(g))
+    assert np.array_equal(full, g) and m["progressive"] is False
+
+    # (c) progressive gate + corrupt entropy
+    prog = b"\xff\xd8" + dqt + seg(
+        0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    ) + dht + sos + entropy + b"\xff\xd9"
+    with pytest.raises(NotImplementedError, match="codec library"):
+        decode_jpeg_pixels(prog)
+    # invalid Huffman prefix: DC nibble 1100 is unassigned in the table
+    bad = b"\xff\xd8" + dqt + sof + dht + sos + bytes([0xC0, 0x00, 0x00]) + b"\xff\xd9"
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(bad)
+    truncated = b"\xff\xd8" + dqt + sof + dht + sos + b"\xff\xd9"
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(truncated)
