@@ -204,17 +204,17 @@ _JPEG_STANDALONE = {0x01, *range(0xD0, 0xD8)}  # TEM, RST0-7
 _JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
 
 
-def parse_jpeg_header(payload: bytes) -> dict:
-    """REAL JPEG header parser — the marker walk every `identify`-style
-    tool performs: SOI, then length-framed segments to the first SOFn,
-    which carries precision, geometry, and component count in plain
-    big-endian struct fields (entropy coding only starts at SOS). The
-    pixel decode (Huffman + IDCT) stays gated — see decode_jpeg."""
-    b = bytes(payload)
+def _jpeg_segments(b: bytes):
+    """Yield (marker, body, end_pos) for each length-framed JPEG segment
+    — the ONE marker walk (SOI check, fill bytes, standalone markers,
+    framing guards) shared by parse_jpeg_header and decode_jpeg_pixels,
+    so the truncation guards cannot drift between them. Stops at EOI;
+    the caller decides what SOS means (the scan's entropy data starts at
+    its end_pos, so the walk must not run past it)."""
     if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
         raise ValueError("not a JPEG payload")
     pos = 2
-    while pos + 4 <= len(b):
+    while pos + 2 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError(f"JPEG marker desync at byte {pos}")
         marker = b[pos + 1]
@@ -224,27 +224,55 @@ def parse_jpeg_header(payload: bytes) -> dict:
         if marker in _JPEG_STANDALONE:
             pos += 2
             continue
-        if marker == 0xD9:  # EOI before any SOF
-            break
+        if marker == 0xD9:  # EOI
+            return
+        if pos + 4 > len(b):
+            raise ValueError("truncated JPEG segment")
         (size,) = struct.unpack_from(">H", b, pos + 2)
         if size < 2 or pos + 2 + size > len(b):
             raise ValueError("truncated JPEG segment")
+        yield marker, b[pos + 4 : pos + 2 + size], pos + 2 + size
+        if marker == 0xDA:
+            return  # entropy data follows; framing no longer applies
+        pos += 2 + size
+
+
+def _parse_sof(marker: int, body: bytes) -> tuple:
+    """(width, height, precision, progressive, comps) from a SOFn body —
+    component descriptors length-validated, one parse for both tiers."""
+    if len(body) < 6:
+        raise ValueError("truncated JPEG SOF segment")
+    precision, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
+    if width < 1 or height < 1 or ncomp < 1:
+        raise ValueError(f"invalid JPEG geometry {width}x{height}x{ncomp}")
+    if len(body) < 6 + 3 * ncomp:
+        raise ValueError("truncated JPEG SOF component list")
+    comps = []
+    for ci in range(ncomp):
+        cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * ci)
+        comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+    progressive = marker in (0xC2, 0xC6, 0xCA, 0xCE)
+    return width, height, precision, progressive, comps
+
+
+def parse_jpeg_header(payload: bytes) -> dict:
+    """REAL JPEG header parser — the marker walk every `identify`-style
+    tool performs: SOI, then length-framed segments to the first SOFn,
+    which carries precision, geometry, and component count in plain
+    big-endian struct fields (entropy coding only starts at SOS)."""
+    b = bytes(payload)
+    for marker, body, _ in _jpeg_segments(b):
         if marker in _JPEG_SOF:
-            if size < 8:
-                raise ValueError("truncated JPEG SOF segment")
-            precision, height, width, ncomp = struct.unpack_from(">BHHB", b, pos + 4)
-            if width < 1 or height < 1 or ncomp < 1:
-                raise ValueError(f"invalid JPEG geometry {width}x{height}x{ncomp}")
+            width, height, precision, progressive, comps = _parse_sof(marker, body)
             return {
                 "width": int(width),
                 "height": int(height),
-                "channels": int(ncomp),
+                "channels": len(comps),
                 "bit_depth": int(precision),
-                "progressive": marker in (0xC2, 0xC6, 0xCA, 0xCE),
+                "progressive": progressive,
             }
         if marker == 0xDA:  # SOS without a preceding SOF
             break
-        pos += 2 + size
     raise ValueError("JPEG has no SOF segment")
 
 
@@ -460,23 +488,7 @@ def decode_jpeg_pixels(payload: bytes):
     huff: dict[tuple[int, int], dict] = {}
     sof = None
     restart = 0
-    pos = 2
-    while pos + 4 <= len(b):
-        if b[pos] != 0xFF:
-            raise ValueError(f"JPEG marker desync at byte {pos}")
-        marker = b[pos + 1]
-        if marker == 0xFF:
-            pos += 1
-            continue
-        if marker in _JPEG_STANDALONE:
-            pos += 2
-            continue
-        if marker == 0xD9:
-            break
-        (size,) = struct.unpack_from(">H", b, pos + 2)
-        if size < 2 or pos + 2 + size > len(b):
-            raise ValueError("truncated JPEG segment")
-        body = b[pos + 4 : pos + 2 + size]
+    for marker, body, end_pos in _jpeg_segments(b):
         if marker == 0xDB:  # DQT
             i = 0
             while i < len(body):
@@ -508,31 +520,31 @@ def decode_jpeg_pixels(payload: bytes):
                 raise NotImplementedError(
                     "non-baseline JPEG (progressive/arithmetic) needs a codec library"
                 )
-            precision, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
-            if precision != 8 or width < 1 or height < 1 or ncomp not in (1, 3):
+            width, height, precision, _, comps = _parse_sof(marker, body)
+            if precision != 8 or len(comps) not in (1, 3):
                 raise ValueError("unsupported JPEG SOF parameters")
-            comps = []
-            for ci in range(ncomp):
-                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * ci)
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             sof = (width, height, comps)
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("truncated JPEG DRI segment")
             (restart,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
             if sof is None:
                 raise ValueError("JPEG SOS before SOF")
-            ns = body[0]
             width, height, comps = sof
+            ns = body[0] if body else 0
             if ns != len(comps):
                 raise NotImplementedError("multi-scan JPEG needs a codec library")
+            if len(body) < 1 + 2 * ns + 3:
+                raise ValueError("truncated JPEG SOS segment")
             for si in range(ns):
                 cs, tabs = body[1 + 2 * si], body[2 + 2 * si]
                 for c in comps:
                     if c["id"] == cs:
                         c["dc"], c["ac"] = tabs >> 4, tabs & 0xF
-            scan_start = pos + 2 + size
-            return _decode_scan(b, scan_start, width, height, comps, quant, huff, restart)
-        pos += 2 + size
+            if any("dc" not in c for c in comps):
+                raise ValueError("JPEG SOS component ids do not match SOF")
+            return _decode_scan(b, end_pos, width, height, comps, quant, huff, restart)
     raise ValueError("JPEG has no SOS scan")
 
 
@@ -546,8 +558,17 @@ def _decode_scan(b, pos, width, height, comps, quant, huff, restart):
     mcux = -(-width // (8 * hmax))
     mcuy = -(-height // (8 * vmax))
     total_mcus = mcux * mcuy
+    # plausibility bound BEFORE allocating geometry-sized planes (the
+    # JPEG analog of decode_png's capped inflate): every 8x8 block costs
+    # at least one DC code bit and one EOB bit, so entropy data shorter
+    # than 2 bits/block cannot possibly cover the declared geometry — a
+    # 300-byte payload claiming 65500x65500 is rejected here instead of
+    # forcing a 32 GiB allocation
+    total_blocks = total_mcus * sum(c["h"] * c["v"] for c in comps)
+    if (len(b) - pos) * 8 < 2 * total_blocks:
+        raise ValueError("JPEG entropy data cannot cover the declared geometry")
     for c in comps:
-        if c["tq"] not in quant or (0, c.get("dc", 0)) not in huff or (1, c.get("ac", 0)) not in huff:
+        if c["tq"] not in quant or (0, c["dc"]) not in huff or (1, c["ac"]) not in huff:
             raise ValueError("JPEG scan references a missing quant/Huffman table")
         c["plane"] = np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
 
@@ -674,10 +695,9 @@ def write_jpeg(arr, subsample: bool = False, restart: int = 0) -> bytes:
         cr = 128 + 0.5 * r - 0.418688 * g - 0.081312 * bl
         if subsample:
             def down(p):
-                ph = p[: (p.shape[0] // 2) * 2 or 2, : (p.shape[1] // 2) * 2 or 2]
-                if ph.size == 0:
-                    ph = p
-                return (ph[0::2, 0::2] + ph[1::2, 0::2] + ph[0::2, 1::2] + ph[1::2, 1::2]) / 4.0
+                # inputs are pre-padded to even dims below, so the 2x2
+                # average is total by construction
+                return (p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2]) / 4.0
 
             # pad to even first so 2x2 averaging is total
             ye = np.pad(y, ((0, h % 2), (0, w % 2)), mode="edge")
@@ -719,6 +739,10 @@ def write_jpeg(arr, subsample: bool = False, restart: int = 0) -> bytes:
             out.append(byte)
             if byte == 0xFF:
                 out.append(0x00)  # stuff
+        # drop emitted high bits: without this the accumulator grows as
+        # an unbounded bigint and every shift copies the whole history
+        # (O(n^2) encode)
+        bitbuf &= (1 << nbits) - 1
 
     def flush():
         nonlocal bitbuf, nbits

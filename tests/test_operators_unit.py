@@ -1617,3 +1617,59 @@ def test_jpeg_baseline_pixel_decode():
     truncated = b"\xff\xd8" + dqt + sof + dht + sos + b"\xff\xd9"
     with pytest.raises(ValueError):
         decode_jpeg_pixels(truncated)
+
+
+def test_jpeg_adversarial_structures_reject_with_valueerror():
+    """Post-review r9: every malformed-structure path raises the
+    contractual ValueError, never struct.error/KeyError/IndexError/
+    MemoryError — a tiny payload declaring a 65500x65500 SOF is rejected
+    by the entropy-plausibility bound (>=2 bits per 8x8 block) BEFORE
+    any geometry-sized allocation; truncated SOF component lists, empty
+    DRI, truncated SOS, and SOS ids that match no SOF component all
+    reject; a 256x256 encode stays sub-second (the bit accumulator is
+    masked, not an ever-growing bigint)."""
+    import struct
+    import time
+
+    import numpy as np
+    import pytest
+
+    from mysense_spark.operators.codecs import decode_jpeg_pixels, write_jpeg
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    dc_counts = [0, 0, 0, 12] + [0] * 12
+    ac_syms = [0x00] + [(r << 4) | s for r in range(16) for s in range(1, 11)] + [0xF0]
+    ac_counts = [0] * 7 + [len(ac_syms)] + [0] * 8
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(dc_counts) + bytes(range(12))
+        + bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms),
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00]) + b"\x00\x3f\x00")
+    sof1 = seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+
+    cases = {
+        "cannot cover": b"\xff\xd8" + dqt
+        + seg(0xC0, struct.pack(">BHHB", 8, 65500, 65500, 1) + bytes([1, 0x11, 0]))
+        + dht + sos + bytes(10) + b"\xff\xd9",
+        "SOF component list": b"\xff\xd8" + dqt
+        + seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 3) + bytes([1, 0x11, 0]))
+        + dht + sos + bytes(10),
+        "DRI segment": b"\xff\xd8" + dqt + sof1 + dht + seg(0xDD, b"") + sos + bytes(10),
+        "SOS segment": b"\xff\xd8" + dqt + sof1 + dht + seg(0xDA, bytes([1])) + bytes(10),
+        "do not match SOF": b"\xff\xd8" + dqt + sof1 + dht
+        + seg(0xDA, bytes([1, 2, 0x00]) + b"\x00\x3f\x00") + bytes(10),
+    }
+    for match, blob in cases.items():
+        with pytest.raises(ValueError, match=match):
+            decode_jpeg_pixels(blob)
+
+    big = np.random.default_rng(1).integers(0, 256, (256, 256), dtype=np.uint8)
+    t0 = time.perf_counter()
+    jp = write_jpeg(big)
+    assert time.perf_counter() - t0 < 5.0, "encode must stay linear"
+    _, back = decode_jpeg_pixels(jp)
+    assert int(np.abs(back.astype(int) - big.astype(int)).max()) <= 1
