@@ -29,6 +29,10 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # expanded channel count per PNG color type (palette reports 3: that is
 # what the raster expands to)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# absolute raster ceiling for pixel decodes: IHDR dimensions are
+# attacker-declared, so the spec's 2^31-1 cap is not an allocation
+# bound — 64 Mpix ≈ a full-frame camera sensor, ~256 MB worst-case RGBA
+_PNG_MAX_PIXELS = 1 << 26
 
 
 def _png_chunks(b: bytes):
@@ -59,7 +63,7 @@ def _paeth(a: int, bb: int, c: int) -> int:
     return bb if pb <= pc else c
 
 
-def decode_png(payload: bytes, pixels: bool = True):
+def decode_png(payload: bytes, pixels: bool = True, max_pixels: int = _PNG_MAX_PIXELS):
     """REAL PNG decoder — stdlib zlib + numpy, no codec library.
     Supports 8-bit samples, color types 0 (gray) / 2 (RGB) / 3
     (palette, expanded to RGB) / 4 (gray+alpha) / 6 (RGBA), scanline
@@ -68,7 +72,18 @@ def decode_png(payload: bytes, pixels: bool = True):
     tiers; a wrong guess would be worse than a gate). Returns
     (meta, array) where array is HxW for grayscale or HxWxC otherwise —
     or None with pixels=False: the IHDR-only header tier a properties
-    scan needs, no inflate, no raster."""
+    scan needs, no inflate, no raster.
+
+    Allocation bound: IHDR dimensions are ATTACKER-DECLARED, and the
+    spec's 2^31-1 cap alone would let a small payload declare a raster
+    that inflates to multi-GB before any length check fires. With
+    pixels=True the decode therefore refuses geometries above
+    `max_pixels` (default {0:,} ≈ a 64-megapixel frame — raise it
+    per-call for trusted archival scans) BEFORE inflating, and the
+    inflate itself stays capped at the declared raster size + 1, so the
+    worst allocation is ~5 bytes/pixel (raster + one uint8 working
+    copy), never the zip-bomb's inflated size. The pixels=False header
+    tier never inflates at all.""".format(_PNG_MAX_PIXELS)
     import numpy as np
 
     b = bytes(payload)
@@ -97,6 +112,12 @@ def decode_png(payload: bytes, pixels: bool = True):
     }
     if not pixels:
         return meta, None
+    if width * height > max_pixels:
+        raise ValueError(
+            f"PNG geometry {width}x{height} exceeds max_pixels={max_pixels}"
+            f" (attacker-declared dimensions gate the raster allocation;"
+            f" pass a larger max_pixels for trusted oversize frames)"
+        )
     if interlace != 0:
         raise NotImplementedError("Adam7-interlaced PNG needs a codec library")
     if depth != 8:
@@ -126,38 +147,42 @@ def decode_png(payload: bytes, pixels: bool = True):
     if len(raw) != expected:
         raise ValueError("PNG raster length does not match geometry")
     raw = np.frombuffer(raw, dtype=np.uint8).reshape(height, 1 + stride)
-    filters, lines = raw[:, 0], raw[:, 1:].astype(np.int64)
-    out = np.zeros((height, stride), dtype=np.int64)
-    prev = np.zeros(stride, dtype=np.int64)
+    # unfilter in uint8 — mod-256 arithmetic is uint8 wraparound, so the
+    # working set stays ~2x the raster (raw + out), never the old int64
+    # copies (~16x); only one-ROW temporaries widen past uint8
+    filters, lines = raw[:, 0], raw[:, 1:]
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = out[0]  # row above row 0 is all zeros per the PNG spec
     for y in range(height):
         f, line = int(filters[y]), lines[y]
         if f == 0:
             rec = line
         elif f == 1:
             # Sub telescopes: recon[x] = Σ raw over the channel lane,
-            # mod 256 — a per-lane cumsum, vectorized like Up
+            # mod 256 — a per-lane cumsum (one int64 ROW temp), then
+            # back to uint8
             rec = np.mod(
-                line.reshape(width, ch).cumsum(axis=0, dtype=np.int64), 256
-            ).reshape(stride)
-        elif f == 2:  # Up — vectorized (the common photographic filter)
-            rec = (line + prev) & 0xFF
+                line.reshape(width, ch).astype(np.int64).cumsum(axis=0), 256
+            ).astype(np.uint8).reshape(stride)
+        elif f == 2:  # Up — uint8 addition wraps mod 256 exactly
+            rec = line + prev
         elif f in (3, 4):
             # Average/Paeth mix the up row into the left recursion —
             # genuinely sequential along x, per-byte loop, exact
-            rec = np.zeros(stride, dtype=np.int64)
+            rec = np.zeros(stride, dtype=np.uint8)
             for x in range(stride):
-                left = rec[x - ch] if x >= ch else 0
-                up = prev[x]
-                ul = prev[x - ch] if x >= ch else 0
+                left = int(rec[x - ch]) if x >= ch else 0
+                up = int(prev[x])
+                ul = int(prev[x - ch]) if x >= ch else 0
                 if f == 3:
-                    rec[x] = (line[x] + (left + up) // 2) & 0xFF
+                    rec[x] = (int(line[x]) + (left + up) // 2) & 0xFF
                 else:
-                    rec[x] = (line[x] + _paeth(int(left), int(up), int(ul))) & 0xFF
+                    rec[x] = (int(line[x]) + _paeth(left, up, ul)) & 0xFF
         else:
             raise ValueError(f"invalid PNG scanline filter {f}")
         out[y] = rec
         prev = out[y]
-    arr = out.astype(np.uint8).reshape(height, width, ch)
+    arr = out.reshape(height, width, ch)
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE chunk")
@@ -587,6 +612,11 @@ def _decode_scan(b, pos, width, height, comps, quant, huff, restart):
         if nxt == 0x00:
             cur.append(0xFF)
             i += 2
+        elif nxt == 0xFF:
+            # 0xFF fill byte before a marker (ITU T.81 B.1.1.2 allows
+            # any number of them) — skip it and re-examine from the
+            # next 0xFF, which may itself be fill, a marker, or stuffed
+            i += 1
         elif 0xD0 <= nxt <= 0xD7:
             segments.append(bytes(cur))
             cur = bytearray()

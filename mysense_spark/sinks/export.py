@@ -65,7 +65,10 @@ def export_region_xlsx(
     written through the stdlib multi-sheet codec
     (sources/xlsx.py:write_xlsx_sheets). Sheets are ordered by region
     name; each sheet's rows are ordered by the remaining columns so the
-    artifact is byte-deterministic. Returns the sheet names.
+    artifact is byte-deterministic. Returns the sheet names AS WRITTEN:
+    raw region values pass through the codec's Excel-rules sanitizer
+    (31-char cap, []:*?/\\ -> _, case-insensitive dedup), so a region
+    named e.g. "A/B" comes back "A_B".
 
     The collect here is a bounded REPORT materialization, not the sink
     hot path: a summary is kits × fields rows, and the _MAX_REPORT_ROWS
@@ -91,5 +94,4 @@ def export_region_xlsx(
         raise ValueError("export_region_xlsx: empty summary — nothing to write")
     from ..sources.xlsx import write_xlsx_sheets
 
-    write_xlsx_sheets(sheets, path)
-    return list(sheets)
+    return write_xlsx_sheets(sheets, path)

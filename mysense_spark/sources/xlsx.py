@@ -64,12 +64,42 @@ def write_xlsx(rows: list[dict], path: str, sheet: str = "summary") -> None:
     write_xlsx_sheets({sheet: rows}, path)
 
 
-def write_xlsx_sheets(sheets: dict[str, list[dict]], path: str) -> None:
+_SHEET_FORBIDDEN = set("[]:*?/\\")
+
+
+def _sheet_names(raw: list[str]) -> list[str]:
+    """Deterministically mangle raw sheet names into what Excel accepts
+    (quoteattr alone keeps the XML well-formed, but Excel REPAIRS or
+    rejects workbooks whose sheet names are empty, exceed 31 chars,
+    contain []:*?/\\, begin/end with an apostrophe, or collide
+    case-insensitively): forbidden chars -> '_', edge apostrophes
+    stripped, 31-char cap, and case-insensitive collisions suffixed
+    ~2, ~3, ... (re-capped so the suffix always fits). Same input order
+    -> same output names, so reports stay byte-deterministic."""
+    out: list[str] = []
+    seen: set[str] = set()
+    for i, name in enumerate(raw):
+        s = "".join("_" if ch in _SHEET_FORBIDDEN else ch for ch in str(name))
+        s = s.strip("'")[:31] or f"sheet{i + 1}"
+        base, n = s, 1
+        while s.casefold() in seen:
+            n += 1
+            tag = f"~{n}"
+            s = base[: 31 - len(tag)] + tag
+        seen.add(s.casefold())
+        out.append(s)
+    return out
+
+
+def write_xlsx_sheets(sheets: dict[str, list[dict]], path: str) -> list[str]:
     """Write several named worksheets into one workbook — the reference's
     per-region report shape (SamenMetenTools/Things2XLSX.py writes one
-    sheet per municipality). Sheet order = dict order."""
+    sheet per municipality). Sheet order = dict order. Sheet names pass
+    through _sheet_names (Excel's rules are stricter than XML's);
+    returns the names actually written, in order."""
     if not sheets:
         raise ValueError("write_xlsx_sheets: need at least one sheet")
+    names = _sheet_names(list(sheets))
 
     def cell(r: int, c: int, v) -> str:
         ref = f"{_col_letter(c)}{r + 1}"
@@ -109,7 +139,7 @@ def write_xlsx_sheets(sheets: dict[str, list[dict]], path: str) -> None:
     # too, or a sheet name containing one corrupts the workbook
     sheet_tags = "".join(
         f'<sheet name={quoteattr(name)} sheetId="{i + 1}" r:id="rId{i + 1}"/>'
-        for i, name in enumerate(sheets)
+        for i, name in enumerate(names)
     )
     workbook_xml = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
@@ -157,6 +187,7 @@ def write_xlsx_sheets(sheets: dict[str, list[dict]], path: str) -> None:
         z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
         for i, rows in enumerate(sheets.values()):
             z.writestr(f"xl/worksheets/sheet{i + 1}.xml", sheet_xml(rows))
+    return names
 
 
 _REL_NS = "{http://schemas.openxmlformats.org/package/2006/relationships}"

@@ -427,10 +427,18 @@ def run_file_stream(
     partitioned: bool | None = None,
     archive_mode: str = "merge",
     append_partitions: int | None = None,
-    auto_compact: bool = True,
+    auto_compact: bool = False,
 ):
     """S2 live twin: readStream on a drop directory of MQTT dump files.
-    Fresh archives land day-partitioned (see run_lines_stream)."""
+    Fresh archives land day-partitioned (see run_lines_stream).
+
+    `auto_compact` is strictly OPT-IN (default False, matching
+    run_lines_stream): enabling it makes THIS stream the archive's sole
+    compactor, and a deployment with an externally scheduled
+    compact_days must not silently gain a second compactor (the
+    single-merger contract — two compactors can race the shared
+    stage/manifest). Pre-sidecar archives also need the offline
+    backfill prep before the first auto-compacting run."""
     return run_lines_stream(
         spark.readStream.text(in_dir), checkpoint, out_dir, watermark,
         partitioned=partitioned, archive_mode=archive_mode,

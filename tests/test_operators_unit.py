@@ -1673,3 +1673,81 @@ def test_jpeg_adversarial_structures_reject_with_valueerror():
     assert time.perf_counter() - t0 < 5.0, "encode must stay linear"
     _, back = decode_jpeg_pixels(jp)
     assert int(np.abs(back.astype(int) - big.astype(int)).max()) <= 1
+
+
+def test_png_pixel_ceiling_gates_attacker_geometry():
+    """r10 ADVICE fix: the IHDR geometry is attacker-declared, so a
+    pixel decode refuses rasters above max_pixels BEFORE inflating
+    anything (no multi-GB allocation from a 200-byte payload); the
+    pixels=False header tier and explicit larger caps still work."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from mysense_spark.operators.codecs import _PNG_SIG, decode_png
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    # declares 100 Mpix (over the 64 Mpix default) with a 20-byte IDAT:
+    # the ceiling must fire before the raster-length check ever inflates
+    ihdr = struct.pack(">IIBBBBB", 10_000, 10_000, 8, 0, 0, 0, 0)
+    bomb = (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 16))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="max_pixels"):
+        decode_png(bomb)
+    # header tier never allocates a raster — no ceiling applies
+    meta, none = decode_png(bomb, pixels=False)
+    assert none is None and meta["width"] == 10_000
+    # a small image under a caller-shrunk cap rejects; over it, decodes
+    small_raw = b"\x00" + bytes([7, 8]) + b"\x00" + bytes([9, 10])
+    small = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(small_raw))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="max_pixels"):
+        decode_png(small, max_pixels=3)
+    _, arr = decode_png(small, max_pixels=4)
+    assert arr.tolist() == [[7, 8], [9, 10]]
+
+
+def test_jpeg_fill_bytes_before_markers_accepted():
+    """r10 ADVICE fix: ITU T.81 B.1.1.2 allows any run of 0xFF fill
+    bytes before a marker; the destuffer must skip them instead of
+    truncating the scan ('JPEG scan ended before the last MCU'), both
+    before EOI and before RSTn markers."""
+    import numpy as np
+
+    from mysense_spark.operators.codecs import decode_jpeg_pixels, write_jpeg
+
+    g = (np.arange(64).reshape(8, 8) * 3 % 256).astype(np.uint8)
+    jp = write_jpeg(g)
+    assert jp.endswith(b"\xff\xd9")
+    for fills in (b"\xff", b"\xff\xff\xff"):
+        _, back = decode_jpeg_pixels(jp[:-2] + fills + jp[-2:])
+        assert np.array_equal(back, g), len(fills)
+
+    # restart markers: pad every FFD0-FFD7 in the scan with fill bytes
+    rng = np.random.default_rng(3)
+    c = rng.integers(0, 256, (24, 17, 3), dtype=np.uint8)
+    jr = write_jpeg(c, restart=2)
+    sos = jr.find(b"\xff\xda")
+    assert sos > 0
+    tail = jr[sos:]
+    n_rst = sum(tail.count(bytes([0xFF, m])) for m in range(0xD0, 0xD8))
+    assert n_rst > 0, "restart fixture must actually emit RSTn markers"
+    for m in range(0xD0, 0xD8):
+        tail = tail.replace(bytes([0xFF, m]), bytes([0xFF, 0xFF, m]))
+    _, rc = decode_jpeg_pixels(jr[:sos] + tail)
+    _, rc_plain = decode_jpeg_pixels(jr)
+    assert np.array_equal(rc, rc_plain)

@@ -1951,3 +1951,42 @@ def test_xlsx_date_styles_tier(spark, tmp_path):
             ),
         )
     assert read_xlsx(p3) == [{"when": 45292.5}]
+
+
+def test_xlsx_sheet_name_sanitization(tmp_path):
+    """r10 ADVICE fix: Excel rejects/repairs workbooks whose sheet names
+    are empty, exceed 31 chars, contain []:*?/\\, are apostrophe-edged,
+    or collide case-insensitively — quoteattr alone only keeps the XML
+    well-formed. The writer mangles deterministically and returns the
+    names actually written; the stdlib reader sees the same names."""
+    from mysense_spark.sources.xlsx import list_sheets, read_xlsx, write_xlsx_sheets
+
+    rows = [{"a": 1}]
+    p = str(tmp_path / "s.xlsx")
+    names = write_xlsx_sheets(
+        {
+            "ok": rows,
+            "a/b[c]:d*e?f\\g": rows,
+            "x" * 40: rows,
+            "OK": rows,  # case-insensitive collision with "ok"
+            "": rows,
+            "'edge quoted'": rows,
+        },
+        p,
+    )
+    assert names == [
+        "ok",
+        "a_b_c__d_e_f_g",
+        "x" * 31,
+        "OK~2",
+        "sheet5",
+        "edge quoted",
+    ]
+    assert list_sheets(p) == names
+    assert read_xlsx(p, sheet="OK~2") == rows
+    # determinism: same input -> byte-identical names again
+    assert write_xlsx_sheets(dict.fromkeys(["A", "a", "A~2"], rows), p) == [
+        "A",
+        "a~2",
+        "A~2~2",
+    ]

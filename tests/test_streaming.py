@@ -994,3 +994,16 @@ def test_stream_append_mode_plus_compaction(spark, tmp_path):
         for r in spark.read.parquet(app_dir).collect()
     }
     assert got == want
+
+
+def test_auto_compact_is_opt_in_everywhere():
+    """r10 ADVICE fix (high): auto_compact makes the stream the
+    archive's SOLE compactor — a second compactor can race the shared
+    stage/manifest (single-merger contract) — so every stream entry
+    point must default it OFF; deployments opt in explicitly."""
+    import inspect
+
+    from mysense_spark.streaming.pipeline import run_file_stream, run_lines_stream
+
+    for fn in (run_file_stream, run_lines_stream):
+        assert inspect.signature(fn).parameters["auto_compact"].default is False, fn
