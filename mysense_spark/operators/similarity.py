@@ -855,6 +855,17 @@ _TC_GROUP = 64  # fine seeds per coarse stratum: K1 ≈ K/64 ≈ N/4096
 # two-level form (pytest-pinned), above it the vec→coarse scan is
 # route-pruned instead of growing as N×K1
 _TC_ROUTE_GROUP = 100_000
+# broadcast ceiling for the coarse-candidate payload (r10): the fused
+# routed argmin ships ALL K1 coarse candidates to every task, and K1 ≈
+# N/4096 — ~1 GB of int64 grid vectors at N = 10^10. Above this bound
+# the assignment switches to the SHUFFLE-ROUTED tier (route pick by a
+# K2-row broadcast, then a salted route_id equi-join whose per-task
+# payload is ONE route cell ≈ route_group candidates), so no O(N)
+# broadcast exists anywhere in the trained lineage at any N. 10^5
+# 64-dim int64 vectors ≈ 100 MB — the same comfort bound the route
+# stride itself encodes, so with default strides the tiers flip at the
+# same scale the route level goes multi-cell.
+_TC_BCAST_K1 = 100_000
 _QV_EXPR = f"transform(v, x -> CAST(floor(x * {float(_TC_SCALE)!r}) AS BIGINT))"
 
 
@@ -986,18 +997,75 @@ def _nearest_routed(
     )
 
 
+def _nearest_routed_shuffle(
+    rows: DataFrame,
+    rvec: str,
+    route: DataFrame,
+    cands: DataFrame,
+    cid: str,
+    cvec: str,
+    rid: str = "vec_id",
+) -> DataFrame:
+    """The SHUFFLE-ROUTED argmin — the above-broadcast-scale tier of
+    _nearest_routed (r10): semantically identical (same route pick, same
+    per-cell argmin, same (dist, id) tie-breaks — pinned row-for-row by
+    test_trained_codebook_shuffle_tier_matches_broadcast), but the K1
+    coarse candidates are never broadcast:
+
+    1. row → nearest route anchor: a map-side argmin over the K2-row
+       route table (K2 ≈ K1/route_group — broadcastable until
+       N ≈ 4×10^13, the same bound trained_codebook documents).
+    2. row → nearest candidate within its route cell: candidates are
+       grouped into ONE array row per cell (~route_group vectors ≈
+       100 MB at default strides) and equi-joined on (route_id, salt).
+       The salt replicates each cell array defaultParallelism ways —
+       K2 keys alone would put all N/K2 rows of a cell through one
+       task; salted, per-task state is ONE cell array + a slice of its
+       rows, bounded by route_group REGARDLESS of K1 or N. The
+       replication cost is K2·salts cell copies through the exchange —
+       at the tier boundary that is ~salts×100 MB, the price that
+       replaces an O(K1)=O(N/4096) broadcast to every executor.
+
+    The salt is a deterministic hash of the row id, so the physical
+    distribution is stable across retries; it never touches the argmin.
+    Returns rows + the new `cid` column, every row column kept (parity
+    with _nearest_routed)."""
+    salts = rows.sparkSession.sparkContext.defaultParallelism
+    routed = _nearest_bcast(rows, route, rvec, "route_id", "rqv")
+    grouped = cands.groupBy("route_id").agg(
+        F.collect_list(F.struct(F.col(cid).alias("i"), F.col(cvec).alias("q"))).alias("_cs")
+    )
+    cells = grouped.select(
+        "route_id",
+        "_cs",
+        F.explode(F.sequence(F.lit(0), F.lit(salts - 1))).alias("_salt"),
+    )
+    salted = routed.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(rid)), F.lit(salts)).cast("int")
+    )
+    return (
+        salted.join(cells, ["route_id", "_salt"])
+        .withColumn(cid, _argmin_expr(rvec, "_cs"))
+        .drop("_cs", "_salt", "route_id")
+    )
+
+
 def trained_codebook(
     vecs: DataFrame,
     route_group: int | None = None,
     fine_mod: int = _TC_FINE_MOD,
     group: int = _TC_GROUP,
     flat: bool = False,
-) -> tuple[DataFrame, DataFrame, tuple[DataFrame, DataFrame] | None]:
+    bcast_k1: int | None = None,
+) -> tuple[DataFrame, DataFrame, tuple[DataFrame, DataFrame, bool, bool] | None]:
     """Train the two-level codebook: returns (coarse, fine, routing)
     where `coarse` is (coarse_id, cqv) — Lloyd-refined integer-grid
     coarse centroids — `fine` is (fine_id, coarse_id, fqv) — the fine
     seed vectors with their coarse cell — and `routing` is
-    (route, croute), the self-routing third level (r9: always built;
+    (route, croute, shuffle_tier, single_cell): the self-routing third
+    level plus the r10 tier flags, resolved here ONCE so the seed→coarse
+    assignment below and the vec→coarse assignment in _two_level_parts
+    take the same physical tier (r9: always built;
     `route_group=None` means the default `_TC_ROUTE_GROUP` stride —
     routing is None only under the test-only `flat=True` build).
 
@@ -1045,13 +1113,30 @@ def trained_codebook(
     so every seed's and every vector's route cell offers ≥1 coarse
     candidate.
 
+    Physical tiers (r10 — same math, three plan shapes; which one runs
+    is decided here by ONE bounded control-plane aggregate over the
+    persisted seeds, yielding K1 = coarse candidates and K2 = route
+    cells — two ints, the codebook analogue of AQE's stats-driven join
+    selection, and the only driver-side action in the training):
+    - K1 ≤ bcast_k1, K2 == 1: the route level prunes nothing — the
+      routed argmin is ELIDED to a plain broadcast argmin over the K1
+      candidates (the flat two-level shape; exact by the reduction pin).
+    - K1 ≤ bcast_k1, K2 > 1: the fused one-broadcast routed argmin
+      (_nearest_routed).
+    - K1 > bcast_k1: the shuffle-routed tier (_nearest_routed_shuffle)
+      — no O(K1) broadcast anywhere; per-task payload is one route
+      cell. All three are pinned row-identical on forced fixtures.
+
     `fine_mod` / `group` / `route_group` expose the sampling strides so
     tests can force genuinely multi-level codebooks on small fixtures;
-    production uses the defaults. `flat=True` builds the two-level
-    form with no route level — test-only, the reference side of the
-    exact-reduction pin."""
+    production uses the defaults. `bcast_k1` overrides the broadcast
+    ceiling (_TC_BCAST_K1) — tests force the shuffle tier with
+    bcast_k1=0. `flat=True` builds the two-level form with no route
+    level — test-only, the reference side of the exact-reduction pin."""
     if route_group is None:
         route_group = _TC_ROUTE_GROUP
+    if bcast_k1 is None:
+        bcast_k1 = _TC_BCAST_K1
     if not flat and route_group < 1:
         raise ValueError(
             f"route_group must be >= 1, got {route_group!r}: a non-positive "
@@ -1093,7 +1178,7 @@ def trained_codebook(
     c0 = stratum(seeds, fine_mod * group).select(
         F.col("vec_id").alias("coarse_id"), F.col("qv").alias("cqv"), "h", "is_anchor"
     )
-    routing: tuple[DataFrame, DataFrame] | None = None
+    routing: tuple[DataFrame, DataFrame, bool, bool] | None = None
     if flat:
         a0 = tracked_persist(
             _nearest_bcast(seeds, c0, "qv", "coarse_id", "cqv").select(
@@ -1101,6 +1186,17 @@ def trained_codebook(
             )
         )
     else:
+        # tier decision: K1 (coarse candidates = would-be broadcast
+        # payload) and K2 (route cells) in ONE aggregate over the
+        # persisted seeds — the counts are exactly the stratum filters
+        # below, so nothing new is scanned and the job doubles as the
+        # seed-cache materialization every consumer reuses
+        s1, s2 = fine_mod * group, fine_mod * group * route_group
+        k1, k2 = seeds.agg(
+            F.sum(((F.col("h") % s1 == 0) | F.col("is_anchor")).cast("long")),
+            F.sum(((F.col("h") % s2 == 0) | F.col("is_anchor")).cast("long")),
+        ).first()
+        shuffle_tier, single_cell = k1 > bcast_k1, k2 == 1
         # third level: the same hash rule one more stratum up — a SUBSET
         # of the coarse inits (so each route cell contains its own
         # anchor as a coarse candidate and the pruned joins below are
@@ -1115,20 +1211,29 @@ def trained_codebook(
         croute = _nearest_bcast(c0, route, "cqv", "route_id", "rqv").select(
             "coarse_id", "route_id"
         )
-        # seed → (nearest route cell → nearest coarse init within it),
-        # fused into one map stage over one broadcast (an anchor
-        # attracts itself at 0, so every seed's route cell offers ≥1
-        # coarse candidate)
+        # seed → (nearest route cell → nearest coarse init within it):
+        # the tier flags pick the plan shape — elided broadcast argmin
+        # when the route level is one cell (it would prune nothing),
+        # the fused one-broadcast routed argmin while K1 fits the
+        # broadcast ceiling, else the salted shuffle-routed join (an
+        # anchor attracts itself at 0, so every seed's route cell
+        # offers ≥1 coarse candidate in every tier)
         # persisted: a0 is the K-row trained fine codebook (it IS `fine`
         # modulo renames) and its materialization absorbs the route /
         # croute broadcast builds, which would otherwise re-execute in
         # every downstream consumer
-        a0 = tracked_persist(
-            _nearest_routed(
+        if shuffle_tier:
+            assign = _nearest_routed_shuffle(
                 seeds, "qv", route, c0.join(croute, "coarse_id"), "coarse_id", "cqv"
-            ).select("vec_id", "qv", "coarse_id")
-        )
-        routing = (route, croute)
+            )
+        elif single_cell:
+            assign = _nearest_bcast(seeds, c0, "qv", "coarse_id", "cqv")
+        else:
+            assign = _nearest_routed(
+                seeds, "qv", route, c0.join(croute, "coarse_id"), "coarse_id", "cqv"
+            )
+        a0 = tracked_persist(assign.select("vec_id", "qv", "coarse_id"))
+        routing = (route, croute, shuffle_tier, single_cell)
     # a0 carries qv (map-derived), so the Lloyd refinement and the fine
     # table need no join-back to seeds
     mem = a0.select("coarse_id", F.posexplode("qv").alias("d", "q"))
@@ -1150,7 +1255,10 @@ def trained_codebook(
 
 
 def two_level_membership(
-    vecs: DataFrame, route_group: int | None = None, flat: bool = False
+    vecs: DataFrame,
+    route_group: int | None = None,
+    flat: bool = False,
+    bcast_k1: int | None = None,
 ) -> DataFrame:
     """Cluster membership under the trained codebook with the PRUNED
     assignment join: (vec_id, v, norm, cent_id) where cent_id is the
@@ -1173,7 +1281,7 @@ def two_level_membership(
     Every coarse cell entering step 2 has ≥1 fine seed (each coarse init
     is its own seed) and every refined fine cell in step 3 had ≥1 member
     in step 2, so both pruned joins are total — no vector is dropped."""
-    _, _, final = _two_level_parts(vecs, route_group, flat=flat)
+    _, _, final = _two_level_parts(vecs, route_group, flat=flat, bcast_k1=bcast_k1)
     return vecs.join(final, "vec_id").select("vec_id", "v", "norm", "cent_id")
 
 
@@ -1183,6 +1291,7 @@ def _two_level_parts(
     fine_mod: int = _TC_FINE_MOD,
     group: int = _TC_GROUP,
     flat: bool = False,
+    bcast_k1: int | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared internals of the trained-codebook assignment: returns
     (vca, f1cell, final) — vector→coarse map, refined fine centroids
@@ -1193,7 +1302,9 @@ def _two_level_parts(
     trained_codebook); `route_group` overrides the stride, and the
     test-only `flat=True` builds the unrouted two-level form for the
     exact-reduction pin."""
-    coarse, fine, routing = trained_codebook(vecs, route_group, fine_mod, group, flat=flat)
+    coarse, fine, routing = trained_codebook(
+        vecs, route_group, fine_mod, group, flat=flat, bcast_k1=bcast_k1
+    )
     par = vecs.sparkSession.sparkContext.defaultParallelism
     # repartition BEFORE the broadcast scoring stages (the ivf_membership
     # parallelism lesson: inherit cores, not parquet file count)
@@ -1202,15 +1313,27 @@ def _two_level_parts(
         vca_plan = _nearest_bcast(qvecs, coarse, "qv", "coarse_id", "cqv")
     else:
         # vec → (nearest route cell → nearest refined coarse centroid
-        # within it), fused into one map stage over one broadcast — the
-        # Lloyd-refined coarse centroids keep their INIT's route label
-        # (the routing is trained on inits; refinement moves centroids
-        # within their cell). The vec→coarse step costs ZERO shuffles
-        # at any N
-        route, croute = routing
-        vca_plan = _nearest_routed(
-            qvecs, "qv", route, coarse.join(croute, "coarse_id"), "coarse_id", "cqv"
-        ).select("vec_id", "qv", "coarse_id")
+        # within it) on the SAME physical tier trained_codebook resolved
+        # for the seeds — elided broadcast argmin (single route cell:
+        # routing would prune nothing), fused one-broadcast routed
+        # argmin (multi-cell under the broadcast ceiling — zero
+        # shuffles), or the salted shuffle-routed join (K1 above the
+        # ceiling — no O(K1) broadcast at any N). The Lloyd-refined
+        # coarse centroids keep their INIT's route label (the routing
+        # is trained on inits; refinement moves centroids within their
+        # cell)
+        route, croute, shuffle_tier, single_cell = routing
+        if shuffle_tier:
+            vca_plan = _nearest_routed_shuffle(
+                qvecs, "qv", route, coarse.join(croute, "coarse_id"), "coarse_id", "cqv"
+            )
+        elif single_cell:
+            vca_plan = _nearest_bcast(qvecs, coarse, "qv", "coarse_id", "cqv")
+        else:
+            vca_plan = _nearest_routed(
+                qvecs, "qv", route, coarse.join(croute, "coarse_id"), "coarse_id", "cqv"
+            )
+        vca_plan = vca_plan.select("vec_id", "qv", "coarse_id")
     # vca carries qv through (map-derived, so no qvecs join-back): ONE
     # persisted corpus-wide table replaces r8's two (qvecs + vca)
     vca = tracked_persist(vca_plan.select("vec_id", "qv", "coarse_id"))

@@ -1751,3 +1751,51 @@ def test_jpeg_fill_bytes_before_markers_accepted():
     _, rc = decode_jpeg_pixels(jr[:sos] + tail)
     _, rc_plain = decode_jpeg_pixels(jr)
     assert np.array_equal(rc, rc_plain)
+
+
+def test_trained_codebook_shuffle_tier_matches_broadcast(spark):
+    """r10 tier contract: above the broadcast ceiling (_TC_BCAST_K1,
+    forced here with bcast_k1=0) the routed assignment must switch to
+    the salted shuffle-routed equi-join and stay ROW-IDENTICAL to the
+    fused-broadcast form — same route pick, same per-cell argmin, same
+    (dist, id) tie-breaks — and identical to the DuckDB mirror, whose
+    CTEs know nothing about physical tiers. Plan contracts: the shuffle
+    tier exchanges on route_id (the candidate payload is never
+    broadcast), while the default single-cell build ELIDES the route
+    level entirely (no route_id anywhere in its plan) and stays
+    window-free."""
+    from mysense_spark.operators.similarity import (
+        _SQL_VECTORS,
+        _sql_two_level_membership,
+        _two_level_parts,
+        _vectors,
+        two_level_membership,
+    )
+    from mysense_spark.oracle import run_oracle
+
+    sf_dir = "/root/testdata/sf0.01"
+    vecs = _vectors(spark, sf_dir)
+    kw = dict(route_group=4, fine_mod=2, group=4)  # genuinely multi-cell
+    _, _, bcast = _two_level_parts(vecs, **kw)
+    _, _, shuf = _two_level_parts(vecs, bcast_k1=0, **kw)
+    b = {r["vec_id"]: r["cent_id"] for r in bcast.collect()}
+    s = {r["vec_id"]: r["cent_id"] for r in shuf.collect()}
+    assert s == b and len(s) == vecs.count()
+    sql = (
+        f"WITH vecs AS ({_SQL_VECTORS}),"
+        f"{_sql_two_level_membership(fine_mod=2, group=4, route_group=4)}\n"
+        "SELECT vec_id, cent_id FROM membership ORDER BY vec_id"
+    )
+    odf = run_oracle(sql, sf_dir)
+    assert s == dict(zip(odf["vec_id"].astype(int), odf["cent_id"].astype(int)))
+
+    # plan contracts (fresh, uncollected plans)
+    _, _, shuf_plan = _two_level_parts(vecs, bcast_k1=0, **kw)
+    plan = shuf_plan._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(route_id" in plan, "shuffle tier did not engage"
+    assert "Window" not in plan
+    small = _clustered_vecs(spark)
+    elided = two_level_membership(small)  # default strides: one route cell
+    plan_e = elided._jdf.queryExecution().executedPlan().toString()
+    assert "route_id" not in plan_e, "single-cell build must elide the route level"
+    assert "Window" not in plan_e
