@@ -30,6 +30,17 @@ Suite order is a seeded random shuffle (seed recorded in
 BENCH_DETAIL.json): the host's stall windows are temporal, so a FIXED
 alphabetical order correlates them with the same query names round
 after round — shuffling decorrelates the clusters across rounds.
+
+Calibration probe (r10): the r9 window inflated every reading 1.15-2x
+uniformly, and the standalone re-run landed in the SAME window — the
+protocol "confirmed" a regression on code with an empty git diff. A
+fixed-work probe (seeded range aggregate, no parquet, no Python UDF)
+now runs at suite start and again between the suite and the standalone
+re-runs; the noise thresholds divide each reading by the probe ratio
+vs the committed prior probe, so a uniformly inflated window cancels
+out of both the suspect and the confirm comparison instead of reading
+as engine time. Both probes, the prior, and the factors land in
+BENCH_DETAIL.json under "calibration".
 """
 
 from __future__ import annotations
@@ -42,6 +53,38 @@ import time
 
 SUSPECT_X = 1.8  # suite/prior ratio that triggers a standalone re-run
 CONFIRM_X = 1.5  # standalone/prior ratio that marks a real regression
+_PROBE_ROWS = 150_000_000  # fixed work: xxhash64 over a seeded range
+
+
+def calibration_probe(spark) -> float:
+    """Fixed-work host-speed probe: hash-reduce a literal range — no
+    parquet, no shuffle, no Python worker, so the reading moves ONLY
+    with host speed. Best of 3 (single readings inherit the same
+    stalls the probe exists to measure)."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, _PROBE_ROWS, 1, 64).selectExpr(
+            "sum(xxhash64(id)) AS h"
+        ).collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
+def is_suspect(t: float, prior_t: float, factor: float) -> bool:
+    """Suite reading t is suspicious vs the committed prior, after
+    dividing out the measured host-speed factor (probe/prior_probe).
+    factor <= 0 or missing priors disable the comparison."""
+    return t > 0 and prior_t > 0 and factor > 0 and t / factor > SUSPECT_X * prior_t
+
+
+def is_confirmed(standalone: float, prior_t: float, factor: float) -> bool:
+    """The standalone re-run confirms a REAL regression only if it
+    still exceeds CONFIRM_X after host-speed correction — a re-run that
+    lands in the same inflated window as the suite (the r9
+    daily_qc_report failure mode) divides back to its prior level and
+    no longer 'confirms' untouched code."""
+    return prior_t > 0 and factor > 0 and standalone / factor > CONFIRM_X * prior_t
 
 
 def main() -> None:
@@ -60,6 +103,8 @@ def main() -> None:
 
     for t in TABLES:
         load(spark, sf_dir, t).count()
+
+    probe_start = calibration_probe(spark)
 
     order_seed = int(os.environ.get("SPARK_GRAFT_BENCH_SEED", time.time_ns() % 2**31))
     ordered = sorted(spark_queries().items())
@@ -90,17 +135,25 @@ def main() -> None:
     # --- noise protocol: standalone re-run of suspicious slowdowns ---
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     prior: dict[str, float] = {}
+    prior_probe = 0.0
     try:
         with open(detail_path) as fh:
-            prior = json.load(fh).get("queries", {})
+            prior_detail = json.load(fh)
+        prior = prior_detail.get("queries", {})
+        prior_probe = float(prior_detail.get("calibration", {}).get("probe", 0.0))
     except Exception:
         pass
+    # second probe AFTER the suite and BEFORE the standalone re-runs: the
+    # re-runs share this moment's host speed, so this is the factor that
+    # must correct the confirm threshold
+    probe_end = calibration_probe(spark)
+    probe = min(probe_start, probe_end)  # cleanest observed host moment
+    factor_suite = round(probe / prior_probe, 3) if prior_probe > 0 else 1.0
+    factor_confirm = round(probe_end / prior_probe, 3) if prior_probe > 0 else 1.0
     qs = spark_queries()
     noise_check: dict[str, dict] = {}
     suspects = [
-        n
-        for n, t in timings.items()
-        if t > 0 and prior.get(n, 0) > 0 and t > SUSPECT_X * prior[n]
+        n for n, t in timings.items() if is_suspect(t, prior.get(n, 0), factor_suite)
     ]
     for name in suspects:
         best = float("inf")
@@ -112,15 +165,24 @@ def main() -> None:
             except Exception:
                 break
         if best < float("inf"):
-            confirmed = best > CONFIRM_X * prior[name]
+            confirmed = is_confirmed(best, prior[name], factor_confirm)
             noise_check[name] = {
                 "suite": timings[name],
                 "standalone": round(best, 3),
                 "prior": prior[name],
+                "factor": factor_confirm,
                 "confirmed_regression": confirmed,
             }
             timings[name] = min(timings[name], round(best, 3))
     total = round(sum(t for t in timings.values() if t > 0), 3)
+    calibration = {
+        "probe": probe,
+        "probe_start": probe_start,
+        "probe_end": probe_end,
+        "prior_probe": prior_probe,
+        "factor_suite": factor_suite,
+        "factor_confirm": factor_confirm,
+    }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -134,7 +196,7 @@ def main() -> None:
         json.dump(
             {"metric": "mysense_spark_query_suite", "value": total, "unit": "sec",
              "queries": timings, "sf": sf_val, "noise_check": noise_check,
-             "order_seed": order_seed},
+             "order_seed": order_seed, "calibration": calibration},
             fh,
         )
 

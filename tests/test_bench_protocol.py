@@ -1,0 +1,53 @@
+"""Pins for bench.py's noise protocol (pure threshold logic — no Spark).
+
+The r10 calibration probe exists because of a RECORDED r9 failure:
+daily_qc_report (untouched code, empty git diff) read 0.79 s in the
+committed r8 detail and 1.50 s in r9's uniformly inflated window; its
+standalone re-run landed in the SAME window and the protocol marked
+confirmed_regression=true. These tests replay those exact numbers
+through the factored thresholds."""
+
+import bench
+
+
+def test_r9_inflated_window_no_longer_confirms_untouched_query():
+    """Replay of the r9 daily_qc_report incident: prior 0.79 s, suite
+    1.50 s, standalone 1.50 s (same stall window). With the probe
+    reading the same window's inflation (factor = 1.50/0.79 ≈ 1.9) the
+    corrected standalone divides back to its prior level — NOT
+    confirmed. The query is still flagged suspect (1.50 > 1.8×0.79 at
+    the suite's cleanest-moment factor 1.0 if the stall was temporal),
+    which is correct: suspects are cheap, confirmations are claims."""
+    prior, suite, standalone = 0.79, 1.50, 1.50
+    window_factor = standalone / prior  # what the adjacent probe reads
+    assert bench.is_suspect(suite, prior, factor=1.0)
+    assert not bench.is_confirmed(standalone, prior, factor=window_factor)
+    # even the conservative like-for-like window mean r9 measured (1.15)
+    # moves the corrected ratio to 1.65 — a PARTIAL correction; only a
+    # probe adjacent to the re-run (factor_confirm) fully cancels it,
+    # which is why bench.py probes again between suite and re-runs
+    assert bench.is_confirmed(standalone, prior, factor=1.15)
+
+
+def test_real_regression_still_confirms_through_calibration():
+    """A genuine 3x slowdown on a clean host (probe factor 1.0) must
+    still confirm — and must KEEP confirming in a moderately inflated
+    window, because the regression ratio exceeds inflation."""
+    prior = 0.79
+    regressed = 3 * prior
+    assert bench.is_suspect(regressed, prior, factor=1.0)
+    assert bench.is_confirmed(regressed, prior, factor=1.0)
+    assert bench.is_confirmed(regressed, prior, factor=1.2)
+
+
+def test_threshold_edges_and_missing_priors():
+    """Missing priors or probes disable the comparison (never suspect),
+    a failed query (-1) is never suspect, and a faster host (factor<1)
+    tightens the thresholds — a reading flat vs prior on a 2x-faster
+    host IS a 2x engine regression."""
+    assert not bench.is_suspect(1.5, 0.0, factor=1.0)   # no prior
+    assert not bench.is_suspect(-1.0, 0.79, factor=1.0)  # failed query
+    assert not bench.is_suspect(1.5, 0.79, factor=0.0)   # no prior probe
+    assert not bench.is_suspect(1.3, 1.0, factor=1.0)
+    assert bench.is_suspect(1.0, 1.0, factor=0.5)
+    assert bench.is_confirmed(1.0, 1.0, factor=0.5)
