@@ -919,6 +919,68 @@ def compact_closed_days(
     return targets
 
 
+def finalize_append(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    order_col: str,
+    before_day: str | None = None,
+    ts_col: str = "ts",
+    include_null_day: bool = True,
+) -> list[str]:
+    """Batch twin of the streaming tail's auto-compact (r10): a pure
+    -batch backfill through append_day_partitioned leaves its days
+    appended-but-uncompacted until the next auto-compacting stream run
+    — this entry point drains the WHOLE backlog in one call, using the
+    same sidecar-marker detection compact_closed_days uses (a day is
+    pending iff its directory holds parquet files the `_key_ranges.json`
+    sidecar does not record), looped until the markers show nothing
+    left (each pass commits ≤_BACKFILL_CHUNK_DAYS idempotently, so a
+    crash mid-drain loses at most the in-flight chunk and a re-run
+    resumes from the markers).
+
+    `before_day` bounds the frontier exactly like the stream's
+    watermark (days >= it stay open); None means the backfill is DONE
+    and every day is closed. Unlike the stream (where null-ts rows keep
+    landing forever), a finished batch backfill CAN close NULL_DAY —
+    `include_null_day=True` compacts it when it has unrecorded files;
+    pass False when appends will continue. Returns every day compacted,
+    in commit order. Single-writer contract unchanged: this IS the one
+    merger/compactor while it runs."""
+    done: list[str] = []
+    frontier = before_day if before_day is not None else "9999-12-31"
+    seen: set[str] = set()
+    while True:
+        batch = compact_closed_days(
+            spark, path, keys, order_col, before_day=frontier, ts_col=ts_col
+        )
+        if not batch:
+            break
+        if seen.intersection(batch):
+            raise RuntimeError(
+                f"finalize_append is not converging: {sorted(seen & set(batch))} "
+                f"re-targeted after compaction — the day's sidecar did not "
+                f"record the promoted files"
+            )
+        seen.update(batch)
+        done.extend(batch)
+    if include_null_day:
+        null_dir = os.path.join(path, f"{DAY_COL}={NULL_DAY}")
+        prune_col = _prune_col(keys, ts_col)
+        if os.path.isdir(null_dir) and prune_col is not None:
+            recorded = _load_ranges(null_dir, prune_col)
+            if any(
+                f.endswith(".parquet") and f not in recorded
+                for f in os.listdir(null_dir)
+            ):
+                done.extend(
+                    compact_days(
+                        spark, path, keys, order_col, days=[NULL_DAY], ts_col=ts_col
+                    )
+                )
+    return done
+
+
 def latest_view(archive: DataFrame, keys: list[str], order_col: str) -> DataFrame:
     """Dedup-on-read for an appended-but-not-yet-compacted archive: the
     same latest-row-wins rule the merge and compaction apply, as a view.

@@ -1990,3 +1990,60 @@ def test_xlsx_sheet_name_sanitization(tmp_path):
         "a~2",
         "A~2~2",
     ]
+
+
+def test_finalize_append_drains_pure_batch_backfill(spark, tmp_path, monkeypatch):
+    """r10: a pure-BATCH backfill through append_day_partitioned (no
+    stream run anywhere) must reach a fully compacted archive through
+    finalize_append alone — every day physically deduped latest-row-wins
+    (including NULL_DAY, which a finished backfill may close), every
+    surviving file recorded in its day's sidecar, chunked draining
+    across several passes, and a second call finding nothing to do."""
+    import datetime as dt
+    import os
+
+    from mysense_spark.sinks import upsert as U
+
+    keys, oc = ["kit_id", "ts", "field"], "ingest_ts"
+    path = str(tmp_path / "arch")
+    days = [dt.datetime(2024, 1, d, 10) for d in range(1, 6)]  # 5 days
+    for b in range(2):  # two overlapping batches per day -> duplicates
+        rows = [
+            (f"k{i}", day, "pm25", float(b * 100 + i), dt.datetime(2024, 6, 1 + b))
+            for day in days
+            for i in range(3)
+        ]
+        rows.append(("knull", None, "pm25", float(b), dt.datetime(2024, 6, 1 + b)))
+        U.append_day_partitioned(_mk_batch(spark, rows), path)
+    assert spark.read.parquet(path).count() == 32  # 2*(15+1), nothing deduped
+
+    want = {
+        (r["kit_id"], r["ts"], r["field"]): r["value"]
+        for r in U.latest_view(spark.read.parquet(path), keys, oc).collect()
+    }
+    monkeypatch.setattr(U, "_BACKFILL_CHUNK_DAYS", 2)  # force several passes
+    done = U.finalize_append(spark, path, keys, oc)
+    assert done == [f"2024-01-0{d}" for d in range(1, 6)] + [U.NULL_DAY]
+    got = {
+        (r["kit_id"], r["ts"], r["field"]): r["value"]
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == want
+    assert spark.read.parquet(path).count() == 16  # physically deduped
+    # every day is marked: all surviving files recorded in its sidecar
+    for d in os.listdir(path):
+        if not d.startswith(f"{U.DAY_COL}="):
+            continue
+        day_dir = os.path.join(path, d)
+        recorded = U._load_ranges(day_dir, "kit_id")
+        on_disk = [f for f in os.listdir(day_dir) if f.endswith(".parquet")]
+        assert on_disk and all(f in recorded for f in on_disk), d
+    # idempotent: nothing left to drain, and a frontier keeps days open
+    assert U.finalize_append(spark, path, keys, oc) == []
+    U.append_day_partitioned(
+        _mk_batch(spark, [("k9", days[-1], "pm25", 9.0, dt.datetime(2024, 6, 9))]), path
+    )
+    assert U.finalize_append(
+        spark, path, keys, oc, before_day="2024-01-05", include_null_day=False
+    ) == []  # the touched day sits AT the frontier -> still open
+    assert U.finalize_append(spark, path, keys, oc) == ["2024-01-05"]
