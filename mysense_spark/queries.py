@@ -32,78 +32,77 @@ def _modules():
 
 # Queries hoisted to the very front of the registry: the driver's
 # correctness gate checks exactly the FIRST 50 entries, so this list is
-# kept to exactly 50. Round-9 layout:
-# (a) 3 rows whose code changed this round — semdedup_trained +
-# ann_ivf_trained (the trained codebook rebuilt ORDER-FREE: md5-stride
-# level selection instead of the rank window, always-on self-routing
-# third level, fused map-side routed argmin; DuckDB mirrors now cover
-# the routing too), and dedup_upsert (file selection now reads the
-# promote-time _key_ranges.json sidecar with footer fallback);
-# (b) the 25 rows whose last driver evidence is round 6 — rolled here
-# exactly as planned in the r8 comment (which miscounted them as 26);
-# (c) 22 of the 43 rows whose last evidence is round 7, alphabetical.
-# The remaining 20 r7-evidence rows (minmax_normalize, modality_mix,
-# mode_per_user, multilinear_regression, ngram_jaccard_pairs,
-# perplexity_bucket, range_validate, region_revenue, repetition_stats,
-# sequence_packing, sigma_band, source_overlap, stratified_sample,
-# tfidf_top_terms, token_count, tristate_validity, url_filter,
-# vocab_stats, weighted_sample, zscore_outliers) roll to round 10,
-# after any r10-changed rows. After this window no registry row's
-# driver evidence is older than round 7.
+# kept to exactly 50. Round-10 layout:
+# (a) the 2 rows whose code changed this round — semdedup_trained +
+# ann_ivf_trained (the trained-codebook assignment gained tiered
+# physical plans: single-cell route elision, the fused broadcast form,
+# and a salted shuffle-routed equi-join above the _TC_BCAST_K1
+# broadcast ceiling, so no O(K1) broadcast survives at any N);
+# (b) the 20 rows whose last driver evidence is round 7 — rolled here
+# exactly as planned in the r9 comment;
+# (c) 28 of the 48 rows whose last evidence is round 8, alphabetical.
+# The remaining 20 r8-evidence rows (percentile_summary,
+# pricing_summary, props_json_stats, quality_centroid_score,
+# region_rollup, revenue_quartiles, semdedup, semdedup_auto,
+# sensor_set_diff, sensorthings_pull, simhash_pairs, spatial_pairs,
+# sql_interface, station_calibration, taylor_calibration, text_stats,
+# top_revenue_orders, ttn_decode, unit_conversion, winnow_fingerprints)
+# roll to round 11, after any r11-changed rows. After this window no
+# registry row's driver evidence is older than round 8.
 _PRIORITY = (
-    # (a) code changed in round 9
+    # (a) code changed in round 10
     "semdedup_trained",
     "ann_ivf_trained",
-    "dedup_upsert",
-    # (b) last driver evidence: round 6 (the planned 25)
-    "duplicate_spans",
-    "tokenizer_fertility",
-    "pii_scrub",
-    "lang_id",
-    "quality_score",
-    "doc_fingerprint",
-    "temperature_mix",
-    "pm_mass_fill",
-    "ols_summary",
-    "joost_correction",
-    "unpivot_long",
-    "failing_sensor_report",
-    "distinct_active_kits",
-    "wide_view",
-    "timeslice_avg",
-    "latest_per_user",
-    "static_runs",
-    "gap_detection",
-    "interval_inference",
-    "dead_kits",
-    "hourly_gapfill",
-    "moving_average",
-    "static_value_monitor",
-    "dead_kit_tiers",
-    "crawl_rate_anomalies",
-    # (c) last driver evidence: round 7 (first 22, alphabetical)
-    "approx_distinct_users",
-    "aqhi_index",
-    "aqi_index",
-    "asof_align",
-    "blob_metadata",
-    "caqi_index",
-    "cascade_rollup",
-    "chunk_overlap",
-    "corpus_build",
-    "coverage",
-    "cross_split_leakage",
-    "daily_qc_report",
-    "decontam_report",
-    "dup_ngram_frac",
-    "embedding_outliers",
-    "fit_apply",
-    "frame_sample",
-    "grubbs_outliers",
-    "hash_sample",
-    "linear_regression",
-    "lki_index",
-    "media_embed",
+    # (b) last driver evidence: round 7 (the planned 20)
+    "minmax_normalize",
+    "modality_mix",
+    "mode_per_user",
+    "multilinear_regression",
+    "ngram_jaccard_pairs",
+    "perplexity_bucket",
+    "range_validate",
+    "region_revenue",
+    "repetition_stats",
+    "sequence_packing",
+    "sigma_band",
+    "source_overlap",
+    "stratified_sample",
+    "tfidf_top_terms",
+    "token_count",
+    "tristate_validity",
+    "url_filter",
+    "vocab_stats",
+    "weighted_sample",
+    "zscore_outliers",
+    # (c) last driver evidence: round 8 (first 28, alphabetical)
+    "alarm_suppression",
+    "ann_ivf",
+    "ann_recall",
+    "bm25_search",
+    "chatty_kits",
+    "cluster_stats",
+    "csv_ingest",
+    "customers_without_orders",
+    "dedup_exact",
+    "dedup_keep_best",
+    "dew_point",
+    "embedding_dim_stats",
+    "embedding_neardup",
+    "event_sessions",
+    "geofence_transitions",
+    "gopher_filter",
+    "hourly_stats",
+    "hybrid_search_rrf",
+    "incremental_dedup",
+    "kit_throttle",
+    "kmeans_train",
+    "knn_bruteforce",
+    "maintenance_window_join",
+    "minhash_lsh_pairs",
+    "neardup_clusters",
+    "neighbour_search",
+    "order_priority_counts",
+    "part_supplier_stats",
 )
 
 
