@@ -229,16 +229,19 @@ _JPEG_STANDALONE = {0x01, *range(0xD0, 0xD8)}  # TEM, RST0-7
 _JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
 
 
-def _jpeg_segments(b: bytes):
+def _jpeg_segments(b: bytes, pos: int | None = None):
     """Yield (marker, body, end_pos) for each length-framed JPEG segment
     — the ONE marker walk (SOI check, fill bytes, standalone markers,
     framing guards) shared by parse_jpeg_header and decode_jpeg_pixels,
     so the truncation guards cannot drift between them. Stops at EOI;
     the caller decides what SOS means (the scan's entropy data starts at
-    its end_pos, so the walk must not run past it)."""
-    if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
-        raise ValueError("not a JPEG payload")
-    pos = 2
+    its end_pos, so the walk must not run past it). `pos` resumes the
+    walk after a scan's entropy data (the progressive decoder walks
+    scan → entropy skip → walk again); None starts at SOI."""
+    if pos is None:
+        if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
+            raise ValueError("not a JPEG payload")
+        pos = 2
     while pos + 2 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError(f"JPEG marker desync at byte {pos}")
@@ -304,10 +307,10 @@ def parse_jpeg_header(payload: bytes) -> dict:
 def decode_jpeg(payload: bytes, pixels: bool = True):
     """JPEG decode: the header tier (geometry/components/progressive) is
     parse_jpeg_header; the pixel tier is REAL for baseline sequential
-    JPEG since r9 (decode_jpeg_pixels below — Huffman entropy decode,
-    dequant, IDCT, 4:2:x chroma upsampling, YCbCr→RGB); progressive and
-    arithmetic-coded scans raise NotImplementedError (genuinely a codec-
-    library tier)."""
+    JPEG since r9 AND progressive Huffman JPEG since r10
+    (decode_jpeg_pixels / _decode_progressive below); arithmetic-coded,
+    lossless, and hierarchical frames raise NotImplementedError
+    (genuinely a codec-library tier)."""
     meta = parse_jpeg_header(payload)
     if not pixels:
         return meta, None
@@ -418,8 +421,10 @@ def decode_mp4(payload: bytes, pixels: bool = True):
 # Baseline JPEG entropy decode (r9): Huffman + dequant + IDCT + chroma
 # upsampling + YCbCr->RGB, pure stdlib + numpy. This closes the "JPEG
 # needs a codec library" gate for the baseline sequential tier (ITU T.81
-# — the overwhelming majority of crawl-corpus JPEGs); progressive scans
-# stay gated. Correctness tier: the entropy loop is per-symbol Python,
+# — the overwhelming majority of crawl-corpus JPEGs); progressive
+# Huffman scans are real too since r10 (below); only arithmetic coding,
+# lossless, and hierarchical frames stay gated.
+# Correctness tier: the entropy loop is per-symbol Python,
 # fine for validation and sampled decodes; bulk throughput is what a
 # codec library is FOR, and media_properties never runs this (header
 # tier only).
@@ -496,14 +501,54 @@ def _build_huff(counts: list[int], symbols: list[int]) -> dict:
     return table
 
 
+def _parse_dqt(body: bytes, quant: dict) -> None:
+    """Fold a DQT segment into the live quant-table state (shared by the
+    baseline and progressive walks — tables may be redefined between
+    scans, so parsing is stateful by design)."""
+    import numpy as np
+
+    i = 0
+    while i < len(body):
+        pq, tq = body[i] >> 4, body[i] & 0xF
+        n = 64 * (2 if pq else 1)
+        if i + 1 + n > len(body):
+            raise ValueError("truncated JPEG DQT")
+        raw = body[i + 1 : i + 1 + n]
+        vals = (
+            np.frombuffer(raw, dtype=">u2") if pq else np.frombuffer(raw, dtype=np.uint8)
+        ).astype(np.int64)
+        tbl = np.zeros(64, dtype=np.int64)
+        tbl[_ZIGZAG] = vals  # wire order is zigzag
+        quant[tq] = tbl.reshape(8, 8)
+        i += 1 + n
+
+
+def _parse_dht(body: bytes, huff: dict) -> None:
+    """Fold a DHT segment into the live Huffman-table state (stateful
+    like _parse_dqt: progressive streams legally redefine tables between
+    scans, and each scan must see the tables current at its SOS)."""
+    i = 0
+    while i + 17 <= len(body):
+        tc, th = body[i] >> 4, body[i] & 0xF
+        counts = list(body[i + 1 : i + 17])
+        nsym = sum(counts)
+        symbols = list(body[i + 17 : i + 17 + nsym])
+        if len(symbols) < nsym:
+            raise ValueError("truncated JPEG DHT")
+        huff[(tc, th)] = _build_huff(counts, symbols)
+        i += 17 + nsym
+
+
 def decode_jpeg_pixels(payload: bytes):
     """REAL baseline-JPEG pixel decoder — marker walk, canonical Huffman
     entropy decode (restart intervals honored), dequantization, inverse
     zigzag, orthonormal IDCT, replicated chroma upsampling for 4:2:x,
     and JFIF YCbCr->RGB. Returns (meta, HxW uint8 grayscale or HxWx3
-    RGB). Progressive (SOF2) raises NotImplementedError; malformed
-    structures raise ValueError. Validated by round-trip against the
-    unit-quant encoder below plus hand-computed flat-field cases."""
+    RGB). Progressive (SOF2) dispatches to _decode_progressive (real
+    since r10); arithmetic/lossless/hierarchical frames raise
+    NotImplementedError; malformed structures raise ValueError.
+    Validated by round-trip against the unit-quant encoder below plus
+    hand-computed flat-field cases."""
     import numpy as np
 
     b = bytes(payload)
@@ -515,35 +560,16 @@ def decode_jpeg_pixels(payload: bytes):
     restart = 0
     for marker, body, end_pos in _jpeg_segments(b):
         if marker == 0xDB:  # DQT
-            i = 0
-            while i < len(body):
-                pq, tq = body[i] >> 4, body[i] & 0xF
-                n = 64 * (2 if pq else 1)
-                if i + 1 + n > len(body):
-                    raise ValueError("truncated JPEG DQT")
-                raw = body[i + 1 : i + 1 + n]
-                vals = (
-                    np.frombuffer(raw, dtype=">u2") if pq else np.frombuffer(raw, dtype=np.uint8)
-                ).astype(np.int64)
-                tbl = np.zeros(64, dtype=np.int64)
-                tbl[_ZIGZAG] = vals  # wire order is zigzag
-                quant[tq] = tbl.reshape(8, 8)
-                i += 1 + n
+            _parse_dqt(body, quant)
         elif marker == 0xC4:  # DHT
-            i = 0
-            while i + 17 <= len(body):
-                tc, th = body[i] >> 4, body[i] & 0xF
-                counts = list(body[i + 1 : i + 17])
-                nsym = sum(counts)
-                symbols = list(body[i + 17 : i + 17 + nsym])
-                if len(symbols) < nsym:
-                    raise ValueError("truncated JPEG DHT")
-                huff[(tc, th)] = _build_huff(counts, symbols)
-                i += 17 + nsym
+            _parse_dht(body, huff)
         elif marker in _JPEG_SOF:
+            if marker == 0xC2:  # progressive, Huffman-coded: real since r10
+                return _decode_progressive(b)
             if marker not in (0xC0, 0xC1):
                 raise NotImplementedError(
-                    "non-baseline JPEG (progressive/arithmetic) needs a codec library"
+                    "non-baseline JPEG (arithmetic/lossless/hierarchical) "
+                    "needs a codec library"
                 )
             width, height, precision, _, comps = _parse_sof(marker, body)
             if precision != 8 or len(comps) not in (1, 3):
@@ -573,6 +599,72 @@ def decode_jpeg_pixels(payload: bytes):
     raise ValueError("JPEG has no SOS scan")
 
 
+def _split_entropy(b: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Split a scan's entropy stream into destuffed restart segments:
+    inside entropy data 0xFF is always followed by 0x00 (stuffed
+    literal), another 0xFF (fill byte — ITU T.81 B.1.1.2 allows any run
+    before a marker), or a marker — RSTn separate segments, anything
+    else ends the scan. Returns (segments, next_pos) where next_pos is
+    the offset of the terminating marker's 0xFF (or len(b)) — the point
+    a multi-scan walk resumes from."""
+    segments, cur = [], bytearray()
+    i = pos
+    while i < len(b):
+        byte = b[i]
+        if byte != 0xFF:
+            cur.append(byte)
+            i += 1
+            continue
+        nxt = b[i + 1] if i + 1 < len(b) else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif nxt == 0xFF:
+            # fill byte — skip it and re-examine from the next 0xFF,
+            # which may itself be fill, a marker, or stuffed
+            i += 1
+        elif 0xD0 <= nxt <= 0xD7:
+            segments.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:
+            break
+        continue
+    segments.append(bytes(cur))
+    return segments, i
+
+
+def _planes_to_image(comps, width, height, hmax, vmax, progressive):
+    """Shared reconstruction tail: upsample each component plane to full
+    resolution (sample replication), crop to the declared geometry, and
+    convert (grayscale passthrough or JFIF YCbCr->RGB). Each comp must
+    carry its MCU-padded float64 'plane'."""
+    import numpy as np
+
+    planes = []
+    for c in comps:
+        p = np.repeat(np.repeat(c["plane"], vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        planes.append(p[:height, :width])
+    meta = {
+        "width": int(width),
+        "height": int(height),
+        "channels": len(comps),
+        "bit_depth": 8,
+        "progressive": progressive,
+    }
+    if len(planes) == 1:
+        arr = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        meta["mean"] = float(arr.mean())
+        return meta, arr
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb], axis=2
+    )
+    arr = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    meta["mean"] = float(arr.mean())
+    return meta, arr
+
+
 def _decode_scan(b, pos, width, height, comps, quant, huff, restart):
     import numpy as np
 
@@ -597,34 +689,7 @@ def _decode_scan(b, pos, width, height, comps, quant, huff, restart):
             raise ValueError("JPEG scan references a missing quant/Huffman table")
         c["plane"] = np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
 
-    # split the entropy stream into destuffed restart segments: inside
-    # entropy data 0xFF is always followed by 0x00 (stuffed literal) or
-    # a marker — RSTn separate segments, anything else ends the scan
-    segments, cur = [], bytearray()
-    i = pos
-    while i < len(b):
-        byte = b[i]
-        if byte != 0xFF:
-            cur.append(byte)
-            i += 1
-            continue
-        nxt = b[i + 1] if i + 1 < len(b) else 0xD9
-        if nxt == 0x00:
-            cur.append(0xFF)
-            i += 2
-        elif nxt == 0xFF:
-            # 0xFF fill byte before a marker (ITU T.81 B.1.1.2 allows
-            # any number of them) — skip it and re-examine from the
-            # next 0xFF, which may itself be fill, a marker, or stuffed
-            i += 1
-        elif 0xD0 <= nxt <= 0xD7:
-            segments.append(bytes(cur))
-            cur = bytearray()
-            i += 2
-        else:
-            break
-        continue
-    segments.append(bytes(cur))
+    segments, _next = _split_entropy(b, pos)
 
     C = _dct_matrix()
     mcus_per_seg = restart if restart else total_mcus
@@ -673,28 +738,312 @@ def _decode_scan(b, pos, width, height, comps, quant, huff, restart):
     if mcu < total_mcus:
         raise ValueError("JPEG scan ended before the last MCU")
 
-    planes = []
+    return _planes_to_image(comps, width, height, hmax, vmax, progressive=False)
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (r10): spectral-selection / successive-approximation
+# scan accumulation (ITU T.81 §G.1.2, Huffman-coded) feeding the SAME
+# dequant/IDCT/upsample/color tail as the baseline path. This narrows
+# the JPEG gate to arithmetic coding (and lossless/hierarchical) only.
+# Same correctness-tier caveat as baseline: per-symbol Python entropy
+# loop, parallel across blobs inside an Arrow batch, not a bulk decoder.
+# ---------------------------------------------------------------------------
+
+
+def _decode_progressive(b: bytes):
+    """Progressive-JPEG pixel decoder: walks every scan, accumulating
+    per-block zigzag coefficient arrays — DC first/refine scans are
+    MCU-interleaved like baseline, AC scans are single-component with
+    EOB-run coding (first) or correction-bit refinement — then runs one
+    dequant + IDCT pass over the finished coefficients. Tables (DHT/DQT)
+    and DRI are stateful across scans, as the spec allows. Validated by
+    hand-crafted bitstreams with hand-computed expected pixels; every
+    malformed structure raises ValueError."""
+    import numpy as np
+
+    quant: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    sof = None
+    restart = 0
+    hmax = vmax = mcux = mcuy = 0
+    pos: int | None = None
+    saw_scan = False
+    while True:
+        resumed = False
+        for marker, body, end_pos in _jpeg_segments(b, pos):
+            if marker == 0xDB:
+                _parse_dqt(body, quant)
+            elif marker == 0xC4:
+                _parse_dht(body, huff)
+            elif marker == 0xDD:
+                if len(body) < 2:
+                    raise ValueError("truncated JPEG DRI segment")
+                (restart,) = struct.unpack_from(">H", body, 0)
+            elif marker in _JPEG_SOF:
+                if marker != 0xC2:
+                    raise NotImplementedError(
+                        "non-baseline JPEG (arithmetic/lossless/hierarchical) "
+                        "needs a codec library"
+                    )
+                if sof is not None:
+                    raise ValueError("JPEG has more than one frame header")
+                width, height, precision, _, comps = _parse_sof(marker, body)
+                if precision != 8 or len(comps) not in (1, 3):
+                    raise ValueError("unsupported JPEG SOF parameters")
+                if not all(1 <= c["h"] <= 2 and 1 <= c["v"] <= 2 for c in comps):
+                    raise NotImplementedError(
+                        "JPEG sampling factors beyond 2 need a codec library"
+                    )
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = -(-width // (8 * hmax))
+                mcuy = -(-height // (8 * vmax))
+                # entropy-plausibility bound BEFORE allocating the
+                # geometry-sized coefficient arrays (the progressive
+                # analog of the baseline 2-bits/block check: the
+                # mandatory DC-first scan costs >= 1 bit per block)
+                total_blocks = mcux * mcuy * sum(c["h"] * c["v"] for c in comps)
+                if (len(b) - end_pos) * 8 < total_blocks:
+                    raise ValueError(
+                        "JPEG entropy data cannot cover the declared geometry"
+                    )
+                for c in comps:
+                    # coefficient planes sized to the MCU-padded grid so
+                    # interleaved DC scans fit; non-interleaved scans
+                    # touch only the component's own block-grid prefix
+                    bh, bw = mcuy * c["v"], mcux * c["h"]
+                    c["coef"] = np.zeros((bh, bw, 64), dtype=np.int64)
+                    # per-component block grid for NON-interleaved scans
+                    # (T.81 A.2.2: ceil over the component's sample dims)
+                    cx = -(-width * c["h"] // hmax)
+                    cy = -(-height * c["v"] // vmax)
+                    c["bw1"] = -(-cx // 8)
+                    c["bh1"] = -(-cy // 8)
+                sof = (width, height, comps)
+            elif marker == 0xDA:
+                if sof is None:
+                    raise ValueError("JPEG SOS before SOF")
+                width, height, comps = sof
+                if len(body) < 1:
+                    raise ValueError("truncated JPEG SOS segment")
+                ns = body[0]
+                if len(body) < 1 + 2 * ns + 3:
+                    raise ValueError("truncated JPEG SOS segment")
+                scan_comps = []
+                for si in range(ns):
+                    cs, tabs = body[1 + 2 * si], body[2 + 2 * si]
+                    match = [c for c in comps if c["id"] == cs]
+                    if not match:
+                        raise ValueError("JPEG SOS component ids do not match SOF")
+                    c = match[0]
+                    c["dc"], c["ac"] = tabs >> 4, tabs & 0xF
+                    scan_comps.append(c)
+                ss, se, ahl = body[1 + 2 * ns : 4 + 2 * ns]
+                ah, al = ahl >> 4, ahl & 0xF
+                pos = _decode_prog_scan(
+                    b, end_pos, scan_comps, ss, se, ah, al, huff, restart, mcux, mcuy
+                )
+                saw_scan = True
+                resumed = True
+                break
+        if not resumed:
+            break
+    if sof is None or not saw_scan:
+        raise ValueError("JPEG has no SOS scan")
+    width, height, comps = sof
+    C = _dct_matrix()
     for c in comps:
-        p = np.repeat(np.repeat(c["plane"], vmax // c["v"], axis=0), hmax // c["h"], axis=1)
-        planes.append(p[:height, :width])
-    meta = {
-        "width": int(width),
-        "height": int(height),
-        "channels": len(comps),
-        "bit_depth": 8,
-        "progressive": False,
-    }
-    if len(planes) == 1:
-        arr = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
-        meta["mean"] = float(arr.mean())
-        return meta, arr
-    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
-    rgb = np.stack(
-        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb], axis=2
-    )
-    arr = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
-    meta["mean"] = float(arr.mean())
-    return meta, arr
+        if c["tq"] not in quant:
+            raise ValueError("JPEG scan references a missing quant/Huffman table")
+        q = quant[c["tq"]]
+        bh, bw = c["coef"].shape[0], c["coef"].shape[1]
+        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        for by in range(bh):
+            for bx in range(bw):
+                block = np.zeros(64, dtype=np.int64)
+                block[_ZIGZAG] = c["coef"][by, bx]
+                block = block.reshape(8, 8) * q
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = C.T @ block @ C + 128.0
+        c["plane"] = plane
+    return _planes_to_image(comps, width, height, hmax, vmax, progressive=True)
+
+
+def _refine_nonzero(bits: "_Bits", coef, k: int, p1: int, m1: int) -> None:
+    """Append one correction bit to an already-nonzero coefficient
+    (T.81 G.1.2.3): a 1-bit moves the magnitude up by 1 << Al toward
+    the coefficient's own sign; the bit is only consumed when sent."""
+    if bits.bit():
+        if (coef[k] & p1) == 0:
+            coef[k] += p1 if coef[k] >= 0 else m1
+
+
+def _decode_prog_scan(b, pos, scomps, ss, se, ah, al, huff, restart, mcux, mcuy) -> int:
+    """Decode ONE progressive scan into the components' coefficient
+    arrays; returns the stream offset of the marker that ended the scan.
+    Four scan kinds (T.81 G.1.2): DC first (interleaved like baseline,
+    diffs shifted left by Al), DC refine (one appended bit per block),
+    AC first (single component, EOB-run coded), AC refine (correction
+    bits). Restart intervals reset the DC predictors and the EOB run."""
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive JPEG scan mixes DC and AC coefficients")
+        dc_scan = True
+    else:
+        if len(scomps) != 1:
+            raise ValueError("progressive JPEG AC scan must be single-component")
+        if not (ss <= se <= 63):
+            raise ValueError("invalid progressive JPEG spectral selection")
+        dc_scan = False
+    if al > 13 or (ah and ah != al + 1):
+        raise ValueError("invalid progressive JPEG successive approximation")
+    refining = ah != 0
+    if dc_scan and not refining:
+        for c in scomps:
+            if (0, c["dc"]) not in huff:
+                raise ValueError("JPEG scan references a missing quant/Huffman table")
+    if not dc_scan and not refining:
+        if (1, scomps[0]["ac"]) not in huff:
+            raise ValueError("JPEG scan references a missing quant/Huffman table")
+    if not dc_scan and refining and (1, scomps[0]["ac"]) not in huff:
+        raise ValueError("JPEG scan references a missing quant/Huffman table")
+
+    segments, next_pos = _split_entropy(b, pos)
+
+    # interleaved (ns>1, DC only): units are MCUs, h*v blocks per comp;
+    # non-interleaved (ns=1, DC or AC): units are the single component's
+    # OWN block grid (T.81 A.2.2), row-major
+    interleaved = dc_scan and len(scomps) > 1
+    total_units = mcux * mcuy if interleaved else scomps[0]["bh1"] * scomps[0]["bw1"]
+    units_per_seg = restart if restart else total_units
+    p1, m1 = 1 << al, -1 << al
+
+    unit = 0
+    for seg in segments:
+        bits = _Bits(seg)
+        pred = {c["id"]: 0 for c in scomps}
+        eobrun = 0
+        seg_units = min(units_per_seg, total_units - unit)
+        for _ in range(seg_units):
+            if interleaved:
+                my, mx = divmod(unit, mcux)
+                for c in scomps:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            coef = c["coef"][my * c["v"] + by, mx * c["h"] + bx]
+                            _prog_dc_unit(bits, c, coef, pred, refining, al, huff)
+            elif dc_scan:
+                c = scomps[0]
+                by, bx = divmod(unit, c["bw1"])
+                coef = c["coef"][by, bx]
+                _prog_dc_unit(bits, c, coef, pred, refining, al, huff)
+            else:
+                c = scomps[0]
+                by, bx = divmod(unit, c["bw1"])
+                coef = c["coef"][by, bx]
+                ac_t = huff[(1, c["ac"])]
+                if not refining:
+                    eobrun = _prog_ac_first(bits, coef, ss, se, al, ac_t, eobrun)
+                else:
+                    eobrun = _prog_ac_refine(bits, coef, ss, se, p1, m1, ac_t, eobrun)
+            unit += 1
+        if unit >= total_units:
+            break
+    if unit < total_units:
+        raise ValueError("JPEG scan ended before the last MCU")
+    return next_pos
+
+
+def _prog_dc_unit(bits, c, coef, pred, refining, al, huff) -> None:
+    """One block's DC contribution: first scans decode a Huffman-coded
+    diff (predictor per component) shifted left by Al; refinement scans
+    append exactly one bit at position Al (two's-complement |=, valid
+    for negative values too)."""
+    if refining:
+        if bits.bit():
+            coef[0] |= 1 << al
+        return
+    t = _huff_decode(bits, huff[(0, c["dc"])])
+    if t > 11:
+        raise ValueError("invalid JPEG DC size")
+    pred[c["id"]] += _extend(bits.bits(t), t)
+    coef[0] = pred[c["id"]] << al
+
+
+def _prog_ac_first(bits, coef, ss, se, al, ac_t, eobrun) -> int:
+    """AC first scan for one block (T.81 G.1.2.2): run-length coded
+    nonzero coefficients shifted left by Al, with EOBn codes declaring
+    a run of 2^r + ext all-end-of-band blocks. Returns the EOB run
+    remaining AFTER this block."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(bits, ac_t)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            run = 1 << r
+            if r:
+                run += bits.bits(r)
+            return run - 1  # this block is the first of the run
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC run overflows the block")
+        coef[k] = _extend(bits.bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _prog_ac_refine(bits, coef, ss, se, p1, m1, ac_t, eobrun) -> int:
+    """AC refinement scan for one block (T.81 G.1.2.3): newly-nonzero
+    coefficients arrive as ±1 << Al after a run of r zero-HISTORY
+    positions; every already-nonzero coefficient passed on the way (and
+    the whole band once the EOB run starts) consumes one correction
+    bit. Returns the EOB run remaining AFTER this block."""
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(bits, ac_t)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += bits.bits(r)
+                    break
+                # r == 15: skip 16 zero-history positions, no new coef
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "invalid progressive JPEG refinement magnitude"
+                    )
+                val = p1 if bits.bit() else m1
+            while k <= se:
+                if coef[k] != 0:
+                    _refine_nonzero(bits, coef, k, p1, m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if k > se:
+                if val:
+                    raise ValueError("JPEG AC run overflows the block")
+                break
+            if val:
+                coef[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if coef[k] != 0:
+                _refine_nonzero(bits, coef, k, p1, m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 def write_jpeg(arr, subsample: bool = False, restart: int = 0) -> bytes:

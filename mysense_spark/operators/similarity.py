@@ -997,6 +997,12 @@ def _nearest_routed(
     )
 
 
+def _stratum_count(stride: int) -> Column:
+    """Rows the given md5 stride would select (plus the anchor) — the
+    two-int codebook stats (K1, K2) behind the r10 tier decision."""
+    return F.sum(((F.col("h") % stride == 0) | F.col("is_anchor")).cast("long"))
+
+
 def _nearest_routed_shuffle(
     rows: DataFrame,
     rvec: str,
@@ -1187,15 +1193,15 @@ def trained_codebook(
         )
     else:
         # tier decision: K1 (coarse candidates = would-be broadcast
-        # payload) and K2 (route cells) in ONE aggregate over the
-        # persisted seeds — the counts are exactly the stratum filters
-        # below, so nothing new is scanned and the job doubles as the
-        # seed-cache materialization every consumer reuses
+        # payload) and K2 (route cells) in ONE bounded stats aggregate
+        # over the persisted seeds — two ints, the codebook analogue of
+        # AQE's stats-driven join selection, and an AUDITED exemption
+        # from the no-driver-actions plan contract (the counts are
+        # exactly the stratum filters below, so nothing new is scanned
+        # and the job doubles as the seed-cache materialization every
+        # consumer reuses)
         s1, s2 = fine_mod * group, fine_mod * group * route_group
-        k1, k2 = seeds.agg(
-            F.sum(((F.col("h") % s1 == 0) | F.col("is_anchor")).cast("long")),
-            F.sum(((F.col("h") % s2 == 0) | F.col("is_anchor")).cast("long")),
-        ).first()
+        k1, k2 = seeds.agg(_stratum_count(s1), _stratum_count(s2)).first()
         shuffle_tier, single_cell = k1 > bcast_k1, k2 == 1
         # third level: the same hash rule one more stratum up — a SUBSET
         # of the coarse inits (so each route cell contains its own

@@ -1397,7 +1397,9 @@ def test_jpeg_and_mp4_header_parsers():
     # structure the baseline decoder gates as multi-scan
     with pytest.raises(NotImplementedError, match="multi-scan"):
         decode_jpeg(jpeg)
-    with pytest.raises(NotImplementedError, match="codec library"):
+    # progressive is a REAL pixel tier since r10 — a frame header with
+    # no scan now fails structurally, not as a gated format
+    with pytest.raises(ValueError, match="no SOS"):
         decode_jpeg(prog + b"\xff\xd9")
     meta = decode_media(jpeg)
     assert (meta["width"], meta["height"], meta["n_frames"]) == (640, 480, 1)
@@ -1604,11 +1606,13 @@ def test_jpeg_baseline_pixel_decode():
     m, full = decode_jpeg(write_jpeg(g))
     assert np.array_equal(full, g) and m["progressive"] is False
 
-    # (c) progressive gate + corrupt entropy
+    # (c) progressive structure rules + corrupt entropy: since r10 a
+    # SOF2 stream decodes for real, so a baseline-shaped scan header
+    # (Ss=0 with Se=63 — DC and AC in one scan) is a structural error
     prog = b"\xff\xd8" + dqt + seg(
         0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
     ) + dht + sos + entropy + b"\xff\xd9"
-    with pytest.raises(NotImplementedError, match="codec library"):
+    with pytest.raises(ValueError, match="mixes DC and AC"):
         decode_jpeg_pixels(prog)
     # invalid Huffman prefix: DC nibble 1100 is unassigned in the table
     bad = b"\xff\xd8" + dqt + sof + dht + sos + bytes([0xC0, 0x00, 0x00]) + b"\xff\xd9"
@@ -1799,3 +1803,249 @@ def test_trained_codebook_shuffle_tier_matches_broadcast(spark):
     plan_e = elided._jdf.queryExecution().executedPlan().toString()
     assert "route_id" not in plan_e, "single-cell build must elide the route level"
     assert "Window" not in plan_e
+
+
+def _prog_fixture_parts():
+    """Shared hand-crafted pieces for the progressive-JPEG tests: the
+    unit DQT, the fixed-length canonical DC table, and an AC table that
+    ALSO carries the EOBn symbols (0x10/0x20/0x30) progressive AC
+    coding needs. Code of a symbol = its list index at 8 bits."""
+    import struct
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    dc_counts = [0, 0, 0, 12] + [0] * 12
+    ac_syms = [0x00, 0x10, 0x20, 0x30] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ] + [0xF0]
+    ac_counts = [0] * 7 + [len(ac_syms)] + [0] * 8
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(dc_counts) + bytes(range(12))
+        + bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms),
+    )
+    ac_code = {sym: i for i, sym in enumerate(ac_syms)}
+    return seg, dqt, dht, ac_code
+
+
+class _BitPacker:
+    """MSB-first bit packer with JPEG byte stuffing and 1-padding —
+    builds the hand-crafted entropy segments without hand-regrouping."""
+
+    def __init__(self):
+        self.bits = []
+
+    def put(self, value, n):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((value >> i) & 1)
+        return self
+
+    def bytes(self):
+        bits = self.bits + [1] * (-len(self.bits) % 8)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for b in bits[i : i + 8]:
+                byte = (byte << 1) | b
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+        return bytes(out)
+
+
+def test_jpeg_progressive_pixel_decode():
+    """r10 progressive tier — validation is non-circular, the r9 codec
+    pattern repeated: every stream is a fully HAND-CRAFTED bitstream and
+    every expectation is hand-computed. (a) flat-200 8x8 built from a
+    DC-first scan at Al=1 (diff 288), a DC refinement bit, and an
+    all-EOB AC scan; (b) successive-approximation AC accumulation — a
+    coefficient coded at Al=1, its correction bit, AND a coefficient
+    newly born in the refinement scan — against the dequant+IDCT of the
+    hand-assembled coefficient block; (c) a 3-component interleaved DC
+    scan plus per-component AC scans whose EOB run (r=2 -> 4 blocks)
+    spans all four blocks of each component -> uniform gray RGB."""
+    import struct
+
+    import numpy as np
+
+    from mysense_spark.operators.codecs import (
+        _ZIGZAG,
+        _dct_matrix,
+        decode_jpeg,
+        decode_jpeg_pixels,
+    )
+
+    seg, dqt, dht, ac_code = _prog_fixture_parts()
+
+    # (a) flat 200: DC 576 under unit quant/orthonormal IDCT
+    sof = seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    sos_dc1 = seg(0xDA, bytes([1, 1, 0x00]) + bytes([0, 0, 0x01]))
+    e_dc1 = _BitPacker().put(0b1001, 4).put(288, 9).bytes()  # t=9, 288 = 576>>1
+    sos_dcr = seg(0xDA, bytes([1, 1, 0x00]) + bytes([0, 0, 0x10]))
+    e_dcr = _BitPacker().put(0, 1).bytes()  # refinement bit: 576 & 1 = 0
+    sos_ac = seg(0xDA, bytes([1, 1, 0x00]) + bytes([1, 63, 0x00]))
+    e_ac = _BitPacker().put(ac_code[0x00], 8).bytes()  # EOB0
+    jp = (
+        b"\xff\xd8" + dqt + sof + dht
+        + sos_dc1 + e_dc1 + sos_dcr + e_dcr + sos_ac + e_ac + b"\xff\xd9"
+    )
+    meta, arr = decode_jpeg_pixels(jp)
+    assert meta["progressive"] is True and meta["channels"] == 1
+    assert arr.shape == (8, 8) and int(arr.min()) == int(arr.max()) == 200
+    m2, arr2 = decode_jpeg(jp)  # the dispatcher reaches the same tier
+    assert np.array_equal(arr2, arr) and m2["progressive"] is True
+
+    # (b) AC successive approximation: target zigzag coefs DC=576,
+    # k1=7 (coded 3 at Al=1, then +1 correction), k2=+1 (born in the
+    # refinement scan)
+    e_dc = _BitPacker().put(0b1010, 4).put(576, 10).bytes()  # t=10, Al=0
+    sos_dc = seg(0xDA, bytes([1, 1, 0x00]) + bytes([0, 0, 0x00]))
+    sos_ac1 = seg(0xDA, bytes([1, 1, 0x00]) + bytes([1, 63, 0x01]))
+    e_ac1 = (
+        _BitPacker()
+        .put(ac_code[0x02], 8).put(3, 2)   # r=0,s=2: coef[1] = 3<<1 = 6
+        .put(ac_code[0x00], 8)             # EOB
+        .bytes()
+    )
+    sos_ac2 = seg(0xDA, bytes([1, 1, 0x00]) + bytes([1, 63, 0x10]))
+    e_ac2 = (
+        _BitPacker()
+        .put(ac_code[0x01], 8).put(1, 1)   # r=0,s=1: NEW coef, sign +
+        .put(1, 1)                          # correction bit: 6 -> 7
+        .put(ac_code[0x00], 8)             # EOB (no more changes)
+        .bytes()
+    )
+    jp2 = (
+        b"\xff\xd8" + dqt + sof + dht
+        + sos_dc + e_dc + sos_ac1 + e_ac1 + sos_ac2 + e_ac2 + b"\xff\xd9"
+    )
+    _, got = decode_jpeg_pixels(jp2)
+    want_zz = np.zeros(64, dtype=np.int64)
+    want_zz[0], want_zz[1], want_zz[2] = 576, 7, 1
+    block = np.zeros(64, dtype=np.int64)
+    block[_ZIGZAG] = want_zz
+    C = _dct_matrix()
+    want = np.clip(np.round(C.T @ block.reshape(8, 8).astype(float) @ C + 128.0), 0, 255)
+    assert np.array_equal(got, want.astype(np.uint8))
+
+    # (c) 3-component 16x16: interleaved DC scan (Y=576, Cb=Cr=0 ->
+    # gray 200), then one AC scan per component with EOBRUN r=2
+    # covering its 4 blocks in one code
+    sof3 = seg(
+        0xC2,
+        struct.pack(">BHHB", 8, 16, 16, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    sos3dc = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00]) + bytes([0, 0, 0x00]))
+    pk = _BitPacker()
+    pk.put(0b1010, 4).put(576, 10)          # MCU0 Y: diff 576
+    pk.put(0, 4).put(0, 4)                   # MCU0 Cb, Cr: t=0
+    for _ in range(3):                       # MCU1-3: all diffs 0
+        pk.put(0, 4).put(0, 4).put(0, 4)
+    e3dc = pk.bytes()
+    scans = b""
+    for cid in (1, 2, 3):
+        scans += seg(0xDA, bytes([1, cid, 0x00]) + bytes([1, 63, 0x00]))
+        scans += _BitPacker().put(ac_code[0x20], 8).put(0, 2).bytes()  # EOBRUN 4
+    jp3 = b"\xff\xd8" + dqt + sof3 + dht + sos3dc + e3dc + scans + b"\xff\xd9"
+    meta3, rgb = decode_jpeg_pixels(jp3)
+    assert meta3["channels"] == 3 and rgb.shape == (16, 16, 3)
+    assert rgb.min() == rgb.max() == 200  # neutral chroma, Y=200
+
+
+def test_jpeg_progressive_restart_intervals():
+    """DRI in a progressive stream: restart markers must reset the DC
+    predictor AND the EOB run at each segment boundary — a 16x16
+    single-component stream with DRI=2 whose second DC segment re-codes
+    the full 576 diff (predictor reset) and whose AC scan spends one
+    EOBRUN-of-2 per segment decodes to flat 200."""
+    import struct
+
+    from mysense_spark.operators.codecs import decode_jpeg_pixels
+
+    seg, dqt, dht, ac_code = _prog_fixture_parts()
+    sof = seg(0xC2, struct.pack(">BHHB", 8, 16, 16, 1) + bytes([1, 0x11, 0]))
+    dri = seg(0xDD, struct.pack(">H", 2))
+    sos_dc = seg(0xDA, bytes([1, 1, 0x00]) + bytes([0, 0, 0x00]))
+    d1 = _BitPacker().put(0b1010, 4).put(576, 10).put(0, 4).bytes()  # 576, +0
+    d2 = _BitPacker().put(0b1010, 4).put(576, 10).put(0, 4).bytes()  # reset -> 576, +0
+    sos_ac = seg(0xDA, bytes([1, 1, 0x00]) + bytes([1, 63, 0x00]))
+    a1 = _BitPacker().put(ac_code[0x10], 8).put(0, 1).bytes()  # EOBRUN 2
+    a2 = _BitPacker().put(ac_code[0x10], 8).put(0, 1).bytes()
+    jp = (
+        b"\xff\xd8" + dqt + sof + dht + dri
+        + sos_dc + d1 + b"\xff\xd0" + d2
+        + sos_ac + a1 + b"\xff\xd1" + a2
+        + b"\xff\xd9"
+    )
+    meta, arr = decode_jpeg_pixels(jp)
+    assert arr.shape == (16, 16) and int(arr.min()) == int(arr.max()) == 200
+
+
+def test_jpeg_progressive_adversarial_structures():
+    """Malformed progressive structures reject with the contractual
+    ValueError (never IndexError/struct.error/MemoryError); the
+    genuinely-gated frames (arithmetic) still raise NotImplementedError;
+    and a tiny payload declaring a huge SOF2 is rejected by the
+    entropy-plausibility bound BEFORE the coefficient planes allocate."""
+    import struct
+
+    import pytest
+
+    from mysense_spark.operators.codecs import decode_jpeg_pixels
+
+    seg, dqt, dht, ac_code = _prog_fixture_parts()
+    sof1 = seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    sof3 = seg(
+        0xC2,
+        struct.pack(">BHHB", 8, 16, 16, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    head1 = b"\xff\xd8" + dqt + sof1 + dht
+    head3 = b"\xff\xd8" + dqt + sof3 + dht
+    filler = bytes(64)
+
+    cases = {
+        "mixes DC and AC": head1
+        + seg(0xDA, bytes([1, 1, 0x00]) + bytes([0, 63, 0x00])) + filler,
+        "single-component": head3
+        + seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00]) + bytes([1, 63, 0x00]))
+        + filler,
+        "spectral selection": head1
+        + seg(0xDA, bytes([1, 1, 0x00]) + bytes([40, 20, 0x00])) + filler,
+        "successive approximation": head1
+        + seg(0xDA, bytes([1, 1, 0x00]) + bytes([1, 63, 0x31])) + filler,  # Ah != Al+1
+        "missing quant/Huffman": b"\xff\xd8" + dqt + sof1
+        + seg(0xDA, bytes([1, 1, 0x22]) + bytes([0, 0, 0x00])) + filler,
+        "no SOS": head1 + b"\xff\xd9",
+        "more than one frame": head1 + sof1
+        + seg(0xDA, bytes([1, 1, 0x00]) + bytes([0, 0, 0x00])) + filler,
+        "component ids do not match": head1
+        + seg(0xDA, bytes([1, 9, 0x00]) + bytes([0, 0, 0x00])) + filler,
+        "cannot cover the declared geometry": b"\xff\xd8" + dqt
+        + seg(0xC2, struct.pack(">BHHB", 8, 65000, 65000, 1) + bytes([1, 0x11, 0]))
+        + dht + seg(0xDA, bytes([1, 1, 0x00]) + bytes([0, 0, 0x00])) + filler,
+        "refinement magnitude": head1
+        # DC scan places a coefficient, then an AC refinement whose RS
+        # declares s=2 — only s in {0, 1} is legal when refining
+        + seg(0xDA, bytes([1, 1, 0x00]) + bytes([0, 0, 0x00]))
+        + _BitPacker().put(0b1010, 4).put(576, 10).bytes()
+        + seg(0xDA, bytes([1, 1, 0x00]) + bytes([1, 63, 0x10]))
+        + _BitPacker().put(ac_code[0x02], 8).put(3, 2).bytes(),
+        "truncated|before the last MCU": b"\xff\xd8" + dqt
+        + seg(0xC2, struct.pack(">BHHB", 8, 64, 64, 1) + bytes([1, 0x11, 0]))
+        + dht + seg(0xDA, bytes([1, 1, 0x00]) + bytes([0, 0, 0x00]))
+        + _BitPacker().put(0b1010, 4).put(576, 10).bytes(),  # 1 of 64 blocks
+    }
+    for match, blob in cases.items():
+        with pytest.raises(ValueError, match=match):
+            decode_jpeg_pixels(blob + b"\xff\xd9")
+
+    # arithmetic-coded progressive (SOF10 = 0xCA) stays honestly gated
+    arith = b"\xff\xd8" + dqt + seg(
+        0xCA, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    ) + dht + seg(0xDA, bytes([1, 1, 0x00]) + bytes([0, 0, 0x00])) + filler + b"\xff\xd9"
+    with pytest.raises(NotImplementedError, match="codec library"):
+        decode_jpeg_pixels(arith)

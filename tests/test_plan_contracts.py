@@ -50,10 +50,14 @@ def test_operators_have_no_driver_actions():
     """Every registered query must be a LAZY plan: no .count()/.collect()
     /.toPandas() driver actions inside operators/ — an eager scalar makes
     the query non-composable (it fires a job at plan-build time) and
-    hides a second corpus scan from the plan reader. Two audited
+    hides a second corpus scan from the plan reader. Three audited
     exemptions remain: the similarity rerank fence (a bounded
-    limit(K+1).count() guard that RAISES on oversized query sets) and the
-    neardup label-propagation convergence probe (limit(1)-bounded)."""
+    limit(K+1).count() guard that RAISES on oversized query sets), the
+    neardup label-propagation convergence probe (limit(1)-bounded), and
+    the trained-codebook tier stats (r10: ONE two-int aggregate over the
+    already-persisted seed cache — the AQE-style physical-plan selection
+    between the broadcast and shuffle-routed assignment tiers; it scans
+    nothing the training would not materialize anyway)."""
     import pathlib
 
     op_dir = pathlib.Path(__file__).resolve().parents[1] / "mysense_spark" / "operators"
@@ -66,6 +70,9 @@ def test_operators_have_no_driver_actions():
             if py.name == "similarity.py" and "limit(MAX_RERANK_QUERIES + 1).count()" in line:
                 prev = stripped
                 continue  # the structural fence (raises, never folds data)
+            if py.name == "similarity.py" and "seeds.agg(_stratum_count(" in stripped:
+                prev = stripped
+                continue  # r10 tier stats: bounded two-int plan selection
             if py.name == "dedup.py" and (".limit(1)" in stripped or prev == ".limit(1)"):
                 prev = stripped
                 continue  # convergence probe: is-there-any-row, 1 row max
