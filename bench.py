@@ -64,8 +64,11 @@ def calibration_probe(spark) -> float:
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
+        # avg, not sum: 1.5e8 uniformly-distributed 64-bit hashes
+        # overflow an ANSI-mode BIGINT sum; the double average measures
+        # the same hash throughput
         spark.range(0, _PROBE_ROWS, 1, 64).selectExpr(
-            "sum(xxhash64(id)) AS h"
+            "avg(xxhash64(id)) AS h"
         ).collect()
         best = min(best, time.perf_counter() - t0)
     return round(best, 4)
