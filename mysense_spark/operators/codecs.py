@@ -33,6 +33,12 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 # attacker-declared, so the spec's 2^31-1 cap is not an allocation
 # bound — 64 Mpix ≈ a full-frame camera sensor, ~256 MB worst-case RGBA
 _PNG_MAX_PIXELS = 1 << 26
+# same ceiling for JPEG pixel tiers: the entropy-plausibility bounds
+# are LINEAR in the payload (2 bits/block baseline, 1 bit/block
+# progressive), so a ~9 MB payload could still declare planes/coef
+# arrays thousands of times its size; geometry is capped before any
+# plane or coefficient array allocates
+_JPEG_MAX_PIXELS = 1 << 26
 
 
 def _png_chunks(b: bytes):
@@ -78,12 +84,12 @@ def decode_png(payload: bytes, pixels: bool = True, max_pixels: int = _PNG_MAX_P
     spec's 2^31-1 cap alone would let a small payload declare a raster
     that inflates to multi-GB before any length check fires. With
     pixels=True the decode therefore refuses geometries above
-    `max_pixels` (default {0:,} ≈ a 64-megapixel frame — raise it
-    per-call for trusted archival scans) BEFORE inflating, and the
-    inflate itself stays capped at the declared raster size + 1, so the
-    worst allocation is ~5 bytes/pixel (raster + one uint8 working
-    copy), never the zip-bomb's inflated size. The pixels=False header
-    tier never inflates at all.""".format(_PNG_MAX_PIXELS)
+    `max_pixels` (default _PNG_MAX_PIXELS = 2^26 ≈ a 64-megapixel
+    frame — raise it per-call for trusted archival scans) BEFORE
+    inflating, and the inflate itself stays capped at the declared
+    raster size + 1, so the worst allocation is ~5 bytes/pixel (raster
+    + one uint8 working copy), never the zip-bomb's inflated size. The
+    pixels=False header tier never inflates at all."""
     import numpy as np
 
     b = bytes(payload)
@@ -668,6 +674,12 @@ def _planes_to_image(comps, width, height, hmax, vmax, progressive):
 def _decode_scan(b, pos, width, height, comps, quant, huff, restart):
     import numpy as np
 
+    if width * height > _JPEG_MAX_PIXELS:
+        raise ValueError(
+            f"JPEG geometry {width}x{height} exceeds the {_JPEG_MAX_PIXELS}"
+            f"-pixel decode ceiling (attacker-declared dimensions gate the"
+            f" plane allocation)"
+        )
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     if not all(1 <= c["h"] <= 2 and 1 <= c["v"] <= 2 for c in comps):
@@ -791,6 +803,13 @@ def _decode_progressive(b: bytes):
                 width, height, precision, _, comps = _parse_sof(marker, body)
                 if precision != 8 or len(comps) not in (1, 3):
                     raise ValueError("unsupported JPEG SOF parameters")
+                if width * height > _JPEG_MAX_PIXELS:
+                    raise ValueError(
+                        f"JPEG geometry {width}x{height} exceeds the"
+                        f" {_JPEG_MAX_PIXELS}-pixel decode ceiling"
+                        f" (attacker-declared dimensions gate the"
+                        f" coefficient allocation)"
+                    )
                 if not all(1 <= c["h"] <= 2 and 1 <= c["v"] <= 2 for c in comps):
                     raise NotImplementedError(
                         "JPEG sampling factors beyond 2 need a codec library"
@@ -828,6 +847,8 @@ def _decode_progressive(b: bytes):
                 if len(body) < 1:
                     raise ValueError("truncated JPEG SOS segment")
                 ns = body[0]
+                if ns < 1:
+                    raise ValueError("JPEG SOS declares no components")
                 if len(body) < 1 + 2 * ns + 3:
                     raise ValueError("truncated JPEG SOS segment")
                 scan_comps = []

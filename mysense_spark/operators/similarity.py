@@ -1202,7 +1202,10 @@ def trained_codebook(
         # consumer reuses)
         s1, s2 = fine_mod * group, fine_mod * group * route_group
         k1, k2 = seeds.agg(_stratum_count(s1), _stratum_count(s2)).first()
-        shuffle_tier, single_cell = k1 > bcast_k1, k2 == 1
+        # an EMPTY corpus sums to NULL, not 0 — keep the empty input
+        # flowing through to an empty (broadcast-tier) result instead
+        # of a TypeError at plan-build time
+        shuffle_tier, single_cell = (k1 or 0) > bcast_k1, (k2 or 0) <= 1
         # third level: the same hash rule one more stratum up — a SUBSET
         # of the coarse inits (so each route cell contains its own
         # anchor as a coarse candidate and the pruned joins below are
@@ -1339,7 +1342,6 @@ def _two_level_parts(
             vca_plan = _nearest_routed(
                 qvecs, "qv", route, coarse.join(croute, "coarse_id"), "coarse_id", "cqv"
             )
-        vca_plan = vca_plan.select("vec_id", "qv", "coarse_id")
     # vca carries qv through (map-derived, so no qvecs join-back): ONE
     # persisted corpus-wide table replaces r8's two (qvecs + vca)
     vca = tracked_persist(vca_plan.select("vec_id", "qv", "coarse_id"))

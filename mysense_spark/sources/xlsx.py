@@ -80,7 +80,11 @@ def _sheet_names(raw: list[str]) -> list[str]:
     seen: set[str] = set()
     for i, name in enumerate(raw):
         s = "".join("_" if ch in _SHEET_FORBIDDEN else ch for ch in str(name))
-        s = s.strip("'")[:31] or f"sheet{i + 1}"
+        # cap BEFORE the edge-apostrophe strip, then strip again: the
+        # 31-char truncation can itself expose a trailing apostrophe
+        # (e.g. 30 chars + "'" + tail), which Excel rejects like any
+        # other apostrophe edge
+        s = s.strip("'")[:31].strip("'") or f"sheet{i + 1}"
         base, n = s, 1
         while s.casefold() in seen:
             n += 1

@@ -1656,8 +1656,11 @@ def test_jpeg_adversarial_structures_reject_with_valueerror():
     sof1 = seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
 
     cases = {
-        "cannot cover": b"\xff\xd8" + dqt
+        "decode ceiling": b"\xff\xd8" + dqt
         + seg(0xC0, struct.pack(">BHHB", 8, 65500, 65500, 1) + bytes([1, 0x11, 0]))
+        + dht + sos + bytes(10) + b"\xff\xd9",
+        "cannot cover": b"\xff\xd8" + dqt
+        + seg(0xC0, struct.pack(">BHHB", 8, 4096, 4096, 1) + bytes([1, 0x11, 0]))
         + dht + sos + bytes(10) + b"\xff\xd9",
         "SOF component list": b"\xff\xd8" + dqt
         + seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 3) + bytes([1, 0x11, 0]))
@@ -1723,6 +1726,9 @@ def test_png_pixel_ceiling_gates_attacker_geometry():
         decode_png(small, max_pixels=3)
     _, arr = decode_png(small, max_pixels=4)
     assert arr.tolist() == [[7, 8], [9, 10]]
+    # the allocation-bound documentation must BE the docstring (a
+    # literal followed by .format() silently stops being one)
+    assert decode_png.__doc__ and "max_pixels" in decode_png.__doc__
 
 
 def test_jpeg_fill_bytes_before_markers_accepted():
@@ -2024,9 +2030,14 @@ def test_jpeg_progressive_adversarial_structures():
         + seg(0xDA, bytes([1, 1, 0x00]) + bytes([0, 0, 0x00])) + filler,
         "component ids do not match": head1
         + seg(0xDA, bytes([1, 9, 0x00]) + bytes([0, 0, 0x00])) + filler,
-        "cannot cover the declared geometry": b"\xff\xd8" + dqt
+        "decode ceiling": b"\xff\xd8" + dqt
         + seg(0xC2, struct.pack(">BHHB", 8, 65000, 65000, 1) + bytes([1, 0x11, 0]))
         + dht + seg(0xDA, bytes([1, 1, 0x00]) + bytes([0, 0, 0x00])) + filler,
+        "cannot cover the declared geometry": b"\xff\xd8" + dqt
+        + seg(0xC2, struct.pack(">BHHB", 8, 4096, 4096, 1) + bytes([1, 0x11, 0]))
+        + dht + seg(0xDA, bytes([1, 1, 0x00]) + bytes([0, 0, 0x00])) + filler,
+        "declares no components": head1
+        + seg(0xDA, bytes([0]) + bytes([0, 0, 0x00])) + filler,
         "refinement magnitude": head1
         # DC scan places a coefficient, then an AC refinement whose RS
         # declares s=2 — only s in {0, 1} is legal when refining
@@ -2049,3 +2060,16 @@ def test_jpeg_progressive_adversarial_structures():
     ) + dht + seg(0xDA, bytes([1, 1, 0x00]) + bytes([0, 0, 0x00])) + filler + b"\xff\xd9"
     with pytest.raises(NotImplementedError, match="codec library"):
         decode_jpeg_pixels(arith)
+
+
+def test_trained_codebook_empty_corpus_flows_through(spark):
+    """An empty vector input (fully filtered corpus) must flow through
+    the trained-codebook training to an EMPTY membership — the r10 tier
+    stats SUM to NULL on zero rows, which must coalesce to the
+    broadcast tier, not TypeError at plan-build time."""
+    import pyspark.sql.functions as F
+
+    from mysense_spark.operators.similarity import two_level_membership
+
+    vecs = _clustered_vecs(spark).where(F.lit(False))
+    assert two_level_membership(vecs).count() == 0

@@ -1990,6 +1990,9 @@ def test_xlsx_sheet_name_sanitization(tmp_path):
         "a~2",
         "A~2~2",
     ]
+    # the 31-char cap can EXPOSE a trailing apostrophe (30 chars + "'"
+    # + tail survives the pre-strip); the post-cap strip must catch it
+    assert write_xlsx_sheets({"a" * 30 + "'tail": rows}, p) == ["a" * 30]
 
 
 def test_finalize_append_drains_pure_batch_backfill(spark, tmp_path, monkeypatch):
