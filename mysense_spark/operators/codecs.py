@@ -69,13 +69,90 @@ def _paeth(a: int, bb: int, c: int) -> int:
     return bb if pb <= pc else c
 
 
+# Adam7 pass geometry: (x0, y0, dx, dy) per PNG spec §8.2 — each pass is
+# an independently filtered sub-image; empty passes contribute no bytes
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int):
+    """Reconstruct one filtered (sub-)image: `raw` is height scanlines
+    of (1 filter byte + stride data bytes); `bpp` is the FILTER
+    distance in bytes (ceil(channels*depth/8), floored at 1 — PNG
+    filters are byte-wise at every depth). uint8 throughout (mod-256
+    arithmetic is uint8 wraparound), one int64 ROW temp for Sub."""
+    import numpy as np
+
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(height, 1 + stride)
+    filters, lines = raw[:, 0], raw[:, 1:]
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = out[0]  # row above row 0 is all zeros per the PNG spec
+    for y in range(height):
+        f, line = int(filters[y]), lines[y]
+        if f == 0:
+            rec = line
+        elif f == 1:
+            # Sub telescopes: recon[x] = Σ raw over the byte lane, mod
+            # 256 — a per-lane cumsum (stride is always a multiple of
+            # bpp: depth ≥ 8 makes stride = width·bpp, depth < 8 makes
+            # bpp = 1)
+            rec = np.mod(
+                line.reshape(stride // bpp, bpp).astype(np.int64).cumsum(axis=0), 256
+            ).astype(np.uint8).reshape(stride)
+        elif f == 2:  # Up — uint8 addition wraps mod 256 exactly
+            rec = line + prev
+        elif f in (3, 4):
+            # Average/Paeth mix the up row into the left recursion —
+            # genuinely sequential along x, per-byte loop, exact
+            rec = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                up = int(prev[x])
+                ul = int(prev[x - bpp]) if x >= bpp else 0
+                if f == 3:
+                    rec[x] = (int(line[x]) + (left + up) // 2) & 0xFF
+                else:
+                    rec[x] = (int(line[x]) + _paeth(left, up, ul)) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG scanline filter {f}")
+        out[y] = rec
+        prev = out[y]
+    return out
+
+
+def _png_extract(rec, pw: int, ch: int, depth: int):
+    """(h, stride) reconstructed bytes -> (h, pw, ch) sample values:
+    straight bytes at depth 8, big-endian pairs at 16 (uint16, full
+    range), MSB-first bit groups at 1/2/4 (raw values — the caller
+    scales grayscale, palette keeps indices; sub-byte depths are
+    single-channel by spec)."""
+    import numpy as np
+
+    ph = rec.shape[0]
+    if depth == 8:
+        return rec.reshape(ph, pw, ch)
+    if depth == 16:
+        r = rec.reshape(ph, pw, ch, 2).astype(np.uint16)
+        return (r[..., 0] << 8) | r[..., 1]
+    bits = np.unpackbits(rec, axis=1)[:, : pw * depth]
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (bits.reshape(ph, pw, depth) * weights).sum(axis=2, dtype=np.uint8)[
+        :, :, None
+    ]
+
+
 def decode_png(payload: bytes, pixels: bool = True, max_pixels: int = _PNG_MAX_PIXELS):
-    """REAL PNG decoder — stdlib zlib + numpy, no codec library.
-    Supports 8-bit samples, color types 0 (gray) / 2 (RGB) / 3
-    (palette, expanded to RGB) / 4 (gray+alpha) / 6 (RGBA), scanline
-    filters 0-4 (None/Sub/Up/Average/Paeth), non-interlaced. Adam7
-    interlace and 1/2/4/16-bit depths raise NotImplementedError (rare
-    tiers; a wrong guess would be worse than a gate). Returns
+    """REAL PNG decoder — stdlib zlib + numpy, no codec library, and
+    since r10 the FULL static-PNG matrix: color types 0 (gray) / 2
+    (RGB) / 3 (palette, expanded to RGB) / 4 (gray+alpha) / 6 (RGBA),
+    bit depths 1/2/4/8/16 (sub-byte grayscale scales exactly to 8-bit —
+    255/(2^d−1) is integral; 16-bit returns uint16, full range; palette
+    indices stay raw), scanline filters 0-4 (None/Sub/Up/Average/Paeth,
+    byte-wise at every depth), and BOTH interlace methods (Adam7 passes
+    are independently filtered sub-images scattered back by the §8.2
+    grid). No NotImplementedError tiers remain in PNG. Returns
     (meta, array) where array is HxW for grayscale or HxWxC otherwise —
     or None with pixels=False: the IHDR-only header tier a properties
     scan needs, no inflate, no raster.
@@ -124,10 +201,16 @@ def decode_png(payload: bytes, pixels: bool = True, max_pixels: int = _PNG_MAX_P
             f" (attacker-declared dimensions gate the raster allocation;"
             f" pass a larger max_pixels for trusted oversize frames)"
         )
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG needs a codec library")
-    if depth != 8:
-        raise NotImplementedError(f"{depth}-bit PNG needs a codec library")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"invalid PNG bit depth {depth}")
+    # spec-valid (depth, color) combinations (PNG §11.2.2): sub-byte
+    # depths only for grayscale/palette, 16-bit never for palette
+    if color in (2, 4, 6) and depth < 8:
+        raise ValueError(f"{depth}-bit samples are invalid for PNG color type {color}")
+    if color == 3 and depth == 16:
+        raise ValueError("16-bit palette indices are invalid PNG")
     plte = None
     idat = []
     for ctype, body in chunks:
@@ -140,8 +223,19 @@ def decode_png(payload: bytes, pixels: bool = True, max_pixels: int = _PNG_MAX_P
     if not idat:
         raise ValueError("PNG has no IDAT data")
     ch = _PNG_CHANNELS[color]
-    stride = width * ch
-    expected = height * (1 + stride)
+    bpp = max(1, ch * depth // 8)  # byte-wise filter distance
+
+    def pass_stride(w: int) -> int:
+        return -(-w * ch * depth // 8)
+
+    if interlace == 0:
+        passes = [(0, 0, 1, 1, width, height)]
+    else:
+        passes = [
+            (x0, y0, dx, dy, max(0, -(-(width - x0) // dx)), max(0, -(-(height - y0) // dy)))
+            for x0, y0, dx, dy in _ADAM7
+        ]
+    expected = sum(ph * (1 + pass_stride(pw)) for *_, pw, ph in passes if pw and ph)
     try:
         # bounded inflate: the geometry already says exactly how many
         # bytes the raster must be, so cap the decompression there — a
@@ -152,50 +246,30 @@ def decode_png(payload: bytes, pixels: bool = True, max_pixels: int = _PNG_MAX_P
         raise ValueError(f"PNG IDAT inflate failed: {exc}") from None
     if len(raw) != expected:
         raise ValueError("PNG raster length does not match geometry")
-    raw = np.frombuffer(raw, dtype=np.uint8).reshape(height, 1 + stride)
-    # unfilter in uint8 — mod-256 arithmetic is uint8 wraparound, so the
-    # working set stays ~2x the raster (raw + out), never the old int64
-    # copies (~16x); only one-ROW temporaries widen past uint8
-    filters, lines = raw[:, 0], raw[:, 1:]
-    out = np.zeros((height, stride), dtype=np.uint8)
-    prev = out[0]  # row above row 0 is all zeros per the PNG spec
-    for y in range(height):
-        f, line = int(filters[y]), lines[y]
-        if f == 0:
-            rec = line
-        elif f == 1:
-            # Sub telescopes: recon[x] = Σ raw over the channel lane,
-            # mod 256 — a per-lane cumsum (one int64 ROW temp), then
-            # back to uint8
-            rec = np.mod(
-                line.reshape(width, ch).astype(np.int64).cumsum(axis=0), 256
-            ).astype(np.uint8).reshape(stride)
-        elif f == 2:  # Up — uint8 addition wraps mod 256 exactly
-            rec = line + prev
-        elif f in (3, 4):
-            # Average/Paeth mix the up row into the left recursion —
-            # genuinely sequential along x, per-byte loop, exact
-            rec = np.zeros(stride, dtype=np.uint8)
-            for x in range(stride):
-                left = int(rec[x - ch]) if x >= ch else 0
-                up = int(prev[x])
-                ul = int(prev[x - ch]) if x >= ch else 0
-                if f == 3:
-                    rec[x] = (int(line[x]) + (left + up) // 2) & 0xFF
-                else:
-                    rec[x] = (int(line[x]) + _paeth(left, up, ul)) & 0xFF
-        else:
-            raise ValueError(f"invalid PNG scanline filter {f}")
-        out[y] = rec
-        prev = out[y]
-    arr = out.reshape(height, width, ch)
+    img = np.zeros((height, width, ch), dtype=np.uint16 if depth == 16 else np.uint8)
+    off = 0
+    for x0, y0, dx, dy, pw, ph in passes:
+        if not (pw and ph):
+            continue
+        st = pass_stride(pw)
+        n = ph * (1 + st)
+        rec = _png_unfilter(raw[off : off + n], ph, st, bpp)
+        off += n
+        img[y0::dy, x0::dx] = _png_extract(rec, pw, ch, depth)
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE chunk")
-        idx = arr[:, :, 0]
+        idx = img[:, :, 0]
         if int(idx.max(initial=0)) >= len(plte):
             raise ValueError("PNG palette index out of range")
         arr = plte[idx]
+    else:
+        if depth < 8:
+            # exact display scaling: 255/(2^d − 1) is an integer for
+            # d ∈ {1, 2, 4} (255, 85, 17), so grayscale expands to the
+            # full 8-bit range losslessly
+            img = img * np.uint8(255 // ((1 << depth) - 1))
+        arr = img
     if arr.shape[2] == 1:
         arr = arr[:, :, 0]
     meta["mean"] = float(arr.mean())

@@ -41,12 +41,16 @@ from pyspark.sql.types import (
 
 
 def decode_wav(payload: bytes) -> dict:
-    """REAL RIFF/WAVE PCM decoder — pure struct + numpy, no codec
-    library (the format is a chunked header over raw samples). Supports
-    integer PCM (format 1) at 8/16/32 bits, any channel count. Returns
-    sample_rate, channels, bits, n_samples (per channel), duration_s,
-    rms and peak in [-1, 1] normalized units. Raises ValueError on
-    anything malformed — quarantine, don't guess."""
+    """REAL RIFF/WAVE decoder — pure struct + numpy, no codec library
+    (the format is a chunked header over raw samples). Supports integer
+    PCM (format 1) at 8/16/24/32 bits, IEEE float (format 3) at 32/64
+    bits, and the WAVE_FORMAT_EXTENSIBLE wrapper (0xFFFE — the actual
+    code lives in the SubFormat GUID), any channel count; only
+    genuinely COMPRESSED formats (ADPCM, μ-law, MP3, ...) stay gated.
+    Returns sample_rate, channels, bits, n_samples (per channel),
+    duration_s, rms and peak in [-1, 1] normalized units (float data is
+    taken at face value — nominal full scale IS ±1.0). Raises
+    ValueError on anything malformed — quarantine, don't guess."""
     import struct
 
     import numpy as np
@@ -54,13 +58,14 @@ def decode_wav(payload: bytes) -> dict:
     b = bytes(payload)
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, fmt, data = 12, None, None
+    pos, fmt, fmt_body, data = 12, None, b"", None
     while pos + 8 <= len(b):
         cid = b[pos : pos + 4]
         (size,) = struct.unpack_from("<I", b, pos + 4)
         body = b[pos + 8 : pos + 8 + size]
         if cid == b"fmt " and len(body) >= 16:
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
         elif cid == b"data":
             if len(body) < size:
                 raise ValueError("truncated data chunk")
@@ -69,17 +74,45 @@ def decode_wav(payload: bytes) -> dict:
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_format, channels, sample_rate, _, _, bits = fmt
-    if audio_format != 1:
-        raise NotImplementedError(f"non-PCM WAVE format {audio_format} needs a codec library")
+    if audio_format == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE: the real format code is the first two
+        # bytes of the SubFormat GUID (fmt body offset 24); the rest of
+        # the GUID is the fixed ksmedia.h suffix
+        if len(fmt_body) < 26:
+            raise ValueError("truncated WAVE_FORMAT_EXTENSIBLE fmt chunk")
+        (audio_format,) = struct.unpack_from("<H", fmt_body, 24)
+    if audio_format not in (1, 3):
+        raise NotImplementedError(
+            f"compressed WAVE format {audio_format} (ADPCM/law/MP3 tier) "
+            f"needs a codec library"
+        )
     if sample_rate < 1:
         # a zero rate is corrupt, not merely odd — and the duration
         # division below must never raise anything but ValueError
         # (decode_media's fallback filter catches exactly that)
         raise ValueError(f"invalid sample rate {sample_rate}")
-    if bits == 8:
+    if audio_format == 3:  # IEEE float
+        if bits == 32:
+            x = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        elif bits == 64:
+            x = np.frombuffer(data, dtype="<f8")
+        else:
+            raise ValueError(f"unsupported IEEE-float bit depth {bits}")
+        if not np.all(np.isfinite(x)):
+            raise ValueError("non-finite float sample data")
+    elif bits == 8:
         x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
     elif bits == 16:
         x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif bits == 24:
+        # 3-byte little-endian two's complement: compose in int32, then
+        # sign-extend via the xor-subtract identity
+        u = np.frombuffer(data, dtype=np.uint8)
+        if u.size % 3:
+            raise ValueError("24-bit sample data is not a multiple of 3 bytes")
+        u = u.reshape(-1, 3).astype(np.int32)
+        v = ((u[:, 0] | (u[:, 1] << 8) | (u[:, 2] << 16)) ^ 0x800000) - 0x800000
+        x = v.astype(np.float64) / 8388608.0
     elif bits == 32:
         x = np.frombuffer(data, dtype="<i4").astype(np.float64) / 2147483648.0
     else:

@@ -1274,8 +1274,9 @@ def test_png_codec_roundtrip_and_filters():
 def test_png_codec_corrupt_battery():
     """Corrupt PNGs reject with ValueError (bit-flipped CRC, truncated
     chunk, bogus raster length, palette index out of range, missing
-    IDAT); the genuinely-gated tiers (16-bit pixels, Adam7) raise
-    NotImplementedError; decode_media falls back on all of them."""
+    IDAT, spec-invalid depth/color/interlace combinations); 16-bit and
+    Adam7 are REAL tiers since r10; decode_media falls back on all the
+    corrupt ones."""
     import struct
     import zlib
 
@@ -1330,22 +1331,39 @@ def test_png_codec_corrupt_battery():
     with pytest.raises(ValueError, match="IDAT"):
         decode_png(no_idat)
 
+    # r10: 16-bit and Adam7 are REAL tiers now — this 10-byte zero
+    # stream is exactly a 2x2 16-bit gray raster and decodes to zeros
     deep = (
         _PNG_SIG
         + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0))
         + chunk(b"IDAT", zlib.compress(bytes(10)))
         + chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError, match="16-bit"):
-        decode_png(deep)
+    meta16, a16 = decode_png(deep)
+    assert a16.dtype == np.uint16 and a16.tolist() == [[0, 0], [0, 0]]
+    assert meta16["bit_depth"] == 16
+    # ...while an interlaced stream carrying the WRONG byte count (10 vs
+    # the Adam7-correct 7 for 2x2 gray) is a raster-length corruption
     interlaced = (
         _PNG_SIG
         + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1))
         + chunk(b"IDAT", zlib.compress(bytes(10)))
         + chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError, match="Adam7"):
+    with pytest.raises(ValueError, match="raster length"):
         decode_png(interlaced)
+    # spec-invalid depth/color combinations are corrupt headers
+    for ihdr in (
+        struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0),   # sub-byte RGB
+        struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0),  # 16-bit palette
+        struct.pack(">IIBBBBB", 2, 2, 3, 0, 0, 0, 0),   # depth 3
+        struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 2),   # interlace 2
+    ):
+        with pytest.raises(ValueError, match="invalid"):
+            decode_png(
+                _PNG_SIG + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(10))) + chunk(b"IEND", b"")
+            )
 
     # header-tier corruption (bad IHDR CRC) falls back in decode_media;
     # raster-tier corruption is INVISIBLE to the header tier by design
@@ -2073,3 +2091,153 @@ def test_trained_codebook_empty_corpus_flows_through(spark):
 
     vecs = _clustered_vecs(spark).where(F.lit(False))
     assert two_level_membership(vecs).count() == 0
+
+
+def test_png_full_depth_matrix_and_adam7():
+    """r10: the PNG gate is closed — 16-bit (uint16, big-endian pairs,
+    byte-wise Sub at bpp=2), 1/2/4-bit grayscale (MSB-first unpack,
+    exact 255/(2^d-1) scaling), 4-bit palette, and Adam7 interlace
+    (hand-computed 2x2 pass layout AND a programmatic multi-pass
+    reconstruction for gray-8, RGB-8 and gray-16). Every expectation is
+    hand-computed or built by slicing the reference image with the
+    spec's pass grid — never by the decoder under test."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from mysense_spark.operators.codecs import _ADAM7, _PNG_SIG, decode_png
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    def png(w, h, depth, color, interlace, raw, plte=None):
+        parts = _PNG_SIG + chunk(
+            b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+        )
+        if plte is not None:
+            parts += chunk(b"PLTE", plte)
+        return parts + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+    # 16-bit gray, filter 0 row + filter 1 (Sub, bpp=2 byte lanes) row:
+    # row1 raw [01 10 02 20] telescopes per byte lane -> 0x0110, 0x0330
+    raw16 = (
+        b"\x00" + bytes([0x01, 0x00, 0x02, 0x01])
+        + b"\x01" + bytes([0x01, 0x10, 0x02, 0x20])
+    )
+    meta, a = decode_png(png(2, 2, 16, 0, 0, raw16))
+    assert a.dtype == np.uint16 and meta["bit_depth"] == 16
+    assert a.tolist() == [[0x0100, 0x0201], [0x0110, 0x0330]]
+
+    # 1-bit gray 2x2: rows pack MSB-first, scale x255
+    raw1 = b"\x00" + bytes([0b10000000]) + b"\x00" + bytes([0b01000000])
+    _, a1 = decode_png(png(2, 2, 1, 0, 0, raw1))
+    assert a1.tolist() == [[255, 0], [0, 255]]
+
+    # 2-bit gray 1x4 in one byte: 0,1,2,3 -> x85
+    raw2 = b"\x00" + bytes([0b00011011])
+    _, a2 = decode_png(png(4, 1, 2, 0, 0, raw2))
+    assert a2.tolist() == [[0, 85, 170, 255]]
+
+    # 4-bit palette 3x1: indices 1,2,0 pack as 0x12, 0x0_ (pad)
+    plte = bytes([10, 11, 12, 20, 21, 22, 30, 31, 32])
+    raw4 = b"\x00" + bytes([0x12, 0x00])
+    meta4, a4 = decode_png(png(3, 1, 4, 3, 0, raw4, plte=plte))
+    assert a4.tolist() == [[[20, 21, 22], [30, 31, 32], [10, 11, 12]]]
+    assert meta4["channels"] == 3 and meta4["bit_depth"] == 4
+
+    # Adam7, hand-computed 2x2 gray-8: non-empty passes are 1 (pixel
+    # (0,0)), 6 (pixel (1,0)), 7 (row y=1) — each its own filtered
+    # sub-image
+    raw_i = b"\x00" + bytes([9]) + b"\x00" + bytes([7]) + b"\x00" + bytes([5, 3])
+    _, ai = decode_png(png(2, 2, 8, 0, 1, raw_i))
+    assert ai.tolist() == [[9, 7], [5, 3]]
+
+    # Adam7 programmatic: slice the reference image with the spec grid,
+    # serialize every pass filter-0, and the decoder must reassemble it
+    rng = np.random.default_rng(10)
+    for shape, depth, color in (((9, 10), 8, 0), ((6, 7, 3), 8, 2), ((5, 5), 16, 0)):
+        hi = 65536 if depth == 16 else 256
+        ref = rng.integers(0, hi, size=shape).astype(
+            np.uint16 if depth == 16 else np.uint8
+        )
+        h, w = shape[0], shape[1]
+        stream = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = ref[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            data = sub.astype(">u2").tobytes() if depth == 16 else sub.tobytes()
+            rs = len(data) // sub.shape[0]
+            for r in range(sub.shape[0]):
+                stream += b"\x00" + data[r * rs : (r + 1) * rs]
+        _, back = decode_png(png(w, h, depth, color, 1, bytes(stream)))
+        assert np.array_equal(back, ref), (shape, depth, color)
+
+
+def test_wav_float_24bit_and_extensible_tiers():
+    """r10: the WAV gate narrows to genuinely COMPRESSED formats —
+    IEEE float 32/64 (format 3, values at face value), 24-bit PCM
+    (3-byte two's complement, hand-computed full-scale/half-scale/
+    negative samples), and the WAVE_FORMAT_EXTENSIBLE wrapper (0xFFFE,
+    real code in the SubFormat GUID) all decode; ADPCM stays gated and
+    a non-finite float rejects with ValueError."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from mysense_spark.operators.multimodal import decode_wav
+
+    def wav(fmt_body, data):
+        body = (
+            b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    def fmt(code, channels, sr, bits, extra=b""):
+        block = max(1, channels * bits // 8)
+        return struct.pack("<HHIIHH", code, channels, sr, sr * block, block, bits) + extra
+
+    # IEEE float32: samples [0.5, -0.25, 1.0] -> peak 1.0, rms exact
+    vals = [0.5, -0.25, 1.0]
+    w = decode_wav(wav(fmt(3, 1, 8000, 32), struct.pack("<3f", *vals)))
+    assert (w["bits"], w["n_samples"]) == (32, 3)
+    assert abs(w["peak"] - 1.0) < 1e-12
+    assert abs(w["rms"] - np.sqrt(np.mean(np.square(vals)))) < 1e-9
+    # float64 too
+    w64 = decode_wav(wav(fmt(3, 1, 8000, 64), struct.pack("<3d", *vals)))
+    assert w64["bits"] == 64 and abs(w64["rms"] - w["rms"]) < 1e-9
+
+    # 24-bit PCM: +4194304 (0.5), -8388608 (-1.0), 0 — little-endian
+    def s24(v):
+        return (v & 0xFFFFFF).to_bytes(3, "little")
+
+    d24 = s24(4194304) + s24(-8388608) + s24(0)
+    w24 = decode_wav(wav(fmt(1, 1, 8000, 24), d24))
+    assert w24["bits"] == 24 and w24["n_samples"] == 3
+    assert abs(w24["peak"] - 1.0) < 1e-12 and abs(
+        w24["rms"] - np.sqrt((0.25 + 1.0 + 0.0) / 3)
+    ) < 1e-12
+
+    # EXTENSIBLE wrapper: code 0xFFFE, SubFormat GUID starts with the
+    # real format (PCM=1) at fmt-body offset 24
+    ext = struct.pack("<HHI", 16, 1, 0) + b"\x00" * 14  # cbSize, valid bits, mask, GUID
+    guid_pcm = struct.pack("<H", 1) + bytes(14)
+    ext = struct.pack("<H", 22) + struct.pack("<H", 16) + struct.pack("<I", 0) + guid_pcm
+    we = decode_wav(wav(fmt(0xFFFE, 1, 8000, 16, extra=ext), struct.pack("<2h", 16384, -32768)))
+    assert we["bits"] == 16 and abs(we["peak"] - 1.0) < 1e-12
+
+    # gates and corruption
+    with pytest.raises(NotImplementedError, match="codec library"):
+        decode_wav(wav(fmt(2, 1, 8000, 4), bytes(8)))  # ADPCM
+    with pytest.raises(ValueError, match="non-finite"):
+        decode_wav(wav(fmt(3, 1, 8000, 32), struct.pack("<f", float("nan"))))
+    with pytest.raises(ValueError, match="multiple of 3"):
+        decode_wav(wav(fmt(1, 1, 8000, 24), bytes(4)))
+    with pytest.raises(ValueError, match="truncated WAVE_FORMAT_EXTENSIBLE"):
+        decode_wav(wav(fmt(0xFFFE, 1, 8000, 16), bytes(4)))
