@@ -714,6 +714,21 @@ def _split_entropy(b: bytes, pos: int) -> tuple[list[bytes], int]:
     return segments, i
 
 
+def _check_sampling(comps, hmax: int, vmax: int) -> None:
+    """Sampling-factor envelope (r10: the full 1-4 spec range, not just
+    1-2): factors outside 1-4 are corrupt SOF data (ValueError); valid
+    but FRACTIONAL ratios vs the max (e.g. 3 alongside 2) would need
+    interpolating upsampling, which stays honestly gated — replicated
+    upsampling is exact only when each factor divides the max."""
+    if not all(1 <= c["h"] <= 4 and 1 <= c["v"] <= 4 for c in comps):
+        raise ValueError("JPEG sampling factors outside the spec 1-4 range")
+    if any(hmax % c["h"] or vmax % c["v"] for c in comps):
+        raise NotImplementedError(
+            "fractional JPEG chroma ratios need interpolating upsampling"
+            " (codec library tier)"
+        )
+
+
 def _planes_to_image(comps, width, height, hmax, vmax, progressive):
     """Shared reconstruction tail: upsample each component plane to full
     resolution (sample replication), crop to the declared geometry, and
@@ -756,8 +771,7 @@ def _decode_scan(b, pos, width, height, comps, quant, huff, restart):
         )
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    if not all(1 <= c["h"] <= 2 and 1 <= c["v"] <= 2 for c in comps):
-        raise NotImplementedError("JPEG sampling factors beyond 2 need a codec library")
+    _check_sampling(comps, hmax, vmax)
     mcux = -(-width // (8 * hmax))
     mcuy = -(-height // (8 * vmax))
     total_mcus = mcux * mcuy
@@ -884,12 +898,9 @@ def _decode_progressive(b: bytes):
                         f" (attacker-declared dimensions gate the"
                         f" coefficient allocation)"
                     )
-                if not all(1 <= c["h"] <= 2 and 1 <= c["v"] <= 2 for c in comps):
-                    raise NotImplementedError(
-                        "JPEG sampling factors beyond 2 need a codec library"
-                    )
                 hmax = max(c["h"] for c in comps)
                 vmax = max(c["v"] for c in comps)
+                _check_sampling(comps, hmax, vmax)
                 mcux = -(-width // (8 * hmax))
                 mcuy = -(-height // (8 * vmax))
                 # entropy-plausibility bound BEFORE allocating the
@@ -1141,13 +1152,18 @@ def _prog_ac_refine(bits, coef, ss, se, p1, m1, ac_t, eobrun) -> int:
     return eobrun
 
 
-def write_jpeg(arr, subsample: bool = False, restart: int = 0) -> bytes:
+def write_jpeg(
+    arr, subsample: bool = False, restart: int = 0, samp: list | None = None
+) -> bytes:
     """Baseline-JPEG encoder with UNIT quantization tables — the
     validation partner of decode_jpeg_pixels (quant 1 makes the codec
     near-lossless: round-trip error is DCT float rounding only, ≤ a few
     levels), and an honest minimal artifact writer. HxW uint8 grayscale
     or HxWx3 RGB; `subsample=True` encodes 4:2:0 chroma (exercises the
-    decoder's upsampling path), `restart=N` emits DRI + RSTn markers
+    decoder's upsampling path), `samp` overrides the per-component
+    (h, v) sampling factors outright (r10 — e.g. [(4,1),(1,1),(1,1)]
+    for 4:1:1; factors must be 1-4 and divide the max, matching what
+    the decoder replicates back), `restart=N` emits DRI + RSTn markers
     every N MCUs (exercises predictor resets). Huffman tables are
     fixed-length canonical (DC: 12 symbols at 4 bits; AC: 162 at 8) —
     valid, simple, and emitted in the DHT so ANY spec decoder reads the
@@ -1167,21 +1183,31 @@ def write_jpeg(arr, subsample: bool = False, restart: int = 0) -> bytes:
         y = 0.299 * r + 0.587 * g + 0.114 * bl
         cb = 128 - 0.168736 * r - 0.331264 * g + 0.5 * bl
         cr = 128 + 0.5 * r - 0.418688 * g - 0.081312 * bl
-        if subsample:
-            def down(p):
-                # inputs are pre-padded to even dims below, so the 2x2
-                # average is total by construction
-                return (p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2]) / 4.0
-
-            # pad to even first so 2x2 averaging is total
-            ye = np.pad(y, ((0, h % 2), (0, w % 2)), mode="edge")
-            cbp = np.pad(cb, ((0, h % 2), (0, w % 2)), mode="edge")
-            crp = np.pad(cr, ((0, h % 2), (0, w % 2)), mode="edge")
-            planes = [ye, down(cbp), down(crp)]
-            samp = [(2, 2), (1, 1), (1, 1)]
-        else:
-            planes = [y, cb, cr]
-            samp = [(1, 1), (1, 1), (1, 1)]
+        if samp is None:
+            samp = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * 3
+        if len(samp) != 3 or not all(
+            1 <= sh <= 4 and 1 <= sv <= 4 for sh, sv in samp
+        ):
+            raise ValueError(f"invalid sampling factors {samp}")
+        shmax = max(sh for sh, _ in samp)
+        svmax = max(sv for _, sv in samp)
+        if any(shmax % sh or svmax % sv for sh, sv in samp):
+            raise ValueError(
+                f"sampling factors {samp} are fractional vs the max — the"
+                f" decoder's replicated upsampling needs divisible ratios"
+            )
+        planes = []
+        for p, (sh, sv) in zip((y, cb, cr), samp):
+            fx, fy = shmax // sh, svmax // sv
+            if fx == 1 and fy == 1:
+                planes.append(p)
+                continue
+            # box-average downsampling, edge-padded so the fy x fx
+            # blocks are total (the 4:2:0 special case generalized)
+            pe = np.pad(p, ((0, -h % fy), (0, -w % fx)), mode="edge")
+            planes.append(
+                pe.reshape(pe.shape[0] // fy, fy, pe.shape[1] // fx, fx).mean(axis=(1, 3))
+            )
 
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)

@@ -183,10 +183,12 @@ def decode_netpbm(payload: bytes, pixels: bool = True):
 
 
 def decode_bmp(payload: bytes, pixels: bool = True):
-    """REAL uncompressed 24-bit BMP decoder — fixed-offset little-endian
-    header, bottom-up rows padded to 4 bytes. Returns (meta, HxWx3 RGB
-    array — or None with pixels=False: length-validated header-only
-    parse)."""
+    """REAL uncompressed BMP decoder — fixed-offset little-endian
+    header, bottom-up rows padded to 4 bytes. r10: 8-bit palette
+    (BITMAPINFOHEADER color table, BGRX entries) and 32-bit BGRX join
+    the 24-bit tier, all returned as HxWx3 RGB; 1/2/4/16-bit and RLE
+    compression stay gated. Returns (meta, array — or None with
+    pixels=False: length-validated header-only parse)."""
     import struct
 
     import numpy as np
@@ -195,10 +197,11 @@ def decode_bmp(payload: bytes, pixels: bool = True):
     if len(b) < 54 or b[:2] != b"BM":
         raise ValueError("not a BMP payload")
     (data_off,) = struct.unpack_from("<I", b, 10)
+    (hdr_size,) = struct.unpack_from("<I", b, 14)
     width, height = struct.unpack_from("<ii", b, 18)
     (bpp,) = struct.unpack_from("<H", b, 28)
     (compression,) = struct.unpack_from("<I", b, 30)
-    if bpp != 24 or compression != 0:
+    if bpp not in (8, 24, 32) or compression != 0:
         raise NotImplementedError(f"BMP bpp={bpp} compression={compression} needs a codec library")
     bottom_up = height > 0
     height = abs(height)
@@ -210,7 +213,7 @@ def decode_bmp(payload: bytes, pixels: bool = True):
         raise ValueError(f"invalid BMP dimensions {width}x{height}")
     if data_off < 54:
         raise ValueError(f"BMP pixel data offset {data_off} points into the header")
-    stride = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    stride = (width * bpp // 8 + 3) & ~3  # rows pad to 4-byte boundaries
     need = data_off + stride * height
     if len(b) < need:
         raise ValueError("truncated BMP raster")
@@ -218,8 +221,23 @@ def decode_bmp(payload: bytes, pixels: bool = True):
     if not pixels:
         return meta, None
     rows = np.frombuffer(b, dtype=np.uint8, count=stride * height, offset=data_off)
-    arr = rows.reshape(height, stride)[:, : width * 3].reshape(height, width, 3)
-    arr = arr[:, :, ::-1]  # BGR -> RGB
+    rows = rows.reshape(height, stride)
+    if bpp == 8:
+        (clr_used,) = struct.unpack_from("<I", b, 46)
+        n_pal = clr_used or 256
+        pal_off = 14 + hdr_size
+        if pal_off + 4 * n_pal > len(b):
+            raise ValueError("truncated BMP color table")
+        pal = np.frombuffer(b, dtype=np.uint8, count=4 * n_pal, offset=pal_off)
+        pal = pal.reshape(-1, 4)[:, 2::-1]  # BGRX -> RGB
+        idx = rows[:, :width]
+        if int(idx.max(initial=0)) >= n_pal:
+            raise ValueError("BMP palette index out of range")
+        arr = pal[idx]
+    elif bpp == 32:
+        arr = rows[:, : width * 4].reshape(height, width, 4)[:, :, 2::-1]  # BGRX -> RGB
+    else:
+        arr = rows[:, : width * 3].reshape(height, width, 3)[:, :, ::-1]  # BGR -> RGB
     if bottom_up:
         arr = arr[::-1]
     meta["mean"] = float(arr.mean())

@@ -1095,7 +1095,7 @@ def test_netpbm_and_bmp_decoders_exact_pixels():
     with pytest.raises(ValueError):
         decode_netpbm(b"P6\n2 3\n255\n" + pix[:5])  # truncated raster
     with pytest.raises(NotImplementedError):
-        decode_bmp(header[:28] + struct.pack("<H", 8) + header[30:] + raster)  # 8bpp
+        decode_bmp(header[:28] + struct.pack("<H", 16) + header[30:] + raster)  # 16bpp (8bpp is real since r10)
 
 
 def test_media_properties_stage_mixes_real_and_fallback(spark):
@@ -2241,3 +2241,117 @@ def test_wav_float_24bit_and_extensible_tiers():
         decode_wav(wav(fmt(1, 1, 8000, 24), bytes(4)))
     with pytest.raises(ValueError, match="truncated WAVE_FORMAT_EXTENSIBLE"):
         decode_wav(wav(fmt(0xFFFE, 1, 8000, 16), bytes(4)))
+
+
+def test_jpeg_sampling_factors_up_to_four():
+    """r10: the sampling-factor envelope widens from 1-2 to the spec's
+    full 1-4 range (divisible ratios). 4:1:1 and 4:2:2-style layouts
+    round-trip exactly on flat-chroma images (box downsample +
+    replicated upsample are inverse on constants), also under restart
+    intervals and through the PROGRESSIVE path's shared check; factors
+    outside 1-4 are corrupt SOF data, and valid-but-fractional ratios
+    (3 vs 2) stay honestly gated as interpolation."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from mysense_spark.operators.codecs import decode_jpeg_pixels, write_jpeg
+
+    flat = np.zeros((20, 28, 3), np.uint8)
+    flat[:, :, 0], flat[:, :, 1], flat[:, :, 2] = 90, 160, 40
+    for samp in ([(4, 1), (1, 1), (1, 1)], [(2, 1), (1, 1), (1, 1)],
+                 [(4, 2), (2, 1), (1, 1)], [(4, 4), (1, 1), (1, 1)]):
+        for kw in ({}, {"restart": 3}):
+            jp = write_jpeg(flat, samp=samp, **kw)
+            _, back = decode_jpeg_pixels(jp)
+            assert np.array_equal(back, flat), (samp, kw)
+    # luma detail survives chroma subsampling exactly when chroma is flat
+    grad = np.zeros((16, 16, 3), np.uint8)
+    grad[:, :, 0] = np.arange(16, dtype=np.uint8)[None, :] * 12
+    grad[:, :, 1] = grad[:, :, 0]
+    grad[:, :, 2] = grad[:, :, 0]
+    _, gb = decode_jpeg_pixels(write_jpeg(grad, samp=[(4, 1), (1, 1), (1, 1)]))
+    assert int(np.abs(gb.astype(int) - grad.astype(int)).max()) <= 2
+
+    # encoder refuses what the decoder cannot replicate back
+    with pytest.raises(ValueError, match="fractional"):
+        write_jpeg(flat, samp=[(3, 1), (2, 1), (1, 1)])
+    with pytest.raises(ValueError, match="invalid sampling"):
+        write_jpeg(flat, samp=[(5, 1), (1, 1), (1, 1)])
+
+    # decoder side: out-of-spec factor = corrupt SOF; fractional = gate
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    dc_counts = [0, 0, 0, 12] + [0] * 12
+    ac_syms = [0x00] + [(r << 4) | s for r in range(16) for s in range(1, 11)] + [0xF0]
+    ac_counts = [0] * 7 + [len(ac_syms)] + [0] * 8
+    dht = seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(range(12))
+              + bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms))
+    sos3 = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00]) + b"\x00\x3f\x00")
+
+    def sof0(hv):
+        return seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 3)
+                   + bytes([1, hv[0], 0, 2, hv[1], 0, 3, hv[2], 0]))
+
+    with pytest.raises(ValueError, match="1-4 range"):
+        decode_jpeg_pixels(b"\xff\xd8" + dqt + sof0([0x51, 0x11, 0x11]) + dht
+                           + sos3 + bytes(64) + b"\xff\xd9")
+    with pytest.raises(NotImplementedError, match="fractional"):
+        decode_jpeg_pixels(b"\xff\xd8" + dqt + sof0([0x31, 0x21, 0x11]) + dht
+                           + sos3 + bytes(64) + b"\xff\xd9")
+
+
+def test_bmp_palette_and_32bit_tiers():
+    """r10: 8-bit palette BMP (BITMAPINFOHEADER color table, BGRX
+    entries, padded index rows, bottom-up AND top-down) and 32-bit BGRX
+    decode to the same HxWx3 RGB the 24-bit tier returns; out-of-range
+    palette indices and truncated color tables reject with ValueError;
+    4-bit and RLE stay gated."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from mysense_spark.operators.multimodal import decode_bmp
+
+    def bmp(width, height, bpp, raster, palette=b"", compression=0):
+        data_off = 54 + len(palette)
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, bpp, compression,
+            len(raster), 2835, 2835, len(palette) // 4, 0,
+        )
+        head = b"BM" + struct.pack("<IHHI", data_off + len(raster), 0, 0, data_off)
+        return head + info + palette + raster
+
+    # 2x2 8-bit palette, bottom-up: indices [[0,1],[2,0]] top-down means
+    # rows stored bottom row first; rows pad to 4 bytes
+    pal = bytes([10, 20, 30, 0,  40, 50, 60, 0,  70, 80, 90, 0])  # BGRX x3
+    raster = bytes([2, 0, 0, 0]) + bytes([0, 1, 0, 0])  # bottom, then top row
+    meta, a = decode_bmp(bmp(2, 2, 8, raster, palette=pal))
+    assert meta["channels"] == 3
+    assert a.tolist() == [
+        [[30, 20, 10], [60, 50, 40]],
+        [[90, 80, 70], [30, 20, 10]],
+    ]
+    # top-down (negative height): same rows read in storage order
+    meta_td, a_td = decode_bmp(bmp(2, -2, 8, raster, palette=pal))
+    assert a_td.tolist() == a[::-1].tolist()
+
+    # 32-bit BGRX 1x2
+    r32 = bytes([1, 2, 3, 0, 4, 5, 6, 0])
+    _, a32 = decode_bmp(bmp(2, -1, 32, r32))
+    assert a32.tolist() == [[[3, 2, 1], [6, 5, 4]]]
+
+    with pytest.raises(ValueError, match="palette index"):
+        decode_bmp(bmp(2, 2, 8, bytes([9, 0, 0, 0, 0, 0, 0, 0]), palette=pal))
+    with pytest.raises(ValueError, match="color table"):
+        raw = bytearray(bmp(2, 2, 8, raster, palette=pal))
+        struct.pack_into("<I", raw, 46, 64)  # claim 64 entries, have 3
+        decode_bmp(bytes(raw))
+    with pytest.raises(NotImplementedError, match="codec library"):
+        decode_bmp(bmp(2, 2, 4, raster, palette=pal))
+    with pytest.raises(NotImplementedError, match="codec library"):
+        decode_bmp(bmp(2, 2, 8, raster, palette=pal, compression=1))  # RLE8
