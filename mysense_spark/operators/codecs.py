@@ -645,7 +645,7 @@ def decode_jpeg_pixels(payload: bytes):
             _parse_dht(body, huff)
         elif marker in _JPEG_SOF:
             if marker == 0xC2:  # progressive, Huffman-coded: real since r10
-                return _decode_progressive(b)
+                return _decode_multiscan(b)
             if marker not in (0xC0, 0xC1):
                 raise NotImplementedError(
                     "non-baseline JPEG (arithmetic/lossless/hierarchical) "
@@ -665,7 +665,10 @@ def decode_jpeg_pixels(payload: bytes):
             width, height, comps = sof
             ns = body[0] if body else 0
             if ns != len(comps):
-                raise NotImplementedError("multi-scan JPEG needs a codec library")
+                # sequential multi-scan (components spread over several
+                # scans): real since r10 via the coefficient-
+                # accumulating walk the progressive tier uses
+                return _decode_multiscan(b)
             if len(body) < 1 + 2 * ns + 3:
                 raise ValueError("truncated JPEG SOS segment")
             for si in range(ns):
@@ -851,24 +854,32 @@ def _decode_scan(b, pos, width, height, comps, quant, huff, restart):
 # ---------------------------------------------------------------------------
 
 
-def _decode_progressive(b: bytes):
-    """Progressive-JPEG pixel decoder: walks every scan, accumulating
-    per-block zigzag coefficient arrays — DC first/refine scans are
-    MCU-interleaved like baseline, AC scans are single-component with
-    EOB-run coding (first) or correction-bit refinement — then runs one
-    dequant + IDCT pass over the finished coefficients. Tables (DHT/DQT)
-    and DRI are stateful across scans, as the spec allows. Validated by
-    hand-crafted bitstreams with hand-computed expected pixels; every
-    malformed structure raises ValueError."""
+def _decode_multiscan(b: bytes):
+    """Multi-scan JPEG pixel decoder: walks every scan, accumulating
+    per-block zigzag coefficient arrays, then runs one dequant + IDCT
+    pass over the finished coefficients. Covers BOTH multi-scan frame
+    types: PROGRESSIVE (SOF2 — DC first/refine scans MCU-interleaved
+    like baseline, AC scans single-component with EOB-run coding or
+    correction-bit refinement) and, since r10, SEQUENTIAL multi-scan
+    (SOF0/1 whose components arrive over several scans, each coding its
+    components' full spectrum — the last baseline gate). Tables
+    (DHT/DQT) and DRI are stateful across scans, as the spec allows.
+    Sequential scans must cover every component exactly once (partial
+    coverage is legal only for progressive, where missing bands are
+    zeros by construction). Validated by hand-crafted bitstreams with
+    hand-computed expected pixels; every malformed structure raises
+    ValueError."""
     import numpy as np
 
     quant: dict[int, "np.ndarray"] = {}
     huff: dict[tuple[int, int], dict] = {}
     sof = None
+    progressive = False
     restart = 0
     hmax = vmax = mcux = mcuy = 0
     pos: int | None = None
     saw_scan = False
+    seq_covered: set[int] = set()
     while True:
         resumed = False
         for marker, body, end_pos in _jpeg_segments(b, pos):
@@ -881,13 +892,14 @@ def _decode_progressive(b: bytes):
                     raise ValueError("truncated JPEG DRI segment")
                 (restart,) = struct.unpack_from(">H", body, 0)
             elif marker in _JPEG_SOF:
-                if marker != 0xC2:
+                if marker not in (0xC0, 0xC1, 0xC2):
                     raise NotImplementedError(
                         "non-baseline JPEG (arithmetic/lossless/hierarchical) "
                         "needs a codec library"
                     )
                 if sof is not None:
                     raise ValueError("JPEG has more than one frame header")
+                progressive = marker == 0xC2
                 width, height, precision, _, comps = _parse_sof(marker, body)
                 if precision != 8 or len(comps) not in (1, 3):
                     raise ValueError("unsupported JPEG SOF parameters")
@@ -947,8 +959,17 @@ def _decode_progressive(b: bytes):
                     scan_comps.append(c)
                 ss, se, ahl = body[1 + 2 * ns : 4 + 2 * ns]
                 ah, al = ahl >> 4, ahl & 0xF
+                if not progressive:
+                    dup = seq_covered.intersection(c["id"] for c in scan_comps)
+                    if dup:
+                        raise ValueError(
+                            f"sequential JPEG scans cover component(s) "
+                            f"{sorted(dup)} twice"
+                        )
+                    seq_covered.update(c["id"] for c in scan_comps)
                 pos = _decode_prog_scan(
-                    b, end_pos, scan_comps, ss, se, ah, al, huff, restart, mcux, mcuy
+                    b, end_pos, scan_comps, ss, se, ah, al, huff, restart,
+                    mcux, mcuy, progressive,
                 )
                 saw_scan = True
                 resumed = True
@@ -958,6 +979,10 @@ def _decode_progressive(b: bytes):
     if sof is None or not saw_scan:
         raise ValueError("JPEG has no SOS scan")
     width, height, comps = sof
+    if not progressive and seq_covered != {c["id"] for c in comps}:
+        raise ValueError(
+            "sequential JPEG scans do not cover every frame component"
+        )
     C = _dct_matrix()
     for c in comps:
         if c["tq"] not in quant:
@@ -972,7 +997,7 @@ def _decode_progressive(b: bytes):
                 block = block.reshape(8, 8) * q
                 plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = C.T @ block @ C + 128.0
         c["plane"] = plane
-    return _planes_to_image(comps, width, height, hmax, vmax, progressive=True)
+    return _planes_to_image(comps, width, height, hmax, vmax, progressive=progressive)
 
 
 def _refine_nonzero(bits: "_Bits", coef, k: int, p1: int, m1: int) -> None:
@@ -984,14 +1009,29 @@ def _refine_nonzero(bits: "_Bits", coef, k: int, p1: int, m1: int) -> None:
             coef[k] += p1 if coef[k] >= 0 else m1
 
 
-def _decode_prog_scan(b, pos, scomps, ss, se, ah, al, huff, restart, mcux, mcuy) -> int:
-    """Decode ONE progressive scan into the components' coefficient
-    arrays; returns the stream offset of the marker that ended the scan.
-    Four scan kinds (T.81 G.1.2): DC first (interleaved like baseline,
-    diffs shifted left by Al), DC refine (one appended bit per block),
-    AC first (single component, EOB-run coded), AC refine (correction
-    bits). Restart intervals reset the DC predictors and the EOB run."""
-    if ss == 0:
+def _decode_prog_scan(
+    b, pos, scomps, ss, se, ah, al, huff, restart, mcux, mcuy, progressive=True
+) -> int:
+    """Decode ONE scan into the components' coefficient arrays; returns
+    the stream offset of the marker that ended the scan. Progressive
+    scans come in four kinds (T.81 G.1.2): DC first (interleaved like
+    baseline, diffs shifted left by Al), DC refine (one appended bit per
+    block), AC first (single component, EOB-run coded), AC refine
+    (correction bits). SEQUENTIAL scans (progressive=False, r10) code
+    their components' FULL spectrum — DC diff + AC runs per block, the
+    baseline block coding into the accumulator. Restart intervals reset
+    the DC predictors and the EOB run."""
+    if not progressive:
+        if (ss, se, ah, al) != (0, 63, 0, 0):
+            raise ValueError(
+                "sequential JPEG scan must code the full spectrum"
+                " (Ss=0 Se=63 Ah=Al=0)"
+            )
+        dc_scan = refining = False
+        for c in scomps:
+            if (0, c["dc"]) not in huff or (1, c["ac"]) not in huff:
+                raise ValueError("JPEG scan references a missing quant/Huffman table")
+    elif ss == 0:
         if se != 0:
             raise ValueError("progressive JPEG scan mixes DC and AC coefficients")
         dc_scan = True
@@ -1001,28 +1041,35 @@ def _decode_prog_scan(b, pos, scomps, ss, se, ah, al, huff, restart, mcux, mcuy)
         if not (ss <= se <= 63):
             raise ValueError("invalid progressive JPEG spectral selection")
         dc_scan = False
-    if al > 13 or (ah and ah != al + 1):
-        raise ValueError("invalid progressive JPEG successive approximation")
-    refining = ah != 0
-    if dc_scan and not refining:
-        for c in scomps:
-            if (0, c["dc"]) not in huff:
-                raise ValueError("JPEG scan references a missing quant/Huffman table")
-    if not dc_scan and not refining:
-        if (1, scomps[0]["ac"]) not in huff:
+    if progressive:
+        if al > 13 or (ah and ah != al + 1):
+            raise ValueError("invalid progressive JPEG successive approximation")
+        refining = ah != 0
+        if dc_scan and not refining:
+            for c in scomps:
+                if (0, c["dc"]) not in huff:
+                    raise ValueError(
+                        "JPEG scan references a missing quant/Huffman table"
+                    )
+        if not dc_scan and (1, scomps[0]["ac"]) not in huff:
             raise ValueError("JPEG scan references a missing quant/Huffman table")
-    if not dc_scan and refining and (1, scomps[0]["ac"]) not in huff:
-        raise ValueError("JPEG scan references a missing quant/Huffman table")
 
     segments, next_pos = _split_entropy(b, pos)
 
-    # interleaved (ns>1, DC only): units are MCUs, h*v blocks per comp;
-    # non-interleaved (ns=1, DC or AC): units are the single component's
-    # OWN block grid (T.81 A.2.2), row-major
-    interleaved = dc_scan and len(scomps) > 1
+    # interleaved (ns>1): units are MCUs, h*v blocks per comp;
+    # non-interleaved (ns=1): units are the single component's OWN
+    # block grid (T.81 A.2.2), row-major. Progressive AC scans are
+    # always non-interleaved (enforced above).
+    interleaved = len(scomps) > 1 and (dc_scan or not progressive)
     total_units = mcux * mcuy if interleaved else scomps[0]["bh1"] * scomps[0]["bw1"]
     units_per_seg = restart if restart else total_units
     p1, m1 = 1 << al, -1 << al
+
+    def block_unit(bits, c, coef, pred):
+        if not progressive:
+            _seq_unit(bits, c, coef, pred, huff)
+        else:
+            _prog_dc_unit(bits, c, coef, pred, refining, al, huff)
 
     unit = 0
     for seg in segments:
@@ -1037,12 +1084,12 @@ def _decode_prog_scan(b, pos, scomps, ss, se, ah, al, huff, restart, mcux, mcuy)
                     for by in range(c["v"]):
                         for bx in range(c["h"]):
                             coef = c["coef"][my * c["v"] + by, mx * c["h"] + bx]
-                            _prog_dc_unit(bits, c, coef, pred, refining, al, huff)
-            elif dc_scan:
+                            block_unit(bits, c, coef, pred)
+            elif dc_scan or not progressive:
                 c = scomps[0]
                 by, bx = divmod(unit, c["bw1"])
                 coef = c["coef"][by, bx]
-                _prog_dc_unit(bits, c, coef, pred, refining, al, huff)
+                block_unit(bits, c, coef, pred)
             else:
                 c = scomps[0]
                 by, bx = divmod(unit, c["bw1"])
@@ -1058,6 +1105,33 @@ def _decode_prog_scan(b, pos, scomps, ss, se, ah, al, huff, restart, mcux, mcuy)
     if unit < total_units:
         raise ValueError("JPEG scan ended before the last MCU")
     return next_pos
+
+
+def _seq_unit(bits, c, coef, pred, huff) -> None:
+    """One block's FULL-spectrum contribution in a sequential multi-scan
+    (r10): baseline block coding — Huffman DC diff against the
+    per-component predictor, then AC run-length codes to EOB — written
+    into the zigzag coefficient accumulator instead of straight to
+    IDCT."""
+    t = _huff_decode(bits, huff[(0, c["dc"])])
+    if t > 11:
+        raise ValueError("invalid JPEG DC size")
+    pred[c["id"]] += _extend(bits.bits(t), t)
+    coef[0] = pred[c["id"]]
+    k = 1
+    while k < 64:
+        rs = _huff_decode(bits, huff[(1, c["ac"])])
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC run overflows the block")
+        coef[k] = _extend(bits.bits(s), s)
+        k += 1
 
 
 def _prog_dc_unit(bits, c, coef, pred, refining, al, huff) -> None:

@@ -1410,10 +1410,11 @@ def test_jpeg_and_mp4_header_parsers():
     assert parse_jpeg_header(prog)["progressive"] is True
     with pytest.raises(ValueError, match="no SOF"):
         parse_jpeg_header(b"\xff\xd8" + app0 + b"\xff\xd9")
-    # the pixel tier is REAL for baseline since late r9: this crafted
-    # file declares 3 components but scans only 1 — a partial-scan
-    # structure the baseline decoder gates as multi-scan
-    with pytest.raises(NotImplementedError, match="multi-scan"):
+    # sequential multi-scan is REAL since r10 — this crafted file
+    # declares a 640x480 3-component frame with NO entropy data, so the
+    # multiscan path's plausibility bound rejects it before anything
+    # allocates (a structural error, no longer a gated format)
+    with pytest.raises(ValueError, match="cannot cover"):
         decode_jpeg(jpeg)
     # progressive is a REAL pixel tier since r10 — a frame header with
     # no scan now fails structurally, not as a gated format
@@ -2355,3 +2356,71 @@ def test_bmp_palette_and_32bit_tiers():
         decode_bmp(bmp(2, 2, 4, raster, palette=pal))
     with pytest.raises(NotImplementedError, match="codec library"):
         decode_bmp(bmp(2, 2, 8, raster, palette=pal, compression=1))  # RLE8
+
+
+def test_jpeg_sequential_multiscan():
+    """r10: baseline components spread over several scans (the last
+    sequential gate). A 3-component 16x16 SOF0 whose first scan
+    interleaves components 1+2 (MCU = 2 blocks) and whose second scan
+    codes component 3 alone (own block grid) decodes to the exact flat
+    RGB the single-scan layout produces; coverage is enforced — a
+    duplicate or missing component is a structural error, as is a
+    sequential scan that does not code the full spectrum."""
+    import struct
+
+    import pytest
+
+    from mysense_spark.operators.codecs import decode_jpeg_pixels
+
+    seg, dqt, dht, ac_code = _prog_fixture_parts()
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, 16, 16, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+
+    def dc576_then_zeros(n_blocks, ncomp_in_scan):
+        pk = _BitPacker()
+        # first unit: comp A diff 576 (t=10), others t=0
+        pk.put(0b1010, 4).put(576, 10).put(ac_code[0x00], 8)
+        for _ in range(ncomp_in_scan - 1):
+            pk.put(0, 4).put(ac_code[0x00], 8)
+        for _ in range(n_blocks - 1):
+            for _ in range(ncomp_in_scan):
+                pk.put(0, 4).put(ac_code[0x00], 8)
+        return pk.bytes()
+
+    # scan 1: comps 1+2 interleaved over 4 MCUs; scan 2: comp 3 alone.
+    # Y=576 -> gray 200; Cb=Cr=0 with the +576 only on comp 1
+    sos12 = seg(0xDA, bytes([2, 1, 0x00, 2, 0x00]) + bytes([0, 63, 0x00]))
+    e12 = dc576_then_zeros(4, 2)
+    sos3 = seg(0xDA, bytes([1, 3, 0x00]) + bytes([0, 63, 0x00]))
+    pk3 = _BitPacker()
+    for _ in range(4):
+        pk3.put(0, 4).put(ac_code[0x00], 8)
+    jp = b"\xff\xd8" + dqt + sof + dht + sos12 + e12 + sos3 + pk3.bytes() + b"\xff\xd9"
+    meta, rgb = decode_jpeg_pixels(jp)
+    assert meta["progressive"] is False and meta["channels"] == 3
+    assert rgb.shape == (16, 16, 3) and rgb.min() == rgb.max() == 200
+
+    # missing coverage: EOI before component 3's scan
+    jp_missing = b"\xff\xd8" + dqt + sof + dht + sos12 + e12 + b"\xff\xd9"
+    with pytest.raises(ValueError, match="do not cover"):
+        decode_jpeg_pixels(jp_missing)
+    # duplicate coverage: component 1 scanned twice
+    sos1 = seg(0xDA, bytes([1, 1, 0x00]) + bytes([0, 63, 0x00]))
+    e1 = dc576_then_zeros(4, 1)
+    jp_dup = (
+        b"\xff\xd8" + dqt + sof + dht + sos12 + e12 + sos1 + e1
+        + sos3 + pk3.bytes() + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="twice"):
+        decode_jpeg_pixels(jp_dup)
+    # a sequential scan must code the full spectrum
+    sos_partial = seg(0xDA, bytes([1, 3, 0x00]) + bytes([1, 63, 0x00]))
+    jp_partial = (
+        b"\xff\xd8" + dqt + sof + dht + sos12 + e12
+        + sos_partial + pk3.bytes() + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="full spectrum"):
+        decode_jpeg_pixels(jp_partial)
