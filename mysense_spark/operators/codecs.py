@@ -279,10 +279,21 @@ def decode_png(payload: bytes, pixels: bool = True, max_pixels: int = _PNG_MAX_P
 def write_png(arr) -> bytes:
     """PNG encoder (filter 0 + zlib): HxW uint8 grayscale, HxWx3 RGB, or
     HxWx4 RGBA — the round-trip partner of decode_png and a real K7-tier
-    artifact writer (report thumbnails without Pillow)."""
+    artifact writer (report thumbnails without Pillow). 8-BIT ONLY:
+    values outside 0-255 (e.g. a uint16 array straight from a 16-bit
+    decode) raise instead of silently truncating mod 256 — scale
+    deliberately before re-encoding."""
     import numpy as np
 
-    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    a = np.asarray(arr)
+    if a.dtype != np.uint8:
+        if a.size and (int(a.min()) < 0 or int(a.max()) > 255):
+            raise ValueError(
+                "write_png is an 8-bit encoder; values outside 0-255 "
+                "(16-bit decode output?) must be scaled first, not "
+                "truncated mod 256"
+            )
+    a = np.ascontiguousarray(a, dtype=np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]
     if a.ndim != 3 or a.shape[2] not in (1, 3, 4):
@@ -388,7 +399,7 @@ def decode_jpeg(payload: bytes, pixels: bool = True):
     """JPEG decode: the header tier (geometry/components/progressive) is
     parse_jpeg_header; the pixel tier is REAL for baseline sequential
     JPEG since r9 AND progressive Huffman JPEG since r10
-    (decode_jpeg_pixels / _decode_progressive below); arithmetic-coded,
+    (decode_jpeg_pixels / _decode_multiscan below); arithmetic-coded,
     lossless, and hierarchical frames raise NotImplementedError
     (genuinely a codec-library tier)."""
     meta = parse_jpeg_header(payload)
@@ -624,8 +635,8 @@ def decode_jpeg_pixels(payload: bytes):
     entropy decode (restart intervals honored), dequantization, inverse
     zigzag, orthonormal IDCT, replicated chroma upsampling for 4:2:x,
     and JFIF YCbCr->RGB. Returns (meta, HxW uint8 grayscale or HxWx3
-    RGB). Progressive (SOF2) dispatches to _decode_progressive (real
-    since r10); arithmetic/lossless/hierarchical frames raise
+    RGB). Progressive (SOF2) and sequential multi-scan frames dispatch
+    to _decode_multiscan (real since r10); arithmetic/lossless/hierarchical frames raise
     NotImplementedError; malformed structures raise ValueError.
     Validated by round-trip against the unit-quant encoder below plus
     hand-computed flat-field cases."""
@@ -668,6 +679,14 @@ def decode_jpeg_pixels(payload: bytes):
                 # sequential multi-scan (components spread over several
                 # scans): real since r10 via the coefficient-
                 # accumulating walk the progressive tier uses
+                return _decode_multiscan(b)
+            if ns == 1 and (comps[0]["h"], comps[0]["v"]) != (1, 1):
+                # T.81 A.2.2: EVERY Ns=1 scan is non-interleaved over
+                # the component's own ceil/8 block grid — which only
+                # coincides with this fast path's MCU tiling at 1x1
+                # sampling; a single-component frame declaring larger
+                # factors (jpegtran -grayscale keeps Y's 2x2) must go
+                # through the block-grid walk
                 return _decode_multiscan(b)
             if len(body) < 1 + 2 * ns + 3:
                 raise ValueError("truncated JPEG SOS segment")
@@ -804,30 +823,14 @@ def _decode_scan(b, pos, width, height, comps, quant, huff, restart):
         for _ in range(seg_mcus):
             my, mx = divmod(mcu, mcux)
             for c in comps:
-                dc_t, ac_t = huff[(0, c["dc"])], huff[(1, c["ac"])]
                 q = quant[c["tq"]]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
+                        # ONE block entropy decoder for both sequential
+                        # paths: _seq_unit fills the zigzag accumulator
+                        # here just as it does in the multi-scan walk
                         coef = np.zeros(64, dtype=np.int64)
-                        t = _huff_decode(bits, dc_t)
-                        if t > 11:
-                            raise ValueError("invalid JPEG DC size")
-                        pred[c["id"]] += _extend(bits.bits(t), t)
-                        coef[0] = pred[c["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = _huff_decode(bits, ac_t)
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG AC run overflows the block")
-                            coef[k] = _extend(bits.bits(s), s)
-                            k += 1
+                        _seq_unit(bits, c, coef, pred, huff)
                         block = np.zeros(64, dtype=np.int64)
                         block[_ZIGZAG] = coef
                         block = block.reshape(8, 8) * q
@@ -957,6 +960,11 @@ def _decode_multiscan(b: bytes):
                     c = match[0]
                     c["dc"], c["ac"] = tabs >> 4, tabs & 0xF
                     scan_comps.append(c)
+                if len({c["id"] for c in scan_comps}) != ns:
+                    # T.81 requires distinct ids per scan — a repeat
+                    # would double-code blocks and double-advance the
+                    # DC predictor, silently garbling the image
+                    raise ValueError("JPEG SOS lists a component twice")
                 ss, se, ahl = body[1 + 2 * ns : 4 + 2 * ns]
                 ah, al = ahl >> 4, ahl & 0xF
                 if not progressive:

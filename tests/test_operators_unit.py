@@ -2424,3 +2424,58 @@ def test_jpeg_sequential_multiscan():
     )
     with pytest.raises(ValueError, match="full spectrum"):
         decode_jpeg_pixels(jp_partial)
+
+
+def test_jpeg_review_hardening_round10b():
+    """Post-review r10b: (a) a single-component baseline frame whose
+    SOF declares 2x2 sampling carries T.81 A.2.2 NON-interleaved scans
+    (the component's own ceil/8 block grid, not the MCU tiling) — a
+    24x8 gray 2x2 stream with exactly 3 blocks must decode, and its
+    pixels must match the 1x1 encoding of the same image; (b) an SOS
+    listing the same component twice is a structural error, not a
+    silent double-decode; (c) write_png refuses 16-bit arrays instead
+    of truncating mod 256."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from mysense_spark.operators.codecs import decode_jpeg_pixels, write_jpeg, write_png
+
+    seg, dqt, dht, ac_code = _prog_fixture_parts()
+    # (a) 24x8 gray, SOF says 2x2: bw1 x bh1 = 3x1 blocks, MCU grid
+    # would claim 2x1 MCUs x 4 = 8. Reuse the baseline encoder's
+    # entropy for the SAME image at 1x1 (identical block content and
+    # order for a single row of blocks), swapping in the 2x2 SOF.
+    img = (np.arange(24 * 8).reshape(8, 24) * 7 % 256).astype(np.uint8)
+    jp11 = write_jpeg(img)
+    sos_at = jp11.find(b"\xff\xda")
+    sof_at = jp11.find(b"\xff\xc0")
+    sof22 = seg(0xC0, struct.pack(">BHHB", 8, 8, 24, 1) + bytes([1, 0x22, 0]))
+    (sof_len,) = struct.unpack_from(">H", jp11, sof_at + 2)
+    jp22 = jp11[:sof_at] + sof22 + jp11[sof_at + 2 + sof_len :]
+    assert jp22[:2] == b"\xff\xd8" and jp22.find(b"\xff\xda") > 0
+    _, want = decode_jpeg_pixels(jp11)
+    meta22, got = decode_jpeg_pixels(jp22)
+    assert np.array_equal(got, want) and meta22["progressive"] is False
+
+    # (b) duplicate component within one SOS
+    sof3 = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, 16, 16, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    sos_dup = seg(0xDA, bytes([2, 1, 0x00, 1, 0x00]) + bytes([0, 63, 0x00]))
+    with pytest.raises(ValueError, match="twice"):
+        decode_jpeg_pixels(
+            b"\xff\xd8" + dqt + sof3 + dht + sos_dup + bytes(64) + b"\xff\xd9"
+        )
+
+    # (c) write_png is 8-bit only — no silent mod-256 truncation
+    with pytest.raises(ValueError, match="8-bit"):
+        write_png(np.array([[256, 65535]], dtype=np.uint16))
+    # in-range non-uint8 input still encodes (values are representable)
+    from mysense_spark.operators.codecs import decode_png
+
+    _, ok = decode_png(write_png(np.array([[0, 255]], dtype=np.uint16)))
+    assert ok.tolist() == [[0, 255]]
