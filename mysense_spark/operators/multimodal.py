@@ -619,7 +619,136 @@ ORDER BY modality
 SQL_MODALITY_MIX = _sql_modality_mix()
 
 
+_DECODE_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("fmt", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_val", DoubleType()),
+        StructField("rms", DoubleType()),
+        StructField("peak", DoubleType()),
+    ]
+)
+
+
+def _md5_val(k: int, hexdigits: int) -> int:
+    """The cross-engine synthesis hash: first `hexdigits` md5 hex chars
+    of str(k) as an int — identical to DuckDB's
+    ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, n))::BIGINT."""
+    import hashlib
+
+    return int(hashlib.md5(str(k).encode()).hexdigest()[:hexdigits], 16)
+
+
+def q_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END real-codec round trip under Spark, ORACLE-PINNED
+    (r10): every even doc synthesizes an 8x8 grayscale image from
+    md5-derived bytes, encodes it as a REAL PNG (write_png: zlib +
+    CRC-framed chunks) and decodes it back through decode_png; every
+    odd doc synthesizes 32 md5-derived int16 samples, wraps them in a
+    REAL RIFF/WAVE and decodes through decode_wav. Because both paths
+    are lossless, the decoded statistics equal what DuckDB computes
+    from the SAME md5 derivation with no codec at all — so the driver
+    hash gate verifies the actual Spark-side encode->decode kernels,
+    not a fixture. Pixel mean and |peak| are exact across engines
+    (integer sums, divisions by powers of two); rms crosses a float
+    summation so both sides pin it through ieee_round(6)."""
+    import math
+    import struct as _struct
+
+    from ..io import load
+    from .codecs import decode_png, write_png
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def r6(v: float) -> float:
+        return math.floor(float(v) * 1e6 + 0.5) / 1e6
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 2 == 0:
+                    px = np.array(
+                        [_md5_val(d * 128 + i, 2) for i in range(64)], dtype=np.uint8
+                    ).reshape(8, 8)
+                    meta, back = decode_png(write_png(px))
+                    assert np.array_equal(back, px)  # lossless by design
+                    rows.append(
+                        (d, "png", meta["width"], meta["height"],
+                         r6(float(back.mean())), None, None)
+                    )
+                else:
+                    s = np.array(
+                        [_md5_val(d * 128 + 64 + j, 4) - 32768 for j in range(32)],
+                        dtype=np.int16,
+                    )
+                    data = s.astype("<i2").tobytes()
+                    fmt = _struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+                    body = (
+                        b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+                        + b"data" + _struct.pack("<I", len(data)) + data
+                    )
+                    w = decode_wav(
+                        b"RIFF" + _struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+                    )
+                    rows.append(
+                        (d, "wav", None, None, None, r6(w["rms"]), r6(w["peak"]))
+                    )
+            yield pd.DataFrame(
+                rows, columns=[c.name for c in _DECODE_STATS_SCHEMA.fields]
+            )
+
+    return docs.mapInPandas(stats, schema=_DECODE_STATS_SCHEMA).orderBy("doc_id")
+
+
+def _sql_media_decode_stats() -> str:
+    from .util import sql_ieee_round
+
+    byte = "('0x' || substr(md5(CAST(d.doc_id * 128 + t.i AS VARCHAR)), 1, 2))::BIGINT"
+    samp = (
+        "('0x' || substr(md5(CAST(d.doc_id * 128 + 64 + t.i AS VARCHAR)), 1, 4))::BIGINT"
+        " - 32768"
+    )
+    return f"""
+WITH img AS (
+  SELECT d.doc_id, {sql_ieee_round('avg(' + byte + ')', 6)} AS mean_val
+  FROM documents d, range(64) t(i)
+  WHERE d.doc_id % 2 = 0
+  GROUP BY d.doc_id
+),
+snd AS (
+  SELECT doc_id,
+         {sql_ieee_round('sqrt(avg(pow(s / CAST(32768.0 AS DOUBLE), 2)))', 6)} AS rms,
+         {sql_ieee_round('max(abs(s / CAST(32768.0 AS DOUBLE)))', 6)} AS peak
+  FROM (
+    SELECT d.doc_id, {samp} AS s
+    FROM documents d, range(32) t(i)
+    WHERE d.doc_id % 2 = 1
+  )
+  GROUP BY doc_id
+)
+SELECT doc_id, 'png' AS fmt, 8 AS width, 8 AS height, mean_val,
+       CAST(NULL AS DOUBLE) AS rms, CAST(NULL AS DOUBLE) AS peak
+FROM img
+UNION ALL
+SELECT doc_id, 'wav' AS fmt, CAST(NULL AS INT) AS width,
+       CAST(NULL AS INT) AS height, CAST(NULL AS DOUBLE) AS mean_val,
+       rms, peak
+FROM snd
+ORDER BY doc_id
+"""
+
+
+SQL_MEDIA_DECODE_STATS = _sql_media_decode_stats()
+
+
 QUERIES: dict[str, tuple] = {
+    "media_decode_stats": (q_media_decode_stats, SQL_MEDIA_DECODE_STATS),
     "blob_metadata": (q_blob_metadata, SQL_BLOB_METADATA),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     "media_embed": (q_media_embed, SQL_MEDIA_EMBED),

@@ -33,15 +33,19 @@ def _modules():
 # Queries hoisted to the very front of the registry: the driver's
 # correctness gate checks exactly the FIRST 50 entries, so this list is
 # kept to exactly 50. Round-10 layout:
-# (a) the 2 rows whose code changed this round — semdedup_trained +
-# ann_ivf_trained (the trained-codebook assignment gained tiered
-# physical plans: single-cell route elision, the fused broadcast form,
-# and a salted shuffle-routed equi-join above the _TC_BCAST_K1
-# broadcast ceiling, so no O(K1) broadcast survives at any N);
+# (a) 1 NEW query — media_decode_stats (the real PNG/WAV encode->decode
+# kernels under mapInPandas, oracle-pinned through a shared md5
+# synthesis) — and the 2 rows whose code changed this round —
+# semdedup_trained + ann_ivf_trained (the trained-codebook assignment
+# gained tiered physical plans: single-cell route elision, the fused
+# broadcast form, and a salted shuffle-routed equi-join above the
+# _TC_BCAST_K1 broadcast ceiling, so no O(K1) broadcast survives at
+# any N);
 # (b) the 20 rows whose last driver evidence is round 7 — rolled here
 # exactly as planned in the r9 comment;
-# (c) 28 of the 48 rows whose last evidence is round 8, alphabetical.
-# The remaining 20 r8-evidence rows (percentile_summary,
+# (c) 27 of the 48 rows whose last evidence is round 8, alphabetical.
+# The remaining 21 r8-evidence rows (part_supplier_stats,
+# percentile_summary,
 # pricing_summary, props_json_stats, quality_centroid_score,
 # region_rollup, revenue_quartiles, semdedup, semdedup_auto,
 # sensor_set_diff, sensorthings_pull, simhash_pairs, spatial_pairs,
@@ -50,7 +54,8 @@ def _modules():
 # roll to round 11, after any r11-changed rows. After this window no
 # registry row's driver evidence is older than round 8.
 _PRIORITY = (
-    # (a) code changed in round 10
+    # (a) new in round 10, then code changed in round 10
+    "media_decode_stats",
     "semdedup_trained",
     "ann_ivf_trained",
     # (b) last driver evidence: round 7 (the planned 20)
@@ -102,7 +107,6 @@ _PRIORITY = (
     "neardup_clusters",
     "neighbour_search",
     "order_priority_counts",
-    "part_supplier_stats",
 )
 
 

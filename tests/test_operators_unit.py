@@ -2479,3 +2479,35 @@ def test_jpeg_review_hardening_round10b():
 
     _, ok = decode_png(write_png(np.array([[0, 255]], dtype=np.uint16)))
     assert ok.tolist() == [[0, 255]]
+
+
+def test_media_decode_stats_losslessness_and_partition_independence(spark):
+    """The r10 graded codec round-trip query: results must be identical
+    under different partitionings (mapInPandas batch shape must not
+    leak), the PNG leg's mean must equal the md5 synthesis computed
+    INDEPENDENTLY of the codec (losslessness is the oracle argument),
+    and every doc appears exactly once with its parity's format."""
+    import hashlib
+    import math
+
+    from mysense_spark.operators.multimodal import q_media_decode_stats
+
+    sf_dir = "/root/testdata/sf0.001"
+    base = q_media_decode_stats(spark, sf_dir)
+    rows = {r["doc_id"]: r for r in base.collect()}
+    rows2 = {
+        r["doc_id"]: r
+        for r in q_media_decode_stats(spark, sf_dir).repartition(7).collect()
+    }
+    assert rows == rows2
+    for d, r in rows.items():
+        assert r["fmt"] == ("png" if d % 2 == 0 else "wav")
+        if d % 2 == 0:
+            want = sum(
+                int(hashlib.md5(str(d * 128 + i).encode()).hexdigest()[:2], 16)
+                for i in range(64)
+            ) / 64
+            assert r["mean_val"] == math.floor(want * 1e6 + 0.5) / 1e6
+            assert (r["width"], r["height"]) == (8, 8)
+        else:
+            assert r["rms"] is not None and 0 <= r["peak"] <= 1.0
