@@ -641,7 +641,7 @@ def _md5_val(k: int, hexdigits: int) -> int:
     return int(hashlib.md5(str(k).encode()).hexdigest()[:hexdigits], 16)
 
 
-def q_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def media_decode_stats(docs: DataFrame) -> DataFrame:
     """END-TO-END real-codec round trip under Spark, ORACLE-PINNED
     (r10): every even doc synthesizes an 8x8 grayscale image from
     md5-derived bytes, encodes it as a REAL PNG (write_png: zlib +
@@ -653,14 +653,13 @@ def q_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash gate verifies the actual Spark-side encode->decode kernels,
     not a fixture. Pixel mean and |peak| are exact across engines
     (integer sums, divisions by powers of two); rms crosses a float
-    summation so both sides pin it through ieee_round(6)."""
+    summation so both sides pin it through ieee_round(6). `docs` needs
+    only a doc_id column; per-row work is independent, so any input
+    partitioning yields identical rows (pytest-pinned)."""
     import math
     import struct as _struct
 
-    from ..io import load
     from .codecs import decode_png, write_png
-
-    docs = load(spark, sf_dir, "documents").select("doc_id")
 
     def r6(v: float) -> float:
         return math.floor(float(v) * 1e6 + 0.5) / 1e6
@@ -704,6 +703,13 @@ def q_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(stats, schema=_DECODE_STATS_SCHEMA).orderBy("doc_id")
+
+
+def q_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded entry for media_decode_stats over the documents table."""
+    from ..io import load
+
+    return media_decode_stats(load(spark, sf_dir, "documents").select("doc_id"))
 
 
 def _sql_media_decode_stats() -> str:

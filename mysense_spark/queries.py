@@ -79,7 +79,7 @@ _PRIORITY = (
     "vocab_stats",
     "weighted_sample",
     "zscore_outliers",
-    # (c) last driver evidence: round 8 (first 28, alphabetical)
+    # (c) last driver evidence: round 8 (first 27, alphabetical)
     "alarm_suppression",
     "ann_ivf",
     "ann_recall",

@@ -2481,23 +2481,25 @@ def test_jpeg_review_hardening_round10b():
     assert ok.tolist() == [[0, 255]]
 
 
-def test_media_decode_stats_losslessness_and_partition_independence(spark):
+def test_media_decode_stats_losslessness_and_partition_independence(spark, sf_dir):
     """The r10 graded codec round-trip query: results must be identical
-    under different partitionings (mapInPandas batch shape must not
-    leak), the PNG leg's mean must equal the md5 synthesis computed
-    INDEPENDENTLY of the codec (losslessness is the oracle argument),
-    and every doc appears exactly once with its parity's format."""
+    when the INPUT partitioning — and therefore the Arrow batch shape
+    the mapInPandas UDF sees — changes (cross-row state in the UDF
+    would leak through batch boundaries), the PNG leg's mean must equal
+    the md5 synthesis computed INDEPENDENTLY of the codec (losslessness
+    is the oracle argument), and every doc appears exactly once with
+    its parity's format."""
     import hashlib
     import math
 
-    from mysense_spark.operators.multimodal import q_media_decode_stats
+    from mysense_spark.io import load
+    from mysense_spark.operators.multimodal import media_decode_stats
 
-    sf_dir = "/root/testdata/sf0.001"
-    base = q_media_decode_stats(spark, sf_dir)
-    rows = {r["doc_id"]: r for r in base.collect()}
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    rows = {r["doc_id"]: r for r in media_decode_stats(docs).collect()}
     rows2 = {
         r["doc_id"]: r
-        for r in q_media_decode_stats(spark, sf_dir).repartition(7).collect()
+        for r in media_decode_stats(docs.repartition(7)).collect()
     }
     assert rows == rows2
     for d, r in rows.items():
