@@ -86,8 +86,21 @@ def is_confirmed(standalone: float, prior_t: float, factor: float) -> bool:
     still exceeds CONFIRM_X after host-speed correction — a re-run that
     lands in the same inflated window as the suite (the r9
     daily_qc_report failure mode) divides back to its prior level and
-    no longer 'confirms' untouched code."""
-    return prior_t > 0 and factor > 0 and standalone / factor > CONFIRM_X * prior_t
+    no longer 'confirms' untouched code.
+
+    The correction is ONE-SIDED (factor floored at 1.0): the probe is
+    pure CPU while the suite is scan/shuffle/scheduler-bound, and the
+    two demonstrably move independently — the first r10 calibrated
+    window read probe 0.206→0.157 (24% faster) while the same-code
+    suite read 94.8→101.5 s (7% slower), and an unfloored division
+    manufactured six 'confirmed regressions' on untouched queries. A
+    slower probe EXCUSES a slowdown it corroborates; a faster probe
+    must never invent one."""
+    return (
+        prior_t > 0
+        and factor > 0
+        and standalone / max(1.0, factor) > CONFIRM_X * prior_t
+    )
 
 
 def main() -> None:
@@ -168,7 +181,14 @@ def main() -> None:
             except Exception:
                 break
         if best < float("inf"):
-            confirmed = is_confirmed(best, prior[name], factor_confirm)
+            # confirm on the BEST demonstrated speed: the standalone
+            # re-run exists to escape the suite's stall window, but it
+            # can hit a stall of its own (observed: suite 1.55s,
+            # standalone 2.35s on untouched code) — a query that was
+            # EVER fast this session is not a regression
+            confirmed = is_confirmed(
+                min(best, timings[name]), prior[name], factor_confirm
+            )
             noise_check[name] = {
                 "suite": timings[name],
                 "standalone": round(best, 3),
