@@ -3,14 +3,15 @@ decode / feature-extract / frame-sample as Arrow-batched Python stages.
 
 The decode kernel is REAL for the codec-library-free formats — WAV
 (RIFF chunk parse + numpy sample math: integer PCM 8/16/24/32, IEEE
-float 32/64, EXTENSIBLE wrapper), binary netpbm P5/P6, uncompressed
-BMP (24-bit, 8-bit palette, 32-bit BGRX), and (operators/codecs.py)
-the FULL static-PNG matrix (depths 1-16, Adam7), baseline +
-progressive + sequential-multi-scan JPEG pixels, and MP4 moov
-STRUCTURAL parsing — dispatched on magic bytes. Only genuinely
-codec-library territory remains gated behind NotImplementedError:
-arithmetic/lossless JPEG, compressed WAV (ADPCM/law/MP3), sub-8-bit or
-RLE BMP, and MP4 sample decode. Unknown formats fall
+float 32/64, G.711 μ-law/A-law, EXTENSIBLE wrapper), binary netpbm
+P5/P6, the full classic BMP matrix (1/4/8-bit palette incl. RLE8/RLE4,
+16-bit X1R5G5B5, 24-bit, 32-bit BGRX), and (operators/codecs.py) the
+FULL static-PNG matrix (depths 1-16, Adam7), baseline + progressive +
+sequential-multi-scan JPEG pixels, and MP4 moov STRUCTURAL parsing —
+dispatched on magic bytes. Only genuinely codec-library territory
+remains gated behind NotImplementedError: arithmetic/lossless JPEG,
+adaptive-codec WAV (ADPCM/MP3), BI_BITFIELDS BMP, and MP4 sample
+decode. Unknown formats fall
 through to the clearly-marked deterministic length-derived fake, which
 is also what the graded fixtures exercise (text blobs, no magic match)
 so their SQL-mirrored oracles are unaffected. The Spark-side contract
@@ -42,13 +43,44 @@ from pyspark.sql.types import (
 )
 
 
+def _g711_table(mu: bool):
+    """256-entry G.711 expansion table (ITU-T G.711 / the public-domain
+    Sun g711.c formulas — segment + quantization companding, NOT an
+    adaptive codec, so a pure table decodes it exactly): μ-law spans
+    ±32124, A-law ±32256. Pinned against the published edge values
+    (μ 0x00→-32124, 0xFF→0; A 0x55→-8, 0xD5→+8)."""
+    import numpy as np
+
+    out = np.zeros(256, dtype=np.int32)
+    for code in range(256):
+        if mu:
+            u = ~code & 0xFF
+            t = ((u & 0x0F) << 3) + 0x84
+            t <<= (u & 0x70) >> 4
+            out[code] = (0x84 - t) if (u & 0x80) else (t - 0x84)
+        else:
+            a = code ^ 0x55
+            t = (a & 0x0F) << 4
+            seg = (a & 0x70) >> 4
+            if seg == 0:
+                t += 8
+            elif seg == 1:
+                t += 0x108
+            else:
+                t = (t + 0x108) << (seg - 1)
+            out[code] = t if (a & 0x80) else -t
+    return out
+
+
 def decode_wav(payload: bytes) -> dict:
     """REAL RIFF/WAVE decoder — pure struct + numpy, no codec library
     (the format is a chunked header over raw samples). Supports integer
     PCM (format 1) at 8/16/24/32 bits, IEEE float (format 3) at 32/64
-    bits, and the WAVE_FORMAT_EXTENSIBLE wrapper (0xFFFE — the actual
-    code lives in the SubFormat GUID), any channel count; only
-    genuinely COMPRESSED formats (ADPCM, μ-law, MP3, ...) stay gated.
+    bits, G.711 μ-law/A-law companding (formats 7/6 — table expansion,
+    not an adaptive codec), and the WAVE_FORMAT_EXTENSIBLE wrapper
+    (0xFFFE — the actual code lives in the SubFormat GUID), any channel
+    count; only genuinely COMPRESSED formats (ADPCM, MP3, ...) stay
+    gated.
     Returns sample_rate, channels, bits, n_samples (per channel),
     duration_s, rms and peak in [-1, 1] normalized units (float data is
     taken at face value — nominal full scale IS ±1.0). Raises
@@ -83,9 +115,9 @@ def decode_wav(payload: bytes) -> dict:
         if len(fmt_body) < 26:
             raise ValueError("truncated WAVE_FORMAT_EXTENSIBLE fmt chunk")
         (audio_format,) = struct.unpack_from("<H", fmt_body, 24)
-    if audio_format not in (1, 3):
+    if audio_format not in (1, 3, 6, 7):
         raise NotImplementedError(
-            f"compressed WAVE format {audio_format} (ADPCM/law/MP3 tier) "
+            f"compressed WAVE format {audio_format} (ADPCM/MP3 tier) "
             f"needs a codec library"
         )
     if sample_rate < 1:
@@ -102,6 +134,11 @@ def decode_wav(payload: bytes) -> dict:
             raise ValueError(f"unsupported IEEE-float bit depth {bits}")
         if not np.all(np.isfinite(x)):
             raise ValueError("non-finite float sample data")
+    elif audio_format in (6, 7):  # G.711 A-law / mu-law companding
+        if bits != 8:
+            raise ValueError(f"G.711 WAVE must be 8 bits per sample, got {bits}")
+        table = _g711_table(mu=audio_format == 7)
+        x = table[np.frombuffer(data, dtype=np.uint8)] / 32768.0
     elif bits == 8:
         x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
     elif bits == 16:
@@ -184,12 +221,70 @@ def decode_netpbm(payload: bytes, pixels: bool = True):
     return meta, arr
 
 
+def _bmp_rle(data: bytes, width: int, height: int, bpp: int):
+    """Decode an RLE8/RLE4 pixel stream into an (height, width) index
+    raster in STORAGE order (bottom-up orientation applies afterwards).
+    Escapes per the BMP spec: 0,0 = end of line; 0,1 = end of bitmap;
+    0,2 = delta (dx, dy); 0,n>=3 = n absolute pixels (word-aligned).
+    Unreached pixels stay index 0 (the spec's implicit fill). Runs or
+    deltas that leave the raster are corrupt, not clipped."""
+    import numpy as np
+
+    out = np.zeros((height, width), dtype=np.uint8)
+    x = y = pos = 0
+    while pos + 2 <= len(data):
+        n, v = data[pos], data[pos + 1]
+        pos += 2
+        if n > 0:  # encoded run
+            if y >= height or x + n > width:
+                raise ValueError("BMP RLE run overflows the raster")
+            if bpp == 8:
+                out[y, x : x + n] = v
+            else:
+                pix = [(v >> 4) if i % 2 == 0 else (v & 0xF) for i in range(n)]
+                out[y, x : x + n] = pix
+            x += n
+            continue
+        if v == 0:  # end of line
+            x, y = 0, y + 1
+        elif v == 1:  # end of bitmap
+            return out
+        elif v == 2:  # delta
+            if pos + 2 > len(data):
+                raise ValueError("truncated BMP RLE delta")
+            x += data[pos]
+            y += data[pos + 1]
+            pos += 2
+            if x > width or y > height:
+                raise ValueError("BMP RLE delta leaves the raster")
+        else:  # absolute mode: v literal pixels, word-aligned
+            nbytes = v if bpp == 8 else (v + 1) // 2
+            nbytes += nbytes & 1
+            if pos + nbytes > len(data):
+                raise ValueError("truncated BMP RLE absolute run")
+            if y >= height or x + v > width:
+                raise ValueError("BMP RLE run overflows the raster")
+            if bpp == 8:
+                out[y, x : x + v] = np.frombuffer(data, np.uint8, count=v, offset=pos)
+            else:
+                raw = data[pos : pos + (v + 1) // 2]
+                pix = []
+                for byte in raw:
+                    pix.append(byte >> 4)
+                    pix.append(byte & 0xF)
+                out[y, x : x + v] = pix[:v]
+            x += v
+            pos += nbytes
+    return out  # writers may omit the end-of-bitmap escape
+
+
 def decode_bmp(payload: bytes, pixels: bool = True):
-    """REAL uncompressed BMP decoder — fixed-offset little-endian
-    header, bottom-up rows padded to 4 bytes. r10: 8-bit palette
-    (BITMAPINFOHEADER color table, BGRX entries) and 32-bit BGRX join
-    the 24-bit tier, all returned as HxWx3 RGB; 1/2/4/16-bit and RLE
-    compression stay gated. Returns (meta, array — or None with
+    """REAL BMP decoder — fixed-offset little-endian header, bottom-up
+    rows padded to 4 bytes. Covers the full classic matrix since r10:
+    1/4/8-bit palette (uncompressed AND RLE8/RLE4), 16-bit X1R5G5B5,
+    24-bit BGR, 32-bit BGRX — all returned as HxWx3 RGB. Only
+    BI_BITFIELDS (arbitrary channel masks) and the embedded-JPEG/PNG
+    compressions stay gated. Returns (meta, array — or None with
     pixels=False: length-validated header-only parse)."""
     import struct
 
@@ -203,8 +298,14 @@ def decode_bmp(payload: bytes, pixels: bool = True):
     width, height = struct.unpack_from("<ii", b, 18)
     (bpp,) = struct.unpack_from("<H", b, 28)
     (compression,) = struct.unpack_from("<I", b, 30)
-    if bpp not in (8, 24, 32) or compression != 0:
-        raise NotImplementedError(f"BMP bpp={bpp} compression={compression} needs a codec library")
+    rle = (compression, bpp) in ((1, 8), (2, 4))
+    if not (
+        rle
+        or (compression == 0 and bpp in (1, 4, 8, 16, 24, 32))
+    ):
+        raise NotImplementedError(
+            f"BMP bpp={bpp} compression={compression} needs a codec library"
+        )
     bottom_up = height > 0
     height = abs(height)
     # width must be positive (only HEIGHT's sign encodes orientation);
@@ -215,31 +316,59 @@ def decode_bmp(payload: bytes, pixels: bool = True):
         raise ValueError(f"invalid BMP dimensions {width}x{height}")
     if data_off < 54:
         raise ValueError(f"BMP pixel data offset {data_off} points into the header")
-    stride = (width * bpp // 8 + 3) & ~3  # rows pad to 4-byte boundaries
-    need = data_off + stride * height
-    if len(b) < need:
+    stride = ((width * bpp + 7) // 8 + 3) & ~3  # rows pad to 4-byte boundaries
+    if not rle and len(b) < data_off + stride * height:
         raise ValueError("truncated BMP raster")
     meta = {"width": width, "height": height, "channels": 3}
     if not pixels:
         return meta, None
-    rows = np.frombuffer(b, dtype=np.uint8, count=stride * height, offset=data_off)
-    rows = rows.reshape(height, stride)
-    if bpp == 8:
+
+    def palette():
         (clr_used,) = struct.unpack_from("<I", b, 46)
-        n_pal = clr_used or 256
+        n_pal = clr_used or (1 << bpp)
         pal_off = 14 + hdr_size
         if pal_off + 4 * n_pal > len(b):
             raise ValueError("truncated BMP color table")
         pal = np.frombuffer(b, dtype=np.uint8, count=4 * n_pal, offset=pal_off)
-        pal = pal.reshape(-1, 4)[:, 2::-1]  # BGRX -> RGB
-        idx = rows[:, :width]
+        return pal.reshape(-1, 4)[:, 2::-1], n_pal  # BGRX -> RGB
+
+    if rle:
+        pal, n_pal = palette()
+        idx = _bmp_rle(b[data_off:], width, height, bpp)
         if int(idx.max(initial=0)) >= n_pal:
             raise ValueError("BMP palette index out of range")
         arr = pal[idx]
-    elif bpp == 32:
-        arr = rows[:, : width * 4].reshape(height, width, 4)[:, :, 2::-1]  # BGRX -> RGB
     else:
-        arr = rows[:, : width * 3].reshape(height, width, 3)[:, :, ::-1]  # BGR -> RGB
+        rows = np.frombuffer(b, dtype=np.uint8, count=stride * height, offset=data_off)
+        rows = rows.reshape(height, stride)
+        if bpp in (1, 4):
+            pal, n_pal = palette()
+            if bpp == 1:
+                idx = np.unpackbits(rows, axis=1)[:, :width]
+            else:
+                nib = np.empty((height, stride * 2), dtype=np.uint8)
+                nib[:, 0::2] = rows >> 4
+                nib[:, 1::2] = rows & 0xF
+                idx = nib[:, :width]
+            if int(idx.max(initial=0)) >= n_pal:
+                raise ValueError("BMP palette index out of range")
+            arr = pal[idx]
+        elif bpp == 8:
+            pal, n_pal = palette()
+            idx = rows[:, :width]
+            if int(idx.max(initial=0)) >= n_pal:
+                raise ValueError("BMP palette index out of range")
+            arr = pal[idx]
+        elif bpp == 16:
+            # BI_RGB 16-bit is X1R5G5B5; 5->8 bit by bit replication
+            # ((c << 3) | (c >> 2)), the exact standard expansion
+            v = rows[:, : width * 2].copy().view("<u2").reshape(height, width)
+            c5 = np.stack([(v >> 10) & 31, (v >> 5) & 31, v & 31], axis=2)
+            arr = ((c5 << 3) | (c5 >> 2)).astype(np.uint8)
+        elif bpp == 32:
+            arr = rows[:, : width * 4].reshape(height, width, 4)[:, :, 2::-1]
+        else:
+            arr = rows[:, : width * 3].reshape(height, width, 3)[:, :, ::-1]
     if bottom_up:
         arr = arr[::-1]
     meta["mean"] = float(arr.mean())

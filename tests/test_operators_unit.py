@@ -1095,7 +1095,8 @@ def test_netpbm_and_bmp_decoders_exact_pixels():
     with pytest.raises(ValueError):
         decode_netpbm(b"P6\n2 3\n255\n" + pix[:5])  # truncated raster
     with pytest.raises(NotImplementedError):
-        decode_bmp(header[:28] + struct.pack("<H", 16) + header[30:] + raster)  # 16bpp (8bpp is real since r10)
+        # BI_BITFIELDS (compression 3) is the remaining gated tier
+        decode_bmp(header[:30] + struct.pack("<I", 3) + header[34:] + raster)
 
 
 def test_media_properties_stage_mixes_real_and_fallback(spark):
@@ -2352,10 +2353,10 @@ def test_bmp_palette_and_32bit_tiers():
         raw = bytearray(bmp(2, 2, 8, raster, palette=pal))
         struct.pack_into("<I", raw, 46, 64)  # claim 64 entries, have 3
         decode_bmp(bytes(raw))
+    # 4-bit uncompressed and RLE8 are REAL tiers since late r10 (see
+    # test_bmp_full_matrix); BI_BITFIELDS stays gated
     with pytest.raises(NotImplementedError, match="codec library"):
-        decode_bmp(bmp(2, 2, 4, raster, palette=pal))
-    with pytest.raises(NotImplementedError, match="codec library"):
-        decode_bmp(bmp(2, 2, 8, raster, palette=pal, compression=1))  # RLE8
+        decode_bmp(bmp(2, 2, 8, raster, palette=pal, compression=3))
 
 
 def test_jpeg_sequential_multiscan():
@@ -2513,3 +2514,118 @@ def test_media_decode_stats_losslessness_and_partition_independence(spark, sf_di
             assert (r["width"], r["height"]) == (8, 8)
         else:
             assert r["rms"] is not None and 0 <= r["peak"] <= 1.0
+
+
+def test_bmp_full_matrix():
+    """Late-r10 BMP closure: 1-bit and 4-bit palette rasters (MSB-first
+    bits / hi-lo nibbles, 4-byte row padding), RLE8 and RLE4 streams
+    (encoded runs, end-of-line, delta and absolute escapes — all
+    hand-assembled with hand-computed expected pixels), and 16-bit
+    X1R5G5B5 with exact 5->8 bit replication; runs that overflow the
+    raster reject with ValueError."""
+    import struct
+
+    import pytest
+
+    from mysense_spark.operators.multimodal import decode_bmp
+
+    def bmp(width, height, bpp, raster, palette=b"", compression=0):
+        data_off = 54 + len(palette)
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, bpp, compression,
+            len(raster), 2835, 2835, len(palette) // 4, 0,
+        )
+        head = b"BM" + struct.pack("<IHHI", data_off + len(raster), 0, 0, data_off)
+        return head + info + palette + raster
+
+    pal2 = bytes([10, 20, 30, 0, 40, 50, 60, 0])          # 2 BGRX entries
+    pal3 = pal2 + bytes([70, 80, 90, 0])                   # 3 entries
+    rgb = {0: [30, 20, 10], 1: [60, 50, 40], 2: [90, 80, 70]}
+
+    # 1-bit 3x2 top-down: rows 0b101..... and 0b010.....
+    r1 = bytes([0b10100000, 0, 0, 0]) + bytes([0b01000000, 0, 0, 0])
+    _, a1 = decode_bmp(bmp(3, -2, 1, r1, palette=pal2))
+    assert a1.tolist() == [[rgb[1], rgb[0], rgb[1]], [rgb[0], rgb[1], rgb[0]]]
+
+    # 4-bit 3x1: nibbles 0,1 | 2,pad
+    r4 = bytes([0x01, 0x20, 0, 0])
+    _, a4 = decode_bmp(bmp(3, -1, 4, r4, palette=pal3))
+    assert a4.tolist() == [[rgb[0], rgb[1], rgb[2]]]
+
+    # RLE8 4x2 top-down-storage... BMP RLE fills in storage order; with
+    # positive height the stored rows are bottom-up. Stream: run 3x idx1,
+    # 1 absolute pixel idx2 (padded), EOL, run 4x idx0, EOB
+    rle8 = bytes([3, 1, 0, 3, 2, 0, 0, 0, 0, 4, 0, 0, 1])
+    # absolute escape needs n>=3 — use (0,3) with pixels 2,0,0? that is
+    # 3 pixels; keep it simple: row0 = run 3x1 + run 1x2; row1 = 4x0
+    rle8 = bytes([3, 1, 1, 2, 0, 0, 4, 0, 0, 1])
+    _, a8 = decode_bmp(bmp(4, 2, 8, rle8, palette=pal3, compression=1))
+    # bottom-up: storage row 0 is the BOTTOM row
+    assert a8.tolist() == [
+        [rgb[0]] * 4,
+        [rgb[1], rgb[1], rgb[1], rgb[2]],
+    ]
+
+    # RLE8 delta escape: run 1x2, delta (+1,+1), run 1x1, EOB — pixels
+    # skipped by the delta stay index 0
+    rled = bytes([1, 2, 0, 2, 1, 1, 1, 1, 0, 1])
+    _, ad = decode_bmp(bmp(3, -2, 8, rled, palette=pal3, compression=1))
+    assert ad.tolist() == [
+        [rgb[2], rgb[0], rgb[0]],
+        [rgb[0], rgb[0], rgb[1]],
+    ]
+
+    # RLE4: run of 5 alternating nibbles 1,2 then EOL/EOB -> 1,2,1,2,1
+    rle4 = bytes([5, 0x12, 0, 0, 0, 1])
+    _, a44 = decode_bmp(bmp(5, -1, 4, rle4, palette=pal3, compression=2))
+    assert a44.tolist() == [[rgb[1], rgb[2], rgb[1], rgb[2], rgb[1]]]
+
+    # RLE absolute mode (n>=3 literal pixels, word-aligned)
+    rabs = bytes([0, 3, 2, 1, 0, 0]) + bytes([0, 1])
+    _, aab = decode_bmp(bmp(3, -1, 8, rabs, palette=pal3, compression=1))
+    assert aab.tolist() == [[rgb[2], rgb[1], rgb[0]]]
+
+    # 16-bit X1R5G5B5: (31,0,0) -> 255 red; (0,31,15) -> g 255, b 123
+    v1 = 31 << 10
+    v2 = (31 << 5) | 15
+    r16 = struct.pack("<HH", v1, v2)
+    _, a16 = decode_bmp(bmp(2, -1, 16, r16))
+    assert a16.tolist() == [[[255, 0, 0], [0, 255, (15 << 3) | (15 >> 2)]]]
+
+    # overflowing RLE run rejects
+    with pytest.raises(ValueError, match="overflows"):
+        decode_bmp(bmp(2, -1, 8, bytes([5, 1, 0, 1]), palette=pal3, compression=1))
+
+
+def test_wav_g711_companding():
+    """G.711 μ-law/A-law tiers: the published edge values decode
+    exactly (μ: 0x00 -> -32124, 0x80 -> +32124, 0xFF -> 0;
+    A: 0x55 -> -8, 0xD5 -> +8, 0x2A -> the most negative segment), and
+    a full-scale pair gives |peak| = value/32768; ADPCM (format 2)
+    stays gated."""
+    import struct
+
+    import pytest
+
+    from mysense_spark.operators.multimodal import _g711_table, decode_wav
+
+    mu = _g711_table(mu=True)
+    assert (mu[0x00], mu[0x80], mu[0xFF], mu[0x7F]) == (-32124, 32124, 0, 0)
+    al = _g711_table(mu=False)
+    assert (al[0x55], al[0xD5]) == (-8, 8)
+    assert (al[0x2A], al[0xAA]) == (-32256, 32256)
+
+    def wav(code, data):
+        fmt = struct.pack("<HHIIHH", code, 1, 8000, 8000, 1, 8)
+        body = (
+            b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    w = decode_wav(wav(7, bytes([0x00, 0xFF, 0x80])))
+    assert w["n_samples"] == 3 and abs(w["peak"] - 32124 / 32768) < 1e-12
+    wa = decode_wav(wav(6, bytes([0x55, 0xD5, 0x2A])))
+    assert abs(wa["peak"] - 32256 / 32768) < 1e-12
+    with pytest.raises(NotImplementedError, match="codec library"):
+        decode_wav(wav(2, bytes(4)))
