@@ -181,14 +181,18 @@ def main() -> None:
             except Exception:
                 break
         if best < float("inf"):
-            # confirm on the BEST demonstrated speed: the standalone
+            # confirm only if BOTH readings exceed the threshold, each
+            # corrected by ITS OWN window's probe factor: the standalone
             # re-run exists to escape the suite's stall window, but it
             # can hit a stall of its own (observed: suite 1.55s,
             # standalone 2.35s on untouched code) — a query that was
-            # EVER fast this session is not a regression
+            # EVER fast, in the window where it was measured, is not a
+            # regression. Mixing windows (dividing the suite reading by
+            # the re-run window's factor) would let a re-run stall
+            # launder a clean-window suite regression, or vice versa.
             confirmed = is_confirmed(
-                min(best, timings[name]), prior[name], factor_confirm
-            )
+                timings[name], prior[name], factor_suite
+            ) and is_confirmed(best, prior[name], factor_confirm)
             noise_check[name] = {
                 "suite": timings[name],
                 "standalone": round(best, 3),

@@ -27,6 +27,7 @@ partition in memory.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Iterator
 
 import pandas as pd
@@ -43,6 +44,7 @@ from pyspark.sql.types import (
 )
 
 
+@functools.lru_cache(maxsize=2)
 def _g711_table(mu: bool):
     """256-entry G.711 expansion table (ITU-T G.711 / the public-domain
     Sun g711.c formulas — segment + quantization companding, NOT an
@@ -227,7 +229,10 @@ def _bmp_rle(data: bytes, width: int, height: int, bpp: int):
     Escapes per the BMP spec: 0,0 = end of line; 0,1 = end of bitmap;
     0,2 = delta (dx, dy); 0,n>=3 = n absolute pixels (word-aligned).
     Unreached pixels stay index 0 (the spec's implicit fill). Runs or
-    deltas that leave the raster are corrupt, not clipped."""
+    deltas that leave the raster are corrupt, not clipped, and a stream
+    that ends without the end-of-bitmap escape is truncated — accepting
+    it would let any 'BM'-prefixed junk decode as a solid image
+    (quarantine, don't guess)."""
     import numpy as np
 
     out = np.zeros((height, width), dtype=np.uint8)
@@ -275,7 +280,7 @@ def _bmp_rle(data: bytes, width: int, height: int, bpp: int):
                 out[y, x : x + v] = pix[:v]
             x += v
             pos += nbytes
-    return out  # writers may omit the end-of-bitmap escape
+    raise ValueError("BMP RLE stream ended without the end-of-bitmap escape")
 
 
 def decode_bmp(payload: bytes, pixels: bool = True):
@@ -318,6 +323,8 @@ def decode_bmp(payload: bytes, pixels: bool = True):
         raise ValueError(f"BMP pixel data offset {data_off} points into the header")
     stride = ((width * bpp + 7) // 8 + 3) & ~3  # rows pad to 4-byte boundaries
     if not rle and len(b) < data_off + stride * height:
+        raise ValueError("truncated BMP raster")
+    if rle and data_off + 2 > len(b):  # not even an escape pair fits
         raise ValueError("truncated BMP raster")
     meta = {"width": width, "height": height, "channels": 3}
     if not pixels:
@@ -428,7 +435,7 @@ def sniff_modality(payload: bytes) -> str | None:
 
 def decode_media(payload: bytes) -> dict:
     """Decode kernel. REAL decoders for the codec-library-free formats —
-    WAV, binary netpbm (P5/P6), uncompressed BMP, PNG, and
+    WAV, binary netpbm (P5/P6), BMP (incl. RLE), PNG, and
     the JPEG/MP4 structural tiers (operators/codecs.py) — dispatched on
     magic bytes; unknown formats fall through to the deterministic
     length-derived fake, which is also what the graded fixtures

@@ -57,9 +57,14 @@ def test_threshold_edges_and_missing_priors():
     assert not bench.is_confirmed(1.0, 1.0, factor=0.5)  # floored at 1.0
     assert not bench.is_confirmed(1.204, 1.002, factor=0.786)  # the r10 case
     assert bench.is_confirmed(1.6, 1.0, factor=0.5)      # real 1.6x still confirms
-    # bench.py confirms on min(suite, standalone): a stall hitting the
-    # RE-RUN (observed r10: suite 1.552 vs prior 1.392 with standalone
-    # 2.346 on untouched code) must not confirm when the suite reading
-    # itself sits under the threshold
-    assert bench.is_confirmed(2.346, 1.392, factor=1.0)      # standalone alone would
-    assert not bench.is_confirmed(min(1.552, 2.346), 1.392, factor=1.0)
+    # bench.py confirms only when BOTH readings exceed the threshold,
+    # each corrected by ITS OWN window's factor. The r10 incident (suite
+    # 1.552 vs prior 1.392, standalone 2.346 — a stall hit the RE-RUN):
+    # the suite leg alone disconfirms, whatever the re-run read
+    assert bench.is_confirmed(2.346, 1.392, factor=1.0)       # re-run leg
+    assert not bench.is_confirmed(1.552, 1.392, factor=1.0)   # suite leg vetoes
+    # ...and the reverse mixing (a clean-window suite regression plus a
+    # stalled re-run window) must still confirm: both legs exceed the
+    # threshold under their own factors
+    assert bench.is_confirmed(1.9, 1.0, factor=1.0)           # suite, clean window
+    assert bench.is_confirmed(2.5, 1.0, factor=1.4)           # re-run, stalled window

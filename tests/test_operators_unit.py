@@ -2306,6 +2306,19 @@ def test_jpeg_sampling_factors_up_to_four():
                            + sos3 + bytes(64) + b"\xff\xd9")
 
 
+def _mk_bmp(width, height, bpp, raster, palette=b"", compression=0):
+    """BITMAPINFOHEADER BMP byte builder shared by the BMP tier tests."""
+    import struct
+
+    data_off = 54 + len(palette)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, bpp, compression,
+        len(raster), 2835, 2835, len(palette) // 4, 0,
+    )
+    head = b"BM" + struct.pack("<IHHI", data_off + len(raster), 0, 0, data_off)
+    return head + info + palette + raster
+
+
 def test_bmp_palette_and_32bit_tiers():
     """r10: 8-bit palette BMP (BITMAPINFOHEADER color table, BGRX
     entries, padded index rows, bottom-up AND top-down) and 32-bit BGRX
@@ -2319,14 +2332,7 @@ def test_bmp_palette_and_32bit_tiers():
 
     from mysense_spark.operators.multimodal import decode_bmp
 
-    def bmp(width, height, bpp, raster, palette=b"", compression=0):
-        data_off = 54 + len(palette)
-        info = struct.pack(
-            "<IiiHHIIiiII", 40, width, height, 1, bpp, compression,
-            len(raster), 2835, 2835, len(palette) // 4, 0,
-        )
-        head = b"BM" + struct.pack("<IHHI", data_off + len(raster), 0, 0, data_off)
-        return head + info + palette + raster
+    bmp = _mk_bmp
 
     # 2x2 8-bit palette, bottom-up: indices [[0,1],[2,0]] top-down means
     # rows stored bottom row first; rows pad to 4 bytes
@@ -2529,14 +2535,7 @@ def test_bmp_full_matrix():
 
     from mysense_spark.operators.multimodal import decode_bmp
 
-    def bmp(width, height, bpp, raster, palette=b"", compression=0):
-        data_off = 54 + len(palette)
-        info = struct.pack(
-            "<IiiHHIIiiII", 40, width, height, 1, bpp, compression,
-            len(raster), 2835, 2835, len(palette) // 4, 0,
-        )
-        head = b"BM" + struct.pack("<IHHI", data_off + len(raster), 0, 0, data_off)
-        return head + info + palette + raster
+    bmp = _mk_bmp
 
     pal2 = bytes([10, 20, 30, 0, 40, 50, 60, 0])          # 2 BGRX entries
     pal3 = pal2 + bytes([70, 80, 90, 0])                   # 3 entries
@@ -2552,12 +2551,8 @@ def test_bmp_full_matrix():
     _, a4 = decode_bmp(bmp(3, -1, 4, r4, palette=pal3))
     assert a4.tolist() == [[rgb[0], rgb[1], rgb[2]]]
 
-    # RLE8 4x2 top-down-storage... BMP RLE fills in storage order; with
-    # positive height the stored rows are bottom-up. Stream: run 3x idx1,
-    # 1 absolute pixel idx2 (padded), EOL, run 4x idx0, EOB
-    rle8 = bytes([3, 1, 0, 3, 2, 0, 0, 0, 0, 4, 0, 0, 1])
-    # absolute escape needs n>=3 — use (0,3) with pixels 2,0,0? that is
-    # 3 pixels; keep it simple: row0 = run 3x1 + run 1x2; row1 = 4x0
+    # RLE8 4x2, positive height (stored rows are bottom-up). Stream:
+    # row0 = run 3x idx1 + run 1x idx2, EOL; row1 = run 4x idx0; EOB
     rle8 = bytes([3, 1, 1, 2, 0, 0, 4, 0, 0, 1])
     _, a8 = decode_bmp(bmp(4, 2, 8, rle8, palette=pal3, compression=1))
     # bottom-up: storage row 0 is the BOTTOM row
