@@ -10,8 +10,8 @@ FULL static-PNG matrix (depths 1-16, Adam7), baseline + progressive +
 sequential-multi-scan JPEG pixels, and MP4 moov STRUCTURAL parsing —
 dispatched on magic bytes. Only genuinely codec-library territory
 remains gated behind NotImplementedError: arithmetic/lossless JPEG,
-adaptive-codec WAV (ADPCM/MP3), BI_BITFIELDS BMP, and MP4 sample
-decode. Unknown formats fall
+MS-ADPCM/MP3 WAV (IMA ADPCM and G.711 decode for real), BI_BITFIELDS
+BMP, and MP4 sample decode. Unknown formats fall
 through to the clearly-marked deterministic length-derived fake, which
 is also what the graded fixtures exercise (text blobs, no magic match)
 so their SQL-mirrored oracles are unaffected. The Spark-side contract
@@ -42,6 +42,70 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+
+# IMA/DVI ADPCM tables (IMA Digital Audio Pack, public): 89-entry step
+# size table and the 16-entry index adaptation table
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_adpcm_decode(data: bytes, channels: int, block_align: int):
+    """IMA/DVI ADPCM (WAVE format 0x11) expansion — the published
+    step/index recurrence, pure Python tables, no codec library. Block
+    layout per the IMA spec: a 4-byte header per channel (int16
+    predictor, step index, reserved), then 4-byte data groups
+    round-robin across channels, each group carrying 8 nibbles
+    (low nibble first). Returns interleaved int16 samples. Malformed
+    blocks (short block, index > 88) raise ValueError."""
+    import struct
+
+    import numpy as np
+
+    if block_align < 4 * channels or block_align % 4:
+        raise ValueError(f"invalid IMA ADPCM block alignment {block_align}")
+    if len(data) % block_align:
+        raise ValueError("IMA ADPCM data is not a whole number of blocks")
+    out: list[list[int]] = [[] for _ in range(channels)]
+    for b0 in range(0, len(data), block_align):
+        pred, idx = [], []
+        for c in range(channels):
+            p, i = struct.unpack_from("<hB", data, b0 + 4 * c)
+            if i > 88:
+                raise ValueError(f"IMA ADPCM step index {i} out of range")
+            pred.append(p)
+            idx.append(i)
+            out[c].append(p)  # the header predictor IS sample 0
+        pos = b0 + 4 * channels
+        while pos < b0 + block_align:
+            for c in range(channels):
+                for k in range(4):
+                    byte = data[pos + k]
+                    for n in (byte & 0xF, byte >> 4):
+                        step = _IMA_STEPS[idx[c]]
+                        diff = step >> 3
+                        if n & 1:
+                            diff += step >> 2
+                        if n & 2:
+                            diff += step >> 1
+                        if n & 4:
+                            diff += step
+                        if n & 8:
+                            diff = -diff
+                        pred[c] = max(-32768, min(32767, pred[c] + diff))
+                        idx[c] = max(0, min(88, idx[c] + _IMA_INDEX[n]))
+                        out[c].append(pred[c])
+                pos += 4
+    arr = np.array(out, dtype=np.int16)  # (channels, samples)
+    return arr.T.reshape(-1)  # interleave back to the PCM convention
 
 
 @functools.lru_cache(maxsize=2)
@@ -78,11 +142,11 @@ def decode_wav(payload: bytes) -> dict:
     """REAL RIFF/WAVE decoder — pure struct + numpy, no codec library
     (the format is a chunked header over raw samples). Supports integer
     PCM (format 1) at 8/16/24/32 bits, IEEE float (format 3) at 32/64
-    bits, G.711 μ-law/A-law companding (formats 7/6 — table expansion,
-    not an adaptive codec), and the WAVE_FORMAT_EXTENSIBLE wrapper
-    (0xFFFE — the actual code lives in the SubFormat GUID), any channel
-    count; only genuinely COMPRESSED formats (ADPCM, MP3, ...) stay
-    gated.
+    bits, G.711 μ-law/A-law companding (formats 7/6 — table expansion),
+    IMA/DVI ADPCM (format 0x11 — the published step/index recurrence),
+    and the WAVE_FORMAT_EXTENSIBLE wrapper (0xFFFE — the actual code
+    lives in the SubFormat GUID), any channel count; only MS-ADPCM and
+    transform codecs (MP3/AAC) stay gated.
     Returns sample_rate, channels, bits, n_samples (per channel),
     duration_s, rms and peak in [-1, 1] normalized units (float data is
     taken at face value — nominal full scale IS ±1.0). Raises
@@ -109,7 +173,7 @@ def decode_wav(payload: bytes) -> dict:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    audio_format, channels, sample_rate, _, _, bits = fmt
+    audio_format, channels, sample_rate, _, block_align, bits = fmt
     if audio_format == 0xFFFE:
         # WAVE_FORMAT_EXTENSIBLE: the real format code is the first two
         # bytes of the SubFormat GUID (fmt body offset 24); the rest of
@@ -117,9 +181,9 @@ def decode_wav(payload: bytes) -> dict:
         if len(fmt_body) < 26:
             raise ValueError("truncated WAVE_FORMAT_EXTENSIBLE fmt chunk")
         (audio_format,) = struct.unpack_from("<H", fmt_body, 24)
-    if audio_format not in (1, 3, 6, 7):
+    if audio_format not in (1, 3, 6, 7, 0x11):
         raise NotImplementedError(
-            f"compressed WAVE format {audio_format} (ADPCM/MP3 tier) "
+            f"compressed WAVE format {audio_format} (MS-ADPCM/MP3 tier) "
             f"needs a codec library"
         )
     if sample_rate < 1:
@@ -136,6 +200,13 @@ def decode_wav(payload: bytes) -> dict:
             raise ValueError(f"unsupported IEEE-float bit depth {bits}")
         if not np.all(np.isfinite(x)):
             raise ValueError("non-finite float sample data")
+    elif audio_format == 0x11:  # IMA/DVI ADPCM
+        if bits != 4:
+            raise ValueError(f"IMA ADPCM must be 4 bits per sample, got {bits}")
+        if channels < 1:
+            raise ValueError("sample count does not divide by channel count")
+        x = _ima_adpcm_decode(data, channels, block_align).astype(np.float64) / 32768.0
+        bits = 16  # the EXPANDED sample width, like the other companded tiers
     elif audio_format in (6, 7):  # G.711 A-law / mu-law companding
         if bits != 8:
             raise ValueError(f"G.711 WAVE must be 8 bits per sample, got {bits}")

@@ -2624,3 +2624,60 @@ def test_wav_g711_companding():
     assert abs(wa["peak"] - 32256 / 32768) < 1e-12
     with pytest.raises(NotImplementedError, match="codec library"):
         decode_wav(wav(2, bytes(4)))
+
+
+def test_wav_ima_adpcm():
+    """IMA/DVI ADPCM (format 0x11): a one-block mono stream decoded
+    against a HAND-COMPUTED walk of the published step/index recurrence
+    (predictor 100, index 0, nibbles 3,8,0,0,15,0,8,4 ->
+    104,104,104,104,93,95,94,108), a stereo block with round-robin
+    4-byte channel groups, and the malformed-structure battery
+    (oversized step index, partial block, bad alignment); MS-ADPCM
+    (format 2) stays gated."""
+    import struct
+
+    import pytest
+
+    from mysense_spark.operators.multimodal import decode_wav
+
+    def wav(code, data, channels=1, block_align=8, bits=4):
+        fmt = struct.pack("<HHIIHH", code, channels, 8000, 4000, block_align, bits)
+        body = (
+            b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    # mono: header (pred=100, idx=0, rsvd) + bytes 0x83 0x00 0x0F 0x48
+    # (low nibble first). Hand walk: step 7 while idx=0; n=15 drops to
+    # 93 and bumps idx to 8 (step 16); n=0 then adds step>>3=2; n=8
+    # negates step 14's >>3=1; n=4 adds full step 13 -> 108.
+    block = struct.pack("<hBB", 100, 0, 0) + bytes([0x83, 0x00, 0x0F, 0x48])
+    w = decode_wav(wav(0x11, block))
+    assert (w["bits"], w["channels"], w["n_samples"]) == (16, 1, 9)
+    want = [100, 104, 104, 104, 104, 93, 95, 94, 108]
+    assert abs(w["peak"] - max(abs(v) for v in want) / 32768) < 1e-12
+    # rms over the exact hand-computed samples
+    import math
+
+    rms = math.sqrt(sum((v / 32768) ** 2 for v in want) / len(want))
+    assert abs(w["rms"] - rms) < 1e-12
+
+    # stereo: per-channel headers then alternating 4-byte groups; all
+    # -zero nibbles hold each channel at its header predictor
+    sblock = (
+        struct.pack("<hBB", 0, 0, 0) + struct.pack("<hBB", 1000, 0, 0)
+        + bytes(4) + bytes(4)
+    )
+    ws = decode_wav(wav(0x11, sblock, channels=2, block_align=16))
+    assert (ws["channels"], ws["n_samples"]) == (2, 9)
+    assert abs(ws["peak"] - 1000 / 32768) < 1e-12
+
+    with pytest.raises(ValueError, match="step index"):
+        decode_wav(wav(0x11, struct.pack("<hBB", 0, 99, 0) + bytes(4)))
+    with pytest.raises(ValueError, match="whole number of blocks"):
+        decode_wav(wav(0x11, block + b"\x00"))
+    with pytest.raises(ValueError, match="block alignment"):
+        decode_wav(wav(0x11, block[:6], block_align=6))
+    with pytest.raises(NotImplementedError, match="codec library"):
+        decode_wav(wav(2, bytes(8)))  # MS-ADPCM stays gated
