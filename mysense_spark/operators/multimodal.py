@@ -10,8 +10,9 @@ FULL static-PNG matrix (depths 1-16, Adam7), baseline + progressive +
 sequential-multi-scan JPEG pixels, and MP4 moov STRUCTURAL parsing —
 dispatched on magic bytes. Only genuinely codec-library territory
 remains gated behind NotImplementedError: arithmetic/lossless JPEG,
-MS-ADPCM/MP3 WAV (IMA ADPCM and G.711 decode for real), BI_BITFIELDS
-BMP, and MP4 sample decode. Unknown formats fall
+transform-codec WAV (MP3/AAC — every table codec incl. both ADPCMs and
+G.711 decodes for real), embedded-JPEG/PNG BMP compressions, and MP4
+sample decode. Unknown formats fall
 through to the clearly-marked deterministic length-derived fake, which
 is also what the graded fixtures exercise (text blobs, no magic match)
 so their SQL-mirrored oracles are unaffected. The Spark-side contract
@@ -108,6 +109,70 @@ def _ima_adpcm_decode(data: bytes, channels: int, block_align: int):
     return arr.T.reshape(-1)  # interleave back to the PCM convention
 
 
+# MS-ADPCM tables (the RIFF/WAVE spec's published constants): 16-entry
+# delta adaptation table and the 7 built-in predictor coefficient pairs
+_MS_ADAPT = (230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230)
+_MS_COEF1 = (256, 512, 0, 192, 240, 460, 392)
+_MS_COEF2 = (0, -256, 0, 64, 0, -208, -232)
+
+
+def _ms_adpcm_decode(data: bytes, channels: int, block_align: int):
+    """MS-ADPCM (WAVE format 2) expansion — the published two-tap
+    predictor + adaptive delta recurrence, pure Python, no codec
+    library. Block layout per the RIFF spec: per channel a 1-byte
+    predictor index, int16 initial delta, int16 sample1 (newer) and
+    int16 sample2 (older) — sample2 and sample1 ARE the block's first
+    two output samples — then 4-bit codes HIGH nibble first,
+    alternating channels nibble by nibble when stereo. Returns
+    interleaved int16 samples; malformed blocks raise ValueError."""
+    import struct
+
+    import numpy as np
+
+    head = 7 * channels
+    if block_align <= head:
+        raise ValueError(f"invalid MS-ADPCM block alignment {block_align}")
+    if len(data) % block_align:
+        raise ValueError("MS-ADPCM data is not a whole number of blocks")
+    out: list[list[int]] = [[] for _ in range(channels)]
+    for b0 in range(0, len(data), block_align):
+        pred_i, delta, s1, s2 = [], [], [], []
+        for c in range(channels):
+            pi = data[b0 + c]
+            if pi > 6:
+                raise ValueError(f"MS-ADPCM predictor index {pi} out of range")
+            pred_i.append(pi)
+        for c in range(channels):
+            (d,) = struct.unpack_from("<h", data, b0 + channels + 2 * c)
+            delta.append(d if d != 0 else 16)
+        for c in range(channels):
+            (v,) = struct.unpack_from("<h", data, b0 + 3 * channels + 2 * c)
+            s1.append(v)
+        for c in range(channels):
+            (v,) = struct.unpack_from("<h", data, b0 + 5 * channels + 2 * c)
+            s2.append(v)
+        for c in range(channels):
+            out[c].append(s2[c])  # older first
+            out[c].append(s1[c])
+        ch = 0
+        for pos in range(b0 + head, b0 + block_align):
+            byte = data[pos]
+            for n in (byte >> 4, byte & 0xF):  # HIGH nibble first
+                c = ch % channels
+                ch += 1
+                signed = n - 16 if n & 8 else n
+                pred = (
+                    s1[c] * _MS_COEF1[pred_i[c]] + s2[c] * _MS_COEF2[pred_i[c]]
+                ) >> 8
+                pred = max(-32768, min(32767, pred + signed * delta[c]))
+                s2[c], s1[c] = s1[c], pred
+                delta[c] = max(16, (_MS_ADAPT[n] * delta[c]) >> 8)
+                out[c].append(pred)
+    arr = np.array(out, dtype=np.int16)
+    return arr.T.reshape(-1)
+
+
 @functools.lru_cache(maxsize=2)
 def _g711_table(mu: bool):
     """256-entry G.711 expansion table (ITU-T G.711 / the public-domain
@@ -143,10 +208,11 @@ def decode_wav(payload: bytes) -> dict:
     (the format is a chunked header over raw samples). Supports integer
     PCM (format 1) at 8/16/24/32 bits, IEEE float (format 3) at 32/64
     bits, G.711 μ-law/A-law companding (formats 7/6 — table expansion),
-    IMA/DVI ADPCM (format 0x11 — the published step/index recurrence),
-    and the WAVE_FORMAT_EXTENSIBLE wrapper (0xFFFE — the actual code
-    lives in the SubFormat GUID), any channel count; only MS-ADPCM and
-    transform codecs (MP3/AAC) stay gated.
+    IMA/DVI ADPCM (format 0x11) and MS-ADPCM (format 2) — both are the
+    published table recurrences, no library — and the
+    WAVE_FORMAT_EXTENSIBLE wrapper (0xFFFE — the actual code lives in
+    the SubFormat GUID), any channel count; only transform codecs
+    (MP3/AAC) stay gated.
     Returns sample_rate, channels, bits, n_samples (per channel),
     duration_s, rms and peak in [-1, 1] normalized units (float data is
     taken at face value — nominal full scale IS ±1.0). Raises
@@ -181,9 +247,9 @@ def decode_wav(payload: bytes) -> dict:
         if len(fmt_body) < 26:
             raise ValueError("truncated WAVE_FORMAT_EXTENSIBLE fmt chunk")
         (audio_format,) = struct.unpack_from("<H", fmt_body, 24)
-    if audio_format not in (1, 3, 6, 7, 0x11):
+    if audio_format not in (1, 2, 3, 6, 7, 0x11):
         raise NotImplementedError(
-            f"compressed WAVE format {audio_format} (MS-ADPCM/MP3 tier) "
+            f"compressed WAVE format {audio_format} (MP3/AAC transform tier) "
             f"needs a codec library"
         )
     if sample_rate < 1:
@@ -200,6 +266,13 @@ def decode_wav(payload: bytes) -> dict:
             raise ValueError(f"unsupported IEEE-float bit depth {bits}")
         if not np.all(np.isfinite(x)):
             raise ValueError("non-finite float sample data")
+    elif audio_format == 2:  # MS-ADPCM
+        if bits != 4:
+            raise ValueError(f"MS-ADPCM must be 4 bits per sample, got {bits}")
+        if channels < 1:
+            raise ValueError("sample count does not divide by channel count")
+        x = _ms_adpcm_decode(data, channels, block_align).astype(np.float64) / 32768.0
+        bits = 16  # the EXPANDED sample width
     elif audio_format == 0x11:  # IMA/DVI ADPCM
         if bits != 4:
             raise ValueError(f"IMA ADPCM must be 4 bits per sample, got {bits}")
@@ -358,9 +431,9 @@ def decode_bmp(payload: bytes, pixels: bool = True):
     """REAL BMP decoder — fixed-offset little-endian header, bottom-up
     rows padded to 4 bytes. Covers the full classic matrix since r10:
     1/4/8-bit palette (uncompressed AND RLE8/RLE4), 16-bit X1R5G5B5,
-    24-bit BGR, 32-bit BGRX — all returned as HxWx3 RGB. Only
-    BI_BITFIELDS (arbitrary channel masks) and the embedded-JPEG/PNG
-    compressions stay gated. Returns (meta, array — or None with
+    24-bit BGR, 32-bit BGRX, and BI_BITFIELDS 16/32-bit (contiguous
+    channel masks, exact rounded 0-255 scaling) — all returned as
+    HxWx3 RGB. Only the embedded-JPEG/PNG compressions stay gated. Returns (meta, array — or None with
     pixels=False: length-validated header-only parse)."""
     import struct
 
@@ -375,8 +448,10 @@ def decode_bmp(payload: bytes, pixels: bool = True):
     (bpp,) = struct.unpack_from("<H", b, 28)
     (compression,) = struct.unpack_from("<I", b, 30)
     rle = (compression, bpp) in ((1, 8), (2, 4))
+    bitfields = compression == 3 and bpp in (16, 32)
     if not (
         rle
+        or bitfields
         or (compression == 0 and bpp in (1, 4, 8, 16, 24, 32))
     ):
         raise NotImplementedError(
@@ -437,6 +512,27 @@ def decode_bmp(payload: bytes, pixels: bool = True):
             if int(idx.max(initial=0)) >= n_pal:
                 raise ValueError("BMP palette index out of range")
             arr = pal[idx]
+        elif bitfields:
+            # BI_BITFIELDS: three uint32 channel masks follow the info
+            # header (offset 54 for BITMAPINFOHEADER; V4/V5 embed them
+            # at the same position). Each mask must be a contiguous bit
+            # run; values scale to 0-255 by exact rounded division
+            if len(b) < 66:
+                raise ValueError("truncated BMP BI_BITFIELDS masks")
+            masks = struct.unpack_from("<III", b, 54)
+            dt = "<u2" if bpp == 16 else "<u4"
+            v = rows[:, : width * bpp // 8].copy().view(dt).reshape(height, width)
+            chans = []
+            for mask in masks:
+                if mask == 0 or mask > (1 << bpp) - 1:
+                    raise ValueError(f"invalid BMP channel mask {mask:#x}")
+                shift = (mask & -mask).bit_length() - 1
+                field = mask >> shift
+                if field & (field + 1):
+                    raise ValueError(f"non-contiguous BMP channel mask {mask:#x}")
+                c = (v.astype(np.int64) & mask) >> shift
+                chans.append(((c * 255 + field // 2) // field).astype(np.uint8))
+            arr = np.stack(chans, axis=2)
         elif bpp == 16:
             # BI_RGB 16-bit is X1R5G5B5; 5->8 bit by bit replication
             # ((c << 3) | (c >> 2)), the exact standard expansion

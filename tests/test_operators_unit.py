@@ -2234,9 +2234,10 @@ def test_wav_float_24bit_and_extensible_tiers():
     we = decode_wav(wav(fmt(0xFFFE, 1, 8000, 16, extra=ext), struct.pack("<2h", 16384, -32768)))
     assert we["bits"] == 16 and abs(we["peak"] - 1.0) < 1e-12
 
-    # gates and corruption
+    # gates and corruption (format 2 = MS-ADPCM decodes for real since
+    # late r10; the transform tier is what stays gated)
     with pytest.raises(NotImplementedError, match="codec library"):
-        decode_wav(wav(fmt(2, 1, 8000, 4), bytes(8)))  # ADPCM
+        decode_wav(wav(fmt(0x55, 1, 8000, 0), bytes(8)))  # MPEG layer 3
     with pytest.raises(ValueError, match="non-finite"):
         decode_wav(wav(fmt(3, 1, 8000, 32), struct.pack("<f", float("nan"))))
     with pytest.raises(ValueError, match="multiple of 3"):
@@ -2623,7 +2624,7 @@ def test_wav_g711_companding():
     wa = decode_wav(wav(6, bytes([0x55, 0xD5, 0x2A])))
     assert abs(wa["peak"] - 32256 / 32768) < 1e-12
     with pytest.raises(NotImplementedError, match="codec library"):
-        decode_wav(wav(2, bytes(4)))
+        decode_wav(wav(0x55, bytes(4)))
 
 
 def test_wav_ima_adpcm():
@@ -2679,5 +2680,92 @@ def test_wav_ima_adpcm():
         decode_wav(wav(0x11, block + b"\x00"))
     with pytest.raises(ValueError, match="block alignment"):
         decode_wav(wav(0x11, block[:6], block_align=6))
-    with pytest.raises(NotImplementedError, match="codec library"):
-        decode_wav(wav(2, bytes(8)))  # MS-ADPCM stays gated
+
+
+
+def test_wav_ms_adpcm():
+    """MS-ADPCM (format 2): a one-block mono stream decoded against a
+    HAND-COMPUTED walk of the published two-tap predictor + adaptive
+    delta recurrence (coef pair 0, delta 16, header samples 50/100,
+    nibbles 1,2,8,15 -> 116,148,20,-28), a stereo block with per-nibble
+    channel alternation, and the malformed-structure battery; the
+    transform tier (MP3/AAC) stays gated."""
+    import struct
+
+    import pytest
+
+    from mysense_spark.operators.multimodal import decode_wav
+
+    def wav(code, data, channels=1, block_align=9, bits=4):
+        fmt = struct.pack("<HHIIHH", code, channels, 8000, 4000, block_align, bits)
+        body = (
+            b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    # mono: pred idx 0 (coef 256/0 -> prediction = s1), delta 16,
+    # sample1=100 (newer), sample2=50 (older); nibbles 1,2,8,15:
+    #   n=1: 100+16=116           n=2: 116+32=148 (delta floors at 16)
+    #   n=8: 148-8*16=20, delta->48   n=15: 20-48=-28
+    block = bytes([0]) + struct.pack("<hhh", 16, 100, 50) + bytes([0x12, 0x8F])
+    w = decode_wav(wav(2, block))
+    assert (w["bits"], w["channels"], w["n_samples"]) == (16, 1, 6)
+    want = [50, 100, 116, 148, 20, -28]
+    assert abs(w["peak"] - 148 / 32768) < 1e-12
+    import math
+
+    rms = math.sqrt(sum((v / 32768) ** 2 for v in want) / len(want))
+    assert abs(w["rms"] - rms) < 1e-12
+
+    # stereo: headers ch0 (s1=10,s2=10) / ch1 (s1=-20,s2=-20), zero
+    # nibbles alternate channels -> each channel holds its level
+    sblock = (
+        bytes([0, 0]) + struct.pack("<hh", 16, 16)
+        + struct.pack("<hh", 10, -20) + struct.pack("<hh", 10, -20)
+        + bytes([0x00, 0x00])
+    )
+    ws = decode_wav(wav(2, sblock, channels=2, block_align=16))
+    assert (ws["channels"], ws["n_samples"]) == (2, 4)
+    assert abs(ws["peak"] - 20 / 32768) < 1e-12
+
+    with pytest.raises(ValueError, match="predictor index"):
+        decode_wav(wav(2, bytes([7]) + block[1:]))
+    with pytest.raises(ValueError, match="whole number of blocks"):
+        decode_wav(wav(2, block + b"\x00"))
+    with pytest.raises(ValueError, match="block alignment"):
+        decode_wav(wav(2, block[:7], block_align=7))
+
+
+def test_bmp_bitfields():
+    """BI_BITFIELDS BMP (compression 3): 565 masks at 16 bpp decode
+    with exact rounded channel scaling (hand-computed: r5=16 -> 132,
+    g6=32 -> 130, b5=8 -> 66), standard 8-bit masks at 32 bpp are an
+    identity, and zero / non-contiguous / truncated masks reject with
+    ValueError."""
+    import struct
+
+    import pytest
+
+    from mysense_spark.operators.multimodal import decode_bmp
+
+    masks565 = struct.pack("<III", 0xF800, 0x07E0, 0x001F)
+    v1 = (31 << 11) | (63 << 5) | 31   # full-scale white
+    v2 = (16 << 11) | (32 << 5) | 8
+    raster = struct.pack("<HH", v1, v2)
+    _, a = decode_bmp(_mk_bmp(2, -1, 16, raster, palette=masks565, compression=3))
+    assert a.tolist() == [[[255, 255, 255], [132, 130, 66]]]
+
+    masks32 = struct.pack("<III", 0x00FF0000, 0x0000FF00, 0x000000FF)
+    r32 = struct.pack("<I", (10 << 16) | (20 << 8) | 30)
+    _, a32 = decode_bmp(_mk_bmp(1, -1, 32, r32, palette=masks32, compression=3))
+    assert a32.tolist() == [[[10, 20, 30]]]
+
+    with pytest.raises(ValueError, match="invalid BMP channel mask"):
+        decode_bmp(_mk_bmp(2, -1, 16, raster,
+                           palette=struct.pack("<III", 0, 0x07E0, 0x1F),
+                           compression=3))
+    with pytest.raises(ValueError, match="non-contiguous"):
+        decode_bmp(_mk_bmp(2, -1, 16, raster,
+                           palette=struct.pack("<III", 0xF800, 0x0520, 0x1F),
+                           compression=3))
