@@ -71,7 +71,10 @@ def _ima_adpcm_decode(data: bytes, channels: int, block_align: int):
 
     import numpy as np
 
-    if block_align < 4 * channels or block_align % 4:
+    if block_align < 4 * channels or (block_align - 4 * channels) % (4 * channels):
+        # the data region must be a whole number of round-robin group
+        # rounds (4 bytes PER CHANNEL each) or the nibble loop would
+        # read past the block into the next header / off the buffer
         raise ValueError(f"invalid IMA ADPCM block alignment {block_align}")
     if len(data) % block_align:
         raise ValueError("IMA ADPCM data is not a whole number of blocks")
@@ -144,8 +147,11 @@ def _ms_adpcm_decode(data: bytes, channels: int, block_align: int):
                 raise ValueError(f"MS-ADPCM predictor index {pi} out of range")
             pred_i.append(pi)
         for c in range(channels):
+            # the header delta is used AS-IS for the first coded sample
+            # (Microsoft's reference recurrence); the max(16, ...) floor
+            # applies only at each adaptation step
             (d,) = struct.unpack_from("<h", data, b0 + channels + 2 * c)
-            delta.append(d if d != 0 else 16)
+            delta.append(d)
         for c in range(channels):
             (v,) = struct.unpack_from("<h", data, b0 + 3 * channels + 2 * c)
             s1.append(v)
@@ -224,7 +230,7 @@ def decode_wav(payload: bytes) -> dict:
     b = bytes(payload)
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, fmt, fmt_body, data = 12, None, b"", None
+    pos, fmt, fmt_body, data, fact = 12, None, b"", None, None
     while pos + 8 <= len(b):
         cid = b[pos : pos + 4]
         (size,) = struct.unpack_from("<I", b, pos + 4)
@@ -236,6 +242,11 @@ def decode_wav(payload: bytes) -> dict:
             if len(body) < size:
                 raise ValueError("truncated data chunk")
             data = body
+        elif cid == b"fact" and len(body) >= 4:
+            # authoritative per-channel sample count — real encoders pad
+            # the final ADPCM block, and without this the padding would
+            # inflate n_samples/duration and pollute rms/peak
+            (fact,) = struct.unpack_from("<I", b, pos + 8)
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
@@ -272,6 +283,8 @@ def decode_wav(payload: bytes) -> dict:
         if channels < 1:
             raise ValueError("sample count does not divide by channel count")
         x = _ms_adpcm_decode(data, channels, block_align).astype(np.float64) / 32768.0
+        if fact is not None:
+            x = x[: fact * channels]
         bits = 16  # the EXPANDED sample width
     elif audio_format == 0x11:  # IMA/DVI ADPCM
         if bits != 4:
@@ -279,6 +292,8 @@ def decode_wav(payload: bytes) -> dict:
         if channels < 1:
             raise ValueError("sample count does not divide by channel count")
         x = _ima_adpcm_decode(data, channels, block_align).astype(np.float64) / 32768.0
+        if fact is not None:
+            x = x[: fact * channels]
         bits = 16  # the EXPANDED sample width, like the other companded tiers
     elif audio_format in (6, 7):  # G.711 A-law / mu-law companding
         if bits != 8:
@@ -520,6 +535,8 @@ def decode_bmp(payload: bytes, pixels: bool = True):
             if len(b) < 66:
                 raise ValueError("truncated BMP BI_BITFIELDS masks")
             masks = struct.unpack_from("<III", b, 54)
+            if (masks[0] & masks[1]) | (masks[0] & masks[2]) | (masks[1] & masks[2]):
+                raise ValueError("overlapping BMP channel masks")
             dt = "<u2" if bpp == 16 else "<u4"
             v = rows[:, : width * bpp // 8].copy().view(dt).reshape(height, width)
             chans = []

@@ -2593,6 +2593,18 @@ def test_bmp_full_matrix():
         decode_bmp(bmp(2, -1, 8, bytes([5, 1, 0, 1]), palette=pal3, compression=1))
 
 
+def _mk_wav(code, data, channels=1, sr=8000, block_align=1, bits=8, extra=b""):
+    """RIFF/WAVE byte builder shared by the WAV tier tests."""
+    import struct
+
+    fmt = struct.pack("<HHIIHH", code, channels, sr, sr, block_align, bits) + extra
+    body = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
 def test_wav_g711_companding():
     """G.711 μ-law/A-law tiers: the published edge values decode
     exactly (μ: 0x00 -> -32124, 0x80 -> +32124, 0xFF -> 0;
@@ -2611,13 +2623,7 @@ def test_wav_g711_companding():
     assert (al[0x55], al[0xD5]) == (-8, 8)
     assert (al[0x2A], al[0xAA]) == (-32256, 32256)
 
-    def wav(code, data):
-        fmt = struct.pack("<HHIIHH", code, 1, 8000, 8000, 1, 8)
-        body = (
-            b"fmt " + struct.pack("<I", len(fmt)) + fmt
-            + b"data" + struct.pack("<I", len(data)) + data
-        )
-        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    wav = _mk_wav
 
     w = decode_wav(wav(7, bytes([0x00, 0xFF, 0x80])))
     assert w["n_samples"] == 3 and abs(w["peak"] - 32124 / 32768) < 1e-12
@@ -2642,12 +2648,7 @@ def test_wav_ima_adpcm():
     from mysense_spark.operators.multimodal import decode_wav
 
     def wav(code, data, channels=1, block_align=8, bits=4):
-        fmt = struct.pack("<HHIIHH", code, channels, 8000, 4000, block_align, bits)
-        body = (
-            b"fmt " + struct.pack("<I", len(fmt)) + fmt
-            + b"data" + struct.pack("<I", len(data)) + data
-        )
-        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+        return _mk_wav(code, data, channels=channels, block_align=block_align, bits=bits)
 
     # mono: header (pred=100, idx=0, rsvd) + bytes 0x83 0x00 0x0F 0x48
     # (low nibble first). Hand walk: step 7 while idx=0; n=15 drops to
@@ -2680,6 +2681,23 @@ def test_wav_ima_adpcm():
         decode_wav(wav(0x11, block + b"\x00"))
     with pytest.raises(ValueError, match="block alignment"):
         decode_wav(wav(0x11, block[:6], block_align=6))
+    # stereo data region must be whole 4-bytes-PER-CHANNEL rounds:
+    # block_align=12 leaves one lone group and would read past the block
+    with pytest.raises(ValueError, match="block alignment"):
+        decode_wav(wav(0x11, bytes(12), channels=2, block_align=12))
+    # a fact chunk truncates the padded final block (real encoders pad):
+    # same mono block, fact says 4 of the 9 decoded samples are real
+    import struct as _s
+
+    fact_wav = wav(0x11, block)
+    fact_chunk = b"fact" + _s.pack("<I", 4) + _s.pack("<I", 4)
+    fact_wav = (
+        fact_wav[:12] + fact_chunk + fact_wav[12:]
+    )
+    fact_wav = fact_wav[:4] + _s.pack("<I", len(fact_wav) - 8) + fact_wav[8:]
+    wf = decode_wav(fact_wav)
+    assert wf["n_samples"] == 4
+    assert abs(wf["peak"] - 104 / 32768) < 1e-12  # only 100,104,104,104 remain
 
 
 
@@ -2697,12 +2715,7 @@ def test_wav_ms_adpcm():
     from mysense_spark.operators.multimodal import decode_wav
 
     def wav(code, data, channels=1, block_align=9, bits=4):
-        fmt = struct.pack("<HHIIHH", code, channels, 8000, 4000, block_align, bits)
-        body = (
-            b"fmt " + struct.pack("<I", len(fmt)) + fmt
-            + b"data" + struct.pack("<I", len(data)) + data
-        )
-        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+        return _mk_wav(code, data, channels=channels, block_align=block_align, bits=bits)
 
     # mono: pred idx 0 (coef 256/0 -> prediction = s1), delta 16,
     # sample1=100 (newer), sample2=50 (older); nibbles 1,2,8,15:
@@ -2769,3 +2782,10 @@ def test_bmp_bitfields():
         decode_bmp(_mk_bmp(2, -1, 16, raster,
                            palette=struct.pack("<III", 0xF800, 0x0520, 0x1F),
                            compression=3))
+    with pytest.raises(ValueError, match="overlapping"):
+        decode_bmp(_mk_bmp(2, -1, 16, raster,
+                           palette=struct.pack("<III", 0xF800, 0xF800, 0x1F),
+                           compression=3))
+    # masks must actually be present: 4 bytes cannot hold three of them
+    with pytest.raises(ValueError, match="truncated BMP BI_BITFIELDS"):
+        decode_bmp(_mk_bmp(2, -1, 16, raster, palette=b"", compression=3)[:58])
