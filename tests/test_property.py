@@ -199,3 +199,183 @@ def test_throttle_step_invariants(gaps):
             assert not accepted and pen == e + THROTTLE_PENALTY_S * 1_000_000
         else:
             assert accepted and pen == prev_pen
+
+
+# ---------------------------------------------------------------------------
+# Codec error-contract fuzzing (r10): every media decoder must either
+# decode or raise ValueError / NotImplementedError — never IndexError /
+# struct.error / KeyError / MemoryError — for ANY byte string, including
+# byte-level mutations of VALID files (the class of bug three r10 review
+# passes kept finding by hand: Ns=0 SOS, ragged IMA blocks, RLE
+# overruns). Mutating valid fixtures reaches far deeper than random
+# bytes, which rarely survive the magic/CRC checks.
+# ---------------------------------------------------------------------------
+
+
+def _codec_fixtures():
+    """Small VALID payloads for every decoder family, built with the
+    repo's own writers/builders (cached once per session)."""
+    import struct
+    import zlib
+
+    from mysense_spark.operators.codecs import write_jpeg, write_png
+
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 256, (9, 7), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    png16 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(10)))
+        + chunk(b"IEND", b"")
+    )
+
+    def wav(code, data, channels=1, block_align=8, bits=4):
+        fmt = struct.pack("<HHIIHH", code, channels, 8000, 4000, block_align, bits)
+        body = (
+            b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    ima = wav(0x11, struct.pack("<hBB", 100, 0, 0) + bytes([0x83, 0x00, 0x0F, 0x48]))
+    ms = wav(
+        2, bytes([0]) + struct.pack("<hhh", 16, 100, 50) + bytes([0x12, 0x8F]),
+        block_align=9,
+    )
+    pcm = wav(1, struct.pack("<4h", 100, -200, 300, -400), block_align=2, bits=16)
+
+    def bmp(width, height, bpp, raster, palette=b"", compression=0):
+        data_off = 54 + len(palette)
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, bpp, compression,
+            len(raster), 2835, 2835, len(palette) // 4, 0,
+        )
+        head = b"BM" + struct.pack("<IHHI", data_off + len(raster), 0, 0, data_off)
+        return head + info + palette + raster
+
+    pal = bytes([10, 20, 30, 0, 40, 50, 60, 0, 70, 80, 90, 0])
+    rle = bmp(4, 2, 8, bytes([3, 1, 1, 2, 0, 0, 4, 0, 0, 1]), palette=pal, compression=1)
+
+    mp4 = (
+        struct.pack(">I", 16) + b"ftypisom" + bytes(4)
+        + struct.pack(">I", 8 + 8 + 20) + b"moov"
+        + struct.pack(">I", 8 + 20) + b"mvhd"
+        + b"\x00" + bytes(3) + bytes(8) + struct.pack(">II", 1000, 5000)
+    )
+
+    return [
+        write_png(gray), write_png(rgb), png16,
+        write_jpeg(gray), write_jpeg(rgb, subsample=True, restart=2),
+        ima, ms, pcm,
+        bmp(3, 2, 24, bytes(12 * 2)), rle,
+        mp4,
+    ]
+
+
+_FIXTURES = _codec_fixtures()
+
+
+@given(
+    fi=st.integers(min_value=0, max_value=len(_FIXTURES) - 1),
+    data=st.data(),
+)
+@settings(max_examples=400, deadline=None)
+def test_codec_mutation_fuzz_error_contract(fi, data):
+    """Mutate a valid payload (flip bytes, truncate, or splice junk) and
+    require the decode dispatcher to return a result or raise exactly
+    the contractual exception types — mapInPandas batches die on
+    anything else."""
+    from mysense_spark.operators.multimodal import decode_media
+
+    base = bytearray(_FIXTURES[fi])
+    mode = data.draw(st.integers(min_value=0, max_value=2))
+    if mode == 0:  # flip 1-4 bytes anywhere
+        for _ in range(data.draw(st.integers(min_value=1, max_value=4))):
+            i = data.draw(st.integers(min_value=0, max_value=len(base) - 1))
+            base[i] ^= data.draw(st.integers(min_value=1, max_value=255))
+    elif mode == 1:  # truncate
+        base = base[: data.draw(st.integers(min_value=0, max_value=len(base)))]
+    else:  # splice random junk at a random offset
+        i = data.draw(st.integers(min_value=0, max_value=len(base)))
+        junk = data.draw(st.binary(min_size=1, max_size=16))
+        base = base[:i] + bytearray(junk) + base[i:]
+    try:
+        meta = decode_media(bytes(base))
+        assert isinstance(meta, dict)
+    except (ValueError, NotImplementedError):
+        pass  # the contractual rejections
+
+
+@given(payload=st.binary(min_size=0, max_size=64))
+@settings(max_examples=300, deadline=None)
+def test_codec_random_bytes_error_contract(payload):
+    """Raw random bytes through every decoder entry point: succeed or
+    raise the contractual types, nothing else."""
+    from mysense_spark.operators.codecs import (
+        decode_jpeg,
+        decode_png,
+        parse_mp4_header,
+    )
+    from mysense_spark.operators.multimodal import decode_bmp, decode_netpbm, decode_wav
+
+    for fn in (decode_png, decode_jpeg, parse_mp4_header, decode_bmp,
+               decode_netpbm, decode_wav):
+        try:
+            fn(payload)
+        except (ValueError, NotImplementedError):
+            pass
+
+
+@given(
+    arr=st.integers(min_value=1, max_value=12).flatmap(
+        lambda h: st.integers(min_value=1, max_value=12).flatmap(
+            lambda w: st.sampled_from([None, 1, 3, 4]).flatmap(
+                lambda ch: st.binary(
+                    min_size=h * w * (ch or 1), max_size=h * w * (ch or 1)
+                ).map(
+                    lambda raw: np.frombuffer(raw, dtype=np.uint8).reshape(
+                        (h, w) if ch is None else (h, w, ch)
+                    )
+                )
+            )
+        )
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_png_roundtrip_any_shape(arr):
+    """write_png -> decode_png is the identity for EVERY uint8 array
+    shape the encoder accepts — including 1-pixel edges and shapes that
+    straddle no particular alignment."""
+    from mysense_spark.operators.codecs import decode_png, write_png
+
+    meta, back = decode_png(write_png(arr))
+    want = arr[:, :, 0] if arr.ndim == 3 and arr.shape[2] == 1 else arr
+    assert np.array_equal(back, want)
+    assert (meta["width"], meta["height"]) == (arr.shape[1], arr.shape[0])
+
+
+@given(
+    shape=st.tuples(
+        st.integers(min_value=1, max_value=20), st.integers(min_value=1, max_value=20)
+    ),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=100, deadline=None)
+def test_jpeg_unit_quant_gray_roundtrip_any_shape(shape, seed):
+    """Unit-quant grayscale JPEG round-trips within DCT float rounding
+    (<=1 level) for ANY geometry, including 1xN strips and sizes that
+    straddle MCU boundaries."""
+    from mysense_spark.operators.codecs import decode_jpeg_pixels, write_jpeg
+
+    arr = np.random.default_rng(seed).integers(0, 256, shape, dtype=np.uint8)
+    _, back = decode_jpeg_pixels(write_jpeg(arr))
+    assert back.shape == arr.shape
+    assert int(np.abs(back.astype(int) - arr.astype(int)).max()) <= 1
