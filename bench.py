@@ -77,8 +77,16 @@ def calibration_probe(spark) -> float:
 def is_suspect(t: float, prior_t: float, factor: float) -> bool:
     """Suite reading t is suspicious vs the committed prior, after
     dividing out the measured host-speed factor (probe/prior_probe).
-    factor <= 0 or missing priors disable the comparison."""
-    return t > 0 and prior_t > 0 and factor > 0 and t / factor > SUSPECT_X * prior_t
+    factor <= 0 or missing priors disable the comparison. The same
+    ONE-SIDED floor as is_confirmed applies (see there): a probe that
+    ran FASTER than the committed prior must not inflate every suite
+    reading and trigger spurious standalone re-runs."""
+    return (
+        t > 0
+        and prior_t > 0
+        and factor > 0
+        and t / max(1.0, factor) > SUSPECT_X * prior_t
+    )
 
 
 def is_confirmed(standalone: float, prior_t: float, factor: float) -> bool:

@@ -959,6 +959,16 @@ def _decode_multiscan(b: bytes):
                         raise ValueError("JPEG SOS component ids do not match SOF")
                     c = match[0]
                     c["dc"], c["ac"] = tabs >> 4, tabs & 0xF
+                    # latch the quant table at the component's FIRST
+                    # scan (libjpeg semantics): a DQT redefinition
+                    # after a scan was coded against the earlier table
+                    # must not silently dequantize with the later one
+                    if "q" not in c:
+                        if c["tq"] not in quant:
+                            raise ValueError(
+                                "JPEG scan references a missing quant/Huffman table"
+                            )
+                        c["q"] = quant[c["tq"]].copy()
                     scan_comps.append(c)
                 if len({c["id"] for c in scan_comps}) != ns:
                     # T.81 requires distinct ids per scan — a repeat
@@ -993,9 +1003,15 @@ def _decode_multiscan(b: bytes):
         )
     C = _dct_matrix()
     for c in comps:
-        if c["tq"] not in quant:
-            raise ValueError("JPEG scan references a missing quant/Huffman table")
-        q = quant[c["tq"]]
+        # components that appeared in a scan carry their first-scan
+        # snapshot; a progressive component never scanned has all-zero
+        # coefficients (any table dequantizes zeros to zeros) but its
+        # declared table must still exist
+        if "q" not in c:
+            if c["tq"] not in quant:
+                raise ValueError("JPEG scan references a missing quant/Huffman table")
+            c["q"] = quant[c["tq"]]
+        q = c["q"]
         bh, bw = c["coef"].shape[0], c["coef"].shape[1]
         plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
         for by in range(bh):

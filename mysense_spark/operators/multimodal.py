@@ -8,10 +8,11 @@ P5/P6, the full classic BMP matrix (1/4/8-bit palette incl. RLE8/RLE4,
 16-bit X1R5G5B5, 24-bit, 32-bit BGRX), and (operators/codecs.py) the
 FULL static-PNG matrix (depths 1-16, Adam7), baseline + progressive +
 sequential-multi-scan JPEG pixels, and MP4 moov STRUCTURAL parsing —
-dispatched on magic bytes. Only genuinely codec-library territory
-remains gated behind NotImplementedError: arithmetic/lossless JPEG,
-transform-codec WAV (MP3/AAC — every table codec incl. both ADPCMs and
-G.711 decodes for real), embedded-JPEG/PNG BMP compressions, and MP4
+dispatched on magic bytes. BI_JPEG/BI_PNG BMP (r11) delegates its
+embedded stream to those same real decoders. Only genuinely
+codec-library territory remains gated behind NotImplementedError:
+arithmetic/lossless JPEG, transform-codec WAV (MP3/AAC — every table
+codec incl. both ADPCMs and G.711 decodes for real), and MP4
 sample decode. Unknown formats fall
 through to the clearly-marked deterministic length-derived fake, which
 is also what the graded fixtures exercise (text blobs, no magic match)
@@ -168,9 +169,13 @@ def _ms_adpcm_decode(data: bytes, channels: int, block_align: int):
                 c = ch % channels
                 ch += 1
                 signed = n - 16 if n & 8 else n
-                pred = (
-                    s1[c] * _MS_COEF1[pred_i[c]] + s2[c] * _MS_COEF2[pred_i[c]]
-                ) >> 8
+                # the /256 predictor scaling truncates TOWARD ZERO in
+                # the Microsoft spec and every reference decoder
+                # (ffmpeg adpcm.c); Python's >> floors, which would sit
+                # 1 LSB low on negative predictions and feed back
+                # through s1/s2 within a block
+                p = s1[c] * _MS_COEF1[pred_i[c]] + s2[c] * _MS_COEF2[pred_i[c]]
+                pred = -((-p) >> 8) if p < 0 else p >> 8
                 pred = max(-32768, min(32767, pred + signed * delta[c]))
                 s2[c], s1[c] = s1[c], pred
                 delta[c] = max(16, (_MS_ADAPT[n] * delta[c]) >> 8)
@@ -442,13 +447,67 @@ def _bmp_rle(data: bytes, width: int, height: int, bpp: int):
     raise ValueError("BMP RLE stream ended without the end-of-bitmap escape")
 
 
+def _decode_bmp_embedded(b: bytes, compression: int, width: int, height: int, pixels: bool):
+    """BI_JPEG (4) / BI_PNG (5) BMP: the pixel data is ONE complete
+    JPEG/PNG stream (biSizeImage bytes at bfOffBits), so decode
+    delegates to the repo's own real decoders — ceilings included —
+    then normalizes to the BMP contract (HxWx3 uint8 RGB; 16-bit PNG
+    scales by exact rounded /257 division). The INFOHEADER's declared
+    geometry must match the embedded stream's (the spec requires it;
+    a mismatch is corruption — quarantine, don't guess). biHeight may
+    be negative per the top-down convention; the embedded stream
+    defines its own orientation so only |height| is compared."""
+    import struct
+
+    import numpy as np
+
+    from .codecs import decode_jpeg, decode_png
+
+    (data_off,) = struct.unpack_from("<I", b, 10)
+    (size_image,) = struct.unpack_from("<I", b, 34)
+    if width < 1 or abs(height) < 1:
+        raise ValueError(f"invalid BMP dimensions {width}x{height}")
+    if data_off < 54:
+        raise ValueError(f"BMP pixel data offset {data_off} points into the header")
+    end = data_off + size_image if size_image else len(b)
+    if end > len(b):
+        raise ValueError("truncated embedded BMP stream")
+    stream = b[data_off:end]
+    inner_meta, inner = (decode_jpeg if compression == 4 else decode_png)(
+        stream, pixels=pixels
+    )
+    if (inner_meta["width"], inner_meta["height"]) != (width, abs(height)):
+        raise ValueError(
+            f"embedded BMP stream geometry {inner_meta['width']}x"
+            f"{inner_meta['height']} does not match the declared "
+            f"{width}x{abs(height)}"
+        )
+    meta = {"width": width, "height": abs(height), "channels": 3}
+    if not pixels:
+        return meta, None
+    arr = inner
+    if arr.dtype != np.uint8:  # 16-bit PNG: exact rounded 65535->255
+        arr = ((arr.astype(np.uint32) * 255 + 32767) // 65535).astype(np.uint8)
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=2)
+    elif arr.shape[2] == 2:  # gray+alpha: replicate luma, drop alpha
+        arr = np.repeat(arr[:, :, :1], 3, axis=2)
+    elif arr.shape[2] == 4:
+        arr = arr[:, :, :3]
+    meta["mean"] = float(arr.mean())
+    return meta, arr
+
+
 def decode_bmp(payload: bytes, pixels: bool = True):
     """REAL BMP decoder — fixed-offset little-endian header, bottom-up
     rows padded to 4 bytes. Covers the full classic matrix since r10:
     1/4/8-bit palette (uncompressed AND RLE8/RLE4), 16-bit X1R5G5B5,
     24-bit BGR, 32-bit BGRX, and BI_BITFIELDS 16/32-bit (contiguous
     channel masks, exact rounded 0-255 scaling) — all returned as
-    HxWx3 RGB. Only the embedded-JPEG/PNG compressions stay gated. Returns (meta, array — or None with
+    HxWx3 RGB — plus, since r11, BI_JPEG/BI_PNG delegation to the
+    repo's real JPEG/PNG decoders (see _decode_bmp_embedded).
+    Pre-INFOHEADER (BITMAPCOREHEADER) files are rejected rather than
+    misparsed. Returns (meta, array — or None with
     pixels=False: length-validated header-only parse)."""
     import struct
 
@@ -459,9 +518,21 @@ def decode_bmp(payload: bytes, pixels: bool = True):
         raise ValueError("not a BMP payload")
     (data_off,) = struct.unpack_from("<I", b, 10)
     (hdr_size,) = struct.unpack_from("<I", b, 14)
+    if hdr_size < 40:
+        # BITMAPCOREHEADER (hdr_size=12) is a DIFFERENT layout — 16-bit
+        # dims at offset 18, no compression field, 3-byte RGBTRIPLE
+        # palette at 14+12. Reading it with the INFOHEADER offsets
+        # below would fabricate geometry and colors; quarantine,
+        # don't guess (module contract).
+        raise NotImplementedError(
+            f"BMP header size {hdr_size} (pre-BITMAPINFOHEADER / OS2"
+            f" core header) needs a dedicated parser"
+        )
     width, height = struct.unpack_from("<ii", b, 18)
     (bpp,) = struct.unpack_from("<H", b, 28)
     (compression,) = struct.unpack_from("<I", b, 30)
+    if compression in (4, 5):  # BI_JPEG / BI_PNG
+        return _decode_bmp_embedded(b, compression, width, height, pixels)
     rle = (compression, bpp) in ((1, 8), (2, 4))
     bitfields = compression == 3 and bpp in (16, 32)
     if not (

@@ -43,17 +43,22 @@ def test_real_regression_still_confirms_through_calibration():
 def test_threshold_edges_and_missing_priors():
     """Missing priors or probes disable the comparison (never suspect),
     a failed query (-1) is never suspect, and the host-speed correction
-    is ONE-SIDED: a faster probe still flags suspects liberally (cheap
-    re-runs) but must never CONFIRM a regression the absolute reading
-    does not support — the probe (pure CPU) and the suite (scan/shuffle
-    /scheduler) demonstrably move independently (first r10 window:
-    probe 24% faster, same-code suite 7% slower; unfloored division
-    manufactured six confirmations on untouched code)."""
+    is ONE-SIDED in BOTH predicates (r11, after the r10 advice): the
+    probe (pure CPU) and the suite (scan/shuffle/scheduler)
+    demonstrably move independently (first r10 window: probe 24%
+    faster, same-code suite 7% slower), so a probe FASTER than the
+    committed prior must neither confirm regressions the absolute
+    readings do not support (unfloored confirm manufactured six on
+    untouched code) nor inflate every suite reading into a spurious
+    standalone re-run (wasted bench wall-clock)."""
     assert not bench.is_suspect(1.5, 0.0, factor=1.0)   # no prior
     assert not bench.is_suspect(-1.0, 0.79, factor=1.0)  # failed query
     assert not bench.is_suspect(1.5, 0.79, factor=0.0)   # no prior probe
     assert not bench.is_suspect(1.3, 1.0, factor=1.0)
-    assert bench.is_suspect(1.0, 1.0, factor=0.5)        # liberal suspecting
+    assert not bench.is_suspect(1.0, 1.0, factor=0.5)   # floored at 1.0 (r11)
+    assert bench.is_suspect(2.0, 1.0, factor=0.5)       # real 2x still suspect
+    assert bench.is_suspect(2.0, 1.0, factor=1.1)       # slow probe corroborates
+    assert not bench.is_suspect(2.0, 1.0, factor=1.2)   # ...or excuses
     assert not bench.is_confirmed(1.0, 1.0, factor=0.5)  # floored at 1.0
     assert not bench.is_confirmed(1.204, 1.002, factor=0.786)  # the r10 case
     assert bench.is_confirmed(1.6, 1.0, factor=0.5)      # real 1.6x still confirms

@@ -2789,3 +2789,154 @@ def test_bmp_bitfields():
     # masks must actually be present: 4 bytes cannot hold three of them
     with pytest.raises(ValueError, match="truncated BMP BI_BITFIELDS"):
         decode_bmp(_mk_bmp(2, -1, 16, raster, palette=b"", compression=3)[:58])
+
+
+def test_ms_adpcm_negative_prediction_truncates_toward_zero():
+    """r11 advice fix: the /256 predictor scaling truncates TOWARD ZERO
+    (Microsoft spec / ffmpeg), not Python-floor. Coef pair 4 (240/0)
+    with s1=-1 predicts -240/256 -> 0 (floor would give -1, and the
+    error would feed back through s1/s2). All-zero nibbles then hold
+    at 0, so the hand-computed stream is [0, -1, 0, 0, 0, 0] — a
+    floor-division decoder reads [0, -1, -1, -1, -1, -1] and the RMS
+    separates the two decisively."""
+    import math
+    import struct
+
+    from mysense_spark.operators.multimodal import decode_wav
+
+    block = bytes([4]) + struct.pack("<hhh", 16, -1, 0) + bytes([0x00, 0x00])
+    w = decode_wav(_mk_wav(2, block, channels=1, block_align=9, bits=4))
+    assert (w["bits"], w["channels"], w["n_samples"]) == (16, 1, 6)
+    want = [0, -1, 0, 0, 0, 0]
+    rms = math.sqrt(sum((v / 32768) ** 2 for v in want) / len(want))
+    assert abs(w["rms"] - rms) < 1e-12
+    assert abs(w["peak"] - 1 / 32768) < 1e-12
+
+
+def test_bmp_core_header_rejected():
+    """r11 advice fix: BITMAPCOREHEADER (hdr_size 12) has 16-bit dims
+    at offset 18 and an RGBTRIPLE palette — a different layout that the
+    INFOHEADER offsets would misparse into bogus geometry/colors. It
+    is rejected loudly (quarantine, don't guess), as is any header
+    smaller than BITMAPINFOHEADER."""
+    import struct
+
+    import pytest
+
+    from mysense_spark.operators.multimodal import decode_bmp
+
+    # a well-formed 1x1 24-bit BITMAPCOREHEADER file
+    core = struct.pack("<IHHHH", 12, 1, 1, 1, 24)
+    head = b"BM" + struct.pack("<IHHI", 26 + 4, 0, 0, 26)
+    with pytest.raises(NotImplementedError, match="core header"):
+        decode_bmp(head + core + b"\x01\x02\x03\x00" * 7)  # pad past 54
+    # hdr_size between 12 and 40 is equally unparseable
+    bad = bytearray(_mk_bmp(1, 1, 24, b"\x01\x02\x03\x00"))
+    bad[14] = 16
+    with pytest.raises(NotImplementedError, match="core header"):
+        decode_bmp(bytes(bad))
+
+
+def test_bmp_embedded_png_and_jpeg():
+    """r11: BI_PNG (5) / BI_JPEG (4) BMPs carry ONE complete stream as
+    their pixel data; decode delegates to the repo's own real decoders
+    and normalizes to the HxWx3 contract. Geometry must match the
+    INFOHEADER's declaration (spec requirement — mismatch is
+    corruption), truncation and garbage payloads reject, and the
+    header-only tier never inflates the stream."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from mysense_spark.operators.codecs import write_png
+    from mysense_spark.operators.multimodal import decode_bmp
+
+    rgb = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    png = write_png(rgb)
+    meta, arr = decode_bmp(_mk_bmp(3, 2, 0, png, compression=5))
+    assert (meta["width"], meta["height"], meta["channels"]) == (3, 2, 3)
+    assert arr.tolist() == rgb.tolist()
+    # negative (top-down) declared height compares by magnitude
+    meta2, arr2 = decode_bmp(_mk_bmp(3, -2, 0, png, compression=5))
+    assert arr2.tolist() == rgb.tolist()
+    # grayscale and RGBA streams normalize to 3 channels
+    _, ag = decode_bmp(_mk_bmp(3, 2, 0, write_png(rgb[:, :, 0]), compression=5))
+    assert ag.tolist() == np.repeat(rgb[:, :, :1], 3, axis=2).tolist()
+    rgba = np.concatenate([rgb, np.full((2, 3, 1), 9, np.uint8)], axis=2)
+    _, aa = decode_bmp(_mk_bmp(3, 2, 0, write_png(rgba), compression=5))
+    assert aa.tolist() == rgb.tolist()
+    # header tier: geometry without decoding the raster
+    mh, ah = decode_bmp(_mk_bmp(3, 2, 0, png, compression=5), pixels=False)
+    assert ah is None and (mh["width"], mh["height"]) == (3, 2)
+    # declared geometry must match the embedded stream's
+    with pytest.raises(ValueError, match="does not match"):
+        decode_bmp(_mk_bmp(4, 2, 0, png, compression=5))
+    # a truncated stream is caught by the inner decoder
+    with pytest.raises(ValueError):
+        decode_bmp(_mk_bmp(3, 2, 0, png[: len(png) - 8], compression=5))
+    # biSizeImage overrunning the file rejects before delegation
+    over = bytearray(_mk_bmp(3, 2, 0, png, compression=5))
+    struct.pack_into("<I", over, 34, len(png) + 99)
+    with pytest.raises(ValueError, match="truncated embedded"):
+        decode_bmp(bytes(over))
+    # BI_JPEG with a non-JPEG body rejects in the inner decoder
+    with pytest.raises(ValueError, match="not a JPEG|JPEG"):
+        decode_bmp(_mk_bmp(3, 2, 0, png, compression=4))
+
+
+def test_jpeg_multiscan_dqt_redefinition_latches_first_scan_table():
+    """r11 advice fix: a DQT that REDEFINES a table after a scan was
+    coded against the earlier definition must not silently dequantize
+    that scan's coefficients with the later values (libjpeg latches
+    each component's table at its first scan). The sequential
+    multiscan fixture (Y diff 576 over unit quant -> gray 200) gains a
+    DQT rewriting table 0 to all-2s between its two scans: components
+    1+2 keep the unit table (pixels stay 200; an end-of-stream lookup
+    would read 255 after clipping), while component 3 — first scanned
+    AFTER the redefinition — latches the new table (its zero DC is
+    table-invariant). A scan whose table is only defined later in the
+    stream now fails loudly at the scan."""
+    import struct
+
+    import pytest
+
+    from mysense_spark.operators.codecs import decode_jpeg_pixels
+
+    seg, dqt, dht, ac_code = _prog_fixture_parts()
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, 16, 16, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+
+    def scan_units(n_blocks, ncomp, first_diff=0):
+        pk = _BitPacker()
+        for i in range(n_blocks):
+            for j in range(ncomp):
+                if i == 0 and j == 0 and first_diff:
+                    pk.put(0b1010, 4).put(first_diff, 10)
+                else:
+                    pk.put(0, 4)
+                pk.put(ac_code[0x00], 8)
+        return pk.bytes()
+
+    sos12 = seg(0xDA, bytes([2, 1, 0x00, 2, 0x00]) + bytes([0, 63, 0x00]))
+    sos3 = seg(0xDA, bytes([1, 3, 0x00]) + bytes([0, 63, 0x00]))
+    e12 = scan_units(4, 2, first_diff=576)
+    e3 = scan_units(4, 1)
+    dqt2 = seg(0xDB, bytes([0x00]) + bytes([2] * 64))
+    jp = (
+        b"\xff\xd8" + dqt + sof + dht + sos12 + e12
+        + dqt2 + sos3 + e3 + b"\xff\xd9"
+    )
+    meta, rgb = decode_jpeg_pixels(jp)
+    assert meta["channels"] == 3
+    assert rgb.min() == rgb.max() == 200
+    # the table must exist BEFORE the first scan that references it
+    jp_late = (
+        b"\xff\xd8" + sof + dht + sos12 + e12
+        + dqt + sos3 + e3 + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="missing quant"):
+        decode_jpeg_pixels(jp_late)
