@@ -637,6 +637,35 @@ def decode_bmp(payload: bytes, pixels: bool = True):
     return meta, arr
 
 
+def write_bmp(arr) -> bytes:
+    """24-bit BITMAPINFOHEADER BMP encoder (bottom-up BGR rows padded
+    to 4 bytes) — the round-trip partner of decode_bmp's lossless
+    24-bit tier and the write side the media_codec_matrix gate drives.
+    HxWx3 uint8 RGB in; values outside uint8 raise rather than
+    truncate (same contract as write_png)."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(arr)
+    if a.dtype != np.uint8:
+        if a.size and (int(a.min()) < 0 or int(a.max()) > 255):
+            raise ValueError("write_bmp is an 8-bit encoder; scale values first")
+        a = a.astype(np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"write_bmp needs HxWx3 RGB; got {a.shape}")
+    h, w = a.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    raster = rows.tobytes()
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0
+    )
+    head = b"BM" + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+    return head + info + raster
+
+
 def resize_nearest(arr, out_w: int, out_h: int):
     """Nearest-neighbor resize by pure numpy index grids — the resize
     tier of the image pipeline, codec-free (works on whatever decode
@@ -1144,7 +1173,211 @@ ORDER BY doc_id
 SQL_MEDIA_DECODE_STATS = _sql_media_decode_stats()
 
 
+def media_codec_matrix(docs: DataFrame) -> DataFrame:
+    """r11 sibling of media_decode_stats: drives the codec kernels the
+    r10 coverage wave added — 24-bit BMP (write_bmp -> decode_bmp,
+    lossless round trip), G.711 mu-law and A-law WAV decode, and
+    MS-ADPCM WAV decode — through the SAME md5-synthesis oracle trick,
+    so the driver hash gate verifies the actual kernels. Families by
+    doc_id % 4:
+      0: 4x4 RGB from md5 bytes -> real BMP24 -> decode_bmp; the
+         mirror averages the same md5 bytes with no codec (lossless).
+      1/2: 32 md5-derived G.711 code bytes decoded through the
+         companding tables (formats 7/6); the mirror computes the
+         published segment+quantization expansion ARITHMETICALLY
+         (validated exact against the table for all 256 codes).
+      3: ONE mono MS-ADPCM block (header + 2 nibbles -> 4 samples);
+         the mirror unrolls the two-tap predictor recurrence exactly —
+         including the truncate-toward-zero /256 the r11 advice fix
+         pinned — in plain SQL (CASE coef/adapt lookups, trunc()).
+    Per-row work is independent; any partitioning yields identical
+    rows. Cites the same RIFF/BMP surfaces as decode_wav/decode_bmp."""
+    import math
+    import struct as _struct
+
+    def r6(v: float) -> float:
+        return math.floor(float(v) * 1e6 + 0.5) / 1e6
+
+    def wav_wrap(code: int, block_align: int, bits: int, data: bytes) -> bytes:
+        fmt = _struct.pack("<HHIIHH", code, 1, 8000, 8000, block_align, bits)
+        body = (
+            b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+            + b"data" + _struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + _struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                base = d * 512
+                fam = d % 4
+                if fam == 0:
+                    px = np.array(
+                        [_md5_val(base + i, 2) for i in range(48)], dtype=np.uint8
+                    ).reshape(4, 4, 3)
+                    meta, back = decode_bmp(write_bmp(px))
+                    assert np.array_equal(back, px)  # lossless by design
+                    rows.append(
+                        (d, "bmp", meta["width"], meta["height"],
+                         r6(float(back.mean())), None, None)
+                    )
+                else:
+                    if fam == 1:
+                        data = bytes(_md5_val(base + 128 + j, 2) for j in range(32))
+                        w = decode_wav(wav_wrap(7, 1, 8, data))
+                        fmt_name = "ulaw"
+                    elif fam == 2:
+                        data = bytes(_md5_val(base + 192 + j, 2) for j in range(32))
+                        w = decode_wav(wav_wrap(6, 1, 8, data))
+                        fmt_name = "alaw"
+                    else:
+                        pi = _md5_val(base + 256, 2) % 7
+                        delta = 16 + _md5_val(base + 257, 2)
+                        s1 = _md5_val(base + 258, 4) - 32768
+                        s2 = _md5_val(base + 259, 4) - 32768
+                        nb = _md5_val(base + 260, 2)
+                        block = (
+                            bytes([pi]) + _struct.pack("<hhh", delta, s1, s2)
+                            + bytes([nb])
+                        )
+                        w = decode_wav(wav_wrap(2, 8, 4, block))
+                        fmt_name = "msadpcm"
+                    rows.append(
+                        (d, fmt_name, None, None, None, r6(w["rms"]), r6(w["peak"]))
+                    )
+            yield pd.DataFrame(
+                rows, columns=[c.name for c in _DECODE_STATS_SCHEMA.fields]
+            )
+
+    return docs.mapInPandas(stats, schema=_DECODE_STATS_SCHEMA).orderBy("doc_id")
+
+
+def q_media_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded entry for media_codec_matrix over the documents table."""
+    from ..io import load
+
+    return media_codec_matrix(load(spark, sf_dir, "documents").select("doc_id"))
+
+
+def _sql_media_codec_matrix() -> str:
+    from .util import sql_ieee_round
+
+    def md5v(k: str, n: int) -> str:
+        return f"('0x' || substr(md5(CAST({k} AS VARCHAR)), 1, {n}))::BIGINT"
+
+    def snd_stats(v: str) -> str:
+        rms = sql_ieee_round(f"sqrt(avg(pow({v} / 32768.0, 2)))", 6)
+        peak = sql_ieee_round(f"max(abs({v} / 32768.0))", 6)
+        return f"{rms} AS rms, {peak} AS peak"
+
+    # G.711 expansions, validated EXACT against the decode tables for
+    # all 256 codes (see test_media_codec_matrix_gate)
+    ulaw = (
+        "CASE WHEN (u & 128) = 128 THEN 132 - t ELSE t - 132 END"
+    )
+    alaw = "CASE WHEN (a & 128) = 128 THEN t ELSE -t END"
+    adapt = (
+        "CASE {n} WHEN 4 THEN 307 WHEN 5 THEN 409 WHEN 6 THEN 512"
+        " WHEN 7 THEN 614 WHEN 8 THEN 768 WHEN 9 THEN 614 WHEN 10 THEN 512"
+        " WHEN 11 THEN 409 WHEN 12 THEN 307 ELSE 230 END"
+    )
+    return f"""
+WITH bmp AS (
+  SELECT d.doc_id, {sql_ieee_round('avg(' + md5v('d.doc_id * 512 + t.i', 2) + ')', 6)} AS mean_val
+  FROM documents d, range(48) t(i)
+  WHERE d.doc_id % 4 = 0
+  GROUP BY d.doc_id
+),
+ulaw AS (
+  SELECT doc_id, {snd_stats(ulaw)}
+  FROM (
+    SELECT doc_id, u, ((u & 15) * 8 + 132) * (1 << ((u >> 4) & 7)) AS t
+    FROM (
+      SELECT d.doc_id, 255 - {md5v('d.doc_id * 512 + 128 + t.i', 2)} AS u
+      FROM documents d, range(32) t(i) WHERE d.doc_id % 4 = 1
+    )
+  )
+  GROUP BY doc_id
+),
+alaw AS (
+  SELECT doc_id, {snd_stats(alaw)}
+  FROM (
+    SELECT doc_id, a,
+      CASE WHEN ((a >> 4) & 7) = 0 THEN (a & 15) * 16 + 8
+           WHEN ((a >> 4) & 7) = 1 THEN (a & 15) * 16 + 264
+           ELSE ((a & 15) * 16 + 264) * (1 << (((a >> 4) & 7) - 1)) END AS t
+    FROM (
+      SELECT d.doc_id, xor({md5v('d.doc_id * 512 + 192 + t.i', 2)}, 85) AS a
+      FROM documents d, range(32) t(i) WHERE d.doc_id % 4 = 2
+    )
+  )
+  GROUP BY doc_id
+),
+ms_syn AS (
+  SELECT d.doc_id,
+    {md5v('d.doc_id * 512 + 256', 2)} % 7 AS pi,
+    16 + {md5v('d.doc_id * 512 + 257', 2)} AS delta,
+    {md5v('d.doc_id * 512 + 258', 4)} - 32768 AS s1,
+    {md5v('d.doc_id * 512 + 259', 4)} - 32768 AS s2,
+    {md5v('d.doc_id * 512 + 260', 2)} AS nb
+  FROM documents d WHERE d.doc_id % 4 = 3
+),
+ms_co AS (
+  SELECT *, nb >> 4 AS n1, nb & 15 AS n2,
+    CASE pi WHEN 0 THEN 256 WHEN 1 THEN 512 WHEN 2 THEN 0 WHEN 3 THEN 192
+         WHEN 4 THEN 240 WHEN 5 THEN 460 ELSE 392 END AS c1,
+    CASE pi WHEN 1 THEN -256 WHEN 3 THEN 64 WHEN 5 THEN -208 WHEN 6 THEN -232
+         ELSE 0 END AS c2
+  FROM ms_syn
+),
+ms_s1 AS (
+  SELECT *, greatest(-32768, least(32767,
+      CAST(trunc((s1*c1 + s2*c2) / 256.0) AS BIGINT)
+      + (CASE WHEN n1 >= 8 THEN n1 - 16 ELSE n1 END) * delta)) AS x1,
+    greatest(16, (({adapt.format(n='n1')}) * delta) // 256) AS d1
+  FROM ms_co
+),
+ms_s2 AS (
+  SELECT *, greatest(-32768, least(32767,
+      CAST(trunc((x1*c1 + s1*c2) / 256.0) AS BIGINT)
+      + (CASE WHEN n2 >= 8 THEN n2 - 16 ELSE n2 END) * d1)) AS x2
+  FROM ms_s1
+),
+ms AS (
+  SELECT doc_id, {snd_stats('v')}
+  FROM (
+    SELECT doc_id, unnest([s2, s1, x1, x2]) AS v FROM ms_s2
+  )
+  GROUP BY doc_id
+)
+SELECT doc_id, 'bmp' AS fmt, 4 AS width, 4 AS height, mean_val,
+       CAST(NULL AS DOUBLE) AS rms, CAST(NULL AS DOUBLE) AS peak
+FROM bmp
+UNION ALL
+SELECT doc_id, 'ulaw' AS fmt, CAST(NULL AS INT) AS width,
+       CAST(NULL AS INT) AS height, CAST(NULL AS DOUBLE) AS mean_val, rms, peak
+FROM ulaw
+UNION ALL
+SELECT doc_id, 'alaw' AS fmt, CAST(NULL AS INT) AS width,
+       CAST(NULL AS INT) AS height, CAST(NULL AS DOUBLE) AS mean_val, rms, peak
+FROM alaw
+UNION ALL
+SELECT doc_id, 'msadpcm' AS fmt, CAST(NULL AS INT) AS width,
+       CAST(NULL AS INT) AS height, CAST(NULL AS DOUBLE) AS mean_val, rms, peak
+FROM ms
+ORDER BY doc_id
+"""
+
+
+SQL_MEDIA_CODEC_MATRIX = _sql_media_codec_matrix()
+
+
 QUERIES: dict[str, tuple] = {
+    "media_codec_matrix": (q_media_codec_matrix, SQL_MEDIA_CODEC_MATRIX),
     "media_decode_stats": (q_media_decode_stats, SQL_MEDIA_DECODE_STATS),
     "blob_metadata": (q_blob_metadata, SQL_BLOB_METADATA),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),

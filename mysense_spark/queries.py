@@ -32,81 +32,79 @@ def _modules():
 
 # Queries hoisted to the very front of the registry: the driver's
 # correctness gate checks exactly the FIRST 50 entries, so this list is
-# kept to exactly 50. Round-10 layout:
-# (a) 1 NEW query — media_decode_stats (the real PNG/WAV encode->decode
-# kernels under mapInPandas, oracle-pinned through a shared md5
-# synthesis) — and the 2 rows whose code changed this round —
-# semdedup_trained + ann_ivf_trained (the trained-codebook assignment
-# gained tiered physical plans: single-cell route elision, the fused
-# broadcast form, and a salted shuffle-routed equi-join above the
-# _TC_BCAST_K1 broadcast ceiling, so no O(K1) broadcast survives at
-# any N);
-# (b) the 20 rows whose last driver evidence is round 7 — rolled here
-# exactly as planned in the r9 comment;
-# (c) 27 of the 48 rows whose last evidence is round 8, alphabetical.
-# The remaining 21 r8-evidence rows (part_supplier_stats,
-# percentile_summary,
-# pricing_summary, props_json_stats, quality_centroid_score,
-# region_rollup, revenue_quartiles, semdedup, semdedup_auto,
-# sensor_set_diff, sensorthings_pull, simhash_pairs, spatial_pairs,
-# sql_interface, station_calibration, taylor_calibration, text_stats,
-# top_revenue_orders, ttn_decode, unit_conversion, winnow_fingerprints)
-# roll to round 11, after any r11-changed rows. After this window no
-# registry row's driver evidence is older than round 8.
+# kept to exactly 50. Round-11 layout:
+# (a) 1 NEW query — media_codec_matrix (the BMP24 round trip, G.711
+# mu/A-law decode, and MS-ADPCM decode kernels under mapInPandas,
+# oracle-pinned through the shared md5 synthesis: the BMP leg by
+# losslessness, the G.711 legs by an arithmetic expansion validated
+# exact against the tables for all 256 codes, the ADPCM leg by a
+# two-step SQL unroll of the predictor recurrence — which also
+# driver-grades the r11 truncate-toward-zero advice fix);
+# (b) the 21 rows whose last driver evidence is round 8 — rolled here
+# exactly as planned in the r10 comment;
+# (c) 28 of the 48 rows whose last evidence is round 9, alphabetical.
+# The remaining 20 r9-evidence rows (hourly_gapfill,
+# interval_inference, joost_correction, lang_id, latest_per_user,
+# linear_regression, lki_index, media_embed, moving_average,
+# ols_summary, pii_scrub, pm_mass_fill, quality_score, static_runs,
+# static_value_monitor, temperature_mix, timeslice_avg,
+# tokenizer_fertility, unpivot_long, wide_view) roll to round 12,
+# after any r12-changed rows. After this window no registry row's
+# driver evidence is older than round 9.
 _PRIORITY = (
-    # (a) new in round 10, then code changed in round 10
-    "media_decode_stats",
-    "semdedup_trained",
-    "ann_ivf_trained",
-    # (b) last driver evidence: round 7 (the planned 20)
-    "minmax_normalize",
-    "modality_mix",
-    "mode_per_user",
-    "multilinear_regression",
-    "ngram_jaccard_pairs",
-    "perplexity_bucket",
-    "range_validate",
-    "region_revenue",
-    "repetition_stats",
-    "sequence_packing",
-    "sigma_band",
-    "source_overlap",
-    "stratified_sample",
-    "tfidf_top_terms",
-    "token_count",
-    "tristate_validity",
-    "url_filter",
-    "vocab_stats",
-    "weighted_sample",
-    "zscore_outliers",
-    # (c) last driver evidence: round 8 (first 27, alphabetical)
-    "alarm_suppression",
-    "ann_ivf",
-    "ann_recall",
-    "bm25_search",
-    "chatty_kits",
-    "cluster_stats",
-    "csv_ingest",
-    "customers_without_orders",
-    "dedup_exact",
-    "dedup_keep_best",
-    "dew_point",
-    "embedding_dim_stats",
-    "embedding_neardup",
-    "event_sessions",
-    "geofence_transitions",
-    "gopher_filter",
-    "hourly_stats",
-    "hybrid_search_rrf",
-    "incremental_dedup",
-    "kit_throttle",
-    "kmeans_train",
-    "knn_bruteforce",
-    "maintenance_window_join",
-    "minhash_lsh_pairs",
-    "neardup_clusters",
-    "neighbour_search",
-    "order_priority_counts",
+    # (a) new in round 11
+    "media_codec_matrix",
+    # (b) last driver evidence: round 8 (the planned 21)
+    "part_supplier_stats",
+    "percentile_summary",
+    "pricing_summary",
+    "props_json_stats",
+    "quality_centroid_score",
+    "region_rollup",
+    "revenue_quartiles",
+    "semdedup",
+    "semdedup_auto",
+    "sensor_set_diff",
+    "sensorthings_pull",
+    "simhash_pairs",
+    "spatial_pairs",
+    "sql_interface",
+    "station_calibration",
+    "taylor_calibration",
+    "text_stats",
+    "top_revenue_orders",
+    "ttn_decode",
+    "unit_conversion",
+    "winnow_fingerprints",
+    # (c) last driver evidence: round 9 (first 28, alphabetical)
+    "approx_distinct_users",
+    "aqhi_index",
+    "aqi_index",
+    "asof_align",
+    "blob_metadata",
+    "caqi_index",
+    "cascade_rollup",
+    "chunk_overlap",
+    "corpus_build",
+    "coverage",
+    "crawl_rate_anomalies",
+    "cross_split_leakage",
+    "daily_qc_report",
+    "dead_kit_tiers",
+    "dead_kits",
+    "decontam_report",
+    "dedup_upsert",
+    "distinct_active_kits",
+    "doc_fingerprint",
+    "dup_ngram_frac",
+    "duplicate_spans",
+    "embedding_outliers",
+    "failing_sensor_report",
+    "fit_apply",
+    "frame_sample",
+    "gap_detection",
+    "grubbs_outliers",
+    "hash_sample",
 )
 
 

@@ -2940,3 +2940,102 @@ def test_jpeg_multiscan_dqt_redefinition_latches_first_scan_table():
     )
     with pytest.raises(ValueError, match="missing quant"):
         decode_jpeg_pixels(jp_late)
+
+
+def test_write_bmp_round_trip_and_contract():
+    """r11: write_bmp (24-bit, bottom-up, padded rows) round-trips
+    through decode_bmp losslessly at awkward widths (1..5 exercise all
+    four padding remainders), and the error contract matches write_png
+    (no silent mod-256 truncation, shape policing)."""
+    import numpy as np
+    import pytest
+
+    from mysense_spark.operators.multimodal import decode_bmp, write_bmp
+
+    rng = np.random.RandomState(11)
+    for w in (1, 2, 3, 4, 5):
+        px = rng.randint(0, 256, size=(3, w, 3)).astype(np.uint8)
+        meta, back = decode_bmp(write_bmp(px))
+        assert (meta["width"], meta["height"]) == (w, 3)
+        assert np.array_equal(back, px)
+    with pytest.raises(ValueError, match="8-bit"):
+        write_bmp(np.array([[[256, 0, 0]]], dtype=np.uint16))
+    with pytest.raises(ValueError, match="HxWx3"):
+        write_bmp(np.zeros((2, 2), dtype=np.uint8))
+    # in-range non-uint8 input still encodes
+    _, ok = decode_bmp(write_bmp(np.array([[[0, 128, 255]]], dtype=np.int32)))
+    assert ok.tolist() == [[[0, 128, 255]]]
+
+
+def test_media_codec_matrix_gate(spark, sf_dir):
+    """The r11 graded codec-matrix query: partition-shape independence
+    (mapInPandas must be stateless across Arrow batches), per-family
+    format routing, the BMP leg's codec-free md5 cross-check
+    (losslessness IS the oracle argument), and the G.711 legs verified
+    against the companding tables via a direct decode of the same
+    synthesized code bytes — plus the exactness pin of the SQL mirror's
+    arithmetic G.711 expansion for ALL 256 codes of both laws."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from mysense_spark.io import load
+    from mysense_spark.operators.multimodal import (
+        _g711_table,
+        media_codec_matrix,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    rows = {r["doc_id"]: r for r in media_codec_matrix(docs).collect()}
+    rows2 = {
+        r["doc_id"]: r
+        for r in media_codec_matrix(docs.repartition(7)).collect()
+    }
+    assert rows == rows2
+    fam_fmt = {0: "bmp", 1: "ulaw", 2: "alaw", 3: "msadpcm"}
+    for d, r in rows.items():
+        assert r["fmt"] == fam_fmt[d % 4]
+        if d % 4 == 0:
+            want = sum(
+                int(hashlib.md5(str(d * 512 + i).encode()).hexdigest()[:2], 16)
+                for i in range(48)
+            ) / 48
+            assert r["mean_val"] == math.floor(want * 1e6 + 0.5) / 1e6
+        else:
+            assert r["rms"] is not None and 0 <= r["peak"] <= 1.0
+    # G.711 legs against the tables, independently of decode_wav
+    mu, al = _g711_table(True), _g711_table(False)
+    for d, r in rows.items():
+        if d % 4 == 1:
+            codes = [
+                int(hashlib.md5(str(d * 512 + 128 + j).encode()).hexdigest()[:2], 16)
+                for j in range(32)
+            ]
+            x = mu[np.array(codes)] / 32768.0
+        elif d % 4 == 2:
+            codes = [
+                int(hashlib.md5(str(d * 512 + 192 + j).encode()).hexdigest()[:2], 16)
+                for j in range(32)
+            ]
+            x = al[np.array(codes)] / 32768.0
+        else:
+            continue
+        assert r["peak"] == math.floor(float(np.max(np.abs(x))) * 1e6 + 0.5) / 1e6
+    # the SQL mirror's arithmetic expansion is EXACT for every code
+    import duckdb
+
+    got = duckdb.sql(
+        "SELECT CASE WHEN (u & 128) = 128 THEN 132 - t ELSE t - 132 END"
+        " FROM (SELECT u, ((u & 15) * 8 + 132) * (1 << ((u >> 4) & 7)) AS t"
+        " FROM (SELECT 255 - i AS u FROM range(256) r(i) ORDER BY i))"
+    ).fetchall()
+    assert [v for (v,) in got] == mu.tolist()
+    got = duckdb.sql(
+        "SELECT CASE WHEN (a & 128) = 128 THEN t ELSE -t END FROM ("
+        " SELECT a, CASE WHEN ((a >> 4) & 7) = 0 THEN (a & 15) * 16 + 8"
+        " WHEN ((a >> 4) & 7) = 1 THEN (a & 15) * 16 + 264"
+        " ELSE ((a & 15) * 16 + 264) * (1 << (((a >> 4) & 7) - 1)) END AS t"
+        " FROM (SELECT xor(i, 85) AS a FROM range(256) r(i) ORDER BY i))"
+    ).fetchall()
+    assert [v for (v,) in got] == al.tolist()
