@@ -358,6 +358,185 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_search(_vectors(spark, sf_dir))
 
 
+# int8-range scalar-quantized codes for the refined search's cheap
+# stage: floor(x*127) is exact and identical cross-engine (the _QV_EXPR
+# idiom at SQ scale). 64 dims x 1 B is 8x less data than the float64
+# vectors — at 100 TB the code table is the part that fits in memory.
+_SQ_EXPR = "transform({v}, x -> CAST(floor(x * 127.0) AS BIGINT))"
+
+
+def ann_ivf_refined(
+    vecs: DataFrame,
+    nprobe: int = 2 * _NPROBE,
+    pool: int = 48,
+    centroids: DataFrame | None = None,
+    parts: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    return_pool: bool = False,
+):
+    """TWO-STAGE IVF search — the production recall-recovery pattern
+    (IVF + SQ prefilter + exact refine, the FAISS IVFFlat/SQ shape):
+
+    1. WIDE approximate probe: rank `nprobe` cells per query exactly as
+       the single-stage search does, but score the probed candidates
+       with the integer dot of int8-range SQ codes (floor(x*127) — 8x
+       less data per candidate than the float64 vectors, and exact
+       cross-engine arithmetic), keeping the top-`pool` candidate ids
+       per query.
+    2. EXACT re-rank: the pooled union goes through the fenced
+       knn_rerank (MAX_RERANK_QUERIES intact — queries stay bounded,
+       candidates are the pool, never the corpus) for full-precision
+       rounded-cosine top-5.
+
+    Why this beats single-stage at EQUAL full-precision scan: stage 1
+    can afford 2-4x more cells because it reads codes, not vectors; the
+    exact stage then touches only `pool` candidates per query — so the
+    recall of the wider probe arrives at the narrower probe's
+    full-precision cost (measured: tools/ivf_recall_curve.py --refined,
+    table in SCALING.md). `centroids` selects the fixture codebook
+    (graded q_ann_ivf_refined); default is the trained two-level
+    codebook, `parts` reuses a trained construction across a sweep;
+    `return_pool` additionally returns the pooled-union DataFrame so
+    the sweep can measure the ACTUAL full-precision scan fraction."""
+    if centroids is None:
+        _, f1cell, final = parts if parts is not None else _two_level_parts(vecs)
+        membership = vecs.join(final, "vec_id").select("vec_id", "v", "norm", "cent_id")
+        q = vecs.where(F.col("vec_id") < _N_QUERIES).select(
+            "vec_id", "v", "norm", F.expr(_QV_EXPR).alias("qv")
+        )
+        probes = (
+            q.crossJoin(F.broadcast(f1cell.select("fine_id", "fqv1")))
+            .withColumn("dist", _int_l2(F.col("qv"), F.col("fqv1")))
+            .withColumn(
+                "crank",
+                F.row_number().over(
+                    Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("fine_id"))
+                ),
+            )
+            .where(F.col("crank") <= nprobe)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("v").alias("pv"),
+                F.col("norm").alias("qnorm"),
+                F.col("fine_id").alias("cent_id"),
+            )
+        )
+    else:
+        membership = ivf_membership(vecs, centroids)
+        probes = (
+            ivf_assigned(vecs.where(F.col("vec_id") < _N_QUERIES), centroids)
+            .where(F.col("crank") <= nprobe)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("v").alias("pv"),
+                F.col("norm").alias("qnorm"),
+                "cent_id",
+            )
+        )
+    cand = membership.select(
+        F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm"), "cent_id"
+    )
+    # stage 1: integer SQ dot (JVM-side zip_with/aggregate — whole-stage
+    # codegen, no Python), top-`pool` ids per query
+    approx = F.aggregate(
+        F.zip_with(
+            F.expr(_SQ_EXPR.format(v="pv")),
+            F.expr(_SQ_EXPR.format(v="cv")),
+            lambda a, b: a * b,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pooled = (
+        probes.join(cand, "cent_id")
+        .where(F.col("query_id") != F.col("cand_id"))
+        .withColumn("approx", approx)
+        .withColumn(
+            "prank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("cand_id"))
+            ),
+        )
+        .where(F.col("prank") <= pool)
+        .select("cand_id")
+        .distinct()
+    )
+    # stage 2: full-precision re-rank of the pooled union through the
+    # fenced tier — queries bounded by the fence, candidates by `pool`
+    queries = vecs.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
+    )
+    cand_union = (
+        vecs.join(pooled, vecs["vec_id"] == pooled["cand_id"])
+        .select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm"))
+    )
+    out = knn_rerank(queries, cand_union, top_k=5).orderBy("query_id", "rank")
+    return (out, pooled) if return_pool else out
+
+
+def q_ann_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded entry for the two-stage refined search on the fixture
+    codebook: probe 4 of the 8 cells with SQ-code scoring, pool 48
+    candidates per query, exact re-rank through knn_rerank. The DuckDB
+    oracle mirrors both stages — the integer SQ dot, the pool window,
+    the union, and the rounded-cosine re-rank."""
+    vecs = _vectors(spark, sf_dir)
+    return ann_ivf_refined(vecs, centroids=_fixture_centroids(vecs))
+
+
+_SQL_SQ_DOT = (
+    "list_sum(list_transform(range(len({q})), i ->"
+    " CAST(floor({q}[i+1] * 127.0) AS BIGINT)"
+    " * CAST(floor({c}[i+1] * 127.0) AS BIGINT)))"
+)
+
+SQL_ANN_IVF_REFINED = f"""
+WITH vecs AS ({_SQL_VECTORS}),
+cents AS (
+  SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM vecs
+  WHERE vec_id >= {_CENTROID_BASE} AND vec_id < {_CENTROID_BASE + _N_CENTROIDS}
+),
+assigned AS (
+  SELECT q.vec_id, q.v, q.norm, c.cent_id,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY (floor((list_sum(list_transform(range(len(q.v)), i -> q.v[i+1] * c.cv[i+1]))
+                                           / (q.norm * c.cnorm)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) DESC, c.cent_id ASC) AS crank
+  FROM vecs q CROSS JOIN cents c
+),
+membership AS (SELECT vec_id, v, norm, cent_id FROM assigned WHERE crank = 1),
+probes AS (
+  SELECT vec_id AS query_id, v AS pv, cent_id
+  FROM assigned WHERE vec_id < {_N_QUERIES} AND crank <= {2 * _NPROBE}
+),
+pooled AS (
+  SELECT DISTINCT cand_id FROM (
+    SELECT p.query_id, m.vec_id AS cand_id,
+           row_number() OVER (PARTITION BY p.query_id
+                              ORDER BY {_SQL_SQ_DOT.format(q="p.pv", c="m.v")} DESC, m.vec_id ASC) AS prank
+    FROM probes p JOIN membership m ON p.cent_id = m.cent_id
+    WHERE p.query_id <> m.vec_id
+  ) WHERE prank <= 48
+),
+queries AS (
+  SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM vecs WHERE vec_id < {_N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS cand_id,
+         (floor((list_sum(list_transform(range(len(q.qv)), i -> q.qv[i+1] * c.v[i+1]))
+               / (q.qnorm * c.norm)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS cosine
+  FROM queries q
+  JOIN (SELECT v2.* FROM vecs v2 JOIN pooled pl ON v2.vec_id = pl.cand_id) c
+    ON q.query_id <> c.vec_id
+)
+SELECT query_id, rank, cand_id, cosine
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
 def _sql_ann_ivf_trained() -> str:
     return f"""
 WITH vecs AS ({_SQL_VECTORS}),
@@ -1848,6 +2027,7 @@ QUERIES: dict[str, tuple] = {
     "embedding_dim_stats": (q_embedding_dim_stats, SQL_EMBEDDING_DIM_STATS),
     "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
     "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
+    "ann_ivf_refined": (q_ann_ivf_refined, SQL_ANN_IVF_REFINED),
     "cluster_stats": (q_cluster_stats, SQL_CLUSTER_STATS),
     "kmeans_train": (q_kmeans_train, SQL_KMEANS_TRAIN),
 }

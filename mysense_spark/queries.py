@@ -33,7 +33,10 @@ def _modules():
 # Queries hoisted to the very front of the registry: the driver's
 # correctness gate checks exactly the FIRST 50 entries, so this list is
 # kept to exactly 50. Round-11 layout:
-# (a) 1 NEW query — media_codec_matrix (the BMP24 round trip, G.711
+# (a) 2 NEW queries — ann_ivf_refined (two-stage IVF: wide SQ-code
+# probe pooling candidates, exact re-rank through the fenced
+# knn_rerank — both stages DuckDB-mirrored) and media_codec_matrix
+# (the BMP24 round trip, G.711
 # mu/A-law decode, and MS-ADPCM decode kernels under mapInPandas,
 # oracle-pinned through the shared md5 synthesis: the BMP leg by
 # losslessness, the G.711 legs by an arithmetic expansion validated
@@ -42,8 +45,8 @@ def _modules():
 # driver-grades the r11 truncate-toward-zero advice fix);
 # (b) the 21 rows whose last driver evidence is round 8 — rolled here
 # exactly as planned in the r10 comment;
-# (c) 28 of the 48 rows whose last evidence is round 9, alphabetical.
-# The remaining 20 r9-evidence rows (hourly_gapfill,
+# (c) 27 of the 48 rows whose last evidence is round 9, alphabetical.
+# The remaining 21 r9-evidence rows (hash_sample, hourly_gapfill,
 # interval_inference, joost_correction, lang_id, latest_per_user,
 # linear_regression, lki_index, media_embed, moving_average,
 # ols_summary, pii_scrub, pm_mass_fill, quality_score, static_runs,
@@ -54,6 +57,7 @@ def _modules():
 _PRIORITY = (
     # (a) new in round 11
     "media_codec_matrix",
+    "ann_ivf_refined",
     # (b) last driver evidence: round 8 (the planned 21)
     "part_supplier_stats",
     "percentile_summary",
@@ -76,7 +80,7 @@ _PRIORITY = (
     "ttn_decode",
     "unit_conversion",
     "winnow_fingerprints",
-    # (c) last driver evidence: round 9 (first 28, alphabetical)
+    # (c) last driver evidence: round 9 (first 27, alphabetical)
     "approx_distinct_users",
     "aqhi_index",
     "aqi_index",
@@ -104,7 +108,6 @@ _PRIORITY = (
     "frame_sample",
     "gap_detection",
     "grubbs_outliers",
-    "hash_sample",
 )
 
 

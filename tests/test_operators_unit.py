@@ -3039,3 +3039,59 @@ def test_media_codec_matrix_gate(spark, sf_dir):
         " FROM (SELECT xor(i, 85) AS a FROM range(256) r(i) ORDER BY i))"
     ).fetchall()
     assert [v for (v,) in got] == al.tolist()
+
+
+def test_ann_ivf_refined_two_stage_invariants(spark, sf_dir):
+    """r11 two-stage IVF (wide SQ probe -> exact re-rank through the
+    knn_rerank fence): (a) with the probe opened to ALL cells and the
+    pool bigger than the corpus, the refined result equals brute-force
+    exact top-5 — the refine stage is genuinely exact, losing nothing
+    the pool kept; (b) the pooled union never exceeds pool x queries;
+    (c) the MAX_RERANK_QUERIES fence is intact underneath (the refined
+    path calls through it, not around it)."""
+    from pyspark.sql import functions as F
+
+    from mysense_spark.operators.similarity import (
+        _N_CENTROIDS,
+        _fixture_centroids,
+        _N_QUERIES,
+        _vectors,
+        ann_ivf_refined,
+        q_knn_bruteforce,
+    )
+
+    vecs = _vectors(spark, sf_dir)
+    n = vecs.count()
+    refined, pooled = ann_ivf_refined(
+        vecs,
+        nprobe=_N_CENTROIDS,
+        pool=n + 1,
+        centroids=_fixture_centroids(vecs),
+        return_pool=True,
+    )
+    got = [(r["query_id"], r["rank"], r["cand_id"]) for r in refined.collect()]
+    exact = [
+        (r["query_id"], r["rank"], r["cand_id"])
+        for r in q_knn_bruteforce(spark, sf_dir).where(F.col("rank") <= 5).collect()
+    ]
+    assert got == exact
+    # bounded pool
+    small_pool = ann_ivf_refined(
+        vecs, nprobe=2, pool=7, centroids=_fixture_centroids(vecs), return_pool=True
+    )[1]
+    assert small_pool.count() <= 7 * _N_QUERIES
+    # the fence underneath still raises on an oversized query side
+    import pytest
+
+    from mysense_spark.operators.similarity import MAX_RERANK_QUERIES, knn_rerank
+
+    big_q = spark.range(MAX_RERANK_QUERIES + 1).select(
+        F.col("id").alias("query_id"),
+        F.array(F.lit(1.0)).alias("qv"),
+        F.lit(1.0).alias("qnorm"),
+    )
+    c = vecs.select(
+        F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm")
+    )
+    with pytest.raises(ValueError, match="re-rank tier"):
+        knn_rerank(big_q, c)

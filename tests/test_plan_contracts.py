@@ -33,6 +33,7 @@ def _plan(spark, name: str, sf_dir: str) -> str:
 _FENCED_CROSSJOIN = {
     "knn_bruteforce",
     "ann_ivf",
+    "ann_ivf_refined",  # r11: SQ-probe pool + fenced knn_rerank refine
     "ann_recall",
     "embedding_neardup",
     "semdedup",

@@ -8,7 +8,17 @@ Default mode runs the TRAINED two-level codebook (the engine's default
 non-fixture path, r8); `--fixture` runs the frozen 8-centroid fixture
 codebook the graded q_ann_ivf uses (the r7 curve, kept reproducible).
 
-Usage: python tools/ivf_recall_curve.py [sf_dir] [out_json] [--fixture]
+`--refined` (r11) sweeps the TWO-STAGE search (ann_ivf_refined: wide
+SQ-code probe + exact re-rank of the pooled union) over (nprobe, pool)
+on the trained codebook, reporting recall@5 against BOTH cost axes —
+the full-precision scan fraction (ACTUAL pooled-union size / corpus,
+the bytes-dominant axis a single-stage search pays at nprobe/K) and
+the cheap-code scan fraction (nprobe/K of the 8x-smaller SQ table).
+The comparison that justifies the tier: recall at FIXED full-precision
+scan vs the single-stage curve.
+
+Usage: python tools/ivf_recall_curve.py [sf_dir] [out_json]
+           [--fixture | --refined]
 Defaults: /tmp/scale/sf1.0, /tmp/ivf_recall_curve.json
 """
 
@@ -25,6 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     fixture = "--fixture" in sys.argv
+    refined = "--refined" in sys.argv
     sf_dir = args[0] if len(args) > 0 else "/tmp/scale/sf1.0"
     out_path = args[1] if len(args) > 1 else "/tmp/ivf_recall_curve.json"
 
@@ -36,6 +47,7 @@ def main() -> None:
         _fixture_centroids,
         _two_level_parts,
         _vectors,
+        ann_ivf_refined,
         ann_ivf_search,
         q_knn_bruteforce,
     )
@@ -44,6 +56,48 @@ def main() -> None:
     spark = get_spark("ivf-recall-curve")
     vecs = _vectors(spark, sf_dir)
     n_corpus = vecs.count()
+
+    if refined:
+        parts = _two_level_parts(vecs)
+        n_cells = parts[2].select("cent_id").distinct().count()
+        exact = {
+            (r["query_id"], r["cand_id"])
+            for r in q_knn_bruteforce(spark, sf_dir).where(F.col("rank") <= 5).collect()
+        }
+        curve = []
+        for nprobe in (16, 32, 64):
+            if nprobe > n_cells:
+                continue
+            for pool in (110, 220, 440, 880):
+                t0 = time.monotonic()
+                searched, pooled = ann_ivf_refined(
+                    vecs, nprobe=nprobe, pool=pool, parts=parts, return_pool=True
+                )
+                ivf = {(r["query_id"], r["cand_id"]) for r in searched.collect()}
+                union = pooled.count()
+                sec = time.monotonic() - t0
+                curve.append(
+                    {
+                        "nprobe": nprobe,
+                        "pool": pool,
+                        "recall_at_5": round(len(exact & ivf) / len(exact), 4),
+                        "sec": round(sec, 2),
+                        "full_precision_scan_frac": round(union / n_corpus, 4),
+                        "code_scan_frac": round(nprobe / n_cells, 4),
+                    }
+                )
+                print(curve[-1], flush=True)
+        out = {
+            "sf_dir": sf_dir,
+            "n_corpus": n_corpus,
+            "codebook": "trained_two_level_refined",
+            "n_cells": n_cells,
+            "curve": curve,
+        }
+        with open(out_path, "w") as fh:
+            json.dump(out, fh, indent=1)
+        print("wrote", out_path)
+        return
 
     if fixture:
         centroids = _fixture_centroids(vecs)
