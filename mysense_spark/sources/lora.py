@@ -53,6 +53,14 @@ def _u32(b: bytes, i: int) -> int:
     return (b[i] << 24) | (b[i + 1] << 16) | (b[i + 2] << 8) | b[i + 3]
 
 
+def _need(b: bytes, n: int, what: str) -> None:
+    """Length gate for fixed-size blocks (r11 fuzz hardening): a short
+    frame raises the contractual ValueError instead of leaking
+    IndexError/struct.error out of the quarantine path."""
+    if len(b) < n:
+        raise ValueError(f"truncated LoRa datagram: {what} needs {n} bytes, have {len(b)}")
+
+
 def _decode_pm_mass(b: bytes, has_pm1: bool) -> tuple[str, dict]:
     """PM mass block: optional pm1 then pm25, pm10 (each H, x/10, 0=absent)."""
     out: dict = {}
@@ -184,6 +192,7 @@ def _decode_wind(b: bytes) -> dict:
 
 def decode_port_2_or_4(payload: bytes, port: int) -> dict:
     """Measurement datagram -> {sensor_type: {field: value}}."""
+    _need(payload, 1, "port-2/4 header")
     out: dict = {}
     flags = 0
     i = 0
@@ -202,13 +211,16 @@ def decode_port_2_or_4(payload: bytes, port: int) -> dict:
             flags = FLAG_PM1 | FLAG_GAS
 
     end = i + (6 if flags & FLAG_PM1 else 4)
+    _need(payload, end, "PM mass block")
     pm_sensor, pm = _decode_pm_mass(payload[i:end], has_pm1=bool(flags & FLAG_PM1))
     i = end
     if flags & FLAG_COUNTS:
         if port == 2:
+            _need(payload, i + 9, "port-2 counts block")
             c_sensor, counts = _decode_counts_p2(payload[i : i + 9])
             i += 9
         else:
+            _need(payload, i + 12, "port-4 counts block")
             c_sensor, counts = _decode_counts_p4(payload[i : i + 12])
             i += 12
         counts.update(pm)
@@ -220,6 +232,7 @@ def decode_port_2_or_4(payload: bytes, port: int) -> dict:
     if len(payload) >= end:
         if flags & FLAG_GAS:
             end += 4
+            _need(payload, end, "meteo+gas block")
         m_sensor, meteo = _decode_meteo(payload[i:end])
         if meteo:
             out.setdefault(m_sensor, {}).update(meteo)
@@ -239,17 +252,21 @@ def decode_port_2_or_4(payload: bytes, port: int) -> dict:
 
 def decode_port_3(payload: bytes) -> dict:
     """Meta/event datagram: kit configuration or an operational event."""
+    _need(payload, 2, "port-3 header")
     meta: dict = {"version": round(payload[0] / 10.0, 1)}
     if payload[1] == 0:
+        _need(payload, 4, "port-3 event frame")
         meta["event"] = payload[-1]
         if payload[-2]:
             meta["value"] = payload[-2]
         return {"meta": meta}
-    meta["dust"] = DUST_TYPES[payload[1] & 7]
+    dust_id = payload[1] & 7
+    meta["dust"] = DUST_TYPES[dust_id] if dust_id < len(DUST_TYPES) else "unknown"
     if payload[1] & 8:
         meta["gps"] = "NEO-6"
     meteo_id = (payload[1] >> 4) & 15
     meta["meteo"] = METEO_TYPES[meteo_id] if meteo_id < len(METEO_TYPES) else "unknown"
+    _need(payload, 14, "port-3 config frame")
     lat = _u32(payload, 2)
     if lat:
         meta["geolocation"] = {
@@ -296,6 +313,7 @@ def decode_port_12(payload: bytes) -> dict:
     """weerDIY1 rules-engine decode (big-endian)."""
     import struct
 
+    _need(payload, 1, "port-12 header")
     out: dict = {"meta": {"version": round(payload[0] / 10.0, 1)}}
     i = 1
     while i < len(payload):
@@ -306,6 +324,7 @@ def decode_port_12(payload: bytes) -> dict:
         sensor, fields = WEER_DIY1_RULES[sensor_id]
         fmt = ">" + "".join(f[1] for f in fields)
         size = struct.calcsize(fmt)
+        _need(payload, i + size, f"weerDIY1 sensor-{sensor_id} block")
         values = struct.unpack(fmt, payload[i : i + size])
         i += size
         decoded: dict = {}
@@ -353,9 +372,11 @@ def decode_port_10(payload: bytes) -> dict:
 
     if payload[:3] != b"<=>":
         raise ValueError("not a Libelium frame")
+    _need(payload, 13, "Libelium header")
     frame_type = payload[3]
     serial = struct.unpack("<Q", payload[5:13])[0]
-    end = payload.index(b"#", 13)
+    end = payload.index(b"#", 13)  # ValueError when missing: contractual
+    _need(payload, end + 2, "Libelium sequence byte")
     wasp_id = payload[13:end].decode("ascii", errors="replace")
     seq = payload[end + 1]
     out: dict = {
@@ -369,6 +390,7 @@ def decode_port_10(payload: bytes) -> dict:
             break
         sensor, field, fmt, scale = LIBELIUM_RULES[sensor_id]
         size = struct.calcsize(fmt)
+        _need(payload, i + size, f"Libelium sensor-{sensor_id} value")
         (raw,) = struct.unpack("<" + fmt, payload[i : i + size])
         i += size
         val = raw / scale

@@ -15,12 +15,64 @@ emit for tabular data.
 
 from __future__ import annotations
 
+import functools
 import re
 import zipfile
+import zlib
 from xml.etree import ElementTree as ET
 from xml.sax.saxutils import escape
 
 _NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+
+# Error contract of the READ surface (r11 fuzz hardening): a malformed
+# file raises ValueError — never the zip/zlib/XML layer's own types.
+# The mutation battery (tests/test_property.py) surfaced every member
+# of this set from byte-flipped/truncated/spliced real workbooks:
+# BadZipFile (magic/CRC), zlib.error (corrupt deflate stream),
+# ParseError (broken XML), KeyError (missing part), IndexError
+# (shared-string index out of range), OverflowError (absurd serial
+# dates), EOFError (truncated member), RuntimeError ("encrypted" flag
+# bits), NotImplementedError (zipfile's patched-data flag bit).
+_MALFORMED = (
+    zipfile.BadZipFile,
+    zlib.error,
+    ET.ParseError,
+    KeyError,
+    IndexError,
+    OverflowError,
+    EOFError,
+    RuntimeError,
+    NotImplementedError,
+    UnicodeDecodeError,
+)
+
+
+def _quarantined(fn):
+    """Normalize the malformed-file error surface to ValueError
+    (quarantine-don't-guess, the media-codec contract). Genuine I/O
+    errors (missing file, permissions) propagate unchanged; so does
+    TypeError — a code bug must stay loud, not dress up as a bad file.
+    OSError from INSIDE a parse (zipfile seeking through a corrupt
+    central directory) counts as malformed."""
+
+    @functools.wraps(fn)
+    def run(path, *args, **kwargs):
+        try:
+            return fn(path, *args, **kwargs)
+        except ValueError:
+            raise
+        except _MALFORMED as exc:
+            raise ValueError(
+                f"{path}: malformed XLSX ({type(exc).__name__}: {exc})"
+            ) from exc
+        except OSError as exc:
+            if isinstance(exc, (FileNotFoundError, PermissionError, IsADirectoryError)):
+                raise
+            raise ValueError(
+                f"{path}: malformed XLSX ({type(exc).__name__}: {exc})"
+            ) from exc
+
+    return run
 
 
 def _col_letter(idx: int) -> str:
@@ -302,6 +354,7 @@ def _serial_to_datetime(x, date1904: bool):
     return base + dt.timedelta(microseconds=round(float(x) * 86_400_000_000))
 
 
+@_quarantined
 def list_sheets(path: str) -> list[str]:
     """Worksheet names in workbook order (empty list when the workbook
     part is missing — a part-number-only file)."""
@@ -309,6 +362,7 @@ def list_sheets(path: str) -> list[str]:
         return [n for n, _ in _workbook_sheets(z, z.namelist())]
 
 
+@_quarantined
 def read_xlsx(path: str, sheet: str | int = 0) -> list[dict]:
     """Read one worksheet back as a list of dicts keyed on the header
     row. Numbers come back as float (int when integral), shared and

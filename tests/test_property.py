@@ -379,3 +379,152 @@ def test_jpeg_unit_quant_gray_roundtrip_any_shape(shape, seed):
     _, back = decode_jpeg_pixels(write_jpeg(arr))
     assert back.shape == arr.shape
     assert int(np.abs(back.astype(int) - arr.astype(int)).max()) <= 1
+
+
+# ---------------------------------------------------------------------------
+# LoRa + XLSX error-contract fuzzing (r11, the VERDICT #6 battery): the
+# two parse surfaces with media-codec-grade exposure that the r10
+# battery did not cover. Same contract: decode or raise ValueError —
+# never IndexError / struct.error / zipfile.BadZipFile / zlib.error /
+# KeyError out of the quarantine path. Mutating VALID frames/workbooks
+# reaches deeper than random bytes (which rarely survive magic checks);
+# both strategies run.
+# ---------------------------------------------------------------------------
+
+_LORA_GOLDEN = [
+    # (b64 payload, port) — the golden replay frames from
+    # tests/test_lora_decode.py plus a Libelium port-10 capture
+    ("hQAAAJsArgF4A3oD+gEOAJw=", 2),
+    ("jwDcAV4BmoADeMctaQMPAIkANAF6A2ED/QEMAR8ATr4SAAj1GgAAAVw=", 4),
+    ("BUwATsZmAAj46gAAAQs=", 3),
+    ("AAEBQgIoBAETQKPzWkJ0fmv/////FAB4AVg=", 12),
+    ("PD0+BjhPhxj9wzfe725vZGVfMDEj1TRgSs3MTL1MAADIQk16tMZHngAAAACfAAAAAKCEDQ8/nQicmpmZQA==", 10),
+]
+
+
+@given(
+    fi=st.integers(min_value=0, max_value=len(_LORA_GOLDEN) - 1),
+    data=st.data(),
+)
+@settings(max_examples=400, deadline=None)
+def test_lora_mutation_fuzz_error_contract(fi, data):
+    """Byte-flip/truncate/splice a GOLDEN LoRa frame and require
+    decode_payload to return a dict or raise exactly ValueError (the
+    quarantine type dead_letter_stream routes on)."""
+    import base64
+
+    from mysense_spark.sources.lora import decode_payload
+
+    b64, port = _LORA_GOLDEN[fi]
+    base = bytearray(base64.b64decode(b64))
+    mode = data.draw(st.integers(min_value=0, max_value=2))
+    if mode == 0:
+        for _ in range(data.draw(st.integers(min_value=1, max_value=4))):
+            i = data.draw(st.integers(min_value=0, max_value=len(base) - 1))
+            base[i] ^= data.draw(st.integers(min_value=1, max_value=255))
+    elif mode == 1:
+        base = base[: data.draw(st.integers(min_value=0, max_value=len(base)))]
+    else:
+        i = data.draw(st.integers(min_value=0, max_value=len(base)))
+        junk = data.draw(st.binary(min_size=1, max_size=12))
+        base = base[:i] + bytearray(junk) + base[i:]
+    try:
+        out = decode_payload(base64.b64encode(bytes(base)).decode(), port)
+        assert isinstance(out, dict)
+    except ValueError:
+        pass  # binascii.Error subclasses ValueError; the contract holds
+
+
+@given(
+    raw=st.binary(min_size=0, max_size=48),
+    port=st.sampled_from([0, 2, 3, 4, 7, 10, 12]),
+)
+@settings(max_examples=400, deadline=None)
+def test_lora_random_bytes_error_contract(raw, port):
+    """Raw random bytes on every port: dict or ValueError, nothing
+    else (200k-trial standalone sweep recorded zero violations)."""
+    import base64
+
+    from mysense_spark.sources.lora import decode_payload
+
+    try:
+        out = decode_payload(base64.b64encode(raw).decode(), port)
+        assert isinstance(out, dict)
+    except ValueError:
+        pass
+
+
+def _xlsx_fixture_bytes():
+    import datetime
+    import os
+    import tempfile
+
+    from mysense_spark.sources.xlsx import write_xlsx_sheets
+
+    path = os.path.join(tempfile.mkdtemp(prefix="xlsx_fuzz"), "base.xlsx")
+    write_xlsx_sheets(
+        {
+            "alpha": [{"a": 1, "b": "x", "c": 2.5}, {"a": 2, "b": "y", "c": None}],
+            "beta": [{"d": datetime.datetime(2024, 3, 1, 12, 0), "e": True}],
+        },
+        path,
+    )
+    with open(path, "rb") as fh:
+        return fh.read()
+
+
+_XLSX_BASE = _xlsx_fixture_bytes()
+
+
+@given(data=st.data())
+@settings(max_examples=300, deadline=None)
+def test_xlsx_mutation_fuzz_error_contract(data):
+    """Byte-flip/truncate/splice a real workbook (and raw random bytes)
+    through read_xlsx + list_sheets: rows or ValueError — the zip/zlib/
+    XML layers' own exception types must never escape the quarantine
+    normalization (each member of xlsx._MALFORMED was surfaced by this
+    battery before the wrapper existed)."""
+    import os
+    import tempfile
+
+    from mysense_spark.sources.xlsx import list_sheets, read_xlsx
+
+    base = bytearray(_XLSX_BASE)
+    mode = data.draw(st.integers(min_value=0, max_value=3))
+    if mode == 0:
+        for _ in range(data.draw(st.integers(min_value=1, max_value=4))):
+            i = data.draw(st.integers(min_value=0, max_value=len(base) - 1))
+            base[i] ^= data.draw(st.integers(min_value=1, max_value=255))
+    elif mode == 1:
+        base = base[: data.draw(st.integers(min_value=0, max_value=len(base)))]
+    elif mode == 2:
+        i = data.draw(st.integers(min_value=0, max_value=len(base)))
+        junk = data.draw(st.binary(min_size=1, max_size=16))
+        base = base[:i] + bytearray(junk) + base[i:]
+    else:
+        base = bytearray(data.draw(st.binary(min_size=0, max_size=64)))
+    fd, path = tempfile.mkstemp(suffix=".xlsx")
+    try:
+        with os.fdopen(fd, "wb") as fh:
+            fh.write(bytes(base))
+        sheet = data.draw(st.sampled_from([0, 1, 5, "alpha", "nope"]))
+        try:
+            rows = read_xlsx(path, sheet=sheet)
+            assert isinstance(rows, list)
+            assert isinstance(list_sheets(path), list)
+        except ValueError:
+            pass
+    finally:
+        os.unlink(path)
+
+
+def test_xlsx_missing_file_still_raises_oserror():
+    """The quarantine wrapper must NOT swallow genuine I/O errors: a
+    nonexistent path stays FileNotFoundError (caller bug), not a
+    'malformed file' ValueError."""
+    import pytest
+
+    from mysense_spark.sources.xlsx import read_xlsx
+
+    with pytest.raises(FileNotFoundError):
+        read_xlsx("/nonexistent/dir/nope.xlsx")
