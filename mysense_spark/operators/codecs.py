@@ -10,7 +10,7 @@ plain marker/box structures long before any entropy coding starts — so
 formats. Since late r9 the BASELINE JPEG pixel tier is real too
 (decode_jpeg_pixels: Huffman entropy decode, dequant, IDCT, chroma
 upsampling, YCbCr→RGB — validated by a unit-quant encoder round-trip
-AND a hand-crafted bitstream); only progressive/arithmetic JPEG scans
+AND a hand-crafted bitstream); only arithmetic/hierarchical JPEG scans
 and MP4 sample decode remain honestly gated behind NotImplementedError
 (those genuinely need a codec library).
 
@@ -399,9 +399,10 @@ def decode_jpeg(payload: bytes, pixels: bool = True):
     """JPEG decode: the header tier (geometry/components/progressive) is
     parse_jpeg_header; the pixel tier is REAL for baseline sequential
     JPEG since r9 AND progressive Huffman JPEG since r10
-    (decode_jpeg_pixels / _decode_multiscan below); arithmetic-coded,
-    lossless, and hierarchical frames raise NotImplementedError
-    (genuinely a codec-library tier)."""
+    (decode_jpeg_pixels / _decode_multiscan below) AND lossless SOF3
+    since r11 (_decode_lossless); arithmetic-coded and hierarchical
+    frames raise NotImplementedError (genuinely a codec-library
+    tier)."""
     meta = parse_jpeg_header(payload)
     if not pixels:
         return meta, None
@@ -513,8 +514,8 @@ def decode_mp4(payload: bytes, pixels: bool = True):
 # upsampling + YCbCr->RGB, pure stdlib + numpy. This closes the "JPEG
 # needs a codec library" gate for the baseline sequential tier (ITU T.81
 # — the overwhelming majority of crawl-corpus JPEGs); progressive
-# Huffman scans are real too since r10 (below); only arithmetic coding,
-# lossless, and hierarchical frames stay gated.
+# Huffman scans are real too since r10 (below) and lossless SOF3 since
+# r11; only arithmetic coding and hierarchical frames stay gated.
 # Correctness tier: the entropy loop is per-symbol Python,
 # fine for validation and sampled decodes; bulk throughput is what a
 # codec library is FOR, and media_properties never runs this (header
@@ -636,8 +637,9 @@ def decode_jpeg_pixels(payload: bytes):
     zigzag, orthonormal IDCT, replicated chroma upsampling for 4:2:x,
     and JFIF YCbCr->RGB. Returns (meta, HxW uint8 grayscale or HxWx3
     RGB). Progressive (SOF2) and sequential multi-scan frames dispatch
-    to _decode_multiscan (real since r10); arithmetic/lossless/hierarchical frames raise
-    NotImplementedError; malformed structures raise ValueError.
+    to _decode_multiscan (real since r10), lossless SOF3 frames to
+    _decode_lossless (real since r11); arithmetic/hierarchical frames
+    raise NotImplementedError; malformed structures raise ValueError.
     Validated by round-trip against the unit-quant encoder below plus
     hand-computed flat-field cases."""
     import numpy as np
@@ -657,9 +659,11 @@ def decode_jpeg_pixels(payload: bytes):
         elif marker in _JPEG_SOF:
             if marker == 0xC2:  # progressive, Huffman-coded: real since r10
                 return _decode_multiscan(b)
+            if marker == 0xC3:  # lossless, Huffman-coded: real since r11
+                return _decode_lossless(b)
             if marker not in (0xC0, 0xC1):
                 raise NotImplementedError(
-                    "non-baseline JPEG (arithmetic/lossless/hierarchical) "
+                    "non-baseline JPEG (arithmetic/hierarchical) "
                     "needs a codec library"
                 )
             width, height, precision, _, comps = _parse_sof(marker, body)
@@ -1022,6 +1026,330 @@ def _decode_multiscan(b: bytes):
                 plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = C.T @ block @ C + 128.0
         c["plane"] = plane
     return _planes_to_image(comps, width, height, hmax, vmax, progressive=progressive)
+
+
+# ---------------------------------------------------------------------------
+# Lossless JPEG (r11): ITU T.81 process 14 (SOF3, Huffman-coded spatial
+# DPCM — no DCT, no quantization, no color transform). The format DNG
+# and DICOM archives actually use for raw sensor data. This narrows the
+# JPEG gate to arithmetic coding and hierarchical frames only. Same
+# correctness-tier caveat as the other entropy loops: per-sample
+# Python, parallel across blobs inside an Arrow batch.
+# ---------------------------------------------------------------------------
+
+
+def _ll_predict(plane, x: int, y: int, psel: int) -> int:
+    """T.81 Table H.1 predictor for sample (x, y): the first line falls
+    back to Ra (left), a row start to Rb (above); >> is the spec's
+    arithmetic shift (floors on negatives, as in every reference
+    decoder)."""
+    if y == 0:
+        return int(plane[0, x - 1])
+    if x == 0:
+        return int(plane[y - 1, 0])
+    ra, rb = int(plane[y, x - 1]), int(plane[y - 1, x])
+    if psel == 1:
+        return ra
+    if psel == 2:
+        return rb
+    rc = int(plane[y - 1, x - 1])
+    if psel == 3:
+        return rc
+    if psel == 4:
+        return ra + rb - rc
+    if psel == 5:
+        return ra + ((rb - rc) >> 1)
+    if psel == 6:
+        return rb + ((ra - rc) >> 1)
+    return (ra + rb) >> 1
+
+
+def _decode_lossless_scan(
+    b, pos, scomps, psel, pt, huff, restart, width, height, prec
+) -> int:
+    """Decode ONE lossless scan into the components' sample planes;
+    returns the offset of the terminating marker. Interleaved MCU = one
+    sample per scan component (all factors are 1x1 — gated at SOF).
+    Differences are DC-style Huffman categories with category 16
+    meaning +32768 (T.81 H.1.2.2, no appended bits); reconstruction is
+    modulo 65536. A restart boundary resets each component's predictor
+    to the scan-start default 2^(P-Pt-1) for its next sample (the
+    Cornell/ljpeg semantics every DNG reader implements)."""
+    tables = []
+    for c in scomps:
+        if (0, c["dc"]) not in huff:
+            raise ValueError("JPEG scan references a missing quant/Huffman table")
+        tables.append(huff[(0, c["dc"])])
+    default = 1 << (prec - pt - 1)
+    total = width * height
+    per_seg = restart if restart else total
+    segments, nxt = _split_entropy(b, pos)
+    n = 0
+    for seg in segments:
+        bits = _Bits(seg)
+        fresh = [True] * len(scomps)
+        for _ in range(min(per_seg, total - n)):
+            y, x = divmod(n, width)
+            for ci, c in enumerate(scomps):
+                t = _huff_decode(bits, tables[ci])
+                if t > 16:
+                    raise ValueError("invalid lossless JPEG difference category")
+                diff = 32768 if t == 16 else _extend(bits.bits(t), t)
+                if fresh[ci]:
+                    pred = default
+                    fresh[ci] = False
+                else:
+                    pred = _ll_predict(c["plane"], x, y, psel)
+                c["plane"][y, x] = (pred + diff) & 0xFFFF
+            n += 1
+        if n >= total:
+            break
+    if n < total:
+        raise ValueError("JPEG scan ended before the last sample")
+    for c in scomps:
+        c["pt"] = pt
+    return nxt
+
+
+def _decode_lossless(b: bytes):
+    """REAL lossless-JPEG pixel decoder (SOF3): marker walk sharing the
+    baseline machinery (_jpeg_segments/_parse_dht/_split_entropy/_Bits/
+    _huff_decode/_extend), spatial DPCM reconstruction per T.81 Annex H.
+    Precision 2-16 (output uint8 at <= 8, uint16 above); any component
+    count at 1x1 sampling (subsampled lossless stays gated — replicated
+    upsampling would NOT be lossless); multi-scan component coverage
+    like the sequential walk; per-scan point transform (Al) shifts the
+    reconstruction left as the spec requires. Returns (meta, HxW or
+    HxWxC array) — components are raw (lossless JPEG defines NO color
+    transform). Malformed structures raise ValueError."""
+    import numpy as np
+
+    huff: dict[tuple[int, int], dict] = {}
+    sof = None
+    prec = 0
+    restart = 0
+    pos: int | None = None
+    covered: set[int] = set()
+    while True:
+        resumed = False
+        for marker, body, end_pos in _jpeg_segments(b, pos):
+            if marker == 0xC4:
+                _parse_dht(body, huff)
+            elif marker == 0xDB:
+                _parse_dqt(body, {})  # legal but unused in lossless
+            elif marker == 0xDD:
+                if len(body) < 2:
+                    raise ValueError("truncated JPEG DRI segment")
+                (restart,) = struct.unpack_from(">H", body, 0)
+            elif marker in _JPEG_SOF:
+                if marker != 0xC3:
+                    raise NotImplementedError(
+                        "non-lossless JPEG frame inside the lossless walk"
+                        " (arithmetic/hierarchical) needs a codec library"
+                    )
+                if sof is not None:
+                    raise ValueError("JPEG has more than one frame header")
+                width, height, prec, _, comps = _parse_sof(marker, body)
+                if not 2 <= prec <= 16:
+                    raise ValueError(f"invalid lossless JPEG precision {prec}")
+                if any((c["h"], c["v"]) != (1, 1) for c in comps):
+                    raise NotImplementedError(
+                        "subsampled lossless JPEG needs a codec library"
+                        " (replicated upsampling would not be lossless)"
+                    )
+                if width * height * len(comps) > _JPEG_MAX_PIXELS:
+                    raise ValueError(
+                        f"JPEG geometry {width}x{height}x{len(comps)} exceeds"
+                        f" the {_JPEG_MAX_PIXELS}-pixel decode ceiling"
+                        f" (attacker-declared dimensions gate the"
+                        f" plane allocation)"
+                    )
+                # entropy-plausibility bound BEFORE allocating planes:
+                # every sample costs at least one Huffman code bit
+                if (len(b) - end_pos) * 8 < width * height * len(comps):
+                    raise ValueError(
+                        "JPEG entropy data cannot cover the declared geometry"
+                    )
+                for c in comps:
+                    c["plane"] = np.zeros((height, width), dtype=np.int64)
+                sof = (width, height, comps)
+            elif marker == 0xDA:
+                if sof is None:
+                    raise ValueError("JPEG SOS before SOF")
+                width, height, comps = sof
+                if len(body) < 1:
+                    raise ValueError("truncated JPEG SOS segment")
+                ns = body[0]
+                if ns < 1:
+                    raise ValueError("JPEG SOS declares no components")
+                if len(body) < 1 + 2 * ns + 3:
+                    raise ValueError("truncated JPEG SOS segment")
+                scan_comps = []
+                for si in range(ns):
+                    cs, tabs = body[1 + 2 * si], body[2 + 2 * si]
+                    match = [c for c in comps if c["id"] == cs]
+                    if not match:
+                        raise ValueError("JPEG SOS component ids do not match SOF")
+                    c = match[0]
+                    c["dc"] = tabs >> 4
+                    scan_comps.append(c)
+                if len({c["id"] for c in scan_comps}) != ns:
+                    raise ValueError("JPEG SOS lists a component twice")
+                psel, se, ahl = body[1 + 2 * ns : 4 + 2 * ns]
+                ah, pt = ahl >> 4, ahl & 0xF
+                if not 1 <= psel <= 7:
+                    raise ValueError(
+                        f"invalid lossless JPEG predictor selection {psel}"
+                    )
+                if se != 0 or ah != 0:
+                    raise ValueError("invalid lossless JPEG scan parameters")
+                if pt >= prec:
+                    raise ValueError(
+                        f"lossless JPEG point transform {pt} >= precision {prec}"
+                    )
+                dup = covered.intersection(c["id"] for c in scan_comps)
+                if dup:
+                    raise ValueError(
+                        f"lossless JPEG scans cover component(s) {sorted(dup)} twice"
+                    )
+                pos = _decode_lossless_scan(
+                    b, end_pos, scan_comps, psel, pt, huff, restart,
+                    width, height, prec,
+                )
+                covered.update(c["id"] for c in scan_comps)
+                resumed = True
+                break
+        if not resumed:
+            break
+    if sof is None or not covered:
+        raise ValueError("JPEG has no SOS scan")
+    width, height, comps = sof
+    if covered != {c["id"] for c in comps}:
+        raise ValueError("lossless JPEG scans do not cover every frame component")
+    mask = (1 << prec) - 1
+    arrs = [((c["plane"] & 0xFFFF) << c["pt"]) & mask for c in comps]
+    stacked = arrs[0] if len(arrs) == 1 else np.stack(arrs, axis=2)
+    arr = stacked.astype(np.uint8 if prec <= 8 else np.uint16)
+    meta = {
+        "width": int(width),
+        "height": int(height),
+        "channels": len(comps),
+        "bit_depth": int(prec),
+        "progressive": False,
+        "process": "lossless",
+        "mean": float(arr.mean()),
+    }
+    return meta, arr
+
+
+def write_jpeg_lossless(
+    arr, predictor: int = 1, point_transform: int = 0, restart: int = 0
+) -> bytes:
+    """Lossless-JPEG encoder (SOF3) — the exact round-trip partner of
+    _decode_lossless (write -> decode is the identity at Pt=0 for any
+    uint8/uint16 array; at Pt>0 it equals (x >> Pt) << Pt, the spec's
+    own loss). HxW or HxWxC input; precision 8 or 16 by dtype; all
+    seven T.81 predictors; `restart=N` emits DRI + RSTn every N samples
+    (exercising the predictor reset). One canonical Huffman table (all
+    17 difference categories at 5 bits) emitted in the DHT, so any spec
+    decoder reads the file."""
+    import numpy as np
+
+    a = np.asarray(arr)
+    if a.dtype == np.uint8:
+        prec = 8
+    elif a.dtype == np.uint16:
+        prec = 16
+    else:
+        raise ValueError(f"write_jpeg_lossless needs uint8 or uint16, got {a.dtype}")
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.ndim != 3 or not 1 <= a.shape[2] <= 255:
+        raise ValueError(f"write_jpeg_lossless needs HxW or HxWxC; got {arr.shape}")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"invalid predictor {predictor}")
+    if not 0 <= point_transform < prec:
+        raise ValueError(f"invalid point transform {point_transform}")
+    h, w, ncomp = a.shape
+    coded = (a.astype(np.int64) >> point_transform)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    counts = [0, 0, 0, 0, 17] + [0] * 11  # 17 categories, all 5 bits
+    dht = seg(0xC4, bytes([0x00]) + bytes(counts) + bytes(range(17)))
+    codes = {sym: (5, sym) for sym in range(17)}  # canonical: code == index
+    sof = seg(
+        0xC3,
+        struct.pack(">BHHB", prec, h, w, ncomp)
+        + b"".join(bytes([ci + 1, 0x11, 0]) for ci in range(ncomp)),
+    )
+    sos = seg(
+        0xDA,
+        bytes([ncomp])
+        + b"".join(bytes([ci + 1, 0x00]) for ci in range(ncomp))
+        + bytes([predictor, 0, point_transform]),
+    )
+
+    out = bytearray()
+    bitbuf = nbits = 0
+
+    def put(code: int, length: int):
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << length) | (code & ((1 << length) - 1))
+        nbits += length
+        while nbits >= 8:
+            nbits -= 8
+            byte = (bitbuf >> nbits) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+        bitbuf &= (1 << nbits) - 1
+
+    def flush():
+        nonlocal nbits
+        if nbits:
+            put((1 << (8 - nbits)) - 1, 8 - nbits)  # pad with ones
+
+    default = 1 << (prec - point_transform - 1)
+    entropy = bytearray()
+    total = h * w
+    n = 0
+    rst = 0
+    fresh = [True] * ncomp
+    while n < total:
+        if restart and n and n % restart == 0:
+            flush()
+            entropy += out
+            entropy += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            out.clear()
+            fresh = [True] * ncomp
+        y, x = divmod(n, w)
+        for ci in range(ncomp):
+            if fresh[ci]:
+                pred = default
+                fresh[ci] = False
+            else:
+                pred = _ll_predict(coded[:, :, ci], x, y, predictor)
+            d = (int(coded[y, x, ci]) - pred) & 0xFFFF
+            ds = d - 65536 if d >= 32768 else d
+            if ds == -32768:
+                length, code = codes[16]
+                put(code, length)
+            else:
+                t = ds.bit_length() if ds >= 0 else (-ds).bit_length()
+                length, code = codes[t]
+                put(code, length)
+                if t:
+                    put(ds if ds >= 0 else ds + (1 << t) - 1, t)
+        n += 1
+    flush()
+    entropy += out
+    head = b"\xff\xd8" + dht + sof
+    if restart:
+        head += seg(0xDD, struct.pack(">H", restart))
+    return bytes(head + sos + entropy + b"\xff\xd9")
 
 
 def _refine_nonzero(bits: "_Bits", coef, k: int, p1: int, m1: int) -> None:

@@ -11,7 +11,8 @@ sequential-multi-scan JPEG pixels, and MP4 moov STRUCTURAL parsing —
 dispatched on magic bytes. BI_JPEG/BI_PNG BMP (r11) delegates its
 embedded stream to those same real decoders. Only genuinely
 codec-library territory remains gated behind NotImplementedError:
-arithmetic/lossless JPEG, transform-codec WAV (MP3/AAC — every table
+arithmetic/hierarchical JPEG (lossless SOF3 decodes for real since
+r11), transform-codec WAV (MP3/AAC — every table
 codec incl. both ADPCMs and G.711 decodes for real), and MP4
 sample decode. Unknown formats fall
 through to the clearly-marked deterministic length-derived fake, which
@@ -1177,9 +1178,10 @@ def media_codec_matrix(docs: DataFrame) -> DataFrame:
     """r11 sibling of media_decode_stats: drives the codec kernels the
     r10 coverage wave added — 24-bit BMP (write_bmp -> decode_bmp,
     lossless round trip), G.711 mu-law and A-law WAV decode, and
-    MS-ADPCM WAV decode — through the SAME md5-synthesis oracle trick,
+    MS-ADPCM WAV decode — plus the r11 lossless-JPEG (SOF3) kernel —
+    through the SAME md5-synthesis oracle trick,
     so the driver hash gate verifies the actual kernels. Families by
-    doc_id % 4:
+    doc_id % 5:
       0: 4x4 RGB from md5 bytes -> real BMP24 -> decode_bmp; the
          mirror averages the same md5 bytes with no codec (lossless).
       1/2: 32 md5-derived G.711 code bytes decoded through the
@@ -1190,6 +1192,10 @@ def media_codec_matrix(docs: DataFrame) -> DataFrame:
          the mirror unrolls the two-tap predictor recurrence exactly —
          including the truncate-toward-zero /256 the r11 advice fix
          pinned — in plain SQL (CASE coef/adapt lookups, trunc()).
+      4: 4x5 uint16 gray -> real LOSSLESS JPEG (write_jpeg_lossless,
+         T.81 process 14, predictor 6) -> _decode_lossless; exact
+         round trip, so the mirror averages the md5 16-bit words with
+         no codec.
     Per-row work is independent; any partitioning yields identical
     rows. Cites the same RIFF/BMP surfaces as decode_wav/decode_bmp."""
     import math
@@ -1214,7 +1220,7 @@ def media_codec_matrix(docs: DataFrame) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 base = d * 512
-                fam = d % 4
+                fam = d % 5
                 if fam == 0:
                     px = np.array(
                         [_md5_val(base + i, 2) for i in range(48)], dtype=np.uint8
@@ -1223,6 +1229,21 @@ def media_codec_matrix(docs: DataFrame) -> DataFrame:
                     assert np.array_equal(back, px)  # lossless by design
                     rows.append(
                         (d, "bmp", meta["width"], meta["height"],
+                         r6(float(back.mean())), None, None)
+                    )
+                elif fam == 4:
+                    px = np.array(
+                        [_md5_val(base + 320 + i, 4) for i in range(20)],
+                        dtype=np.uint16,
+                    ).reshape(4, 5)
+                    from .codecs import decode_jpeg_pixels, write_jpeg_lossless
+
+                    meta, back = decode_jpeg_pixels(
+                        write_jpeg_lossless(px, predictor=6)
+                    )
+                    assert np.array_equal(back, px)  # lossless by contract
+                    rows.append(
+                        (d, "ljpeg", meta["width"], meta["height"],
                          r6(float(back.mean())), None, None)
                     )
                 else:
@@ -1289,7 +1310,13 @@ def _sql_media_codec_matrix() -> str:
 WITH bmp AS (
   SELECT d.doc_id, {sql_ieee_round('avg(' + md5v('d.doc_id * 512 + t.i', 2) + ')', 6)} AS mean_val
   FROM documents d, range(48) t(i)
-  WHERE d.doc_id % 4 = 0
+  WHERE d.doc_id % 5 = 0
+  GROUP BY d.doc_id
+),
+ljpeg AS (
+  SELECT d.doc_id, {sql_ieee_round('avg(' + md5v('d.doc_id * 512 + 320 + t.i', 4) + ')', 6)} AS mean_val
+  FROM documents d, range(20) t(i)
+  WHERE d.doc_id % 5 = 4
   GROUP BY d.doc_id
 ),
 ulaw AS (
@@ -1298,7 +1325,7 @@ ulaw AS (
     SELECT doc_id, u, ((u & 15) * 8 + 132) * (1 << ((u >> 4) & 7)) AS t
     FROM (
       SELECT d.doc_id, 255 - {md5v('d.doc_id * 512 + 128 + t.i', 2)} AS u
-      FROM documents d, range(32) t(i) WHERE d.doc_id % 4 = 1
+      FROM documents d, range(32) t(i) WHERE d.doc_id % 5 = 1
     )
   )
   GROUP BY doc_id
@@ -1312,7 +1339,7 @@ alaw AS (
            ELSE ((a & 15) * 16 + 264) * (1 << (((a >> 4) & 7) - 1)) END AS t
     FROM (
       SELECT d.doc_id, xor({md5v('d.doc_id * 512 + 192 + t.i', 2)}, 85) AS a
-      FROM documents d, range(32) t(i) WHERE d.doc_id % 4 = 2
+      FROM documents d, range(32) t(i) WHERE d.doc_id % 5 = 2
     )
   )
   GROUP BY doc_id
@@ -1324,7 +1351,7 @@ ms_syn AS (
     {md5v('d.doc_id * 512 + 258', 4)} - 32768 AS s1,
     {md5v('d.doc_id * 512 + 259', 4)} - 32768 AS s2,
     {md5v('d.doc_id * 512 + 260', 2)} AS nb
-  FROM documents d WHERE d.doc_id % 4 = 3
+  FROM documents d WHERE d.doc_id % 5 = 3
 ),
 ms_co AS (
   SELECT *, nb >> 4 AS n1, nb & 15 AS n2,
@@ -1369,6 +1396,10 @@ UNION ALL
 SELECT doc_id, 'msadpcm' AS fmt, CAST(NULL AS INT) AS width,
        CAST(NULL AS INT) AS height, CAST(NULL AS DOUBLE) AS mean_val, rms, peak
 FROM ms
+UNION ALL
+SELECT doc_id, 'ljpeg' AS fmt, 5 AS width, 4 AS height, mean_val,
+       CAST(NULL AS DOUBLE) AS rms, CAST(NULL AS DOUBLE) AS peak
+FROM ljpeg
 ORDER BY doc_id
 """
 

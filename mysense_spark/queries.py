@@ -36,7 +36,7 @@ def _modules():
 # (a) 2 NEW queries — ann_ivf_refined (two-stage IVF: wide SQ-code
 # probe pooling candidates, exact re-rank through the fenced
 # knn_rerank — both stages DuckDB-mirrored) and media_codec_matrix
-# (the BMP24 round trip, G.711
+# (the BMP24 + lossless-JPEG round trips, G.711
 # mu/A-law decode, and MS-ADPCM decode kernels under mapInPandas,
 # oracle-pinned through the shared md5 synthesis: the BMP leg by
 # losslessness, the G.711 legs by an arithmetic expansion validated

@@ -2993,27 +2993,33 @@ def test_media_codec_matrix_gate(spark, sf_dir):
         for r in media_codec_matrix(docs.repartition(7)).collect()
     }
     assert rows == rows2
-    fam_fmt = {0: "bmp", 1: "ulaw", 2: "alaw", 3: "msadpcm"}
+    fam_fmt = {0: "bmp", 1: "ulaw", 2: "alaw", 3: "msadpcm", 4: "ljpeg"}
     for d, r in rows.items():
-        assert r["fmt"] == fam_fmt[d % 4]
-        if d % 4 == 0:
+        assert r["fmt"] == fam_fmt[d % 5]
+        if d % 5 == 0:
             want = sum(
                 int(hashlib.md5(str(d * 512 + i).encode()).hexdigest()[:2], 16)
                 for i in range(48)
             ) / 48
+            assert r["mean_val"] == math.floor(want * 1e6 + 0.5) / 1e6
+        elif d % 5 == 4:
+            want = sum(
+                int(hashlib.md5(str(d * 512 + 320 + i).encode()).hexdigest()[:4], 16)
+                for i in range(20)
+            ) / 20
             assert r["mean_val"] == math.floor(want * 1e6 + 0.5) / 1e6
         else:
             assert r["rms"] is not None and 0 <= r["peak"] <= 1.0
     # G.711 legs against the tables, independently of decode_wav
     mu, al = _g711_table(True), _g711_table(False)
     for d, r in rows.items():
-        if d % 4 == 1:
+        if d % 5 == 1:
             codes = [
                 int(hashlib.md5(str(d * 512 + 128 + j).encode()).hexdigest()[:2], 16)
                 for j in range(32)
             ]
             x = mu[np.array(codes)] / 32768.0
-        elif d % 4 == 2:
+        elif d % 5 == 2:
             codes = [
                 int(hashlib.md5(str(d * 512 + 192 + j).encode()).hexdigest()[:2], 16)
                 for j in range(32)
@@ -3095,3 +3101,148 @@ def test_ann_ivf_refined_two_stage_invariants(spark, sf_dir):
     )
     with pytest.raises(ValueError, match="re-rank tier"):
         knn_rerank(big_q, c)
+
+
+def test_jpeg_lossless_round_trip_matrix():
+    """r11 lossless JPEG (SOF3, T.81 process 14): write -> decode is
+    the IDENTITY (not near-lossless like the DCT tiers) for every
+    predictor 1-7, gray/multi-component, uint8/uint16, odd shapes, and
+    restart intervals; point transform loses exactly the spec's own
+    (x >> Pt) << Pt."""
+    import numpy as np
+
+    from mysense_spark.operators.codecs import (
+        decode_jpeg_pixels,
+        write_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(11)
+    for pred in range(1, 8):
+        for shape, dt in [
+            ((7, 5), np.uint8),
+            ((3, 9, 3), np.uint8),
+            ((1, 6), np.uint8),
+            ((4, 4), np.uint16),
+            ((2, 3, 2), np.uint16),
+        ]:
+            hi = 256 if dt == np.uint8 else 65536
+            a = rng.integers(0, hi, shape).astype(dt)
+            for restart in (0, 3):
+                blob = write_jpeg_lossless(a, predictor=pred, restart=restart)
+                meta, back = decode_jpeg_pixels(blob)
+                assert meta["process"] == "lossless"
+                assert meta["bit_depth"] == (8 if dt == np.uint8 else 16)
+                want = a[:, :, 0] if a.ndim == 3 and a.shape[2] == 1 else a
+                assert np.array_equal(back, want), (pred, shape, dt, restart)
+    a = rng.integers(0, 256, (6, 6)).astype(np.uint8)
+    _, back = decode_jpeg_pixels(write_jpeg_lossless(a, predictor=4, point_transform=2))
+    assert np.array_equal(back, (a >> 2) << 2)
+
+
+def test_jpeg_lossless_hand_computed_vector():
+    """Decoder semantics pinned independently of the repo's own encoder:
+    a hand-built SOF3 stream (17-symbol all-5-bit DHT, predictor 1,
+    Pt 0) whose four samples are walked by hand — (0,0) predicts the
+    default 128 (diff -28, category 5, appended bits -28+31=3), the
+    rest of line 0 predicts Ra, line 1 starts on Rb."""
+    import struct
+
+    import numpy as np
+
+    from mysense_spark.operators.codecs import decode_jpeg_pixels
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    counts = [0, 0, 0, 0, 17] + [0] * 11
+    dht = seg(0xC4, bytes([0x00]) + bytes(counts) + bytes(range(17)))
+    sof = seg(0xC3, struct.pack(">BHHB", 8, 2, 2, 1) + bytes([1, 0x11, 0]))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 1, 0, 0x00]))
+    pk = _BitPacker()
+    pk.put(5, 5).put(3, 5)     # cat 5, extend(3,5) = -28  -> 128-28 = 100
+    pk.put(2, 5).put(2, 2)     # cat 2, extend(2,2) = +2   -> Ra 100+2 = 102
+    pk.put(2, 5).put(1, 2)     # cat 2, extend(1,2) = -2   -> Rb 100-2 = 98
+    pk.put(1, 5).put(0, 1)     # cat 1, extend(0,1) = -1   -> Ra 98-1 = 97
+    jp = b"\xff\xd8" + dht + sof + sos + pk.bytes() + b"\xff\xd9"
+    meta, arr = decode_jpeg_pixels(jp)
+    assert arr.tolist() == [[100, 102], [98, 97]]
+    assert (meta["width"], meta["height"], meta["bit_depth"]) == (2, 2, 8)
+
+
+def test_jpeg_lossless_adversarial_structures():
+    """Malformed lossless streams reject with ValueError (predictor 0/8,
+    nonzero Se/Ah, Pt >= precision, duplicate component coverage,
+    missing table, truncated entropy, precision outside 2-16) and the
+    honest gates stay loud (subsampled lossless, arithmetic SOF7)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from mysense_spark.operators.codecs import (
+        decode_jpeg_pixels,
+        write_jpeg_lossless,
+    )
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    a = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    good = bytearray(write_jpeg_lossless(a))
+    # locate the SOS parameter bytes: ...SOS body = [1, 1, 0x00, Ss, 0, AhAl]
+    sos_at = bytes(good).find(b"\xff\xda")
+    ss_at = sos_at + 7
+
+    def with_params(ss=None, se=None, ahal=None):
+        b = bytearray(good)
+        if ss is not None:
+            b[ss_at] = ss
+        if se is not None:
+            b[ss_at + 1] = se
+        if ahal is not None:
+            b[ss_at + 2] = ahal
+        return bytes(b)
+
+    with pytest.raises(ValueError, match="predictor selection"):
+        decode_jpeg_pixels(with_params(ss=0))
+    with pytest.raises(ValueError, match="predictor selection"):
+        decode_jpeg_pixels(with_params(ss=8))
+    with pytest.raises(ValueError, match="scan parameters"):
+        decode_jpeg_pixels(with_params(se=5))
+    with pytest.raises(ValueError, match="point transform"):
+        decode_jpeg_pixels(with_params(ahal=8))  # Pt 8 >= precision 8
+    # precision outside 2-16
+    sof_at = bytes(good).find(b"\xff\xc3")
+    bad_prec = bytearray(good)
+    bad_prec[sof_at + 4] = 1
+    with pytest.raises(ValueError, match="precision"):
+        decode_jpeg_pixels(bytes(bad_prec))
+    # truncated entropy
+    with pytest.raises(ValueError, match="truncated|before the last"):
+        decode_jpeg_pixels(bytes(good[:-4]) + b"\xff\xd9")
+    # missing Huffman table: strip the DHT
+    dht_at = bytes(good).find(b"\xff\xc4")
+    (dht_len,) = struct.unpack_from(">H", good, dht_at + 2)
+    no_dht = bytes(good[:dht_at]) + bytes(good[dht_at + 2 + dht_len :])
+    with pytest.raises(ValueError, match="missing quant/Huffman"):
+        decode_jpeg_pixels(no_dht)
+    # duplicate coverage: append a second identical scan
+    eoi_at = len(good) - 2
+    dup = bytes(good[:eoi_at]) + bytes(good[sos_at:])
+    with pytest.raises(ValueError, match="twice"):
+        decode_jpeg_pixels(dup)
+    # subsampled lossless stays gated
+    counts = [0, 0, 0, 0, 17] + [0] * 11
+    dht = seg(0xC4, bytes([0x00]) + bytes(counts) + bytes(range(17)))
+    sof_sub = seg(0xC3, struct.pack(">BHHB", 8, 2, 2, 1) + bytes([1, 0x21, 0]))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 1, 0, 0x00]))
+    with pytest.raises(NotImplementedError, match="subsampled lossless"):
+        decode_jpeg_pixels(b"\xff\xd8" + dht + sof_sub + sos + b"\x00" * 4 + b"\xff\xd9")
+    # arithmetic lossless (SOF11 = 0xCB) stays gated
+    sof_ar = seg(0xCB, struct.pack(">BHHB", 8, 2, 2, 1) + bytes([1, 0x11, 0]))
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_pixels(b"\xff\xd8" + dht + sof_ar + sos + b"\x00" * 4 + b"\xff\xd9")
+    # geometry ceiling before allocation
+    sof_big = seg(0xC3, struct.pack(">BHHB", 8, 65000, 65000, 1) + bytes([1, 0x11, 0]))
+    with pytest.raises(ValueError, match="ceiling|cannot cover"):
+        decode_jpeg_pixels(b"\xff\xd8" + dht + sof_big + sos + b"\x00" * 64 + b"\xff\xd9")

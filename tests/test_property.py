@@ -218,7 +218,11 @@ def _codec_fixtures():
     import struct
     import zlib
 
-    from mysense_spark.operators.codecs import write_jpeg, write_png
+    from mysense_spark.operators.codecs import (
+        write_jpeg,
+        write_jpeg_lossless,
+        write_png,
+    )
 
     rng = np.random.default_rng(7)
     gray = rng.integers(0, 256, (9, 7), dtype=np.uint8)
@@ -274,6 +278,10 @@ def _codec_fixtures():
     return [
         write_png(gray), write_png(rgb), png16,
         write_jpeg(gray), write_jpeg(rgb, subsample=True, restart=2),
+        write_jpeg_lossless(gray, predictor=4, restart=5),
+        write_jpeg_lossless(
+            (gray.astype(np.uint16) * 257)[:4, :4], predictor=7
+        ),
         ima, ms, pcm,
         bmp(3, 2, 24, bytes(12 * 2)), rle,
         mp4,
