@@ -1150,6 +1150,10 @@ def _decode_lossless(b: bytes):
                 if sof is not None:
                     raise ValueError("JPEG has more than one frame header")
                 width, height, prec, _, comps = _parse_sof(marker, body)
+                if len({c["id"] for c in comps}) != len(comps):
+                    # duplicate ids collapse in the coverage set below and
+                    # would leave the shadowed comp without its 'pt'
+                    raise ValueError("JPEG SOF declares a component id twice")
                 if not 2 <= prec <= 16:
                     raise ValueError(f"invalid lossless JPEG precision {prec}")
                 if any((c["h"], c["v"]) != (1, 1) for c in comps):

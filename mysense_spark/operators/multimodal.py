@@ -495,6 +495,13 @@ def _decode_bmp_embedded(b: bytes, compression: int, width: int, height: int, pi
         arr = np.repeat(arr[:, :, :1], 3, axis=2)
     elif arr.shape[2] == 4:
         arr = arr[:, :, :3]
+    elif arr.shape[2] != 3:
+        # a lossless-JPEG stream may carry any component count at 1x1;
+        # >4 has no defined RGB reading — reject, don't pass a 5-channel
+        # array through the HxWx3 contract
+        raise ValueError(
+            f"embedded BMP stream has {arr.shape[2]} channels; cannot map to RGB"
+        )
     meta["mean"] = float(arr.mean())
     return meta, arr
 
@@ -1053,6 +1060,15 @@ _DECODE_STATS_SCHEMA = StructType(
 )
 
 
+def _r6(v: float) -> float:
+    """The cross-engine ieee_round(6) twin both codec-matrix operators
+    pin their float outputs through — ONE definition so the rounding
+    rule cannot silently diverge from sql_ieee_round."""
+    import math
+
+    return math.floor(float(v) * 1e6 + 0.5) / 1e6
+
+
 def _md5_val(k: int, hexdigits: int) -> int:
     """The cross-engine synthesis hash: first `hexdigits` md5 hex chars
     of str(k) as an int — identical to DuckDB's
@@ -1077,13 +1093,11 @@ def media_decode_stats(docs: DataFrame) -> DataFrame:
     summation so both sides pin it through ieee_round(6). `docs` needs
     only a doc_id column; per-row work is independent, so any input
     partitioning yields identical rows (pytest-pinned)."""
-    import math
     import struct as _struct
 
     from .codecs import decode_png, write_png
 
-    def r6(v: float) -> float:
-        return math.floor(float(v) * 1e6 + 0.5) / 1e6
+    r6 = _r6
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1198,11 +1212,11 @@ def media_codec_matrix(docs: DataFrame) -> DataFrame:
          no codec.
     Per-row work is independent; any partitioning yields identical
     rows. Cites the same RIFF/BMP surfaces as decode_wav/decode_bmp."""
-    import math
     import struct as _struct
 
-    def r6(v: float) -> float:
-        return math.floor(float(v) * 1e6 + 0.5) / 1e6
+    from .codecs import decode_jpeg_pixels, write_jpeg_lossless
+
+    r6 = _r6
 
     def wav_wrap(code: int, block_align: int, bits: int, data: bytes) -> bytes:
         fmt = _struct.pack("<HHIIHH", code, 1, 8000, 8000, block_align, bits)
@@ -1236,8 +1250,6 @@ def media_codec_matrix(docs: DataFrame) -> DataFrame:
                         [_md5_val(base + 320 + i, 4) for i in range(20)],
                         dtype=np.uint16,
                     ).reshape(4, 5)
-                    from .codecs import decode_jpeg_pixels, write_jpeg_lossless
-
                     meta, back = decode_jpeg_pixels(
                         write_jpeg_lossless(px, predictor=6)
                     )

@@ -59,12 +59,14 @@ def _quarantined(fn):
     def run(path, *args, **kwargs):
         try:
             return fn(path, *args, **kwargs)
-        except ValueError:
-            raise
         except _MALFORMED as exc:
+            # ordered BEFORE the ValueError pass-through: UnicodeDecodeError
+            # subclasses ValueError and must still get the normalized message
             raise ValueError(
                 f"{path}: malformed XLSX ({type(exc).__name__}: {exc})"
             ) from exc
+        except ValueError:
+            raise
         except OSError as exc:
             if isinstance(exc, (FileNotFoundError, PermissionError, IsADirectoryError)):
                 raise

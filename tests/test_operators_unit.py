@@ -3246,3 +3246,65 @@ def test_jpeg_lossless_adversarial_structures():
     sof_big = seg(0xC3, struct.pack(">BHHB", 8, 65000, 65000, 1) + bytes([1, 0x11, 0]))
     with pytest.raises(ValueError, match="ceiling|cannot cover"):
         decode_jpeg_pixels(b"\xff\xd8" + dht + sof_big + sos + b"\x00" * 64 + b"\xff\xd9")
+
+
+def test_r11_review_regressions():
+    """Post-review r11: (a) a lossless SOF3 frame declaring the same
+    component id twice rejects with ValueError at the frame header
+    (the shadowed comp would otherwise surface as a KeyError after a
+    successful-looking scan walk); (b) a BI_JPEG BMP embedding a
+    lossless stream with >4 components rejects instead of returning a
+    5-channel array under the HxWx3 contract; (c) the XLSX quarantine
+    normalizes UnicodeDecodeError with the standard malformed-file
+    message (it subclasses ValueError, so ordering matters)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from mysense_spark.operators.codecs import (
+        decode_jpeg_pixels,
+        write_jpeg_lossless,
+    )
+    from mysense_spark.operators.multimodal import decode_bmp
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    counts = [0, 0, 0, 0, 17] + [0] * 11
+    dht = seg(0xC4, bytes([0x00]) + bytes(counts) + bytes(range(17)))
+    sof_dup = seg(
+        0xC3,
+        struct.pack(">BHHB", 8, 2, 2, 2) + bytes([1, 0x11, 0, 1, 0x11, 0]),
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 1, 0, 0x00]))
+    with pytest.raises(ValueError, match="component id twice"):
+        decode_jpeg_pixels(
+            b"\xff\xd8" + dht + sof_dup + sos + b"\x00" * 8 + b"\xff\xd9"
+        )
+
+    five = write_jpeg_lossless(
+        np.zeros((2, 3, 5), dtype=np.uint8), predictor=1
+    )
+    with pytest.raises(ValueError, match="channels"):
+        decode_bmp(_mk_bmp(3, 2, 0, five, compression=4))
+
+    import os
+    import tempfile
+    import zipfile
+
+    from mysense_spark.sources.xlsx import read_xlsx
+
+    # the quarantine wrapper normalizes zip-layer errors with the
+    # standard message + exception name and chains the cause
+    path = os.path.join(tempfile.mkdtemp(), "u.xlsx")
+    with open(path, "wb") as fh:
+        fh.write(b"not a zip at all")
+    with pytest.raises(ValueError, match=r"malformed XLSX \(BadZipFile"):
+        read_xlsx(path)
+    # broken XML inside a valid zip normalizes the same way
+    path2 = os.path.join(os.path.dirname(path), "u2.xlsx")
+    with zipfile.ZipFile(path2, "w") as z:
+        z.writestr("xl/worksheets/sheet1.xml", b"<worksheet")  # unterminated
+    with pytest.raises(ValueError, match=r"malformed XLSX \(ParseError"):
+        read_xlsx(path2)
