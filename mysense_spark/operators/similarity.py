@@ -446,8 +446,11 @@ def ann_ivf_refined(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    # probes are <= queries x nprobe rows — broadcast them so the
+    # corpus-wide membership never exchanges on cent_id for this join
+    # (the Window above hides the tiny size from the stats estimator)
     pooled = (
-        probes.join(cand, "cent_id")
+        F.broadcast(probes).join(cand, "cent_id")
         .where(F.col("query_id") != F.col("cand_id"))
         .withColumn("approx", approx)
         .withColumn(
@@ -465,8 +468,11 @@ def ann_ivf_refined(
     queries = vecs.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
     )
+    # the pool is <= pool x queries ids — broadcast it so the corpus
+    # side never shuffles for this semi-join (at 100 TB the unbroadcast
+    # form would exchange the whole vector table on vec_id)
     cand_union = (
-        vecs.join(pooled, vecs["vec_id"] == pooled["cand_id"])
+        vecs.join(F.broadcast(pooled), vecs["vec_id"] == pooled["cand_id"])
         .select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm"))
     )
     out = knn_rerank(queries, cand_union, top_k=5).orderBy("query_id", "rank")
