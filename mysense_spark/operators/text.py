@@ -1329,6 +1329,143 @@ ORDER BY doc_id
 SQL_WINNOW_FINGERPRINTS = _sql_winnow()
 
 
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (r11): Data Selection via Importance
+# Resampling (Xie et al. 2023, arXiv:2302.03169 — the published hashed
+# n-gram recipe). Features are word BIGRAMS hashed into _DSIR_B buckets;
+# the target distribution is trained on the in-domain subset (here the
+# `lang = 'en'` slice — any boolean target predicate works the same),
+# the source distribution on the whole corpus, both Laplace-smoothed.
+# Per-document log importance weight:
+#   log w(d) = sum_b n_d(b) * [ln p_target(b) - ln p_source(b)]
+# Resampling by these weights shifts a raw crawl toward the target
+# domain — the published pretraining-data-selection pattern.
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 4096  # hash buckets: small enough to broadcast, large enough
+                # that bucket collisions average out (the paper's regime)
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR log importance weight against the lang='en'
+    target, plus the bigram count. Documents with fewer than two words
+    carry weight 0 (an empty product of ratios).
+
+    Scale shape: the bigram->bucket stream is computed ONCE (persisted:
+    three consumers), reduced to <= _DSIR_B source/target bucket counts
+    (map-side partial aggs; the totals ride a 1-row broadcast, the bm25
+    lazy-totals pattern) — the per-bucket log-ratio table is then a
+    BROADCAST dimension joined back to the per-(doc,bucket) counts, so
+    the corpus-sized stream shuffles exactly twice (the two groupBys)
+    and nothing corpus-sized is ever collected. The per-doc sum runs
+    through exact_sum (order-independent quantized accumulation) with
+    the log-ratio pre-rounded to a 1e-9 grid, so the result is
+    bit-identical on any partitioning and to the DuckDB oracle."""
+    from .util import exact_sum, ieee_round
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    words = F.expr(f"regexp_extract_all(text, '{_WORD_RE}', 0)")
+    bigrams = F.expr(
+        "transform(sequence(0, size(words) - 2), i -> concat(words[i], ' ', words[i+1]))"
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("bigram")), 1, 8), 16, 10).cast("long")
+        % _DSIR_B
+    )
+    bg = tracked_persist(
+        docs.select("doc_id", "lang", words.alias("words"))
+        .where(F.size("words") >= 2)
+        .select("doc_id", "lang", F.explode(bigrams).alias("bigram"))
+        .select("doc_id", "lang", bucket.alias("bucket"))
+    )
+    src = bg.groupBy("bucket").agg(F.count(F.lit(1)).alias("cs"))
+    tgt = (
+        bg.where(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tot = bg.agg(
+        F.count(F.lit(1)).alias("ts"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("tt"),
+    )
+    lr = ieee_round(
+        F.log((F.col("ct") + 1).cast("double") / (F.col("tt") + _DSIR_B).cast("double"))
+        - F.log((F.col("cs") + 1).cast("double") / (F.col("ts") + _DSIR_B).cast("double")),
+        9,
+    )
+    ratios = (
+        src.join(tgt, "bucket", "left")
+        .na.fill({"ct": 0})
+        .crossJoin(F.broadcast(tot))  # 1-row totals: fenced bounded BNLJ
+        .select("bucket", lr.alias("lr"))
+    )
+    per_db = bg.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        per_db.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            exact_sum(F.col("n") * F.col("lr"), 6).alias("log_weight"),
+            F.sum("n").alias("n_bigrams"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(w, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce(F.col("log_weight"), F.lit(0.0)).alias("log_weight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_dsir_weights() -> str:
+    from .util import sql_ieee_round, sql_sum
+
+    lr = sql_ieee_round(
+        f"ln((coalesce(t.ct, 0) + 1) / CAST(tot.tt + {_DSIR_B} AS DOUBLE))"
+        f" - ln((s.cs + 1) / CAST(tot.ts + {_DSIR_B} AS DOUBLE))",
+        9,
+    )
+    return f"""
+WITH bg AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(bigram), 1, 8))::BIGINT % {_DSIR_B} AS bucket
+  FROM (
+    SELECT doc_id, lang,
+           unnest(list_transform(range(len(w) - 1), i -> w[i+1] || ' ' || w[i+2])) AS bigram
+    FROM (SELECT doc_id, lang, regexp_extract_all(text, '{_WORD_RE}') AS w FROM documents)
+    WHERE len(w) >= 2
+  )
+),
+src AS (SELECT bucket, count(*) AS cs FROM bg GROUP BY bucket),
+tgt AS (SELECT bucket, count(*) AS ct FROM bg WHERE lang = 'en' GROUP BY bucket),
+tot AS (SELECT count(*) AS ts, count(*) FILTER (lang = 'en') AS tt FROM bg),
+ratios AS (
+  SELECT s.bucket, {lr} AS lr
+  FROM src s LEFT JOIN tgt t USING (bucket), tot
+),
+per_db AS (SELECT doc_id, bucket, count(*) AS n FROM bg GROUP BY doc_id, bucket),
+w AS (
+  SELECT p.doc_id, {sql_sum('p.n * b.lr', 6)} AS log_weight,
+         sum(p.n) AS n_bigrams
+  FROM per_db p JOIN ratios b USING (bucket)
+  GROUP BY p.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(w.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       coalesce(w.log_weight, 0.0) AS log_weight
+FROM documents d LEFT JOIN w USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+SQL_DSIR_WEIGHTS = _sql_dsir_weights()
+
+
 QUERIES: dict[str, tuple] = {
     "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
     "gopher_filter": (q_gopher_filter, SQL_GOPHER_FILTER),
@@ -1346,4 +1483,5 @@ QUERIES: dict[str, tuple] = {
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
 }

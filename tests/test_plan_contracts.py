@@ -44,6 +44,7 @@ _FENCED_CROSSJOIN = {
     # construction
     "tfidf_top_terms",
     "perplexity_bucket",
+    "dsir_weights",  # r11: 1-row (ts, tt) totals into the ratio table
 }
 
 
