@@ -1192,10 +1192,11 @@ def media_codec_matrix(docs: DataFrame) -> DataFrame:
     """r11 sibling of media_decode_stats: drives the codec kernels the
     r10 coverage wave added — 24-bit BMP (write_bmp -> decode_bmp,
     lossless round trip), G.711 mu-law and A-law WAV decode, and
-    MS-ADPCM WAV decode — plus the r11 lossless-JPEG (SOF3) kernel —
+    MS-ADPCM WAV decode — plus the r11 lossless-JPEG (SOF3) kernel and
+    the IMA/DVI ADPCM kernel —
     through the SAME md5-synthesis oracle trick,
     so the driver hash gate verifies the actual kernels. Families by
-    doc_id % 5:
+    doc_id % 6:
       0: 4x4 RGB from md5 bytes -> real BMP24 -> decode_bmp; the
          mirror averages the same md5 bytes with no codec (lossless).
       1/2: 32 md5-derived G.711 code bytes decoded through the
@@ -1210,6 +1211,10 @@ def media_codec_matrix(docs: DataFrame) -> DataFrame:
          T.81 process 14, predictor 6) -> _decode_lossless; exact
          round trip, so the mirror averages the md5 16-bit words with
          no codec.
+      5: ONE mono IMA/DVI ADPCM block (header + 8 nibbles -> 9
+         samples); the mirror walks the published step/index recurrence
+         in a DuckDB RECURSIVE CTE over list-literal step/adjust tables
+         (validated exact against the decoder on synthesized blocks).
     Per-row work is independent; any partitioning yields identical
     rows. Cites the same RIFF/BMP surfaces as decode_wav/decode_bmp."""
     import struct as _struct
@@ -1234,7 +1239,7 @@ def media_codec_matrix(docs: DataFrame) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 base = d * 512
-                fam = d % 5
+                fam = d % 6
                 if fam == 0:
                     px = np.array(
                         [_md5_val(base + i, 2) for i in range(48)], dtype=np.uint8
@@ -1257,6 +1262,17 @@ def media_codec_matrix(docs: DataFrame) -> DataFrame:
                     rows.append(
                         (d, "ljpeg", meta["width"], meta["height"],
                          r6(float(back.mean())), None, None)
+                    )
+                elif fam == 5:
+                    p0 = _md5_val(base + 384, 4)
+                    p0 = p0 - 65536 if p0 >= 32768 else p0
+                    i0 = _md5_val(base + 385, 2) % 89
+                    data = _struct.pack("<hBB", p0, i0, 0) + bytes(
+                        _md5_val(base + 386 + j, 2) for j in range(4)
+                    )
+                    w = decode_wav(wav_wrap(0x11, 8, 4, data))
+                    rows.append(
+                        (d, "imaadpcm", None, None, None, r6(w["rms"]), r6(w["peak"]))
                     )
                 else:
                     if fam == 1:
@@ -1318,17 +1334,19 @@ def _sql_media_codec_matrix() -> str:
         " WHEN 7 THEN 614 WHEN 8 THEN 768 WHEN 9 THEN 614 WHEN 10 THEN 512"
         " WHEN 11 THEN 409 WHEN 12 THEN 307 ELSE 230 END"
     )
+    steps_list = "[" + ",".join(str(v) for v in _IMA_STEPS) + "]"
+    adj_list = "[" + ",".join(str(v) for v in _IMA_INDEX) + "]"
     return f"""
-WITH bmp AS (
+WITH RECURSIVE bmp AS (
   SELECT d.doc_id, {sql_ieee_round('avg(' + md5v('d.doc_id * 512 + t.i', 2) + ')', 6)} AS mean_val
   FROM documents d, range(48) t(i)
-  WHERE d.doc_id % 5 = 0
+  WHERE d.doc_id % 6 = 0
   GROUP BY d.doc_id
 ),
 ljpeg AS (
   SELECT d.doc_id, {sql_ieee_round('avg(' + md5v('d.doc_id * 512 + 320 + t.i', 4) + ')', 6)} AS mean_val
   FROM documents d, range(20) t(i)
-  WHERE d.doc_id % 5 = 4
+  WHERE d.doc_id % 6 = 4
   GROUP BY d.doc_id
 ),
 ulaw AS (
@@ -1337,7 +1355,7 @@ ulaw AS (
     SELECT doc_id, u, ((u & 15) * 8 + 132) * (1 << ((u >> 4) & 7)) AS t
     FROM (
       SELECT d.doc_id, 255 - {md5v('d.doc_id * 512 + 128 + t.i', 2)} AS u
-      FROM documents d, range(32) t(i) WHERE d.doc_id % 5 = 1
+      FROM documents d, range(32) t(i) WHERE d.doc_id % 6 = 1
     )
   )
   GROUP BY doc_id
@@ -1351,7 +1369,7 @@ alaw AS (
            ELSE ((a & 15) * 16 + 264) * (1 << (((a >> 4) & 7) - 1)) END AS t
     FROM (
       SELECT d.doc_id, xor({md5v('d.doc_id * 512 + 192 + t.i', 2)}, 85) AS a
-      FROM documents d, range(32) t(i) WHERE d.doc_id % 5 = 2
+      FROM documents d, range(32) t(i) WHERE d.doc_id % 6 = 2
     )
   )
   GROUP BY doc_id
@@ -1363,7 +1381,7 @@ ms_syn AS (
     {md5v('d.doc_id * 512 + 258', 4)} - 32768 AS s1,
     {md5v('d.doc_id * 512 + 259', 4)} - 32768 AS s2,
     {md5v('d.doc_id * 512 + 260', 2)} AS nb
-  FROM documents d WHERE d.doc_id % 5 = 3
+  FROM documents d WHERE d.doc_id % 6 = 3
 ),
 ms_co AS (
   SELECT *, nb >> 4 AS n1, nb & 15 AS n2,
@@ -1392,6 +1410,37 @@ ms AS (
     SELECT doc_id, unnest([s2, s1, x1, x2]) AS v FROM ms_s2
   )
   GROUP BY doc_id
+),
+ima_syn AS (
+  SELECT d.doc_id,
+    CASE WHEN {md5v('d.doc_id * 512 + 384', 4)} >= 32768
+         THEN {md5v('d.doc_id * 512 + 384', 4)} - 65536
+         ELSE {md5v('d.doc_id * 512 + 384', 4)} END AS pred0,
+    {md5v('d.doc_id * 512 + 385', 2)} % 89 AS idx0,
+    flatten(list_transform(range(4), j -> [
+      ('0x' || substr(md5(CAST(d.doc_id * 512 + 386 + j AS VARCHAR)), 1, 2))::BIGINT % 16,
+      ('0x' || substr(md5(CAST(d.doc_id * 512 + 386 + j AS VARCHAR)), 1, 2))::BIGINT // 16
+    ])) AS ns
+  FROM documents d WHERE d.doc_id % 6 = 5
+),
+ima_walk AS (
+  SELECT doc_id, 0 AS k, pred0 AS pred, idx0 AS idx, ns FROM ima_syn
+  UNION ALL
+  SELECT doc_id, k + 1,
+    greatest(-32768, least(32767,
+      pred + (CASE WHEN ns[k+1] >= 8 THEN -1 ELSE 1 END) * (
+        ({steps_list})[idx + 1] // 8
+        + CASE WHEN (ns[k+1] % 2) = 1 THEN ({steps_list})[idx + 1] // 4 ELSE 0 END
+        + CASE WHEN ((ns[k+1] // 2) % 2) = 1 THEN ({steps_list})[idx + 1] // 2 ELSE 0 END
+        + CASE WHEN ((ns[k+1] // 4) % 2) = 1 THEN ({steps_list})[idx + 1] ELSE 0 END))),
+    greatest(0, least(88, idx + ({adj_list})[(ns[k+1] % 16) + 1])),
+    ns
+  FROM ima_walk WHERE k < 8
+),
+ima AS (
+  SELECT doc_id, {snd_stats('pred')}
+  FROM ima_walk
+  GROUP BY doc_id
 )
 SELECT doc_id, 'bmp' AS fmt, 4 AS width, 4 AS height, mean_val,
        CAST(NULL AS DOUBLE) AS rms, CAST(NULL AS DOUBLE) AS peak
@@ -1412,6 +1461,10 @@ UNION ALL
 SELECT doc_id, 'ljpeg' AS fmt, 5 AS width, 4 AS height, mean_val,
        CAST(NULL AS DOUBLE) AS rms, CAST(NULL AS DOUBLE) AS peak
 FROM ljpeg
+UNION ALL
+SELECT doc_id, 'imaadpcm' AS fmt, CAST(NULL AS INT) AS width,
+       CAST(NULL AS INT) AS height, CAST(NULL AS DOUBLE) AS mean_val, rms, peak
+FROM ima
 ORDER BY doc_id
 """
 

@@ -40,7 +40,7 @@ def _modules():
 # log-ratio table, exact_sum per-doc accumulation), and
 # media_codec_matrix
 # (the BMP24 + lossless-JPEG round trips, G.711
-# mu/A-law decode, and MS-ADPCM decode kernels under mapInPandas,
+# mu/A-law decode, and MS- + IMA-ADPCM decode kernels under mapInPandas,
 # oracle-pinned through the shared md5 synthesis: the BMP leg by
 # losslessness, the G.711 legs by an arithmetic expansion validated
 # exact against the tables for all 256 codes, the ADPCM leg by a

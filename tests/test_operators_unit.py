@@ -2993,16 +2993,16 @@ def test_media_codec_matrix_gate(spark, sf_dir):
         for r in media_codec_matrix(docs.repartition(7)).collect()
     }
     assert rows == rows2
-    fam_fmt = {0: "bmp", 1: "ulaw", 2: "alaw", 3: "msadpcm", 4: "ljpeg"}
+    fam_fmt = {0: "bmp", 1: "ulaw", 2: "alaw", 3: "msadpcm", 4: "ljpeg", 5: "imaadpcm"}
     for d, r in rows.items():
-        assert r["fmt"] == fam_fmt[d % 5]
-        if d % 5 == 0:
+        assert r["fmt"] == fam_fmt[d % 6]
+        if d % 6 == 0:
             want = sum(
                 int(hashlib.md5(str(d * 512 + i).encode()).hexdigest()[:2], 16)
                 for i in range(48)
             ) / 48
             assert r["mean_val"] == math.floor(want * 1e6 + 0.5) / 1e6
-        elif d % 5 == 4:
+        elif d % 6 == 4:
             want = sum(
                 int(hashlib.md5(str(d * 512 + 320 + i).encode()).hexdigest()[:4], 16)
                 for i in range(20)
@@ -3013,13 +3013,13 @@ def test_media_codec_matrix_gate(spark, sf_dir):
     # G.711 legs against the tables, independently of decode_wav
     mu, al = _g711_table(True), _g711_table(False)
     for d, r in rows.items():
-        if d % 5 == 1:
+        if d % 6 == 1:
             codes = [
                 int(hashlib.md5(str(d * 512 + 128 + j).encode()).hexdigest()[:2], 16)
                 for j in range(32)
             ]
             x = mu[np.array(codes)] / 32768.0
-        elif d % 5 == 2:
+        elif d % 6 == 2:
             codes = [
                 int(hashlib.md5(str(d * 512 + 192 + j).encode()).hexdigest()[:2], 16)
                 for j in range(32)
