@@ -495,6 +495,264 @@ _SQL_SQ_DOT = (
     " * CAST(floor({c}[i+1] * 127.0) AS BIGINT)))"
 )
 
+
+# ---------------------------------------------------------------------------
+# Product quantization (r11): the published memory-bound ANN companion
+# (Jegou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+# Search", TPAMI 2011). 64 dims split into _PQ_M subspaces; each
+# subspace gets a _PQ_KS-entry codebook (one Lloyd iteration from the
+# fixture seed vectors, all arithmetic on the 1e-6 integer grid — the
+# kmeans_train exactness design, so training, encoding, and ADC search
+# are pure int64 and bit-identical to the DuckDB mirror). A vector
+# becomes _PQ_M 6-bit codes: 12 BYTES instead of 256 (21x) — the
+# compression that lets a 100 TB corpus's codes live in executor
+# memory while the float vectors stay on disk for the exact re-rank
+# tier.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 16   # subspaces (64 dims / 4 per subspace)
+_PQ_KS = 64  # codes per subspace -> 6-bit codes, 12 B per vector
+# (m=16, ks=64 chosen by a measured sweep at sf1.0: the ADC top-200
+# shortlist then contains 100% of the exact top-5 — recall 1.00 after
+# exact re-rank at a ~1% full-precision scan; coarser configs (m=8 or
+# ks=16) lose 28-100% of the truth from the same shortlist. Numbers in
+# SCALING.md.)
+
+
+def _pq_parts(vecs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Train the per-subspace codebooks and encode the corpus.
+
+    Returns (cents, codes): cents is the refined codebook in long form
+    (sub_id, code_id, d, cq) — at most _PQ_M x _PQ_KS x 4 = 4096 rows,
+    always broadcastable; codes is (vec_id, codes array<int>) — the
+    _PQ_M-codes-per-vector table ADC search scans instead of vectors.
+
+    Plan shape (r11b rewrite): the whole codebook collapses into ONE
+    nested broadcast array row (m sub-arrays of (code_id, subvector)
+    structs — ~4096 int64s), and BOTH assignment passes are pure map
+    expressions over it (the _nearest_bcast/_argmin_expr idiom: inline
+    per-subspace argmin with the (dist, code_id) tie-break). The only
+    corpus-sized aggregate is the Lloyd update's (sub, code, dim)
+    integer-mean groupBy over narrow exploded rows — <= 4096 partials
+    per task after map-side combine. No N x ks intermediate ever
+    exists. A code cell that loses all members simply drops out
+    (deterministic on both engines). Training covers the full corpus
+    here (it measurably buys recall at no local cost: a 25% training
+    sample read 0.96 instead of 1.00 recall@5 after re-rank at sf1.0);
+    at 100 TB train on q_stratified_sample output and only ENCODE the
+    full corpus — the loop never needs full N."""
+    subd = 64 // _PQ_M
+    qvecs = vecs.select("vec_id", F.expr(_QV_EXPR).alias("qv"))
+    subs_expr = F.expr(
+        f"transform(sequence(0, {_PQ_M - 1}), s -> slice(qv, s * {subd} + 1, {subd}))"
+    )
+
+    def cball(cents_long: DataFrame) -> DataFrame:
+        """Long (sub_id, code_id, d, cq) -> ONE row: array (by sub) of
+        sorted (i, q) candidate-struct arrays."""
+        per_code = (
+            cents_long.withColumn("ds", F.expr(f"d % {subd}"))
+            .groupBy("sub_id", "code_id")
+            .agg(
+                F.expr("transform(array_sort(collect_list(struct(ds, cq))), e -> e.cq)").alias("q")
+            )
+        )
+        per_sub = per_code.groupBy("sub_id").agg(
+            F.expr("array_sort(collect_list(struct(code_id AS i, q)))").alias("cands")
+        )
+        return per_sub.agg(
+            F.expr("transform(array_sort(collect_list(struct(sub_id, cands))), e -> e.cands)").alias("_cb")
+        )
+
+    def assign(cb_row: DataFrame, rows: DataFrame | None = None) -> DataFrame:
+        """(vec_id, codes array<int>) by inline per-subspace argmin."""
+        return (
+            (qvecs if rows is None else rows).crossJoin(F.broadcast(cb_row))
+            .select(
+                "vec_id",
+                "qv",
+                F.expr(
+                    f"zip_with(transform(sequence(0, {_PQ_M - 1}),"
+                    f" s -> slice(qv, s * {subd} + 1, {subd})), _cb,"
+                    f" (sv, cands) -> array_min(transform(cands, c -> struct("
+                    f"aggregate(zip_with(sv, c.q, (x, y) -> (x - y) * (x - y)),"
+                    f" CAST(0 AS BIGINT), (a, x) -> a + x) AS dist, c.i AS i))).i)"
+                ).alias("codes"),
+            )
+        )
+
+    seeds_long = (
+        qvecs.where(
+            (F.col("vec_id") >= _CENTROID_BASE)
+            & (F.col("vec_id") < _CENTROID_BASE + _PQ_KS)
+        )
+        .select((F.col("vec_id") - _CENTROID_BASE).alias("code_id"), F.posexplode("qv").alias("d", "cq"))
+        .withColumn("sub_id", F.expr(f"d DIV {subd}"))
+        .select("sub_id", "code_id", "d", "cq")
+    )
+    a1 = assign(cball(seeds_long))
+    # Lloyd update: integer mean per (sub, code, dim) over narrow rows
+    memb = (
+        a1.select(
+            "vec_id",
+            F.posexplode(F.expr("arrays_zip(codes, " + f"transform(sequence(0, {_PQ_M - 1}), s -> slice(qv, s * {subd} + 1, {subd}))" + ")")).alias("sub_id", "z"),
+        )
+        .select("sub_id", F.col("z.codes").alias("code_id"), F.posexplode(F.col("z.1")).alias("ds", "q"))
+    )
+    cents = tracked_persist(
+        memb.groupBy("sub_id", "code_id", "ds")
+        .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "sub_id",
+            "code_id",
+            (F.col("sub_id") * subd + F.col("ds")).alias("d"),
+            F.expr("s DIV n").alias("cq"),
+        )
+    )
+    codes = assign(cball(cents)).select("vec_id", "codes")
+    return cents, codes
+
+
+def ann_pq_search(vecs: DataFrame, top_k: int = 5) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k per query over the PQ codes:
+    the query stays full precision, candidates are their 12-byte codes.
+    Per query a _PQ_M x _PQ_KS partial-distance lookup table is built
+    as an array of per-subspace maps and BROADCAST (<= _N_QUERIES
+    rows); each candidate's distance is one inline map-lookup sum over
+    its _PQ_M codes — a pure projection over the codes table, no join
+    wider than the bounded query side. All-integer grid arithmetic end
+    to end."""
+    subd = 64 // _PQ_M
+    cents, codes = _pq_parts(vecs)
+    per_code = (
+        cents.withColumn("ds", F.expr(f"d % {subd}"))
+        .groupBy("sub_id", "code_id")
+        .agg(F.expr("transform(array_sort(collect_list(struct(ds, cq))), e -> e.cq)").alias("q"))
+    )
+    qluts = (
+        vecs.where(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.expr(_QV_EXPR).alias("qv"))
+        .crossJoin(
+            F.broadcast(
+                per_code.groupBy("sub_id").agg(
+                    F.expr("array_sort(collect_list(struct(code_id AS i, q)))").alias("cands")
+                ).agg(
+                    F.expr("transform(array_sort(collect_list(struct(sub_id, cands))), e -> e.cands)").alias("_cb")
+                )
+            )
+        )
+        .select(
+            "query_id",
+            F.expr(
+                f"zip_with(transform(sequence(0, {_PQ_M - 1}),"
+                f" s -> slice(qv, s * {subd} + 1, {subd})), _cb,"
+                f" (sv, cands) -> map_from_entries(transform(cands, c -> struct(c.i,"
+                f" aggregate(zip_with(sv, c.q, (x, y) -> (x - y) * (x - y)),"
+                f" CAST(0 AS BIGINT), (a, x) -> a + x)))))"
+            ).alias("luts"),
+        )
+    )
+    scored = (
+        codes.withColumnRenamed("vec_id", "cand_id")
+        .crossJoin(F.broadcast(qluts))  # bounded: <= _N_QUERIES rows
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.expr(
+                "aggregate(zip_with(codes, luts, (c, mp) -> element_at(mp, c)),"
+                " CAST(0 AS BIGINT), (a, x) -> a + x)"
+            ).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("query_id", "rank", "cand_id", "adc_dist")
+        .orderBy("query_id", "rank")
+    )
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded entry: PQ-ADC top-5 per query (vec_id < 5) over the
+    embeddings corpus. The DuckDB oracle mirrors the WHOLE chain —
+    subspace codebook training (seed pass, integer-mean Lloyd update,
+    final encode) and the ADC ranking — in exact int64 grid
+    arithmetic."""
+    return ann_pq_search(_vectors(spark, sf_dir))
+
+
+def _sql_ann_pq() -> str:
+    return f"""
+WITH pts AS (
+  SELECT vec_id, i AS d, i // {64 // _PQ_M} AS sub_id,
+         CAST(floor(v[i + 1] * 1000000.0) AS BIGINT) AS q
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), range(64) t(i)
+),
+seeds AS (
+  SELECT sub_id, vec_id - {_CENTROID_BASE} AS code_id, d, q AS cq
+  FROM pts WHERE vec_id BETWEEN {_CENTROID_BASE} AND {_CENTROID_BASE + _PQ_KS - 1}
+),
+d1 AS (
+  SELECT p.vec_id, p.sub_id, s.code_id,
+         sum((p.q - s.cq) * (p.q - s.cq)) AS dist
+  FROM pts p JOIN seeds s ON p.sub_id = s.sub_id AND p.d = s.d
+  GROUP BY 1, 2, 3
+),
+a1 AS (
+  SELECT vec_id, sub_id, code_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id ORDER BY dist, code_id) AS rn
+    FROM d1
+  ) WHERE rn = 1
+),
+n1 AS (SELECT sub_id, code_id, count(*) AS n FROM a1 GROUP BY 1, 2),
+cents AS (
+  SELECT a.sub_id, a.code_id, p.d, sum(p.q) // max(n1.n) AS cq
+  FROM a1 a
+  JOIN pts p ON a.vec_id = p.vec_id AND a.sub_id = p.sub_id
+  JOIN n1 ON a.sub_id = n1.sub_id AND a.code_id = n1.code_id
+  GROUP BY a.sub_id, a.code_id, p.d
+),
+d2 AS (
+  SELECT p.vec_id, p.sub_id, c.code_id,
+         sum((p.q - c.cq) * (p.q - c.cq)) AS dist
+  FROM pts p JOIN cents c ON p.sub_id = c.sub_id AND p.d = c.d
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, sub_id, code_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id ORDER BY dist, code_id) AS rn
+    FROM d2
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT p.vec_id AS query_id, p.sub_id, c.code_id,
+         sum((p.q - c.cq) * (p.q - c.cq)) AS pd
+  FROM pts p JOIN cents c ON p.sub_id = c.sub_id AND p.d = c.d
+  WHERE p.vec_id < {_N_QUERIES}
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT l.query_id, k.vec_id AS cand_id, sum(l.pd) AS adc_dist
+  FROM codes k JOIN lut l ON k.sub_id = l.sub_id AND k.code_id = l.code_id
+  WHERE l.query_id <> k.vec_id
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, CAST(cand_id AS BIGINT) AS cand_id,
+       CAST(adc_dist AS BIGINT) AS adc_dist
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, cand_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+SQL_ANN_PQ = _sql_ann_pq()
+
+
 SQL_ANN_IVF_REFINED = f"""
 WITH vecs AS ({_SQL_VECTORS}),
 cents AS (
@@ -2034,6 +2292,7 @@ QUERIES: dict[str, tuple] = {
     "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
     "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
     "ann_ivf_refined": (q_ann_ivf_refined, SQL_ANN_IVF_REFINED),
+    "ann_pq": (q_ann_pq, SQL_ANN_PQ),
     "cluster_stats": (q_cluster_stats, SQL_CLUSTER_STATS),
     "kmeans_train": (q_kmeans_train, SQL_KMEANS_TRAIN),
 }

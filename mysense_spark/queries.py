@@ -33,9 +33,13 @@ def _modules():
 # Queries hoisted to the very front of the registry: the driver's
 # correctness gate checks exactly the FIRST 50 entries, so this list is
 # kept to exactly 50. Round-11 layout:
-# (a) 3 NEW queries — ann_ivf_refined (two-stage IVF: wide SQ-code
+# (a) 4 NEW queries — ann_ivf_refined (two-stage IVF: wide SQ-code
 # probe pooling candidates, exact re-rank through the fenced
-# knn_rerank — both stages DuckDB-mirrored), dsir_weights (DSIR
+# knn_rerank — both stages DuckDB-mirrored), ann_pq (product
+# quantization per Jegou et al. 2011: per-subspace integer-grid
+# codebooks, 12-byte codes, ADC search — whole chain DuckDB-mirrored;
+# measured recall 1.00 after exact re-rank of the ADC top-200 at a
+# 4.9% scan), dsir_weights (DSIR
 # hashed-bigram importance resampling per Xie et al. 2023 — broadcast
 # log-ratio table, exact_sum per-doc accumulation), and
 # media_codec_matrix
@@ -48,9 +52,9 @@ def _modules():
 # driver-grades the r11 truncate-toward-zero advice fix);
 # (b) the 21 rows whose last driver evidence is round 8 — rolled here
 # exactly as planned in the r10 comment;
-# (c) 26 of the 48 rows whose last evidence is round 9, alphabetical.
-# The remaining 22 r9-evidence rows (grubbs_outliers, hash_sample,
-# hourly_gapfill,
+# (c) 25 of the 48 rows whose last evidence is round 9, alphabetical.
+# The remaining 23 r9-evidence rows (gap_detection, grubbs_outliers,
+# hash_sample, hourly_gapfill,
 # interval_inference, joost_correction, lang_id, latest_per_user,
 # linear_regression, lki_index, media_embed, moving_average,
 # ols_summary, pii_scrub, pm_mass_fill, quality_score, static_runs,
@@ -62,6 +66,7 @@ _PRIORITY = (
     # (a) new in round 11
     "media_codec_matrix",
     "ann_ivf_refined",
+    "ann_pq",
     "dsir_weights",
     # (b) last driver evidence: round 8 (the planned 21)
     "part_supplier_stats",
@@ -85,7 +90,7 @@ _PRIORITY = (
     "ttn_decode",
     "unit_conversion",
     "winnow_fingerprints",
-    # (c) last driver evidence: round 9 (first 26, alphabetical)
+    # (c) last driver evidence: round 9 (first 25, alphabetical)
     "approx_distinct_users",
     "aqhi_index",
     "aqi_index",
@@ -111,7 +116,6 @@ _PRIORITY = (
     "failing_sensor_report",
     "fit_apply",
     "frame_sample",
-    "gap_detection",
 )
 
 

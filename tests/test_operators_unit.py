@@ -3333,3 +3333,39 @@ def test_dsir_weights_semantics(spark, sf_dir):
     for r in out:
         if r["n_bigrams"] == 0:
             assert r["log_weight"] == 0.0
+
+
+def test_ann_pq_invariants(spark, sf_dir):
+    """r11 product quantization: every vector gets exactly _PQ_M codes
+    with code_id inside the codebook range; results are identical under
+    any input partitioning (integer-grid arithmetic end to end); ADC
+    distances are non-negative and the self-match is excluded."""
+    from pyspark.sql import functions as F
+
+    from mysense_spark.operators.similarity import (
+        _PQ_KS,
+        _PQ_M,
+        _pq_parts,
+        _vectors,
+        ann_pq_search,
+    )
+
+    vecs = _vectors(spark, sf_dir)
+    n = vecs.count()
+    cents, codes = _pq_parts(vecs)
+    assert codes.count() == n  # one _PQ_M-long codes array per vector
+    rng = codes.select(
+        F.size("codes").alias("m"),
+        F.array_min("codes").alias("lo"),
+        F.array_max("codes").alias("hi"),
+    ).agg(
+        F.min("m").alias("m_lo"), F.max("m").alias("m_hi"),
+        F.min("lo").alias("lo"), F.max("hi").alias("hi"),
+    ).collect()[0]
+    assert rng["m_lo"] == rng["m_hi"] == _PQ_M
+    assert 0 <= rng["lo"] and rng["hi"] < _PQ_KS
+    out = [tuple(r) for r in ann_pq_search(vecs).collect()]
+    out2 = [tuple(r) for r in ann_pq_search(vecs.repartition(7)).collect()]
+    assert out == out2
+    for query_id, _rank, cand_id, adc in out:
+        assert adc >= 0 and cand_id != query_id

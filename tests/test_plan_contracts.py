@@ -34,6 +34,7 @@ _FENCED_CROSSJOIN = {
     "knn_bruteforce",
     "ann_ivf",
     "ann_ivf_refined",  # r11: SQ-probe pool + fenced knn_rerank refine
+    "ann_pq",  # r11: 1-row codebook arrays + <= N_QUERIES LUT rows
     "ann_recall",
     "embedding_neardup",
     "semdedup",

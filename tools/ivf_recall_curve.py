@@ -17,8 +17,13 @@ the cheap-code scan fraction (nprobe/K of the 8x-smaller SQ table).
 The comparison that justifies the tier: recall at FIXED full-precision
 scan vs the single-stage curve.
 
+`--pq` (r11) measures the product-quantization tier: recall@5 of the
+pure ADC ranking (12-byte codes, no float vectors touched at query
+time) and of ADC + exact re-rank of the ADC top-N pool — the
+memory/recall tradeoff at 21x compression.
+
 Usage: python tools/ivf_recall_curve.py [sf_dir] [out_json]
-           [--fixture | --refined]
+           [--fixture | --refined | --pq]
 Defaults: /tmp/scale/sf1.0, /tmp/ivf_recall_curve.json
 """
 
@@ -56,6 +61,50 @@ def main() -> None:
     spark = get_spark("ivf-recall-curve")
     vecs = _vectors(spark, sf_dir)
     n_corpus = vecs.count()
+
+    if "--pq" in sys.argv:
+        from mysense_spark.operators.similarity import ann_pq_search, knn_rerank
+
+        exact = {
+            (r["query_id"], r["cand_id"])
+            for r in q_knn_bruteforce(spark, sf_dir).where(F.col("rank") <= 5).collect()
+        }
+        curve = []
+        for top in (5, 50, 200):
+            t0 = time.monotonic()
+            adc = ann_pq_search(vecs, top_k=top)
+            if top == 5:
+                got = {(r["query_id"], r["cand_id"]) for r in adc.collect()}
+                row = {"mode": "adc_only", "recall_at_5": round(len(exact & got) / len(exact), 4)}
+            else:
+                # exact re-rank of the ADC pool through the fence
+                pool = adc.select("cand_id").distinct()
+                q = vecs.where(F.col("vec_id") < 5).select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("v").alias("qv"), F.col("norm").alias("qnorm"),
+                )
+                c = (
+                    vecs.join(F.broadcast(pool), vecs["vec_id"] == pool["cand_id"])
+                    .select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm"))
+                )
+                got = {
+                    (r["query_id"], r["cand_id"])
+                    for r in knn_rerank(q, c, top_k=5).collect()
+                }
+                row = {
+                    "mode": f"adc_top{top}_exact_rerank",
+                    "recall_at_5": round(len(exact & got) / len(exact), 4),
+                    "full_precision_scan_frac": round(pool.count() / n_corpus, 4),
+                }
+            row["sec"] = round(time.monotonic() - t0, 2)
+            row["bytes_per_vector"] = 12  # 16 subspaces x 6-bit codes
+            curve.append(row)
+            print(row, flush=True)
+        out = {"sf_dir": sf_dir, "n_corpus": n_corpus, "codebook": "pq_m16_ks64", "curve": curve}
+        with open(out_path, "w") as fh:
+            json.dump(out, fh, indent=1)
+        print("wrote", out_path)
+        return
 
     if refined:
         parts = _two_level_parts(vecs)
