@@ -514,9 +514,38 @@ _PQ_M = 16   # subspaces (64 dims / 4 per subspace)
 _PQ_KS = 64  # codes per subspace -> 6-bit codes, 12 B per vector
 # (m=16, ks=64 chosen by a measured sweep at sf1.0: the ADC top-200
 # shortlist then contains 100% of the exact top-5 — recall 1.00 after
-# exact re-rank at a ~1% full-precision scan; coarser configs (m=8 or
-# ks=16) lose 28-100% of the truth from the same shortlist. Numbers in
-# SCALING.md.)
+# exact re-rank at a 4.9% full-precision scan, 0.84 at 1.25% from the
+# top-50; coarser configs (m=8 or ks=16) lose 28-100% of the truth
+# from the same shortlist. Numbers in SCALING.md.)
+
+
+def _pq_subs_expr(subd: int) -> str:
+    """The subspace-slice transform — ONE definition so assignment,
+    the Lloyd update, and the ADC LUT can never slice differently."""
+    return (
+        f"transform(sequence(0, {_PQ_M - 1}), s -> slice(qv, s * {subd} + 1, {subd}))"
+    )
+
+
+def _pq_cball(cents_long: DataFrame, subd: int) -> DataFrame:
+    """Long (sub_id, code_id, d, cq) -> ONE row: array (by sub) of
+    code_id-sorted (i, q) candidate-struct arrays — the nested
+    broadcast codebook BOTH the assignment passes and the ADC LUT
+    build consume (one definition; a sort/tie-break change cannot
+    diverge the two layouts)."""
+    per_code = (
+        cents_long.withColumn("ds", F.expr(f"d % {subd}"))
+        .groupBy("sub_id", "code_id")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(ds, cq))), e -> e.cq)").alias("q")
+        )
+    )
+    per_sub = per_code.groupBy("sub_id").agg(
+        F.expr("array_sort(collect_list(struct(code_id AS i, q)))").alias("cands")
+    )
+    return per_sub.agg(
+        F.expr("transform(array_sort(collect_list(struct(sub_id, cands))), e -> e.cands)").alias("_cb")
+    )
 
 
 def _pq_parts(vecs: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -543,37 +572,16 @@ def _pq_parts(vecs: DataFrame) -> tuple[DataFrame, DataFrame]:
     full corpus — the loop never needs full N."""
     subd = 64 // _PQ_M
     qvecs = vecs.select("vec_id", F.expr(_QV_EXPR).alias("qv"))
-    subs_expr = F.expr(
-        f"transform(sequence(0, {_PQ_M - 1}), s -> slice(qv, s * {subd} + 1, {subd}))"
-    )
 
-    def cball(cents_long: DataFrame) -> DataFrame:
-        """Long (sub_id, code_id, d, cq) -> ONE row: array (by sub) of
-        sorted (i, q) candidate-struct arrays."""
-        per_code = (
-            cents_long.withColumn("ds", F.expr(f"d % {subd}"))
-            .groupBy("sub_id", "code_id")
-            .agg(
-                F.expr("transform(array_sort(collect_list(struct(ds, cq))), e -> e.cq)").alias("q")
-            )
-        )
-        per_sub = per_code.groupBy("sub_id").agg(
-            F.expr("array_sort(collect_list(struct(code_id AS i, q)))").alias("cands")
-        )
-        return per_sub.agg(
-            F.expr("transform(array_sort(collect_list(struct(sub_id, cands))), e -> e.cands)").alias("_cb")
-        )
-
-    def assign(cb_row: DataFrame, rows: DataFrame | None = None) -> DataFrame:
+    def assign(cb_row: DataFrame) -> DataFrame:
         """(vec_id, codes array<int>) by inline per-subspace argmin."""
         return (
-            (qvecs if rows is None else rows).crossJoin(F.broadcast(cb_row))
+            qvecs.crossJoin(F.broadcast(cb_row))
             .select(
                 "vec_id",
                 "qv",
                 F.expr(
-                    f"zip_with(transform(sequence(0, {_PQ_M - 1}),"
-                    f" s -> slice(qv, s * {subd} + 1, {subd})), _cb,"
+                    f"zip_with({_pq_subs_expr(subd)}, _cb,"
                     f" (sv, cands) -> array_min(transform(cands, c -> struct("
                     f"aggregate(zip_with(sv, c.q, (x, y) -> (x - y) * (x - y)),"
                     f" CAST(0 AS BIGINT), (a, x) -> a + x) AS dist, c.i AS i))).i)"
@@ -590,12 +598,12 @@ def _pq_parts(vecs: DataFrame) -> tuple[DataFrame, DataFrame]:
         .withColumn("sub_id", F.expr(f"d DIV {subd}"))
         .select("sub_id", "code_id", "d", "cq")
     )
-    a1 = assign(cball(seeds_long))
+    a1 = assign(_pq_cball(seeds_long, subd))
     # Lloyd update: integer mean per (sub, code, dim) over narrow rows
     memb = (
         a1.select(
             "vec_id",
-            F.posexplode(F.expr("arrays_zip(codes, " + f"transform(sequence(0, {_PQ_M - 1}), s -> slice(qv, s * {subd} + 1, {subd}))" + ")")).alias("sub_id", "z"),
+            F.posexplode(F.expr(f"arrays_zip(codes, {_pq_subs_expr(subd)})")).alias("sub_id", "z"),
         )
         .select("sub_id", F.col("z.codes").alias("code_id"), F.posexplode(F.col("z.1")).alias("ds", "q"))
     )
@@ -609,11 +617,15 @@ def _pq_parts(vecs: DataFrame) -> tuple[DataFrame, DataFrame]:
             F.expr("s DIV n").alias("cq"),
         )
     )
-    codes = assign(cball(cents)).select("vec_id", "codes")
+    codes = assign(_pq_cball(cents, subd)).select("vec_id", "codes")
     return cents, codes
 
 
-def ann_pq_search(vecs: DataFrame, top_k: int = 5) -> DataFrame:
+def ann_pq_search(
+    vecs: DataFrame,
+    top_k: int = 5,
+    parts: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
     """Asymmetric-distance (ADC) top-k per query over the PQ codes:
     the query stays full precision, candidates are their 12-byte codes.
     Per query a _PQ_M x _PQ_KS partial-distance lookup table is built
@@ -621,31 +633,19 @@ def ann_pq_search(vecs: DataFrame, top_k: int = 5) -> DataFrame:
     rows); each candidate's distance is one inline map-lookup sum over
     its _PQ_M codes — a pure projection over the codes table, no join
     wider than the bounded query side. All-integer grid arithmetic end
-    to end."""
+    to end. `parts` reuses a trained (cents, codes) pair across a sweep
+    (tools/ivf_recall_curve.py --pq) — without it every call retrains
+    the codebook."""
     subd = 64 // _PQ_M
-    cents, codes = _pq_parts(vecs)
-    per_code = (
-        cents.withColumn("ds", F.expr(f"d % {subd}"))
-        .groupBy("sub_id", "code_id")
-        .agg(F.expr("transform(array_sort(collect_list(struct(ds, cq))), e -> e.cq)").alias("q"))
-    )
+    cents, codes = parts if parts is not None else _pq_parts(vecs)
     qluts = (
         vecs.where(F.col("vec_id") < _N_QUERIES)
         .select(F.col("vec_id").alias("query_id"), F.expr(_QV_EXPR).alias("qv"))
-        .crossJoin(
-            F.broadcast(
-                per_code.groupBy("sub_id").agg(
-                    F.expr("array_sort(collect_list(struct(code_id AS i, q)))").alias("cands")
-                ).agg(
-                    F.expr("transform(array_sort(collect_list(struct(sub_id, cands))), e -> e.cands)").alias("_cb")
-                )
-            )
-        )
+        .crossJoin(F.broadcast(_pq_cball(cents, subd)))
         .select(
             "query_id",
             F.expr(
-                f"zip_with(transform(sequence(0, {_PQ_M - 1}),"
-                f" s -> slice(qv, s * {subd} + 1, {subd})), _cb,"
+                f"zip_with({_pq_subs_expr(subd)}, _cb,"
                 f" (sv, cands) -> map_from_entries(transform(cands, c -> struct(c.i,"
                 f" aggregate(zip_with(sv, c.q, (x, y) -> (x - y) * (x - y)),"
                 f" CAST(0 AS BIGINT), (a, x) -> a + x)))))"

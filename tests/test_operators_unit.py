@@ -3325,6 +3325,15 @@ def test_dsir_weights_semantics(spark, sf_dir):
     out = q_dsir_weights(spark, sf_dir).collect()
     docs = load(spark, sf_dir, "documents")
     assert len(out) == docs.count()
+    # partitioning invariance: the same computation over a reshuffled
+    # session default must be row-identical (exact_sum accumulation)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        out2 = q_dsir_weights(spark, sf_dir).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert [tuple(r) for r in out] == [tuple(r) for r in out2]
     langs = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", "lang").collect()}
     en = [r["log_weight"] for r in out if langs[r["doc_id"]] == "en"]
     rest = [r["log_weight"] for r in out if langs[r["doc_id"]] != "en"]

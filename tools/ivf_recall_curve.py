@@ -63,23 +63,33 @@ def main() -> None:
     n_corpus = vecs.count()
 
     if "--pq" in sys.argv:
-        from mysense_spark.operators.similarity import ann_pq_search, knn_rerank
+        from mysense_spark.operators.similarity import (
+            _N_QUERIES,
+            _pq_parts,
+            ann_pq_search,
+            knn_rerank,
+        )
 
         exact = {
             (r["query_id"], r["cand_id"])
             for r in q_knn_bruteforce(spark, sf_dir).where(F.col("rank") <= 5).collect()
         }
+        # train ONCE and sweep top_k against the same codebook — a
+        # per-point ann_pq_search(parts=None) would retrain every time
+        # and the per-row timing would conflate training with search
+        pq = _pq_parts(vecs)
+        pq[0].count(), pq[1].persist().count()
         curve = []
         for top in (5, 50, 200):
             t0 = time.monotonic()
-            adc = ann_pq_search(vecs, top_k=top)
+            adc = ann_pq_search(vecs, top_k=top, parts=pq)
             if top == 5:
                 got = {(r["query_id"], r["cand_id"]) for r in adc.collect()}
                 row = {"mode": "adc_only", "recall_at_5": round(len(exact & got) / len(exact), 4)}
             else:
                 # exact re-rank of the ADC pool through the fence
                 pool = adc.select("cand_id").distinct()
-                q = vecs.where(F.col("vec_id") < 5).select(
+                q = vecs.where(F.col("vec_id") < _N_QUERIES).select(
                     F.col("vec_id").alias("query_id"),
                     F.col("v").alias("qv"), F.col("norm").alias("qnorm"),
                 )
