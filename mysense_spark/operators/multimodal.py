@@ -491,7 +491,12 @@ def _decode_bmp_embedded(b: bytes, compression: int, width: int, height: int, pi
         arr = ((arr.astype(np.uint32) * 255 + 32767) // 65535).astype(np.uint8)
     if arr.ndim == 2:
         arr = np.stack([arr] * 3, axis=2)
-    elif arr.shape[2] == 2:  # gray+alpha: replicate luma, drop alpha
+    elif arr.shape[2] == 2 and compression == 5:
+        # BI_PNG only: PNG color type 4 defines gray+alpha, so replicate
+        # luma and drop alpha. A 2-component lossless-JPEG stream has NO
+        # such reading — guessing channel 2 away would violate the
+        # quarantine-don't-guess contract, so it falls through to the
+        # rejection below (r12 advice), mirroring the >4-channel case.
         arr = np.repeat(arr[:, :, :1], 3, axis=2)
     elif arr.shape[2] == 4:
         arr = arr[:, :, :3]
@@ -1111,7 +1116,9 @@ def media_decode_stats(docs: DataFrame) -> DataFrame:
                         [_md5_val(d * 128 + i, 2) for i in range(64)], dtype=np.uint8
                     ).reshape(8, 8)
                     meta, back = decode_png(write_png(px))
-                    assert np.array_equal(back, px)  # lossless by design
+                    if not np.array_equal(back, px):  # explicit raise, not
+                        # assert: the round-trip gate must survive python -O
+                        raise ValueError(f"PNG round trip diverged for doc {d}")
                     rows.append(
                         (d, "png", meta["width"], meta["height"],
                          r6(float(back.mean())), None, None)
@@ -1245,7 +1252,9 @@ def media_codec_matrix(docs: DataFrame) -> DataFrame:
                         [_md5_val(base + i, 2) for i in range(48)], dtype=np.uint8
                     ).reshape(4, 4, 3)
                     meta, back = decode_bmp(write_bmp(px))
-                    assert np.array_equal(back, px)  # lossless by design
+                    if not np.array_equal(back, px):  # explicit raise, not
+                        # assert: the round-trip gate must survive python -O
+                        raise ValueError(f"BMP round trip diverged for doc {d}")
                     rows.append(
                         (d, "bmp", meta["width"], meta["height"],
                          r6(float(back.mean())), None, None)
@@ -1258,7 +1267,10 @@ def media_codec_matrix(docs: DataFrame) -> DataFrame:
                     meta, back = decode_jpeg_pixels(
                         write_jpeg_lossless(px, predictor=6)
                     )
-                    assert np.array_equal(back, px)  # lossless by contract
+                    if not np.array_equal(back, px):
+                        raise ValueError(
+                            f"lossless-JPEG round trip diverged for doc {d}"
+                        )
                     rows.append(
                         (d, "ljpeg", meta["width"], meta["height"],
                          r6(float(back.mean())), None, None)

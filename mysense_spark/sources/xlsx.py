@@ -29,16 +29,17 @@ _NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 # The mutation battery (tests/test_property.py) surfaced every member
 # of this set from byte-flipped/truncated/spliced real workbooks:
 # BadZipFile (magic/CRC), zlib.error (corrupt deflate stream),
-# ParseError (broken XML), KeyError (missing part), IndexError
-# (shared-string index out of range), OverflowError (absurd serial
-# dates), EOFError (truncated member), RuntimeError ("encrypted" flag
-# bits), NotImplementedError (zipfile's patched-data flag bit).
+# ParseError (broken XML), OverflowError (absurd serial dates),
+# EOFError (truncated member), RuntimeError ("encrypted" flag bits),
+# NotImplementedError (zipfile's patched-data flag bit).
+# Deliberately NOT here (r12 advice — a code bug must stay loud):
+# KeyError (normalized only at the zip member-access site, _read_part),
+# IndexError (the shared-string index is bounds-checked in place), and
+# RecursionError (RuntimeError subclass, re-raised before this set).
 _MALFORMED = (
     zipfile.BadZipFile,
     zlib.error,
     ET.ParseError,
-    KeyError,
-    IndexError,
     OverflowError,
     EOFError,
     RuntimeError,
@@ -59,6 +60,11 @@ def _quarantined(fn):
     def run(path, *args, **kwargs):
         try:
             return fn(path, *args, **kwargs)
+        except RecursionError:
+            # RuntimeError subclass, but a recursion blow-up (pathological
+            # nesting or a parser bug) is a defect to surface, not a
+            # malformed file to quarantine silently
+            raise
         except _MALFORMED as exc:
             # ordered BEFORE the ValueError pass-through: UnicodeDecodeError
             # subclasses ValueError and must still get the normalized message
@@ -75,6 +81,18 @@ def _quarantined(fn):
             ) from exc
 
     return run
+
+
+def _read_part(z: zipfile.ZipFile, name: str) -> bytes:
+    """Zip member read with zipfile's KeyError (member vanished between
+    namelist and read — corrupt central directory) normalized HERE, at
+    the only access site where KeyError means 'bad file'. A KeyError
+    anywhere else in the parser is a code bug and propagates (r12
+    advice: don't quarantine bad dict lookups as malformed input)."""
+    try:
+        return z.read(name)
+    except KeyError as exc:
+        raise ValueError(f"unreadable XLSX part {name!r}") from exc
 
 
 def _col_letter(idx: int) -> str:
@@ -261,8 +279,8 @@ def _workbook_sheets(z: zipfile.ZipFile, names: list[str]) -> list[tuple[str, st
     if "xl/workbook.xml" not in names or "xl/_rels/workbook.xml.rels" not in names:
         return []
     try:
-        wb = ET.fromstring(z.read("xl/workbook.xml"))
-        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        wb = ET.fromstring(_read_part(z, "xl/workbook.xml"))
+        rels = ET.fromstring(_read_part(z, "xl/_rels/workbook.xml.rels"))
     except ET.ParseError:
         return []
     targets: dict[str, str] = {}
@@ -298,7 +316,7 @@ def _date_styles(z: zipfile.ZipFile, names: list[str]) -> frozenset[int]:
     if "xl/styles.xml" not in names:
         return frozenset()
     try:
-        root = ET.fromstring(z.read("xl/styles.xml"))
+        root = ET.fromstring(_read_part(z, "xl/styles.xml"))
     except ET.ParseError:
         return frozenset()
     custom: dict[int, str] = {}
@@ -337,7 +355,7 @@ def _uses_1904_epoch(z: zipfile.ZipFile, names: list[str]) -> bool:
     if "xl/workbook.xml" not in names:
         return False
     try:
-        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        wb = ET.fromstring(_read_part(z, "xl/workbook.xml"))
     except ET.ParseError:
         return False
     pr = wb.find(f"{_NS}workbookPr")
@@ -374,7 +392,7 @@ def read_xlsx(path: str, sheet: str | int = 0) -> list[dict]:
         names = z.namelist()
         shared: list[str] = []
         if "xl/sharedStrings.xml" in names:
-            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            root = ET.fromstring(_read_part(z, "xl/sharedStrings.xml"))
             shared = [_rich_text(si) for si in root.iter(f"{_NS}si")]
         date_styles = _date_styles(z, names)
         date1904 = _uses_1904_epoch(z, names)
@@ -403,7 +421,7 @@ def read_xlsx(path: str, sheet: str | int = 0) -> list[dict]:
             if not 0 <= sheet < len(sheet_parts):
                 raise ValueError(f"{path}: no worksheet part for index {sheet}")
             part = sheet_parts[sheet]
-        root = ET.fromstring(z.read(part))
+        root = ET.fromstring(_read_part(z, part))
 
     rows: dict[int, dict[int, object]] = {}
     next_row = 0
@@ -427,7 +445,16 @@ def read_xlsx(path: str, sheet: str | int = 0) -> list[dict]:
             if v is None or v.text is None:
                 continue
             if ctype == "s":
-                cells[col] = shared[int(v.text)]
+                # bounds-checked in place (not via a broad IndexError
+                # quarantine): a negative index would otherwise silently
+                # wrap to the END of the shared-string table
+                idx = int(v.text)
+                if not 0 <= idx < len(shared):
+                    raise ValueError(
+                        f"{path}: shared-string index {idx} out of range "
+                        f"({len(shared)} strings)"
+                    )
+                cells[col] = shared[idx]
             elif ctype == "b":
                 cells[col] = v.text in ("1", "true")  # xsd:boolean admits both
             elif ctype == "str":  # formula cached string result
