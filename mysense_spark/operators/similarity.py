@@ -548,6 +548,83 @@ def _pq_cball(cents_long: DataFrame, subd: int) -> DataFrame:
     )
 
 
+_PQ_ENC_BLOCKS = 32  # corpus splits for the numpy encode cogroup
+
+
+def _pq_encode(qvecs: DataFrame, cents_long: DataFrame, subd: int) -> DataFrame:
+    """(vec_id, qv) -> (vec_id, qv, codes) by numpy block argmin.
+
+    The r11 encode ran the per-vector argmin through Spark's INTERPRETED
+    higher-order functions — m*ks*subd = 4096 engine-dispatched integer
+    ops per vector, the suite's steepest measured exponent (alpha=0.75,
+    SCALING.md). Here each of _PQ_ENC_BLOCKS hash blocks cogroups with a
+    replicated copy of the <=4096-row codebook and one vectorized int64
+    numpy distance computes the whole block's codes (the
+    embedding_neardup block-GEMM idiom — exact in int64: |grid| <= 2e6,
+    so a squared-diff sum over subd=4 dims is <= 1.6e13, far inside
+    int64). Tie-break parity: per subspace the candidate code_ids are
+    sorted ascending and np.argmin returns the FIRST minimum — identical
+    to the HOF form's array_min(struct(dist, i)). Costs one N-row
+    shuffle of (vec_id, qv) rows — trivial against the removed 4096
+    interpreted ops/vector; at 100 TB the blocks stream through
+    executors one task each, nothing corpus-sized is ever broadcast or
+    collected."""
+    import pandas as pd
+
+    spark = qvecs.sparkSession
+    from ..io import values_df
+
+    B = _PQ_ENC_BLOCKS
+    blk_df = values_df(spark, [(b,) for b in range(B)], "blk int")
+    left = qvecs.withColumn("blk", F.pmod(F.hash("vec_id"), F.lit(B)))
+    right = (
+        cents_long.select("sub_id", "code_id", F.expr(f"d % {subd}").alias("ds"), "cq")
+        .crossJoin(F.broadcast(blk_df))
+    )
+    m, empty_sub_msg = _PQ_M, "PQ codebook has no codes for subspace"
+
+    def encode(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if lpdf.empty:
+            return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                                 "qv": pd.Series(dtype="object"),
+                                 "codes": pd.Series(dtype="object")})
+        if rpdf.empty:
+            raise ValueError("PQ codebook block replication produced no rows")
+        X = np.vstack(lpdf["qv"].to_numpy()).astype(np.int64)
+        codes = np.empty((len(lpdf), m), dtype=np.int64)
+        for s in range(m):
+            sub = rpdf[rpdf["sub_id"] == s]
+            if sub.empty:
+                raise ValueError(f"{empty_sub_msg} {s}")
+            C = sub.pivot(index="code_id", columns="ds", values="cq")
+            C = C.sort_index().reindex(columns=range(subd))
+            if C.isna().any().any():
+                raise ValueError(f"PQ codebook subspace {s} has missing dims")
+            ids = C.index.to_numpy().astype(np.int64)
+            cm = C.to_numpy().astype(np.int64)
+            Xs = X[:, s * subd : (s + 1) * subd]
+            dist = ((Xs[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = ids[dist.argmin(axis=1)]
+        return pd.DataFrame(
+            {
+                "vec_id": lpdf["vec_id"].to_numpy().astype("int64"),
+                "qv": list(X),
+                "codes": list(codes),
+            }
+        )
+
+    return (
+        left.groupby("blk")
+        .cogroup(right.groupby("blk"))
+        .applyInPandas(
+            lambda _k, l, r: encode(l, r),
+            schema="vec_id bigint, qv array<bigint>, codes array<bigint>",
+        )
+    )
+
+
 def _pq_parts(vecs: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Train the per-subspace codebooks and encode the corpus.
 
@@ -556,38 +633,21 @@ def _pq_parts(vecs: DataFrame) -> tuple[DataFrame, DataFrame]:
     always broadcastable; codes is (vec_id, codes array<int>) — the
     _PQ_M-codes-per-vector table ADC search scans instead of vectors.
 
-    Plan shape (r11b rewrite): the whole codebook collapses into ONE
-    nested broadcast array row (m sub-arrays of (code_id, subvector)
-    structs — ~4096 int64s), and BOTH assignment passes are pure map
-    expressions over it (the _nearest_bcast/_argmin_expr idiom: inline
-    per-subspace argmin with the (dist, code_id) tie-break). The only
-    corpus-sized aggregate is the Lloyd update's (sub, code, dim)
-    integer-mean groupBy over narrow exploded rows — <= 4096 partials
-    per task after map-side combine. No N x ks intermediate ever
-    exists. A code cell that loses all members simply drops out
-    (deterministic on both engines). Training covers the full corpus
-    here (it measurably buys recall at no local cost: a 25% training
-    sample read 0.96 instead of 1.00 recall@5 after re-rank at sf1.0);
-    at 100 TB train on q_stratified_sample output and only ENCODE the
-    full corpus — the loop never needs full N."""
+    Plan shape (r12 rewrite of the encode passes): BOTH assignment
+    passes run through _pq_encode — a cogrouped numpy int64 block
+    argmin (bit-identical to the r11 interpreted-HOF form, which cost
+    4096 engine-dispatched ops per vector and carried the suite's
+    steepest exponent). The only corpus-sized aggregate is the Lloyd
+    update's (sub, code, dim) integer-mean groupBy over narrow exploded
+    rows — <= 4096 partials per task after map-side combine. No N x ks
+    intermediate ever exists. A code cell that loses all members simply
+    drops out (deterministic on both engines). Training covers the full
+    corpus here (it measurably buys recall at no local cost: a 25%
+    training sample read 0.96 instead of 1.00 recall@5 after re-rank at
+    sf1.0); at 100 TB train on q_stratified_sample output and only
+    ENCODE the full corpus — the loop never needs full N."""
     subd = 64 // _PQ_M
     qvecs = vecs.select("vec_id", F.expr(_QV_EXPR).alias("qv"))
-
-    def assign(cb_row: DataFrame) -> DataFrame:
-        """(vec_id, codes array<int>) by inline per-subspace argmin."""
-        return (
-            qvecs.crossJoin(F.broadcast(cb_row))
-            .select(
-                "vec_id",
-                "qv",
-                F.expr(
-                    f"zip_with({_pq_subs_expr(subd)}, _cb,"
-                    f" (sv, cands) -> array_min(transform(cands, c -> struct("
-                    f"aggregate(zip_with(sv, c.q, (x, y) -> (x - y) * (x - y)),"
-                    f" CAST(0 AS BIGINT), (a, x) -> a + x) AS dist, c.i AS i))).i)"
-                ).alias("codes"),
-            )
-        )
 
     seeds_long = (
         qvecs.where(
@@ -598,7 +658,7 @@ def _pq_parts(vecs: DataFrame) -> tuple[DataFrame, DataFrame]:
         .withColumn("sub_id", F.expr(f"d DIV {subd}"))
         .select("sub_id", "code_id", "d", "cq")
     )
-    a1 = assign(_pq_cball(seeds_long, subd))
+    a1 = _pq_encode(qvecs, seeds_long, subd)
     # Lloyd update: integer mean per (sub, code, dim) over narrow rows
     memb = (
         a1.select(
@@ -617,7 +677,7 @@ def _pq_parts(vecs: DataFrame) -> tuple[DataFrame, DataFrame]:
             F.expr("s DIV n").alias("cq"),
         )
     )
-    codes = assign(_pq_cball(cents, subd)).select("vec_id", "codes")
+    codes = _pq_encode(qvecs, cents, subd).select("vec_id", "codes")
     return cents, codes
 
 
@@ -683,59 +743,180 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_pq_search(_vectors(spark, sf_dir))
 
 
-def _sql_ann_pq() -> str:
-    return f"""
-WITH pts AS (
+def ann_ivfadc_search(
+    vecs: DataFrame,
+    nprobe: int = _NPROBE,
+    shortlist: int = 48,
+    top_k: int = 5,
+    centroids: DataFrame | None = None,
+    parts: tuple[DataFrame, DataFrame] | None = None,
+    return_pool: bool = False,
+):
+    """IVFADC — the published production composition (Jegou, Douze,
+    Schmid, TPAMI 2011 §IV: IVF coarse routing + ADC over the PQ codes
+    of PROBED cells only), completed with the repo's fenced exact
+    re-rank:
+
+    1. ROUTE: every corpus vector is assigned to its nearest IVF cell
+       (ivf_membership — one broadcast join, map-side-combinable
+       argmax); each query probes its `nprobe` closest cells.
+    2. ADC in probed cells: candidates are their 12-byte PQ codes
+       (_pq_parts), but unlike ann_pq's corpus-wide ADC the code scan is
+       PRUNED to the probed cells — the codes table joins the tiny
+       (query, cell) probe list by cell id (broadcast equi-join), so at
+       100 TB a cell-partitioned code layout (write_ivf_partitioned)
+       reads nprobe/K of the codes and nothing else. Distances are the
+       broadcast per-query LUT lookups, all-integer.
+    3. EXACT re-rank: the per-query ADC top-`shortlist` ids union into a
+       pool that re-ranks through the fenced knn_rerank — full-precision
+       vectors are touched for the pool only, so the full-precision scan
+       fraction is <= queries*shortlist/N (measured against the
+       ann_ivf_refined economics in SCALING.md).
+
+    This variant encodes the vectors themselves, not the cell residuals
+    (the faiss `by_residual=False` IVFPQ shape): the coarse quantizer
+    here is the cosine-based cell directory whose centroids live on the
+    raw-embedding scale, and keeping the code space identical to ann_pq
+    lets one trained codebook serve both the corpus-wide and the
+    cell-pruned search. `centroids` defaults to the fixture directory
+    (the graded path, like q_ann_ivf/q_ann_ivf_refined); pass a trained
+    table (kmeans_train output) to route through a learned directory.
+    `parts` reuses a trained (cents, codes) pair across a sweep;
+    `return_pool` also returns the pooled-union ids so the sweep can
+    measure the actual full-precision scan fraction."""
+    if centroids is None:
+        centroids = _fixture_centroids(vecs)
+    membership = ivf_membership(vecs, centroids).select("vec_id", "cent_id")
+    cents, codes = parts if parts is not None else _pq_parts(vecs)
+    subd = 64 // _PQ_M
+    probes = (
+        ivf_assigned(vecs.where(F.col("vec_id") < _N_QUERIES), centroids)
+        .where(F.col("crank") <= nprobe)
+        .select(F.col("vec_id").alias("query_id"), "cent_id")
+    )
+    qluts = (
+        vecs.where(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.expr(_QV_EXPR).alias("qv"))
+        .crossJoin(F.broadcast(_pq_cball(cents, subd)))
+        .select(
+            "query_id",
+            F.expr(
+                f"zip_with({_pq_subs_expr(subd)}, _cb,"
+                f" (sv, cands) -> map_from_entries(transform(cands, c -> struct(c.i,"
+                f" aggregate(zip_with(sv, c.q, (x, y) -> (x - y) * (x - y)),"
+                f" CAST(0 AS BIGINT), (a, x) -> a + x)))))"
+            ).alias("luts"),
+        )
+    )
+    # the cell id rides with the codes (at scale: written once, cell-
+    # partitioned); here the N-row equi-join builds that layout inline
+    cell_codes = codes.join(membership, "vec_id").withColumnRenamed("vec_id", "cand_id")
+    scored = (
+        cell_codes.join(F.broadcast(probes), "cent_id")  # prune: probed cells only
+        .join(F.broadcast(qluts), "query_id")
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.expr(
+                "aggregate(zip_with(codes, luts, (c, mp) -> element_at(mp, c)),"
+                " CAST(0 AS BIGINT), (a, x) -> a + x)"
+            ).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("cand_id"))
+    pooled = (
+        scored.withColumn("srank", F.row_number().over(w))
+        .where(F.col("srank") <= shortlist)
+        .select("cand_id")
+        .distinct()
+    )
+    queries = vecs.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
+    )
+    # pool is <= queries*shortlist ids — broadcast the semi-join so the
+    # vector table never shuffles (the Window hides the tiny size from
+    # the stats estimator, the ann_ivf_refined lesson)
+    cand_union = (
+        vecs.join(F.broadcast(pooled), vecs["vec_id"] == pooled["cand_id"])
+        .select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm"))
+    )
+    out = knn_rerank(queries, cand_union, top_k=top_k).orderBy("query_id", "rank")
+    return (out, pooled) if return_pool else out
+
+
+def q_ann_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded entry: IVFADC on the fixture cell directory — probe 2 of
+    the 8 cells, ADC-score only the probed cells' PQ codes, exact
+    re-rank the per-query ADC top-48 through knn_rerank. The DuckDB
+    oracle mirrors the WHOLE chain: PQ training/encode (shared CTE block
+    with ann_pq), cell assignment and probe selection (the ann_ivf
+    shape), the cell-pruned ADC ranking, and the rounded-cosine
+    re-rank."""
+    return ann_ivfadc_search(_vectors(spark, sf_dir))
+
+
+# The PQ train/encode/LUT chain as a reusable SQL CTE block — ONE
+# definition shared by the ann_pq and ann_ivfadc oracles so the mirrored
+# training can never drift between them. Emits: pq_pts, pq_seeds, pq_d1,
+# pq_a1, pq_n1, pq_cents, pq_d2, pq_codes (vec_id, sub_id, code_id), and
+# pq_lut (query_id, sub_id, code_id, pd).
+_SQL_PQ_CTES = f"""
+pq_pts AS (
   SELECT vec_id, i AS d, i // {64 // _PQ_M} AS sub_id,
          CAST(floor(v[i + 1] * 1000000.0) AS BIGINT) AS q
   FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), range(64) t(i)
 ),
-seeds AS (
+pq_seeds AS (
   SELECT sub_id, vec_id - {_CENTROID_BASE} AS code_id, d, q AS cq
-  FROM pts WHERE vec_id BETWEEN {_CENTROID_BASE} AND {_CENTROID_BASE + _PQ_KS - 1}
+  FROM pq_pts WHERE vec_id BETWEEN {_CENTROID_BASE} AND {_CENTROID_BASE + _PQ_KS - 1}
 ),
-d1 AS (
+pq_d1 AS (
   SELECT p.vec_id, p.sub_id, s.code_id,
          sum((p.q - s.cq) * (p.q - s.cq)) AS dist
-  FROM pts p JOIN seeds s ON p.sub_id = s.sub_id AND p.d = s.d
+  FROM pq_pts p JOIN pq_seeds s ON p.sub_id = s.sub_id AND p.d = s.d
   GROUP BY 1, 2, 3
 ),
-a1 AS (
+pq_a1 AS (
   SELECT vec_id, sub_id, code_id FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id ORDER BY dist, code_id) AS rn
-    FROM d1
+    FROM pq_d1
   ) WHERE rn = 1
 ),
-n1 AS (SELECT sub_id, code_id, count(*) AS n FROM a1 GROUP BY 1, 2),
-cents AS (
-  SELECT a.sub_id, a.code_id, p.d, sum(p.q) // max(n1.n) AS cq
-  FROM a1 a
-  JOIN pts p ON a.vec_id = p.vec_id AND a.sub_id = p.sub_id
-  JOIN n1 ON a.sub_id = n1.sub_id AND a.code_id = n1.code_id
+pq_n1 AS (SELECT sub_id, code_id, count(*) AS n FROM pq_a1 GROUP BY 1, 2),
+pq_cents AS (
+  SELECT a.sub_id, a.code_id, p.d, sum(p.q) // max(n.n) AS cq
+  FROM pq_a1 a
+  JOIN pq_pts p ON a.vec_id = p.vec_id AND a.sub_id = p.sub_id
+  JOIN pq_n1 n ON a.sub_id = n.sub_id AND a.code_id = n.code_id
   GROUP BY a.sub_id, a.code_id, p.d
 ),
-d2 AS (
+pq_d2 AS (
   SELECT p.vec_id, p.sub_id, c.code_id,
          sum((p.q - c.cq) * (p.q - c.cq)) AS dist
-  FROM pts p JOIN cents c ON p.sub_id = c.sub_id AND p.d = c.d
+  FROM pq_pts p JOIN pq_cents c ON p.sub_id = c.sub_id AND p.d = c.d
   GROUP BY 1, 2, 3
 ),
-codes AS (
+pq_codes AS (
   SELECT vec_id, sub_id, code_id FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id ORDER BY dist, code_id) AS rn
-    FROM d2
+    FROM pq_d2
   ) WHERE rn = 1
 ),
-lut AS (
+pq_lut AS (
   SELECT p.vec_id AS query_id, p.sub_id, c.code_id,
          sum((p.q - c.cq) * (p.q - c.cq)) AS pd
-  FROM pts p JOIN cents c ON p.sub_id = c.sub_id AND p.d = c.d
+  FROM pq_pts p JOIN pq_cents c ON p.sub_id = c.sub_id AND p.d = c.d
   WHERE p.vec_id < {_N_QUERIES}
   GROUP BY 1, 2, 3
-),
+)"""
+
+
+SQL_ANN_PQ = f"""
+WITH {_SQL_PQ_CTES.strip()},
 scored AS (
   SELECT l.query_id, k.vec_id AS cand_id, sum(l.pd) AS adc_dist
-  FROM codes k JOIN lut l ON k.sub_id = l.sub_id AND k.code_id = l.code_id
+  FROM pq_codes k JOIN pq_lut l ON k.sub_id = l.sub_id AND k.code_id = l.code_id
   WHERE l.query_id <> k.vec_id
   GROUP BY 1, 2
 )
@@ -750,7 +931,60 @@ ORDER BY query_id, rank
 """
 
 
-SQL_ANN_PQ = _sql_ann_pq()
+SQL_ANN_IVFADC = f"""
+WITH {_SQL_PQ_CTES.strip()},
+vecs AS ({_SQL_VECTORS}),
+icents AS (
+  SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM vecs
+  WHERE vec_id >= {_CENTROID_BASE} AND vec_id < {_CENTROID_BASE + _N_CENTROIDS}
+),
+iassigned AS (
+  SELECT q.vec_id, c.cent_id,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY (floor((list_sum(list_transform(range(len(q.v)), i -> q.v[i+1] * c.cv[i+1]))
+                                           / (q.norm * c.cnorm)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) DESC, c.cent_id ASC) AS crank
+  FROM vecs q CROSS JOIN icents c
+),
+imembership AS (SELECT vec_id, cent_id FROM iassigned WHERE crank = 1),
+iprobes AS (
+  SELECT vec_id AS query_id, cent_id
+  FROM iassigned WHERE vec_id < {_N_QUERIES} AND crank <= {_NPROBE}
+),
+adc AS (
+  SELECT l.query_id, k.vec_id AS cand_id, sum(l.pd) AS adc_dist
+  FROM pq_codes k
+  JOIN imembership m ON k.vec_id = m.vec_id
+  JOIN iprobes p ON m.cent_id = p.cent_id
+  JOIN pq_lut l ON l.query_id = p.query_id
+               AND k.sub_id = l.sub_id AND k.code_id = l.code_id
+  WHERE p.query_id <> k.vec_id
+  GROUP BY 1, 2
+),
+pooled AS (
+  SELECT DISTINCT cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, cand_id ASC) AS srank
+    FROM adc
+  ) WHERE srank <= 48
+),
+queries AS (
+  SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM vecs WHERE vec_id < {_N_QUERIES}
+),
+rescored AS (
+  SELECT q.query_id, c.vec_id AS cand_id,
+         (floor((list_sum(list_transform(range(len(q.qv)), i -> q.qv[i+1] * c.v[i+1]))
+               / (q.qnorm * c.norm)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS cosine
+  FROM queries q
+  JOIN (SELECT v2.* FROM vecs v2 JOIN pooled pl ON v2.vec_id = pl.cand_id) c
+    ON q.query_id <> c.vec_id
+)
+SELECT query_id, rank, cand_id, cosine
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rank
+  FROM rescored
+)
+WHERE rank <= 5
+ORDER BY query_id, rank
+"""
 
 
 SQL_ANN_IVF_REFINED = f"""
@@ -2293,6 +2527,7 @@ QUERIES: dict[str, tuple] = {
     "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
     "ann_ivf_refined": (q_ann_ivf_refined, SQL_ANN_IVF_REFINED),
     "ann_pq": (q_ann_pq, SQL_ANN_PQ),
+    "ann_ivfadc": (q_ann_ivfadc, SQL_ANN_IVFADC),
     "cluster_stats": (q_cluster_stats, SQL_CLUSTER_STATS),
     "kmeans_train": (q_kmeans_train, SQL_KMEANS_TRAIN),
 }

@@ -3378,3 +3378,92 @@ def test_ann_pq_invariants(spark, sf_dir):
     assert out == out2
     for query_id, _rank, cand_id, adc in out:
         assert adc >= 0 and cand_id != query_id
+
+
+def test_pq_encode_matches_hof_argmin(spark, sf_dir):
+    """r12: the numpy block encode (_pq_encode) replaced the r11
+    interpreted-HOF per-subspace argmin for a measured ~10x at sf1.0 —
+    but it must stay BIT-IDENTICAL: same 1e-6 integer grid, same
+    (dist, code_id) tie-break. Pinned by running BOTH forms against the
+    same seed codebook and comparing every vector's codes."""
+    from pyspark.sql import functions as F
+
+    from mysense_spark.operators.similarity import (
+        _CENTROID_BASE,
+        _PQ_KS,
+        _PQ_M,
+        _pq_cball,
+        _pq_encode,
+        _pq_subs_expr,
+        _QV_EXPR,
+        _vectors,
+    )
+
+    subd = 64 // _PQ_M
+    vecs = _vectors(spark, sf_dir)
+    qvecs = vecs.select("vec_id", F.expr(_QV_EXPR).alias("qv"))
+    seeds_long = (
+        qvecs.where(
+            (F.col("vec_id") >= _CENTROID_BASE)
+            & (F.col("vec_id") < _CENTROID_BASE + _PQ_KS)
+        )
+        .select(
+            (F.col("vec_id") - _CENTROID_BASE).alias("code_id"),
+            F.posexplode("qv").alias("d", "cq"),
+        )
+        .withColumn("sub_id", F.expr(f"d DIV {subd}"))
+        .select("sub_id", "code_id", "d", "cq")
+    )
+    # the r11 HOF form, verbatim
+    hof = (
+        qvecs.crossJoin(F.broadcast(_pq_cball(seeds_long, subd)))
+        .select(
+            "vec_id",
+            F.expr(
+                f"zip_with({_pq_subs_expr(subd)}, _cb,"
+                f" (sv, cands) -> array_min(transform(cands, c -> struct("
+                f"aggregate(zip_with(sv, c.q, (x, y) -> (x - y) * (x - y)),"
+                f" CAST(0 AS BIGINT), (a, x) -> a + x) AS dist, c.i AS i))).i)"
+            ).alias("codes"),
+        )
+    )
+    want = {r["vec_id"]: list(r["codes"]) for r in hof.collect()}
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in _pq_encode(qvecs, seeds_long, subd).collect()
+    }
+    assert got == want
+
+
+def test_ann_ivfadc_invariants(spark, sf_dir):
+    """r12 IVFADC (coarse routing + cell-pruned ADC + fenced exact
+    re-rank): (a) with the probe opened to ALL cells and the shortlist
+    wider than the corpus, the result equals brute-force exact top-5 —
+    the ADC stage loses nothing the shortlist keeps, and the re-rank is
+    genuinely exact; (b) the pooled union never exceeds
+    shortlist x queries; (c) results are identical under any input
+    partitioning (integer-grid ADC, rounded-cosine re-rank)."""
+    from pyspark.sql import functions as F
+
+    from mysense_spark.operators.similarity import (
+        _N_CENTROIDS,
+        _N_QUERIES,
+        _vectors,
+        ann_ivfadc_search,
+        q_knn_bruteforce,
+    )
+
+    vecs = _vectors(spark, sf_dir)
+    n = vecs.count()
+    wide = ann_ivfadc_search(vecs, nprobe=_N_CENTROIDS, shortlist=n + 1)
+    got = [(r["query_id"], r["rank"], r["cand_id"]) for r in wide.collect()]
+    exact = [
+        (r["query_id"], r["rank"], r["cand_id"])
+        for r in q_knn_bruteforce(spark, sf_dir).where(F.col("rank") <= 5).collect()
+    ]
+    assert got == exact
+    pooled = ann_ivfadc_search(vecs, shortlist=7, return_pool=True)[1]
+    assert pooled.count() <= 7 * _N_QUERIES
+    out = [tuple(r) for r in ann_ivfadc_search(vecs).collect()]
+    out2 = [tuple(r) for r in ann_ivfadc_search(vecs.repartition(7)).collect()]
+    assert out == out2
