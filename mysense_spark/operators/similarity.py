@@ -365,38 +365,21 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQ_EXPR = "transform({v}, x -> CAST(floor(x * 127.0) AS BIGINT))"
 
 
-def ann_ivf_refined(
+def _route(
     vecs: DataFrame,
-    nprobe: int = 2 * _NPROBE,
-    pool: int = 48,
-    centroids: DataFrame | None = None,
-    parts: tuple[DataFrame, DataFrame, DataFrame] | None = None,
-    return_pool: bool = False,
-):
-    """TWO-STAGE IVF search — the production recall-recovery pattern
-    (IVF + SQ prefilter + exact refine, the FAISS IVFFlat/SQ shape):
-
-    1. WIDE approximate probe: rank `nprobe` cells per query exactly as
-       the single-stage search does, but score the probed candidates
-       with the integer dot of int8-range SQ codes (floor(x*127) — 8x
-       less data per candidate than the float64 vectors, and exact
-       cross-engine arithmetic), keeping the top-`pool` candidate ids
-       per query.
-    2. EXACT re-rank: the pooled union goes through the fenced
-       knn_rerank (MAX_RERANK_QUERIES intact — queries stay bounded,
-       candidates are the pool, never the corpus) for full-precision
-       rounded-cosine top-5.
-
-    Why this beats single-stage at EQUAL full-precision scan: stage 1
-    can afford 2-4x more cells because it reads codes, not vectors; the
-    exact stage then touches only `pool` candidates per query — so the
-    recall of the wider probe arrives at the narrower probe's
-    full-precision cost (measured: tools/ivf_recall_curve.py --refined,
-    table in SCALING.md). `centroids` selects the fixture codebook
-    (graded q_ann_ivf_refined); default is the trained two-level
-    codebook, `parts` reuses a trained construction across a sweep;
-    `return_pool` additionally returns the pooled-union DataFrame so
-    the sweep can measure the ACTUAL full-precision scan fraction."""
+    nprobe: int,
+    centroids: DataFrame | None,
+    parts: tuple[DataFrame, DataFrame, DataFrame] | None,
+) -> tuple[DataFrame, DataFrame]:
+    """ONE definition of the IVF routing stage shared by the two-stage
+    refined search and IVFADC: returns (membership, probes) —
+    membership (vec_id, v, norm, cent_id) assigns every corpus vector to
+    its cell, probes (query_id, pv, qnorm, cent_id) lists each query's
+    `nprobe` cells. `centroids` (vec_id, v, norm) selects the fixture /
+    kmeans codebook path (rounded-cosine assignment); None routes
+    through the TRAINED two-level directory (integer-grid L2 against
+    the Lloyd-refined fine centroids), optionally reusing a prebuilt
+    `parts` across a sweep."""
     if centroids is None:
         _, f1cell, final = parts if parts is not None else _two_level_parts(vecs)
         membership = vecs.join(final, "vec_id").select("vec_id", "v", "norm", "cent_id")
@@ -432,6 +415,42 @@ def ann_ivf_refined(
                 "cent_id",
             )
         )
+    return membership, probes
+
+
+def ann_ivf_refined(
+    vecs: DataFrame,
+    nprobe: int = 2 * _NPROBE,
+    pool: int = 48,
+    centroids: DataFrame | None = None,
+    parts: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    return_pool: bool = False,
+):
+    """TWO-STAGE IVF search — the production recall-recovery pattern
+    (IVF + SQ prefilter + exact refine, the FAISS IVFFlat/SQ shape):
+
+    1. WIDE approximate probe: rank `nprobe` cells per query exactly as
+       the single-stage search does, but score the probed candidates
+       with the integer dot of int8-range SQ codes (floor(x*127) — 8x
+       less data per candidate than the float64 vectors, and exact
+       cross-engine arithmetic), keeping the top-`pool` candidate ids
+       per query.
+    2. EXACT re-rank: the pooled union goes through the fenced
+       knn_rerank (MAX_RERANK_QUERIES intact — queries stay bounded,
+       candidates are the pool, never the corpus) for full-precision
+       rounded-cosine top-5.
+
+    Why this beats single-stage at EQUAL full-precision scan: stage 1
+    can afford 2-4x more cells because it reads codes, not vectors; the
+    exact stage then touches only `pool` candidates per query — so the
+    recall of the wider probe arrives at the narrower probe's
+    full-precision cost (measured: tools/ivf_recall_curve.py --refined,
+    table in SCALING.md). `centroids` selects the fixture codebook
+    (graded q_ann_ivf_refined); default is the trained two-level
+    codebook, `parts` reuses a trained construction across a sweep;
+    `return_pool` additionally returns the pooled-union DataFrame so
+    the sweep can measure the ACTUAL full-precision scan fraction."""
+    membership, probes = _route(vecs, nprobe, centroids, parts)
     cand = membership.select(
         F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm"), "cent_id"
     )
@@ -750,6 +769,7 @@ def ann_ivfadc_search(
     top_k: int = 5,
     centroids: DataFrame | None = None,
     parts: tuple[DataFrame, DataFrame] | None = None,
+    route_parts: tuple[DataFrame, DataFrame, DataFrame] | None = None,
     return_pool: bool = False,
 ):
     """IVFADC — the published production composition (Jegou, Douze,
@@ -778,22 +798,19 @@ def ann_ivfadc_search(
     here is the cosine-based cell directory whose centroids live on the
     raw-embedding scale, and keeping the code space identical to ann_pq
     lets one trained codebook serve both the corpus-wide and the
-    cell-pruned search. `centroids` defaults to the fixture directory
-    (the graded path, like q_ann_ivf/q_ann_ivf_refined); pass a trained
-    table (kmeans_train output) to route through a learned directory.
-    `parts` reuses a trained (cents, codes) pair across a sweep;
+    cell-pruned search. Routing goes through _route (ONE definition
+    shared with ann_ivf_refined): `centroids` selects the fixture /
+    kmeans directory — the graded q_ann_ivfadc passes the fixture, like
+    q_ann_ivf/q_ann_ivf_refined — and None routes through the TRAINED
+    two-level directory (`route_parts` reuses a prebuilt one across a
+    sweep). `parts` reuses a trained PQ (cents, codes) pair;
     `return_pool` also returns the pooled-union ids so the sweep can
     measure the actual full-precision scan fraction."""
-    if centroids is None:
-        centroids = _fixture_centroids(vecs)
-    membership = ivf_membership(vecs, centroids).select("vec_id", "cent_id")
+    membership, probes = _route(vecs, nprobe, centroids, route_parts)
+    membership = membership.select("vec_id", "cent_id")
+    probes = probes.select("query_id", "cent_id")
     cents, codes = parts if parts is not None else _pq_parts(vecs)
     subd = 64 // _PQ_M
-    probes = (
-        ivf_assigned(vecs.where(F.col("vec_id") < _N_QUERIES), centroids)
-        .where(F.col("crank") <= nprobe)
-        .select(F.col("vec_id").alias("query_id"), "cent_id")
-    )
     qluts = (
         vecs.where(F.col("vec_id") < _N_QUERIES)
         .select(F.col("vec_id").alias("query_id"), F.expr(_QV_EXPR).alias("qv"))
@@ -853,7 +870,8 @@ def q_ann_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     with ann_pq), cell assignment and probe selection (the ann_ivf
     shape), the cell-pruned ADC ranking, and the rounded-cosine
     re-rank."""
-    return ann_ivfadc_search(_vectors(spark, sf_dir))
+    vecs = _vectors(spark, sf_dir)
+    return ann_ivfadc_search(vecs, centroids=_fixture_centroids(vecs))
 
 
 # The PQ train/encode/LUT chain as a reusable SQL CTE block — ONE

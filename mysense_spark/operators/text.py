@@ -1466,6 +1466,77 @@ ORDER BY d.doc_id
 SQL_DSIR_WEIGHTS = _sql_dsir_weights()
 
 
+_DSIR_K = 100  # resampled subset size
+
+
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR end-to-end (r12): the paper's ACTUAL output is the selected
+    subset, not the weights — importance resampling of _DSIR_K documents
+    with probability proportional to w(d) = exp(log_weight), via the
+    Gumbel top-k trick (equivalently Efraimidis-Spirakis weighted
+    sampling without replacement): key(d) = log_weight + Gumbel(u_d),
+    take the k largest keys. The Gumbel uniform is an md5 hash coin
+    ('dsir' salt decorrelates it from every other sampler's coin), so
+    the draw is reproducible on any cluster and under re-runs — the
+    weighted_sample determinism idiom. u = (2*u32 + 1) / 2^33 is an
+    EXACT double (odd numerator < 2^33, power-of-two denominator), so
+    both engines feed bit-identical operands into the two ln calls; the
+    key is ieee-rounded to 6 dp with a doc_id tie-break before ranking.
+
+    Scale shape: the weights lineage is q_dsir_weights verbatim (shared
+    function — the graded weight query and the resample can never
+    drift); the selection adds one global top-k (TakeOrderedAndProject:
+    per-partition heaps, no single-partition window over the corpus)
+    and ranks only the k survivors."""
+    from pyspark.sql import Window
+
+    w = q_dsir_weights(spark, sf_dir)
+    u32 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("dsir"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    u = (u32 * 2 + 1).cast("double") / F.lit(8589934592.0)
+    from .util import ieee_round
+
+    key = ieee_round(F.col("log_weight") + -F.log(-F.log(u)), 6)
+    keyed = w.select("doc_id", "n_bigrams", "log_weight", key.alias("sample_key"))
+    top = keyed.orderBy(F.desc("sample_key"), F.asc("doc_id")).limit(_DSIR_K)
+    rank_w = Window.orderBy(F.desc("sample_key"), F.asc("doc_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(rank_w))
+        .select("rank", "doc_id", "n_bigrams", "log_weight", "sample_key")
+        .orderBy("rank")
+    )
+
+
+def _sql_dsir_resample() -> str:
+    from .util import sql_ieee_round
+
+    key = sql_ieee_round(
+        "log_weight + -ln(-ln((('0x' || substr(md5('dsir' ||"
+        " CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT * 2 + 1) / 8589934592.0))",
+        6,
+    )
+    return f"""
+WITH dw AS ({SQL_DSIR_WEIGHTS}),
+keyed AS (
+  SELECT doc_id, n_bigrams, log_weight, {key} AS sample_key
+  FROM dw
+)
+SELECT rank, doc_id, n_bigrams, log_weight, sample_key
+FROM (
+  SELECT *, row_number() OVER (ORDER BY sample_key DESC, doc_id ASC) AS rank
+  FROM keyed
+)
+WHERE rank <= {_DSIR_K}
+ORDER BY rank
+"""
+
+
+SQL_DSIR_RESAMPLE = _sql_dsir_resample()
+
+
 QUERIES: dict[str, tuple] = {
     "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
     "gopher_filter": (q_gopher_filter, SQL_GOPHER_FILTER),
@@ -1484,4 +1555,5 @@ QUERIES: dict[str, tuple] = {
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
+    "dsir_resample": (q_dsir_resample, SQL_DSIR_RESAMPLE),
 }

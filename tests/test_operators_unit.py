@@ -3446,6 +3446,7 @@ def test_ann_ivfadc_invariants(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from mysense_spark.operators.similarity import (
+        _fixture_centroids,
         _N_CENTROIDS,
         _N_QUERIES,
         _vectors,
@@ -3454,16 +3455,65 @@ def test_ann_ivfadc_invariants(spark, sf_dir):
     )
 
     vecs = _vectors(spark, sf_dir)
+    fix = _fixture_centroids(vecs)
     n = vecs.count()
-    wide = ann_ivfadc_search(vecs, nprobe=_N_CENTROIDS, shortlist=n + 1)
+    wide = ann_ivfadc_search(vecs, nprobe=_N_CENTROIDS, shortlist=n + 1, centroids=fix)
     got = [(r["query_id"], r["rank"], r["cand_id"]) for r in wide.collect()]
     exact = [
         (r["query_id"], r["rank"], r["cand_id"])
         for r in q_knn_bruteforce(spark, sf_dir).where(F.col("rank") <= 5).collect()
     ]
     assert got == exact
-    pooled = ann_ivfadc_search(vecs, shortlist=7, return_pool=True)[1]
+    pooled = ann_ivfadc_search(vecs, shortlist=7, centroids=fix, return_pool=True)[1]
     assert pooled.count() <= 7 * _N_QUERIES
-    out = [tuple(r) for r in ann_ivfadc_search(vecs).collect()]
-    out2 = [tuple(r) for r in ann_ivfadc_search(vecs.repartition(7)).collect()]
+    out = [tuple(r) for r in ann_ivfadc_search(vecs, centroids=fix).collect()]
+    out2 = [
+        tuple(r)
+        for r in ann_ivfadc_search(
+            vecs.repartition(7), centroids=_fixture_centroids(vecs.repartition(7))
+        ).collect()
+    ]
     assert out == out2
+
+
+def test_dsir_resample_semantics(spark, sf_dir):
+    """r12 DSIR end-to-end: the resampled subset (Gumbel top-k over the
+    importance weights) must (a) hold exactly _DSIR_K rows ranked 1..k
+    with strictly deterministic keys (identical under repartitioned
+    shuffles); (b) actually SHIFT the mix toward the lang='en' target —
+    the en share among selected docs exceeds the corpus en share (the
+    paper's whole point); (c) agree with a local recomputation of the
+    Gumbel keys from the weights (the selection is the top-k of
+    log_weight + hash-Gumbel, nothing else)."""
+    import hashlib
+    import math
+
+    from mysense_spark.io import load
+    from mysense_spark.operators.text import _DSIR_K, q_dsir_resample, q_dsir_weights
+
+    out = q_dsir_resample(spark, sf_dir).collect()
+    assert [r["rank"] for r in out] == list(range(1, _DSIR_K + 1))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        out2 = q_dsir_resample(spark, sf_dir).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert [tuple(r) for r in out] == [tuple(r) for r in out2]
+    docs = load(spark, sf_dir, "documents")
+    langs = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", "lang").collect()}
+    corpus_en = sum(1 for v in langs.values() if v == "en") / len(langs)
+    sel_en = sum(1 for r in out if langs[r["doc_id"]] == "en") / len(out)
+    assert sel_en > corpus_en
+    # local recomputation of the winning keys from the weights
+    weights = {r["doc_id"]: r["log_weight"] for r in q_dsir_weights(spark, sf_dir).collect()}
+
+    def key(doc_id: int) -> float:
+        u32 = int(hashlib.md5(f"dsir{doc_id}".encode()).hexdigest()[:8], 16)
+        u = (u32 * 2 + 1) / 8589934592.0
+        raw = weights[doc_id] + -math.log(-math.log(u))
+        return math.floor(raw * 1e6 + 0.5) / 1e6
+    want = sorted(weights, key=lambda d: (-key(d), d))[:_DSIR_K]
+    assert [r["doc_id"] for r in out] == want
+    for r in out:
+        assert abs(r["sample_key"] - key(r["doc_id"])) < 1e-9

@@ -47,6 +47,7 @@ _FENCED_CROSSJOIN = {
     "tfidf_top_terms",
     "perplexity_bucket",
     "dsir_weights",  # r11: 1-row (ts, tt) totals into the ratio table
+    "dsir_resample",  # r12: same weights lineage + global top-k
 }
 
 

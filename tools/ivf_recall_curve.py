@@ -22,8 +22,16 @@ pure ADC ranking (12-byte codes, no float vectors touched at query
 time) and of ADC + exact re-rank of the ADC top-N pool — the
 memory/recall tradeoff at 21x compression.
 
+`--ivfadc` (r12) sweeps the full Jegou-2011 composition (ann_ivfadc:
+trained two-level routing, ADC over the probed cells' PQ codes only,
+exact re-rank of the per-query shortlist) over (nprobe, shortlist),
+reporting recall@5 against the full-precision scan fraction (ACTUAL
+pooled-union size / corpus) and the CODE scan fraction — which for
+this tier is nprobe/K of a 12-byte-per-vector table, not the 8x SQ
+table the refined tier reads.
+
 Usage: python tools/ivf_recall_curve.py [sf_dir] [out_json]
-           [--fixture | --refined | --pq]
+           [--fixture | --refined | --pq | --ivfadc]
 Defaults: /tmp/scale/sf1.0, /tmp/ivf_recall_curve.json
 """
 
@@ -116,6 +124,61 @@ def main() -> None:
         print("wrote", out_path)
         return
 
+    if "--ivfadc" in sys.argv:
+        from mysense_spark.operators.similarity import _pq_parts, ann_ivfadc_search
+
+        exact = {
+            (r["query_id"], r["cand_id"])
+            for r in q_knn_bruteforce(spark, sf_dir).where(F.col("rank") <= 5).collect()
+        }
+        # train BOTH directories once and sweep against them: the PQ
+        # codebook+codes (12 B/vector) and the two-level cell routing
+        pq = _pq_parts(vecs)
+        pq[0].count(), pq[1].persist().count()
+        route = _two_level_parts(vecs)
+        n_cells = route[2].select("cent_id").distinct().count()
+        curve = []
+        # sweep by CELL FRACTION, not absolute nprobe: n_cells grows
+        # with N (K ~ N/64), so a fixed nprobe silently scans 10x less
+        # of the directory a decade up — the r12 200k lesson. The
+        # fractions reproduce the 20k points (16/32/64/128 of 298
+        # cells); 0.43 is the tier's whole argument — at 12 B/vector
+        # the code stage affords 2x the refined tier's widest probe
+        # for ~40% of its stage-1 bytes
+        for frac in (0.0537, 0.1074, 0.2148, 0.4295):
+            nprobe = max(1, round(frac * n_cells))
+            for shortlist in (50, 110, 220):
+                t0 = time.monotonic()
+                searched, pooled = ann_ivfadc_search(
+                    vecs, nprobe=nprobe, shortlist=shortlist,
+                    parts=pq, route_parts=route, return_pool=True,
+                )
+                got = {(r["query_id"], r["cand_id"]) for r in searched.collect()}
+                union = pooled.count()
+                curve.append(
+                    {
+                        "nprobe": nprobe,
+                        "shortlist": shortlist,
+                        "recall_at_5": round(len(exact & got) / len(exact), 4),
+                        "sec": round(time.monotonic() - t0, 2),
+                        "full_precision_scan_frac": round(union / n_corpus, 4),
+                        "code_scan_frac": round(nprobe / n_cells, 4),
+                        "bytes_per_code": 12,
+                    }
+                )
+                print(curve[-1], flush=True)
+        out = {
+            "sf_dir": sf_dir,
+            "n_corpus": n_corpus,
+            "codebook": "ivfadc_trained_route_pq_m16_ks64",
+            "n_cells": n_cells,
+            "curve": curve,
+        }
+        with open(out_path, "w") as fh:
+            json.dump(out, fh, indent=1)
+        print("wrote", out_path)
+        return
+
     if refined:
         parts = _two_level_parts(vecs)
         n_cells = parts[2].select("cent_id").distinct().count()
@@ -124,9 +187,11 @@ def main() -> None:
             for r in q_knn_bruteforce(spark, sf_dir).where(F.col("rank") <= 5).collect()
         }
         curve = []
-        for nprobe in (16, 32, 64):
-            if nprobe > n_cells:
-                continue
+        # fraction-based for the same reason as --ivfadc: equal
+        # code_scan_frac across corpus sizes (16/32/64 of the 20k
+        # directory's 298 cells)
+        for frac in (0.0537, 0.1074, 0.2148):
+            nprobe = max(1, round(frac * n_cells))
             for pool in (110, 220, 440, 880):
                 t0 = time.monotonic()
                 searched, pooled = ann_ivf_refined(
