@@ -1582,6 +1582,122 @@ def _prog_ac_refine(bits, coef, ss, se, p1, m1, ac_t, eobrun) -> int:
     return eobrun
 
 
+def write_jpeg_progressive(arr) -> bytes:
+    """Minimal PROGRESSIVE (SOF2) encoder — grayscale uint8, unit
+    quantization, two spectral-selection scans with no successive
+    approximation: scan 1 codes every block's DC (Ss=0, Se=0 — coded
+    exactly like baseline DC: diff category + bits), scan 2 codes
+    AC 1..63 (Ss=1, Se=63, Ah=Al=0) with the progressive run-length
+    grammar — ZRL for 16-zero runs and an EOBRUN of 1 (symbol 0x00, no
+    extra bits) flushed at each block's trailing-zero tail, which any
+    spec decoder accepts. The validation partner of _decode_multiscan
+    the same way write_jpeg partners the baseline decoder; same
+    fixed-length canonical Huffman tables, so the emitted DHT is
+    readable by any decoder. r12: exists so the media_codec_matrix
+    driver gate can exercise the progressive decode path on DC-only
+    (flat-block) images, which round-trip exactly."""
+    import numpy as np
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim != 2:
+        raise ValueError(f"write_jpeg_progressive needs HxW grayscale; got {arr.shape}")
+    h, w = a.shape
+    dc_syms = list(range(12))
+    dc_counts = [0, 0, 0, 12] + [0] * 12
+    ac_syms = [0x00] + [(r << 4) | s for r in range(16) for s in range(1, 11)] + [0xF0]
+    ac_counts = [0] * 7 + [len(ac_syms)] + [0] * 8
+    dc_codes = {sym: (4, i) for i, sym in enumerate(dc_syms)}
+    ac_codes = {sym: (8, i) for i, sym in enumerate(ac_syms)}
+
+    C = _dct_matrix()
+    bh, bw = -(-h // 8), -(-w // 8)
+    pe = np.pad(a.astype(np.float64), ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+    blocks = []
+    for by in range(bh):
+        for bx in range(bw):
+            block = pe[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coef = np.round(C @ block @ C.T).astype(np.int64)
+            blocks.append(coef.reshape(-1)[_ZIGZAG])
+
+    def entropy(emit) -> bytes:
+        out = bytearray()
+        state = [0, 0]  # bitbuf, nbits
+
+        def put(code: int, length: int):
+            state[0] = (state[0] << length) | (code & ((1 << length) - 1))
+            state[1] += length
+            while state[1] >= 8:
+                state[1] -= 8
+                byte = (state[0] >> state[1]) & 0xFF
+                out.append(byte)
+                if byte == 0xFF:
+                    out.append(0x00)
+            state[0] &= (1 << state[1]) - 1
+
+        emit(put)
+        if state[1]:
+            put(0x7F, 8 - state[1])
+        return bytes(out)
+
+    def size_of(v: int) -> int:
+        return v.bit_length() if v >= 0 else (-v).bit_length()
+
+    def dc_scan(put):
+        pred = 0
+        for zz in blocks:
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            t = size_of(diff)
+            if t > 11:
+                raise ValueError("DC difference out of range")
+            length, code = dc_codes[t]
+            put(code, length)
+            if t:
+                put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+
+    def ac_scan(put):
+        for zz in blocks:
+            run = 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    length, code = ac_codes[0xF0]
+                    put(code, length)
+                    run -= 16
+                s = size_of(v)
+                if s > 10:
+                    raise ValueError("AC coefficient out of range for the fixed table")
+                length, code = ac_codes[(run << 4) | s]
+                put(code, length)
+                put(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if run:  # trailing zeros: EOBRUN of exactly 1
+                length, code = ac_codes[0x00]
+                put(code, length)
+
+    def seg16(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg16(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = seg16(0xC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dht = seg16(
+        0xC4,
+        bytes([0x00]) + bytes(dc_counts[:16]) + bytes(dc_syms)
+        + bytes([0x10]) + bytes(ac_counts[:16]) + bytes(ac_syms),
+    )
+    sos_dc = seg16(0xDA, bytes([1, 1, 0x00]) + bytes([0, 0, 0x00]))
+    sos_ac = seg16(0xDA, bytes([1, 1, 0x00]) + bytes([1, 63, 0x00]))
+    return (
+        b"\xff\xd8" + dqt + sof + dht
+        + sos_dc + entropy(dc_scan)
+        + sos_ac + entropy(ac_scan)
+        + b"\xff\xd9"
+    )
+
+
 def write_jpeg(
     arr, subsample: bool = False, restart: int = 0, samp: list | None = None
 ) -> bytes:

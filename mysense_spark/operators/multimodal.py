@@ -1222,11 +1222,28 @@ def media_codec_matrix(docs: DataFrame) -> DataFrame:
          samples); the mirror walks the published step/index recurrence
          in a DuckDB RECURSIVE CTE over list-literal step/adjust tables
          (validated exact against the decoder on synthesized blocks).
+      6/7 (r12): 16x16 gray of four FLAT 8x8 blocks -> real BASELINE
+         (write_jpeg) / PROGRESSIVE (write_jpeg_progressive) lossy
+         JPEG -> decode_jpeg_pixels. Uniform blocks survive
+         DCT + unit quantization EXACTLY (AC float residue ~1e-13
+         rounds to 0, DC = 8*(v-128) is an exact integer, the IDCT
+         error << 0.5 disappears in the round-to-uint8) — verified for
+         all 256 values by pytest — so the md5-synthesis mirror works
+         with no codec on the oracle side: mean = avg of the four
+         block values (integer sums are exact in float64 and the /4 vs
+         64x/256 divisions are both by powers of two). This is the
+         driver-gate leg for the LOSSY decode kernels (baseline
+         sequential + progressive multiscan), previously pytest-only.
     Per-row work is independent; any partitioning yields identical
     rows. Cites the same RIFF/BMP surfaces as decode_wav/decode_bmp."""
     import struct as _struct
 
-    from .codecs import decode_jpeg_pixels, write_jpeg_lossless
+    from .codecs import (
+        decode_jpeg_pixels,
+        write_jpeg,
+        write_jpeg_lossless,
+        write_jpeg_progressive,
+    )
 
     r6 = _r6
 
@@ -1246,7 +1263,7 @@ def media_codec_matrix(docs: DataFrame) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 base = d * 512
-                fam = d % 6
+                fam = d % 8
                 if fam == 0:
                     px = np.array(
                         [_md5_val(base + i, 2) for i in range(48)], dtype=np.uint8
@@ -1273,6 +1290,24 @@ def media_codec_matrix(docs: DataFrame) -> DataFrame:
                         )
                     rows.append(
                         (d, "ljpeg", meta["width"], meta["height"],
+                         r6(float(back.mean())), None, None)
+                    )
+                elif fam in (6, 7):
+                    off = 448 if fam == 6 else 452
+                    vals = [_md5_val(base + off + k, 2) for k in range(4)]
+                    px = np.zeros((16, 16), dtype=np.uint8)
+                    for k, (by, bx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+                        px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = vals[k]
+                    enc = write_jpeg(px) if fam == 6 else write_jpeg_progressive(px)
+                    meta, back = decode_jpeg_pixels(enc)
+                    if not np.array_equal(back, px):
+                        raise ValueError(
+                            f"DC-only {'baseline' if fam == 6 else 'progressive'}"
+                            f" JPEG round trip diverged for doc {d}"
+                        )
+                    rows.append(
+                        (d, "jpeg_dc" if fam == 6 else "pjpeg_dc",
+                         meta["width"], meta["height"],
                          r6(float(back.mean())), None, None)
                     )
                 elif fam == 5:
@@ -1352,13 +1387,25 @@ def _sql_media_codec_matrix() -> str:
 WITH RECURSIVE bmp AS (
   SELECT d.doc_id, {sql_ieee_round('avg(' + md5v('d.doc_id * 512 + t.i', 2) + ')', 6)} AS mean_val
   FROM documents d, range(48) t(i)
-  WHERE d.doc_id % 6 = 0
+  WHERE d.doc_id % 8 = 0
   GROUP BY d.doc_id
 ),
 ljpeg AS (
   SELECT d.doc_id, {sql_ieee_round('avg(' + md5v('d.doc_id * 512 + 320 + t.i', 4) + ')', 6)} AS mean_val
   FROM documents d, range(20) t(i)
-  WHERE d.doc_id % 6 = 4
+  WHERE d.doc_id % 8 = 4
+  GROUP BY d.doc_id
+),
+jdc AS (
+  SELECT d.doc_id, {sql_ieee_round('avg(' + md5v('d.doc_id * 512 + 448 + t.i', 2) + ')', 6)} AS mean_val
+  FROM documents d, range(4) t(i)
+  WHERE d.doc_id % 8 = 6
+  GROUP BY d.doc_id
+),
+pdc AS (
+  SELECT d.doc_id, {sql_ieee_round('avg(' + md5v('d.doc_id * 512 + 452 + t.i', 2) + ')', 6)} AS mean_val
+  FROM documents d, range(4) t(i)
+  WHERE d.doc_id % 8 = 7
   GROUP BY d.doc_id
 ),
 ulaw AS (
@@ -1367,7 +1414,7 @@ ulaw AS (
     SELECT doc_id, u, ((u & 15) * 8 + 132) * (1 << ((u >> 4) & 7)) AS t
     FROM (
       SELECT d.doc_id, 255 - {md5v('d.doc_id * 512 + 128 + t.i', 2)} AS u
-      FROM documents d, range(32) t(i) WHERE d.doc_id % 6 = 1
+      FROM documents d, range(32) t(i) WHERE d.doc_id % 8 = 1
     )
   )
   GROUP BY doc_id
@@ -1381,7 +1428,7 @@ alaw AS (
            ELSE ((a & 15) * 16 + 264) * (1 << (((a >> 4) & 7) - 1)) END AS t
     FROM (
       SELECT d.doc_id, xor({md5v('d.doc_id * 512 + 192 + t.i', 2)}, 85) AS a
-      FROM documents d, range(32) t(i) WHERE d.doc_id % 6 = 2
+      FROM documents d, range(32) t(i) WHERE d.doc_id % 8 = 2
     )
   )
   GROUP BY doc_id
@@ -1393,7 +1440,7 @@ ms_syn AS (
     {md5v('d.doc_id * 512 + 258', 4)} - 32768 AS s1,
     {md5v('d.doc_id * 512 + 259', 4)} - 32768 AS s2,
     {md5v('d.doc_id * 512 + 260', 2)} AS nb
-  FROM documents d WHERE d.doc_id % 6 = 3
+  FROM documents d WHERE d.doc_id % 8 = 3
 ),
 ms_co AS (
   SELECT *, nb >> 4 AS n1, nb & 15 AS n2,
@@ -1433,7 +1480,7 @@ ima_syn AS (
       ('0x' || substr(md5(CAST(d.doc_id * 512 + 386 + j AS VARCHAR)), 1, 2))::BIGINT % 16,
       ('0x' || substr(md5(CAST(d.doc_id * 512 + 386 + j AS VARCHAR)), 1, 2))::BIGINT // 16
     ])) AS ns
-  FROM documents d WHERE d.doc_id % 6 = 5
+  FROM documents d WHERE d.doc_id % 8 = 5
 ),
 ima_walk AS (
   SELECT doc_id, 0 AS k, pred0 AS pred, idx0 AS idx, ns FROM ima_syn
@@ -1477,6 +1524,14 @@ UNION ALL
 SELECT doc_id, 'imaadpcm' AS fmt, CAST(NULL AS INT) AS width,
        CAST(NULL AS INT) AS height, CAST(NULL AS DOUBLE) AS mean_val, rms, peak
 FROM ima
+UNION ALL
+SELECT doc_id, 'jpeg_dc' AS fmt, 16 AS width, 16 AS height, mean_val,
+       CAST(NULL AS DOUBLE) AS rms, CAST(NULL AS DOUBLE) AS peak
+FROM jdc
+UNION ALL
+SELECT doc_id, 'pjpeg_dc' AS fmt, 16 AS width, 16 AS height, mean_val,
+       CAST(NULL AS DOUBLE) AS rms, CAST(NULL AS DOUBLE) AS peak
+FROM pdc
 ORDER BY doc_id
 """
 

@@ -2993,33 +2993,45 @@ def test_media_codec_matrix_gate(spark, sf_dir):
         for r in media_codec_matrix(docs.repartition(7)).collect()
     }
     assert rows == rows2
-    fam_fmt = {0: "bmp", 1: "ulaw", 2: "alaw", 3: "msadpcm", 4: "ljpeg", 5: "imaadpcm"}
+    fam_fmt = {0: "bmp", 1: "ulaw", 2: "alaw", 3: "msadpcm", 4: "ljpeg",
+               5: "imaadpcm", 6: "jpeg_dc", 7: "pjpeg_dc"}
     for d, r in rows.items():
-        assert r["fmt"] == fam_fmt[d % 6]
-        if d % 6 == 0:
+        assert r["fmt"] == fam_fmt[d % 8]
+        if d % 8 == 0:
             want = sum(
                 int(hashlib.md5(str(d * 512 + i).encode()).hexdigest()[:2], 16)
                 for i in range(48)
             ) / 48
             assert r["mean_val"] == math.floor(want * 1e6 + 0.5) / 1e6
-        elif d % 6 == 4:
+        elif d % 8 == 4:
             want = sum(
                 int(hashlib.md5(str(d * 512 + 320 + i).encode()).hexdigest()[:4], 16)
                 for i in range(20)
             ) / 20
             assert r["mean_val"] == math.floor(want * 1e6 + 0.5) / 1e6
+        elif d % 8 in (6, 7):
+            # r12 DC-only lossy legs: the mean IS the md5 synthesis
+            # (flat blocks decode exactly), width/height pin the real
+            # decode ran
+            off = 448 if d % 8 == 6 else 452
+            want = sum(
+                int(hashlib.md5(str(d * 512 + off + k).encode()).hexdigest()[:2], 16)
+                for k in range(4)
+            ) / 4
+            assert r["mean_val"] == math.floor(want * 1e6 + 0.5) / 1e6
+            assert (r["width"], r["height"]) == (16, 16)
         else:
             assert r["rms"] is not None and 0 <= r["peak"] <= 1.0
     # G.711 legs against the tables, independently of decode_wav
     mu, al = _g711_table(True), _g711_table(False)
     for d, r in rows.items():
-        if d % 6 == 1:
+        if d % 8 == 1:
             codes = [
                 int(hashlib.md5(str(d * 512 + 128 + j).encode()).hexdigest()[:2], 16)
                 for j in range(32)
             ]
             x = mu[np.array(codes)] / 32768.0
-        elif d % 6 == 2:
+        elif d % 8 == 2:
             codes = [
                 int(hashlib.md5(str(d * 512 + 192 + j).encode()).hexdigest()[:2], 16)
                 for j in range(32)
@@ -3517,3 +3529,53 @@ def test_dsir_resample_semantics(spark, sf_dir):
     assert [r["doc_id"] for r in out] == want
     for r in out:
         assert abs(r["sample_key"] - key(r["doc_id"])) < 1e-9
+
+
+def test_jpeg_progressive_encoder_roundtrip_and_bitstream():
+    """r12 write_jpeg_progressive (the media_codec_matrix fam-7 leg):
+    (a) FLAT 8x8 blocks round-trip EXACTLY through the progressive
+    decoder for every one of the 256 gray values (DC-only blocks
+    survive DCT + unit quantization bit-for-bit — the property the
+    driver-gate mirror relies on); (b) arbitrary images bound the
+    round-trip error at 1 level (unit-quant DCT float rounding), same
+    as the baseline encoder; (c) the decoder takes the PROGRESSIVE
+    path (SOF2, two scans); (d) a hand-computed entropy bitstream pin,
+    independent of the decoder: a flat v=128 8x8 block has DC diff 0
+    (category 0 -> canonical code 0000, 1-padded to 0x0F) and an
+    all-zero AC block (EOBRUN symbol 0x00 -> canonical 8-bit code 0):
+    the two entropy sections are exactly b'\\x0f' and b'\\x00';
+    (e) non-grayscale input rejects with ValueError."""
+    import numpy as np
+    import pytest
+
+    from mysense_spark.operators.codecs import (
+        decode_jpeg_pixels,
+        parse_jpeg_header,
+        write_jpeg_progressive,
+    )
+
+    for v in range(256):
+        px = np.full((8, 8), v, dtype=np.uint8)
+        meta, back = decode_jpeg_pixels(write_jpeg_progressive(px))
+        assert np.array_equal(back, px), v
+    rng = np.random.default_rng(12)
+    for shape in ((8, 8), (24, 17), (5, 13), (16, 16)):
+        a = rng.integers(0, 256, shape).astype(np.uint8)
+        meta, b = decode_jpeg_pixels(write_jpeg_progressive(a))
+        assert int(np.abs(b.astype(int) - a.astype(int)).max()) <= 1
+        assert (meta["width"], meta["height"]) == (shape[1], shape[0])
+    assert parse_jpeg_header(write_jpeg_progressive(a))["progressive"] is True
+    # (d) hand-computed bitstream: locate the two SOS payloads
+    enc = write_jpeg_progressive(np.full((8, 8), 128, dtype=np.uint8))
+    segs = []
+    i = enc.find(b"\xff\xda")
+    while i != -1:
+        ln = int.from_bytes(enc[i + 2 : i + 4], "big")
+        start = i + 2 + ln
+        nxt = enc.find(b"\xff\xda", start)
+        stop = nxt if nxt != -1 else enc.index(b"\xff\xd9", start)
+        segs.append(enc[start:stop])
+        i = nxt
+    assert segs == [b"\x0f", b"\x00"]
+    with pytest.raises(ValueError):
+        write_jpeg_progressive(np.zeros((4, 4, 3), dtype=np.uint8))
