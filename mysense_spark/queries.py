@@ -32,90 +32,89 @@ def _modules():
 
 # Queries hoisted to the very front of the registry: the driver's
 # correctness gate checks exactly the FIRST 50 entries, so this list is
-# kept to exactly 50. Round-11 layout:
-# (a) 4 NEW queries — ann_ivf_refined (two-stage IVF: wide SQ-code
-# probe pooling candidates, exact re-rank through the fenced
-# knn_rerank — both stages DuckDB-mirrored), ann_pq (product
-# quantization per Jegou et al. 2011: per-subspace integer-grid
-# codebooks, 12-byte codes, ADC search — whole chain DuckDB-mirrored;
-# measured recall 1.00 after exact re-rank of the ADC top-200 at a
-# 4.9% scan), dsir_weights (DSIR
-# hashed-bigram importance resampling per Xie et al. 2023 — broadcast
-# log-ratio table, exact_sum per-doc accumulation), and
-# media_codec_matrix
-# (the BMP24 + lossless-JPEG round trips, G.711
-# mu/A-law decode, and MS- + IMA-ADPCM decode kernels under mapInPandas,
-# oracle-pinned through the shared md5 synthesis: the BMP leg by
-# losslessness, the G.711 legs by an arithmetic expansion validated
-# exact against the tables for all 256 codes, the ADPCM leg by a
-# two-step SQL unroll of the predictor recurrence — which also
-# driver-grades the r11 truncate-toward-zero advice fix);
-# (b) the 21 rows whose last driver evidence is round 8 — rolled here
-# exactly as planned in the r10 comment;
-# (c) 25 of the 48 rows whose last evidence is round 9, alphabetical.
-# The remaining 23 r9-evidence rows (gap_detection, grubbs_outliers,
-# hash_sample, hourly_gapfill,
-# interval_inference, joost_correction, lang_id, latest_per_user,
-# linear_regression, lki_index, media_embed, moving_average,
-# ols_summary, pii_scrub, pm_mass_fill, quality_score, static_runs,
-# static_value_monitor, temperature_mix, timeslice_avg,
-# tokenizer_fertility, unpivot_long, wide_view) roll to round 12,
-# after any r12-changed rows. After this window no registry row's
-# driver evidence is older than round 9.
+# kept to exactly 50. Round-12 layout:
+# (a) 5 NEW or CHANGED queries — ann_ivfadc (NEW: the Jegou-2011
+# production composition: trained-PQ codes ADC-scanned ONLY inside the
+# query's probed IVF cells, per-query shortlist exact-re-ranked through
+# the fenced knn_rerank; whole chain DuckDB-mirrored via a shared PQ
+# CTE block), dsir_resample (NEW: the DSIR paper's actual output — a
+# deterministic Gumbel top-k importance resample over the dsir_weights
+# lineage), media_codec_matrix (CHANGED: grew to 8 families — 6/7 are
+# DC-only BASELINE and PROGRESSIVE lossy JPEG through the real
+# encode/decode kernels; flat 8x8 blocks survive DCT + unit
+# quantization exactly, so the md5 mirror stays codec-free), ann_pq
+# (CHANGED lineage: both PQ encode passes now run a cogrouped numpy
+# int64 block argmin — bit-identical, ~10x at sf1.0), and
+# ann_ivf_refined (CHANGED: routing stage extracted into _route, shared
+# with ann_ivfadc — pure code motion, same plan);
+# (b) the 23 rows whose last driver evidence is round 9 — rolled here
+# exactly as planned in the r11 comment;
+# (c) 22 of the 50 rows whose last evidence is round 10, alphabetical.
+# The remaining 28 r10-evidence rows (knn_bruteforce,
+# maintenance_window_join, media_decode_stats, minhash_lsh_pairs,
+# minmax_normalize, modality_mix, mode_per_user, multilinear_regression,
+# neardup_clusters, neighbour_search, ngram_jaccard_pairs,
+# order_priority_counts, perplexity_bucket, range_validate,
+# region_revenue, repetition_stats, semdedup_trained, sequence_packing,
+# sigma_band, source_overlap, stratified_sample, tfidf_top_terms,
+# token_count, tristate_validity, url_filter, vocab_stats,
+# weighted_sample, zscore_outliers) roll to round 13, after any
+# r13-changed rows. After this window no registry row's driver evidence
+# is older than round 10.
 _PRIORITY = (
-    # (a) new in round 11
+    # (a) new/changed in round 12
+    "ann_ivfadc",
+    "dsir_resample",
     "media_codec_matrix",
-    "ann_ivf_refined",
     "ann_pq",
-    "dsir_weights",
-    # (b) last driver evidence: round 8 (the planned 21)
-    "part_supplier_stats",
-    "percentile_summary",
-    "pricing_summary",
-    "props_json_stats",
-    "quality_centroid_score",
-    "region_rollup",
-    "revenue_quartiles",
-    "semdedup",
-    "semdedup_auto",
-    "sensor_set_diff",
-    "sensorthings_pull",
-    "simhash_pairs",
-    "spatial_pairs",
-    "sql_interface",
-    "station_calibration",
-    "taylor_calibration",
-    "text_stats",
-    "top_revenue_orders",
-    "ttn_decode",
-    "unit_conversion",
-    "winnow_fingerprints",
-    # (c) last driver evidence: round 9 (first 25, alphabetical)
-    "approx_distinct_users",
-    "aqhi_index",
-    "aqi_index",
-    "asof_align",
-    "blob_metadata",
-    "caqi_index",
-    "cascade_rollup",
-    "chunk_overlap",
-    "corpus_build",
-    "coverage",
-    "crawl_rate_anomalies",
-    "cross_split_leakage",
-    "daily_qc_report",
-    "dead_kit_tiers",
-    "dead_kits",
-    "decontam_report",
-    "dedup_upsert",
-    "distinct_active_kits",
-    "doc_fingerprint",
-    "dup_ngram_frac",
-    "duplicate_spans",
-    "embedding_outliers",
-    "failing_sensor_report",
-    "fit_apply",
-    "frame_sample",
+    "ann_ivf_refined",
+    # (b) last driver evidence: round 9 (the planned 23)
+    "gap_detection",
+    "grubbs_outliers",
+    "hash_sample",
+    "hourly_gapfill",
+    "interval_inference",
+    "joost_correction",
+    "lang_id",
+    "latest_per_user",
+    "linear_regression",
+    "lki_index",
+    "media_embed",
+    "moving_average",
+    "ols_summary",
+    "pii_scrub",
+    "pm_mass_fill",
+    "quality_score",
+    "static_runs",
+    "static_value_monitor",
+    "temperature_mix",
+    "timeslice_avg",
+    "tokenizer_fertility",
+    "unpivot_long",
+    "wide_view",
+    # (c) last driver evidence: round 10 (first 22, alphabetical)
+    "alarm_suppression",
+    "ann_ivf",
+    "ann_ivf_trained",
+    "ann_recall",
+    "bm25_search",
+    "chatty_kits",
+    "cluster_stats",
+    "csv_ingest",
+    "customers_without_orders",
+    "dedup_exact",
+    "dedup_keep_best",
+    "dew_point",
+    "embedding_dim_stats",
+    "embedding_neardup",
+    "event_sessions",
+    "geofence_transitions",
+    "gopher_filter",
+    "hourly_stats",
+    "hybrid_search_rrf",
+    "incremental_dedup",
+    "kit_throttle",
+    "kmeans_train",
 )
 
 
