@@ -150,11 +150,17 @@ def parse_envelopes(lines: DataFrame) -> DataFrame:
     # ISO8601 with fractional seconds and Z suffix; V2 airtime is ns,
     # V3 carries a duration string ("0.061696s") in settings.airtime —
     # both reduce to microseconds so BOTH envelope versions get the
-    # documented time-minus-airtime event timestamp
-    t = F.to_timestamp(raw_time)
+    # documented time-minus-airtime event timestamp.
+    # try_to_timestamp / try_cast, NOT to_timestamp / CAST: under ANSI
+    # mode (Spark 4 default) ONE envelope with a malformed time or
+    # airtime string would throw CAST_INVALID_INPUT and kill the whole
+    # batch — the r12 mutation battery surfaced both. NULL falls through
+    # the coalesce to the documented fallbacks (ingest time; airtime 0).
+    t = F.try_to_timestamp(raw_time)
     airtime_us = F.expr(
         "coalesce(r.metadata.airtime DIV 1000,"
-        " CAST(double(rtrim('s', r.uplink_message.settings.airtime)) * 1000000 AS BIGINT),"
+        " try_cast(try_cast(rtrim('s', r.uplink_message.settings.airtime) AS DOUBLE)"
+        " * 1000000 AS BIGINT),"
         " 0)"
     )
     event_ts = F.coalesce(

@@ -1,0 +1,244 @@
+"""r12 mutation batteries for the two remaining parse surfaces the r10/r11
+fuzz waves had not covered: the TTN envelope JSON layer (sources/ttn.py +
+the streaming dead-letter accounting) and the station CSV reader
+(sources/stations.py). Pattern follows the r10 XLSX/LoRa batteries:
+seeded deterministic mutations, ONE Spark pass over the whole corpus,
+and the contract is 'quarantine, never kill the batch' — a single
+malformed line must never throw (the r12 battery caught exactly that:
+ANSI-mode CAST_INVALID_INPUT batch kills from a garbage time string and
+a garbage airtime duration — fixed with try_to_timestamp/try_cast)."""
+
+from __future__ import annotations
+
+import json
+import random
+
+import pytest
+
+
+def _mutated_ttn_lines(n_byte: int, n_struct: int, n_garbage: int) -> list[str]:
+    from tests.fixtures_mqtt import ALL_LINES
+
+    rng = random.Random(0xDA7A12)
+    lines: list[str] = []
+    # byte-level: flips / truncations / splices of real dump lines
+    for _ in range(n_byte):
+        base = bytearray(rng.choice(ALL_LINES).encode())
+        mode = rng.randrange(3)
+        if mode == 0:
+            for _ in range(rng.randint(1, 6)):
+                base[rng.randrange(len(base))] = rng.randrange(32, 127)
+        elif mode == 1:
+            base = base[: rng.randrange(len(base))]
+        else:
+            i = rng.randrange(len(base))
+            junk = bytes(rng.randrange(32, 127) for _ in range(rng.randint(1, 12)))
+            base = base[:i] + junk + base[i:]
+        lines.append(base.decode("latin-1"))
+    # structural: mutate parsed envelope fields (the ANSI hazard tier)
+    poisons = [
+        "garbage-time", "junk", "1e999", "-", "", "0.061696s", "NaNs",
+        1 << 80, -(1 << 80), 3.14, True, None, [], {}, {"x": 1}, ["y"],
+        "2020-13-45T99:99:99Z", "\x00\xff", "999999999999999999999999999",
+    ]
+    for _ in range(n_struct):
+        line = rng.choice(ALL_LINES)
+        env = json.loads(line[line.index("{"):])
+
+        def mutate(node, depth=0):
+            if not isinstance(node, dict) or depth > 3:
+                return
+            keys = list(node)
+            if not keys:
+                return
+            k = rng.choice(keys)
+            act = rng.randrange(3)
+            if act == 0:
+                del node[k]
+            elif act == 1:
+                node[k] = rng.choice(poisons)
+            elif isinstance(node[k], dict):
+                mutate(node[k], depth + 1)
+            else:
+                node[k] = rng.choice(poisons)
+
+        for _ in range(rng.randint(1, 4)):
+            mutate(env)
+        lines.append("topic/up " + json.dumps(env))
+    # raw garbage
+    for _ in range(n_garbage):
+        lines.append(
+            "".join(chr(rng.randrange(32, 127)) for _ in range(rng.randrange(0, 80)))
+        )
+    return lines
+
+
+def test_ttn_envelope_mutation_battery(spark):
+    """4500-line battery over parse_envelopes + the full dead-letter
+    accounting: (a) NOTHING throws — not the envelope parse, not the
+    port/payload decode tier behind all_dead_letters (a single bad line
+    killing the batch is the failure mode this battery exists for);
+    (b) the golden lines still normalize to exactly the same rows as
+    when parsed alone (mutations cannot poison neighbors — per-row
+    expressions only); (c) accounting is total: every non-blank line is
+    either a normalized record or an envelope dead letter, never
+    silently dropped."""
+    from pyspark.sql import functions as F
+
+    from mysense_spark.sources.ttn import parse_envelopes
+    from mysense_spark.streaming.pipeline import all_dead_letters, envelope_dead_letters
+    from tests.fixtures_mqtt import ALL_LINES
+
+    mutated = _mutated_ttn_lines(n_byte=2000, n_struct=2000, n_garbage=500)
+    corpus = ALL_LINES + mutated
+    lines = spark.createDataFrame([(ln,) for ln in corpus], "value string")
+
+    parsed = parse_envelopes(lines)
+    rows = parsed.collect()  # (a) must not throw
+    dead = envelope_dead_letters(lines).collect()
+    all_dead_letters(lines).collect()  # decode tier: also must not throw
+
+    # (b) golden lines unaffected by the mutated neighbors
+    golden_alone = parse_envelopes(
+        spark.createDataFrame([(ln,) for ln in ALL_LINES], "value string")
+    ).drop("ingest_ts", "event_ts")
+    golden_keys = {
+        (r["app_id"], r["dev_id"], r["port"], r["counter"], r["payload_raw"])
+        for r in golden_alone.collect()
+    }
+    batch_keys = {
+        (r["app_id"], r["dev_id"], r["port"], r["counter"], r["payload_raw"])
+        for r in rows
+    }
+    assert golden_keys <= batch_keys
+
+    # (c) total accounting
+    n_nonblank = sum(1 for ln in corpus if ln.strip())
+    n_identity = (
+        lines.select(F.col("value"))
+        .count()
+    )
+    assert len(rows) + len(dead) == n_nonblank
+    # every normalized row carries identity by construction
+    for r in rows[:50]:
+        assert r["app_id"] is not None or r["dev_id"] is not None
+
+
+def test_ttn_ansi_hazard_regressions(spark):
+    """The two batch-killers the r12 battery surfaced, pinned as
+    explicit regressions: a V2 envelope whose metadata.time is not a
+    timestamp, and a V3 envelope whose settings.airtime is not a
+    duration. Both must normalize (event_ts falls back per the
+    documented semantics) instead of throwing CAST_INVALID_INPUT."""
+    from mysense_spark.sources.ttn import parse_envelopes
+
+    cases = [
+        {"app_id": "a", "dev_id": "d", "port": 2, "payload_raw": "AAA=",
+         "metadata": {"time": "garbage-time"}},
+        {"end_device_ids": {"device_id": "d",
+                            "application_ids": {"application_id": "a"}},
+         "uplink_message": {"f_port": 2, "frm_payload": "AAA=",
+                            "settings": {"airtime": "junk"},
+                            "received_at": "2024-01-01T00:00:00Z"}},
+        {"app_id": "a", "dev_id": "d",
+         "uplink_message": {"settings": {"airtime": "1e999s"}}},
+    ]
+    df = spark.createDataFrame([(json.dumps(c),) for c in cases], "value string")
+    rows = parse_envelopes(df).collect()
+    assert len(rows) == len(cases)
+    for r in rows:
+        assert r["event_ts"] is not None  # fallback, never NULL or throw
+
+
+def test_station_csv_mutation_battery(spark, tmp_path):
+    """Station CSV reader battery: one scan over ~2000 mutated rows +
+    50 clean rows; the PERMISSIVE schema path must (a) never throw,
+    (b) quarantine every type-corrupt row into _corrupt with the raw
+    line preserved (replay contract), (c) parse the clean rows with
+    correct types, and (d) account for every data line — parsed or
+    quarantined, never dropped."""
+    from mysense_spark.sources.stations import read_station_csv
+
+    rng = random.Random(0x57A710)
+    clean = [
+        f"S{i % 7},2024-01-01T{i % 24:02d}:00:00,{10 + i % 5}.5,{20 + i % 9}.25,,"
+        for i in range(50)
+    ]
+    # no bare double-quote and no blank-line mutations here: an
+    # unbalanced quote legitimately MERGES following lines (RFC 4180
+    # multiline fields) and blank lines are skipped by the CSV reader —
+    # both are parser-correct, so they get their own pinned case below
+    # while this battery keeps exact line accounting
+    poisons = ["garbage", "9e999", "--", "1;2;3", "\x00", "NaNish", "1e1e1"]
+    mutated = []
+    for i in range(2000):
+        mode = rng.randrange(3)
+        if mode == 0:  # type poison in one typed column
+            cols = [f"S{i}", "2024-01-01T00:00:00", "1.0", "2.0", "", ""]
+            cols[rng.randrange(1, 6)] = rng.choice(poisons)
+            mutated.append(",".join(cols))
+        elif mode == 1:  # wrong arity
+            row = ",".join(rng.choice(poisons) for _ in range(rng.randint(1, 9)))
+            # a LONE NUL line is skipped like a blank (univocity's null
+            # char) — pinned in the semantics test; keep accounting exact
+            mutated.append(row if row != "\x00" else "x,\x00")
+        else:  # byte-flipped clean row (quotes re-flipped away)
+            b = bytearray(rng.choice(clean).encode())
+            for _ in range(rng.randint(1, 4)):
+                b[rng.randrange(len(b))] = rng.randrange(32, 127)
+            mutated.append(b.decode("latin-1").replace('"', "'") or "x")
+    path = tmp_path / "stations.csv"
+    header = "station_id,ts,pm25,pm10,no2,o3"
+    path.write_text("\n".join([header] + clean + mutated) + "\n")
+
+    df = read_station_csv(spark, str(path))
+    rows = df.collect()  # (a) one scan, no throw
+    n_data = len(clean) + len(mutated)
+    assert len(rows) == n_data  # (d) nothing dropped
+    n_corrupt = sum(1 for r in rows if r["_corrupt"] is not None)
+    n_parsed_clean = sum(
+        1
+        for r in rows
+        if r["_corrupt"] is None and r["station_id"] is not None and r["ts"] is not None
+    )
+    # (c) at least every clean row parses typed
+    assert n_parsed_clean >= len(clean)
+    # (b) the corrupt rows kept their raw line
+    for r in rows:
+        if r["_corrupt"] is not None:
+            assert isinstance(r["_corrupt"], str) and r["_corrupt"]
+    # the battery must actually exercise the quarantine path
+    assert n_corrupt > 100
+
+
+def test_station_csv_quote_and_blank_semantics(spark, tmp_path):
+    """The line-accounting exceptions the battery deliberately
+    excludes, pinned: with multiLine=false (the reader's default) an
+    UNBALANCED double quote stays confined to its own line — the row is
+    quarantined with its raw text in _corrupt, the NEXT line parses
+    normally (no cross-line merge) — blank lines are skipped entirely,
+    and a lone-NUL line behaves like a blank (univocity's default null
+    character)."""
+    from mysense_spark.sources.stations import read_station_csv
+
+    path = tmp_path / "q.csv"
+    path.write_text(
+        "station_id,ts,pm25,pm10,no2,o3\n"
+        'S1,2024-01-01T00:00:00,"broken\n'
+        "S2,2024-01-01T01:00:00,1.0,2.0,,\n"
+        "\n"
+        "S3,2024-01-01T02:00:00,3.0,4.0,,\n"
+    )
+    rows = read_station_csv(spark, str(path)).collect()
+    assert len(rows) == 3  # quarantined S1 + parsed S2 + S3; blank skipped
+    bad = [r for r in rows if r["_corrupt"] is not None]
+    assert len(bad) == 1 and bad[0]["_corrupt"].startswith("S1,")
+    assert "S2" not in bad[0]["_corrupt"]  # no cross-line merge
+    assert any(r["station_id"] == "S2" and r["pm25"] == 1.0 for r in rows)
+    assert any(r["station_id"] == "S3" and r["pm25"] == 3.0 for r in rows)
+    # a line holding only NUL behaves like a blank line (univocity's
+    # default null character): skipped, not quarantined
+    p2 = tmp_path / "nul.csv"
+    p2.write_text("station_id,ts,pm25,pm10,no2,o3\n\x00\nS9,2024-01-01T03:00:00,1.0,2.0,,\n")
+    rows2 = read_station_csv(spark, str(p2)).collect()
+    assert [r["station_id"] for r in rows2] == ["S9"]
