@@ -484,17 +484,7 @@ def ann_ivf_refined(
     )
     # stage 2: full-precision re-rank of the pooled union through the
     # fenced tier — queries bounded by the fence, candidates by `pool`
-    queries = vecs.where(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
-    )
-    # the pool is <= pool x queries ids — broadcast it so the corpus
-    # side never shuffles for this semi-join (at 100 TB the unbroadcast
-    # form would exchange the whole vector table on vec_id)
-    cand_union = (
-        vecs.join(F.broadcast(pooled), vecs["vec_id"] == pooled["cand_id"])
-        .select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm"))
-    )
-    out = knn_rerank(queries, cand_union, top_k=5).orderBy("query_id", "rank")
+    out = _rerank_pool(vecs, pooled, top_k=5)
     return (out, pooled) if return_pool else out
 
 
@@ -700,6 +690,45 @@ def _pq_parts(vecs: DataFrame) -> tuple[DataFrame, DataFrame]:
     return cents, codes
 
 
+def _pq_qluts(vecs: DataFrame, cents: DataFrame, subd: int) -> DataFrame:
+    """Per-query ADC lookup tables (query_id, luts array<map>) — ONE
+    definition shared by ann_pq_search and ann_ivfadc_search (r12
+    review: it was copy-pasted; a tie-break or grid change must not be
+    able to diverge the two searches). <= _N_QUERIES rows, always
+    broadcast by the consumer."""
+    return (
+        vecs.where(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.expr(_QV_EXPR).alias("qv"))
+        .crossJoin(F.broadcast(_pq_cball(cents, subd)))
+        .select(
+            "query_id",
+            F.expr(
+                f"zip_with({_pq_subs_expr(subd)}, _cb,"
+                f" (sv, cands) -> map_from_entries(transform(cands, c -> struct(c.i,"
+                f" aggregate(zip_with(sv, c.q, (x, y) -> (x - y) * (x - y)),"
+                f" CAST(0 AS BIGINT), (a, x) -> a + x)))))"
+            ).alias("luts"),
+        )
+    )
+
+
+def _rerank_pool(vecs: DataFrame, pooled: DataFrame, top_k: int) -> DataFrame:
+    """Exact re-rank of a pooled-candidate-id union through the fenced
+    knn_rerank — ONE definition of the tail shared by ann_ivf_refined
+    and ann_ivfadc_search (r12 review). The pool is tiny (<= pool/
+    shortlist x queries ids) so the semi-join broadcasts it — the
+    corpus vector table must never shuffle for this join (a Window
+    upstream hides the tiny size from the stats estimator)."""
+    queries = vecs.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
+    )
+    cand_union = (
+        vecs.join(F.broadcast(pooled), vecs["vec_id"] == pooled["cand_id"])
+        .select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm"))
+    )
+    return knn_rerank(queries, cand_union, top_k=top_k).orderBy("query_id", "rank")
+
+
 def ann_pq_search(
     vecs: DataFrame,
     top_k: int = 5,
@@ -717,20 +746,7 @@ def ann_pq_search(
     the codebook."""
     subd = 64 // _PQ_M
     cents, codes = parts if parts is not None else _pq_parts(vecs)
-    qluts = (
-        vecs.where(F.col("vec_id") < _N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), F.expr(_QV_EXPR).alias("qv"))
-        .crossJoin(F.broadcast(_pq_cball(cents, subd)))
-        .select(
-            "query_id",
-            F.expr(
-                f"zip_with({_pq_subs_expr(subd)}, _cb,"
-                f" (sv, cands) -> map_from_entries(transform(cands, c -> struct(c.i,"
-                f" aggregate(zip_with(sv, c.q, (x, y) -> (x - y) * (x - y)),"
-                f" CAST(0 AS BIGINT), (a, x) -> a + x)))))"
-            ).alias("luts"),
-        )
-    )
+    qluts = _pq_qluts(vecs, cents, subd)
     scored = (
         codes.withColumnRenamed("vec_id", "cand_id")
         .crossJoin(F.broadcast(qluts))  # bounded: <= _N_QUERIES rows
@@ -811,20 +827,7 @@ def ann_ivfadc_search(
     probes = probes.select("query_id", "cent_id")
     cents, codes = parts if parts is not None else _pq_parts(vecs)
     subd = 64 // _PQ_M
-    qluts = (
-        vecs.where(F.col("vec_id") < _N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), F.expr(_QV_EXPR).alias("qv"))
-        .crossJoin(F.broadcast(_pq_cball(cents, subd)))
-        .select(
-            "query_id",
-            F.expr(
-                f"zip_with({_pq_subs_expr(subd)}, _cb,"
-                f" (sv, cands) -> map_from_entries(transform(cands, c -> struct(c.i,"
-                f" aggregate(zip_with(sv, c.q, (x, y) -> (x - y) * (x - y)),"
-                f" CAST(0 AS BIGINT), (a, x) -> a + x)))))"
-            ).alias("luts"),
-        )
-    )
+    qluts = _pq_qluts(vecs, cents, subd)
     # the cell id rides with the codes (at scale: written once, cell-
     # partitioned); here the N-row equi-join builds that layout inline
     cell_codes = codes.join(membership, "vec_id").withColumnRenamed("vec_id", "cand_id")
@@ -848,17 +851,7 @@ def ann_ivfadc_search(
         .select("cand_id")
         .distinct()
     )
-    queries = vecs.where(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
-    )
-    # pool is <= queries*shortlist ids — broadcast the semi-join so the
-    # vector table never shuffles (the Window hides the tiny size from
-    # the stats estimator, the ann_ivf_refined lesson)
-    cand_union = (
-        vecs.join(F.broadcast(pooled), vecs["vec_id"] == pooled["cand_id"])
-        .select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm"))
-    )
-    out = knn_rerank(queries, cand_union, top_k=top_k).orderBy("query_id", "rank")
+    out = _rerank_pool(vecs, pooled, top_k=top_k)
     return (out, pooled) if return_pool else out
 
 

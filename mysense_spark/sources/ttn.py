@@ -163,8 +163,13 @@ def parse_envelopes(lines: DataFrame) -> DataFrame:
         " * 1000000 AS BIGINT),"
         " 0)"
     )
+    # try_subtract, not `-`: an adversarial airtime near LONG_MIN passes
+    # try_cast (it IS a valid bigint) and then the plain subtraction
+    # overflows — ANSI ARITHMETIC_OVERFLOW, batch dead (r12 review
+    # catch). NULL falls through the coalesce to ingest time.
     event_ts = F.coalesce(
-        F.timestamp_micros(F.unix_micros(t) - airtime_us), F.col("ingest_ts")
+        F.timestamp_micros(F.try_subtract(F.unix_micros(t), airtime_us)),
+        F.col("ingest_ts"),
     )
 
     gw_v2 = F.expr(

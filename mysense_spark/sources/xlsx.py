@@ -92,7 +92,11 @@ def _read_part(z: zipfile.ZipFile, name: str) -> bytes:
     try:
         return z.read(name)
     except KeyError as exc:
-        raise ValueError(f"unreadable XLSX part {name!r}") from exc
+        # keep the documented '{path}: malformed XLSX' prefix every other
+        # malformed-file class gets (z.filename is the open archive path)
+        raise ValueError(
+            f"{z.filename}: malformed XLSX (KeyError: unreadable part {name!r})"
+        ) from exc
 
 
 def _col_letter(idx: int) -> str:

@@ -83,8 +83,6 @@ def test_ttn_envelope_mutation_battery(spark):
     expressions only); (c) accounting is total: every non-blank line is
     either a normalized record or an envelope dead letter, never
     silently dropped."""
-    from pyspark.sql import functions as F
-
     from mysense_spark.sources.ttn import parse_envelopes
     from mysense_spark.streaming.pipeline import all_dead_letters, envelope_dead_letters
     from tests.fixtures_mqtt import ALL_LINES
@@ -114,10 +112,6 @@ def test_ttn_envelope_mutation_battery(spark):
 
     # (c) total accounting
     n_nonblank = sum(1 for ln in corpus if ln.strip())
-    n_identity = (
-        lines.select(F.col("value"))
-        .count()
-    )
     assert len(rows) + len(dead) == n_nonblank
     # every normalized row carries identity by construction
     for r in rows[:50]:
@@ -142,6 +136,11 @@ def test_ttn_ansi_hazard_regressions(spark):
                             "received_at": "2024-01-01T00:00:00Z"}},
         {"app_id": "a", "dev_id": "d",
          "uplink_message": {"settings": {"airtime": "1e999s"}}},
+        # r12 review catch: an airtime near LONG_MIN passes try_cast (it
+        # IS a bigint) and the plain subtraction overflowed under ANSI
+        {"app_id": "a", "dev_id": "d", "port": 2, "payload_raw": "AAA=",
+         "metadata": {"time": "2024-01-01T00:00:00Z"},
+         "uplink_message": {"settings": {"airtime": "-9223372036854s"}}},
     ]
     df = spark.createDataFrame([(json.dumps(c),) for c in cases], "value string")
     rows = parse_envelopes(df).collect()

@@ -96,18 +96,12 @@ def main() -> None:
                 row = {"mode": "adc_only", "recall_at_5": round(len(exact & got) / len(exact), 4)}
             else:
                 # exact re-rank of the ADC pool through the fence
+                from mysense_spark.operators.similarity import _rerank_pool
+
                 pool = adc.select("cand_id").distinct()
-                q = vecs.where(F.col("vec_id") < _N_QUERIES).select(
-                    F.col("vec_id").alias("query_id"),
-                    F.col("v").alias("qv"), F.col("norm").alias("qnorm"),
-                )
-                c = (
-                    vecs.join(F.broadcast(pool), vecs["vec_id"] == pool["cand_id"])
-                    .select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm"))
-                )
                 got = {
                     (r["query_id"], r["cand_id"])
-                    for r in knn_rerank(q, c, top_k=5).collect()
+                    for r in _rerank_pool(vecs, pool, top_k=5).collect()
                 }
                 row = {
                     "mode": f"adc_top{top}_exact_rerank",
