@@ -511,6 +511,57 @@ def _decode_bmp_embedded(b: bytes, compression: int, width: int, height: int, pi
     return meta, arr
 
 
+def _decode_bmp_core(b: bytes, pixels: bool):
+    """BITMAPCOREHEADER (OS/2 1.x, bcSize=12) decode — r12, closing the
+    r11 NotImplementedError gate with the real layout instead of the
+    INFOHEADER offsets: UNSIGNED 16-bit dims at 18 (always bottom-up —
+    no sign convention exists in this header), bcBitCount in
+    {1, 4, 8, 24}, no compression field (always BI_RGB), and a 3-byte
+    RGBTRIPLE palette at 14+12 with NO clr_used field (always the full
+    2^bpp entries). Rows still pad to 4 bytes."""
+    import struct
+
+    import numpy as np
+
+    (data_off,) = struct.unpack_from("<I", b, 10)
+    width, height, planes, bpp = struct.unpack_from("<HHHH", b, 18)
+    if bpp not in (1, 4, 8, 24):
+        raise ValueError(f"invalid BITMAPCOREHEADER bit count {bpp}")
+    if width < 1 or height < 1:
+        raise ValueError(f"invalid BMP dimensions {width}x{height}")
+    if data_off < 26:
+        raise ValueError(f"BMP pixel data offset {data_off} points into the header")
+    stride = ((width * bpp + 7) // 8 + 3) & ~3
+    if len(b) < data_off + stride * height:
+        raise ValueError("truncated BMP raster")
+    meta = {"width": width, "height": height, "channels": 3}
+    if not pixels:
+        return meta, None
+    rows = np.frombuffer(b, dtype=np.uint8, count=stride * height, offset=data_off)
+    rows = rows.reshape(height, stride)
+    if bpp == 24:
+        arr = rows[:, : width * 3].reshape(height, width, 3)[:, :, ::-1]
+    else:
+        n_pal = 1 << bpp
+        if 26 + 3 * n_pal > len(b):
+            raise ValueError("truncated BMP color table")
+        pal = np.frombuffer(b, dtype=np.uint8, count=3 * n_pal, offset=26)
+        pal = pal.reshape(-1, 3)[:, ::-1]  # BGR triple -> RGB
+        if bpp == 8:
+            idx = rows[:, :width]
+        elif bpp == 4:
+            nib = np.empty((height, stride * 2), dtype=np.uint8)
+            nib[:, 0::2] = rows >> 4
+            nib[:, 1::2] = rows & 0xF
+            idx = nib[:, :width]
+        else:
+            idx = np.unpackbits(rows, axis=1)[:, :width]
+        arr = pal[idx]
+    arr = arr[::-1]  # core-header rasters are unconditionally bottom-up
+    meta["mean"] = float(arr.mean())
+    return meta, arr
+
+
 def decode_bmp(payload: bytes, pixels: bool = True):
     """REAL BMP decoder — fixed-offset little-endian header, bottom-up
     rows padded to 4 bytes. Covers the full classic matrix since r10:
@@ -518,28 +569,32 @@ def decode_bmp(payload: bytes, pixels: bool = True):
     24-bit BGR, 32-bit BGRX, and BI_BITFIELDS 16/32-bit (contiguous
     channel masks, exact rounded 0-255 scaling) — all returned as
     HxWx3 RGB — plus, since r11, BI_JPEG/BI_PNG delegation to the
-    repo's real JPEG/PNG decoders (see _decode_bmp_embedded).
-    Pre-INFOHEADER (BITMAPCOREHEADER) files are rejected rather than
-    misparsed. Returns (meta, array — or None with
-    pixels=False: length-validated header-only parse)."""
+    repo's real JPEG/PNG decoders (see _decode_bmp_embedded) — plus,
+    since r12, the pre-INFOHEADER BITMAPCOREHEADER layout
+    (_decode_bmp_core; OS/2 2.x header sizes 16-64 remain rejected —
+    a different field layout again). Returns (meta, array — or None
+    with pixels=False: length-validated header-only parse)."""
     import struct
 
     import numpy as np
 
     b = bytes(payload)
-    if len(b) < 54 or b[:2] != b"BM":
+    if len(b) < 26 or b[:2] != b"BM":
         raise ValueError("not a BMP payload")
     (data_off,) = struct.unpack_from("<I", b, 10)
     (hdr_size,) = struct.unpack_from("<I", b, 14)
+    if hdr_size == 12:
+        return _decode_bmp_core(b, pixels)
+    if len(b) < 54:
+        raise ValueError("not a BMP payload")
     if hdr_size < 40:
-        # BITMAPCOREHEADER (hdr_size=12) is a DIFFERENT layout — 16-bit
-        # dims at offset 18, no compression field, 3-byte RGBTRIPLE
-        # palette at 14+12. Reading it with the INFOHEADER offsets
-        # below would fabricate geometry and colors; quarantine,
-        # don't guess (module contract).
+        # OS/2 2.x headers (16-64 bytes) are yet another field layout;
+        # reading them with the INFOHEADER offsets below would
+        # fabricate geometry and colors; quarantine, don't guess
+        # (module contract). The 12-byte CORE header is handled above.
         raise NotImplementedError(
-            f"BMP header size {hdr_size} (pre-BITMAPINFOHEADER / OS2"
-            f" core header) needs a dedicated parser"
+            f"BMP header size {hdr_size} (OS2 2.x variable header)"
+            f" needs a dedicated parser"
         )
     width, height = struct.unpack_from("<ii", b, 18)
     (bpp,) = struct.unpack_from("<H", b, 28)

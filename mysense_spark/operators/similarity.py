@@ -1302,6 +1302,33 @@ def write_ivf_partitioned(vecs: DataFrame, path: str, centroids: DataFrame | Non
     membership.write.mode("overwrite").partitionBy("cent_id").parquet(path)
 
 
+def write_ivfadc_index(
+    vecs: DataFrame,
+    path: str,
+    centroids: DataFrame | None = None,
+    parts: tuple[DataFrame, DataFrame] | None = None,
+    route_parts: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+) -> None:
+    """The IVFADC deployment layout (r12): the PQ CODES (12 B/vector)
+    written hive-partitioned by their IVF cell — the write-once index
+    build that turns ann_ivfadc's broadcast cell prune into a DIRECTORY
+    prune. A search reading nprobe/K cells via read_ivf_cells opens
+    only those directories (static PartitionFilter, same plan-contract
+    guarantee as write_ivf_partitioned) and scans 12-byte codes, not
+    vectors; the full-precision table stays in its own layout and is
+    touched only by the bounded re-rank. Same codebook arguments as
+    ann_ivfadc_search so an index and the searches against it can never
+    train differently."""
+    membership, _ = _route(vecs, 1, centroids, route_parts)
+    _, codes = parts if parts is not None else _pq_parts(vecs)
+    (
+        codes.join(membership.select("vec_id", "cent_id"), "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cent_id")
+        .parquet(path)
+    )
+
+
 def read_ivf_cells(spark: SparkSession, path: str, cell_ids: list[int]) -> DataFrame:
     """Read ONLY the probed cells from an IVF-partitioned layout — the
     filter is on the partition column, so it prunes directories at plan

@@ -2813,27 +2813,60 @@ def test_ms_adpcm_negative_prediction_truncates_toward_zero():
     assert abs(w["peak"] - 1 / 32768) < 1e-12
 
 
-def test_bmp_core_header_rejected():
-    """r11 advice fix: BITMAPCOREHEADER (hdr_size 12) has 16-bit dims
-    at offset 18 and an RGBTRIPLE palette — a different layout that the
-    INFOHEADER offsets would misparse into bogus geometry/colors. It
-    is rejected loudly (quarantine, don't guess), as is any header
-    smaller than BITMAPINFOHEADER."""
+def test_bmp_core_header_decode():
+    """r12: BITMAPCOREHEADER (hdr_size 12) is now DECODED with its real
+    layout — unsigned 16-bit dims, always-bottom-up raster, RGBTRIPLE
+    palette, no clr_used. Hand-built files with hand-computed pixels:
+    24-bit direct, 8-bit palette, 1-bit palette; OS/2 2.x header sizes
+    (16-64) remain loudly rejected, and truncation/garbage raise
+    ValueError."""
     import struct
 
+    import numpy as np
     import pytest
 
     from mysense_spark.operators.multimodal import decode_bmp
 
-    # a well-formed 1x1 24-bit BITMAPCOREHEADER file
-    core = struct.pack("<IHHHH", 12, 1, 1, 1, 24)
-    head = b"BM" + struct.pack("<IHHI", 26 + 4, 0, 0, 26)
-    with pytest.raises(NotImplementedError, match="core header"):
-        decode_bmp(head + core + b"\x01\x02\x03\x00" * 7)  # pad past 54
-    # hdr_size between 12 and 40 is equally unparseable
+    def core_file(w, h, bpp, pal, raster, data_off=None):
+        pal_bytes = b"".join(bytes(p) for p in pal)
+        off = data_off if data_off is not None else 26 + len(pal_bytes)
+        head = b"BM" + struct.pack("<IHHI", off + len(raster), 0, 0, off)
+        core = struct.pack("<IHHHH", 12, w, h, 1, bpp)
+        return head + core + pal_bytes + raster
+
+    # 2x2 24-bit: rows bottom-up, BGR, stride 8 (2*3 -> pad to 8)
+    row_bot = bytes([255, 0, 0, 0, 255, 0]) + b"\x00\x00"  # blue px, green px
+    row_top = bytes([0, 0, 255, 10, 20, 30]) + b"\x00\x00"  # red px, (30,20,10)
+    meta, arr = decode_bmp(core_file(2, 2, 24, [], row_bot + row_top))
+    assert (meta["width"], meta["height"]) == (2, 2)
+    want = np.array(
+        [[[255, 0, 0], [30, 20, 10]], [[0, 0, 255], [0, 255, 0]]], dtype=np.uint8
+    )
+    assert np.array_equal(arr, want)
+    # 1x1 8-bit palette: index 1 -> RGBTRIPLE (BGR) palette entry
+    pal = [(0, 0, 0)] * 256
+    pal[1] = (10, 20, 30)  # stored BGR -> RGB (30, 20, 10)
+    meta8, arr8 = decode_bmp(core_file(1, 1, 8, pal, b"\x01\x00\x00\x00"))
+    assert arr8.tolist() == [[[30, 20, 10]]]
+    # 8x1 1-bit palette: byte 0b10110000 -> indices 1,0,1,1,0,0,0,0
+    meta1, arr1 = decode_bmp(
+        core_file(8, 1, 1, [(0, 0, 0), (255, 255, 255)], b"\xb0\x00\x00\x00")
+    )
+    assert [px[0] for px in arr1[0].tolist()] == [255, 0, 255, 255, 0, 0, 0, 0]
+    # header-only parse still validates lengths
+    m, none = decode_bmp(core_file(2, 2, 24, [], row_bot + row_top), pixels=False)
+    assert none is None and m["width"] == 2
+    # adversarial: truncated raster, bad bpp, offset into header
+    with pytest.raises(ValueError):
+        decode_bmp(core_file(2, 2, 24, [], row_bot))  # half the raster
+    with pytest.raises(ValueError):
+        decode_bmp(core_file(1, 1, 16, [], b"\x00" * 8))  # 16bpp not in core set
+    with pytest.raises(ValueError):
+        decode_bmp(core_file(1, 1, 24, [], b"\x00" * 8, data_off=10))
+    # OS/2 2.x sizes are still a different layout: reject
     bad = bytearray(_mk_bmp(1, 1, 24, b"\x01\x02\x03\x00"))
     bad[14] = 16
-    with pytest.raises(NotImplementedError, match="core header"):
+    with pytest.raises(NotImplementedError, match="OS2 2.x"):
         decode_bmp(bytes(bad))
 
 

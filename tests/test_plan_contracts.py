@@ -351,3 +351,54 @@ def test_sinks_never_materialize_on_driver():
                 continue
             offenders += [f"{py.name}:{i}: {b}" for b in banned if b in line]
     assert not offenders, f"driver materialization in sink path: {offenders}"
+
+
+def test_ivfadc_index_layout_prunes_cells(spark, sf_dir, tmp_path):
+    """The IVFADC code index (write_ivfadc_index, r12) must give the
+    ADC stage the same directory-prune guarantee the vector layout
+    gives the flat search: a probed read lists only the probed cells'
+    directories (static PartitionFilter on cent_id), and the ADC
+    distances computed from the pruned read are IDENTICAL to slicing
+    the full code table logically — the index is a layout change, not
+    a semantics change."""
+    import os
+    import re
+
+    from pyspark.sql import functions as F
+
+    from mysense_spark.operators.similarity import (
+        _fixture_centroids,
+        _pq_parts,
+        _vectors,
+        read_ivf_cells,
+        write_ivfadc_index,
+    )
+
+    vecs = _vectors(spark, sf_dir)
+    pq = _pq_parts(vecs)
+    path = str(tmp_path / "ivfadc_index")
+    write_ivfadc_index(vecs, path, centroids=_fixture_centroids(vecs), parts=pq)
+    all_cells = sorted(
+        int(d.split("=", 1)[1]) for d in os.listdir(path) if d.startswith("cent_id=")
+    )
+    assert len(all_cells) >= 2
+    probe = all_cells[:2]
+    probed = read_ivf_cells(spark, path, probe)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cent_id" in m.group(1), f"no cent_id PartitionFilter:\n{plan[:600]}"
+    # codes from the pruned read == codes of those cells in the full read
+    got = {
+        (r["vec_id"], tuple(r["codes"]))
+        for r in probed.select("vec_id", "codes").collect()
+    }
+    want = {
+        (r["vec_id"], tuple(r["codes"]))
+        for r in spark.read.parquet(path)
+        .where(F.col("cent_id").isin(probe))
+        .select("vec_id", "codes")
+        .collect()
+    }
+    assert got == want and got
+    # the layout carries CODES, not vectors: 12-byte arrays, no v column
+    assert set(probed.columns) == {"vec_id", "codes", "cent_id"}
