@@ -742,30 +742,31 @@ def _split_entropy(b: bytes, pos: int) -> tuple[list[bytes], int]:
 
 def _check_sampling(comps, hmax: int, vmax: int) -> None:
     """Sampling-factor envelope (r10: the full 1-4 spec range, not just
-    1-2): factors outside 1-4 are corrupt SOF data (ValueError); valid
-    but FRACTIONAL ratios vs the max (e.g. 3 alongside 2) would need
-    interpolating upsampling, which stays honestly gated — replicated
-    upsampling is exact only when each factor divides the max."""
+    1-2): factors outside 1-4 are corrupt SOF data (ValueError).
+    FRACTIONAL ratios vs the max (e.g. 3 alongside 4) are supported
+    since r12: T.81 deliberately leaves the upsampling filter to the
+    decoder (§A.1.1 only fixes the sample GRID), so the nearest-index
+    mapping in _planes_to_image — floor(x*h/hmax), the generalization
+    of sample replication — is a conformant reconstruction, and for
+    divisible ratios it is bit-identical to the old np.repeat path."""
     if not all(1 <= c["h"] <= 4 and 1 <= c["v"] <= 4 for c in comps):
         raise ValueError("JPEG sampling factors outside the spec 1-4 range")
-    if any(hmax % c["h"] or vmax % c["v"] for c in comps):
-        raise NotImplementedError(
-            "fractional JPEG chroma ratios need interpolating upsampling"
-            " (codec library tier)"
-        )
 
 
 def _planes_to_image(comps, width, height, hmax, vmax, progressive):
     """Shared reconstruction tail: upsample each component plane to full
-    resolution (sample replication), crop to the declared geometry, and
-    convert (grayscale passthrough or JFIF YCbCr->RGB). Each comp must
-    carry its MCU-padded float64 'plane'."""
+    resolution (nearest-index mapping floor(x*h/hmax) — identical to
+    sample replication for divisible ratios, and the conformant
+    generalization for fractional ones, r12), crop to the declared
+    geometry, and convert (grayscale passthrough or JFIF YCbCr->RGB).
+    Each comp must carry its MCU-padded float64 'plane'."""
     import numpy as np
 
     planes = []
     for c in comps:
-        p = np.repeat(np.repeat(c["plane"], vmax // c["v"], axis=0), hmax // c["h"], axis=1)
-        planes.append(p[:height, :width])
+        yi = (np.arange(height, dtype=np.int64) * c["v"]) // vmax
+        xi = (np.arange(width, dtype=np.int64) * c["h"]) // hmax
+        planes.append(c["plane"][yi][:, xi])
     meta = {
         "width": int(width),
         "height": int(height),
@@ -1737,23 +1738,30 @@ def write_jpeg(
             raise ValueError(f"invalid sampling factors {samp}")
         shmax = max(sh for sh, _ in samp)
         svmax = max(sv for _, sv in samp)
-        if any(shmax % sh or svmax % sv for sh, sv in samp):
-            raise ValueError(
-                f"sampling factors {samp} are fractional vs the max — the"
-                f" decoder's replicated upsampling needs divisible ratios"
-            )
         planes = []
         for p, (sh, sv) in zip((y, cb, cr), samp):
             fx, fy = shmax // sh, svmax // sv
-            if fx == 1 and fy == 1:
+            if sh == shmax and sv == svmax:
                 planes.append(p)
                 continue
-            # box-average downsampling, edge-padded so the fy x fx
-            # blocks are total (the 4:2:0 special case generalized)
-            pe = np.pad(p, ((0, -h % fy), (0, -w % fx)), mode="edge")
-            planes.append(
-                pe.reshape(pe.shape[0] // fy, fy, pe.shape[1] // fx, fx).mean(axis=(1, 3))
-            )
+            if shmax % sh == 0 and svmax % sv == 0:
+                # divisible ratios: box-average downsampling, edge-padded
+                # so the fy x fx blocks are total (4:2:0 generalized)
+                pe = np.pad(p, ((0, -h % fy), (0, -w % fx)), mode="edge")
+                planes.append(
+                    pe.reshape(pe.shape[0] // fy, fy, pe.shape[1] // fx, fx).mean(axis=(1, 3))
+                )
+                continue
+            # FRACTIONAL ratios (r12): nearest-index pick onto the
+            # component grid (ceil(w*sh/shmax) x ceil(h*sv/svmax)) —
+            # the inverse of the decoder's floor(x*h/hmax) upsampling,
+            # so a flat plane survives exactly and any decoder sees a
+            # spec-valid component geometry
+            th = -(-h * sv // svmax)
+            tw = -(-w * sh // shmax)
+            yi = np.minimum((np.arange(th, dtype=np.int64) * svmax) // sv, h - 1)
+            xi = np.minimum((np.arange(tw, dtype=np.int64) * shmax) // sh, w - 1)
+            planes.append(p[yi][:, xi])
 
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)

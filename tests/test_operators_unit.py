@@ -2252,8 +2252,12 @@ def test_jpeg_sampling_factors_up_to_four():
     round-trip exactly on flat-chroma images (box downsample +
     replicated upsample are inverse on constants), also under restart
     intervals and through the PROGRESSIVE path's shared check; factors
-    outside 1-4 are corrupt SOF data, and valid-but-fractional ratios
-    (3 vs 2) stay honestly gated as interpolation."""
+    outside 1-4 are corrupt SOF data. Since r12 valid-but-fractional
+    ratios (3 vs 4) are SUPPORTED: the decoder's nearest-index mapping
+    floor(x*h/hmax) generalizes sample replication (T.81 leaves the
+    upsampling filter to the decoder), the encoder's nearest-index
+    downsample is its inverse on constants — so flat-chroma images
+    round-trip exactly through every fractional combination too."""
     import struct
 
     import numpy as np
@@ -2277,9 +2281,17 @@ def test_jpeg_sampling_factors_up_to_four():
     _, gb = decode_jpeg_pixels(write_jpeg(grad, samp=[(4, 1), (1, 1), (1, 1)]))
     assert int(np.abs(gb.astype(int) - grad.astype(int)).max()) <= 2
 
-    # encoder refuses what the decoder cannot replicate back
-    with pytest.raises(ValueError, match="fractional"):
-        write_jpeg(flat, samp=[(3, 1), (2, 1), (1, 1)])
+    # r12: fractional ratios round-trip exactly on flat images through
+    # every path (the decoder nearest-index upsample inverts the
+    # encoder nearest-index downsample on constants)
+    for samp in ([(3, 1), (2, 1), (1, 1)], [(4, 3), (2, 1), (1, 3)],
+                 [(3, 2), (1, 1), (2, 1)]):
+        _, fb = decode_jpeg_pixels(write_jpeg(flat, samp=samp))
+        assert np.array_equal(fb, flat), samp
+    # and behaves like the established lossy-subsampling tier on
+    # non-flat chroma (luma stays near-exact when it rides the max)
+    _, gb3 = decode_jpeg_pixels(write_jpeg(grad, samp=[(3, 1), (1, 1), (1, 1)]))
+    assert int(np.abs(gb3.astype(int) - grad.astype(int)).max()) <= 2
     with pytest.raises(ValueError, match="invalid sampling"):
         write_jpeg(flat, samp=[(5, 1), (1, 1), (1, 1)])
 
@@ -2301,9 +2313,6 @@ def test_jpeg_sampling_factors_up_to_four():
 
     with pytest.raises(ValueError, match="1-4 range"):
         decode_jpeg_pixels(b"\xff\xd8" + dqt + sof0([0x51, 0x11, 0x11]) + dht
-                           + sos3 + bytes(64) + b"\xff\xd9")
-    with pytest.raises(NotImplementedError, match="fractional"):
-        decode_jpeg_pixels(b"\xff\xd8" + dqt + sof0([0x31, 0x21, 0x11]) + dht
                            + sos3 + bytes(64) + b"\xff\xd9")
 
 
