@@ -734,6 +734,35 @@ def write_bmp(arr) -> bytes:
     return head + info + raster
 
 
+def write_bmp_core(arr) -> bytes:
+    """24-bit BITMAPCOREHEADER (OS/2 1.x) encoder — the round-trip
+    partner of _decode_bmp_core (r12) and the second write path the
+    media_codec_matrix fam-0 gate alternates through. Same bottom-up
+    padded BGR raster as write_bmp; dims are UNSIGNED 16-bit in this
+    header, so anything larger raises rather than truncates."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(arr)
+    if a.dtype != np.uint8:
+        if a.size and (int(a.min()) < 0 or int(a.max()) > 255):
+            raise ValueError("write_bmp_core is an 8-bit encoder; scale values first")
+        a = a.astype(np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"write_bmp_core needs HxWx3 RGB; got {a.shape}")
+    h, w = a.shape[:2]
+    if h > 0xFFFF or w > 0xFFFF:
+        raise ValueError(f"BITMAPCOREHEADER dims are 16-bit; got {w}x{h}")
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)
+    raster = rows.tobytes()
+    core = struct.pack("<IHHHH", 12, w, h, 1, 24)
+    head = b"BM" + struct.pack("<IHHI", 26 + len(raster), 0, 0, 26)
+    return head + core + raster
+
+
 def resize_nearest(arr, out_w: int, out_h: int):
     """Nearest-neighbor resize by pure numpy index grids — the resize
     tier of the image pipeline, codec-free (works on whatever decode
@@ -1259,7 +1288,9 @@ def media_codec_matrix(docs: DataFrame) -> DataFrame:
     through the SAME md5-synthesis oracle trick,
     so the driver hash gate verifies the actual kernels. Families by
     doc_id % 6:
-      0: 4x4 RGB from md5 bytes -> real BMP24 -> decode_bmp; the
+      0: 4x4 RGB from md5 bytes -> real BMP24 -> decode_bmp; even
+         rows write BITMAPINFOHEADER, odd rows BITMAPCOREHEADER (r12 —
+         both real header generations drive their decode paths); the
          mirror averages the same md5 bytes with no codec (lossless).
       1/2: 32 md5-derived G.711 code bytes decoded through the
          companding tables (formats 7/6); the mirror computes the
@@ -1323,12 +1354,19 @@ def media_codec_matrix(docs: DataFrame) -> DataFrame:
                     px = np.array(
                         [_md5_val(base + i, 2) for i in range(48)], dtype=np.uint8
                     ).reshape(4, 4, 3)
-                    meta, back = decode_bmp(write_bmp(px))
+                    # alternate header generations (r12): even rows the
+                    # INFOHEADER writer, odd rows the BITMAPCOREHEADER
+                    # writer — both lossless, so ONE codec-free mirror
+                    # grades both decode paths
+                    core = (d // 8) % 2 == 1
+                    enc = write_bmp_core(px) if core else write_bmp(px)
+                    meta, back = decode_bmp(enc)
                     if not np.array_equal(back, px):  # explicit raise, not
                         # assert: the round-trip gate must survive python -O
                         raise ValueError(f"BMP round trip diverged for doc {d}")
                     rows.append(
-                        (d, "bmp", meta["width"], meta["height"],
+                        (d, "bmpcore" if core else "bmp",
+                         meta["width"], meta["height"],
                          r6(float(back.mean())), None, None)
                     )
                 elif fam == 4:
@@ -1556,7 +1594,9 @@ ima AS (
   FROM ima_walk
   GROUP BY doc_id
 )
-SELECT doc_id, 'bmp' AS fmt, 4 AS width, 4 AS height, mean_val,
+SELECT doc_id,
+       CASE WHEN (doc_id // 8) % 2 = 1 THEN 'bmpcore' ELSE 'bmp' END AS fmt,
+       4 AS width, 4 AS height, mean_val,
        CAST(NULL AS DOUBLE) AS rms, CAST(NULL AS DOUBLE) AS peak
 FROM bmp
 UNION ALL
