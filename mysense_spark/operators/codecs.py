@@ -1709,8 +1709,10 @@ def write_jpeg(
     or HxWx3 RGB; `subsample=True` encodes 4:2:0 chroma (exercises the
     decoder's upsampling path), `samp` overrides the per-component
     (h, v) sampling factors outright (r10 — e.g. [(4,1),(1,1),(1,1)]
-    for 4:1:1; factors must be 1-4 and divide the max, matching what
-    the decoder replicates back), `restart=N` emits DRI + RSTn markers
+    for 4:1:1; factors must be 1-4; divisible ratios box-average
+    down, and since r12 FRACTIONAL ratios nearest-index down — the
+    inverse of the decoder's floor(x*h/hmax) upsample, exact on
+    constants), `restart=N` emits DRI + RSTn markers
     every N MCUs (exercises predictor resets). Huffman tables are
     fixed-length canonical (DC: 12 symbols at 4 bits; AC: 162 at 8) —
     valid, simple, and emitted in the DHT so ANY spec decoder reads the

@@ -511,6 +511,24 @@ def _decode_bmp_embedded(b: bytes, compression: int, width: int, height: int, pi
     return meta, arr
 
 
+def _bmp_palette_indices(rows, width: int, bpp: int):
+    """1/4/8-bit palette-index extraction from padded raster rows — ONE
+    definition for the INFOHEADER and CORE header paths (r12 review:
+    the nibble/unpackbits logic was duplicated; bit-level copies drift
+    into silent wrong pixels)."""
+    import numpy as np
+
+    if bpp == 8:
+        return rows[:, :width]
+    if bpp == 4:
+        height, stride = rows.shape
+        nib = np.empty((height, stride * 2), dtype=np.uint8)
+        nib[:, 0::2] = rows >> 4
+        nib[:, 1::2] = rows & 0xF
+        return nib[:, :width]
+    return np.unpackbits(rows, axis=1)[:, :width]
+
+
 def _decode_bmp_core(b: bytes, pixels: bool):
     """BITMAPCOREHEADER (OS/2 1.x, bcSize=12) decode — r12, closing the
     r11 NotImplementedError gate with the real layout instead of the
@@ -547,15 +565,7 @@ def _decode_bmp_core(b: bytes, pixels: bool):
             raise ValueError("truncated BMP color table")
         pal = np.frombuffer(b, dtype=np.uint8, count=3 * n_pal, offset=26)
         pal = pal.reshape(-1, 3)[:, ::-1]  # BGR triple -> RGB
-        if bpp == 8:
-            idx = rows[:, :width]
-        elif bpp == 4:
-            nib = np.empty((height, stride * 2), dtype=np.uint8)
-            nib[:, 0::2] = rows >> 4
-            nib[:, 1::2] = rows & 0xF
-            idx = nib[:, :width]
-        else:
-            idx = np.unpackbits(rows, axis=1)[:, :width]
+        idx = _bmp_palette_indices(rows, width, bpp)
         arr = pal[idx]
     arr = arr[::-1]  # core-header rasters are unconditionally bottom-up
     meta["mean"] = float(arr.mean())
@@ -650,13 +660,7 @@ def decode_bmp(payload: bytes, pixels: bool = True):
         rows = rows.reshape(height, stride)
         if bpp in (1, 4):
             pal, n_pal = palette()
-            if bpp == 1:
-                idx = np.unpackbits(rows, axis=1)[:, :width]
-            else:
-                nib = np.empty((height, stride * 2), dtype=np.uint8)
-                nib[:, 0::2] = rows >> 4
-                nib[:, 1::2] = rows & 0xF
-                idx = nib[:, :width]
+            idx = _bmp_palette_indices(rows, width, bpp)
             if int(idx.max(initial=0)) >= n_pal:
                 raise ValueError("BMP palette index out of range")
             arr = pal[idx]
@@ -705,6 +709,26 @@ def decode_bmp(payload: bytes, pixels: bool = True):
     return meta, arr
 
 
+def _bmp_raster(arr, encoder: str):
+    """Validated HxWx3 RGB -> (h, w, bottom-up padded BGR raster bytes)
+    — ONE definition for write_bmp and write_bmp_core (r12 review: the
+    guard + stride + raster construction were near-verbatim copies)."""
+    import numpy as np
+
+    a = np.asarray(arr)
+    if a.dtype != np.uint8:
+        if a.size and (int(a.min()) < 0 or int(a.max()) > 255):
+            raise ValueError(f"{encoder} is an 8-bit encoder; scale values first")
+        a = a.astype(np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"{encoder} needs HxWx3 RGB; got {a.shape}")
+    h, w = a.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    return h, w, rows.tobytes()
+
+
 def write_bmp(arr) -> bytes:
     """24-bit BITMAPINFOHEADER BMP encoder (bottom-up BGR rows padded
     to 4 bytes) — the round-trip partner of decode_bmp's lossless
@@ -713,20 +737,7 @@ def write_bmp(arr) -> bytes:
     truncate (same contract as write_png)."""
     import struct
 
-    import numpy as np
-
-    a = np.asarray(arr)
-    if a.dtype != np.uint8:
-        if a.size and (int(a.min()) < 0 or int(a.max()) > 255):
-            raise ValueError("write_bmp is an 8-bit encoder; scale values first")
-        a = a.astype(np.uint8)
-    if a.ndim != 3 or a.shape[2] != 3:
-        raise ValueError(f"write_bmp needs HxWx3 RGB; got {a.shape}")
-    h, w = a.shape[:2]
-    stride = (w * 3 + 3) & ~3
-    rows = np.zeros((h, stride), dtype=np.uint8)
-    rows[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
-    raster = rows.tobytes()
+    h, w, raster = _bmp_raster(arr, "write_bmp")
     info = struct.pack(
         "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0
     )
@@ -738,26 +749,14 @@ def write_bmp_core(arr) -> bytes:
     """24-bit BITMAPCOREHEADER (OS/2 1.x) encoder — the round-trip
     partner of _decode_bmp_core (r12) and the second write path the
     media_codec_matrix fam-0 gate alternates through. Same bottom-up
-    padded BGR raster as write_bmp; dims are UNSIGNED 16-bit in this
-    header, so anything larger raises rather than truncates."""
+    padded BGR raster as write_bmp (shared _bmp_raster); dims are
+    UNSIGNED 16-bit in this header, so anything larger raises rather
+    than truncates."""
     import struct
 
-    import numpy as np
-
-    a = np.asarray(arr)
-    if a.dtype != np.uint8:
-        if a.size and (int(a.min()) < 0 or int(a.max()) > 255):
-            raise ValueError("write_bmp_core is an 8-bit encoder; scale values first")
-        a = a.astype(np.uint8)
-    if a.ndim != 3 or a.shape[2] != 3:
-        raise ValueError(f"write_bmp_core needs HxWx3 RGB; got {a.shape}")
-    h, w = a.shape[:2]
+    h, w, raster = _bmp_raster(arr, "write_bmp_core")
     if h > 0xFFFF or w > 0xFFFF:
         raise ValueError(f"BITMAPCOREHEADER dims are 16-bit; got {w}x{h}")
-    stride = (w * 3 + 3) & ~3
-    rows = np.zeros((h, stride), dtype=np.uint8)
-    rows[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)
-    raster = rows.tobytes()
     core = struct.pack("<IHHHH", 12, w, h, 1, 24)
     head = b"BM" + struct.pack("<IHHI", 26 + len(raster), 0, 0, 26)
     return head + core + raster
@@ -1287,7 +1286,7 @@ def media_codec_matrix(docs: DataFrame) -> DataFrame:
     the IMA/DVI ADPCM kernel —
     through the SAME md5-synthesis oracle trick,
     so the driver hash gate verifies the actual kernels. Families by
-    doc_id % 6:
+    doc_id % 8:
       0: 4x4 RGB from md5 bytes -> real BMP24 -> decode_bmp; even
          rows write BITMAPINFOHEADER, odd rows BITMAPCOREHEADER (r12 —
          both real header generations drive their decode paths); the
