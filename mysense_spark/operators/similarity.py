@@ -120,6 +120,72 @@ ORDER BY query_id, rank
 """
 
 
+_HARDNEG_K = 3
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR/SimCSE
+    practice: the negatives that most confuse a model are the
+    highest-similarity vectors with a DIFFERENT label): for each query
+    vector (vec_id < _N_QUERIES), the top-_HARDNEG_K cross-label
+    candidates by rounded cosine with the vec_id tie-break. The label
+    inequality filters BEFORE the window, so the rank runs over
+    cross-label candidates only; the query side is a bounded broadcast
+    (the knn_bruteforce shape — same fenced-crossJoin class), the
+    corpus side is one scan. At 100 TB the candidate side would come
+    from the ANN tiers (ann_ivfadc shortlists) instead of the full
+    scan; this is the exact verify tier."""
+    vecs = _vectors(spark, sf_dir)
+    q = vecs.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.col("label").alias("qlabel"),
+    )
+    c = vecs.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+        F.col("label").alias("cand_label"),
+    )
+    cos = ieee_round(_dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm")), 6)
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(
+            (F.col("query_id") != F.col("cand_id"))
+            & ~F.col("cand_label").eqNullSafe(F.col("qlabel"))
+        )
+        .withColumn("cosine", cos)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _HARDNEG_K)
+        .select("query_id", "rank", "cand_id", "cand_label", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
+SQL_HARD_NEGATIVES = f"""
+WITH vecs AS ({_SQL_VECTORS}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.label AS cand_label,
+         {_SQL_COS} AS cosine
+  FROM vecs q CROSS JOIN vecs c
+  WHERE q.vec_id < {_N_QUERIES} AND q.vec_id <> c.vec_id
+    AND c.label IS DISTINCT FROM q.label
+)
+SELECT query_id, rank, cand_id, cand_label, cosine
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {_HARDNEG_K}
+ORDER BY query_id, rank
+"""
+
+
 def _fixture_centroids(vecs: DataFrame) -> DataFrame:
     """The frozen 8-row fixture codebook (embeddings 100..107) the
     graded queries opt into — the single definition of the fixture
@@ -2566,6 +2632,7 @@ QUERIES: dict[str, tuple] = {
     "ann_ivf_refined": (q_ann_ivf_refined, SQL_ANN_IVF_REFINED),
     "ann_pq": (q_ann_pq, SQL_ANN_PQ),
     "ann_ivfadc": (q_ann_ivfadc, SQL_ANN_IVFADC),
+    "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
     "cluster_stats": (q_cluster_stats, SQL_CLUSTER_STATS),
     "kmeans_train": (q_kmeans_train, SQL_KMEANS_TRAIN),
 }

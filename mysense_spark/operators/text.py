@@ -1192,6 +1192,88 @@ ORDER BY doc_id
 SQL_GOPHER_FILTER = _sql_gopher()
 
 
+def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning heuristics (Raffel et al. 2020, "Exploring the
+    Limits of Transfer Learning...", §2.2) — the gopher_filter sibling
+    from the other canonical pretraining-corpus recipe. Line level: a
+    line is RETAINED iff it ends (after trailing-space trim) in a
+    terminal punctuation mark (. ! ? or a closing double quote), has
+    at least 3 words, and does not contain the word 'javascript'
+    (case-insensitive). Page level: keep iff the retained text has at
+    least 5 sentences (approximated, as documented, by terminal-
+    punctuation count over retained lines — the paper used an nltk
+    sentence splitter) and the page contains neither 'lorem ipsum'
+    (case-insensitive) nor a curly brace. The paper's dirty-word-list
+    rule is NOT implemented (the published list is an external asset,
+    not a rule) — the in-repo pii_scrub/quality_score family covers
+    lexicon-style gating. One linear JVM scan, no shuffle beyond the
+    presentation sort; counts are pure integers so no rounding grid is
+    involved."""
+    doc = load(spark, sf_dir, "documents")
+    # Spark spells it endswith; DuckDB ends_with — same semantics
+    line_ok = (
+        "(endswith(rtrim(x), '.') OR endswith(rtrim(x), '!')"
+        " OR endswith(rtrim(x), '?') OR endswith(rtrim(x), '\"'))"
+        f" AND size(regexp_extract_all(x, '{_NWS_SPARK}+', 0)) >= 3"
+        " AND NOT contains(lower(x), 'javascript')"
+    )
+    kept = f"filter(split(text, '\n'), x -> {line_ok})"
+    sentences = (
+        f"aggregate({kept}, CAST(0 AS BIGINT), (a, x) -> a +"
+        " (length(x) - length(replace(replace(replace(x, '.', ''), '!', ''), '?', ''))))"
+    )
+    return (
+        doc.select(
+            "doc_id",
+            F.expr("size(split(text, '\n'))").cast("long").alias("n_lines"),
+            F.expr(f"size({kept})").cast("long").alias("n_kept_lines"),
+            F.expr(sentences).alias("n_sentences"),
+            F.expr("CAST(contains(lower(text), 'lorem ipsum') AS INT)").alias("has_lorem"),
+            F.expr("CAST(contains(text, '{') AS INT)").alias("has_brace"),
+        )
+        .withColumn(
+            "keep",
+            (
+                (F.col("n_sentences") >= 5)
+                & (F.col("has_lorem") == 0)
+                & (F.col("has_brace") == 0)
+            ).cast("int"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_c4_filter() -> str:
+    line_ok = (
+        "(ends_with(rtrim(x), '.') OR ends_with(rtrim(x), '!')"
+        " OR ends_with(rtrim(x), '?') OR ends_with(rtrim(x), '\"'))"
+        f" AND len(regexp_extract_all(x, '{_NWS_SQL}+')) >= 3"
+        " AND NOT contains(lower(x), 'javascript')"
+    )
+    kept = f"list_filter(string_split(text, chr(10)), x -> {line_ok})"
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         len(string_split(text, chr(10))) AS n_lines,
+         len({kept}) AS n_kept_lines,
+         list_sum(list_transform({kept}, x ->
+           length(x) - length(replace(replace(replace(x, '.', ''), '!', ''), '?', '')))) AS s_sum,
+         CAST(contains(lower(text), 'lorem ipsum') AS INT) AS has_lorem,
+         CAST(contains(text, '{{') AS INT) AS has_brace
+  FROM documents
+)
+SELECT doc_id, n_lines, n_kept_lines,
+       CAST(coalesce(s_sum, 0) AS BIGINT) AS n_sentences,
+       has_lorem, has_brace,
+       CAST(coalesce(s_sum, 0) >= 5 AND has_lorem = 0 AND has_brace = 0 AS INT) AS keep
+FROM base
+ORDER BY doc_id
+"""
+
+
+SQL_C4_FILTER = _sql_c4_filter()
+
+
 # Winnowing (Schleimer, Wilkerson, Aiken — SIGMOD'03, the MOSS
 # algorithm): k-gram size and window width. Any match of at least
 # k + w - 1 = 8 consecutive tokens is GUARANTEED to share a selected
@@ -1540,6 +1622,7 @@ SQL_DSIR_RESAMPLE = _sql_dsir_resample()
 QUERIES: dict[str, tuple] = {
     "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
     "gopher_filter": (q_gopher_filter, SQL_GOPHER_FILTER),
+    "c4_filter": (q_c4_filter, SQL_C4_FILTER),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "bm25_search": (q_bm25_search, SQL_BM25_SEARCH),
     "vocab_stats": (q_vocab_stats, SQL_VOCAB_STATS),

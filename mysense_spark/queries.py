@@ -47,10 +47,17 @@ def _modules():
 # int64 block argmin — bit-identical, ~10x at sf1.0), and
 # ann_ivf_refined (CHANGED: routing stage extracted into _route, shared
 # with ann_ivfadc — pure code motion, same plan);
+# (late r12) two more NEW queries — c4_filter (the Raffel-2020 C4
+# cleaning heuristics: terminal-punctuation line retention, >=3-word
+# lines, javascript-line drop, >=5-sentence / lorem-ipsum / curly-brace
+# page rules) and hard_negatives (contrastive-training hard-negative
+# mining: top-3 cross-label cosine per query) — displacing the last two
+# (c) rows (kit_throttle, kmeans_train) into the r13 roll;
 # (b) the 23 rows whose last driver evidence is round 9 — rolled here
 # exactly as planned in the r11 comment;
-# (c) 22 of the 50 rows whose last evidence is round 10, alphabetical.
-# The remaining 28 r10-evidence rows (knn_bruteforce,
+# (c) 20 of the 50 rows whose last evidence is round 10, alphabetical.
+# The remaining 30 r10-evidence rows (kit_throttle, kmeans_train,
+# knn_bruteforce,
 # maintenance_window_join, media_decode_stats, minhash_lsh_pairs,
 # minmax_normalize, modality_mix, mode_per_user, multilinear_regression,
 # neardup_clusters, neighbour_search, ngram_jaccard_pairs,
@@ -65,6 +72,8 @@ _PRIORITY = (
     # (a) new/changed in round 12
     "ann_ivfadc",
     "dsir_resample",
+    "c4_filter",
+    "hard_negatives",
     "media_codec_matrix",
     "ann_pq",
     "ann_ivf_refined",
@@ -92,7 +101,7 @@ _PRIORITY = (
     "tokenizer_fertility",
     "unpivot_long",
     "wide_view",
-    # (c) last driver evidence: round 10 (first 22, alphabetical)
+    # (c) last driver evidence: round 10 (first 20, alphabetical)
     "alarm_suppression",
     "ann_ivf",
     "ann_ivf_trained",
@@ -113,8 +122,6 @@ _PRIORITY = (
     "hourly_stats",
     "hybrid_search_rrf",
     "incremental_dedup",
-    "kit_throttle",
-    "kmeans_train",
 )
 
 

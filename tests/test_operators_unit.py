@@ -3625,3 +3625,84 @@ def test_jpeg_progressive_encoder_roundtrip_and_bitstream():
     assert segs == [b"\x0f", b"\x00"]
     with pytest.raises(ValueError):
         write_jpeg_progressive(np.zeros((4, 4, 3), dtype=np.uint8))
+
+
+def test_c4_filter_semantics(spark, tmp_path):
+    """r12 C4 heuristics on a PLANTED document set with hand-computed
+    expectations: line retention (terminal punctuation + >=3 words +
+    no 'javascript'), the >=5-sentence page rule on RETAINED text, and
+    the lorem-ipsum / curly-brace page drops."""
+    from mysense_spark.operators.text import q_c4_filter
+
+    good = "\n".join(
+        [
+            "This is a fine sentence.",          # kept
+            "Another good line here!",           # kept
+            "Is this a question line?",          # kept
+            'He said "quoted line end."',        # kept (ends .)
+            "short.",                            # dropped: <3 words
+            "no terminal punctuation here",      # dropped
+            "enable javascript to view this.",   # dropped: javascript
+            "Two more sentences. And another!",  # kept: 2 terminals
+        ]
+    )
+    docs = [
+        (0, good),                               # 6 sentences -> keep
+        (1, "One line only. Lorem Ipsum dolor."),  # lorem -> drop
+        (2, "Braces are code { not prose. More words here. " * 3),  # { -> drop
+        (3, "Too few sentences but fine words."),  # 1 sentence -> drop
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    path = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    # the other tables aren't read by this query; the loader reads by name
+    rows = {r["doc_id"]: r for r in q_c4_filter(spark, path).collect()}
+    assert rows[0]["n_lines"] == 8 and rows[0]["n_kept_lines"] == 5
+    # sentences in kept lines: 1+1+1+1+2 = 6
+    assert rows[0]["n_sentences"] == 6 and rows[0]["keep"] == 1
+    assert rows[1]["has_lorem"] == 1 and rows[1]["keep"] == 0
+    assert rows[2]["has_brace"] == 1 and rows[2]["keep"] == 0
+    assert rows[3]["keep"] == 0 and rows[3]["has_lorem"] == 0
+
+
+def test_hard_negatives_semantics(spark, sf_dir):
+    """r12 hard-negative mining: every returned candidate carries a
+    label DIFFERENT from its query's, ranks are contiguous by rounded
+    cosine with the id tie-break, and the result equals the
+    brute-force top-10 RESTRICTED to cross-label candidates (the
+    mining is a filter on the exact tier, nothing else)."""
+    from pyspark.sql import functions as F
+
+    from mysense_spark.operators.similarity import (
+        _HARDNEG_K,
+        _N_QUERIES,
+        _vectors,
+        q_hard_negatives,
+        q_knn_bruteforce,
+    )
+
+    out = q_hard_negatives(spark, sf_dir).collect()
+    vecs = _vectors(spark, sf_dir)
+    labels = {r["vec_id"]: r["label"] for r in vecs.select("vec_id", "label").collect()}
+    for r in out:
+        assert labels[r["cand_id"]] == r["cand_label"]
+        assert r["cand_label"] != labels[r["query_id"]]
+    for qid in range(_N_QUERIES):
+        got = [(r["rank"], r["cand_id"]) for r in out if r["query_id"] == qid]
+        assert [rk for rk, _ in got] == list(range(1, _HARDNEG_K + 1))
+    # cross-check against a label-filtered exact ranking built from the
+    # same rounded-cosine scores
+    exact = [
+        r
+        for r in q_knn_bruteforce(spark, sf_dir).collect()
+        if labels[r["cand_id"]] != labels[r["query_id"]]
+    ]
+    by_q = {}
+    for r in sorted(exact, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["cand_id"])
+    for qid in range(_N_QUERIES):
+        want = by_q.get(qid, [])[:_HARDNEG_K]
+        got = [r["cand_id"] for r in out if r["query_id"] == qid]
+        # the brute-force top-10 may hold fewer than K cross-label rows;
+        # compare the overlapping prefix
+        assert got[: len(want)] == want
