@@ -64,11 +64,21 @@ _SQL_COS = (
 MAX_RERANK_QUERIES = 1024
 
 
-def knn_rerank(queries: DataFrame, candidates: DataFrame, top_k: int = 10) -> DataFrame:
+def knn_rerank(
+    queries: DataFrame,
+    candidates: DataFrame,
+    top_k: int = 10,
+    predicate: Column | None = None,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Broadcast the (bounded) query side, scan candidates in parallel,
     keep top_k per query. Raises if the query side exceeds
     MAX_RERANK_QUERIES — the fence is part of the contract, not a
-    docstring promise."""
+    docstring promise. `predicate` filters pairs BEFORE the rank window
+    (e.g. hard_negatives' cross-label rule — r12 review: the mining
+    variant must go THROUGH this kernel, not clone its rounding/
+    tie-break and lose the fence); `extra_cols` names candidate columns
+    to carry into the output between cand_id and cosine."""
     n_q = queries.limit(MAX_RERANK_QUERIES + 1).count()
     if n_q > MAX_RERANK_QUERIES:
         raise ValueError(
@@ -77,17 +87,17 @@ def knn_rerank(queries: DataFrame, candidates: DataFrame, top_k: int = 10) -> Da
             f"(or LSH) and re-rank those instead"
         )
     cos = ieee_round(_dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm")), 6)
-    scored = (
-        F.broadcast(queries)
-        .crossJoin(candidates)
-        .where(F.col("query_id") != F.col("cand_id"))
-        .withColumn("cosine", cos)
+    scored = F.broadcast(queries).crossJoin(candidates).where(
+        F.col("query_id") != F.col("cand_id")
     )
+    if predicate is not None:
+        scored = scored.where(predicate)
+    scored = scored.withColumn("cosine", cos)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= top_k)
-        .select("query_id", "rank", "cand_id", "cosine")
+        .select("query_id", "rank", "cand_id", *extra_cols, "cosine")
     )
 
 
@@ -148,23 +158,13 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("norm").alias("cnorm"),
         F.col("label").alias("cand_label"),
     )
-    cos = ieee_round(_dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm")), 6)
-    scored = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .where(
-            (F.col("query_id") != F.col("cand_id"))
-            & ~F.col("cand_label").eqNullSafe(F.col("qlabel"))
-        )
-        .withColumn("cosine", cos)
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= _HARDNEG_K)
-        .select("query_id", "rank", "cand_id", "cand_label", "cosine")
-        .orderBy("query_id", "rank")
-    )
+    return knn_rerank(
+        q,
+        c,
+        top_k=_HARDNEG_K,
+        predicate=~F.col("cand_label").eqNullSafe(F.col("qlabel")),
+        extra_cols=("cand_label",),
+    ).orderBy("query_id", "rank")
 
 
 SQL_HARD_NEGATIVES = f"""

@@ -1196,40 +1196,48 @@ def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The C4 cleaning heuristics (Raffel et al. 2020, "Exploring the
     Limits of Transfer Learning...", §2.2) — the gopher_filter sibling
     from the other canonical pretraining-corpus recipe. Line level: a
-    line is RETAINED iff it ends (after trailing-space trim) in a
-    terminal punctuation mark (. ! ? or a closing double quote), has
-    at least 3 words, and does not contain the word 'javascript'
+    line is RETAINED iff it ends (after trailing space/tab/CR trim —
+    CRLF corpora must not zero out, r12 review) in a terminal
+    punctuation mark (. ! ? or a closing double quote), has at least 3
+    words, and does not contain the word 'javascript'
     (case-insensitive). Page level: keep iff the retained text has at
-    least 5 sentences (approximated, as documented, by terminal-
-    punctuation count over retained lines — the paper used an nltk
-    sentence splitter) and the page contains neither 'lorem ipsum'
-    (case-insensitive) nor a curly brace. The paper's dirty-word-list
-    rule is NOT implemented (the published list is an external asset,
-    not a rule) — the in-repo pii_scrub/quality_score family covers
-    lexicon-style gating. One linear JVM scan, no shuffle beyond the
+    least 5 sentences and the page contains neither 'lorem ipsum'
+    (case-insensitive) nor a curly brace. Sentences are approximated
+    (the paper used an nltk splitter) as maximal RUNS of [.!?] per
+    retained line — runs, not characters, so an ellipsis counts once
+    (the gopher_filter precedent) — floored at 1 per retained line,
+    because a line retained via its closing quote ends a sentence by
+    the retention rule's own definition (r12 review). The paper's
+    dirty-word-list rule is NOT implemented (the published list is an
+    external asset, not a rule) — the in-repo pii_scrub/quality_score
+    family covers lexicon-style gating. NULL text is normalized to ''
+    in BOTH engines. One linear JVM scan, no shuffle beyond the
     presentation sort; counts are pure integers so no rounding grid is
     involved."""
     doc = load(spark, sf_dir, "documents")
-    # Spark spells it endswith; DuckDB ends_with — same semantics
+    # Spark spells it endswith; DuckDB ends_with — same semantics.
+    # rtrim extended by regexp to also strip trailing \t and \r.
+    trimmed = "regexp_replace(x, '[ \\\\t\\\\r]+$', '')"
     line_ok = (
-        "(endswith(rtrim(x), '.') OR endswith(rtrim(x), '!')"
-        " OR endswith(rtrim(x), '?') OR endswith(rtrim(x), '\"'))"
+        f"(endswith({trimmed}, '.') OR endswith({trimmed}, '!')"
+        f" OR endswith({trimmed}, '?') OR endswith({trimmed}, '\"'))"
         f" AND size(regexp_extract_all(x, '{_NWS_SPARK}+', 0)) >= 3"
         " AND NOT contains(lower(x), 'javascript')"
     )
-    kept = f"filter(split(text, '\n'), x -> {line_ok})"
+    kept = f"filter(split(coalesce(text, ''), '\\n'), x -> {line_ok})"
     sentences = (
         f"aggregate({kept}, CAST(0 AS BIGINT), (a, x) -> a +"
-        " (length(x) - length(replace(replace(replace(x, '.', ''), '!', ''), '?', ''))))"
+        " greatest(CAST(1 AS BIGINT),"
+        " CAST(size(regexp_extract_all(x, '[.!?]+', 0)) AS BIGINT)))"
     )
     return (
         doc.select(
             "doc_id",
-            F.expr("size(split(text, '\n'))").cast("long").alias("n_lines"),
+            F.expr("size(split(coalesce(text, ''), '\\n'))").cast("long").alias("n_lines"),
             F.expr(f"size({kept})").cast("long").alias("n_kept_lines"),
             F.expr(sentences).alias("n_sentences"),
-            F.expr("CAST(contains(lower(text), 'lorem ipsum') AS INT)").alias("has_lorem"),
-            F.expr("CAST(contains(text, '{') AS INT)").alias("has_brace"),
+            F.expr("CAST(contains(lower(coalesce(text, '')), 'lorem ipsum') AS INT)").alias("has_lorem"),
+            F.expr("CAST(contains(coalesce(text, ''), '{') AS INT)").alias("has_brace"),
         )
         .withColumn(
             "keep",
@@ -1244,22 +1252,23 @@ def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_c4_filter() -> str:
+    trimmed = "regexp_replace(x, '[ \\t\\r]+$', '')"
     line_ok = (
-        "(ends_with(rtrim(x), '.') OR ends_with(rtrim(x), '!')"
-        " OR ends_with(rtrim(x), '?') OR ends_with(rtrim(x), '\"'))"
+        f"(ends_with({trimmed}, '.') OR ends_with({trimmed}, '!')"
+        f" OR ends_with({trimmed}, '?') OR ends_with({trimmed}, '\"'))"
         f" AND len(regexp_extract_all(x, '{_NWS_SQL}+')) >= 3"
         " AND NOT contains(lower(x), 'javascript')"
     )
-    kept = f"list_filter(string_split(text, chr(10)), x -> {line_ok})"
+    kept = f"list_filter(string_split(coalesce(text, ''), chr(10)), x -> {line_ok})"
     return f"""
 WITH base AS (
   SELECT doc_id,
-         len(string_split(text, chr(10))) AS n_lines,
+         len(string_split(coalesce(text, ''), chr(10))) AS n_lines,
          len({kept}) AS n_kept_lines,
          list_sum(list_transform({kept}, x ->
-           length(x) - length(replace(replace(replace(x, '.', ''), '!', ''), '?', '')))) AS s_sum,
-         CAST(contains(lower(text), 'lorem ipsum') AS INT) AS has_lorem,
-         CAST(contains(text, '{{') AS INT) AS has_brace
+           greatest(1, len(regexp_extract_all(x, '[.!?]+'))))) AS s_sum,
+         CAST(contains(lower(coalesce(text, '')), 'lorem ipsum') AS INT) AS has_lorem,
+         CAST(contains(coalesce(text, ''), '{{') AS INT) AS has_brace
   FROM documents
 )
 SELECT doc_id, n_lines, n_kept_lines,

@@ -3646,11 +3646,25 @@ def test_c4_filter_semantics(spark, tmp_path):
             "Two more sentences. And another!",  # kept: 2 terminals
         ]
     )
+    crlf = "\r\n".join(f"Good line number {i} here." for i in range(5)) + "\r"
+    dots = "\n".join(
+        ["Dots and more dots here...", "Dots again galore here...",
+         "More dots yet again...", "Waiting for it now..."]
+    )
+    quoted = "\n".join(
+        ["First fine sentence here.", "Second fine sentence here.",
+         "Third fine sentence here.", "Fourth fine sentence here.",
+         'He said "stop right now"']
+    )
     docs = [
         (0, good),                               # 6 sentences -> keep
         (1, "One line only. Lorem Ipsum dolor."),  # lorem -> drop
         (2, "Braces are code { not prose. More words here. " * 3),  # { -> drop
         (3, "Too few sentences but fine words."),  # 1 sentence -> drop
+        (4, crlf),     # CRLF corpus: \r must not defeat line retention
+        (5, dots),     # ellipses count as RUNS: 4 sentences, not 12
+        (6, quoted),   # bare-quote line floors at 1 sentence: 5 -> keep
+        (7, None),     # NULL text: normalized to '' in both engines
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string")
     path = str(tmp_path)
@@ -3663,6 +3677,29 @@ def test_c4_filter_semantics(spark, tmp_path):
     assert rows[1]["has_lorem"] == 1 and rows[1]["keep"] == 0
     assert rows[2]["has_brace"] == 1 and rows[2]["keep"] == 0
     assert rows[3]["keep"] == 0 and rows[3]["has_lorem"] == 0
+    assert rows[4]["n_kept_lines"] == 5 and rows[4]["keep"] == 1
+    assert rows[5]["n_kept_lines"] == 4
+    assert rows[5]["n_sentences"] == 4 and rows[5]["keep"] == 0
+    assert rows[6]["n_kept_lines"] == 5
+    assert rows[6]["n_sentences"] == 5 and rows[6]["keep"] == 1
+    assert rows[7]["n_lines"] == 1 and rows[7]["n_kept_lines"] == 0
+    assert rows[7]["n_sentences"] == 0 and rows[7]["keep"] == 0
+    # and the DuckDB oracle agrees on the SAME planted set (incl. the
+    # NULL-text and CRLF rows the fixture corpus does not contain) —
+    # a direct connection registering just the documents view, since
+    # run_oracle expects the full table set
+    import duckdb
+
+    from mysense_spark.operators.text import SQL_C4_FILTER
+    from mysense_spark.oracle import compare_frames
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{path}/documents.parquet/*.parquet')"
+    )
+    spdf = q_c4_filter(spark, path).toPandas()
+    assert compare_frames(spdf, con.execute(SQL_C4_FILTER).df()).ok
 
 
 def test_hard_negatives_semantics(spark, sf_dir):

@@ -114,6 +114,7 @@ def test_operators_have_no_driver_actions():
         "source_overlap",
         "winnow_fingerprints",
         "gopher_filter",
+        "c4_filter",
     ],
 )
 def test_no_nested_loop_join(spark, sf_dir, name):
