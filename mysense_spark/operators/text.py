@@ -1216,15 +1216,22 @@ def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     involved."""
     doc = load(spark, sf_dir, "documents")
     # Spark spells it endswith; DuckDB ends_with — same semantics.
-    # rtrim extended by regexp to also strip trailing \t and \r.
-    trimmed = "regexp_replace(x, '[ \\\\t\\\\r]+$', '')"
+    # Trailing space/tab/CR strip runs ONCE per line (a transform BEFORE
+    # the filter — the bench noise protocol caught the 4x-per-line form
+    # at 2.3x the cost); the retained lines are the TRIMMED lines, which
+    # changes no downstream count (trailing whitespace carries no words
+    # and no [.!?]).
     line_ok = (
-        f"(endswith({trimmed}, '.') OR endswith({trimmed}, '!')"
-        f" OR endswith({trimmed}, '?') OR endswith({trimmed}, '\"'))"
+        "(endswith(x, '.') OR endswith(x, '!')"
+        " OR endswith(x, '?') OR endswith(x, '\"'))"
         f" AND size(regexp_extract_all(x, '{_NWS_SPARK}+', 0)) >= 3"
         " AND NOT contains(lower(x), 'javascript')"
     )
-    kept = f"filter(split(coalesce(text, ''), '\\n'), x -> {line_ok})"
+    kept = (
+        "filter(transform(split(coalesce(text, ''), '\\n'),"
+        " x -> regexp_replace(x, '[ \\t\\r]+$', '')),"
+        f" x -> {line_ok})"
+    )
     sentences = (
         f"aggregate({kept}, CAST(0 AS BIGINT), (a, x) -> a +"
         " greatest(CAST(1 AS BIGINT),"
@@ -1252,14 +1259,17 @@ def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_c4_filter() -> str:
-    trimmed = "regexp_replace(x, '[ \\t\\r]+$', '')"
     line_ok = (
-        f"(ends_with({trimmed}, '.') OR ends_with({trimmed}, '!')"
-        f" OR ends_with({trimmed}, '?') OR ends_with({trimmed}, '\"'))"
+        "(ends_with(x, '.') OR ends_with(x, '!')"
+        "  OR ends_with(x, '?') OR ends_with(x, '\"'))"
         f" AND len(regexp_extract_all(x, '{_NWS_SQL}+')) >= 3"
         " AND NOT contains(lower(x), 'javascript')"
     )
-    kept = f"list_filter(string_split(coalesce(text, ''), chr(10)), x -> {line_ok})"
+    kept = (
+        "list_filter(list_transform(string_split(coalesce(text, ''), chr(10)),"
+        " x -> regexp_replace(x, '[ \t\r]+$', '')),"
+        f" x -> {line_ok})"
+    )
     return f"""
 WITH base AS (
   SELECT doc_id,
