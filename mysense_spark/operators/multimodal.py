@@ -1157,6 +1157,21 @@ def _r6(v: float) -> float:
     return math.floor(float(v) * 1e6 + 0.5) / 1e6
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Fan a tiny doc_id projection out to every core before a
+    Python-heavy mapInPandas stage. The documents table arrives as ONE
+    parquet file per SF, so without this the whole per-doc codec
+    round-trip ran in a single task (measured: sf1.0
+    media_codec_matrix 22.8 s on one thread vs ~8.7 s of pure-Python
+    kernel work — zero parallelism). The shuffle moves 8 bytes/row;
+    per-row work is independent and the callers' orderBy restores
+    presentation order, so rows and driver-gate hashes are unchanged
+    (pytest pins partition independence). Explicit numPartitions so
+    AQE does not coalesce the tiny exchange back into one task."""
+    sc = docs.sparkSession.sparkContext
+    return docs.repartition(sc.defaultParallelism)
+
+
 def _md5_val(k: int, hexdigits: int) -> int:
     """The cross-engine synthesis hash: first `hexdigits` md5 hex chars
     of str(k) as an int — identical to DuckDB's
@@ -1227,7 +1242,9 @@ def media_decode_stats(docs: DataFrame) -> DataFrame:
                 rows, columns=[c.name for c in _DECODE_STATS_SCHEMA.fields]
             )
 
-    return docs.mapInPandas(stats, schema=_DECODE_STATS_SCHEMA).orderBy("doc_id")
+    return _spread(docs).mapInPandas(stats, schema=_DECODE_STATS_SCHEMA).orderBy(
+        "doc_id"
+    )
 
 
 def q_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1441,7 +1458,9 @@ def media_codec_matrix(docs: DataFrame) -> DataFrame:
                 rows, columns=[c.name for c in _DECODE_STATS_SCHEMA.fields]
             )
 
-    return docs.mapInPandas(stats, schema=_DECODE_STATS_SCHEMA).orderBy("doc_id")
+    return _spread(docs).mapInPandas(stats, schema=_DECODE_STATS_SCHEMA).orderBy(
+        "doc_id"
+    )
 
 
 def q_media_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
