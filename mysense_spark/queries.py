@@ -53,11 +53,19 @@ def _modules():
 # page rules) and hard_negatives (contrastive-training hard-negative
 # mining: top-3 cross-label cosine per query) — displacing the last two
 # (c) rows (kit_throttle, kmeans_train) into the r13 roll;
+# (later r12) ann_srp (NEW: Charikar sign-random-projection LSH ANN —
+# md5-derived integer hyperplanes, multi-table bucketed candidates,
+# Lv-2007 multi-probe expansion, fenced exact re-rank; whole chain
+# DuckDB-mirrored) and media_decode_stats (CHANGED lineage: the tiny
+# doc_id projection now fans out to every core via _spread before the
+# per-doc codec mapInPandas — same rows, 2x at sf1.0) — displacing the
+# last two remaining (c) rows (hybrid_search_rrf, incremental_dedup)
+# into the r13 roll;
 # (b) the 23 rows whose last driver evidence is round 9 — rolled here
 # exactly as planned in the r11 comment;
-# (c) 20 of the 50 rows whose last evidence is round 10, alphabetical.
-# The remaining 30 r10-evidence rows (kit_throttle, kmeans_train,
-# knn_bruteforce,
+# (c) 18 of the 50 rows whose last evidence is round 10, alphabetical.
+# The remaining 32 r10-evidence rows (hybrid_search_rrf,
+# incremental_dedup, kit_throttle, kmeans_train, knn_bruteforce,
 # maintenance_window_join, media_decode_stats, minhash_lsh_pairs,
 # minmax_normalize, modality_mix, mode_per_user, multilinear_regression,
 # neardup_clusters, neighbour_search, ngram_jaccard_pairs,
@@ -70,6 +78,8 @@ def _modules():
 # is older than round 10.
 _PRIORITY = (
     # (a) new/changed in round 12
+    "ann_srp",
+    "media_decode_stats",
     "ann_ivfadc",
     "dsir_resample",
     "c4_filter",
@@ -120,8 +130,6 @@ _PRIORITY = (
     "geofence_transitions",
     "gopher_filter",
     "hourly_stats",
-    "hybrid_search_rrf",
-    "incremental_dedup",
 )
 
 

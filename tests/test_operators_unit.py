@@ -3534,6 +3534,67 @@ def test_ann_ivfadc_invariants(spark, sf_dir):
     assert out == out2
 
 
+def test_ann_srp_invariants(spark, sf_dir):
+    """SRP-LSH (late r12): (a) with n_bits=0 every vector lands in
+    bucket 0 of every table, so the pool is the whole corpus and the
+    result equals brute-force exact top-5 — the signature/join plumbing
+    loses nothing the bucketing doesn't explicitly prune, and the
+    re-rank is genuinely exact; (b) the multi-probe pool is a superset
+    of the exact-bucket pool; (c) results are identical under any input
+    partitioning (integer signatures, rounded-cosine re-rank); (d) the
+    probe-radius fence refuses radius > 2; (e) on a CLUSTERED corpus —
+    the regime data-independent LSH exists for — the exact-bucket shape
+    already reaches recall 1.0 while pooling well under half the
+    corpus."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from mysense_spark.operators.similarity import (
+        _vectors,
+        ann_srp_search,
+        q_knn_bruteforce,
+    )
+
+    vecs = _vectors(spark, sf_dir)
+    allpool = ann_srp_search(vecs, n_bits=0, n_probes=0)
+    got = [(r["query_id"], r["rank"], r["cand_id"]) for r in allpool.collect()]
+    exact = [
+        (r["query_id"], r["rank"], r["cand_id"])
+        for r in q_knn_bruteforce(spark, sf_dir).where(F.col("rank") <= 5).collect()
+    ]
+    assert got == exact
+    pool0 = ann_srp_search(vecs, n_probes=0, return_pool=True)[1]
+    pool1 = ann_srp_search(vecs, n_probes=1, return_pool=True)[1]
+    ids0 = {r["cand_id"] for r in pool0.collect()}
+    ids1 = {r["cand_id"] for r in pool1.collect()}
+    assert ids0 <= ids1
+    out = [tuple(r) for r in ann_srp_search(vecs).collect()]
+    out2 = [tuple(r) for r in ann_srp_search(vecs.repartition(7)).collect()]
+    assert out == out2
+    with pytest.raises(ValueError, match="multi-probe radius"):
+        ann_srp_search(vecs, n_probes=3).collect()
+
+    rng = np.random.RandomState(7)
+    centers = rng.normal(size=(10, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = rng.randint(0, 10, size=500)
+    pts = centers[assign] + 0.05 * rng.normal(size=(500, 64))
+    rows = [(i, int(assign[i]), [float(x) for x in pts[i]]) for i in range(500)]
+    cdf = spark.createDataFrame(rows, "vec_id long, label int, v array<double>")
+    cvecs = cdf.withColumn(
+        "norm",
+        F.sqrt(F.aggregate(F.expr("transform(v, x -> x*x)"), F.lit(0.0), lambda a, x: a + x)),
+    )
+    cexact = {
+        (r["query_id"], r["cand_id"])
+        for r in ann_srp_search(cvecs, n_bits=0, n_probes=0).collect()
+    }
+    cout, cpool = ann_srp_search(cvecs, n_probes=0, return_pool=True)
+    cgot = {(r["query_id"], r["cand_id"]) for r in cout.collect()}
+    assert cgot == cexact  # recall 1.0: buckets isolate the clusters
+    assert cpool.count() < 250  # while pooling < half the corpus
+
+
 def test_dsir_resample_semantics(spark, sf_dir):
     """r12 DSIR end-to-end: the resampled subset (Gumbel top-k over the
     importance weights) must (a) hold exactly _DSIR_K rows ranked 1..k

@@ -36,6 +36,7 @@ _FENCED_CROSSJOIN = {
     "ann_ivf_refined",  # r11: SQ-probe pool + fenced knn_rerank refine
     "ann_pq",  # r11: 1-row codebook arrays + <= N_QUERIES LUT rows
     "ann_ivfadc",  # r12: cell-pruned ADC + the same bounded sides
+    "ann_srp",  # late r12: broadcast probe list + fenced re-rank pool
     "hard_negatives",  # r12: bounded query broadcast (knn_bruteforce shape)
     "ann_recall",
     "embedding_neardup",

@@ -30,8 +30,16 @@ pooled-union size / corpus) and the CODE scan fraction — which for
 this tier is nprobe/K of a 12-byte-per-vector table, not the 8x SQ
 table the refined tier reads.
 
+`--srp` (late r12) sweeps the data-independent SRP-LSH tier (ann_srp:
+md5-derived hyperplane sign signatures, multi-probe bucket lookups,
+fenced exact re-rank of the pooled union) over (n_bits, n_probes),
+reporting recall@5 against the pooled-union scan fraction. The axis
+that matters across corpus sizes is BUCKET OCCUPANCY N / 2^n_bits, so
+the sweep includes n_bits = 8 and 12 at every N (run it on sf1.0 AND
+/tmp/scale/emb200k to see the same occupancy point a decade apart).
+
 Usage: python tools/ivf_recall_curve.py [sf_dir] [out_json]
-           [--fixture | --refined | --pq | --ivfadc]
+           [--fixture | --refined | --pq | --ivfadc | --srp]
 Defaults: /tmp/scale/sf1.0, /tmp/ivf_recall_curve.json
 """
 
@@ -113,6 +121,46 @@ def main() -> None:
             curve.append(row)
             print(row, flush=True)
         out = {"sf_dir": sf_dir, "n_corpus": n_corpus, "codebook": "pq_m16_ks64", "curve": curve}
+        with open(out_path, "w") as fh:
+            json.dump(out, fh, indent=1)
+        print("wrote", out_path)
+        return
+
+    if "--srp" in sys.argv:
+        from mysense_spark.operators.similarity import ann_srp_search
+
+        exact = {
+            (r["query_id"], r["cand_id"])
+            for r in q_knn_bruteforce(spark, sf_dir).where(F.col("rank") <= 5).collect()
+        }
+        curve = []
+        for n_bits, n_probes in (
+            (8, 0), (8, 1), (8, 2),
+            (12, 0), (12, 1), (12, 2),
+        ):
+            t0 = time.monotonic()
+            searched, pooled = ann_srp_search(
+                vecs, n_bits=n_bits, n_probes=n_probes, return_pool=True
+            )
+            got = {(r["query_id"], r["cand_id"]) for r in searched.collect()}
+            union = pooled.count()
+            curve.append(
+                {
+                    "n_bits": n_bits,
+                    "n_probes": n_probes,
+                    "bucket_occupancy": round(n_corpus / (1 << n_bits), 1),
+                    "recall_at_5": round(len(exact & got) / len(exact), 4),
+                    "sec": round(time.monotonic() - t0, 2),
+                    "pool_union_scan_frac": round(union / n_corpus, 4),
+                }
+            )
+            print(curve[-1], flush=True)
+        out = {
+            "sf_dir": sf_dir,
+            "n_corpus": n_corpus,
+            "shape": "srp_8_tables",
+            "curve": curve,
+        }
         with open(out_path, "w") as fh:
             json.dump(out, fh, indent=1)
         print("wrote", out_path)
