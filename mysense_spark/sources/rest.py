@@ -39,6 +39,83 @@ def build_query(
     return f"{base_url}/{entity}?" + "&".join(params)
 
 
+def _page_rows(body: str) -> tuple[list[dict], str | None, int]:
+    """ONE definition of the page-body contract, shared by
+    read_paginated and rest_dead_pages (quarantine, never kill the
+    batch — the r10-r12 fuzz-battery contract): returns
+    (rows, page_reason, n_bad_rows). An empty/whitespace body is the
+    legitimate past-the-end page ('empty' reason, no rows); a body that
+    is not JSON quarantines as 'bad_json'; JSON that is not an OData
+    envelope (an object whose 'value' is a list) as 'bad_envelope';
+    non-object entries inside 'value' are dropped and counted. A real
+    HTTP transport returns HTML error pages, truncated JSON and
+    rate-limit bodies — one such page must cost that page, not the
+    whole export."""
+    if not body or not body.strip():
+        return [], "empty", 0
+    try:
+        payload = json.loads(body)
+    except ValueError:
+        return [], "bad_json", 0
+    if not isinstance(payload, dict) or not isinstance(payload.get("value", []), list):
+        return [], "bad_envelope", 0
+    value = payload.get("value", [])
+    rows = [r for r in value if isinstance(r, dict)]
+    return rows, None, len(value) - len(rows)
+
+
+def _coerce_to_schema(pdf, fields):
+    """Snap a page frame to the declared Spark schema so one
+    wrong-typed cell cannot kill the Arrow conversion (the mapInPandas
+    twin of the ANSI try_cast fixes): numeric fields quarantine
+    non-numeric scalars (and bools — JSON true in a double field is a
+    schema violation, not a 1.0) to null; integral fields additionally
+    require an exact in-range integer; string/boolean fields accept
+    only their own type. Other field types (timestamps, nested) pass
+    through untouched — pages that misuse those still fail loudly
+    rather than guess."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType,
+        ByteType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
+    for f in fields:
+        c = f.name
+        if c not in pdf.columns:
+            continue
+        if isinstance(f.dataType, (DoubleType, FloatType)):
+            num = pdf[c].map(
+                lambda x: x
+                if isinstance(x, (int, float)) and not isinstance(x, bool)
+                else None
+            )
+            pdf[c] = pd.to_numeric(num, errors="coerce")
+        elif isinstance(f.dataType, (LongType, IntegerType, ShortType, ByteType)):
+            num = pd.to_numeric(
+                pdf[c].map(
+                    lambda x: x
+                    if isinstance(x, int)
+                    and not isinstance(x, bool)
+                    and -(2**63) <= x < 2**63
+                    else None
+                ),
+                errors="coerce",
+            )
+            pdf[c] = num.astype("Int64")
+        elif isinstance(f.dataType, StringType):
+            pdf[c] = pdf[c].map(lambda x: x if isinstance(x, str) else None)
+        elif isinstance(f.dataType, BooleanType):
+            pdf[c] = pdf[c].map(lambda x: x if isinstance(x, bool) else None)
+    return pdf
+
+
 def read_paginated(
     spark: SparkSession,
     fetch: Callable[[str], str],
@@ -53,7 +130,9 @@ def read_paginated(
 ) -> DataFrame:
     """Distributed paginated fetch: one task per page, rows json-decoded
     into `schema`. Dedup/sort left to the caller (the reference drops
-    duplicate timestamps and sorts after concat)."""
+    duplicate timestamps and sorts after concat). Malformed pages/rows
+    quarantine per the _page_rows contract (use rest_dead_pages for the
+    accounting); wrong-typed cells null out per _coerce_to_schema."""
     pages = spark.range(n_pages).withColumnRenamed("id", "page")
     # OData/SensorThings responses omit null-valued fields and may add
     # extras; mapInPandas requires the frame's columns to EQUAL the
@@ -65,7 +144,8 @@ def read_paginated(
     # columns
     from pyspark.sql.types import StructType
 
-    schema_cols = StructType.fromDDL(schema).fieldNames()
+    struct = StructType.fromDDL(schema)
+    schema_cols = struct.fieldNames()
 
     def fetch_pages(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -74,17 +154,54 @@ def read_paginated(
             rows = []
             for page in pdf["page"]:
                 url = build_query(base_url, entity, select, filter_expr, orderby, page_size, int(page))
-                body = fetch(url)
-                if not body:
-                    continue
-                payload = json.loads(body)
-                rows.extend(payload.get("value", []))
-            yield pd.DataFrame(rows).reindex(columns=schema_cols) if rows else pd.DataFrame(
-                columns=schema_cols
+                page_rows, _, _ = _page_rows(fetch(url))
+                rows.extend(page_rows)
+            frame = (
+                pd.DataFrame(rows).reindex(columns=schema_cols)
+                if rows
+                else pd.DataFrame(columns=schema_cols)
             )
+            yield _coerce_to_schema(frame, struct.fields)
 
     raw = pages.mapInPandas(fetch_pages, schema=schema)
     return raw
+
+
+def rest_dead_pages(
+    spark: SparkSession,
+    fetch: Callable[[str], str],
+    base_url: str,
+    entity: str,
+    n_pages: int,
+    select: list[str] | None = None,
+    filter_expr: str | None = None,
+    orderby: str | None = None,
+    page_size: int = 200,
+) -> DataFrame:
+    """Accounting twin of read_paginated (the TTN all_dead_letters
+    shape): one row per page with its quarantine reason ('empty',
+    'bad_json', 'bad_envelope', or null for a good page) and the count
+    of non-object entries dropped from its 'value' list. Same injected
+    transport, same _page_rows contract — so
+    read_paginated rows + dead-page reasons account for every page."""
+    pages = spark.range(n_pages).withColumnRenamed("id", "page")
+
+    def audit(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for page in pdf["page"]:
+                url = build_query(base_url, entity, select, filter_expr, orderby, page_size, int(page))
+                rows, reason, n_bad = _page_rows(fetch(url))
+                out.append((int(page), reason, len(rows), n_bad))
+            yield pd.DataFrame(
+                out, columns=["page", "reason", "n_rows", "n_bad_rows"]
+            )
+
+    return pages.mapInPandas(
+        audit, schema="page long, reason string, n_rows long, n_bad_rows long"
+    )
 
 
 def observations_frame(
@@ -97,9 +214,16 @@ def observations_frame(
     The reference dedups WITHIN one datastream's series; a multi-station
     pull must pass the series key (e.g. key_cols=("station",)) or two
     stations reporting at the same phenomenonTime would collapse to one
-    arbitrary row."""
+    arbitrary row.
+
+    try_to_timestamp, not to_timestamp: under ANSI mode one malformed
+    phenomenonTime string would kill the whole export (the r12 TTN
+    battery's exact failure class); a row whose timestamp cannot parse
+    (or is absent) is quarantined — an observation without a valid
+    phenomenon time has no place on a time axis."""
     return (
-        raw.withColumn("ts", F.to_timestamp(ts_col))
+        raw.withColumn("ts", F.try_to_timestamp(F.col(ts_col)))
+        .where(F.col("ts").isNotNull())
         .dropDuplicates([*key_cols, "ts"])
         .orderBy("ts")
     )

@@ -210,6 +210,124 @@ def test_station_csv_mutation_battery(spark, tmp_path):
     assert n_corrupt > 100
 
 
+def test_rest_page_mutation_battery(spark):
+    """Late-r12 battery for the REST/SensorThings page surface
+    (sources/rest.py) — the last uncovered parse surface: 3000 pages of
+    poisoned transport bodies (random bytes, truncated JSON, non-object
+    payloads, non-list 'value', non-object rows, wrong-typed cells,
+    huge/inf numbers, malformed timestamps) mixed with the golden
+    paging fixture. Contract: (a) read_paginated and the
+    observations_frame tail never throw — one rotten page must cost
+    that page, not the export (the Arrow-conversion twin of the ANSI
+    batch-killer class); (b) golden pages still yield exactly their
+    rows; (c) rest_dead_pages accounting is total — its per-page n_rows
+    sums to what read_paginated actually produced, and every page
+    carries a reason or rows; (d) wrong-typed cells null out
+    (quarantine, don't guess: JSON true in a double field is NOT 1.0);
+    (e) rows whose phenomenonTime cannot parse are dropped by
+    observations_frame, not fatal."""
+    import math
+
+    from mysense_spark.operators.ingest import (
+        _fake_sensorthings_fetch,
+        _ST_N_OBS,
+        _ST_PAGE,
+        _st_obs,
+    )
+    from mysense_spark.sources.rest import (
+        observations_frame,
+        read_paginated,
+        rest_dead_pages,
+    )
+
+    rng = random.Random(0x5E57)
+    n_clean = 5  # the golden fixture's pages (4 data + 1 past-the-end)
+    clean_bodies = {
+        p: _fake_sensorthings_fetch(
+            f"x?$top={_ST_PAGE}&$skip={p * _ST_PAGE}"
+        )
+        for p in range(n_clean)
+    }
+    good_row = dict(_st_obs(0))
+
+    def poison_body(i: int) -> str:
+        mode = rng.randrange(9)
+        if mode == 0:  # raw garbage
+            return "".join(chr(rng.randrange(32, 127)) for _ in range(rng.randrange(0, 60)))
+        if mode == 1:  # truncated JSON of a real page
+            b = clean_bodies[rng.randrange(4)]
+            return b[: rng.randrange(len(b))]
+        if mode == 2:  # JSON, wrong envelope shape
+            return rng.choice(["[]", '"str"', "42", "null", '{"value": 42}', '{"value": {"a": 1}}'])
+        if mode == 3:  # value list with non-object entries around a good row
+            return json.dumps({"value": [42, "x", None, [], good_row, True]})
+        if mode == 4:  # wrong-typed cells
+            return json.dumps({"value": [
+                {"station": 17, "phenomenonTime": True, "result": "abc"},
+                {"station": ["l"], "phenomenonTime": {"t": 1}, "result": False},
+            ]})
+        if mode == 5:  # huge / non-finite numbers
+            return json.dumps({"value": [
+                {"station": "SX", "phenomenonTime": "2024-01-01T00:00:00Z", "result": 1 << 80},
+            ]}).replace("}]}", '},{"station":"SY","phenomenonTime":"2024-01-01T01:00:00Z","result":Infinity}]}')
+        if mode == 6:  # malformed timestamp (parses as a row, dies at ts)
+            return json.dumps({"value": [
+                {"station": "ST", "phenomenonTime": "not-a-time", "result": 1.0},
+            ]})
+        if mode == 7:  # missing 'value' key — a legitimate empty page
+            return json.dumps({"@iot.count": 0})
+        return ""  # empty body
+
+    n_pages = 3000
+    bodies = dict(clean_bodies)
+    for p in range(n_clean, n_pages):
+        bodies[p] = poison_body(p)
+
+    def fetch(url: str) -> str:
+        import re as _re
+
+        skip = int(_re.search(r"\$skip=(\d+)", url).group(1))
+        return bodies[skip // _ST_PAGE]
+
+    kw = dict(base_url="https://x/v1.1", entity="Observations", n_pages=n_pages,
+              page_size=_ST_PAGE)
+    raw = read_paginated(
+        spark, fetch, schema="station string, phenomenonTime string, result double",
+        select=["station", "phenomenonTime", "result"], **kw,
+    )
+    rows = raw.collect()  # (a) no throw
+    obs = observations_frame(raw, key_cols=("station",)).collect()  # (a) tail too
+
+    # (b) golden rows all present with exact values
+    golden = {(o["station"], o["phenomenonTime"], o["result"])
+              for o in (_st_obs(i) for i in range(_ST_N_OBS))}
+    got = {(r["station"], r["phenomenonTime"], r["result"]) for r in rows}
+    assert golden <= got
+
+    # (c) total accounting against the audit twin
+    audit = rest_dead_pages(spark, fetch, **kw).collect()
+    assert len(audit) == n_pages
+    assert sum(a["n_rows"] for a in audit) == len(rows)
+    for a in audit:
+        assert a["reason"] in (None, "empty", "bad_json", "bad_envelope")
+    reasons = {a["reason"] for a in audit}
+    assert {"bad_json", "bad_envelope", "empty"} <= reasons  # battery bites
+    assert sum(a["n_bad_rows"] for a in audit) > 100
+
+    # (d) wrong-typed cells quarantined to null, never guessed
+    assert not any(isinstance(r["station"], str) and r["station"] == "17" for r in rows)
+    assert not any(r["result"] == 1.0 and r["station"] is None and r["phenomenonTime"] is True for r in rows)
+    typed_bad = [r for r in rows if r["station"] is None and r["phenomenonTime"] is None
+                 and r["result"] is None]
+    assert typed_bad  # the all-poison row survived as all-null
+    # inf is a representable double, not a quarantine case
+    assert any(r["result"] is not None and math.isinf(r["result"]) for r in rows)
+
+    # (e) malformed timestamps dropped by the tail, silently and safely
+    assert not any(r["station"] == "ST" for r in obs)
+    assert any(r["station"] == "NL10131" for r in obs)
+
+
 def test_station_csv_quote_and_blank_semantics(spark, tmp_path):
     """The line-accounting exceptions the battery deliberately
     excludes, pinned: with multiLine=false (the reader's default) an
