@@ -959,8 +959,19 @@ def _pq_parts(vecs: DataFrame) -> tuple[DataFrame, DataFrame]:
     training sample read 0.96 instead of 1.00 recall@5 after re-rank at
     sf1.0); at 100 TB train on q_stratified_sample output and only
     ENCODE the full corpus — the loop never needs full N."""
-    subd = 64 // _PQ_M
     qvecs = vecs.select("vec_id", F.expr(_QV_EXPR).alias("qv"))
+    return _pq_parts_from(qvecs)
+
+
+def _pq_parts_from(qvecs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """_pq_parts' train/encode chain over an ALREADY-GRIDDED
+    (vec_id, qv array<bigint>) input — ONE definition shared by the
+    raw-vector path (_pq_parts) and the by-residual path
+    (ann_ivfpq_search, which feeds cell-residual grids). Seeds stay the
+    vec_id in [_CENTROID_BASE, _CENTROID_BASE + _PQ_KS) rows of
+    WHATEVER space the input lives in — for residuals that is those
+    vectors' residuals, deterministic on both engines."""
+    subd = 64 // _PQ_M
 
     seeds_long = (
         qvecs.where(
@@ -1000,12 +1011,24 @@ def _pq_qluts(vecs: DataFrame, cents: DataFrame, subd: int) -> DataFrame:
     review: it was copy-pasted; a tie-break or grid change must not be
     able to diverge the two searches). <= _N_QUERIES rows, always
     broadcast by the consumer."""
+    qdf = vecs.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.expr(_QV_EXPR).alias("qv")
+    )
+    return _pq_luts_from(qdf, cents, subd, ("query_id",))
+
+
+def _pq_luts_from(
+    qdf: DataFrame, cents: DataFrame, subd: int, keys: tuple[str, ...]
+) -> DataFrame:
+    """ADC lookup-table build over an already-gridded frame of
+    `keys` + qv rows — the _pq_qluts kernel generalized so the
+    by-residual search can key its LUTs by (query_id, cent_id): each
+    probed cell sees a DIFFERENT query residual, so it needs its own
+    table (Jegou 2011 §IV-B: one LUT per (query, coarse cell))."""
     return (
-        vecs.where(F.col("vec_id") < _N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), F.expr(_QV_EXPR).alias("qv"))
-        .crossJoin(F.broadcast(_pq_cball(cents, subd)))
+        qdf.crossJoin(F.broadcast(_pq_cball(cents, subd)))
         .select(
-            "query_id",
+            *keys,
             F.expr(
                 f"zip_with({_pq_subs_expr(subd)}, _cb,"
                 f" (sv, cands) -> map_from_entries(transform(cands, c -> struct(c.i,"
@@ -1033,6 +1056,15 @@ def _rerank_pool(vecs: DataFrame, pooled: DataFrame, top_k: int) -> DataFrame:
     return knn_rerank(queries, cand_union, top_k=top_k).orderBy("query_id", "rank")
 
 
+# ONE definition of the ADC distance projection (sum of per-subspace
+# LUT lookups over a candidate's codes) shared by ann_pq_search,
+# ann_ivfadc_search, and ann_ivfpq_search.
+_ADC_EXPR = (
+    "aggregate(zip_with(codes, luts, (c, mp) -> element_at(mp, c)),"
+    " CAST(0 AS BIGINT), (a, x) -> a + x)"
+)
+
+
 def ann_pq_search(
     vecs: DataFrame,
     top_k: int = 5,
@@ -1058,10 +1090,7 @@ def ann_pq_search(
         .select(
             "query_id",
             "cand_id",
-            F.expr(
-                "aggregate(zip_with(codes, luts, (c, mp) -> element_at(mp, c)),"
-                " CAST(0 AS BIGINT), (a, x) -> a + x)"
-            ).alias("adc_dist"),
+            F.expr(_ADC_EXPR).alias("adc_dist"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("cand_id"))
@@ -1142,10 +1171,7 @@ def ann_ivfadc_search(
         .select(
             "query_id",
             "cand_id",
-            F.expr(
-                "aggregate(zip_with(codes, luts, (c, mp) -> element_at(mp, c)),"
-                " CAST(0 AS BIGINT), (a, x) -> a + x)"
-            ).alias("adc_dist"),
+            F.expr(_ADC_EXPR).alias("adc_dist"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("cand_id"))
@@ -1169,6 +1195,95 @@ def q_ann_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-rank."""
     vecs = _vectors(spark, sf_dir)
     return ann_ivfadc_search(vecs, centroids=_fixture_centroids(vecs))
+
+
+def ann_ivfpq_search(
+    vecs: DataFrame,
+    nprobe: int = _NPROBE,
+    shortlist: int = 48,
+    top_k: int = 5,
+    centroids: DataFrame | None = None,
+    return_pool: bool = False,
+):
+    """By-RESIDUAL IVFPQ — the faiss-default IVFPQ shape
+    (`by_residual=True`; Jegou 2011 §IV-B): the PQ codebook is trained
+    on, and the codes encode, the residual r = v - centroid(cell(v))
+    instead of the raw vector, and each (query, probed cell) pair gets
+    its OWN ADC lookup table built from that cell's query residual.
+    Residuals concentrate near zero once the coarse quantizer has
+    soaked up the cell mean, so the same 12 bytes/vector spend their
+    precision on a tighter distribution — the reason faiss defaults to
+    it. Everything else is the ann_ivfadc composition: _route routing,
+    cell-pruned ADC (broadcast (query, cell) join), fenced exact
+    re-rank of the per-query shortlist.
+
+    All arithmetic stays on the 1e-6 integer grid: a residual is a
+    DIFFERENCE of two grid snaps (exact int64, |r| <= 2^21), so
+    training, encoding, and ADC are bit-identical cross-engine — the
+    whole chain is DuckDB-mirrored (SQL_ANN_IVFPQ). LUT count is
+    queries x nprobe (vs queries for the non-residual form) — still a
+    bounded broadcast; the corpus-side work is unchanged.
+
+    Requires an EXPLICIT cell directory (`centroids` — the fixture or
+    kmeans_train output): residuals against the trained two-level
+    directory would need its fine-centroid grid vectors threaded
+    through _route; refused loudly rather than silently encoding
+    against the wrong space."""
+    if centroids is None:
+        raise ValueError(
+            "by-residual IVFPQ needs an explicit cell directory: pass "
+            "centroids (the fixture or kmeans_train output)"
+        )
+    membership, probes = _route(vecs, nprobe, centroids, None)
+    subd = 64 // _PQ_M
+    cgrid = centroids.select(
+        F.col("vec_id").alias("cent_id"), F.expr(_QV_EXPR).alias("cg")
+    )
+    res = F.expr("zip_with(gv, cg, (a, b) -> a - b)")
+    rqvecs = (
+        membership.join(F.broadcast(cgrid), "cent_id")
+        .select("vec_id", F.expr(_QV_EXPR).alias("gv"), "cg")
+        .select("vec_id", res.alias("qv"))
+    )
+    cents, codes = _pq_parts_from(rqvecs)
+    qres = (
+        probes.join(F.broadcast(cgrid), "cent_id")
+        .select("query_id", "cent_id", F.col("pv").alias("v"), "cg")
+        .select("query_id", "cent_id", F.expr(_QV_EXPR).alias("gv"), "cg")
+        .select("query_id", "cent_id", res.alias("qv"))
+    )
+    rluts = _pq_luts_from(qres, cents, subd, ("query_id", "cent_id"))
+    cell_codes = (
+        codes.join(membership.select("vec_id", "cent_id"), "vec_id")
+        .withColumnRenamed("vec_id", "cand_id")
+    )
+    scored = (
+        cell_codes.join(F.broadcast(probes.select("query_id", "cent_id")), "cent_id")
+        .join(F.broadcast(rluts), ["query_id", "cent_id"])
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", F.expr(_ADC_EXPR).alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("cand_id"))
+    pooled = (
+        scored.withColumn("srank", F.row_number().over(w))
+        .where(F.col("srank") <= shortlist)
+        .select("cand_id")
+        .distinct()
+    )
+    out = _rerank_pool(vecs, pooled, top_k=top_k)
+    return (out, pooled) if return_pool else out
+
+
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded entry: by-residual IVFPQ on the fixture cell directory —
+    probe 2 of the 8 cells, residual-train/encode the PQ codebook, ADC
+    with per-(query, cell) residual LUTs over the probed cells only,
+    exact re-rank of the per-query ADC top-48 through knn_rerank. The
+    DuckDB oracle mirrors the WHOLE chain — cell assignment, residual
+    grids, residual codebook training/encode, the per-cell LUTs, the
+    cell-pruned ADC ranking, and the rounded-cosine re-rank."""
+    vecs = _vectors(spark, sf_dir)
+    return ann_ivfpq_search(vecs, centroids=_fixture_centroids(vecs))
 
 
 # The PQ train/encode/LUT chain as a reusable SQL CTE block — ONE
@@ -1272,6 +1387,119 @@ adc AS (
   JOIN iprobes p ON m.cent_id = p.cent_id
   JOIN pq_lut l ON l.query_id = p.query_id
                AND k.sub_id = l.sub_id AND k.code_id = l.code_id
+  WHERE p.query_id <> k.vec_id
+  GROUP BY 1, 2
+),
+pooled AS (
+  SELECT DISTINCT cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, cand_id ASC) AS srank
+    FROM adc
+  ) WHERE srank <= 48
+),
+queries AS (
+  SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM vecs WHERE vec_id < {_N_QUERIES}
+),
+rescored AS (
+  SELECT q.query_id, c.vec_id AS cand_id,
+         (floor((list_sum(list_transform(range(len(q.qv)), i -> q.qv[i+1] * c.v[i+1]))
+               / (q.qnorm * c.norm)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS cosine
+  FROM queries q
+  JOIN (SELECT v2.* FROM vecs v2 JOIN pooled pl ON v2.vec_id = pl.cand_id) c
+    ON q.query_id <> c.vec_id
+)
+SELECT query_id, rank, cand_id, cosine
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rank
+  FROM rescored
+)
+WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+SQL_ANN_IVFPQ = f"""
+WITH vecs AS ({_SQL_VECTORS}),
+icents AS (
+  SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM vecs
+  WHERE vec_id >= {_CENTROID_BASE} AND vec_id < {_CENTROID_BASE + _N_CENTROIDS}
+),
+iassigned AS (
+  SELECT q.vec_id, c.cent_id,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY (floor((list_sum(list_transform(range(len(q.v)), i -> q.v[i+1] * c.cv[i+1]))
+                                           / (q.norm * c.cnorm)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) DESC, c.cent_id ASC) AS crank
+  FROM vecs q CROSS JOIN icents c
+),
+imembership AS (SELECT vec_id, cent_id FROM iassigned WHERE crank = 1),
+iprobes AS (
+  SELECT vec_id AS query_id, cent_id
+  FROM iassigned WHERE vec_id < {_N_QUERIES} AND crank <= {_NPROBE}
+),
+rgrid AS (
+  SELECT m.vec_id, t.i AS d, t.i // {64 // _PQ_M} AS sub_id,
+         CAST(floor(v.v[t.i + 1] * 1000000.0) AS BIGINT)
+         - CAST(floor(c.cv[t.i + 1] * 1000000.0) AS BIGINT) AS q
+  FROM imembership m
+  JOIN vecs v ON v.vec_id = m.vec_id
+  JOIN icents c ON c.cent_id = m.cent_id, range(64) t(i)
+),
+rseeds AS (
+  SELECT sub_id, vec_id - {_CENTROID_BASE} AS code_id, d, q AS cq
+  FROM rgrid WHERE vec_id BETWEEN {_CENTROID_BASE} AND {_CENTROID_BASE + _PQ_KS - 1}
+),
+rd1 AS (
+  SELECT p.vec_id, p.sub_id, s.code_id,
+         sum((p.q - s.cq) * (p.q - s.cq)) AS dist
+  FROM rgrid p JOIN rseeds s ON p.sub_id = s.sub_id AND p.d = s.d
+  GROUP BY 1, 2, 3
+),
+ra1 AS (
+  SELECT vec_id, sub_id, code_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id ORDER BY dist, code_id) AS rn
+    FROM rd1
+  ) WHERE rn = 1
+),
+rn1 AS (SELECT sub_id, code_id, count(*) AS n FROM ra1 GROUP BY 1, 2),
+rcents AS (
+  SELECT a.sub_id, a.code_id, p.d, sum(p.q) // max(n.n) AS cq
+  FROM ra1 a
+  JOIN rgrid p ON a.vec_id = p.vec_id AND a.sub_id = p.sub_id
+  JOIN rn1 n ON a.sub_id = n.sub_id AND a.code_id = n.code_id
+  GROUP BY a.sub_id, a.code_id, p.d
+),
+rd2 AS (
+  SELECT p.vec_id, p.sub_id, c.code_id,
+         sum((p.q - c.cq) * (p.q - c.cq)) AS dist
+  FROM rgrid p JOIN rcents c ON p.sub_id = c.sub_id AND p.d = c.d
+  GROUP BY 1, 2, 3
+),
+rcodes AS (
+  SELECT vec_id, sub_id, code_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id ORDER BY dist, code_id) AS rn
+    FROM rd2
+  ) WHERE rn = 1
+),
+rqres AS (
+  SELECT p.query_id, p.cent_id, t.i AS d, t.i // {64 // _PQ_M} AS sub_id,
+         CAST(floor(qv.v[t.i + 1] * 1000000.0) AS BIGINT)
+         - CAST(floor(c.cv[t.i + 1] * 1000000.0) AS BIGINT) AS q
+  FROM iprobes p
+  JOIN vecs qv ON qv.vec_id = p.query_id
+  JOIN icents c ON c.cent_id = p.cent_id, range(64) t(i)
+),
+rlut AS (
+  SELECT r.query_id, r.cent_id, r.sub_id, c.code_id,
+         sum((r.q - c.cq) * (r.q - c.cq)) AS pd
+  FROM rqres r JOIN rcents c ON r.sub_id = c.sub_id AND r.d = c.d
+  GROUP BY 1, 2, 3, 4
+),
+adc AS (
+  SELECT p.query_id, k.vec_id AS cand_id, sum(l.pd) AS adc_dist
+  FROM rcodes k
+  JOIN imembership m ON k.vec_id = m.vec_id
+  JOIN iprobes p ON m.cent_id = p.cent_id
+  JOIN rlut l ON l.query_id = p.query_id AND l.cent_id = m.cent_id
+             AND l.sub_id = k.sub_id AND l.code_id = k.code_id
   WHERE p.query_id <> k.vec_id
   GROUP BY 1, 2
 ),
@@ -2870,6 +3098,7 @@ QUERIES: dict[str, tuple] = {
     "ann_ivf_refined": (q_ann_ivf_refined, SQL_ANN_IVF_REFINED),
     "ann_pq": (q_ann_pq, SQL_ANN_PQ),
     "ann_ivfadc": (q_ann_ivfadc, SQL_ANN_IVFADC),
+    "ann_ivfpq": (q_ann_ivfpq, SQL_ANN_IVFPQ),
     "ann_srp": (q_ann_srp, SQL_ANN_SRP),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
     "cluster_stats": (q_cluster_stats, SQL_CLUSTER_STATS),

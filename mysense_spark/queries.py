@@ -61,10 +61,16 @@ def _modules():
 # per-doc codec mapInPandas — same rows, 2x at sf1.0) — displacing the
 # last two remaining (c) rows (hybrid_search_rrf, incremental_dedup)
 # into the r13 roll;
+# (later r12 still) ann_ivfpq (NEW: by-RESIDUAL IVFPQ, the faiss
+# by_residual=True default — residual-trained codebook, per-(query,
+# cell) ADC LUTs, cell-pruned scan, fenced exact re-rank; whole chain
+# DuckDB-mirrored; beats raw-vector codes on clustered corpora,
+# measured both ways in SCALING.md) — displacing hourly_stats into the
+# r13 roll;
 # (b) the 23 rows whose last driver evidence is round 9 — rolled here
 # exactly as planned in the r11 comment;
-# (c) 18 of the 50 rows whose last evidence is round 10, alphabetical.
-# The remaining 32 r10-evidence rows (hybrid_search_rrf,
+# (c) 17 of the 50 rows whose last evidence is round 10, alphabetical.
+# The remaining 33 r10-evidence rows (hourly_stats, hybrid_search_rrf,
 # incremental_dedup, kit_throttle, kmeans_train, knn_bruteforce,
 # maintenance_window_join, media_decode_stats, minhash_lsh_pairs,
 # minmax_normalize, modality_mix, mode_per_user, multilinear_regression,
@@ -78,6 +84,7 @@ def _modules():
 # is older than round 10.
 _PRIORITY = (
     # (a) new/changed in round 12
+    "ann_ivfpq",
     "ann_srp",
     "media_decode_stats",
     "ann_ivfadc",
@@ -129,7 +136,6 @@ _PRIORITY = (
     "event_sessions",
     "geofence_transitions",
     "gopher_filter",
-    "hourly_stats",
 )
 
 

@@ -3534,6 +3534,90 @@ def test_ann_ivfadc_invariants(spark, sf_dir):
     assert out == out2
 
 
+def test_ann_ivfpq_invariants(spark, sf_dir):
+    """By-residual IVFPQ (late r12): (a) with the probe opened to ALL
+    cells and the shortlist wider than the corpus the result equals
+    brute-force exact top-5 (the residual encode loses nothing the
+    shortlist keeps; the re-rank is genuinely exact); (b) the pooled
+    union never exceeds shortlist x queries; (c) results identical
+    under any input partitioning (integer-grid residuals end to end);
+    (d) the explicit-centroids fence refuses None; (e) the reason the
+    variant exists, pinned: on a CLUSTERED corpus whose coarse
+    quantizer is tight, residual codes beat raw-vector codes at the
+    same bytes and shortlist (faiss's by_residual=True default), while
+    SCALING.md documents the near-orthogonal case where they lose."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from mysense_spark.operators.similarity import (
+        _fixture_centroids,
+        _N_CENTROIDS,
+        _N_QUERIES,
+        _vectors,
+        ann_ivfadc_search,
+        ann_ivfpq_search,
+        q_knn_bruteforce,
+    )
+
+    vecs = _vectors(spark, sf_dir)
+    fix = _fixture_centroids(vecs)
+    n = vecs.count()
+    wide = ann_ivfpq_search(vecs, nprobe=_N_CENTROIDS, shortlist=n + 1, centroids=fix)
+    got = [(r["query_id"], r["rank"], r["cand_id"]) for r in wide.collect()]
+    exact = [
+        (r["query_id"], r["rank"], r["cand_id"])
+        for r in q_knn_bruteforce(spark, sf_dir).where(F.col("rank") <= 5).collect()
+    ]
+    assert got == exact
+    pooled = ann_ivfpq_search(vecs, shortlist=7, centroids=fix, return_pool=True)[1]
+    assert pooled.count() <= 7 * _N_QUERIES
+    out = [tuple(r) for r in ann_ivfpq_search(vecs, centroids=fix).collect()]
+    out2 = [
+        tuple(r)
+        for r in ann_ivfpq_search(
+            vecs.repartition(7), centroids=_fixture_centroids(vecs.repartition(7))
+        ).collect()
+    ]
+    assert out == out2
+    with pytest.raises(ValueError, match="explicit cell directory"):
+        ann_ivfpq_search(vecs, centroids=None)
+
+    # (e) clustered corpus with TRUE centers as the coarse directory
+    rng = np.random.RandomState(7)
+    centers = rng.normal(size=(10, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = rng.randint(0, 10, size=2000)
+    pts = centers[assign] + 0.08 * rng.normal(size=(2000, 64))
+    norm_expr = F.sqrt(
+        F.aggregate(F.expr("transform(v, x -> x*x)"), F.lit(0.0), lambda a, x: a + x)
+    )
+    cvecs = spark.createDataFrame(
+        [(i, int(assign[i]), [float(x) for x in pts[i]]) for i in range(2000)],
+        "vec_id long, label int, v array<double>",
+    ).withColumn("norm", norm_expr)
+    ccents = spark.createDataFrame(
+        [(100 + k, 0, [float(x) for x in centers[k]]) for k in range(10)],
+        "vec_id long, label int, v array<double>",
+    ).withColumn("norm", norm_expr)
+    cexact = {
+        (r["query_id"], r["cand_id"])
+        for r in ann_ivfpq_search(
+            cvecs, nprobe=10, shortlist=2001, centroids=ccents
+        ).collect()
+    }
+    res = {
+        (r["query_id"], r["cand_id"])
+        for r in ann_ivfpq_search(cvecs, shortlist=24, centroids=ccents).collect()
+    }
+    raw = {
+        (r["query_id"], r["cand_id"])
+        for r in ann_ivfadc_search(cvecs, shortlist=24, centroids=ccents).collect()
+    }
+    r_res = len(cexact & res) / len(cexact)
+    r_raw = len(cexact & raw) / len(cexact)
+    assert r_res == 1.0 and r_raw < r_res  # measured: 1.00 vs 0.76
+
+
 def test_ann_srp_invariants(spark, sf_dir):
     """SRP-LSH (late r12): (a) with n_bits=0 every vector lands in
     bucket 0 of every table, so the pool is the whole corpus and the

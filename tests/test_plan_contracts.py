@@ -37,6 +37,7 @@ _FENCED_CROSSJOIN = {
     "ann_pq",  # r11: 1-row codebook arrays + <= N_QUERIES LUT rows
     "ann_ivfadc",  # r12: cell-pruned ADC + the same bounded sides
     "ann_srp",  # late r12: broadcast probe list + fenced re-rank pool
+    "ann_ivfpq",  # late r12: by-residual IVFPQ, same bounded sides as ivfadc
     "hard_negatives",  # r12: bounded query broadcast (knn_bruteforce shape)
     "ann_recall",
     "embedding_neardup",
