@@ -280,10 +280,10 @@ def _srp_probe_variants(qsigs: DataFrame, n_bits: int, n_probes: int) -> DataFra
     query side only (<= _N_QUERIES * n_tables * (1 + B + B(B-1)/2)
     rows at radius 2), which stays broadcast; radius > 2 is refused —
     at that point add tables or retrain an IVF directory instead."""
+    if n_probes < 0 or n_probes > 2:
+        raise ValueError("multi-probe radius must be 0, 1, or 2: add tables instead")
     if n_probes == 0:
         return qsigs
-    if n_probes > 2:
-        raise ValueError("multi-probe radius > 2: add tables instead")
     spark = qsigs.sparkSession
     b1 = spark.range(n_bits).select(F.col("id").alias("b1"))
     flip1 = (
@@ -1286,53 +1286,115 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivfpq_search(vecs, centroids=_fixture_centroids(vecs))
 
 
+def _sql_pq_chain(pts: str, p: str) -> str:
+    """The PQ Lloyd train/encode chain as SQL CTEs, parameterized over
+    its points-CTE name `pts` ((vec_id, d, sub_id, q) rows) and a CTE
+    name prefix `p` — ONE definition shared by the ann_pq / ann_ivfadc
+    oracles (raw grid points, prefix 'pq_') and the ann_ivfpq oracle
+    (cell-residual points, prefix 'r') so the mirrored training can
+    never drift between them (r12 review: the residual oracle had
+    copy-pasted the whole chain). Emits {p}seeds, {p}d1, {p}a1, {p}n1,
+    {p}cents, {p}d2, {p}codes (vec_id, sub_id, code_id)."""
+    return f"""{p}seeds AS (
+  SELECT sub_id, vec_id - {_CENTROID_BASE} AS code_id, d, q AS cq
+  FROM {pts} WHERE vec_id BETWEEN {_CENTROID_BASE} AND {_CENTROID_BASE + _PQ_KS - 1}
+),
+{p}d1 AS (
+  SELECT p.vec_id, p.sub_id, s.code_id,
+         sum((p.q - s.cq) * (p.q - s.cq)) AS dist
+  FROM {pts} p JOIN {p}seeds s ON p.sub_id = s.sub_id AND p.d = s.d
+  GROUP BY 1, 2, 3
+),
+{p}a1 AS (
+  SELECT vec_id, sub_id, code_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id ORDER BY dist, code_id) AS rn
+    FROM {p}d1
+  ) WHERE rn = 1
+),
+{p}n1 AS (SELECT sub_id, code_id, count(*) AS n FROM {p}a1 GROUP BY 1, 2),
+{p}cents AS (
+  SELECT a.sub_id, a.code_id, p.d, sum(p.q) // max(n.n) AS cq
+  FROM {p}a1 a
+  JOIN {pts} p ON a.vec_id = p.vec_id AND a.sub_id = p.sub_id
+  JOIN {p}n1 n ON a.sub_id = n.sub_id AND a.code_id = n.code_id
+  GROUP BY a.sub_id, a.code_id, p.d
+),
+{p}d2 AS (
+  SELECT p.vec_id, p.sub_id, c.code_id,
+         sum((p.q - c.cq) * (p.q - c.cq)) AS dist
+  FROM {pts} p JOIN {p}cents c ON p.sub_id = c.sub_id AND p.d = c.d
+  GROUP BY 1, 2, 3
+),
+{p}codes AS (
+  SELECT vec_id, sub_id, code_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id ORDER BY dist, code_id) AS rn
+    FROM {p}d2
+  ) WHERE rn = 1
+)"""
+
+
+# The IVF fixture-routing CTE block — ONE definition shared by the
+# ann_ivfadc and ann_ivfpq oracles (cell directory, cosine-ranked
+# assignment, membership, query probes). Requires a `vecs` CTE.
+_SQL_IVF_ROUTE = f"""icents AS (
+  SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM vecs
+  WHERE vec_id >= {_CENTROID_BASE} AND vec_id < {_CENTROID_BASE + _N_CENTROIDS}
+),
+iassigned AS (
+  SELECT q.vec_id, c.cent_id,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY (floor((list_sum(list_transform(range(len(q.v)), i -> q.v[i+1] * c.cv[i+1]))
+                                           / (q.norm * c.cnorm)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) DESC, c.cent_id ASC) AS crank
+  FROM vecs q CROSS JOIN icents c
+),
+imembership AS (SELECT vec_id, cent_id FROM iassigned WHERE crank = 1),
+iprobes AS (
+  SELECT vec_id AS query_id, cent_id
+  FROM iassigned WHERE vec_id < {_N_QUERIES} AND crank <= {_NPROBE}
+)"""
+
+
+# The shortlist -> pooled-union -> exact-re-rank SQL tail — ONE
+# definition shared by the ann_ivfadc and ann_ivfpq oracles (mirrors
+# _rerank_pool + the shortlist window). Requires an `adc`
+# (query_id, cand_id, adc_dist) CTE and the `vecs` CTE.
+_SQL_RERANK_TAIL = f"""pooled AS (
+  SELECT DISTINCT cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, cand_id ASC) AS srank
+    FROM adc
+  ) WHERE srank <= 48
+),
+queries AS (
+  SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM vecs WHERE vec_id < {_N_QUERIES}
+),
+rescored AS (
+  SELECT q.query_id, c.vec_id AS cand_id,
+         (floor((list_sum(list_transform(range(len(q.qv)), i -> q.qv[i+1] * c.v[i+1]))
+               / (q.qnorm * c.norm)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS cosine
+  FROM queries q
+  JOIN (SELECT v2.* FROM vecs v2 JOIN pooled pl ON v2.vec_id = pl.cand_id) c
+    ON q.query_id <> c.vec_id
+)
+SELECT query_id, rank, cand_id, cosine
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rank
+  FROM rescored
+)
+WHERE rank <= 5
+ORDER BY query_id, rank"""
+
+
 # The PQ train/encode/LUT chain as a reusable SQL CTE block — ONE
 # definition shared by the ann_pq and ann_ivfadc oracles so the mirrored
-# training can never drift between them. Emits: pq_pts, pq_seeds, pq_d1,
-# pq_a1, pq_n1, pq_cents, pq_d2, pq_codes (vec_id, sub_id, code_id), and
-# pq_lut (query_id, sub_id, code_id, pd).
+# training can never drift between them. Emits: pq_pts, the _sql_pq_chain
+# CTEs (pq_seeds .. pq_codes), and pq_lut (query_id, sub_id, code_id, pd).
 _SQL_PQ_CTES = f"""
 pq_pts AS (
   SELECT vec_id, i AS d, i // {64 // _PQ_M} AS sub_id,
          CAST(floor(v[i + 1] * 1000000.0) AS BIGINT) AS q
   FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), range(64) t(i)
 ),
-pq_seeds AS (
-  SELECT sub_id, vec_id - {_CENTROID_BASE} AS code_id, d, q AS cq
-  FROM pq_pts WHERE vec_id BETWEEN {_CENTROID_BASE} AND {_CENTROID_BASE + _PQ_KS - 1}
-),
-pq_d1 AS (
-  SELECT p.vec_id, p.sub_id, s.code_id,
-         sum((p.q - s.cq) * (p.q - s.cq)) AS dist
-  FROM pq_pts p JOIN pq_seeds s ON p.sub_id = s.sub_id AND p.d = s.d
-  GROUP BY 1, 2, 3
-),
-pq_a1 AS (
-  SELECT vec_id, sub_id, code_id FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id ORDER BY dist, code_id) AS rn
-    FROM pq_d1
-  ) WHERE rn = 1
-),
-pq_n1 AS (SELECT sub_id, code_id, count(*) AS n FROM pq_a1 GROUP BY 1, 2),
-pq_cents AS (
-  SELECT a.sub_id, a.code_id, p.d, sum(p.q) // max(n.n) AS cq
-  FROM pq_a1 a
-  JOIN pq_pts p ON a.vec_id = p.vec_id AND a.sub_id = p.sub_id
-  JOIN pq_n1 n ON a.sub_id = n.sub_id AND a.code_id = n.code_id
-  GROUP BY a.sub_id, a.code_id, p.d
-),
-pq_d2 AS (
-  SELECT p.vec_id, p.sub_id, c.code_id,
-         sum((p.q - c.cq) * (p.q - c.cq)) AS dist
-  FROM pq_pts p JOIN pq_cents c ON p.sub_id = c.sub_id AND p.d = c.d
-  GROUP BY 1, 2, 3
-),
-pq_codes AS (
-  SELECT vec_id, sub_id, code_id FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id ORDER BY dist, code_id) AS rn
-    FROM pq_d2
-  ) WHERE rn = 1
-),
+{_sql_pq_chain("pq_pts", "pq_")},
 pq_lut AS (
   SELECT p.vec_id AS query_id, p.sub_id, c.code_id,
          sum((p.q - c.cq) * (p.q - c.cq)) AS pd
@@ -1364,22 +1426,7 @@ ORDER BY query_id, rank
 SQL_ANN_IVFADC = f"""
 WITH {_SQL_PQ_CTES.strip()},
 vecs AS ({_SQL_VECTORS}),
-icents AS (
-  SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM vecs
-  WHERE vec_id >= {_CENTROID_BASE} AND vec_id < {_CENTROID_BASE + _N_CENTROIDS}
-),
-iassigned AS (
-  SELECT q.vec_id, c.cent_id,
-         row_number() OVER (PARTITION BY q.vec_id
-                            ORDER BY (floor((list_sum(list_transform(range(len(q.v)), i -> q.v[i+1] * c.cv[i+1]))
-                                           / (q.norm * c.cnorm)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) DESC, c.cent_id ASC) AS crank
-  FROM vecs q CROSS JOIN icents c
-),
-imembership AS (SELECT vec_id, cent_id FROM iassigned WHERE crank = 1),
-iprobes AS (
-  SELECT vec_id AS query_id, cent_id
-  FROM iassigned WHERE vec_id < {_N_QUERIES} AND crank <= {_NPROBE}
-),
+{_SQL_IVF_ROUTE},
 adc AS (
   SELECT l.query_id, k.vec_id AS cand_id, sum(l.pd) AS adc_dist
   FROM pq_codes k
@@ -1390,51 +1437,13 @@ adc AS (
   WHERE p.query_id <> k.vec_id
   GROUP BY 1, 2
 ),
-pooled AS (
-  SELECT DISTINCT cand_id FROM (
-    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, cand_id ASC) AS srank
-    FROM adc
-  ) WHERE srank <= 48
-),
-queries AS (
-  SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM vecs WHERE vec_id < {_N_QUERIES}
-),
-rescored AS (
-  SELECT q.query_id, c.vec_id AS cand_id,
-         (floor((list_sum(list_transform(range(len(q.qv)), i -> q.qv[i+1] * c.v[i+1]))
-               / (q.qnorm * c.norm)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS cosine
-  FROM queries q
-  JOIN (SELECT v2.* FROM vecs v2 JOIN pooled pl ON v2.vec_id = pl.cand_id) c
-    ON q.query_id <> c.vec_id
-)
-SELECT query_id, rank, cand_id, cosine
-FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rank
-  FROM rescored
-)
-WHERE rank <= 5
-ORDER BY query_id, rank
+{_SQL_RERANK_TAIL}
 """
 
 
 SQL_ANN_IVFPQ = f"""
 WITH vecs AS ({_SQL_VECTORS}),
-icents AS (
-  SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM vecs
-  WHERE vec_id >= {_CENTROID_BASE} AND vec_id < {_CENTROID_BASE + _N_CENTROIDS}
-),
-iassigned AS (
-  SELECT q.vec_id, c.cent_id,
-         row_number() OVER (PARTITION BY q.vec_id
-                            ORDER BY (floor((list_sum(list_transform(range(len(q.v)), i -> q.v[i+1] * c.cv[i+1]))
-                                           / (q.norm * c.cnorm)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) DESC, c.cent_id ASC) AS crank
-  FROM vecs q CROSS JOIN icents c
-),
-imembership AS (SELECT vec_id, cent_id FROM iassigned WHERE crank = 1),
-iprobes AS (
-  SELECT vec_id AS query_id, cent_id
-  FROM iassigned WHERE vec_id < {_N_QUERIES} AND crank <= {_NPROBE}
-),
+{_SQL_IVF_ROUTE},
 rgrid AS (
   SELECT m.vec_id, t.i AS d, t.i // {64 // _PQ_M} AS sub_id,
          CAST(floor(v.v[t.i + 1] * 1000000.0) AS BIGINT)
@@ -1443,42 +1452,7 @@ rgrid AS (
   JOIN vecs v ON v.vec_id = m.vec_id
   JOIN icents c ON c.cent_id = m.cent_id, range(64) t(i)
 ),
-rseeds AS (
-  SELECT sub_id, vec_id - {_CENTROID_BASE} AS code_id, d, q AS cq
-  FROM rgrid WHERE vec_id BETWEEN {_CENTROID_BASE} AND {_CENTROID_BASE + _PQ_KS - 1}
-),
-rd1 AS (
-  SELECT p.vec_id, p.sub_id, s.code_id,
-         sum((p.q - s.cq) * (p.q - s.cq)) AS dist
-  FROM rgrid p JOIN rseeds s ON p.sub_id = s.sub_id AND p.d = s.d
-  GROUP BY 1, 2, 3
-),
-ra1 AS (
-  SELECT vec_id, sub_id, code_id FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id ORDER BY dist, code_id) AS rn
-    FROM rd1
-  ) WHERE rn = 1
-),
-rn1 AS (SELECT sub_id, code_id, count(*) AS n FROM ra1 GROUP BY 1, 2),
-rcents AS (
-  SELECT a.sub_id, a.code_id, p.d, sum(p.q) // max(n.n) AS cq
-  FROM ra1 a
-  JOIN rgrid p ON a.vec_id = p.vec_id AND a.sub_id = p.sub_id
-  JOIN rn1 n ON a.sub_id = n.sub_id AND a.code_id = n.code_id
-  GROUP BY a.sub_id, a.code_id, p.d
-),
-rd2 AS (
-  SELECT p.vec_id, p.sub_id, c.code_id,
-         sum((p.q - c.cq) * (p.q - c.cq)) AS dist
-  FROM rgrid p JOIN rcents c ON p.sub_id = c.sub_id AND p.d = c.d
-  GROUP BY 1, 2, 3
-),
-rcodes AS (
-  SELECT vec_id, sub_id, code_id FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id ORDER BY dist, code_id) AS rn
-    FROM rd2
-  ) WHERE rn = 1
-),
+{_sql_pq_chain('rgrid', 'r')},
 rqres AS (
   SELECT p.query_id, p.cent_id, t.i AS d, t.i // {64 // _PQ_M} AS sub_id,
          CAST(floor(qv.v[t.i + 1] * 1000000.0) AS BIGINT)
@@ -1503,30 +1477,7 @@ adc AS (
   WHERE p.query_id <> k.vec_id
   GROUP BY 1, 2
 ),
-pooled AS (
-  SELECT DISTINCT cand_id FROM (
-    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, cand_id ASC) AS srank
-    FROM adc
-  ) WHERE srank <= 48
-),
-queries AS (
-  SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM vecs WHERE vec_id < {_N_QUERIES}
-),
-rescored AS (
-  SELECT q.query_id, c.vec_id AS cand_id,
-         (floor((list_sum(list_transform(range(len(q.qv)), i -> q.qv[i+1] * c.v[i+1]))
-               / (q.qnorm * c.norm)) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS cosine
-  FROM queries q
-  JOIN (SELECT v2.* FROM vecs v2 JOIN pooled pl ON v2.vec_id = pl.cand_id) c
-    ON q.query_id <> c.vec_id
-)
-SELECT query_id, rank, cand_id, cosine
-FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rank
-  FROM rescored
-)
-WHERE rank <= 5
-ORDER BY query_id, rank
+{_SQL_RERANK_TAIL}
 """
 
 

@@ -70,9 +70,9 @@ def _modules():
 # (b) the 23 rows whose last driver evidence is round 9 — rolled here
 # exactly as planned in the r11 comment;
 # (c) 17 of the 50 rows whose last evidence is round 10, alphabetical.
-# The remaining 33 r10-evidence rows (hourly_stats, hybrid_search_rrf,
+# The remaining 32 r10-evidence rows (hourly_stats, hybrid_search_rrf,
 # incremental_dedup, kit_throttle, kmeans_train, knn_bruteforce,
-# maintenance_window_join, media_decode_stats, minhash_lsh_pairs,
+# maintenance_window_join, minhash_lsh_pairs,
 # minmax_normalize, modality_mix, mode_per_user, multilinear_regression,
 # neardup_clusters, neighbour_search, ngram_jaccard_pairs,
 # order_priority_counts, perplexity_bucket, range_validate,

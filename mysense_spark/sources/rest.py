@@ -64,15 +64,36 @@ def _page_rows(body: str) -> tuple[list[dict], str | None, int]:
     return rows, None, len(value) - len(rows)
 
 
+_F64_MAX = 1.7976931348623157e308
+
+
+def _dbl_cell(x):
+    """Double-field cell rule: floats pass (incl. inf/NaN — representable
+    doubles, not quarantine cases); non-bool ints pass ONLY inside the
+    float64 range — a JSON integer beyond it would raise OverflowError
+    in the numeric conversion (review repro: a 400-digit int killed the
+    whole export); everything else quarantines to null."""
+    if isinstance(x, bool):
+        return None
+    if isinstance(x, float):
+        return x
+    if isinstance(x, int) and -_F64_MAX <= x <= _F64_MAX:
+        return float(x)
+    return None
+
+
 def _coerce_to_schema(pdf, fields):
     """Snap a page frame to the declared Spark schema so one
     wrong-typed cell cannot kill the Arrow conversion (the mapInPandas
     twin of the ANSI try_cast fixes): numeric fields quarantine
     non-numeric scalars (and bools — JSON true in a double field is a
     schema violation, not a 1.0) to null; integral fields additionally
-    require an exact in-range integer; string/boolean fields accept
-    only their own type. Other field types (timestamps, nested) pass
-    through untouched — pages that misuse those still fail loudly
+    require an exact in-range integer — built as Int64 DIRECTLY from
+    the object cells, never through a float64 round trip (review
+    repro: with one quarantined cell in the column, to_numeric went
+    float64 and silently corrupted 2^53+1); string/boolean fields
+    accept only their own type. Other field types (timestamps, nested)
+    pass through untouched — pages that misuse those still fail loudly
     rather than guess."""
     import pandas as pd
     from pyspark.sql.types import (
@@ -91,24 +112,19 @@ def _coerce_to_schema(pdf, fields):
         if c not in pdf.columns:
             continue
         if isinstance(f.dataType, (DoubleType, FloatType)):
-            num = pdf[c].map(
-                lambda x: x
-                if isinstance(x, (int, float)) and not isinstance(x, bool)
-                else None
-            )
-            pdf[c] = pd.to_numeric(num, errors="coerce")
+            pdf[c] = pd.to_numeric(pdf[c].map(_dbl_cell), errors="coerce")
         elif isinstance(f.dataType, (LongType, IntegerType, ShortType, ByteType)):
-            num = pd.to_numeric(
-                pdf[c].map(
-                    lambda x: x
-                    if isinstance(x, int)
-                    and not isinstance(x, bool)
-                    and -(2**63) <= x < 2**63
-                    else None
-                ),
-                errors="coerce",
-            )
-            pdf[c] = num.astype("Int64")
+            # plain list, not Series.map: map() itself infers float64
+            # for ints-with-nulls and silently rounds 2^53+1 (repro)
+            kept = [
+                x
+                if isinstance(x, int)
+                and not isinstance(x, bool)
+                and -(2**63) <= x < 2**63
+                else None
+                for x in pdf[c].tolist()
+            ]
+            pdf[c] = pd.array(kept, dtype="Int64")
         elif isinstance(f.dataType, StringType):
             pdf[c] = pdf[c].map(lambda x: x if isinstance(x, str) else None)
         elif isinstance(f.dataType, BooleanType):
@@ -152,12 +168,15 @@ def read_paginated(
 
         for pdf in batches:
             rows = []
-            for page in pdf["page"]:
-                url = build_query(base_url, entity, select, filter_expr, orderby, page_size, int(page))
-                page_rows, _, _ = _page_rows(fetch(url))
+            for _, page_rows, _, _ in _iter_pages(
+                pdf["page"], fetch, base_url, entity, select, filter_expr, orderby, page_size
+            ):
                 rows.extend(page_rows)
+            # dtype=object: pandas' column inference would otherwise
+            # eagerly convert, and one beyond-float64 JSON integer
+            # raised OverflowError before coercion could quarantine it
             frame = (
-                pd.DataFrame(rows).reindex(columns=schema_cols)
+                pd.DataFrame(rows, dtype=object).reindex(columns=schema_cols)
                 if rows
                 else pd.DataFrame(columns=schema_cols)
             )
@@ -165,6 +184,29 @@ def read_paginated(
 
     raw = pages.mapInPandas(fetch_pages, schema=schema)
     return raw
+
+
+def _iter_pages(
+    page_ids,
+    fetch: Callable[[str], str],
+    base_url: str,
+    entity: str,
+    select: list[str] | None,
+    filter_expr: str | None,
+    orderby: str | None,
+    page_size: int,
+):
+    """ONE definition of the per-page url-build/fetch/parse loop, shared
+    by read_paginated and rest_dead_pages — the accounting twin is only
+    valid if it fetches byte-identical URLs under the same contract
+    (review finding: the two hand-rolled loops could drift). Yields
+    (page, rows, reason, n_bad_rows) per _page_rows."""
+    for page in page_ids:
+        url = build_query(
+            base_url, entity, select, filter_expr, orderby, page_size, int(page)
+        )
+        rows, reason, n_bad = _page_rows(fetch(url))
+        yield int(page), rows, reason, n_bad
 
 
 def rest_dead_pages(
@@ -190,11 +232,12 @@ def rest_dead_pages(
         import pandas as pd
 
         for pdf in batches:
-            out = []
-            for page in pdf["page"]:
-                url = build_query(base_url, entity, select, filter_expr, orderby, page_size, int(page))
-                rows, reason, n_bad = _page_rows(fetch(url))
-                out.append((int(page), reason, len(rows), n_bad))
+            out = [
+                (page, reason, len(rows), n_bad)
+                for page, rows, reason, n_bad in _iter_pages(
+                    pdf["page"], fetch, base_url, entity, select, filter_expr, orderby, page_size
+                )
+            ]
             yield pd.DataFrame(
                 out, columns=["page", "reason", "n_rows", "n_bad_rows"]
             )

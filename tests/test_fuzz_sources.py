@@ -328,6 +328,39 @@ def test_rest_page_mutation_battery(spark):
     assert any(r["station"] == "NL10131" for r in obs)
 
 
+def test_rest_numeric_edge_regressions(spark):
+    """The two numeric batch-killers the late-r12 review surfaced,
+    pinned: (a) a JSON integer too large for float64 (400 digits) in a
+    double OR long column must quarantine to null, not raise
+    OverflowError out of pandas' column inference and kill the export
+    (the first battery only reached 2^80, which FITS in float64);
+    (b) a long column holding 2^53+1 next to a quarantined cell must
+    keep the exact integer — the nullable-int build must never round
+    the good values through float64 (repro: 9007199254740993 came back
+    ...992)."""
+    from mysense_spark.sources.rest import read_paginated
+
+    huge = int("9" * 400)
+    body = json.dumps({"value": [
+        {"s": "a", "d": huge, "l": huge},
+        {"s": "b", "d": 1.5, "l": 9007199254740993},
+        {"s": "c", "d": 2.0, "l": "bad"},
+    ]})
+
+    def fetch(url: str) -> str:
+        return body
+
+    rows = read_paginated(
+        spark, fetch, "https://x", "E", n_pages=1,
+        schema="s string, d double, l long",
+    ).collect()
+    by_s = {r["s"]: r for r in rows}
+    assert by_s["a"]["d"] is None and by_s["a"]["l"] is None  # (a)
+    assert by_s["b"]["l"] == 9007199254740993  # (b) exact, no float trip
+    assert by_s["b"]["d"] == 1.5
+    assert by_s["c"]["l"] is None  # the quarantined neighbor
+
+
 def test_station_csv_quote_and_blank_semantics(spark, tmp_path):
     """The line-accounting exceptions the battery deliberately
     excludes, pinned: with multiLine=false (the reader's default) an

@@ -3657,6 +3657,9 @@ def test_ann_srp_invariants(spark, sf_dir):
     assert out == out2
     with pytest.raises(ValueError, match="multi-probe radius"):
         ann_srp_search(vecs, n_probes=3).collect()
+    with pytest.raises(ValueError, match="multi-probe radius"):
+        # review catch: a negative radius silently became radius 1
+        ann_srp_search(vecs, n_probes=-1).collect()
 
     rng = np.random.RandomState(7)
     centers = rng.normal(size=(10, 64))
