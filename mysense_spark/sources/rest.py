@@ -99,6 +99,7 @@ def _coerce_to_schema(pdf, fields):
     from pyspark.sql.types import (
         BooleanType,
         ByteType,
+        DecimalType,
         DoubleType,
         FloatType,
         IntegerType,
@@ -111,7 +112,10 @@ def _coerce_to_schema(pdf, fields):
         c = f.name
         if c not in pdf.columns:
             continue
-        if isinstance(f.dataType, (DoubleType, FloatType)):
+        # DecimalType takes the double rule: the float64 column is what
+        # Arrow's decimal conversion accepted before the object-dtype
+        # frame build (a raw Python float in an object column is not)
+        if isinstance(f.dataType, (DoubleType, FloatType, DecimalType)):
             pdf[c] = pd.to_numeric(pdf[c].map(_dbl_cell), errors="coerce")
         elif isinstance(f.dataType, (LongType, IntegerType, ShortType, ByteType)):
             # plain list, not Series.map: map() itself infers float64

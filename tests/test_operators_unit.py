@@ -3579,8 +3579,13 @@ def test_ann_ivfpq_invariants(spark, sf_dir):
         ).collect()
     ]
     assert out == out2
-    with pytest.raises(ValueError, match="explicit cell directory"):
-        ann_ivfpq_search(vecs, centroids=None)
+    # trained-directory residuals (centroids=None routes through the
+    # two-level codebook; f1cell grids are the residual reference):
+    # wide-open probe + unbounded shortlist must still reduce to exact
+    n_cells = 10**9  # probe every trained cell
+    tr = ann_ivfpq_search(vecs, nprobe=n_cells, shortlist=n + 1)
+    got_tr = [(r["query_id"], r["rank"], r["cand_id"]) for r in tr.collect()]
+    assert got_tr == exact
 
     # (e) clustered corpus with TRUE centers as the coarse directory
     rng = np.random.RandomState(7)

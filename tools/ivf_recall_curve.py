@@ -30,6 +30,12 @@ pooled-union size / corpus) and the CODE scan fraction — which for
 this tier is nprobe/K of a 12-byte-per-vector table, not the 8x SQ
 table the refined tier reads.
 
+`--ivfpq` (late r12) sweeps the by-RESIDUAL IVFPQ composition
+(ann_ivfpq on the TRAINED two-level directory: residual-trained
+codebook, per-(query, cell) ADC LUTs, cell-pruned scan, fenced exact
+re-rank) on the SAME fraction/shortlist grid as --ivfadc, so residual
+vs raw coding compares at identical routing, bytes, and pool size.
+
 `--srp` (late r12) sweeps the data-independent SRP-LSH tier (ann_srp:
 md5-derived hyperplane sign signatures, multi-probe bucket lookups,
 fenced exact re-rank of the pooled union) over (n_bits, n_probes),
@@ -39,7 +45,7 @@ the sweep includes n_bits = 8 and 12 at every N (run it on sf1.0 AND
 /tmp/scale/emb200k to see the same occupancy point a decade apart).
 
 Usage: python tools/ivf_recall_curve.py [sf_dir] [out_json]
-           [--fixture | --refined | --pq | --ivfadc | --srp]
+           [--fixture | --refined | --pq | --ivfadc | --ivfpq | --srp]
 Defaults: /tmp/scale/sf1.0, /tmp/ivf_recall_curve.json
 """
 
@@ -121,6 +127,53 @@ def main() -> None:
             curve.append(row)
             print(row, flush=True)
         out = {"sf_dir": sf_dir, "n_corpus": n_corpus, "codebook": "pq_m16_ks64", "curve": curve}
+        with open(out_path, "w") as fh:
+            json.dump(out, fh, indent=1)
+        print("wrote", out_path)
+        return
+
+    if "--ivfpq" in sys.argv:
+        from mysense_spark.operators.similarity import ann_ivfpq_search
+
+        exact = {
+            (r["query_id"], r["cand_id"])
+            for r in q_knn_bruteforce(spark, sf_dir).where(F.col("rank") <= 5).collect()
+        }
+        route = _two_level_parts(vecs)
+        n_cells = route[2].select("cent_id").distinct().count()
+        curve = []
+        # same fraction grid as --ivfadc so residual-vs-raw coding
+        # compares at identical routing and shortlist
+        for frac in (0.0537, 0.1074, 0.2148, 0.4295):
+            nprobe = max(1, round(frac * n_cells))
+            for shortlist in (50, 110, 220):
+                t0 = time.monotonic()
+                searched, pooled = ann_ivfpq_search(
+                    vecs, nprobe=nprobe, shortlist=shortlist,
+                    route_parts=route, return_pool=True,
+                )
+                got = {(r["query_id"], r["cand_id"]) for r in searched.collect()}
+                union = pooled.count()
+                curve.append(
+                    {
+                        "nprobe": nprobe,
+                        "shortlist": shortlist,
+                        "recall_at_5": round(len(exact & got) / len(exact), 4),
+                        "sec": round(time.monotonic() - t0, 2),
+                        "full_precision_scan_frac": round(union / n_corpus, 4),
+                        "code_scan_frac": round(nprobe / n_cells, 4),
+                        "bytes_per_code": 12,
+                        "by_residual": True,
+                    }
+                )
+                print(curve[-1], flush=True)
+        out = {
+            "sf_dir": sf_dir,
+            "n_corpus": n_corpus,
+            "codebook": "ivfpq_residual_trained_route_pq_m16_ks64",
+            "n_cells": n_cells,
+            "curve": curve,
+        }
         with open(out_path, "w") as fh:
             json.dump(out, fh, indent=1)
         print("wrote", out_path)
