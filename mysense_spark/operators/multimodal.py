@@ -1470,6 +1470,140 @@ def q_media_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_codec_matrix(load(spark, sf_dir, "documents").select("doc_id"))
 
 
+def media_structure(docs: DataFrame) -> DataFrame:
+    """Late-r12 sibling of media_codec_matrix for the STRUCTURAL parse
+    tier: drives the real container/header parsers — and the full
+    `media_properties` production stage around them — through the md5
+    synthesis oracle. Families by doc_id % 4:
+      0: zero-pixel PNG of md5-derived WxH (1..16 each) -> write_png ->
+         the header-only decode path; geometry is the graded output.
+      1: zero-pixel baseline JPEG of md5-derived WxH (1..24 each) ->
+         write_jpeg -> parse_jpeg_header (SOF geometry).
+      2: hand-packed ISO-BMFF/MP4: ftyp + moov[mvhd(timescale 1000,
+         md5-derived duration ms) + trak(tkhd 16.16-fixed geometry,
+         mdia/hdlr 'vide') + trak(hdlr 'soun')] -> parse_mp4_header.
+         Every OTHER fam-2 doc is audio-only (.m4a shape: one soun
+         track, no vide) — driving media_properties' track-based
+         modality classification both ways.
+      3: zero-sample 16-bit PCM WAV, 8 kHz, md5-derived sample count
+         (16..79) -> decode_wav duration/sample-rate.
+    The synthesized blobs are per-row deterministic, so the DuckDB
+    mirror is pure md5 arithmetic (no parser on the oracle side), and
+    the driver hash gate verifies the actual Spark-side parse kernels +
+    the media_properties modality/n_frames policy. Cites the same
+    surfaces as decode_media/parse_mp4_header (codecs.py:434)."""
+    import struct as _struct
+
+    from .codecs import write_jpeg, write_png
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def b8(t: bytes, payload: bytes) -> bytes:
+            return _struct.pack(">I", 8 + len(payload)) + t + payload
+
+        def trak(kind: bytes, w: int = 0, h: int = 0) -> bytes:
+            tk = bytearray(84)
+            _struct.pack_into(">II", tk, 76, w << 16, h << 16)
+            hd = b8(b"hdlr", b"\x00" * 8 + kind + b"\x00" * 12)
+            return b8(b"trak", b8(b"tkhd", bytes(tk)) + b8(b"mdia", hd))
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                base = d * 512 + 456
+                fam = d % 4
+                if fam == 0:
+                    w = 1 + _md5_val(base, 2) % 16
+                    h = 1 + _md5_val(base + 1, 2) % 16
+                    blob = write_png(np.zeros((h, w), dtype=np.uint8))
+                elif fam == 1:
+                    w = 1 + _md5_val(base + 2, 2) % 24
+                    h = 1 + _md5_val(base + 3, 2) % 24
+                    blob = write_jpeg(np.zeros((h, w), dtype=np.uint8))
+                elif fam == 2:
+                    ms = 1000 + _md5_val(base + 4, 4)
+                    w = 16 * (1 + _md5_val(base + 5, 2) % 32)
+                    h = 16 * (1 + _md5_val(base + 6, 2) % 32)
+                    audio_only = (d // 4) % 2 == 1
+                    mvhd = b8(
+                        b"mvhd",
+                        b"\x00" * 12 + _struct.pack(">II", 1000, ms),
+                    )
+                    traks = (
+                        trak(b"soun")
+                        if audio_only
+                        else trak(b"vide", w, h) + trak(b"soun")
+                    )
+                    blob = b8(b"ftyp", b"isom\x00\x00\x00\x00") + b8(
+                        b"moov", mvhd + traks
+                    )
+                else:
+                    n = 16 + _md5_val(base + 7, 2) % 64
+                    fmt = _struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+                    data = b"\x00" * (2 * n)
+                    body = (
+                        b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+                        + b"data" + _struct.pack("<I", len(data)) + data
+                    )
+                    blob = b"RIFF" + _struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+                rows.append((d, blob))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    blobs = _spread(docs).mapInPandas(synth, schema="doc_id long, payload binary")
+    return media_properties(blobs)
+
+
+def q_media_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded entry for media_structure over the documents table."""
+    from ..io import load
+
+    return media_structure(load(spark, sf_dir, "documents").select("doc_id"))
+
+
+def _sql_media_structure() -> str:
+    def md5v(expr: str, n: int) -> str:
+        return f"('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, {n}))::BIGINT"
+
+    base = "d.doc_id * 512 + 456"
+    return f"""
+WITH f AS (
+  SELECT doc_id, doc_id % 4 AS fam,
+         {md5v(base, 2)} AS v0, {md5v(f"{base} + 1", 2)} AS v1,
+         {md5v(f"{base} + 2", 2)} AS v2, {md5v(f"{base} + 3", 2)} AS v3,
+         {md5v(f"{base} + 4", 4)} AS v4, {md5v(f"{base} + 5", 2)} AS v5,
+         {md5v(f"{base} + 6", 2)} AS v6, {md5v(f"{base} + 7", 2)} AS v7,
+         (doc_id // 4) % 2 = 1 AS audio_only
+  FROM documents d
+)
+SELECT doc_id,
+       CASE WHEN fam IN (0, 1) THEN 'image'
+            WHEN fam = 3 THEN 'audio'
+            WHEN audio_only THEN 'audio' ELSE 'video' END AS modality,
+       CAST(CASE WHEN fam = 2
+                 THEN greatest(1, least(CAST(floor((CAST(1000 + v4 AS DOUBLE)) / CAST(1000.0 AS DOUBLE)) AS BIGINT), 86400))
+                 ELSE 1 END AS INTEGER) AS n_frames,
+       CAST(CASE fam WHEN 0 THEN 1 + v0 % 16
+                     WHEN 1 THEN 1 + v2 % 24
+                     WHEN 2 THEN CASE WHEN audio_only THEN 0 ELSE 16 * (1 + v5 % 32) END
+                     ELSE 0 END AS INTEGER) AS width,
+       CAST(CASE fam WHEN 0 THEN 1 + v1 % 16
+                     WHEN 1 THEN 1 + v3 % 24
+                     WHEN 2 THEN CASE WHEN audio_only THEN 0 ELSE 16 * (1 + v6 % 32) END
+                     ELSE 0 END AS INTEGER) AS height,
+       CAST(CASE WHEN fam = 3 THEN 8000 END AS INTEGER) AS sample_rate,
+       CASE WHEN fam = 2 THEN CAST(1000 + v4 AS DOUBLE) / CAST(1000.0 AS DOUBLE)
+            WHEN fam = 3 THEN CAST(16 + v7 % 64 AS DOUBLE) / CAST(8000.0 AS DOUBLE)
+       END AS duration_s
+FROM f
+ORDER BY doc_id
+"""
+
+
+SQL_MEDIA_STRUCTURE = _sql_media_structure()
+
+
 def _sql_media_codec_matrix() -> str:
     from .util import sql_ieee_round
 
@@ -1654,6 +1788,7 @@ SQL_MEDIA_CODEC_MATRIX = _sql_media_codec_matrix()
 
 QUERIES: dict[str, tuple] = {
     "media_codec_matrix": (q_media_codec_matrix, SQL_MEDIA_CODEC_MATRIX),
+    "media_structure": (q_media_structure, SQL_MEDIA_STRUCTURE),
     "media_decode_stats": (q_media_decode_stats, SQL_MEDIA_DECODE_STATS),
     "blob_metadata": (q_blob_metadata, SQL_BLOB_METADATA),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),

@@ -67,10 +67,15 @@ def _modules():
 # DuckDB-mirrored; beats raw-vector codes on clustered corpora,
 # measured both ways in SCALING.md) — displacing hourly_stats into the
 # r13 roll;
+# and media_structure (NEW: the STRUCTURAL parse tier driver-graded —
+# real write_png/write_jpeg geometry, hand-packed ISO-BMFF moov trees
+# incl. the audio-only .m4a modality branch, PCM WAV duration; md5
+# synthesis makes the oracle parser-free) — displacing gopher_filter
+# into the r13 roll;
 # (b) the 23 rows whose last driver evidence is round 9 — rolled here
 # exactly as planned in the r11 comment;
-# (c) 17 of the 50 rows whose last evidence is round 10, alphabetical.
-# The remaining 32 r10-evidence rows (hourly_stats, hybrid_search_rrf,
+# (c) 16 of the 50 rows whose last evidence is round 10, alphabetical.
+# The remaining 33 r10-evidence rows (gopher_filter, hourly_stats, hybrid_search_rrf,
 # incremental_dedup, kit_throttle, kmeans_train, knn_bruteforce,
 # maintenance_window_join, minhash_lsh_pairs,
 # minmax_normalize, modality_mix, mode_per_user, multilinear_regression,
@@ -85,6 +90,7 @@ def _modules():
 _PRIORITY = (
     # (a) new/changed in round 12
     "ann_ivfpq",
+    "media_structure",
     "ann_srp",
     "media_decode_stats",
     "ann_ivfadc",
@@ -118,7 +124,7 @@ _PRIORITY = (
     "tokenizer_fertility",
     "unpivot_long",
     "wide_view",
-    # (c) last driver evidence: round 10 (first 20, alphabetical)
+    # (c) last driver evidence: round 10 (first 16, alphabetical)
     "alarm_suppression",
     "ann_ivf",
     "ann_ivf_trained",
@@ -135,7 +141,6 @@ _PRIORITY = (
     "embedding_neardup",
     "event_sessions",
     "geofence_transitions",
-    "gopher_filter",
 )
 
 

@@ -3534,6 +3534,30 @@ def test_ann_ivfadc_invariants(spark, sf_dir):
     assert out == out2
 
 
+def test_media_structure_partition_independence(spark, sf_dir):
+    """media_structure (late r12): per-row synthesis + parse, so any
+    input partitioning yields identical rows; the fam-2 MP4 family
+    must classify audio-only containers (one soun track, no vide) as
+    audio with zero geometry — the .m4a policy media_properties
+    implements — and video containers by their largest vide track."""
+    from mysense_spark.io import load
+    from mysense_spark.operators.multimodal import media_structure
+
+    docs = load(spark, sf_dir, "documents").select("doc_id").limit(64)
+    a = [tuple(r) for r in media_structure(docs).collect()]
+    b = [tuple(r) for r in media_structure(docs.repartition(7)).collect()]
+    assert a == b
+    mp4 = [r for r in a if r[0] % 4 == 2]
+    assert mp4
+    for r in mp4:
+        d, modality, _, width, height, _, dur = r
+        if (d // 4) % 2 == 1:
+            assert modality == "audio" and width == 0 and height == 0
+        else:
+            assert modality == "video" and width % 16 == 0 and width >= 16
+        assert dur is not None and dur >= 1.0
+
+
 def test_ann_ivfpq_invariants(spark, sf_dir):
     """By-residual IVFPQ (late r12): (a) with the probe opened to ALL
     cells and the shortlist wider than the corpus the result equals

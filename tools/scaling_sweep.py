@@ -53,6 +53,18 @@ QUERY_NAMES = [
     "gopher_filter",
     "bm25_search",
     "tfidf_top_terms",
+    # r11-r12 additions tracked per-round from here on
+    "ann_ivf_refined",
+    "ann_pq",
+    "ann_ivfadc",
+    "ann_ivfpq",
+    "ann_srp",
+    "dsir_weights",
+    "dsir_resample",
+    "media_codec_matrix",
+    "media_decode_stats",
+    "c4_filter",
+    "hard_negatives",
 ]
 
 
