@@ -1831,6 +1831,46 @@ def read_ivf_cells(spark: SparkSession, path: str, cell_ids: list[int]) -> DataF
     return spark.read.parquet(path).where(F.col("cent_id").isin([int(c) for c in cell_ids]))
 
 
+def write_srp_partitioned(
+    vecs: DataFrame,
+    path: str,
+    n_tables: int = _SRP_TABLES,
+    n_bits: int = _SRP_BITS,
+    append: bool = False,
+) -> None:
+    """The SRP-LSH deployment layout (late r12): the (vec_id, tbl,
+    bucket) signature table written hive-partitioned by (tbl, bucket) —
+    a probe that touches T x (1 + probes) buckets opens only those
+    directories (static PartitionFilter, same plan-contract guarantee
+    as write_ivf_partitioned) instead of scanning the signature
+    stream.
+
+    `append=True` is the property the IVF layouts cannot offer: SRP
+    has no trained state, so a new batch's signatures are independent
+    of everything already written — incremental index maintenance is
+    ONE append of the new rows' signatures (the streaming-corpus
+    niche; an IVF layout would first have to re-validate its codebook
+    against the drifted corpus)."""
+    sigs = srp_signatures(vecs, n_tables, n_bits)
+    mode = "append" if append else "overwrite"
+    sigs.write.mode(mode).partitionBy("tbl", "bucket").parquet(path)
+
+
+def read_srp_buckets(
+    spark: SparkSession, path: str, probes: list[tuple[int, int]]
+) -> DataFrame:
+    """Read ONLY the probed (tbl, bucket) directories from an
+    SRP-partitioned layout — the predicate is on the partition columns,
+    so it prunes at plan time (PartitionFilters in the scan node; other
+    buckets' files are never listed)."""
+    pred = None
+    for t, bkt in probes:
+        clause = (F.col("tbl") == int(t)) & (F.col("bucket") == int(bkt))
+        pred = clause if pred is None else (pred | clause)
+    df = spark.read.parquet(path)
+    return df.where(pred) if pred is not None else df.limit(0)
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the IVF index against exact brute force — the
     measurement every ANN deployment runs before trusting the index

@@ -321,6 +321,72 @@ def test_ivf_partitioned_layout_prunes_cells(spark, sf_dir, tmp_path):
     assert 0 < n_probed < n_full, (n_probed, n_full)
 
 
+def test_srp_partitioned_layout_prunes_and_appends(spark, sf_dir, tmp_path):
+    """The SRP bucket layout (write_srp_partitioned, late r12): (a) a
+    probed read is a PARTITION-PRUNED scan — the (tbl, bucket)
+    predicate is a static PartitionFilter and strictly fewer files are
+    read than a full scan; (b) the layout-only guarantee: the pruned
+    read equals the logical slice of the signature stream; (c) the
+    INCREMENTAL property the layout exists for — appending a new
+    batch's signatures leaves the first batch's files untouched (SRP
+    has no trained state, so incremental maintenance is one append),
+    and the union reads back complete."""
+    import os
+    import re
+
+    from pyspark.sql import functions as F
+
+    from mysense_spark.operators.similarity import (
+        _vectors,
+        read_srp_buckets,
+        srp_signatures,
+        write_srp_partitioned,
+    )
+
+    vecs = _vectors(spark, sf_dir)
+    first = vecs.where(F.col("vec_id") % 2 == 0)
+    second = vecs.where(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "srp_layout")
+    write_srp_partitioned(first, path)
+
+    probes = [
+        (r["tbl"], r["bucket"])
+        for r in srp_signatures(first).where(F.col("vec_id") < 10).limit(3).collect()
+    ]
+    probed = read_srp_buckets(spark, path, probes)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "tbl" in m.group(1) and "bucket" in m.group(1), plan[:600]
+    n_probed = probed.select(F.input_file_name()).distinct().count()
+    n_full = spark.read.parquet(path).select(F.input_file_name()).distinct().count()
+    assert 0 < n_probed < n_full, (n_probed, n_full)
+
+    got = {(r["vec_id"], r["tbl"], r["bucket"]) for r in probed.collect()}
+    want = {
+        (r["vec_id"], r["tbl"], r["bucket"])
+        for r in srp_signatures(first)
+        .join(spark.createDataFrame(probes, "tbl int, bucket long"), ["tbl", "bucket"])
+        .select("vec_id", "tbl", "bucket")
+        .collect()
+    }
+    assert got == want
+
+    def files(p):
+        out = set()
+        for root, _dirs, fs in os.walk(p):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    out.add(os.path.join(root, f))
+        return out
+
+    before = files(path)
+    write_srp_partitioned(second, path, append=True)
+    after = files(path)
+    assert before <= after  # old batch untouched — append-only
+    total = spark.read.parquet(path).count()
+    assert total == srp_signatures(vecs).count()
+
+
 def test_sinks_never_materialize_on_driver():
     """The sink hot path must stay executor-side: a fat micro-batch
     .collect()ed on the driver OOMs it and serializes all HTTP through
