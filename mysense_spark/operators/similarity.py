@@ -1201,6 +1201,39 @@ def q_ann_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivfadc_search(vecs, centroids=_fixture_centroids(vecs))
 
 
+def ivfpq_parts(
+    vecs: DataFrame,
+    centroids: DataFrame | None = None,
+    route_parts: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The nprobe-INDEPENDENT half of the by-residual search: centroid
+    grid table, residual-trained codebook, residual codes. A sweep
+    varying (nprobe, shortlist) against one routing must build this
+    ONCE and pass it as ann_ivfpq_search's `parts` (the --pq branch's
+    own lesson: per-point retraining conflates training with search in
+    every reported timing — the second review pass caught --ivfpq
+    repeating exactly that)."""
+    if centroids is not None:
+        membership, _ = _route(vecs, 1, centroids, None)
+        cgrid = centroids.select(
+            F.col("vec_id").alias("cent_id"), F.expr(_QV_EXPR).alias("cg")
+        )
+    else:
+        rp = route_parts if route_parts is not None else _two_level_parts(vecs)
+        membership, _ = _route(vecs, 1, None, rp)
+        cgrid = rp[1].select(
+            F.col("fine_id").alias("cent_id"), F.col("fqv1").alias("cg")
+        )
+    res = F.expr("zip_with(gv, cg, (a, b) -> a - b)")
+    rqvecs = (
+        membership.join(F.broadcast(cgrid), "cent_id")
+        .select("vec_id", F.expr(_QV_EXPR).alias("gv"), "cg")
+        .select("vec_id", res.alias("qv"))
+    )
+    cents, codes = _pq_parts_from(rqvecs)
+    return cgrid, cents, codes
+
+
 def ann_ivfpq_search(
     vecs: DataFrame,
     nprobe: int = _NPROBE,
@@ -1208,6 +1241,7 @@ def ann_ivfpq_search(
     top_k: int = 5,
     centroids: DataFrame | None = None,
     route_parts: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    parts: tuple[DataFrame, DataFrame, DataFrame] | None = None,
     return_pool: bool = False,
 ):
     """By-RESIDUAL IVFPQ — the faiss-default IVFPQ shape
@@ -1234,29 +1268,22 @@ def ann_ivfpq_search(
     TRAINED two-level directory (late r12: the fine-centroid grid
     vectors f1cell.fqv1 ARE the residual reference, so the trained
     composition needs no extra machinery; `route_parts` reuses a
-    prebuilt directory across a sweep). The trained path carries
+    prebuilt directory across a sweep, and `parts` reuses a prebuilt
+    ivfpq_parts triple so the sweep never retrains the residual
+    codebook per point). The trained path carries
     pytest wide-open-equivalence and tools-sweep evidence; only the
     fixture path is oracle-graded (mirroring two-level training inside
     the residual chain would dwarf the query)."""
-    if centroids is not None:
-        membership, probes = _route(vecs, nprobe, centroids, None)
-        cgrid = centroids.select(
-            F.col("vec_id").alias("cent_id"), F.expr(_QV_EXPR).alias("cg")
-        )
-    else:
-        parts = route_parts if route_parts is not None else _two_level_parts(vecs)
-        membership, probes = _route(vecs, nprobe, None, parts)
-        cgrid = parts[1].select(
-            F.col("fine_id").alias("cent_id"), F.col("fqv1").alias("cg")
-        )
+    if centroids is None and route_parts is None:
+        route_parts = _two_level_parts(vecs)
+    membership, probes = _route(vecs, nprobe, centroids, route_parts)
+    cgrid, cents, codes = (
+        parts
+        if parts is not None
+        else ivfpq_parts(vecs, centroids, route_parts)
+    )
     subd = 64 // _PQ_M
     res = F.expr("zip_with(gv, cg, (a, b) -> a - b)")
-    rqvecs = (
-        membership.join(F.broadcast(cgrid), "cent_id")
-        .select("vec_id", F.expr(_QV_EXPR).alias("gv"), "cg")
-        .select("vec_id", res.alias("qv"))
-    )
-    cents, codes = _pq_parts_from(rqvecs)
     qres = (
         probes.join(F.broadcast(cgrid), "cent_id")
         .select("query_id", "cent_id", F.col("pv").alias("v"), "cg")

@@ -67,6 +67,40 @@ def _page_rows(body: str) -> tuple[list[dict], str | None, int]:
 _F64_MAX = 1.7976931348623157e308
 
 
+def _dec_cell(x, precision: int, scale: int):
+    """Decimal-field cell rule (review catch: funneling DecimalType
+    through the float64 rule silently rounded exact integers beyond
+    2^53 — the corruption class the integral branch guards against).
+    Ints convert EXACTLY via decimal.Decimal; finite floats via their
+    shortest repr, quantized to the declared scale (half-even, matching
+    Arrow's float->decimal rounding the pre-object-dtype path applied);
+    anything else — bools, non-finite floats, values whose integral
+    digits exceed precision-scale — quarantines to null rather than
+    raising out of the Arrow conversion."""
+    import decimal
+    import math
+
+    if isinstance(x, bool):
+        return None
+    if isinstance(x, int):
+        d = decimal.Decimal(x)
+    elif isinstance(x, float) and math.isfinite(x):
+        d = decimal.Decimal(str(x))
+    else:
+        return None
+    try:
+        with decimal.localcontext() as ctx:
+            ctx.prec = max(precision, 38)
+            d = d.quantize(
+                decimal.Decimal(1).scaleb(-scale), rounding=decimal.ROUND_HALF_EVEN
+            )
+    except decimal.InvalidOperation:
+        return None
+    if abs(d) >= decimal.Decimal(10) ** (precision - scale):
+        return None
+    return d
+
+
 def _dbl_cell(x):
     """Double-field cell rule: floats pass (incl. inf/NaN — representable
     doubles, not quarantine cases); non-bool ints pass ONLY inside the
@@ -112,10 +146,10 @@ def _coerce_to_schema(pdf, fields):
         c = f.name
         if c not in pdf.columns:
             continue
-        # DecimalType takes the double rule: the float64 column is what
-        # Arrow's decimal conversion accepted before the object-dtype
-        # frame build (a raw Python float in an object column is not)
-        if isinstance(f.dataType, (DoubleType, FloatType, DecimalType)):
+        if isinstance(f.dataType, DecimalType):
+            p, s = f.dataType.precision, f.dataType.scale
+            pdf[c] = pdf[c].map(lambda x, _p=p, _s=s: _dec_cell(x, _p, _s))
+        elif isinstance(f.dataType, (DoubleType, FloatType)):
             pdf[c] = pd.to_numeric(pdf[c].map(_dbl_cell), errors="coerce")
         elif isinstance(f.dataType, (LongType, IntegerType, ShortType, ByteType)):
             # plain list, not Series.map: map() itself infers float64

@@ -360,6 +360,26 @@ def test_rest_numeric_edge_regressions(spark):
     assert by_s["b"]["d"] == 1.5
     assert by_s["c"]["l"] is None  # the quarantined neighbor
 
+    # (c) decimal columns keep EXACT integers beyond 2^53 (second
+    # review pass: the DecimalType-as-double rule re-introduced the
+    # float64 rounding for decimals) and still quarantine the
+    # overflow/float-crash classes
+    body2 = json.dumps({"value": [
+        {"s": "a", "big": 9007199254740993, "amt": 1.25},
+        {"s": "b", "big": huge, "amt": True},
+        {"s": "c", "big": "bad", "amt": 2.125},
+    ]})
+    rows2 = read_paginated(
+        spark, lambda url: body2, "https://x", "E", n_pages=1,
+        schema="s string, big decimal(20,0), amt decimal(10,2)",
+    ).collect()
+    by2 = {r["s"]: r for r in rows2}
+    assert int(by2["a"]["big"]) == 9007199254740993  # exact decimal
+    assert float(by2["a"]["amt"]) == 1.25
+    assert by2["b"]["big"] is None and by2["b"]["amt"] is None
+    assert by2["c"]["big"] is None
+    assert float(by2["c"]["amt"]) == 2.12  # half-even to scale 2
+
 
 def test_station_csv_quote_and_blank_semantics(spark, tmp_path):
     """The line-accounting exceptions the battery deliberately

@@ -133,7 +133,7 @@ def main() -> None:
         return
 
     if "--ivfpq" in sys.argv:
-        from mysense_spark.operators.similarity import ann_ivfpq_search
+        from mysense_spark.operators.similarity import ann_ivfpq_search, ivfpq_parts
 
         exact = {
             (r["query_id"], r["cand_id"])
@@ -141,6 +141,11 @@ def main() -> None:
         }
         route = _two_level_parts(vecs)
         n_cells = route[2].select("cent_id").distinct().count()
+        # train the residual codebook ONCE for the whole grid — the
+        # --pq lesson: per-point retraining conflates training with
+        # search in every reported sec
+        enc = ivfpq_parts(vecs, route_parts=route)
+        enc[1].count(), enc[2].persist().count()
         curve = []
         # same fraction grid as --ivfadc so residual-vs-raw coding
         # compares at identical routing and shortlist
@@ -150,7 +155,7 @@ def main() -> None:
                 t0 = time.monotonic()
                 searched, pooled = ann_ivfpq_search(
                     vecs, nprobe=nprobe, shortlist=shortlist,
-                    route_parts=route, return_pool=True,
+                    route_parts=route, parts=enc, return_pool=True,
                 )
                 got = {(r["query_id"], r["cand_id"]) for r in searched.collect()}
                 union = pooled.count()

@@ -63,6 +63,7 @@ QUERY_NAMES = [
     "dsir_resample",
     "media_codec_matrix",
     "media_decode_stats",
+    "media_structure",
     "c4_filter",
     "hard_negatives",
 ]
