@@ -1883,6 +1883,44 @@ def write_srp_partitioned(
     sigs.write.mode(mode).partitionBy("tbl", "bucket").parquet(path)
 
 
+def run_srp_index_stream(
+    spark: SparkSession,
+    in_dir: str,
+    checkpoint: str,
+    index_path: str,
+    n_tables: int = _SRP_TABLES,
+    n_bits: int = _SRP_BITS,
+):
+    """The streaming composition the SRP tier exists for: a Structured
+    Streaming query over a JSONL vector drop directory whose sink
+    foreachBatch-appends each micro-batch's signatures into the
+    (tbl, bucket) layout — incremental ANN index maintenance with NO
+    training state to refresh (the IVF tiers would re-validate a
+    codebook here). availableNow trigger so drains/replays stop.
+
+    Delivery note: foreachBatch parquet appends are at-least-once on
+    task retry — duplicate signature rows are HARMLESS to candidate
+    generation (the search pools distinct cand_ids), so the layout
+    needs no dedup pass; readers needing exact row counts dedup by
+    (vec_id, tbl) at read time."""
+    stream = spark.readStream.schema("vec_id long, embedding array<float>").json(
+        in_dir
+    )
+    vecs = stream.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        write_srp_partitioned(batch_df, index_path, n_tables, n_bits, append=True)
+
+    return (
+        vecs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def read_srp_buckets(
     spark: SparkSession, path: str, probes: list[tuple[int, int]]
 ) -> DataFrame:

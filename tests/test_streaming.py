@@ -1007,3 +1007,72 @@ def test_auto_compact_is_opt_in_everywhere():
 
     for fn in (run_file_stream, run_lines_stream):
         assert inspect.signature(fn).parameters["auto_compact"].default is False, fn
+
+
+def test_srp_index_stream_incremental(spark, sf_dir, tmp_path):
+    """run_srp_index_stream (late r12): the SRP tier's streaming niche
+    made concrete — a vector drop directory maintained as a
+    bucket-partitioned signature index by foreachBatch appends.
+    (a) the first drain indexes exactly the batch's signatures (equal
+    to the batch srp_signatures of the same vectors); (b) a second
+    drop file drained against the SAME checkpoint appends only the new
+    vectors' signatures, leaving the first batch's files untouched;
+    (c) the final index equals the batch signatures of the union — the
+    no-training-state property that lets the index grow one append per
+    micro-batch."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mysense_spark.io import load
+    from mysense_spark.operators.similarity import (
+        run_srp_index_stream,
+        srp_signatures,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 20)
+    rows = [
+        {"vec_id": r["vec_id"], "embedding": [float(x) for x in r["embedding"]]}
+        for r in emb.collect()
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    idx = str(tmp_path / "srp_index")
+    ckpt = str(tmp_path / "ckpt")
+
+    def batch_sigs(limit):
+        vecs = emb.where(F.col("vec_id") < limit).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        return {(r["vec_id"], r["tbl"], r["bucket"]) for r in srp_signatures(vecs).collect()}
+
+    (in_dir / "a.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in rows if r["vec_id"] < 10)
+    )
+    q = run_srp_index_stream(spark, str(in_dir), ckpt, idx)
+    q.awaitTermination(120)
+    got1 = {
+        (r["vec_id"], r["tbl"], r["bucket"])
+        for r in spark.read.parquet(idx).collect()
+    }
+    assert got1 == batch_sigs(10)
+
+    def files(p):
+        out = set()
+        for root, _dirs, fs in os.walk(p):
+            out |= {os.path.join(root, f) for f in fs if f.endswith(".parquet")}
+        return out
+
+    before = files(idx)
+    (in_dir / "b.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in rows if r["vec_id"] >= 10)
+    )
+    q2 = run_srp_index_stream(spark, str(in_dir), ckpt, idx)
+    q2.awaitTermination(120)
+    assert before <= files(idx)  # first batch untouched — append-only
+    got2 = {
+        (r["vec_id"], r["tbl"], r["bucket"])
+        for r in spark.read.parquet(idx).collect()
+    }
+    assert got2 == batch_sigs(20)
