@@ -3920,3 +3920,57 @@ def test_hard_negatives_semantics(spark, sf_dir):
         # the brute-force top-10 may hold fewer than K cross-label rows;
         # compare the overlapping prefix
         assert got[: len(want)] == want
+
+
+def test_curation_pipeline_composes(spark, sf_dir):
+    """End-to-end training-data curation (late r12 integration pin):
+    quality verdicts (C4 + Gopher) -> near-dup keep-best -> deterministic
+    hash split -> sequence packing of the train slice. The property
+    under test is the COMPOSITION: every stage keys on doc_id with no
+    schema coercion, every doc receives exactly one verdict from each
+    filter (total coverage — the driver corpus is synthetic 30-word
+    soup with no terminal punctuation, so BOTH published filters
+    correctly keep zero docs; the composition therefore pins verdict
+    totality rather than a keep-set), the dedup losers subtract
+    cleanly, the split rule is the shared _bucket kernel every oracle
+    mirrors, and the packing lineage covers every curated train doc
+    with at least one chunk. Catches interface drift between graded
+    queries that each pass their own oracle."""
+    from pyspark.sql import functions as F
+
+    from mysense_spark.io import load
+    from mysense_spark.operators.sampling import _bucket, _TRAIN_PCT
+    from mysense_spark.queries import spark_queries
+
+    reg = spark_queries()
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n_docs = docs.count()
+    # keep flags are int 0/1 (cross-engine hash stability), not boolean
+    c4 = reg["c4_filter"](spark, sf_dir).select("doc_id", F.col("keep").alias("c4"))
+    gopher = reg["gopher_filter"](spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("gq")
+    )
+    verdicts = docs.join(c4, "doc_id").join(gopher, "doc_id")
+    assert verdicts.count() == n_docs  # total, 1:1 coverage
+    assert verdicts.where("c4 NOT IN (0, 1) OR gq NOT IN (0, 1)").count() == 0
+    losers = (
+        reg["dedup_keep_best"](spark, sf_dir).where("keep = 0").select("doc_id")
+    )
+    n_losers = losers.count()
+    curated = docs.join(losers, "doc_id", "left_anti")
+    n_cur = curated.count()
+    assert 0 < n_losers and n_cur == n_docs - n_losers  # dedup only removes
+
+    train = curated.where(_bucket(F.col("doc_id")) < _TRAIN_PCT)
+    n_train = train.count()
+    assert 0 < n_train < n_cur  # split is a strict partition
+
+    packed = reg["sequence_packing"](spark, sf_dir).join(train, "doc_id")
+    per_doc = packed.groupBy("doc_id").agg(F.sum("n_chunks").alias("chunks"))
+    assert per_doc.count() == n_train  # every curated train doc packed
+    assert per_doc.where(F.col("chunks") < 1).count() == 0
+
+    # the split never leaks: re-deriving it for the packed docs yields
+    # only train buckets (the doc's split is a pure function of doc_id)
+    leaked = packed.where(_bucket(F.col("doc_id")) >= _TRAIN_PCT).count()
+    assert leaked == 0

@@ -536,3 +536,84 @@ def test_xlsx_missing_file_still_raises_oserror():
 
     with pytest.raises(FileNotFoundError):
         read_xlsx("/nonexistent/dir/nope.xlsx")
+
+
+# --- REST page coercion (late r12) ----------------------------------------
+
+_json_scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(10**400), max_value=10**400),
+    st.floats(allow_nan=True, allow_infinity=True, width=64),
+    st.text(max_size=20),
+    st.lists(st.integers(), max_size=3),
+    st.dictionaries(st.text(max_size=5), st.integers(), max_size=3),
+)
+
+
+@given(
+    cells=st.lists(_json_scalars, min_size=1, max_size=12),
+    kind=st.sampled_from(
+        ["double", "long", "string", "boolean", "decimal(20,0)", "decimal(10,2)"]
+    ),
+)
+@settings(max_examples=400, deadline=None)
+def test_rest_coercion_total_and_exact(cells, kind):
+    """_coerce_to_schema invariants for ANY JSON-shaped cell mix (the
+    late-r12 review found two violations by hand; this makes the class
+    systematic): (a) coercion never raises — not for 400-digit ints,
+    not for inf/NaN, not for containers; (b) every surviving value is
+    of its column's Python type; (c) long columns preserve in-range
+    ints EXACTLY (no float64 trip — the 2^53+1 corruption); (d)
+    decimal columns preserve in-range ints exactly too; (e) everything
+    that survives a long/decimal column was an int (never a guessed
+    bool/string)."""
+    import decimal
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType,
+        DecimalType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+    )
+
+    from mysense_spark.sources.rest import _coerce_to_schema
+
+    # build the field directly: StructType.fromDDL needs a live JVM and
+    # this module is deliberately Spark-free
+    dtype = {
+        "double": DoubleType(),
+        "long": LongType(),
+        "string": StringType(),
+        "boolean": BooleanType(),
+        "decimal(20,0)": DecimalType(20, 0),
+        "decimal(10,2)": DecimalType(10, 2),
+    }[kind]
+    fields = [StructField("c", dtype)]
+    pdf = pd.DataFrame({"c": pd.Series(cells, dtype=object)})
+    out = _coerce_to_schema(pdf, fields)["c"]  # (a) no raise
+    for orig, got in zip(cells, out.tolist()):
+        if (
+            got is None
+            or got is pd.NA  # Int64 nullable columns yield pd.NA
+            or (isinstance(got, float) and math.isnan(got))
+        ):
+            continue
+        if kind == "long":
+            assert isinstance(got, int) and not isinstance(got, bool)  # (b,e)
+            assert isinstance(orig, int) and not isinstance(orig, bool)
+            assert got == orig  # (c) exact
+        elif kind == "double":
+            assert isinstance(got, float)
+        elif kind == "string":
+            assert isinstance(got, str) and got == orig
+        elif kind == "boolean":
+            assert isinstance(got, bool) and got is orig
+        else:  # decimals
+            assert isinstance(got, decimal.Decimal)  # (b)
+            assert isinstance(orig, (int, float)) and not isinstance(orig, bool)
+            if kind == "decimal(20,0)" and isinstance(orig, int):
+                assert int(got) == orig  # (d) exact
