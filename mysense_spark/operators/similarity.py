@@ -1877,8 +1877,17 @@ def write_srp_partitioned(
     of everything already written — incremental index maintenance is
     ONE append of the new rows' signatures (the streaming-corpus
     niche; an IVF layout would first have to re-validate its codebook
-    against the drifted corpus)."""
-    sigs = srp_signatures(vecs, n_tables, n_bits)
+    against the drifted corpus).
+
+    Small-files posture (review catch): signatures repartition by tbl
+    before the write, so each (tbl, bucket) directory gains at most
+    ONE file per append instead of one per upstream task. A long-lived
+    appending stream still accumulates O(batches) files per hot
+    bucket; the compaction path is periodic
+    `write_srp_partitioned(all_vecs, path)` (overwrite) from the
+    corpus archive — signatures are a pure function of the vectors, so
+    a rebuild is always byte-equivalent to the appends it replaces."""
+    sigs = srp_signatures(vecs, n_tables, n_bits).repartition(n_tables, "tbl")
     mode = "append" if append else "overwrite"
     sigs.write.mode(mode).partitionBy("tbl", "bucket").parquet(path)
 
@@ -1902,12 +1911,26 @@ def run_srp_index_stream(
     task retry — duplicate signature rows are HARMLESS to candidate
     generation (the search pools distinct cand_ids), so the layout
     needs no dedup pass; readers needing exact row counts dedup by
-    (vec_id, tbl) at read time."""
-    stream = spark.readStream.schema("vec_id long, embedding array<float>").json(
+    (vec_id, tbl) at read time.
+
+    Quarantine contract (review catch: a poison-pill row would wedge
+    the stream — PERMISSIVE JSON turns any malformed line into a
+    null-field row, np.stack would throw on it, and every restart
+    would replay the same failing batch forever): rows with a null
+    vec_id, a null embedding, or the wrong dimension are DROPPED
+    before the signature kernel, same policy as the streaming
+    pipeline's envelope quarantine. The schema reads array<double> —
+    a float32 producer round-trips losslessly, while reading as float
+    would silently truncate a double producer's vectors and hash them
+    into DIFFERENT buckets than the batch path (grid snap crossing a
+    1e-6 boundary)."""
+    stream = spark.readStream.schema("vec_id long, embedding array<double>").json(
         in_dir
     )
-    vecs = stream.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    vecs = stream.select("vec_id", F.col("embedding").alias("v")).where(
+        F.col("vec_id").isNotNull()
+        & F.col("v").isNotNull()
+        & (F.size("v") == 64)
     )
 
     def sink(batch_df: DataFrame, _batch_id: int) -> None:

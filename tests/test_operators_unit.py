@@ -3950,9 +3950,19 @@ def test_curation_pipeline_composes(spark, sf_dir):
     gopher = reg["gopher_filter"](spark, sf_dir).select(
         "doc_id", F.col("keep").alias("gq")
     )
+    # per-filter totality FIRST (review catch: inner-join count equality
+    # alone cannot see a missed doc canceled by a duplicated one)
+    for f in (c4, gopher):
+        assert f.count() == n_docs
+        assert f.select("doc_id").distinct().count() == n_docs
     verdicts = docs.join(c4, "doc_id").join(gopher, "doc_id")
-    assert verdicts.count() == n_docs  # total, 1:1 coverage
-    assert verdicts.where("c4 NOT IN (0, 1) OR gq NOT IN (0, 1)").count() == 0
+    assert verdicts.count() == n_docs  # joins stay 1:1
+    # NULL-safe flag-domain pin (NOT IN alone filters NULLs out under
+    # three-valued logic and would pass a NULL-verdict regression)
+    bad = verdicts.where(
+        "c4 IS NULL OR gq IS NULL OR c4 NOT IN (0, 1) OR gq NOT IN (0, 1)"
+    )
+    assert bad.count() == 0
     losers = (
         reg["dedup_keep_best"](spark, sf_dir).where("keep = 0").select("doc_id")
     )
@@ -3965,9 +3975,16 @@ def test_curation_pipeline_composes(spark, sf_dir):
     n_train = train.count()
     assert 0 < n_train < n_cur  # split is a strict partition
 
-    packed = reg["sequence_packing"](spark, sf_dir).join(train, "doc_id")
+    packing = reg["sequence_packing"](spark, sf_dir)
+    packed = packing.join(train, "doc_id")
     per_doc = packed.groupBy("doc_id").agg(F.sum("n_chunks").alias("chunks"))
-    assert per_doc.count() == n_train  # every curated train doc packed
+    # compositional form (review catch): packing drops token-free docs
+    # by contract, so the coverage claim is over train docs that HAVE
+    # tokens — not a fixture accident
+    packable_train = train.join(packing.select("doc_id").distinct(), "doc_id")
+    n_packable = packable_train.count()
+    assert 0 < n_packable <= n_train
+    assert per_doc.count() == n_packable  # every packable train doc packed
     assert per_doc.where(F.col("chunks") < 1).count() == 0
 
     # the split never leaks: re-deriving it for the packed docs yields

@@ -1065,8 +1065,19 @@ def test_srp_index_stream_incremental(spark, sf_dir, tmp_path):
         return out
 
     before = files(idx)
+    # second drop also carries poison pills (review catch: a malformed
+    # line would otherwise wedge the stream forever — PERMISSIVE JSON
+    # nulls it, np.stack throws, and every restart replays the batch):
+    # a truncated line, a missing embedding, a wrong-dimension vector,
+    # and a null vec_id must all QUARANTINE, not fail the batch
+    poison = [
+        '{"vec_id": 900, "embedd',
+        '{"vec_id": 901}',
+        '{"vec_id": 902, "embedding": [1.0, 2.0]}',
+        '{"embedding": ' + _json.dumps([0.1] * 64) + "}",
+    ]
     (in_dir / "b.jsonl").write_text(
-        "\n".join(_json.dumps(r) for r in rows if r["vec_id"] >= 10)
+        "\n".join([_json.dumps(r) for r in rows if r["vec_id"] >= 10] + poison)
     )
     q2 = run_srp_index_stream(spark, str(in_dir), ckpt, idx)
     q2.awaitTermination(120)
@@ -1075,4 +1086,4 @@ def test_srp_index_stream_incremental(spark, sf_dir, tmp_path):
         (r["vec_id"], r["tbl"], r["bucket"])
         for r in spark.read.parquet(idx).collect()
     }
-    assert got2 == batch_sigs(20)
+    assert got2 == batch_sigs(20)  # poison rows quarantined, none indexed
