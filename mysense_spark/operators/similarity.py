@@ -1917,9 +1917,16 @@ def run_srp_index_stream(
     the stream — PERMISSIVE JSON turns any malformed line into a
     null-field row, np.stack would throw on it, and every restart
     would replay the same failing batch forever): rows with a null
-    vec_id, a null embedding, or the wrong dimension are DROPPED
-    before the signature kernel, same policy as the streaming
-    pipeline's envelope quarantine. The schema reads array<double> —
+    vec_id, a null embedding, a null ELEMENT inside the embedding, or
+    the wrong dimension are DROPPED before the signature kernel, same
+    policy as the streaming pipeline's envelope quarantine. The
+    element-null leg matters (r12 advice catch): a [0.1]*63+[null] row
+    passes the size check, the grid snap yields a null component, and
+    numpy's NaN->int64 cast is C-undefined — the row would be silently
+    indexed under garbage bucket signatures instead of dropped, and
+    DuckDB's list aggregate would disagree (NULL-propagating), breaking
+    the kernel's bit-identical-to-oracle invariant.
+    The schema reads array<double> —
     a float32 producer round-trips losslessly, while reading as float
     would silently truncate a double producer's vectors and hash them
     into DIFFERENT buckets than the batch path (grid snap crossing a
@@ -1931,6 +1938,7 @@ def run_srp_index_stream(
         F.col("vec_id").isNotNull()
         & F.col("v").isNotNull()
         & (F.size("v") == 64)
+        & F.expr("forall(v, x -> x IS NOT NULL)")
     )
 
     def sink(batch_df: DataFrame, _batch_id: int) -> None:

@@ -45,21 +45,27 @@ def _page_rows(body: str) -> tuple[list[dict], str | None, int]:
     batch — the r10-r12 fuzz-battery contract): returns
     (rows, page_reason, n_bad_rows). An empty/whitespace body is the
     legitimate past-the-end page ('empty' reason, no rows); a body that
-    is not JSON quarantines as 'bad_json'; JSON that is not an OData
-    envelope (an object whose 'value' is a list) as 'bad_envelope';
-    non-object entries inside 'value' are dropped and counted. A real
-    HTTP transport returns HTML error pages, truncated JSON and
-    rate-limit bodies — one such page must cost that page, not the
-    whole export."""
+    is not JSON quarantines as 'bad_json'; an OData error envelope (an
+    object carrying 'error' but no 'value' list — the standard
+    rate-limit/auth failure body) as 'error_body'; any other JSON that
+    is not an OData page (an object whose 'value' is a list — r13
+    advice catch: .get('value', []) defaulted to a list, so error
+    bodies silently counted as healthy-and-empty pages) as
+    'bad_envelope'; non-object entries inside 'value' are dropped and
+    counted. A real HTTP transport returns HTML error pages, truncated
+    JSON and rate-limit bodies — one such page must cost that page, not
+    the whole export."""
     if not body or not body.strip():
         return [], "empty", 0
     try:
         payload = json.loads(body)
     except ValueError:
         return [], "bad_json", 0
-    if not isinstance(payload, dict) or not isinstance(payload.get("value", []), list):
+    if not isinstance(payload, dict) or not isinstance(payload.get("value"), list):
+        if isinstance(payload, dict) and "error" in payload and "value" not in payload:
+            return [], "error_body", 0
         return [], "bad_envelope", 0
-    value = payload.get("value", [])
+    value = payload["value"]
     rows = [r for r in value if isinstance(r, dict)]
     return rows, None, len(value) - len(rows)
 
@@ -102,15 +108,24 @@ def _dec_cell(x, precision: int, scale: int):
 
 
 def _dbl_cell(x):
-    """Double-field cell rule: floats pass (incl. inf/NaN — representable
-    doubles, not quarantine cases); non-bool ints pass ONLY inside the
-    float64 range — a JSON integer beyond it would raise OverflowError
-    in the numeric conversion (review repro: a 400-digit int killed the
-    whole export); everything else quarantines to null."""
+    """Double-field cell rule: finite floats and +/-inf pass; a JSON
+    NaN (the nonstandard literal json.loads accepts) QUARANTINES to
+    null — not because NaN isn't a representable double, but because
+    Arrow's pandas-null-sentinel handling collapses NaN to null in the
+    mapInPandas conversion regardless of column dtype (verified both
+    object and float64 paths), so 'passing it through' would just be an
+    undocumented quarantine indistinguishable from this explicit one
+    (r13 advice catch: the old docstring claimed NaN survived; it never
+    did). Non-bool ints pass ONLY inside the float64 range — a JSON
+    integer beyond it would raise OverflowError in the numeric
+    conversion (review repro: a 400-digit int killed the whole export);
+    everything else quarantines to null."""
+    import math
+
     if isinstance(x, bool):
         return None
     if isinstance(x, float):
-        return x
+        return None if math.isnan(x) else x
     if isinstance(x, int) and -_F64_MAX <= x <= _F64_MAX:
         return float(x)
     return None
@@ -260,7 +275,7 @@ def rest_dead_pages(
 ) -> DataFrame:
     """Accounting twin of read_paginated (the TTN all_dead_letters
     shape): one row per page with its quarantine reason ('empty',
-    'bad_json', 'bad_envelope', or null for a good page) and the count
+    'bad_json', 'bad_envelope', 'error_body', or null for a good page) and the count
     of non-object entries dropped from its 'value' list. Same injected
     transport, same _page_rows contract — so
     read_paginated rows + dead-page reasons account for every page."""

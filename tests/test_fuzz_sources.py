@@ -274,8 +274,12 @@ def test_rest_page_mutation_battery(spark):
             return json.dumps({"value": [
                 {"station": "ST", "phenomenonTime": "not-a-time", "result": 1.0},
             ]})
-        if mode == 7:  # missing 'value' key — a legitimate empty page
-            return json.dumps({"@iot.count": 0})
+        if mode == 7:  # OData error envelope / value-less object (r13
+            # advice catch: these used to count as healthy-and-empty)
+            return rng.choice([
+                json.dumps({"error": {"code": 429, "message": "rate limit"}}),
+                json.dumps({"@iot.count": 0}),
+            ])
         return ""  # empty body
 
     n_pages = 3000
@@ -309,9 +313,17 @@ def test_rest_page_mutation_battery(spark):
     assert len(audit) == n_pages
     assert sum(a["n_rows"] for a in audit) == len(rows)
     for a in audit:
-        assert a["reason"] in (None, "empty", "bad_json", "bad_envelope")
+        assert a["reason"] in (None, "empty", "bad_json", "bad_envelope", "error_body")
     reasons = {a["reason"] for a in audit}
-    assert {"bad_json", "bad_envelope", "empty"} <= reasons  # battery bites
+    # battery bites: incl. the r13 error-envelope class — a rate-limit
+    # body must carry a reason, never read as a healthy empty page
+    assert {"bad_json", "bad_envelope", "empty", "error_body"} <= reasons
+    # a good page never carries BOTH no reason and no rows unless it
+    # truly served an empty value list — every value-less object now
+    # has a reason
+    for a in audit:
+        if a["reason"] is None:
+            assert a["n_rows"] > 0 or a["n_bad_rows"] > 0 or a["page"] < n_clean
     assert sum(a["n_bad_rows"] for a in audit) > 100
 
     # (d) wrong-typed cells quarantined to null, never guessed
@@ -379,6 +391,21 @@ def test_rest_numeric_edge_regressions(spark):
     assert by2["b"]["big"] is None and by2["b"]["amt"] is None
     assert by2["c"]["big"] is None
     assert float(by2["c"]["amt"]) == 2.12  # half-even to scale 2
+
+    # (d) JSON NaN (nonstandard literal json.loads accepts) quarantines
+    # to null in a double column — pinned EXPLICITLY (r13 advice catch:
+    # Arrow's pandas-null-sentinel handling collapses NaN to null no
+    # matter what, so _dbl_cell now quarantines it by contract instead
+    # of claiming it survives); +/-inf still pass as real doubles
+    body3 = '{"value": [{"s": "n", "d": NaN}, {"s": "i", "d": Infinity}]}'
+    rows3 = read_paginated(
+        spark, lambda url: body3, "https://x", "E", n_pages=1,
+        schema="s string, d double",
+    ).collect()
+    by3 = {r["s"]: r for r in rows3}
+    import math as _math
+    assert by3["n"]["d"] is None
+    assert by3["i"]["d"] is not None and _math.isinf(by3["i"]["d"])
 
 
 def test_station_csv_quote_and_blank_semantics(spark, tmp_path):

@@ -1069,12 +1069,16 @@ def test_srp_index_stream_incremental(spark, sf_dir, tmp_path):
     # line would otherwise wedge the stream forever — PERMISSIVE JSON
     # nulls it, np.stack throws, and every restart replays the batch):
     # a truncated line, a missing embedding, a wrong-dimension vector,
-    # and a null vec_id must all QUARANTINE, not fail the batch
+    # a null vec_id, and a null ELEMENT inside a right-sized embedding
+    # (r13 advice catch: it passes the size check, then NaN->int64 is
+    # C-undefined and the row would index under garbage buckets) must
+    # all QUARANTINE, not fail the batch
     poison = [
         '{"vec_id": 900, "embedd',
         '{"vec_id": 901}',
         '{"vec_id": 902, "embedding": [1.0, 2.0]}',
         '{"embedding": ' + _json.dumps([0.1] * 64) + "}",
+        '{"vec_id": 903, "embedding": ' + _json.dumps([0.1] * 63 + [None]) + "}",
     ]
     (in_dir / "b.jsonl").write_text(
         "\n".join([_json.dumps(r) for r in rows if r["vec_id"] >= 10] + poison)
