@@ -1205,6 +1205,7 @@ def ivfpq_parts(
     vecs: DataFrame,
     centroids: DataFrame | None = None,
     route_parts: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    membership: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The nprobe-INDEPENDENT half of the by-residual search: centroid
     grid table, residual-trained codebook, residual codes. A sweep
@@ -1212,15 +1213,22 @@ def ivfpq_parts(
     ONCE and pass it as ann_ivfpq_search's `parts` (the --pq branch's
     own lesson: per-point retraining conflates training with search in
     every reported timing — the second review pass caught --ivfpq
-    repeating exactly that)."""
+    repeating exactly that). `membership` reuses a precomputed
+    (vec_id, cent_id) assignment — cell membership is nprobe-
+    independent, so the search composition passes its own routing's
+    membership instead of re-scoring the corpus against the directory
+    a second time (r13: the duplicate N×K pass was ~40 % of
+    ann_ivfpq_kmeans's wall time)."""
     if centroids is not None:
-        membership, _ = _route(vecs, 1, centroids, None)
+        if membership is None:
+            membership, _ = _route(vecs, 1, centroids, None)
         cgrid = centroids.select(
             F.col("vec_id").alias("cent_id"), F.expr(_QV_EXPR).alias("cg")
         )
     else:
         rp = route_parts if route_parts is not None else _two_level_parts(vecs)
-        membership, _ = _route(vecs, 1, None, rp)
+        if membership is None:
+            membership, _ = _route(vecs, 1, None, rp)
         cgrid = rp[1].select(
             F.col("fine_id").alias("cent_id"), F.col("fqv1").alias("cg")
         )
@@ -1280,7 +1288,7 @@ def ann_ivfpq_search(
     cgrid, cents, codes = (
         parts
         if parts is not None
-        else ivfpq_parts(vecs, centroids, route_parts)
+        else ivfpq_parts(vecs, centroids, route_parts, membership=membership)
     )
     subd = 64 // _PQ_M
     res = F.expr("zip_with(gv, cg, (a, b) -> a - b)")
@@ -1322,6 +1330,32 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell-pruned ADC ranking, and the rounded-cosine re-rank."""
     vecs = _vectors(spark, sf_dir)
     return ann_ivfpq_search(vecs, centroids=_fixture_centroids(vecs))
+
+
+def q_ann_ivfadc_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded entry: IVFADC routed through a TRAINED cell directory —
+    the kmeans_train Lloyd centroids (kmeans_centroids) instead of the
+    frozen 8-vector fixture (r13: closes the last ungraded leg of the
+    ANN mandate — every prior graded IVF-family row ran the fixture
+    directory; this one's directory is a training artifact). Same
+    composition as q_ann_ivfadc otherwise: _route, cell-pruned ADC over
+    the trained-PQ codes, fenced exact re-rank. The DuckDB oracle
+    mirrors the WHOLE chain including the training: the kmeans CTE
+    chain (shared with the kmeans_train oracle), the directory-double
+    conversion, and the shared route/ADC/re-rank blocks."""
+    vecs = _vectors(spark, sf_dir)
+    return ann_ivfadc_search(vecs, centroids=kmeans_centroids(spark, sf_dir))
+
+
+def q_ann_ivfpq_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded entry: by-residual IVFPQ routed through the kmeans-TRAINED
+    cell directory — the residual reference is the trained centroid
+    itself (ivfpq_parts snaps the directory doubles back to the grid),
+    so the whole faiss-default composition — trained coarse quantizer,
+    residual codebook, per-(query, cell) LUTs, cell-pruned ADC, fenced
+    re-rank — is driver-graded end-to-end with no fixture anywhere."""
+    vecs = _vectors(spark, sf_dir)
+    return ann_ivfpq_search(vecs, centroids=kmeans_centroids(spark, sf_dir))
 
 
 def _sql_pq_chain(pts: str, p: str) -> str:
@@ -1371,14 +1405,32 @@ def _sql_pq_chain(pts: str, p: str) -> str:
 )"""
 
 
-# The IVF fixture-routing CTE block — ONE definition shared by the
-# ann_ivfadc and ann_ivfpq oracles (cell directory, cosine-ranked
-# assignment, membership, query probes). Requires a `vecs` CTE.
-_SQL_IVF_ROUTE = f"""icents AS (
+# The frozen 8-vector fixture cell directory as an `icents`
+# (cent_id, cv, cnorm) CTE — the directory the original graded
+# ann_ivfadc/ann_ivfpq opt into.
+_SQL_ICENTS_FIXTURE = f"""icents AS (
   SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM vecs
   WHERE vec_id >= {_CENTROID_BASE} AND vec_id < {_CENTROID_BASE + _N_CENTROIDS}
+)"""
+
+# The kmeans-TRAINED cell directory as the same `icents` CTE — mirrors
+# kmeans_centroids (requires the _SQL_KM_CTES chain for cent2): the
+# exact-int64 trained grid becomes directory doubles via ONE IEEE
+# division, and the norm is the same list_sum fold _SQL_VECTORS uses.
+_SQL_ICENTS_KMEANS = """kvecs AS (
+  SELECT cid AS cent_id,
+         list_transform(list(cq ORDER BY d), c -> CAST(c AS DOUBLE) / CAST(1000000.0 AS DOUBLE)) AS cv
+  FROM cent2 GROUP BY cid
 ),
-iassigned AS (
+icents AS (
+  SELECT cent_id, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cnorm FROM kvecs
+)"""
+
+# The IVF routing CTE body — ONE definition shared by the ann_ivfadc
+# and ann_ivfpq oracles across BOTH directories (cosine-ranked
+# assignment, membership, query probes). Requires `vecs` and an
+# `icents` (cent_id, cv, cnorm) CTE.
+_SQL_IVF_ROUTE_BODY = f"""iassigned AS (
   SELECT q.vec_id, c.cent_id,
          row_number() OVER (PARTITION BY q.vec_id
                             ORDER BY (floor((list_sum(list_transform(range(len(q.v)), i -> q.v[i+1] * c.cv[i+1]))
@@ -1390,6 +1442,9 @@ iprobes AS (
   SELECT vec_id AS query_id, cent_id
   FROM iassigned WHERE vec_id < {_N_QUERIES} AND crank <= {_NPROBE}
 )"""
+
+# Back-compat composition: fixture directory + route body.
+_SQL_IVF_ROUTE = f"{_SQL_ICENTS_FIXTURE},\n{_SQL_IVF_ROUTE_BODY}"
 
 
 # The shortlist -> pooled-union -> exact-re-rank SQL tail — ONE
@@ -1461,10 +1516,16 @@ ORDER BY query_id, rank
 """
 
 
-SQL_ANN_IVFADC = f"""
+def _sql_ann_ivfadc(icents_block: str, pre: str = "") -> str:
+    """The IVFADC oracle parameterized over its cell directory: `pre`
+    prepends directory-builder CTEs (the kmeans chain), `icents_block`
+    defines the `icents` CTE the shared route body reads. ONE adc/tail
+    definition serves the fixture and the kmeans-trained gradings."""
+    return f"""
 WITH {_SQL_PQ_CTES.strip()},
 vecs AS ({_SQL_VECTORS}),
-{_SQL_IVF_ROUTE},
+{pre}{icents_block},
+{_SQL_IVF_ROUTE_BODY},
 adc AS (
   SELECT l.query_id, k.vec_id AS cand_id, sum(l.pd) AS adc_dist
   FROM pq_codes k
@@ -1479,9 +1540,19 @@ adc AS (
 """
 
 
-SQL_ANN_IVFPQ = f"""
+SQL_ANN_IVFADC = _sql_ann_ivfadc(_SQL_ICENTS_FIXTURE)
+# (the _KMEANS instantiations live after _SQL_KM_CTES, below)
+
+
+def _sql_ann_ivfpq(icents_block: str, pre: str = "") -> str:
+    """The by-residual IVFPQ oracle parameterized over its cell
+    directory (same contract as _sql_ann_ivfadc) — the residual grids
+    rgrid/rqres read `icents`, so swapping the directory swaps the
+    residual reference too, exactly as ivfpq_parts does."""
+    return f"""
 WITH vecs AS ({_SQL_VECTORS}),
-{_SQL_IVF_ROUTE},
+{pre}{icents_block},
+{_SQL_IVF_ROUTE_BODY},
 rgrid AS (
   SELECT m.vec_id, t.i AS d, t.i // {64 // _PQ_M} AS sub_id,
          CAST(floor(v.v[t.i + 1] * 1000000.0) AS BIGINT)
@@ -1517,6 +1588,9 @@ adc AS (
 ),
 {_SQL_RERANK_TAIL}
 """
+
+
+SQL_ANN_IVFPQ = _sql_ann_ivfpq(_SQL_ICENTS_FIXTURE)
 
 
 SQL_ANN_IVF_REFINED = f"""
@@ -1666,11 +1740,14 @@ _KM_SCALE = 1_000_000  # 1e-6 quantization grid for exact-int k-means
 _KM_DESCALE = float(_KM_SCALE) ** 2  # distances are in grid² units
 
 
-def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two unrolled Lloyd iterations of k-means over the embedding
-    corpus — the actual 'train the IVF centroids' step that q_ann_ivf
-    consumes (its centroid list is the trained artifact). Init is the
-    same deterministic seed vectors ann_ivf uses (vec_id 100..107).
+def _km_chain(emb: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Two unrolled integer-grid Lloyd iterations — the shared kmeans
+    lineage (r13: extracted from q_kmeans_train, pure code motion, so
+    the graded training metrics and the trained-directory ANN
+    compositions consume ONE definition). Returns (pts, cent1, a2,
+    cent2): the persisted grid points, the iteration-1 centroids (for
+    the shift metric), the final assignment, and the trained centroid
+    grid (cid, d, cq).
 
     Exactness design: every coordinate is quantized to a 1e-6 integer
     grid up front, so assignments (squared-L2 in grid² units), centroid
@@ -1689,7 +1766,6 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    emb = load(spark, sf_dir, "embeddings")
     pts = emb.select(
         "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "x")
     ).select(
@@ -1727,6 +1803,68 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent1 = tracked_persist(update(a1))  # feeds assign2 AND the shift metric
     a2 = assign(cent1)
     cent2 = update(a2)
+    return pts, cent1, a2, cent2
+
+
+def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kmeans-TRAINED cell directory as a (vec_id, v, norm)
+    centroids table — the bridge between q_kmeans_train's training
+    artifact and the `centroids=` parameter every IVF-family search
+    accepts (r13: closes the fixture-vs-trained grading gap — the
+    graded ann_ivfadc_kmeans/ann_ivfpq_kmeans route through THIS
+    directory, not the frozen 8-vector fixture).
+
+    Exactness: the trained grid values cq are exact int64 (graded by
+    kmeans_train); the directory doubles are CAST(cq AS DOUBLE) /
+    CAST(1000000.0 AS DOUBLE) — one IEEE division both engines perform
+    identically — and the norm is the same sequential sum-of-squares
+    fold _vectors/_SQL_VECTORS use, so the rounded-cosine routing stays
+    bit-identical cross-engine.
+
+    The K-row directory is tracked_persist'd: the IVF search lineages
+    consume the centroids table several times (membership, query
+    probes, and — in the by-residual composition — the residual
+    reference grid), and without the persist EACH consumer re-runs the
+    whole two-pass Lloyd training (measured: 13.3 s → 4.6 s warm at
+    sf0.1 for ann_ivfpq_kmeans). It is also materialized EAGERLY (one
+    K-row count, the knn_rerank-fence precedent): the searches' first
+    touches are several CONCURRENT broadcast-build jobs, and an
+    unmaterialized cache lets each of them race through the full Lloyd
+    lineage before any of them has populated it."""
+    emb = load(spark, sf_dir, "embeddings")
+    _pts, _cent1, _a2, cent2 = _km_chain(emb)
+    directory = tracked_persist(
+        cent2.groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "cq"))).alias("a"))
+        .select(
+            F.col("cid").alias("vec_id"),
+            F.expr(
+                "transform(a, s -> CAST(s.cq AS DOUBLE) / CAST(1000000.0 AS DOUBLE))"
+            ).alias("v"),
+        )
+        .withColumn(
+            "norm",
+            F.sqrt(
+                F.aggregate(
+                    F.expr("transform(v, x -> x * x)"), F.lit(0.0), lambda a, x: a + x
+                )
+            ),
+        )
+    )
+    directory.count()  # K-row materialize: see docstring (broadcast race)
+    return directory
+
+
+def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled Lloyd iterations of k-means over the embedding
+    corpus — the actual 'train the IVF centroids' step that q_ann_ivf
+    consumes (its centroid list is the trained artifact). Init is the
+    same deterministic seed vectors ann_ivf uses (vec_id 100..107).
+    The Lloyd lineage itself lives in _km_chain (shared with the
+    trained-directory ANN compositions); this graded entry reports the
+    per-cluster training metrics."""
+    emb = load(spark, sf_dir, "embeddings")
+    _pts, cent1, a2, cent2 = _km_chain(emb)
     summary = a2.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_members"), F.sum("dist").alias("inertia_raw")
     )
@@ -1748,8 +1886,11 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_KMEANS_TRAIN = f"""
-WITH pts AS (
+# The kmeans Lloyd chain as SQL CTEs — ONE definition shared by the
+# kmeans_train oracle and the trained-directory ANN oracles
+# (ann_ivfadc_kmeans / ann_ivfpq_kmeans), mirroring _km_chain. Emits
+# pts, cent0, dist1, a1, n1, cent1, dist2, a2, n2, cent2.
+_SQL_KM_CTES = f"""pts AS (
   SELECT vec_id, i AS d, CAST(floor(v[i + 1] * {_KM_SCALE}) AS BIGINT) AS q
   FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), range(64) t(i)
 ),
@@ -1786,7 +1927,11 @@ cent2 AS (
   SELECT a.cid, p.d, sum(p.q) // max(n2.n) AS cq
   FROM a2 a JOIN pts p ON a.vec_id = p.vec_id JOIN n2 ON a.cid = n2.cid
   GROUP BY a.cid, p.d
-),
+)"""
+
+
+SQL_KMEANS_TRAIN = f"""
+WITH {_SQL_KM_CTES},
 summary AS (
   SELECT cid, count(*) AS n_members, sum(dist) AS inertia_raw FROM a2 GROUP BY cid
 ),
@@ -1801,6 +1946,18 @@ SELECT s.cid AS cluster_id, s.n_members,
 FROM summary s JOIN shift sh ON s.cid = sh.cid
 ORDER BY cluster_id
 """
+
+
+# Trained-directory instantiations of the shared IVFADC / by-residual
+# IVFPQ oracle skeletons: the kmeans Lloyd chain builds the directory,
+# _SQL_ICENTS_KMEANS converts it to doubles, and the shared route /
+# ADC / re-rank blocks are byte-identical to the fixture gradings.
+SQL_ANN_IVFADC_KMEANS = _sql_ann_ivfadc(
+    _SQL_ICENTS_KMEANS, pre=_SQL_KM_CTES + ",\n"
+)
+SQL_ANN_IVFPQ_KMEANS = _sql_ann_ivfpq(
+    _SQL_ICENTS_KMEANS, pre=_SQL_KM_CTES + ",\n"
+)
 
 
 def write_ivf_partitioned(vecs: DataFrame, path: str, centroids: DataFrame | None = None) -> None:
@@ -3197,6 +3354,8 @@ QUERIES: dict[str, tuple] = {
     "ann_pq": (q_ann_pq, SQL_ANN_PQ),
     "ann_ivfadc": (q_ann_ivfadc, SQL_ANN_IVFADC),
     "ann_ivfpq": (q_ann_ivfpq, SQL_ANN_IVFPQ),
+    "ann_ivfadc_kmeans": (q_ann_ivfadc_kmeans, SQL_ANN_IVFADC_KMEANS),
+    "ann_ivfpq_kmeans": (q_ann_ivfpq_kmeans, SQL_ANN_IVFPQ_KMEANS),
     "ann_srp": (q_ann_srp, SQL_ANN_SRP),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
     "cluster_stats": (q_cluster_stats, SQL_CLUSTER_STATS),

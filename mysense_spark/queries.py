@@ -32,115 +32,91 @@ def _modules():
 
 # Queries hoisted to the very front of the registry: the driver's
 # correctness gate checks exactly the FIRST 50 entries, so this list is
-# kept to exactly 50. Round-12 layout:
-# (a) 5 NEW or CHANGED queries — ann_ivfadc (NEW: the Jegou-2011
-# production composition: trained-PQ codes ADC-scanned ONLY inside the
-# query's probed IVF cells, per-query shortlist exact-re-ranked through
-# the fenced knn_rerank; whole chain DuckDB-mirrored via a shared PQ
-# CTE block), dsir_resample (NEW: the DSIR paper's actual output — a
-# deterministic Gumbel top-k importance resample over the dsir_weights
-# lineage), media_codec_matrix (CHANGED: grew to 8 families — 6/7 are
-# DC-only BASELINE and PROGRESSIVE lossy JPEG through the real
-# encode/decode kernels; flat 8x8 blocks survive DCT + unit
-# quantization exactly, so the md5 mirror stays codec-free), ann_pq
-# (CHANGED lineage: both PQ encode passes now run a cogrouped numpy
-# int64 block argmin — bit-identical, ~10x at sf1.0), and
-# ann_ivf_refined (CHANGED: routing stage extracted into _route, shared
-# with ann_ivfadc — pure code motion, same plan);
-# (late r12) two more NEW queries — c4_filter (the Raffel-2020 C4
-# cleaning heuristics: terminal-punctuation line retention, >=3-word
-# lines, javascript-line drop, >=5-sentence / lorem-ipsum / curly-brace
-# page rules) and hard_negatives (contrastive-training hard-negative
-# mining: top-3 cross-label cosine per query) — displacing the last two
-# (c) rows (kit_throttle, kmeans_train) into the r13 roll;
-# (later r12) ann_srp (NEW: Charikar sign-random-projection LSH ANN —
-# md5-derived integer hyperplanes, multi-table bucketed candidates,
-# Lv-2007 multi-probe expansion, fenced exact re-rank; whole chain
-# DuckDB-mirrored) and media_decode_stats (CHANGED lineage: the tiny
-# doc_id projection now fans out to every core via _spread before the
-# per-doc codec mapInPandas — same rows, 2x at sf1.0) — displacing the
-# last two remaining (c) rows (hybrid_search_rrf, incremental_dedup)
-# into the r13 roll;
-# (later r12 still) ann_ivfpq (NEW: by-RESIDUAL IVFPQ, the faiss
-# by_residual=True default — residual-trained codebook, per-(query,
-# cell) ADC LUTs, cell-pruned scan, fenced exact re-rank; whole chain
-# DuckDB-mirrored; beats raw-vector codes on clustered corpora,
-# measured both ways in SCALING.md) — displacing hourly_stats into the
-# r13 roll;
-# and media_structure (NEW: the STRUCTURAL parse tier driver-graded —
-# real write_png/write_jpeg geometry, hand-packed ISO-BMFF moov trees
-# incl. the audio-only .m4a modality branch, PCM WAV duration; md5
-# synthesis makes the oracle parser-free) — displacing gopher_filter
-# into the r13 roll;
-# (b) the 23 rows whose last driver evidence is round 9 — rolled here
-# exactly as planned in the r11 comment;
-# (c) 16 of the 50 rows whose last evidence is round 10, alphabetical.
-# The remaining 33 r10-evidence rows (gopher_filter, hourly_stats, hybrid_search_rrf,
-# incremental_dedup, kit_throttle, kmeans_train, knn_bruteforce,
-# maintenance_window_join, minhash_lsh_pairs,
-# minmax_normalize, modality_mix, mode_per_user, multilinear_regression,
-# neardup_clusters, neighbour_search, ngram_jaccard_pairs,
-# order_priority_counts, perplexity_bucket, range_validate,
-# region_revenue, repetition_stats, semdedup_trained, sequence_packing,
-# sigma_band, source_overlap, stratified_sample, tfidf_top_terms,
-# token_count, tristate_validity, url_filter, vocab_stats,
-# weighted_sample, zscore_outliers) roll to round 13, after any
-# r13-changed rows. After this window no registry row's driver evidence
-# is older than round 10.
+# kept to exactly 50. Round-13 layout:
+# (a) 4 NEW or CHANGED queries — ann_ivfadc_kmeans and ann_ivfpq_kmeans
+# (NEW: the trained-DIRECTORY gradings the r12 verdict asked for — the
+# IVFADC / by-residual IVFPQ compositions routed through the
+# kmeans_train Lloyd centroids instead of the frozen 8-vector fixture;
+# the DuckDB oracles mirror the training too, via the kmeans CTE chain
+# shared with the kmeans_train oracle), ann_ivfpq (CHANGED lineage:
+# ivfpq_parts now reuses the search routing's membership instead of
+# re-scoring the corpus against the directory a second time — same
+# semantics, hashes unmoved), and sensorthings_pull (CHANGED lineage:
+# the r13 advice fixes in sources/rest.py — NaN quarantine in _dbl_cell,
+# error_body/bad_envelope classification in _page_rows — sit under its
+# read path; golden fixture output unchanged);
+# (b) the 33 rows whose last driver evidence is round 10 — rolled here
+# exactly as planned in the r12 comment (kmeans_train additionally
+# changed lineage this round: the Lloyd chain moved into _km_chain,
+# pure code motion shared with the new trained-directory gradings);
+# (c) the 13 alphabetically-first rows whose last evidence is round 11
+# (approx_distinct_users .. daily_qc_report; sensorthings_pull is also
+# an r11 row but enters via (a)). The remaining 33 r11-evidence rows
+# (dead_kit_tiers, dead_kits, decontam_report, dedup_upsert,
+# distinct_active_kits, doc_fingerprint, dsir_weights, dup_ngram_frac,
+# duplicate_spans, embedding_outliers, failing_sensor_report,
+# fit_apply, frame_sample, part_supplier_stats, percentile_summary,
+# pricing_summary, props_json_stats, quality_centroid_score,
+# region_rollup, revenue_quartiles, semdedup, semdedup_auto,
+# sensor_set_diff, simhash_pairs, spatial_pairs, sql_interface,
+# station_calibration, taylor_calibration, text_stats,
+# top_revenue_orders, ttn_decode, unit_conversion, winnow_fingerprints)
+# roll to round 14, after any r14-changed rows. After this window no
+# registry row's driver evidence is older than round 11.
 _PRIORITY = (
-    # (a) new/changed in round 12
+    # (a) new/changed in round 13
+    "ann_ivfadc_kmeans",
+    "ann_ivfpq_kmeans",
     "ann_ivfpq",
-    "media_structure",
-    "ann_srp",
-    "media_decode_stats",
-    "ann_ivfadc",
-    "dsir_resample",
-    "c4_filter",
-    "hard_negatives",
-    "media_codec_matrix",
-    "ann_pq",
-    "ann_ivf_refined",
-    # (b) last driver evidence: round 9 (the planned 23)
-    "gap_detection",
-    "grubbs_outliers",
-    "hash_sample",
-    "hourly_gapfill",
-    "interval_inference",
-    "joost_correction",
-    "lang_id",
-    "latest_per_user",
-    "linear_regression",
-    "lki_index",
-    "media_embed",
-    "moving_average",
-    "ols_summary",
-    "pii_scrub",
-    "pm_mass_fill",
-    "quality_score",
-    "static_runs",
-    "static_value_monitor",
-    "temperature_mix",
-    "timeslice_avg",
-    "tokenizer_fertility",
-    "unpivot_long",
-    "wide_view",
-    # (c) last driver evidence: round 10 (first 16, alphabetical)
-    "alarm_suppression",
-    "ann_ivf",
-    "ann_ivf_trained",
-    "ann_recall",
-    "bm25_search",
-    "chatty_kits",
-    "cluster_stats",
-    "csv_ingest",
-    "customers_without_orders",
-    "dedup_exact",
-    "dedup_keep_best",
-    "dew_point",
-    "embedding_dim_stats",
-    "embedding_neardup",
-    "event_sessions",
-    "geofence_transitions",
+    "sensorthings_pull",
+    # (b) last driver evidence: round 10 (the planned 33)
+    "gopher_filter",
+    "hourly_stats",
+    "hybrid_search_rrf",
+    "incremental_dedup",
+    "kit_throttle",
+    "kmeans_train",
+    "knn_bruteforce",
+    "maintenance_window_join",
+    "minhash_lsh_pairs",
+    "minmax_normalize",
+    "modality_mix",
+    "mode_per_user",
+    "multilinear_regression",
+    "neardup_clusters",
+    "neighbour_search",
+    "ngram_jaccard_pairs",
+    "order_priority_counts",
+    "perplexity_bucket",
+    "range_validate",
+    "region_revenue",
+    "repetition_stats",
+    "semdedup_trained",
+    "sequence_packing",
+    "sigma_band",
+    "source_overlap",
+    "stratified_sample",
+    "tfidf_top_terms",
+    "token_count",
+    "tristate_validity",
+    "url_filter",
+    "vocab_stats",
+    "weighted_sample",
+    "zscore_outliers",
+    # (c) last driver evidence: round 11 (first 13, alphabetical)
+    "approx_distinct_users",
+    "aqhi_index",
+    "aqi_index",
+    "asof_align",
+    "blob_metadata",
+    "caqi_index",
+    "cascade_rollup",
+    "chunk_overlap",
+    "corpus_build",
+    "coverage",
+    "crawl_rate_anomalies",
+    "cross_split_leakage",
+    "daily_qc_report",
 )
 
 
