@@ -439,3 +439,175 @@ def test_station_csv_quote_and_blank_semantics(spark, tmp_path):
     p2.write_text("station_id,ts,pm25,pm10,no2,o3\n\x00\nS9,2024-01-01T03:00:00,1.0,2.0,,\n")
     rows2 = read_station_csv(spark, str(p2)).collect()
     assert [r["station_id"] for r in rows2] == ["S9"]
+
+
+def test_mp4_wav_structure_mutation_battery():
+    """r13 battery for the two structural synthesizer surfaces the r12
+    verdict flagged as fuzz-uncovered: media_structure's hand-packed
+    ISO-BMFF tree through parse_mp4_header, and the PCM WAV path
+    through decode_wav. Beyond the r12 random byte-flip battery, the
+    poisons here are BOX-STRUCTURE-AWARE: truncated size fields,
+    size=0/size=1(largesize) boxes incl. 2^63 lengths and sub-16
+    largesizes, boxes overrunning their container, RECURSIVE moov,
+    mvhd-v1 truncation, garbage hdlr kinds — and on the RIFF side size
+    lies (data size beyond the body, RIFF size disagreeing with the
+    payload), odd-size chunk padding, duplicate/zero-size fmt chunks,
+    truncated WAVE_FORMAT_EXTENSIBLE, zero sample rates, and non-finite
+    float samples. Contract (the mapInPandas batch-killer class): each
+    parser returns a dict or raises ValueError/NotImplementedError —
+    never IndexError/struct.error/KeyError/OverflowError — and every
+    GOLDEN payload still parses to its exact synthesized values."""
+    import struct
+
+    from mysense_spark.operators.codecs import parse_mp4_header
+    from mysense_spark.operators.multimodal import decode_wav
+
+    def b8(t: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + t + payload
+
+    def trak(kind: bytes, w: int = 0, h: int = 0) -> bytes:
+        tk = bytearray(84)
+        struct.pack_into(">II", tk, 76, w << 16, h << 16)
+        hd = b8(b"hdlr", b"\x00" * 8 + kind + b"\x00" * 12)
+        return b8(b"trak", b8(b"tkhd", bytes(tk)) + b8(b"mdia", hd))
+
+    def mp4(ms: int, w: int, h: int, audio_only: bool) -> bytes:
+        mvhd = b8(b"mvhd", b"\x00" * 12 + struct.pack(">II", 1000, ms))
+        traks = trak(b"soun") if audio_only else trak(b"vide", w, h) + trak(b"soun")
+        return b8(b"ftyp", b"isom\x00\x00\x00\x00") + b8(b"moov", mvhd + traks)
+
+    def wav(n: int, rate: int = 8000) -> bytes:
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        data = b"\x00" * (2 * n)
+        body = (
+            b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    # golden still-parses pins (the battery must not weaken the real
+    # contract: these are media_structure's exact synthesized shapes)
+    g = parse_mp4_header(mp4(2500, 64, 48, False))
+    assert (g["duration_s"], g["width"], g["height"]) == (2.5, 64, 48)
+    assert (g["n_tracks"], g["video_tracks"], g["audio_tracks"]) == (2, 1, 1)
+    ga = parse_mp4_header(mp4(750, 0, 0, True))
+    assert (ga["video_tracks"], ga["audio_tracks"]) == (0, 1)
+    gw = decode_wav(wav(40))
+    assert (gw["n_samples"], gw["sample_rate"], gw["duration_s"]) == (40, 8000, 0.005)
+
+    rng = random.Random(0x1304)
+    allowed = (ValueError, NotImplementedError)
+    trials = {"mp4": 0, "wav": 0}
+    outcomes = {"mp4_ok": 0, "mp4_reject": 0, "wav_ok": 0, "wav_reject": 0}
+
+    def run(kind, fn, payload: bytes):
+        trials[kind] += 1
+        try:
+            out = fn(payload)
+            assert isinstance(out, dict)
+            outcomes[kind + "_ok"] += 1
+        except allowed:
+            outcomes[kind + "_reject"] += 1
+
+    def splice_box(base: bytes, box: bytes) -> bytes:
+        i = rng.randrange(0, len(base) + 1)
+        return base[:i] + box + base[i:]
+
+    for _ in range(2500):
+        base = bytearray(mp4(1000 + rng.randrange(9000),
+                             16 * (1 + rng.randrange(32)),
+                             16 * (1 + rng.randrange(32)),
+                             rng.random() < 0.5))
+        mode = rng.randrange(10)
+        if mode == 0:  # truncate anywhere, incl. mid-size-field
+            base = base[: rng.randrange(len(base))]
+        elif mode == 1:  # size=0 box spliced mid-stream (to-end semantics)
+            base = splice_box(bytes(base), struct.pack(">I", 0) + b"free")
+        elif mode == 2:  # largesize: 2^63, sub-16, or truncated
+            big = rng.choice([1 << 63, 2, 15, (1 << 64) - 1])
+            box = struct.pack(">I", 1) + b"skip" + struct.pack(">Q", big)
+            base = splice_box(bytes(base), box[: rng.choice([12, 16])])
+        elif mode == 3:  # box size overruns its container
+            box = struct.pack(">I", 1 << 30) + b"junk" + b"\x00" * rng.randrange(32)
+            base = splice_box(bytes(base), box)
+        elif mode == 4:  # RECURSIVE moov: the whole file nested inside moov
+            inner = bytes(base)
+            base = bytearray(
+                b8(b"ftyp", b"isom\x00\x00\x00\x00") + b8(b"moov", inner)
+            )
+        elif mode == 5:  # mvhd v1 with a v0-sized (too short) body
+            mv = b8(b"mvhd", b"\x01" + b"\x00" * 11 + struct.pack(">II", 1000, 5))
+            base = bytearray(
+                b8(b"ftyp", b"isom\x00\x00\x00\x00") + b8(b"moov", mv)
+            )
+        elif mode == 6:  # garbage hdlr kind + tkhd version flip
+            i = bytes(base).find(b"vide")
+            if i >= 0:
+                base[i : i + 4] = rng.randbytes(4)
+            j = bytes(base).find(b"tkhd")
+            if j >= 0:
+                base[j + 4] = 1  # v1 claims 96-byte layout over an 84-byte body
+        elif mode == 7:  # flip 1-6 bytes
+            for _f in range(rng.randrange(1, 7)):
+                i = rng.randrange(len(base))
+                base[i] ^= rng.randrange(1, 256)
+        elif mode == 8:  # splice junk
+            base = splice_box(bytes(base), rng.randbytes(rng.randrange(1, 24)))
+        else:  # interior size field rewritten to a lie
+            i = rng.randrange(0, max(1, len(base) - 4))
+            struct.pack_into(">I", base, i, rng.choice([0, 1, 7, 1 << 31]))
+        run("mp4", parse_mp4_header, bytes(base))
+
+    for _ in range(2500):
+        base = bytearray(wav(16 + rng.randrange(64)))
+        mode = rng.randrange(10)
+        if mode == 0:
+            base = base[: rng.randrange(len(base))]
+        elif mode == 1:  # data chunk size beyond the body
+            i = bytes(base).find(b"data")
+            struct.pack_into("<I", base, i + 4, len(base) * 4)
+        elif mode == 2:  # RIFF size lies
+            struct.pack_into("<I", base, 4, rng.choice([0, 3, 1 << 31 - 1]))
+        elif mode == 3:  # zero-size or duplicate fmt chunk
+            extra = b"fmt " + struct.pack("<I", 0)
+            base = bytearray(base[:12] + extra + base[12:])
+        elif mode == 4:  # odd-size chunk: padding rule must hold
+            base = bytearray(
+                base[:12]
+                + b"LIST" + struct.pack("<I", 3) + b"ab"  # 3 declared, 2 present
+                + base[12:]
+            )
+        elif mode == 5:  # WAVE_FORMAT_EXTENSIBLE truncated at the GUID
+            i = bytes(base).find(b"fmt ")
+            struct.pack_into("<H", base, i + 8, 0xFFFE)
+        elif mode == 6:  # zero sample rate / absurd bits
+            i = bytes(base).find(b"fmt ")
+            struct.pack_into("<I", base, i + 12, 0)
+            if rng.random() < 0.5:
+                struct.pack_into("<H", base, i + 22, rng.choice([0, 3, 65535]))
+        elif mode == 7:  # IEEE float with non-finite samples
+            n = 4 + rng.randrange(8)
+            fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+            payload = struct.pack("<f", float("nan")) * n
+            body = (
+                b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(payload)) + payload
+            )
+            base = bytearray(
+                b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+            )
+        elif mode == 8:
+            for _f in range(rng.randrange(1, 7)):
+                i = rng.randrange(len(base))
+                base[i] ^= rng.randrange(1, 256)
+        else:
+            i = rng.randrange(0, len(base) + 1)
+            base = base[:i] + bytearray(rng.randbytes(rng.randrange(1, 24))) + base[i:]
+        run("wav", decode_wav, bytes(base))
+
+    assert trials == {"mp4": 2500, "wav": 2500}
+    # the battery must BITE both ways: poisons that survive (unknown
+    # boxes are legal; many flips land in ignored padding) and poisons
+    # that reject — a battery where everything passes tests nothing
+    for k in outcomes.values():
+        assert k > 100, outcomes

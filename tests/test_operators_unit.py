@@ -3710,8 +3710,8 @@ def test_ann_srp_invariants(spark, sf_dir):
         for r in q_knn_bruteforce(spark, sf_dir).where(F.col("rank") <= 5).collect()
     ]
     assert got == exact
-    pool0 = ann_srp_search(vecs, n_probes=0, return_pool=True)[1]
-    pool1 = ann_srp_search(vecs, n_probes=1, return_pool=True)[1]
+    pool0 = ann_srp_search(vecs, n_bits=8, n_probes=0, return_pool=True)[1]
+    pool1 = ann_srp_search(vecs, n_bits=8, n_probes=1, return_pool=True)[1]
     ids0 = {r["cand_id"] for r in pool0.collect()}
     ids1 = {r["cand_id"] for r in pool1.collect()}
     assert ids0 <= ids1
@@ -3739,10 +3739,61 @@ def test_ann_srp_invariants(spark, sf_dir):
         (r["query_id"], r["cand_id"])
         for r in ann_srp_search(cvecs, n_bits=0, n_probes=0).collect()
     }
-    cout, cpool = ann_srp_search(cvecs, n_probes=0, return_pool=True)
+    cout, cpool = ann_srp_search(cvecs, n_bits=8, n_probes=0, return_pool=True)
     cgot = {(r["query_id"], r["cand_id"]) for r in cout.collect()}
     assert cgot == cexact  # recall 1.0: buckets isolate the clusters
     assert cpool.count() < 250  # while pooling < half the corpus
+
+
+def test_ann_srp_auto_shape(spark, sf_dir):
+    """The r13 occupancy-scaled default: (a) srp_auto_bits holds
+    occupancy ~64 — the decade-up anchors are the measured SCALING.md
+    rows (200 k -> 12 bits, the hand-tuned 0.80-recall/0.62-pool shape;
+    20 k -> 9 bits) with the [4, 30] clamp at the extremes; (b)
+    srp_auto_probes holds the probed-bucket budget — radius 2 only once
+    the bucket space affords it (measured: radius 2 at 9 bits pools
+    0.98 of the 20 k corpus, undoing the bucketing); (c) calling
+    ann_srp_search with NO shape equals calling it with the derived
+    (bits, probes) — the default really routes through the auto shape;
+    (d) the graded q_ann_srp output is pinned to the frozen fixture
+    shape, NOT the auto shape (hashes must not move with corpus
+    size)."""
+    from pyspark.sql import functions as F
+
+    from mysense_spark.operators.similarity import (
+        _vectors,
+        ann_srp_search,
+        q_ann_srp,
+        srp_auto_bits,
+        srp_auto_probes,
+    )
+
+    assert srp_auto_bits(200_000) == 12
+    assert srp_auto_bits(20_000) == 9
+    assert srp_auto_bits(64) == 4 and srp_auto_bits(0) == 4
+    assert srp_auto_bits(1 << 62) == 30
+    assert srp_auto_bits(200_000, occupancy=32) == 13
+    assert srp_auto_probes(12) == 2  # 79/4096 = 1.9% — the r12 200k shape
+    assert srp_auto_probes(9) == 1   # radius 2 would probe 9%/table
+    assert srp_auto_probes(8) == 1
+    assert srp_auto_probes(4) == 0   # tiny spaces: every probe is a scan
+
+    vecs = _vectors(spark, sf_dir)
+    n = vecs.count()
+    bits = srp_auto_bits(n)
+    auto = [tuple(r) for r in ann_srp_search(vecs).collect()]
+    explicit = [
+        tuple(r)
+        for r in ann_srp_search(
+            vecs, n_bits=bits, n_probes=srp_auto_probes(bits)
+        ).collect()
+    ]
+    assert auto == explicit
+    graded = [tuple(r) for r in q_ann_srp(spark, sf_dir).collect()]
+    pinned = [
+        tuple(r) for r in ann_srp_search(vecs, n_bits=8, n_probes=1).collect()
+    ]
+    assert graded == pinned
 
 
 def test_dsir_resample_semantics(spark, sf_dir):

@@ -58,7 +58,7 @@ def test_operators_have_no_driver_actions():
     """Every registered query must be a LAZY plan: no .count()/.collect()
     /.toPandas() driver actions inside operators/ — an eager scalar makes
     the query non-composable (it fires a job at plan-build time) and
-    hides a second corpus scan from the plan reader. Four audited
+    hides a second corpus scan from the plan reader. Five audited
     exemptions remain: the similarity rerank fence (a bounded
     limit(K+1).count() guard that RAISES on oversized query sets), the
     neardup label-propagation convergence probe (limit(1)-bounded), the
@@ -70,7 +70,10 @@ def test_operators_have_no_driver_actions():
     tracked_persist'd trained cell directory — the search compositions'
     first touches are several CONCURRENT broadcast-build jobs, and an
     unmaterialized cache lets each race through the full Lloyd lineage;
-    it scans nothing the training would not materialize anyway)."""
+    it scans nothing the training would not materialize anyway), and
+    the SRP auto-shape corpus count (r13: ONE count(*) aggregate that
+    picks the hash width before the plan is built — the same
+    plan-selection class as the tier stats)."""
     import pathlib
 
     op_dir = pathlib.Path(__file__).resolve().parents[1] / "mysense_spark" / "operators"
@@ -89,6 +92,9 @@ def test_operators_have_no_driver_actions():
             if py.name == "similarity.py" and stripped == "directory.count()":
                 prev = stripped
                 continue  # r13 kmeans directory: K-row cache materialize
+            if py.name == "similarity.py" and "srp_auto_bits(vecs.count())" in stripped:
+                prev = stripped
+                continue  # r13 SRP auto-shape: one count(*) plan selection
             if py.name == "dedup.py" and (".limit(1)" in stripped or prev == ".limit(1)"):
                 prev = stripped
                 continue  # convergence probe: is-there-any-row, 1 row max

@@ -1091,3 +1091,76 @@ def test_srp_index_stream_incremental(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(idx).collect()
     }
     assert got2 == batch_sigs(20)  # poison rows quarantined, none indexed
+
+
+def test_srp_stream_index_search_equals_batch(spark, sf_dir, tmp_path):
+    """The r13 end-to-end composition the SRP tier exists for, as ONE
+    test: a STREAM-maintained index (run_srp_index_stream over two
+    drop files against one checkpoint) driven through the deployed
+    search path — batch query signatures -> multi-probe expansion ->
+    read_srp_buckets directory-pruned probe -> fenced exact re-rank —
+    must return exactly what the batch ann_srp_search returns on the
+    same vectors at the same shape. The pieces were individually
+    pinned before; this proves the composition: an index grown by
+    appends IS the index the batch search would have built."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from mysense_spark.io import load
+    from mysense_spark.operators.similarity import (
+        _rerank_pool,
+        _srp_probe_variants,
+        _vectors,
+        ann_srp_search,
+        read_srp_buckets,
+        run_srp_index_stream,
+        srp_signatures,
+    )
+
+    n_vec = 200
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < n_vec)
+    rows = [
+        {"vec_id": r["vec_id"], "embedding": [float(x) for x in r["embedding"]]}
+        for r in emb.collect()
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    idx = str(tmp_path / "srp_index")
+    ckpt = str(tmp_path / "ckpt")
+    # two drops against ONE checkpoint: the index under test is grown
+    # incrementally, never built in one shot
+    (in_dir / "a.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in rows if r["vec_id"] < 90)
+    )
+    run_srp_index_stream(spark, str(in_dir), ckpt, idx).awaitTermination(120)
+    (in_dir / "b.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in rows if r["vec_id"] >= 90)
+    )
+    run_srp_index_stream(spark, str(in_dir), ckpt, idx).awaitTermination(120)
+
+    vecs = _vectors(spark, sf_dir).where(F.col("vec_id") < n_vec)
+    qsigs = srp_signatures(vecs.where(F.col("vec_id") < 5)).select(
+        F.col("vec_id").alias("query_id"), "tbl", "bucket"
+    )
+    probes = [
+        (r["tbl"], r["bucket"])
+        for r in _srp_probe_variants(qsigs, 8, 1).distinct().collect()
+    ]
+    bucket_rows = read_srp_buckets(spark, idx, probes)
+    # directory prune must reach the scan: the probed (tbl, bucket)
+    # pairs are partition columns, so the predicate is a PartitionFilter
+    import re as _re
+
+    plan = bucket_rows._jdf.queryExecution().executedPlan().toString()
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "tbl" in m.group(1) and "bucket" in m.group(1)
+    pool = bucket_rows.select(F.col("vec_id").alias("cand_id")).distinct()
+    streamed = [tuple(r) for r in _rerank_pool(vecs, pool, top_k=5).orderBy("query_id", "rank").collect()]
+    batch = [
+        tuple(r)
+        for r in ann_srp_search(vecs, n_bits=8, n_probes=1)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert streamed == batch

@@ -45,7 +45,7 @@ the sweep includes n_bits = 8 and 12 at every N (run it on sf1.0 AND
 /tmp/scale/emb200k to see the same occupancy point a decade apart).
 
 Usage: python tools/ivf_recall_curve.py [sf_dir] [out_json]
-           [--fixture | --refined | --pq | --ivfadc | --ivfpq | --srp]
+           [--fixture | --refined | --pq | --ivfadc | --ivfpq | --srp | --srp-auto]
 Defaults: /tmp/scale/sf1.0, /tmp/ivf_recall_curve.json
 """
 
@@ -177,6 +177,61 @@ def main() -> None:
             "n_corpus": n_corpus,
             "codebook": "ivfpq_residual_trained_route_pq_m16_ks64",
             "n_cells": n_cells,
+            "curve": curve,
+        }
+        with open(out_path, "w") as fh:
+            json.dump(out, fh, indent=1)
+        print("wrote", out_path)
+        return
+
+    if "--srp-auto" in sys.argv:
+        # the r13 occupancy-scaled DEFAULT path: no shape passed at all
+        # (ann_srp_search derives n_bits from the corpus count and the
+        # probe radius from the probed-bucket budget), plus the other
+        # radii at the derived width for context — the check that the
+        # auto shape reproduces the hand-tuned occupancy row at each N
+        # without tuning
+        from mysense_spark.operators.similarity import (
+            ann_srp_search,
+            srp_auto_bits,
+            srp_auto_probes,
+        )
+
+        exact = {
+            (r["query_id"], r["cand_id"])
+            for r in q_knn_bruteforce(spark, sf_dir).where(F.col("rank") <= 5).collect()
+        }
+        auto_bits = srp_auto_bits(n_corpus)
+        auto_r = srp_auto_probes(auto_bits)
+        others = [r for r in (0, 1, 2) if r != auto_r]
+        curve = []
+        for label, kw in (
+            (f"auto_default_bits={auto_bits}_probe{auto_r}", {}),
+            *(
+                (f"context_bits={auto_bits}_probe{r}",
+                 {"n_bits": auto_bits, "n_probes": r})
+                for r in others
+            ),
+        ):
+            t0 = time.monotonic()
+            searched, pooled = ann_srp_search(vecs, return_pool=True, **kw)
+            got = {(r["query_id"], r["cand_id"]) for r in searched.collect()}
+            union = pooled.count()
+            curve.append(
+                {
+                    "shape": label,
+                    "n_bits": auto_bits,
+                    "bucket_occupancy": round(n_corpus / (1 << auto_bits), 1),
+                    "recall_at_5": round(len(exact & got) / len(exact), 4),
+                    "sec": round(time.monotonic() - t0, 2),
+                    "pool_union_scan_frac": round(union / n_corpus, 4),
+                }
+            )
+            print(curve[-1], flush=True)
+        out = {
+            "sf_dir": sf_dir,
+            "n_corpus": n_corpus,
+            "shape": "srp_auto_occupancy64",
             "curve": curve,
         }
         with open(out_path, "w") as fh:
