@@ -448,6 +448,141 @@ def _bmp_rle(data: bytes, width: int, height: int, bpp: int):
     raise ValueError("BMP RLE stream ended without the end-of-bitmap escape")
 
 
+def _bmp_rle24(data: bytes, width: int, height: int):
+    """Decode an OS/2 2.x RLE24 pixel stream into an (height, width, 3)
+    RGB raster in STORAGE order. Same escape grammar as RLE8 (_bmp_rle
+    above — 0,0 end-of-line / 0,1 end-of-bitmap / 0,2 delta / 0,n>=3
+    absolute, word-aligned) except an encoded run is count + a 3-byte
+    BGR color (4 bytes total) and absolute mode carries 3 bytes per
+    pixel. Same corruption contract: runs/deltas that leave the raster
+    and streams without the end escape are ValueError, never clipped."""
+    import numpy as np
+
+    out = np.zeros((height, width, 3), dtype=np.uint8)
+    x = y = pos = 0
+    while pos + 2 <= len(data):
+        n = data[pos]
+        if n > 0:  # encoded run: count + BGR triple
+            if pos + 4 > len(data):
+                raise ValueError("truncated BMP RLE24 run")
+            if y >= height or x + n > width:
+                raise ValueError("BMP RLE run overflows the raster")
+            out[y, x : x + n] = (data[pos + 3], data[pos + 2], data[pos + 1])
+            x += n
+            pos += 4
+            continue
+        v = data[pos + 1]
+        pos += 2
+        if v == 0:  # end of line
+            x, y = 0, y + 1
+        elif v == 1:  # end of bitmap
+            return out
+        elif v == 2:  # delta
+            if pos + 2 > len(data):
+                raise ValueError("truncated BMP RLE delta")
+            x += data[pos]
+            y += data[pos + 1]
+            pos += 2
+            if x > width or y > height:
+                raise ValueError("BMP RLE delta leaves the raster")
+        else:  # absolute mode: v literal BGR pixels, word-aligned
+            nbytes = 3 * v
+            nbytes += nbytes & 1
+            if pos + nbytes > len(data):
+                raise ValueError("truncated BMP RLE absolute run")
+            if y >= height or x + v > width:
+                raise ValueError("BMP RLE run overflows the raster")
+            raw = np.frombuffer(data, np.uint8, count=3 * v, offset=pos).reshape(v, 3)
+            out[y, x : x + v] = raw[:, ::-1]
+            x += v
+            pos += nbytes
+    raise ValueError("BMP RLE stream ended without the end-of-bitmap escape")
+
+
+def _decode_bmp_os2(b: bytes, hdr_size: int, pixels: bool):
+    """OS/2 2.x BITMAPINFOHEADER2 decode (cbFix 16..64) — r13, closing
+    the last header-layout gate with the real OS/2 PM layout instead of
+    a NotImplementedError: the first 40 bytes ALIGN with the Windows
+    INFOHEADER (that alignment is why cbFix >= 40 Windows headers were
+    never at risk), but (a) fields are present only UP TO cbFix —
+    absent fields read as 0 per the spec (so a 16-byte header is
+    size+cx+cy+planes+bpp and always BI_RGB), (b) cx/cy are ULONG —
+    rasters are unconditionally bottom-up, no sign convention — and
+    (c) the compression codes are the OS/2 set: 0 none, 1 RLE8, 2 RLE4,
+    3 Huffman-1D (a CCITT G3 entropy coder — the one genuinely
+    codec-library tier left, still gated), 4 RLE24 (decoded here,
+    _bmp_rle24). Palette entries are 4-byte RGB4 at 14+cbFix with
+    cclrUsed honored when cbFix >= 36."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 14 + hdr_size:
+        raise ValueError("truncated OS/2 2.x BMP header")
+    (data_off,) = struct.unpack_from("<I", b, 10)
+    width, height = struct.unpack_from("<II", b, 18)
+    _planes, bpp = struct.unpack_from("<HH", b, 26)
+    compression = struct.unpack_from("<I", b, 30)[0] if hdr_size >= 20 else 0
+    clr_used = struct.unpack_from("<I", b, 46)[0] if hdr_size >= 36 else 0
+    if compression == 3:
+        raise NotImplementedError(
+            "OS/2 2.x Huffman-1D BMP needs a CCITT G3 decoder (codec tier)"
+        )
+    if compression > 4:
+        raise ValueError(f"invalid OS/2 2.x BMP compression {compression}")
+    rle = (compression, bpp) in ((1, 8), (2, 4))
+    rle24 = compression == 4
+    if rle24 and bpp != 24:
+        raise ValueError(f"OS/2 RLE24 requires 24 bpp, got {bpp}")
+    if not (rle or rle24 or (compression == 0 and bpp in (1, 4, 8, 24))):
+        raise ValueError(
+            f"invalid OS/2 2.x BMP bpp={bpp} compression={compression}"
+        )
+    if width < 1 or height < 1:
+        raise ValueError(f"invalid BMP dimensions {width}x{height}")
+    if data_off < 14 + hdr_size:
+        raise ValueError(f"BMP pixel data offset {data_off} points into the header")
+    stride = ((width * bpp + 7) // 8 + 3) & ~3
+    if not (rle or rle24) and len(b) < data_off + stride * height:
+        raise ValueError("truncated BMP raster")
+    if (rle or rle24) and data_off + 2 > len(b):
+        raise ValueError("truncated BMP raster")
+    meta = {"width": width, "height": height, "channels": 3}
+    if not pixels:
+        return meta, None
+
+    def palette():
+        n_pal = clr_used or (1 << bpp)
+        pal_off = 14 + hdr_size
+        if pal_off + 4 * n_pal > len(b):
+            raise ValueError("truncated BMP color table")
+        pal = np.frombuffer(b, dtype=np.uint8, count=4 * n_pal, offset=pal_off)
+        return pal.reshape(-1, 4)[:, 2::-1], n_pal  # BGR0 -> RGB
+
+    if rle24:
+        arr = _bmp_rle24(b[data_off:], width, height)
+    elif rle:
+        pal, n_pal = palette()
+        idx = _bmp_rle(b[data_off:], width, height, bpp)
+        if int(idx.max(initial=0)) >= n_pal:
+            raise ValueError("BMP palette index out of range")
+        arr = pal[idx]
+    else:
+        rows = np.frombuffer(b, dtype=np.uint8, count=stride * height, offset=data_off)
+        rows = rows.reshape(height, stride)
+        if bpp == 24:
+            arr = rows[:, : width * 3].reshape(height, width, 3)[:, :, ::-1]
+        else:
+            pal, n_pal = palette()
+            idx = _bmp_palette_indices(rows, width, bpp)
+            if int(idx.max(initial=0)) >= n_pal:
+                raise ValueError("BMP palette index out of range")
+            arr = pal[idx]
+    arr = arr[::-1]  # ULONG cy: unconditionally bottom-up
+    meta["mean"] = float(arr.mean())
+    return meta, arr
+
+
 def _decode_bmp_embedded(b: bytes, compression: int, width: int, height: int, pixels: bool):
     """BI_JPEG (4) / BI_PNG (5) BMP: the pixel data is ONE complete
     JPEG/PNG stream (biSizeImage bytes at bfOffBits), so decode
@@ -581,9 +716,12 @@ def decode_bmp(payload: bytes, pixels: bool = True):
     HxWx3 RGB — plus, since r11, BI_JPEG/BI_PNG delegation to the
     repo's real JPEG/PNG decoders (see _decode_bmp_embedded) — plus,
     since r12, the pre-INFOHEADER BITMAPCOREHEADER layout
-    (_decode_bmp_core; OS/2 2.x header sizes 16-64 remain rejected —
-    a different field layout again). Returns (meta, array — or None
-    with pixels=False: length-validated header-only parse)."""
+    (_decode_bmp_core) — plus, since r13, the OS/2 2.x
+    BITMAPINFOHEADER2 layout (_decode_bmp_os2: cbFix 16-64,
+    fields-present-up-to-cbFix, ULONG dims, OS/2 compression codes
+    incl. RLE24; only the Huffman-1D entropy coder stays gated).
+    Returns (meta, array — or None with pixels=False:
+    length-validated header-only parse)."""
     import struct
 
     import numpy as np
@@ -595,17 +733,19 @@ def decode_bmp(payload: bytes, pixels: bool = True):
     (hdr_size,) = struct.unpack_from("<I", b, 14)
     if hdr_size == 12:
         return _decode_bmp_core(b, pixels)
+    if 16 <= hdr_size < 40 or hdr_size == 64:
+        # OS/2 2.x variable header; 64 is ALSO OS/2-only (no Windows
+        # header has that size), and its compression codes differ from
+        # the INFOHEADER set (3 = Huffman-1D, 4 = RLE24 — reading them
+        # as bitfields/BI_JPEG would fabricate pixels)
+        return _decode_bmp_os2(b, hdr_size, pixels)
     if len(b) < 54:
         raise ValueError("not a BMP payload")
     if hdr_size < 40:
-        # OS/2 2.x headers (16-64 bytes) are yet another field layout;
-        # reading them with the INFOHEADER offsets below would
-        # fabricate geometry and colors; quarantine, don't guess
-        # (module contract). The 12-byte CORE header is handled above.
-        raise NotImplementedError(
-            f"BMP header size {hdr_size} (OS2 2.x variable header)"
-            f" needs a dedicated parser"
-        )
+        # 13-15: no documented layout has these sizes — corrupt header,
+        # not a missing feature (the 12-byte CORE and 16-39 OS/2 2.x
+        # layouts are both handled above)
+        raise ValueError(f"invalid BMP header size {hdr_size}")
     width, height = struct.unpack_from("<ii", b, 18)
     (bpp,) = struct.unpack_from("<H", b, 28)
     (compression,) = struct.unpack_from("<I", b, 30)

@@ -2906,11 +2906,98 @@ def test_bmp_core_header_decode():
         decode_bmp(core_file(1, 1, 16, [], b"\x00" * 8))  # 16bpp not in core set
     with pytest.raises(ValueError):
         decode_bmp(core_file(1, 1, 24, [], b"\x00" * 8, data_off=10))
-    # OS/2 2.x sizes are still a different layout: reject
-    bad = bytearray(_mk_bmp(1, 1, 24, b"\x01\x02\x03\x00"))
-    bad[14] = 16
-    with pytest.raises(NotImplementedError, match="OS2 2.x"):
-        decode_bmp(bytes(bad))
+    # r13: a 16-byte cbFix is the OS/2 2.x SHORT header, whose first 16
+    # bytes align with the INFOHEADER — rewriting a Windows file's
+    # header size to 16 must now DECODE to the same pixel, not gate
+    os2ish = bytearray(_mk_bmp(1, 1, 24, b"\x01\x02\x03\x00"))
+    os2ish[14] = 16
+    _m, a16 = decode_bmp(bytes(os2ish))
+    assert a16.tolist() == [[[3, 2, 1]]]  # BGR \x01\x02\x03 -> RGB
+    # 13-15 have no documented layout: corrupt, ValueError
+    os2ish[14] = 13
+    with pytest.raises(ValueError, match="header size"):
+        decode_bmp(bytes(os2ish))
+
+
+def test_bmp_os2_header_decode():
+    """r13: OS/2 2.x BITMAPINFOHEADER2 (cbFix 16-64) decoded with its
+    real layout — fields present only up to cbFix, ULONG always-
+    bottom-up dims, 4-byte RGB4 palette at 14+cbFix, cclrUsed honored
+    at cbFix>=36, and the OS/2 compression code set: RLE8 shares the
+    Windows kernel, RLE24 is the OS/2-only 3-byte-run form, and
+    Huffman-1D (compression 3) stays a LOUD codec-tier gate. Hand-built
+    files with hand-computed pixels."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from mysense_spark.operators.multimodal import decode_bmp
+
+    def os2_file(cb_fix, w, h, bpp, comp, pal, raster, clr_used=0):
+        pal_bytes = b"".join(bytes(p) + b"\x00" for p in pal)
+        off = 14 + cb_fix + len(pal_bytes)
+        head = b"BM" + struct.pack("<IHHI", off + len(raster), 0, 0, off)
+        hdr = struct.pack("<IIIHH", cb_fix, w, h, 1, bpp)
+        if cb_fix >= 20:
+            hdr += struct.pack("<I", comp)
+        if cb_fix >= 36:
+            hdr += b"\x00" * 12 + struct.pack("<I", clr_used)
+        hdr += b"\x00" * (cb_fix - len(hdr))
+        return head + hdr + pal_bytes + raster
+
+    # 16-byte header (no compression field -> BI_RGB), 2x2 24-bit,
+    # bottom-up BGR rows padded to 8
+    row_bot = bytes([255, 0, 0, 0, 255, 0]) + b"\x00\x00"
+    row_top = bytes([0, 0, 255, 10, 20, 30]) + b"\x00\x00"
+    meta, arr = decode_bmp(os2_file(16, 2, 2, 24, 0, [], row_bot + row_top))
+    assert (meta["width"], meta["height"]) == (2, 2)
+    want = np.array(
+        [[[255, 0, 0], [30, 20, 10]], [[0, 0, 255], [0, 255, 0]]], dtype=np.uint8
+    )
+    assert np.array_equal(arr, want)
+    # 64-byte header, 8-bit palette with cclrUsed=2 (4-byte RGB4 entries)
+    meta8, arr8 = decode_bmp(
+        os2_file(64, 1, 1, 8, 0, [(0, 0, 0), (10, 20, 30)], b"\x01\x00\x00\x00",
+                 clr_used=2)
+    )
+    assert arr8.tolist() == [[[30, 20, 10]]]  # BGR0 entry -> RGB
+    # palette index beyond cclrUsed quarantines, never IndexErrors
+    with pytest.raises(ValueError, match="palette index"):
+        decode_bmp(
+            os2_file(64, 1, 1, 8, 0, [(0, 0, 0), (10, 20, 30)],
+                     b"\x05\x00\x00\x00", clr_used=2)
+        )
+    # RLE8 under a 20-byte OS/2 header: run of 2 then end-of-bitmap.
+    # cbFix 20 has no cclrUsed field, so the palette is the FULL 2^bpp
+    # entries (a short header cannot express a truncated palette)
+    rle8 = bytes([2, 1, 0, 1])
+    pal256 = [(0, 0, 0)] * 256
+    pal256[1] = (1, 2, 3)
+    m_rle, a_rle = decode_bmp(os2_file(20, 2, 1, 8, 1, pal256, rle8))
+    assert a_rle.tolist() == [[[3, 2, 1], [3, 2, 1]]]
+    # RLE24: 2-pixel run of BGR (5,6,7), one absolute pixel, EOL, EOB
+    rle24 = bytes([2, 5, 6, 7]) + bytes([0, 3, 1, 2, 3, 4, 5, 6, 9, 9, 9, 0]) \
+        + bytes([0, 0, 0, 1])
+    # 3 absolute pixels: (1,2,3) (4,5,6) (9,9,9) BGR + 1 pad byte; width 5
+    m24, a24 = decode_bmp(os2_file(20, 5, 1, 24, 4, [], rle24))
+    assert a24[0].tolist() == [
+        [7, 6, 5], [7, 6, 5], [3, 2, 1], [6, 5, 4], [9, 9, 9],
+    ]
+    # Huffman-1D: the remaining genuine codec tier, loud gate
+    with pytest.raises(NotImplementedError, match="Huffman-1D"):
+        decode_bmp(os2_file(20, 2, 1, 1, 3, [(0, 0, 0), (255, 255, 255)], b"\x00\x00"))
+    # unknown OS/2 compression code: corrupt, ValueError
+    with pytest.raises(ValueError, match="compression"):
+        decode_bmp(os2_file(20, 1, 1, 24, 9, [], b"\x00" * 4))
+    # RLE24 stream without the end escape: truncated, ValueError
+    with pytest.raises(ValueError):
+        decode_bmp(os2_file(20, 5, 1, 24, 4, [], bytes([2, 5, 6, 7])))
+    # header-only parse still validates lengths
+    m_h, none = decode_bmp(
+        os2_file(16, 2, 2, 24, 0, [], row_bot + row_top), pixels=False
+    )
+    assert none is None and m_h["width"] == 2
 
 
 def test_bmp_embedded_png_and_jpeg():

@@ -268,6 +268,21 @@ def _codec_fixtures():
     pal = bytes([10, 20, 30, 0, 40, 50, 60, 0, 70, 80, 90, 0])
     rle = bmp(4, 2, 8, bytes([3, 1, 1, 2, 0, 0, 4, 0, 0, 1]), palette=pal, compression=1)
 
+    # OS/2 2.x shapes (r13: the _decode_bmp_os2 branch must see the
+    # mutation battery too): a 16-byte short-header 24-bit file and a
+    # 20-byte-header RLE24 file
+    os2_hdr16 = struct.pack("<IIIHH", 16, 2, 1, 1, 24)
+    os2_24 = (
+        b"BM" + struct.pack("<IHHI", 14 + 16 + 8, 0, 0, 14 + 16)
+        + os2_hdr16 + bytes([1, 2, 3, 4, 5, 6, 0, 0])
+    )
+    os2_hdr20 = struct.pack("<IIIHHI", 20, 5, 1, 1, 24, 4)
+    os2_rle24_stream = bytes([2, 5, 6, 7, 0, 3, 1, 2, 3, 4, 5, 6, 9, 9, 9, 0, 0, 0, 0, 1])
+    os2_rle24 = (
+        b"BM" + struct.pack("<IHHI", 14 + 20 + len(os2_rle24_stream), 0, 0, 14 + 20)
+        + os2_hdr20 + os2_rle24_stream
+    )
+
     mp4 = (
         struct.pack(">I", 16) + b"ftypisom" + bytes(4)
         + struct.pack(">I", 8 + 8 + 20) + b"moov"
@@ -284,6 +299,7 @@ def _codec_fixtures():
         ),
         ima, ms, pcm,
         bmp(3, 2, 24, bytes(12 * 2)), rle,
+        os2_24, os2_rle24,
         mp4,
     ]
 

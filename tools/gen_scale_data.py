@@ -99,6 +99,100 @@ def gen_events(rng: np.random.Generator, n: int, n_users: int) -> pd.DataFrame:
     )
 
 
+REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+P_TYPES = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
+P_ADJ = ["large", "hot", "new", "old", "blue", "red", "small", "dark"]
+P_NOUN = ["widget", "gizmo", "plate", "gear", "rod", "bolt", "ring", "cap"]
+
+
+def gen_tpch(rng: np.random.Generator, out_dir: str, sf: float) -> None:
+    """The TPC-H-ish relational tables, mirroring the driver tables'
+    probed shapes (schemas, dtypes incl. the int32 keys, value ranges,
+    1995-2001 date window, ~4 lineitems/order, 64 p_name combos) so the
+    FULL suite — relational queries included — can run a timing row at
+    sf1.0. Row counts follow the driver ratio (sf0.1 = 15k customers /
+    150k orders / 600k lineitems)."""
+    n_cust = int(150_000 * sf)
+    n_supp = int(10_000 * sf)
+    n_part = int(200_000 * sf)
+    n_ord = int(1_500_000 * sf)
+
+    pd.DataFrame(
+        {"r_regionkey": np.arange(5, dtype=np.int32), "r_name": REGIONS}
+    ).to_parquet(f"{out_dir}/region.parquet")
+    pd.DataFrame(
+        {
+            "n_nationkey": np.arange(25, dtype=np.int32),
+            "n_name": [f"NATION_{i}" for i in range(25)],
+            "n_regionkey": (np.arange(25) % 5).astype(np.int32),
+        }
+    ).to_parquet(f"{out_dir}/nation.parquet")
+    pd.DataFrame(
+        {
+            "c_custkey": np.arange(n_cust, dtype=np.int64),
+            "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
+            "c_nationkey": rng.integers(0, 25, size=n_cust).astype(np.int32),
+            "c_acctbal": np.round(rng.uniform(-1000, 10000, size=n_cust), 2),
+            "c_mktsegment": rng.choice(SEGMENTS, size=n_cust),
+        }
+    ).to_parquet(f"{out_dir}/customer.parquet")
+    pd.DataFrame(
+        {
+            "s_suppkey": np.arange(n_supp, dtype=np.int64),
+            "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
+            "s_nationkey": rng.integers(0, 25, size=n_supp).astype(np.int32),
+            "s_acctbal": np.round(rng.uniform(-1000, 10000, size=n_supp), 2),
+        }
+    ).to_parquet(f"{out_dir}/supplier.parquet")
+    adj = rng.integers(0, len(P_ADJ), size=n_part)
+    noun = rng.integers(0, len(P_NOUN), size=n_part)
+    pd.DataFrame(
+        {
+            "p_partkey": np.arange(n_part, dtype=np.int64),
+            "p_name": [f"{P_ADJ[a]} {P_NOUN[b]}" for a, b in zip(adj, noun)],
+            "p_brand": [f"Brand#{int(x)}" for x in rng.integers(1, 26, size=n_part)],
+            "p_type": rng.choice(P_TYPES, size=n_part),
+            "p_size": rng.integers(1, 51, size=n_part).astype(np.int32),
+            "p_retailprice": 900.0 + (np.arange(n_part) % 1000) / 10.0,
+        }
+    ).to_parquet(f"{out_dir}/part.parquet")
+    base = pd.Timestamp("1995-01-01")
+    odate_days = rng.integers(0, 2404, size=n_ord)  # to 2001-08-01
+    pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n_ord, dtype=np.int64),
+            "o_custkey": rng.integers(0, n_cust, size=n_ord).astype(np.int64),
+            "o_orderstatus": rng.choice(["F", "O", "P"], size=n_ord, p=[0.49, 0.49, 0.02]),
+            "o_totalprice": np.round(rng.uniform(900, 450000, size=n_ord), 2),
+            "o_orderdate": base + pd.to_timedelta(odate_days, unit="D"),
+            "o_orderpriority": rng.choice(PRIORITIES, size=n_ord),
+        }
+    ).to_parquet(f"{out_dir}/orders.parquet", coerce_timestamps="us")
+    # ~4 lineitems/order: per order draw 1..7 lines (mean ~4)
+    n_lines = rng.integers(1, 8, size=n_ord)
+    okey = np.repeat(np.arange(n_ord, dtype=np.int64), n_lines)
+    lnum = np.concatenate([np.arange(1, k + 1) for k in n_lines]).astype(np.int32)
+    n_li = len(okey)
+    ship = np.repeat(odate_days, n_lines) + rng.integers(1, 96, size=n_li)
+    pd.DataFrame(
+        {
+            "l_orderkey": okey,
+            "l_partkey": rng.integers(0, n_part, size=n_li).astype(np.int64),
+            "l_suppkey": rng.integers(0, n_supp, size=n_li).astype(np.int64),
+            "l_linenumber": lnum,
+            "l_quantity": rng.integers(1, 51, size=n_li).astype(np.float64),
+            "l_extendedprice": np.round(rng.uniform(900, 100000, size=n_li), 2),
+            "l_discount": np.round(rng.integers(0, 11, size=n_li) / 100.0, 2),
+            "l_tax": np.round(rng.integers(0, 9, size=n_li) / 100.0, 2),
+            "l_returnflag": rng.choice(["A", "N", "R"], size=n_li),
+            "l_linestatus": rng.choice(["F", "O"], size=n_li),
+            "l_shipdate": base + pd.to_timedelta(ship, unit="D"),
+        }
+    ).to_parquet(f"{out_dir}/lineitem.parquet", coerce_timestamps="us")
+
+
 def main() -> None:
     out_dir, sf = sys.argv[1], float(sys.argv[2])
     import os
@@ -109,7 +203,11 @@ def main() -> None:
     gen_documents(rng, int(50000 * sf)).to_parquet(f"{out_dir}/documents.parquet")
     gen_embeddings(rng, int(20000 * sf)).to_parquet(f"{out_dir}/embeddings.parquet")
     gen_events(rng, int(1_000_000 * sf), int(15000 * sf)).to_parquet(f"{out_dir}/events.parquet")
-    print(f"wrote documents/embeddings/events at sf={sf} to {out_dir}")
+    if "--tpch" in sys.argv:
+        gen_tpch(rng, out_dir, sf)
+        print(f"wrote the full 10-table set at sf={sf} to {out_dir}")
+    else:
+        print(f"wrote documents/embeddings/events at sf={sf} to {out_dir}")
 
 
 if __name__ == "__main__":
