@@ -388,6 +388,15 @@ def decode_netpbm(payload: bytes, pixels: bool = True):
     return meta, arr
 
 
+# Decompression-bomb bound for the RLE BMP legs: the uncompressed legs
+# are bounded by the required raster bytes in the payload, but RLE's
+# implicit-zero fill legally encodes ANY raster in a tiny stream, so the
+# declared area itself must be capped (PIL applies the same idea).
+# 2^24 px = a 4096x4096 image = ~50 MB of RGB output — generous for any
+# real BMP, small enough that a poisoned batch cannot OOM an executor.
+_BMP_RLE_AREA_BOUND = 1 << 24
+
+
 def _bmp_rle(data: bytes, width: int, height: int, bpp: int):
     """Decode an RLE8/RLE4 pixel stream into an (height, width) index
     raster in STORAGE order (bottom-up orientation applies afterwards).
@@ -538,7 +547,13 @@ def _decode_bmp_os2(b: bytes, hdr_size: int, pixels: bool):
         raise ValueError(
             f"invalid OS/2 2.x BMP bpp={bpp} compression={compression}"
         )
-    if width < 1 or height < 1:
+    # cx/cy are ULONG, but dims beyond int31 are corrupt, not big
+    # (r13 review: the Windows path rejects the same bytes via its
+    # SIGNED parse; without this cap a 35-byte RLE file could declare a
+    # 4-billion-pixel raster — a multi-GB np.zeros instead of the
+    # contractual ValueError, and an int32 overflow in the Arrow
+    # metadata columns on the header-only path)
+    if width < 1 or height < 1 or width > 0x7FFFFFFF or height > 0x7FFFFFFF:
         raise ValueError(f"invalid BMP dimensions {width}x{height}")
     if data_off < 14 + hdr_size:
         raise ValueError(f"BMP pixel data offset {data_off} points into the header")
@@ -547,6 +562,15 @@ def _decode_bmp_os2(b: bytes, hdr_size: int, pixels: bool):
         raise ValueError("truncated BMP raster")
     if (rle or rle24) and data_off + 2 > len(b):
         raise ValueError("truncated BMP raster")
+    if (rle or rle24) and width * height > _BMP_RLE_AREA_BOUND:
+        # decompression-bomb bound (the PIL idiom): RLE's implicit-zero
+        # fill makes a tiny stream a LEGAL encoding of any raster, so
+        # the stream length cannot bound the area — without a cap a
+        # 35-byte file declares a 4-billion-pixel np.zeros instead of
+        # the contractual ValueError
+        raise ValueError(
+            f"BMP RLE raster {width}x{height} exceeds the decode bound"
+        )
     meta = {"width": width, "height": height, "channels": 3}
     if not pixels:
         return meta, None
@@ -776,6 +800,14 @@ def decode_bmp(payload: bytes, pixels: bool = True):
         raise ValueError("truncated BMP raster")
     if rle and data_off + 2 > len(b):  # not even an escape pair fits
         raise ValueError("truncated BMP raster")
+    if rle and width * height > _BMP_RLE_AREA_BOUND:
+        # same decompression-bomb bound as the OS/2 path (r13 review): a
+        # positive 2^30-wide header with a 2-byte RLE stream passed the
+        # signed parse here too, and the implicit-zero fill means the
+        # stream length cannot bound the allocation
+        raise ValueError(
+            f"BMP RLE raster {width}x{height} exceeds the decode bound"
+        )
     meta = {"width": width, "height": height, "channels": 3}
     if not pixels:
         return meta, None

@@ -400,10 +400,12 @@ def ann_srp_search(
     its hashes never move with corpus size."""
     if n_bits is None:
         n_bits = srp_auto_bits(vecs.count())
-        if n_probes is None:
-            n_probes = srp_auto_probes(n_bits)
     if n_probes is None:
-        n_probes = _SRP_PROBES
+        # derive from the width HOWEVER the width arrived (r13 review:
+        # the first cut only derived inside the auto-bits branch, so an
+        # explicit n_bits=12 silently kept radius 1 and collapsed the
+        # candidate pool ~6x below the published 12-bit row)
+        n_probes = srp_auto_probes(n_bits)
     sigs = srp_signatures(vecs, n_tables, n_bits)
     # query signatures from the FILTERED side, not a post-hash filter of
     # the corpus signature stream: pushes vec_id < 5 into the parquet
@@ -1501,9 +1503,6 @@ iprobes AS (
   SELECT vec_id AS query_id, cent_id
   FROM iassigned WHERE vec_id < {_N_QUERIES} AND crank <= {_NPROBE}
 )"""
-
-# Back-compat composition: fixture directory + route body.
-_SQL_IVF_ROUTE = f"{_SQL_ICENTS_FIXTURE},\n{_SQL_IVF_ROUTE_BODY}"
 
 
 # The shortlist -> pooled-union -> exact-re-rank SQL tail — ONE

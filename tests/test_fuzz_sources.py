@@ -567,7 +567,7 @@ def test_mp4_wav_structure_mutation_battery():
             i = bytes(base).find(b"data")
             struct.pack_into("<I", base, i + 4, len(base) * 4)
         elif mode == 2:  # RIFF size lies
-            struct.pack_into("<I", base, 4, rng.choice([0, 3, 1 << 31 - 1]))
+            struct.pack_into("<I", base, 4, rng.choice([0, 3, (1 << 31) - 1]))
         elif mode == 3:  # zero-size or duplicate fmt chunk
             extra = b"fmt " + struct.pack("<I", 0)
             base = bytearray(base[:12] + extra + base[12:])

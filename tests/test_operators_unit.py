@@ -2998,6 +2998,46 @@ def test_bmp_os2_header_decode():
         os2_file(16, 2, 2, 24, 0, [], row_bot + row_top), pixels=False
     )
     assert none is None and m_h["width"] == 2
+    # r13 review: ULONG dims beyond int31 are corrupt (the Windows path
+    # rejects the same bytes via its signed parse), and RLE's
+    # implicit-zero fill means a 35-byte file may not declare a
+    # billion-pixel raster — both quarantine with ValueError, never a
+    # multi-GB np.zeros / int32 Arrow overflow
+    with pytest.raises(ValueError, match="invalid BMP dimensions"):
+        decode_bmp(os2_file(20, 0xF0000005, 1, 8, 1, [], b"\x00\x01"))
+    with pytest.raises(ValueError, match="decode bound"):
+        decode_bmp(os2_file(20, 1 << 15, 1 << 10, 8, 1, [], b"\x00\x01"))
+    with pytest.raises(ValueError, match="decode bound"):
+        # header-only parse must also refuse: the metadata columns are
+        # int32 and a bomb header poisons them even without pixels
+        decode_bmp(
+            os2_file(20, 1 << 15, 1 << 10, 8, 1, [], b"\x00\x01"), pixels=False
+        )
+
+
+def test_bmp_windows_rle_bomb_bound():
+    """r13 review: the Windows INFOHEADER RLE leg shared the bomb hole —
+    a POSITIVE 2^30-wide header with a 2-byte stream passed the signed
+    parse and allocated attacker-chosen memory. Must ValueError."""
+    import struct
+
+    import pytest
+
+    from mysense_spark.operators.multimodal import decode_bmp
+
+    def win_rle(w, h):
+        info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1, 2, 0, 0, 1, 0)
+        head = b"BM" + struct.pack("<IHHI", 60, 0, 0, 58)
+        return head + info + bytes([9, 8, 7, 0]) + b"\x00\x01"
+
+    with pytest.raises(ValueError, match="decode bound"):
+        decode_bmp(win_rle(1 << 30, 2))
+    # a sane RLE raster with a minimal stream still decodes (the spec's
+    # implicit-zero fill: [0,1] end-of-bitmap alone is a solid image of
+    # palette entry 0 — stored BGR (9,8,7) -> RGB (7,8,9))
+    meta, arr = decode_bmp(win_rle(4, 2))
+    assert meta["width"] == 4 and arr.shape == (2, 4, 3)
+    assert arr[0, 0].tolist() == [7, 8, 9]
 
 
 def test_bmp_embedded_png_and_jpeg():
@@ -3881,6 +3921,15 @@ def test_ann_srp_auto_shape(spark, sf_dir):
         tuple(r) for r in ann_srp_search(vecs, n_bits=8, n_probes=1).collect()
     ]
     assert graded == pinned
+    # r13 review: an EXPLICIT width with a default radius must derive
+    # srp_auto_probes(width) too (the first cut silently kept radius 1
+    # and collapsed the pool ~6x below the published 12-bit row)
+    exp_bits = [tuple(r) for r in ann_srp_search(vecs, n_bits=8).collect()]
+    exp_both = [
+        tuple(r)
+        for r in ann_srp_search(vecs, n_bits=8, n_probes=srp_auto_probes(8)).collect()
+    ]
+    assert exp_bits == exp_both
 
 
 def test_dsir_resample_semantics(spark, sf_dir):
