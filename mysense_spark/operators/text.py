@@ -1638,7 +1638,153 @@ ORDER BY rank
 SQL_DSIR_RESAMPLE = _sql_dsir_resample()
 
 
+# --- BPE merge training (r13) -----------------------------------------------
+
+_BPE_MERGES = 8  # unrolled merge iterations (the Lloyd-chain idiom)
+_BPE_VOCAB_CAP = 512  # train on the top-V word types (published practice)
+_BPE_MAX_WORD = 48  # longer "words" are corpus junk, not vocabulary
+
+
+def bpe_train(doc: DataFrame) -> DataFrame:
+    """Byte-pair-encoding MERGE TRAINING (Sennrich, Haddow & Birch, ACL
+    2016 §3.2) — the vocabulary-induction step of a tokenizer pipeline,
+    distributed: learn the top-_BPE_MERGES merge operations over the
+    corpus, returning one row per merge (step, lhs, rhs, pair_count,
+    merged).
+
+    Algorithm, exactly the paper's: words become symbol sequences of
+    their characters plus an end-of-word marker '</w>'; each iteration
+    counts adjacent symbol pairs weighted by word frequency, merges the
+    most frequent pair everywhere (greedy left-to-right within a word,
+    the reference implementation's re.sub semantics), and repeats.
+    Ties break (count DESC, lhs ASC, rhs ASC) — deterministic in both
+    engines over the ASCII symbol space.
+
+    Exactness design: a symbol sequence is ONE string with every symbol
+    wrapped in single spaces (' a  b  c ') — so 'apply merge (a, b)' is
+    a literal string replace of ' a  b ' with ' ab ', and both engines'
+    replace() functions share the non-overlapping left-to-right scan
+    that IS the greedy BPE merge order (verified: ' a  a  a  a ' ->
+    ' aa  aa '). Pair counting splits on the double-space gap. All
+    counts are int64; no floats anywhere.
+
+    Scale shape: ONE corpus scan builds the word-frequency table; the
+    training loop then runs on the top-_BPE_VOCAB_CAP word TYPES
+    (bounded by vocabulary, not corpus size — how every production BPE
+    trainer works: at 100 TB the word-count agg is the only stage that
+    sees the data; map-side combine makes it one shuffle of distinct
+    words). Each iteration is a bounded-table explode/agg plus a 1-row
+    broadcast; per-iteration localCheckpoint (the neardup_clusters
+    idiom) keeps the 8-deep plan from nesting exponentially."""
+    wc = (
+        doc.select(F.explode(F.split("text", " ")).alias("word"))
+        .where((F.col("word") != "") & (F.length("word") <= _BPE_MAX_WORD))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = wc.orderBy(F.desc("cnt"), "word").limit(_BPE_VOCAB_CAP)
+    w = vocab.select(
+        "cnt",
+        F.concat(
+            F.regexp_replace("word", "(.)", " $1 "), F.lit(" </w> ")
+        ).alias("seq"),
+    ).localCheckpoint(eager=True)
+    merges = []
+    for k in range(_BPE_MERGES):
+        toks = F.split(F.trim(F.col("seq")), "  ")
+        prs = F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.struct(a.alias("lhs"), b.alias("rhs")),
+        )
+        pairs = (
+            w.select("cnt", F.explode(prs).alias("p"))
+            .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+            .agg(F.sum("cnt").alias("pair_count"))
+        )
+        top = (
+            pairs.orderBy(F.desc("pair_count"), "lhs", "rhs")
+            .limit(1)
+            .select(F.lit(k + 1).alias("step"), "lhs", "rhs", "pair_count")
+            .localCheckpoint(eager=True)
+        )
+        merges.append(top)
+        bc = F.broadcast(
+            top.select(F.col("lhs").alias("_a"), F.col("rhs").alias("_b"))
+        )
+        needle = F.concat(F.lit(" "), F.col("_a"), F.lit("  "), F.col("_b"), F.lit(" "))
+        repl = F.concat(F.lit(" "), F.col("_a"), F.col("_b"), F.lit(" "))
+        w = (
+            w.crossJoin(bc)
+            .select("cnt", F.replace(F.col("seq"), needle, repl).alias("seq"))
+            .localCheckpoint(eager=True)
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.select(
+        "step", "lhs", "rhs", "pair_count", F.concat("lhs", "rhs").alias("merged")
+    ).orderBy("step")
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded entry: the first 8 BPE merges learned from the documents
+    corpus. The DuckDB oracle mirrors the WHOLE training — word counts,
+    the capped vocabulary, the spaced-symbol-string representation, 8
+    unrolled count/argmax/replace rounds (the kmeans-chain idiom) —
+    so the gate hashes the learned merge TABLE, not a summary."""
+    return bpe_train(load(spark, sf_dir, "documents"))
+
+
+def _sql_bpe_train() -> str:
+    ctes = [
+        f"""wc AS (
+  SELECT w AS word, count(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' AND length(w) <= {_BPE_MAX_WORD}
+  GROUP BY w
+),
+vocab AS (SELECT word, cnt FROM wc ORDER BY cnt DESC, word LIMIT {_BPE_VOCAB_CAP}),
+w0 AS (
+  SELECT cnt, regexp_replace(word, '(.)', ' \\1 ', 'g') || ' </w> ' AS seq FROM vocab
+)"""
+    ]
+    for k in range(1, _BPE_MERGES + 1):
+        ctes.append(
+            f"""p{k} AS (
+  SELECT t[i] AS lhs, t[i+1] AS rhs, sum(cnt) AS pair_count
+  FROM (SELECT cnt, string_split(trim(seq), '  ') AS t FROM w{k - 1}),
+       range(1, {_BPE_MAX_WORD + 16}) r(i)
+  WHERE i < len(t)
+  GROUP BY 1, 2
+),
+m{k} AS (
+  SELECT {k} AS step, lhs, rhs, pair_count FROM p{k}
+  ORDER BY pair_count DESC, lhs, rhs LIMIT 1
+),
+w{k} AS (
+  SELECT cnt, replace(seq, ' ' || m.lhs || '  ' || m.rhs || ' ',
+                      ' ' || m.lhs || m.rhs || ' ') AS seq
+  FROM w{k - 1}, m{k} m
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM m{k}" for k in range(1, _BPE_MERGES + 1)
+    )
+    return f"""
+WITH {",".join(ctes)}
+SELECT step, lhs, rhs, CAST(pair_count AS BIGINT) AS pair_count,
+       lhs || rhs AS merged
+FROM ({union})
+ORDER BY step
+"""
+
+
+SQL_BPE_TRAIN = _sql_bpe_train()
+
+
 QUERIES: dict[str, tuple] = {
+    "bpe_train": (q_bpe_train, SQL_BPE_TRAIN),
     "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
     "gopher_filter": (q_gopher_filter, SQL_GOPHER_FILTER),
     "c4_filter": (q_c4_filter, SQL_C4_FILTER),

@@ -4212,3 +4212,30 @@ def test_curation_pipeline_composes(spark, sf_dir):
     # only train buckets (the doc's split is a pure function of doc_id)
     leaked = packed.where(_bucket(F.col("doc_id")) >= _TRAIN_PCT).count()
     assert leaked == 0
+
+
+def test_bpe_train_classic_example(spark):
+    """BPE merge training pinned on the paper's own worked example
+    (Sennrich 2016 §3.2 uses low/lower/newest/widest with frequencies
+    low:5 lower:2 newest:6 widest:3): (e,s) leads at 6+3=9, then (es,t)
+    at 9 (beating the tied (t,</w>) on the lhs tie-break), then
+    (est,</w>) at 9 — the exact cascade the paper's figure shows. Also
+    pins the
+    structural invariants the oracle hash cannot express: steps are
+    1..K, merged == lhs||rhs, and the max pair count is non-increasing
+    (any pair created by a merge inherits at most the count of the pair
+    it absorbed)."""
+    from mysense_spark.operators.text import _BPE_MERGES, bpe_train
+
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    doc = spark.createDataFrame([(0, " ".join(words))], "doc_id long, text string")
+    rows = bpe_train(doc).collect()
+    assert [r["step"] for r in rows] == list(range(1, _BPE_MERGES + 1))
+    got = [(r["lhs"], r["rhs"], r["pair_count"]) for r in rows]
+    assert got[0] == ("e", "s", 9)
+    assert got[1] == ("es", "t", 9)
+    assert got[2] == ("est", "</w>", 9)
+    for r in rows:
+        assert r["merged"] == r["lhs"] + r["rhs"]
+    counts = [r["pair_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
