@@ -1676,6 +1676,19 @@ def bpe_train(doc: DataFrame) -> DataFrame:
     words). Each iteration is a bounded-table explode/agg plus a 1-row
     broadcast; per-iteration localCheckpoint (the neardup_clusters
     idiom) keeps the 8-deep plan from nesting exponentially."""
+    _w, merges = _bpe_chain(doc)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.select(
+        "step", "lhs", "rhs", "pair_count", F.concat("lhs", "rhs").alias("merged")
+    ).orderBy("step")
+
+
+def _bpe_chain(doc: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
+    """The shared BPE training lineage (see bpe_train): returns the
+    final symbol table (word, cnt, seq) — consumed by bpe_encode as the
+    learned tokenizer — and the per-step 1-row merge tables."""
     wc = (
         doc.select(F.explode(F.split("text", " ")).alias("word"))
         .where((F.col("word") != "") & (F.length("word") <= _BPE_MAX_WORD))
@@ -1684,6 +1697,7 @@ def bpe_train(doc: DataFrame) -> DataFrame:
     )
     vocab = wc.orderBy(F.desc("cnt"), "word").limit(_BPE_VOCAB_CAP)
     w = vocab.select(
+        "word",
         "cnt",
         F.concat(
             F.regexp_replace("word", "(.)", " $1 "), F.lit(" </w> ")
@@ -1716,15 +1730,51 @@ def bpe_train(doc: DataFrame) -> DataFrame:
         repl = F.concat(F.lit(" "), F.col("_a"), F.col("_b"), F.lit(" "))
         w = (
             w.crossJoin(bc)
-            .select("cnt", F.replace(F.col("seq"), needle, repl).alias("seq"))
+            .select("word", "cnt", F.replace(F.col("seq"), needle, repl).alias("seq"))
             .localCheckpoint(eager=True)
         )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out.select(
-        "step", "lhs", "rhs", "pair_count", F.concat("lhs", "rhs").alias("merged")
-    ).orderBy("step")
+    return w, merges
+
+
+def bpe_encode(doc: DataFrame) -> DataFrame:
+    """Apply the learned BPE merges back to the corpus — the ENCODE
+    side of the tokenizer (what bpe_train's merge table exists FOR):
+    per document, the token count under the trained merges vs the
+    character-baseline count (chars + the '</w>' marker per word), as
+    exact int64 sums. The interesting quantity — how much of the
+    corpus's token budget the 8 merges recover — is the ratio of the
+    two integer columns; the ratio itself is left to the consumer so
+    the graded output stays float-free.
+
+    Scale shape: the tokenizer is the trained symbol table — at most
+    _BPE_VOCAB_CAP rows — so encoding is ONE corpus scan, a broadcast
+    left join from word to its trained token count (out-of-vocabulary
+    words fall back to the character baseline — the standard cap
+    semantics), and a per-doc partial agg."""
+    w, _merges = _bpe_chain(doc)
+    ntok = w.select("word", F.size(F.split(F.trim("seq"), "  ")).alias("n_tok"))
+    dw = doc.select("doc_id", F.explode(F.split("text", " ")).alias("w")).where(
+        (F.col("w") != "") & (F.length("w") <= _BPE_MAX_WORD)
+    )
+    return (
+        dw.join(F.broadcast(ntok), dw["w"] == ntok["word"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.coalesce(F.col("n_tok").cast("long"), F.length("w") + F.lit(1))).alias(
+                "bpe_tokens"
+            ),
+            F.sum(F.length("w") + F.lit(1)).alias("char_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded entry: the corpus re-tokenized under its own trained BPE
+    merges — per-doc word/BPE-token/char-token counts, DuckDB-mirrored
+    through the same training CTE chain as bpe_train."""
+    return bpe_encode(load(spark, sf_dir, "documents"))
 
 
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1736,7 +1786,11 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(load(spark, sf_dir, "documents"))
 
 
-def _sql_bpe_train() -> str:
+def _sql_bpe_ctes() -> str:
+    """The BPE training lineage as SQL CTEs — ONE definition shared by
+    the bpe_train and bpe_encode oracles (mirrors _bpe_chain: word
+    counts, capped vocab, 8 unrolled count/argmax/replace rounds).
+    Emits wc, vocab, w0..w{K}, p1..p{K}, m1..m{K}."""
     ctes = [
         f"""wc AS (
   SELECT w AS word, count(*) AS cnt
@@ -1746,7 +1800,9 @@ def _sql_bpe_train() -> str:
 ),
 vocab AS (SELECT word, cnt FROM wc ORDER BY cnt DESC, word LIMIT {_BPE_VOCAB_CAP}),
 w0 AS (
-  SELECT cnt, regexp_replace(word, '(.)', ' \\1 ', 'g') || ' </w> ' AS seq FROM vocab
+  SELECT word, cnt,
+         regexp_replace(word, '(.)', ' \\1 ', 'g') || ' </w> ' AS seq
+  FROM vocab
 )"""
     ]
     for k in range(1, _BPE_MERGES + 1):
@@ -1763,16 +1819,20 @@ m{k} AS (
   ORDER BY pair_count DESC, lhs, rhs LIMIT 1
 ),
 w{k} AS (
-  SELECT cnt, replace(seq, ' ' || m.lhs || '  ' || m.rhs || ' ',
-                      ' ' || m.lhs || m.rhs || ' ') AS seq
+  SELECT word, cnt, replace(seq, ' ' || m.lhs || '  ' || m.rhs || ' ',
+                            ' ' || m.lhs || m.rhs || ' ') AS seq
   FROM w{k - 1}, m{k} m
 )"""
         )
+    return ",".join(ctes)
+
+
+def _sql_bpe_train() -> str:
     union = "\nUNION ALL\n".join(
         f"SELECT * FROM m{k}" for k in range(1, _BPE_MERGES + 1)
     )
     return f"""
-WITH {",".join(ctes)}
+WITH {_sql_bpe_ctes()}
 SELECT step, lhs, rhs, CAST(pair_count AS BIGINT) AS pair_count,
        lhs || rhs AS merged
 FROM ({union})
@@ -1783,8 +1843,29 @@ ORDER BY step
 SQL_BPE_TRAIN = _sql_bpe_train()
 
 
+SQL_BPE_ENCODE = f"""
+WITH {_sql_bpe_ctes()},
+ntok AS (
+  SELECT word, len(string_split(trim(seq), '  ')) AS n_tok FROM w{_BPE_MERGES}
+),
+dw AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' AND length(w) <= {_BPE_MAX_WORD}
+)
+SELECT d.doc_id,
+       count(*) AS n_words,
+       CAST(sum(coalesce(n.n_tok, length(d.w) + 1)) AS BIGINT) AS bpe_tokens,
+       CAST(sum(length(d.w) + 1) AS BIGINT) AS char_tokens
+FROM dw d LEFT JOIN ntok n ON d.w = n.word
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "bpe_train": (q_bpe_train, SQL_BPE_TRAIN),
+    "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
     "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
     "gopher_filter": (q_gopher_filter, SQL_GOPHER_FILTER),
     "c4_filter": (q_c4_filter, SQL_C4_FILTER),

@@ -33,12 +33,15 @@ def _modules():
 # Queries hoisted to the very front of the registry: the driver's
 # correctness gate checks exactly the FIRST 50 entries, so this list is
 # kept to exactly 50. Round-13 layout:
-# (a) 5 NEW or CHANGED queries — bpe_train (NEW, late r13: distributed
+# (a) 6 NEW or CHANGED queries — bpe_train and bpe_encode (NEW, late
+# r13: distributed
 # BPE merge training per Sennrich-2016 — one corpus scan for word
 # counts, then 8 unrolled count/argmax/merge rounds over the capped
 # vocabulary as exact string/int64 arithmetic, greedy merges as literal
 # space-wrapped replaces shared bit-for-bit by both engines' replace();
-# the oracle mirrors the WHOLE training), ann_ivfadc_kmeans and ann_ivfpq_kmeans
+# the oracle mirrors the WHOLE training; bpe_encode re-tokenizes the
+# corpus under the learned merges — broadcast word->token-count join,
+# int-exact per-doc accounting), ann_ivfadc_kmeans and ann_ivfpq_kmeans
 # (NEW: the trained-DIRECTORY gradings the r12 verdict asked for — the
 # IVFADC / by-residual IVFPQ compositions routed through the
 # kmeans_train Lloyd centroids instead of the frozen 8-vector fixture;
@@ -54,11 +57,12 @@ def _modules():
 # exactly as planned in the r12 comment (kmeans_train additionally
 # changed lineage this round: the Lloyd chain moved into _km_chain,
 # pure code motion shared with the new trained-directory gradings);
-# (c) the 12 alphabetically-first rows whose last evidence is round 11
-# (approx_distinct_users .. cross_split_leakage; sensorthings_pull is
-# also an r11 row but enters via (a); daily_qc_report was displaced
-# when bpe_train landed). The remaining 34 r11-evidence rows
-# (daily_qc_report, dead_kit_tiers, dead_kits, decontam_report, dedup_upsert,
+# (c) the 11 alphabetically-first rows whose last evidence is round 11
+# (approx_distinct_users .. crawl_rate_anomalies; sensorthings_pull is
+# also an r11 row but enters via (a); daily_qc_report and
+# cross_split_leakage were displaced when bpe_train/bpe_encode landed).
+# The remaining 35 r11-evidence rows
+# (cross_split_leakage, daily_qc_report, dead_kit_tiers, dead_kits, decontam_report, dedup_upsert,
 # distinct_active_kits, doc_fingerprint, dsir_weights, dup_ngram_frac,
 # duplicate_spans, embedding_outliers, failing_sensor_report,
 # fit_apply, frame_sample, part_supplier_stats, percentile_summary,
@@ -72,6 +76,7 @@ def _modules():
 _PRIORITY = (
     # (a) new/changed in round 13
     "bpe_train",
+    "bpe_encode",
     "ann_ivfadc_kmeans",
     "ann_ivfpq_kmeans",
     "ann_ivfpq",
@@ -110,7 +115,7 @@ _PRIORITY = (
     "vocab_stats",
     "weighted_sample",
     "zscore_outliers",
-    # (c) last driver evidence: round 11 (first 13, alphabetical)
+    # (c) last driver evidence: round 11 (first 11, alphabetical)
     "approx_distinct_users",
     "aqhi_index",
     "aqi_index",
@@ -122,7 +127,6 @@ _PRIORITY = (
     "corpus_build",
     "coverage",
     "crawl_rate_anomalies",
-    "cross_split_leakage",
 )
 
 
