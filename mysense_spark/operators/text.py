@@ -1643,6 +1643,15 @@ SQL_DSIR_RESAMPLE = _sql_dsir_resample()
 _BPE_MERGES = 8  # unrolled merge iterations (the Lloyd-chain idiom)
 _BPE_VOCAB_CAP = 512  # train on the top-V word types (published practice)
 _BPE_MAX_WORD = 48  # longer "words" are corpus junk, not vocabulary
+# Symbol-space pin: BPE words are restricted to printable non-space
+# ASCII in BOTH engines. '(.)' means different things past ASCII —
+# Java regex iterates UTF-16 code UNITS (an astral-plane char is two
+# '.' matches) where RE2 iterates code POINTS (one match) — so a doc
+# containing an emoji word would silently diverge the engines' symbol
+# sequences. The module-wide Java∩RE2 dialect rule, applied to the
+# character-iteration semantics themselves.
+_BPE_ASCII_SPARK = "^[\\x21-\\x7e]+$"
+_BPE_ASCII_SQL = r"^[\x21-\x7e]+$"
 
 
 def bpe_train(doc: DataFrame) -> DataFrame:
@@ -1691,7 +1700,10 @@ def _bpe_chain(doc: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
     learned tokenizer — and the per-step 1-row merge tables."""
     wc = (
         doc.select(F.explode(F.split("text", " ")).alias("word"))
-        .where((F.col("word") != "") & (F.length("word") <= _BPE_MAX_WORD))
+        .where(
+            (F.length("word") <= _BPE_MAX_WORD)
+            & F.col("word").rlike(_BPE_ASCII_SPARK)
+        )
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -1754,7 +1766,7 @@ def bpe_encode(doc: DataFrame) -> DataFrame:
     w, _merges = _bpe_chain(doc)
     ntok = w.select("word", F.size(F.split(F.trim("seq"), "  ")).alias("n_tok"))
     dw = doc.select("doc_id", F.explode(F.split("text", " ")).alias("w")).where(
-        (F.col("w") != "") & (F.length("w") <= _BPE_MAX_WORD)
+        (F.length("w") <= _BPE_MAX_WORD) & F.col("w").rlike(_BPE_ASCII_SPARK)
     )
     return (
         dw.join(F.broadcast(ntok), dw["w"] == ntok["word"], "left")
@@ -1795,7 +1807,7 @@ def _sql_bpe_ctes() -> str:
         f"""wc AS (
   SELECT w AS word, count(*) AS cnt
   FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-  WHERE w <> '' AND length(w) <= {_BPE_MAX_WORD}
+  WHERE length(w) <= {_BPE_MAX_WORD} AND regexp_matches(w, '{_BPE_ASCII_SQL}')
   GROUP BY w
 ),
 vocab AS (SELECT word, cnt FROM wc ORDER BY cnt DESC, word LIMIT {_BPE_VOCAB_CAP}),
@@ -1851,7 +1863,7 @@ ntok AS (
 dw AS (
   SELECT doc_id, w
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
-  WHERE w <> '' AND length(w) <= {_BPE_MAX_WORD}
+  WHERE length(w) <= {_BPE_MAX_WORD} AND regexp_matches(w, '{_BPE_ASCII_SQL}')
 )
 SELECT d.doc_id,
        count(*) AS n_words,

@@ -4239,3 +4239,60 @@ def test_bpe_train_classic_example(spark):
         assert r["merged"] == r["lhs"] + r["rhs"]
     counts = [r["pair_count"] for r in rows]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_bpe_symbol_space_cross_engine(spark, tmp_path):
+    """The BPE symbol-space pin (r13): words beyond printable ASCII are
+    excluded from training AND encoding in BOTH engines — '(.)' iterates
+    UTF-16 code units in Java regex but code points in RE2, so an
+    astral-plane word (emoji) would otherwise split into different
+    symbol sequences engine-by-engine and silently diverge the hashes.
+    A poisoned corpus (emoji word, latin-1 word, a >48-char word, plus
+    normal words) must still compare hash-exact between Spark and the
+    DuckDB oracle, and the poisons must not appear in any merge."""
+    import pandas as pd
+
+    from mysense_spark.operators.text import (
+        SQL_BPE_ENCODE,
+        SQL_BPE_TRAIN,
+        q_bpe_encode,
+        q_bpe_train,
+    )
+    from mysense_spark.oracle import compare_frames, run_oracle
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "low low lower \U0001f600\U0001f600 café newest",
+                "newest widest " + "x" * 60 + " low",
+                "\U0001f600 widest newest  low",  # double space -> empty token
+            ],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    # run_oracle validates every table view eagerly — satisfy the other
+    # nine with symlinks to the smoke SF (the BPE oracles only read
+    # documents)
+    import os
+
+    from tests.conftest import SF_SMOKE
+
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "embeddings"):
+        os.symlink(f"{SF_SMOKE}/{t}.parquet", tmp_path / f"{t}.parquet")
+    sf = str(tmp_path)
+    for fn, sql in ((q_bpe_train, SQL_BPE_TRAIN), (q_bpe_encode, SQL_BPE_ENCODE)):
+        pdf = fn(spark, sf).toPandas()
+        res = compare_frames(pdf, run_oracle(sql, sf))
+        assert res.ok, res
+    merges = q_bpe_train(spark, sf).collect()
+    for r in merges:
+        assert "\U0001f600" not in r["merged"] and "é" not in r["merged"]
+    enc = {r["doc_id"]: r for r in q_bpe_encode(spark, sf).collect()}
+    # doc 0: emoji x2 and café excluded -> 4 counted words
+    assert enc[0]["n_words"] == 4
+    # doc 1: the 60-char word excluded -> 3 counted words
+    assert enc[1]["n_words"] == 3
+    # doc 2: emoji and the empty token excluded -> 3 counted words
+    assert enc[2]["n_words"] == 3
