@@ -1740,9 +1740,21 @@ def _bpe_chain(doc: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
         )
         needle = F.concat(F.lit(" "), F.col("_a"), F.lit("  "), F.col("_b"), F.lit(" "))
         repl = F.concat(F.lit(" "), F.col("_a"), F.col("_b"), F.lit(" "))
+        # LEFT join on true, not a cross join: when the corpus runs out
+        # of mergeable pairs before the last round, the argmax table is
+        # EMPTY — a cross join would annihilate the symbol table and
+        # bpe_encode would silently fall back to char counts for every
+        # word (degenerate-corpus pin caught exactly that); an
+        # exhausted round must be a NO-OP instead
         w = (
-            w.crossJoin(bc)
-            .select("word", "cnt", F.replace(F.col("seq"), needle, repl).alias("seq"))
+            w.join(bc, F.lit(True), "left")
+            .select(
+                "word",
+                "cnt",
+                F.when(F.col("_a").isNull(), F.col("seq"))
+                .otherwise(F.replace(F.col("seq"), needle, repl))
+                .alias("seq"),
+            )
             .localCheckpoint(eager=True)
         )
     return w, merges
@@ -1831,9 +1843,12 @@ m{k} AS (
   ORDER BY pair_count DESC, lhs, rhs LIMIT 1
 ),
 w{k} AS (
-  SELECT word, cnt, replace(seq, ' ' || m.lhs || '  ' || m.rhs || ' ',
-                            ' ' || m.lhs || m.rhs || ' ') AS seq
-  FROM w{k - 1}, m{k} m
+  SELECT word, cnt,
+         CASE WHEN m.lhs IS NULL THEN seq
+              ELSE replace(seq, ' ' || m.lhs || '  ' || m.rhs || ' ',
+                           ' ' || m.lhs || m.rhs || ' ')
+         END AS seq
+  FROM w{k - 1} LEFT JOIN m{k} m ON true
 )"""
         )
     return ",".join(ctes)

@@ -4296,3 +4296,45 @@ def test_bpe_symbol_space_cross_engine(spark, tmp_path):
     assert enc[1]["n_words"] == 3
     # doc 2: emoji and the empty token excluded -> 3 counted words
     assert enc[2]["n_words"] == 3
+
+
+def test_bpe_merge_exhaustion_cross_engine(spark, tmp_path):
+    """Degenerate corpus pin: when the corpus runs out of mergeable
+    pairs before _BPE_MERGES rounds (every word collapsed to a single
+    symbol), BOTH engines must emit the same SHORT merge table — the
+    empty-argmax round makes the symbol table an empty cross join, and
+    every later round stays empty identically. Corpus {a x3, b x1}:
+    merge 1 = (a, </w>) cnt 3, merge 2 = (b, </w>) cnt 1, rounds 3..8
+    empty. bpe_encode must still account every doc (each word is ONE
+    token: 'a</w>' / 'b</w>')."""
+    import os
+
+    import pandas as pd
+
+    from mysense_spark.operators.text import (
+        SQL_BPE_ENCODE,
+        SQL_BPE_TRAIN,
+        q_bpe_encode,
+        q_bpe_train,
+    )
+    from mysense_spark.oracle import compare_frames, run_oracle
+    from tests.conftest import SF_SMOKE
+
+    pd.DataFrame({"doc_id": [0, 1], "text": ["a a b", "a"]}).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "embeddings"):
+        os.symlink(f"{SF_SMOKE}/{t}.parquet", tmp_path / f"{t}.parquet")
+    sf = str(tmp_path)
+    rows = q_bpe_train(spark, sf).collect()
+    assert [(r["step"], r["lhs"], r["rhs"], r["pair_count"]) for r in rows] == [
+        (1, "a", "</w>", 3),
+        (2, "b", "</w>", 1),
+    ]
+    for fn, sql in ((q_bpe_train, SQL_BPE_TRAIN), (q_bpe_encode, SQL_BPE_ENCODE)):
+        res = compare_frames(fn(spark, sf).toPandas(), run_oracle(sql, sf))
+        assert res.ok, res
+    enc = {r["doc_id"]: r for r in q_bpe_encode(spark, sf).collect()}
+    assert (enc[0]["n_words"], enc[0]["bpe_tokens"], enc[0]["char_tokens"]) == (3, 3, 6)
+    assert (enc[1]["n_words"], enc[1]["bpe_tokens"], enc[1]["char_tokens"]) == (1, 1, 2)
