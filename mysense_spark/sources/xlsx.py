@@ -109,14 +109,30 @@ def _col_letter(idx: int) -> str:
     return s
 
 
+# The OOXML worksheet grid is bounded (ECMA-376 §18.3.1.73: columns
+# A..XFD = 16384, rows 1..1048576). Excel itself cannot write a
+# reference outside it, so one in a file is malformed input, not data —
+# and the reader DENSE-FILLS rows to the max column seen, so without
+# this bound a 200-byte workbook claiming column ZZZZZZZ (index ~8e9)
+# allocates billions of header cells (r14 structural battery catch:
+# the hang/OOM class, same genus as the REST 400-digit-int killer).
+_MAX_COL = 16384
+_MAX_ROW = 1_048_576
+
+
 def _col_index(ref: str) -> int:
-    """A1-style cell reference -> 0-based column index."""
+    """A1-style cell reference -> 0-based column index (grid-bounded)."""
     letters = re.match(r"[A-Z]+", ref)
     if not letters:
         raise ValueError(f"malformed cell reference {ref!r}")
     idx = 0
     for ch in letters.group(0):
         idx = idx * 26 + (ord(ch) - ord("A") + 1)
+    if idx > _MAX_COL:
+        raise ValueError(
+            f"cell reference {ref!r} outside the worksheet grid "
+            f"(max column {_col_letter(_MAX_COL - 1)})"
+        )
     return idx - 1
 
 
@@ -431,6 +447,11 @@ def read_xlsx(path: str, sheet: str | int = 0) -> list[dict]:
     next_row = 0
     for row in root.iter(f"{_NS}row"):
         r = int(row.get("r")) - 1 if row.get("r") else next_row
+        if not 0 <= r < _MAX_ROW:
+            raise ValueError(
+                f"row reference {r + 1} outside the worksheet grid "
+                f"(1..{_MAX_ROW})"
+            )
         next_row = r + 1
         cells: dict[int, object] = {}
         next_col = 0  # positional fallback: count EVERY cell element,

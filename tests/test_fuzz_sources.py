@@ -611,3 +611,269 @@ def test_mp4_wav_structure_mutation_battery():
     # that reject — a battery where everything passes tests nothing
     for k in outcomes.values():
         assert k > 100, outcomes
+
+
+def _mini_xlsx(members: dict[str, bytes]) -> bytes:
+    """Assemble a workbook zip from explicit member bytes."""
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        for name, data in members.items():
+            z.writestr(name, data)
+    return buf.getvalue()
+
+
+def _foreign_members() -> dict[str, bytes]:
+    """A foreign-producer-shaped workbook: sharedStrings + styles (our
+    own writer emits inlineStr and no styles, so these paths only get
+    exercised by crafted input — exactly the surface a real producer
+    hits)."""
+    ct = (
+        b'<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        b'<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        b'<Default Extension="xml" ContentType="application/xml"/></Types>'
+    )
+    rels = (
+        b'<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        b'<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>'
+    )
+    wb = (
+        b'<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+        b' xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        b'<sheets><sheet name="data" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    wbrels = (
+        b'<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        b'<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+        b'<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/sharedStrings" Target="sharedStrings.xml"/>'
+        b'<Relationship Id="rId3" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/></Relationships>'
+    )
+    sst = (
+        b'<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="2" uniqueCount="2">'
+        b'<si><t>kit</t></si><si><r><t>ri</t></r><r><t>ch</t></r></si></sst>'
+    )
+    styles = (
+        b'<?xml version="1.0"?><styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        b'<cellXfs count="2"><xf numFmtId="0"/><xf numFmtId="14"/></cellXfs></styleSheet>'
+    )
+    sheet = (
+        b'<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>'
+        b'<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>'
+        b'<row r="2"><c r="A2"><v>42</v></c><c r="B2" s="1"><v>45000</v></c></row>'
+        b"</sheetData></worksheet>"
+    )
+    return {
+        "[Content_Types].xml": ct,
+        "_rels/.rels": rels,
+        "xl/workbook.xml": wb,
+        "xl/_rels/workbook.xml.rels": wbrels,
+        "xl/sharedStrings.xml": sst,
+        "xl/styles.xml": styles,
+        "xl/worksheets/sheet1.xml": sheet,
+    }
+
+
+def test_xlsx_structural_mutation_battery(spark, tmp_path):
+    """r14 battery for the XLSX zip+XML surface — the structural twin
+    of the byte-flip fuzz in test_property.py (the MP4/WAV-battery
+    pattern: semantically-targeted malformations, not random bytes).
+    Contract under test: read_xlsx / list_sheets return rows-or-raise
+    ValueError; the zip/zlib/XML layers' own types never escape; a
+    malformed workbook fed to the Spark entry (read_measurements_xlsx)
+    quarantines as the same ValueError instead of killing the read.
+    Trial accounting is exact and printed; the battery must BITE both
+    ways (some mutants quarantine, some still parse)."""
+    import os
+
+    from mysense_spark.sources.files import read_measurements_xlsx
+    from mysense_spark.sources.xlsx import list_sheets, read_xlsx
+
+    base = _foreign_members()
+    sheet_xml = base["xl/worksheets/sheet1.xml"]
+
+    mutants: list[tuple[str, dict[str, bytes]]] = []
+
+    def member_variant(tag, name, data):
+        m = dict(base)
+        m[name] = data
+        mutants.append((tag, m))
+
+    def drop(tag, name):
+        m = dict(base)
+        del m[name]
+        mutants.append((tag, m))
+
+    # -- shared-string index abuse: OOB (every index 2..40), non-int,
+    # negative, huge, empty <v>, missing <v>
+    for i in list(range(2, 41)) + [10**6, 10**18]:
+        member_variant(
+            f"sst_oob_{i}",
+            "xl/worksheets/sheet1.xml",
+            sheet_xml.replace(b'<c r="A1" t="s"><v>0</v></c>', b'<c r="A1" t="s"><v>%d</v></c>' % i),
+        )
+    for bad in (b"abc", b"-1", b"1.5", b"", b"0x1"):
+        member_variant(
+            f"sst_badidx_{bad.decode() or 'empty'}",
+            "xl/worksheets/sheet1.xml",
+            sheet_xml.replace(b'<c r="A1" t="s"><v>0</v></c>', b'<c r="A1" t="s"><v>%s</v></c>' % bad),
+        )
+    member_variant(
+        "sst_noval",
+        "xl/worksheets/sheet1.xml",
+        sheet_xml.replace(b'<c r="A1" t="s"><v>0</v></c>', b'<c r="A1" t="s"/>'),
+    )
+    # -- cell reference abuse: garbage refs, missing r, absurd columns,
+    # duplicate refs, row mismatch
+    for ref in (b"", b"!!", b"-1", b"1A", b"A0", b"XFD1048576", b"ZZZZZZZ1", b"A99999999"):
+        member_variant(
+            f"ref_{ref.decode() or 'empty'}",
+            "xl/worksheets/sheet1.xml",
+            sheet_xml.replace(b'<c r="A2">', b'<c r="%s">' % ref),
+        )
+    member_variant(
+        "ref_missing",
+        "xl/worksheets/sheet1.xml",
+        sheet_xml.replace(b'<c r="A2">', b"<c>"),
+    )
+    for rr in (b"9999999999", b"0", b"-3", b"1" + b"0" * 40):
+        member_variant(
+            f"rowref_{rr[:12].decode()}",
+            "xl/worksheets/sheet1.xml",
+            sheet_xml.replace(b'<row r="2">', b'<row r="%s">' % rr),
+        )
+    member_variant(
+        "ref_dup",
+        "xl/worksheets/sheet1.xml",
+        sheet_xml.replace(
+            b'<c r="A2"><v>42</v></c>', b'<c r="A2"><v>42</v></c><c r="A2"><v>43</v></c>'
+        ),
+    )
+    # -- numeric/date cell abuse: absurd serials, non-numeric <v>,
+    # exponent bombs (the OverflowError class), NaN/inf literals
+    for v in (b"1e400", b"9" * 400, b"nan", b"inf", b"-inf", b"1e9999", b"0x10", b"twelve"):
+        member_variant(
+            f"numcell_{v[:12].decode()}",
+            "xl/worksheets/sheet1.xml",
+            sheet_xml.replace(b"<v>42</v>", b"<v>%s</v>" % v),
+        )
+        member_variant(
+            f"datecell_{v[:12].decode()}",
+            "xl/worksheets/sheet1.xml",
+            sheet_xml.replace(b"<v>45000</v>", b"<v>%s</v>" % v),
+        )
+    # -- XML structure abuse
+    for tag, xml in (
+        ("xml_badns", sheet_xml.replace(b"spreadsheetml/2006/main", b"nonsense/ns")),
+        ("xml_truncated", sheet_xml[: len(sheet_xml) // 2]),
+        ("xml_unclosed", sheet_xml.replace(b"</worksheet>", b"")),
+        ("xml_entity", sheet_xml.replace(b"<v>42</v>", b"<v>&undefined;</v>")),
+        ("xml_nested_row", sheet_xml.replace(b'<row r="2">', b'<row r="2"><row r="3">')),
+        ("xml_utf16_decl", sheet_xml.replace(b'<?xml version="1.0"?>', b'<?xml version="1.0" encoding="utf-16"?>')),
+        ("xml_garbage", b"\x00\x01\x02 not xml at all"),
+        ("xml_empty", b""),
+        ("xml_deep", b"<a>" * 200 + b"<worksheet/>" + b"</a>" * 200),
+    ):
+        member_variant(tag, "xl/worksheets/sheet1.xml", xml)
+    # -- workbook / rels / strings / styles member abuse
+    member_variant(
+        "wb_nosheets",
+        "xl/workbook.xml",
+        base["xl/workbook.xml"].replace(b"<sheets>", b"<x>").replace(b"</sheets>", b"</x>"),
+    )
+    member_variant(
+        "wb_noname",
+        "xl/workbook.xml",
+        base["xl/workbook.xml"].replace(b'name="data" ', b""),
+    )
+    member_variant(
+        "wb_badrid",
+        "xl/workbook.xml",
+        base["xl/workbook.xml"].replace(b'r:id="rId1"', b'r:id="rId99"'),
+    )
+    member_variant(
+        "rels_badtarget",
+        "xl/_rels/workbook.xml.rels",
+        base["xl/_rels/workbook.xml.rels"].replace(b"worksheets/sheet1.xml", b"nope/missing.xml"),
+    )
+    member_variant(
+        "sst_richer",
+        "xl/sharedStrings.xml",
+        base["xl/sharedStrings.xml"].replace(b"<si><t>kit</t></si>", b"<si></si>"),
+    )
+    member_variant(
+        "styles_badfmt",
+        "xl/styles.xml",
+        base["xl/styles.xml"].replace(b'numFmtId="14"', b'numFmtId="xyz"'),
+    )
+    for tag, name in (
+        ("drop_sheet", "xl/worksheets/sheet1.xml"),
+        ("drop_wb", "xl/workbook.xml"),
+        ("drop_wbrels", "xl/_rels/workbook.xml.rels"),
+        ("drop_sst", "xl/sharedStrings.xml"),
+        ("drop_styles", "xl/styles.xml"),
+        ("drop_ct", "[Content_Types].xml"),
+    ):
+        drop(tag, name)
+
+    n_parsed = n_quarantined = 0
+    violations = []
+    paths = {}
+    for i, (tag, members) in enumerate(mutants):
+        p = str(tmp_path / f"m{i}_{tag[:20]}.xlsx")
+        with open(p, "wb") as fh:
+            fh.write(_mini_xlsx(members))
+        paths[tag] = p
+        for fn in (lambda q: read_xlsx(q, sheet=0), list_sheets):
+            try:
+                out = fn(p)
+                assert isinstance(out, list)
+                n_parsed += 1
+            except ValueError:
+                n_quarantined += 1
+            except Exception as exc:  # the contract violation this battery hunts
+                violations.append((tag, type(exc).__name__, str(exc)[:120]))
+    assert not violations, violations
+    print(f"xlsx structural battery: {len(mutants)} mutants, "
+          f"{n_parsed} parsed legs, {n_quarantined} quarantined legs")
+    assert len(mutants) >= 90
+    assert n_parsed > 0 and n_quarantined > 0  # bites both ways
+
+    # the untouched base workbook must parse (the battery can't pass
+    # vacuously on a reader that rejects everything) — incl. shared
+    # strings, rich text, the date style, and the numeric cell
+    p0 = str(tmp_path / "base.xlsx")
+    with open(p0, "wb") as fh:
+        fh.write(_mini_xlsx(base))
+    rows = read_xlsx(p0)
+    assert rows[0]["kit"] == 42.0 or rows[0]["kit"] == 42
+    import datetime as dt
+
+    assert isinstance(rows[0]["rich"], dt.datetime)
+
+    # REGRESSION PIN (the battery's r14 catch): an out-of-grid column
+    # or row reference must QUARANTINE — before the grid bound, a
+    # 200-byte workbook claiming column ZZZZZZZ dense-filled ~8e9
+    # header cells (hang/OOM, the reader's only unbounded allocation)
+    import pytest
+
+    for tag in ("ref_ZZZZZZZ1", "rowref_9999999999"):
+        with pytest.raises(ValueError):
+            read_xlsx(paths[tag], sheet=0)
+    # ...while the LEGAL grid corner stays data, not quarantine
+    assert isinstance(read_xlsx(paths["ref_XFD1048576"], sheet=0), list)
+
+    # Spark entry: a handful of representative mutants through
+    # read_measurements_xlsx — DataFrame or the SAME ValueError
+    # quarantine signal, never a raw zip/XML error
+    spark_legs = 0
+    for tag in ("sst_oob_2", "xml_truncated", "ref_dup", "drop_sst", "drop_ct",
+                "numcell_nan", "wb_badrid", "xml_garbage", "ref_ZZZZZZZ1"):
+        try:
+            df = read_measurements_xlsx(spark, paths[tag])
+            assert df.count() >= 0
+        except ValueError:
+            pass
+        spark_legs += 1
+    assert spark_legs == 9

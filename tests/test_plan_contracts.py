@@ -73,7 +73,10 @@ def test_operators_have_no_driver_actions():
     it scans nothing the training would not materialize anyway), and
     the SRP auto-shape corpus count (r13: ONE count(*) aggregate that
     picks the hash width before the plan is built — the same
-    plan-selection class as the tier stats)."""
+    plan-selection class as the tier stats). r14 adds the persisted-
+    index probe collect: queries x nprobe bounded rows, collected
+    because the probed cell ids must become a STATIC PartitionFilter
+    on the on-disk codes layout (a join can't prune directories)."""
     import pathlib
 
     op_dir = pathlib.Path(__file__).resolve().parents[1] / "mysense_spark" / "operators"
@@ -92,9 +95,14 @@ def test_operators_have_no_driver_actions():
             if py.name == "similarity.py" and stripped == "directory.count()":
                 prev = stripped
                 continue  # r13 kmeans directory: K-row cache materialize
-            if py.name == "similarity.py" and "srp_auto_bits(vecs.count())" in stripped:
+            if py.name == "similarity.py" and "srp_auto_bits(vecs.count()" in stripped:
                 prev = stripped
                 continue  # r13 SRP auto-shape: one count(*) plan selection
+            if py.name == "similarity.py" and "probes.collect()" in stripped:
+                prev = stripped
+                continue  # r14 persisted-index routing: queries x nprobe
+                # rows collected so the probed cells become a STATIC
+                # partition filter (the upsert day-key fence class)
             if py.name == "dedup.py" and (".limit(1)" in stripped or prev == ".limit(1)"):
                 prev = stripped
                 continue  # convergence probe: is-there-any-row, 1 row max
@@ -486,3 +494,36 @@ def test_ivfadc_index_layout_prunes_cells(spark, sf_dir, tmp_path):
     assert got == want and got
     # the layout carries CODES, not vectors: 12-byte arrays, no v column
     assert set(probed.columns) == {"vec_id", "codes", "cent_id"}
+
+
+def test_persisted_index_search_reads_not_retrains(spark, sf_dir, tmp_path, monkeypatch):
+    """The r14 persisted-index lifecycle contract, all three legs:
+    (1) the graded search's result is identical to the inline-trained
+    grading (the index is a pure function of the corpus); (2) once the
+    index exists, the search NEVER trains — both training entry points
+    are poisoned and the warm call must succeed; (3) the warm plan
+    scans the codes layout through a static cent_id PartitionFilter
+    (nprobe is a directory prune, not a post-scan filter)."""
+    import re
+
+    from mysense_spark.operators import similarity as S
+
+    idx = str(tmp_path / "ivfadc_index")
+    monkeypatch.setattr(S, "ivfadc_index_path", lambda _sf: idx)
+
+    cold = S.q_ann_ivfadc_persisted(spark, sf_dir).collect()
+    inline = S.q_ann_ivfadc_kmeans(spark, sf_dir).collect()
+    assert cold == inline and len(cold) > 0
+
+    def _boom(*_a, **_k):
+        raise AssertionError("training ran on the warm search path")
+
+    monkeypatch.setattr(S, "_km_chain", _boom)
+    monkeypatch.setattr(S, "_pq_parts", _boom)
+    monkeypatch.setattr(S, "kmeans_centroids", _boom)
+    warm_df = S.q_ann_ivfadc_persisted(spark, sf_dir)
+    assert warm_df.collect() == cold
+
+    plan = warm_df._jdf.queryExecution().executedPlan().toString()
+    filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("cent_id" in f for f in filters), plan[:800]

@@ -194,7 +194,13 @@ def gen_tpch(rng: np.random.Generator, out_dir: str, sf: float) -> None:
 
 
 def main() -> None:
-    out_dir, sf = sys.argv[1], float(sys.argv[2])
+    # flags filtered out BEFORE positional unpacking (r14 advice:
+    # `gen_scale_data.py --tpch out 1.0` crashed with float('--tpch')
+    # instead of a usage error — same pattern as srp_smallfiles_probe)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if len(args) != 2:
+        sys.exit("usage: gen_scale_data.py OUT_DIR SF [--tpch]")
+    out_dir, sf = args[0], float(args[1])
     import os
 
     os.makedirs(out_dir, exist_ok=True)

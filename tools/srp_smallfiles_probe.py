@@ -87,7 +87,20 @@ def main() -> None:
         # drop the file-listing caches so the first probe pays the real
         # post-restart listing cost for THIS layout
         spark.catalog.clearCache()
-        spark._jvm.org.apache.spark.sql.execution.datasources.FileStatusCache.resetForTesting()
+        try:
+            # Spark-PRIVATE listing cache (r14 advice: the static
+            # forwarder can move across Spark versions — degrade
+            # loudly to a fresh session instead of crashing)
+            spark._jvm.org.apache.spark.sql.execution.datasources.FileStatusCache.resetForTesting()
+        except Exception as e:  # py4j errors don't subclass anything useful
+            print(
+                f"FileStatusCache.resetForTesting unavailable ({e.__class__.__name__});"
+                " restarting the SparkSession for a cold listing",
+                flush=True,
+            )
+            spark.stop()
+            spark = get_spark("srp-smallfiles-probe")
+            vecs = _vectors(spark, sf_dir)  # old session's frames are dead
         times = []
         pool = None
         for _ in range(reps):
