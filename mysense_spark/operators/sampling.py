@@ -296,14 +296,13 @@ def pack_placement(toks: DataFrame) -> DataFrame:
     )
 
 
-SQL_SEQUENCE_PACKING = f"""
-WITH toks AS (
-  SELECT doc_id,
-         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % {_PACK_SHARDS} AS shard,
-         len(regexp_extract_all(text, '[a-z0-9]+')) AS n_tokens
-  FROM documents
-),
-placed AS (
+# ONE definition of the oracle-side placement block (the SQL twin of
+# pack_placement, r14 review: it was about to be copy-pasted into the
+# bpe_pack oracle — a budget/boundary edit applied to one string but
+# not the other would drift the two oracles exactly the way the Python
+# refactor exists to prevent). Expects a CTE named `toks` with
+# (doc_id, shard, n_tokens).
+_SQL_PACK_PLACEMENT = f"""placed AS (
   SELECT doc_id, shard, n_tokens,
          -- CAST: DuckDB sum(BIGINT) is HUGEINT, which pandas reads as float64
          -- and the driver's value hash then differs from Spark's int64
@@ -319,6 +318,16 @@ SELECT doc_id, shard, n_tokens,
 FROM placed
 ORDER BY doc_id
 """
+
+
+SQL_SEQUENCE_PACKING = f"""
+WITH toks AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % {_PACK_SHARDS} AS shard,
+         len(regexp_extract_all(text, '[a-z0-9]+')) AS n_tokens
+  FROM documents
+),
+{_SQL_PACK_PLACEMENT}"""
 
 
 def q_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -361,20 +370,7 @@ toks AS (
   FROM dw d LEFT JOIN ntok n ON d.w = n.word
   GROUP BY 1
 ),
-placed AS (
-  SELECT doc_id, shard, n_tokens,
-         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_end
-  FROM toks WHERE n_tokens > 0
-)
-SELECT doc_id, shard, n_tokens,
-       tok_end - n_tokens AS tok_start,
-       (tok_end - n_tokens) // {_PACK_BUDGET} AS chunk_start,
-       (tok_end - 1) // {_PACK_BUDGET} AS chunk_end,
-       (tok_end - 1) // {_PACK_BUDGET} - (tok_end - n_tokens) // {_PACK_BUDGET} + 1 AS n_chunks
-FROM placed
-ORDER BY doc_id
-"""
+{_SQL_PACK_PLACEMENT}"""
 
 
 SQL_BPE_PACK = _sql_bpe_pack()

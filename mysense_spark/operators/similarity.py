@@ -2100,18 +2100,31 @@ _IVFADC_INDEX_VERSION = 1  # bump to invalidate every cached index
 
 def ivfadc_index_path(sf_dir: str) -> str:
     """Content-keyed index location (the csv_ingest fixture-dir idiom):
-    one pinned dir per (corpus dir, index shape), not a mkdtemp per call
-    — a gate sweep / bench iteration reuses the build instead of
-    leaking one training run per invocation. The graded corpora are
-    immutable driver artifacts, so the corpus PATH is the content key;
-    an index over mutable data would fold a corpus fingerprint in here
-    (or rebuild on the upsert sink's compaction cadence)."""
+    one pinned dir per (corpus state, index shape), not a mkdtemp per
+    call — a gate sweep / bench iteration reuses the build instead of
+    leaking one training run per invocation. The key folds in a corpus
+    FINGERPRINT (name/size/mtime of every parquet under the corpus
+    path), not just the path (r14 review: a regenerated corpus at the
+    same path must MISS the cache and retrain, never silently serve
+    neighbors of the old data); a production deployment would refresh
+    on the upsert sink's compaction cadence instead."""
     import hashlib
     import os
     import tempfile
 
+    root = os.path.realpath(sf_dir)
+    fp = []
+    # the index is a pure function of the EMBEDDINGS table only — other
+    # tables' churn must not invalidate it
+    for dirpath, _dirs, files in sorted(os.walk(root)):
+        for f in sorted(files):
+            full = os.path.join(dirpath, f)
+            rel = os.path.relpath(full, root)
+            if rel.startswith("embeddings") and f.endswith(".parquet"):
+                st = os.stat(full)
+                fp.append(f"{rel}:{st.st_size}:{st.st_mtime_ns}")
     key = (
-        f"{os.path.realpath(sf_dir)}|ivfadc|k{_N_CENTROIDS}|m{_PQ_M}"
+        f"{root}|{'|'.join(fp)}|ivfadc|k{_N_CENTROIDS}|m{_PQ_M}"
         f"|ks{_PQ_KS}|v{_IVFADC_INDEX_VERSION}"
     )
     tag = hashlib.sha256(key.encode()).hexdigest()[:16]
@@ -2147,13 +2160,28 @@ def ensure_ivfadc_index(spark: SparkSession, sf_dir: str) -> str:
     a concurrent builder that loses the race just discards its build
     (both builds are byte-equivalent: training is deterministic int64
     arithmetic). The _INDEX_READY marker travels inside the renamed dir,
-    so a killed half-build is never mistaken for an index."""
+    so a killed half-build is never mistaken for an index; a rename
+    failure is only accepted if the marker actually exists at the final
+    path (r14 review: anything else — a foreign/stale dir squatting the
+    name — must raise, not be mistaken for a winner). Stale
+    `.build.<pid>` trees from killed runs (>1 h old) are swept here so
+    repeated interruptions cannot fill /tmp (r14 review); the age bound
+    keeps a live concurrent builder's tree safe."""
+    import glob
     import os
     import shutil
+    import time
 
     final = ivfadc_index_path(sf_dir)
-    if os.path.exists(os.path.join(final, "_INDEX_READY")):
+    marker = os.path.join(final, "_INDEX_READY")
+    if os.path.exists(marker):
         return final
+    for stale in glob.glob(f"{final}.build.*"):
+        try:
+            if time.time() - os.stat(stale).st_mtime > 3600:
+                shutil.rmtree(stale, ignore_errors=True)
+        except OSError:
+            pass
     build = f"{final}.build.{os.getpid()}"
     shutil.rmtree(build, ignore_errors=True)
     build_ivfadc_index(spark, sf_dir, build)
@@ -2162,7 +2190,9 @@ def ensure_ivfadc_index(spark: SparkSession, sf_dir: str) -> str:
     try:
         os.rename(build, final)
     except OSError:
-        shutil.rmtree(build, ignore_errors=True)  # a concurrent build won
+        shutil.rmtree(build, ignore_errors=True)
+        if not os.path.exists(marker):  # not a byte-equivalent winner
+            raise
     return final
 
 
@@ -2201,12 +2231,22 @@ def ann_ivfadc_search_indexed(
     spatial-ish partition instead of a live OData filter."""
     directory = spark.read.parquet(f"{index_path}/directory")
     cents = spark.read.parquet(f"{index_path}/cents")
+    # route ONCE: the probe list is collected (bounded queries x nprobe)
+    # and re-enters the plan as literal rows — without this the
+    # broadcast join below would re-evaluate the whole routing lineage
+    # (directory read + query scan + crossJoin) a second time (r14
+    # review catch on the warm path this feature exists to optimize)
     probes = (
         ivf_assigned(vecs.where(F.col("vec_id") < _N_QUERIES), directory)
         .where(F.col("crank") <= nprobe)
         .select(F.col("vec_id").alias("query_id"), "cent_id")
     )
-    probe_cells = sorted({int(r["cent_id"]) for r in probes.collect()})
+    probe_rows = probes.collect()
+    probes = spark.createDataFrame(
+        [(int(r["query_id"]), int(r["cent_id"])) for r in probe_rows],
+        "query_id bigint, cent_id bigint",
+    )
+    probe_cells = sorted({int(r["cent_id"]) for r in probe_rows})
     cell_codes = read_ivf_cells(spark, f"{index_path}/codes", probe_cells).select(
         F.col("vec_id").alias("cand_id"),
         "codes",

@@ -4338,3 +4338,30 @@ def test_bpe_merge_exhaustion_cross_engine(spark, tmp_path):
     enc = {r["doc_id"]: r for r in q_bpe_encode(spark, sf).collect()}
     assert (enc[0]["n_words"], enc[0]["bpe_tokens"], enc[0]["char_tokens"]) == (3, 3, 6)
     assert (enc[1]["n_words"], enc[1]["bpe_tokens"], enc[1]["char_tokens"]) == (1, 1, 2)
+
+
+def test_bpe_doc_words_bound_holds_on_graded_corpora():
+    """The bpe_tokenize oracle enumerates word positions via a
+    range(1, _BPE_DOC_WORDS+1) join while the Spark side (posexplode)
+    is unbounded — so the bound is a PRECONDITION on the graded
+    corpora, and it must fail HERE as a named pin, not in the driver
+    gate as a baffling hash mismatch, if a corpus change ever produces
+    longer documents (r14 review). 5x headroom over the current
+    generator's ~100-word cap."""
+    import os
+
+    import duckdb
+
+    from mysense_spark.operators.text import _BPE_DOC_WORDS
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        (mx,) = duckdb.sql(
+            f"SELECT max(len(string_split(text, ' '))) FROM read_parquet('{path}')"
+        ).fetchone()
+        assert mx <= _BPE_DOC_WORDS, (
+            f"{sf}: a document has {mx} words > _BPE_DOC_WORDS={_BPE_DOC_WORDS}; "
+            f"raise the oracle bound (SQL_BPE_TOKENIZE) before trusting the gate"
+        )
