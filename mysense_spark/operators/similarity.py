@@ -2098,24 +2098,23 @@ def read_ivf_cells(spark: SparkSession, path: str, cell_ids: list[int]) -> DataF
 _IVFADC_INDEX_VERSION = 1  # bump to invalidate every cached index
 
 
-def ivfadc_index_path(sf_dir: str) -> str:
+def _index_path(sf_dir: str, params: str) -> str:
     """Content-keyed index location (the csv_ingest fixture-dir idiom):
     one pinned dir per (corpus state, index shape), not a mkdtemp per
     call — a gate sweep / bench iteration reuses the build instead of
     leaking one training run per invocation. The key folds in a corpus
-    FINGERPRINT (name/size/mtime of every parquet under the corpus
-    path), not just the path (r14 review: a regenerated corpus at the
-    same path must MISS the cache and retrain, never silently serve
-    neighbors of the old data); a production deployment would refresh
-    on the upsert sink's compaction cadence instead."""
+    FINGERPRINT (name/size/mtime of the embeddings parquet — the only
+    table any index here is a function of), not just the path (r14
+    review: a regenerated corpus at the same path must MISS the cache
+    and retrain, never silently serve neighbors of the old data); a
+    production deployment would refresh on the upsert sink's
+    compaction cadence instead."""
     import hashlib
     import os
     import tempfile
 
     root = os.path.realpath(sf_dir)
     fp = []
-    # the index is a pure function of the EMBEDDINGS table only — other
-    # tables' churn must not invalidate it
     for dirpath, _dirs, files in sorted(os.walk(root)):
         for f in sorted(files):
             full = os.path.join(dirpath, f)
@@ -2123,12 +2122,15 @@ def ivfadc_index_path(sf_dir: str) -> str:
             if rel.startswith("embeddings") and f.endswith(".parquet"):
                 st = os.stat(full)
                 fp.append(f"{rel}:{st.st_size}:{st.st_mtime_ns}")
-    key = (
-        f"{root}|{'|'.join(fp)}|ivfadc|k{_N_CENTROIDS}|m{_PQ_M}"
-        f"|ks{_PQ_KS}|v{_IVFADC_INDEX_VERSION}"
+    tag = hashlib.sha256(f"{root}|{'|'.join(fp)}|{params}".encode()).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"mysense_index_{tag}")
+
+
+def ivfadc_index_path(sf_dir: str) -> str:
+    return _index_path(
+        sf_dir,
+        f"ivfadc|k{_N_CENTROIDS}|m{_PQ_M}|ks{_PQ_KS}|v{_IVFADC_INDEX_VERSION}",
     )
-    tag = hashlib.sha256(key.encode()).hexdigest()[:16]
-    return os.path.join(tempfile.gettempdir(), f"mysense_ivfadc_index_{tag}")
 
 
 def build_ivfadc_index(spark: SparkSession, sf_dir: str, path: str) -> None:
@@ -2153,26 +2155,27 @@ def build_ivfadc_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     write_ivfadc_index(vecs, f"{path}/codes", centroids=directory, parts=(cents, codes))
 
 
-def ensure_ivfadc_index(spark: SparkSession, sf_dir: str) -> str:
-    """Build the persisted index if (and only if) it does not exist yet;
-    returns its path. Concurrency-safe the same way the csv_ingest
-    fixture is: build into a pid-suffixed dir, then one atomic rename —
-    a concurrent builder that loses the race just discards its build
-    (both builds are byte-equivalent: training is deterministic int64
-    arithmetic). The _INDEX_READY marker travels inside the renamed dir,
-    so a killed half-build is never mistaken for an index; a rename
-    failure is only accepted if the marker actually exists at the final
-    path (r14 review: anything else — a foreign/stale dir squatting the
-    name — must raise, not be mistaken for a winner). Stale
-    `.build.<pid>` trees from killed runs (>1 h old) are swept here so
-    repeated interruptions cannot fill /tmp (r14 review); the age bound
-    keeps a live concurrent builder's tree safe."""
+def _ensure_index(final: str, build_fn) -> str:
+    """Build a persisted index if (and only if) it does not exist yet;
+    returns its path. ONE definition shared by the IVFADC and SRP
+    lifecycles. Concurrency-safe the same way the csv_ingest fixture
+    is: `build_fn(build_dir)` writes into a pid-suffixed dir, then one
+    atomic rename — a concurrent builder that loses the race just
+    discards its build (builds are byte-equivalent: training/hashing is
+    deterministic int64 arithmetic). The _INDEX_READY marker travels
+    inside the renamed dir, so a killed half-build is never mistaken
+    for an index; a rename failure is only accepted if the marker
+    actually exists at the final path (r14 review: anything else — a
+    foreign/stale dir squatting the name — must raise, not be mistaken
+    for a winner). Stale `.build.<pid>` trees from killed runs (>1 h
+    old) are swept here so repeated interruptions cannot fill /tmp
+    (r14 review); the age bound keeps a live concurrent builder's tree
+    safe."""
     import glob
     import os
     import shutil
     import time
 
-    final = ivfadc_index_path(sf_dir)
     marker = os.path.join(final, "_INDEX_READY")
     if os.path.exists(marker):
         return final
@@ -2184,7 +2187,7 @@ def ensure_ivfadc_index(spark: SparkSession, sf_dir: str) -> str:
             pass
     build = f"{final}.build.{os.getpid()}"
     shutil.rmtree(build, ignore_errors=True)
-    build_ivfadc_index(spark, sf_dir, build)
+    build_fn(build)
     with open(os.path.join(build, "_INDEX_READY"), "w") as f:
         f.write("ok\n")
     try:
@@ -2194,6 +2197,42 @@ def ensure_ivfadc_index(spark: SparkSession, sf_dir: str) -> str:
         if not os.path.exists(marker):  # not a byte-equivalent winner
             raise
     return final
+
+
+def ensure_ivfadc_index(spark: SparkSession, sf_dir: str) -> str:
+    return _ensure_index(
+        ivfadc_index_path(sf_dir), lambda d: build_ivfadc_index(spark, sf_dir, d)
+    )
+
+
+def ivfadc_index_append(spark: SparkSession, new_vecs: DataFrame, index_path: str) -> None:
+    """Incremental index maintenance — the daily-crawl move (r14; the
+    incremental_dedup shape applied to the ANN index): ASSIGN + ENCODE
+    only the new batch under the EXISTING persisted directory and
+    codebook, then ONE append of its cell-partitioned codes. No Lloyd,
+    no codebook refresh, no touch of the already-indexed corpus — the
+    batch-sized cost a nightly ingest actually pays. New vectors are
+    immediately searchable (pytest plants query-duplicates and finds
+    them at rank 1 post-append).
+
+    The honest trade vs the SRP layout's append story: these codes are
+    quantized under a FROZEN coarse/PQ codebook, so a drifting corpus
+    degrades recall until the compaction-cadence rebuild (delete the
+    index dir or bump the corpus fingerprint and ensure_ivfadc_index
+    retrains) — the standard faiss add-then-retrain-periodically
+    posture. SRP appends never degrade (no trained state), which is
+    why both lifecycles exist."""
+    directory = spark.read.parquet(f"{index_path}/directory")
+    cents = spark.read.parquet(f"{index_path}/cents")
+    membership = ivf_membership(new_vecs, directory).select("vec_id", "cent_id")
+    qvecs = new_vecs.select("vec_id", F.expr(_QV_EXPR).alias("qv"))
+    codes = _pq_encode(qvecs, cents, 64 // _PQ_M).select("vec_id", "codes")
+    (
+        codes.join(membership, "vec_id")
+        .write.mode("append")
+        .partitionBy("cent_id")
+        .parquet(f"{index_path}/codes")
+    )
 
 
 def ann_ivfadc_search_indexed(
@@ -2403,6 +2442,90 @@ def read_srp_buckets(
         pred = clause if pred is None else (pred | clause)
     df = spark.read.parquet(path)
     return df.where(pred) if pred is not None else df.limit(0)
+
+
+# --- persisted-index SRP search (r14) ----------------------------------------
+
+_SRP_INDEX_VERSION = 1
+
+
+def srp_index_path(sf_dir: str) -> str:
+    return _index_path(
+        sf_dir, f"srp|t{_SRP_TABLES}|b{_SRP_BITS}|v{_SRP_INDEX_VERSION}"
+    )
+
+
+def ensure_srp_index(spark: SparkSession, sf_dir: str) -> str:
+    """The SRP half of the persisted lifecycle (the training-free twin
+    of ensure_ivfadc_index): ONE signature pass over the corpus written
+    into the (tbl, bucket) hive layout. There is no codebook to
+    persist — signatures are a pure per-row function — which is exactly
+    why this index also supports APPEND maintenance
+    (write_srp_partitioned(append=True) / run_srp_index_stream) where
+    the IVF layouts must re-validate a directory."""
+
+    def build(d: str) -> None:
+        write_srp_partitioned(_vectors(spark, sf_dir), d)
+
+    return _ensure_index(srp_index_path(sf_dir), build)
+
+
+def ann_srp_search_indexed(
+    spark: SparkSession,
+    vecs: DataFrame,
+    index_path: str,
+    n_tables: int = _SRP_TABLES,
+    n_bits: int = _SRP_BITS,
+    n_probes: int = _SRP_PROBES,
+    top_k: int = 5,
+) -> DataFrame:
+    """SRP-LSH search against the on-disk (tbl, bucket) layout — the
+    deployment plan: only the QUERIES are hashed at search time (5 rows
+    through the signature kernel); their multi-probe list is collected
+    (bounded: queries x tables x (1 + n_bits x radius) pairs) and
+    becomes the static per-table partition predicate of
+    read_srp_buckets, so the corpus-side work is listing/scanning the
+    probed bucket directories only — the signature STREAM is never
+    scanned. Candidates pool distinct vec_ids (duplicate rows from
+    at-least-once appends are harmless by construction); the fenced
+    exact re-rank touches full-precision vectors for the pool only.
+    Result-identical to ann_srp_search at the same shape
+    (pytest-pinned; both are the same signature math)."""
+    qsigs = srp_signatures(
+        vecs.where(F.col("vec_id") < _N_QUERIES), n_tables, n_bits
+    ).select(F.col("vec_id").alias("query_id"), "tbl", "bucket")
+    probes = _srp_probe_variants(qsigs, n_bits, n_probes).distinct()
+    probe_rows = probes.collect()
+    pairs = sorted({(int(r["tbl"]), int(r["bucket"])) for r in probe_rows})
+    pooled = (
+        read_srp_buckets(spark, index_path, pairs)
+        .select(F.col("vec_id").alias("cand_id"))
+        .distinct()
+    )
+    return _rerank_pool(vecs, pooled, top_k=top_k)
+
+
+def q_ann_srp_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded entry: SRP-LSH through the PERSISTED bucket layout —
+    ensure the signature index exists on disk (first run per corpus
+    hashes and writes; every later run skips straight to the search),
+    then search by READING it: query-side hashing only, static
+    per-table bucket predicates (PartitionFilters — the plan-contract
+    guarantee of read_srp_buckets), fenced exact re-rank. The DuckDB
+    oracle is verbatim SQL_ANN_SRP — the layout is a pure function of
+    the corpus (md5-derived hyperplanes, integer grid signs), so the
+    oracle grades the math while the Spark plan carries the
+    read-don't-rehash shape. Pinned to the frozen graded fixture shape
+    (8T x 8b x probe-1), like q_ann_srp."""
+    vecs = _vectors(spark, sf_dir)
+    idx = ensure_srp_index(spark, sf_dir)
+    return ann_srp_search_indexed(spark, vecs, idx)
+
+
+# The persisted grading shares the ann_srp oracle VERBATIM (same
+# rationale as SQL_ANN_IVFADC_PERSISTED): the layout is a pure function
+# of the corpus, the plan shape is what changes.
+SQL_ANN_SRP_PERSISTED = SQL_ANN_SRP
 
 
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3639,6 +3762,7 @@ QUERIES: dict[str, tuple] = {
     "ann_ivfadc_persisted": (q_ann_ivfadc_persisted, SQL_ANN_IVFADC_PERSISTED),
     "ann_ivfpq_kmeans": (q_ann_ivfpq_kmeans, SQL_ANN_IVFPQ_KMEANS),
     "ann_srp": (q_ann_srp, SQL_ANN_SRP),
+    "ann_srp_persisted": (q_ann_srp_persisted, SQL_ANN_SRP_PERSISTED),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
     "cluster_stats": (q_cluster_stats, SQL_CLUSTER_STATS),
     "kmeans_train": (q_kmeans_train, SQL_KMEANS_TRAIN),

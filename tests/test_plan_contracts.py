@@ -38,6 +38,8 @@ _FENCED_CROSSJOIN = {
     "ann_ivfadc",  # r12: cell-pruned ADC + the same bounded sides
     "ann_srp",  # late r12: broadcast probe list + fenced re-rank pool
     "ann_ivfpq",  # late r12: by-residual IVFPQ, same bounded sides as ivfadc
+    "ann_ivfadc_persisted",  # r14: on-disk index read + the same fenced tail
+    "ann_srp_persisted",  # r14: on-disk bucket read + the same fenced tail
     "hard_negatives",  # r12: bounded query broadcast (knn_bruteforce shape)
     "ann_recall",
     "embedding_neardup",
@@ -527,3 +529,73 @@ def test_persisted_index_search_reads_not_retrains(spark, sf_dir, tmp_path, monk
     plan = warm_df._jdf.queryExecution().executedPlan().toString()
     filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert any("cent_id" in f for f in filters), plan[:800]
+
+
+def test_ivfadc_index_append_makes_new_vectors_searchable(spark, sf_dir, tmp_path, monkeypatch):
+    """The incremental-maintenance contract (r14): appending a new
+    batch to the persisted IVFADC index — assign + encode under the
+    EXISTING artifacts, one partitioned append — makes the new vectors
+    searchable without any retrain: planted duplicates of the query
+    vectors must come back at rank 1 with cosine 1.0, and an empty
+    append must be a no-op."""
+    from pyspark.sql import functions as F
+
+    from mysense_spark.operators import similarity as S
+
+    idx = str(tmp_path / "ivfadc_idx")
+    monkeypatch.setattr(S, "ivfadc_index_path", lambda _sf: idx)
+    S.ensure_ivfadc_index(spark, sf_dir)
+
+    vecs = S._vectors(spark, sf_dir).select("vec_id", "v", "norm")
+    planted = vecs.where(F.col("vec_id") < S._N_QUERIES).select(
+        (F.col("vec_id") + 9000).alias("vec_id"), "v", "norm"
+    )
+    S.ivfadc_index_append(spark, planted, idx)
+
+    vecs_plus = vecs.unionByName(planted)
+    out = S.ann_ivfadc_search_indexed(spark, vecs_plus, idx).collect()
+    top = {r["query_id"]: (r["cand_id"], r["cosine"]) for r in out if r["rank"] == 1}
+    for q in range(S._N_QUERIES):
+        assert top[q] == (q + 9000, 1.0), (q, top.get(q))
+
+    S.ivfadc_index_append(spark, planted.limit(0), idx)
+    assert S.ann_ivfadc_search_indexed(spark, vecs_plus, idx).collect() == out
+
+
+def test_srp_persisted_search_reads_not_rehashes(spark, sf_dir, tmp_path, monkeypatch):
+    """The SRP half of the persisted lifecycle (r14): the graded search
+    equals the inline ann_srp grading (the layout is a pure function of
+    the corpus), the warm path never rewrites the layout (the corpus
+    signature kernel is poisoned — only the 5-row QUERY side may hash),
+    and the bucket scan carries static (tbl, bucket) PartitionFilters."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from mysense_spark.operators import similarity as S
+
+    idx = str(tmp_path / "srp_idx")
+    monkeypatch.setattr(S, "srp_index_path", lambda _sf: idx)
+
+    cold = S.q_ann_srp_persisted(spark, sf_dir).collect()
+    inline = S.q_ann_srp(spark, sf_dir).collect()
+    assert cold == inline and len(cold) > 0
+
+    def _boom(*_a, **_k):
+        raise AssertionError("corpus re-indexed on the warm search path")
+
+    monkeypatch.setattr(S, "write_srp_partitioned", _boom)
+    orig_sigs = S.srp_signatures
+
+    def _query_side_only(vecs, *a, **k):
+        n = vecs.limit(S._N_QUERIES + 1).count()
+        assert n <= S._N_QUERIES, "corpus-side signature pass on warm path"
+        return orig_sigs(vecs, *a, **k)
+
+    monkeypatch.setattr(S, "srp_signatures", _query_side_only)
+    warm_df = S.q_ann_srp_persisted(spark, sf_dir)
+    assert warm_df.collect() == cold
+
+    plan = warm_df._jdf.queryExecution().executedPlan().toString()
+    filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("tbl" in f and "bucket" in f for f in filters), plan[:800]
