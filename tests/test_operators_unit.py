@@ -4365,3 +4365,43 @@ def test_bpe_doc_words_bound_holds_on_graded_corpora():
             f"{sf}: a document has {mx} words > _BPE_DOC_WORDS={_BPE_DOC_WORDS}; "
             f"raise the oracle bound (SQL_BPE_TOKENIZE) before trusting the gate"
         )
+
+
+def test_bpe_tokenize_consistent_with_encode_and_packing(spark, sf_dir):
+    """Cross-operator consistency of the r14 tokenizer surfaces, on one
+    training: (a) bpe_tokenize's n_tokens equals bpe_encode's
+    bpe_tokens per doc; (b) the emitted token STRING really contains
+    n_tokens tokens; (c) bpe_pack's placement partitions each shard's
+    token stream exactly — within a shard, every tok_start equals the
+    previous doc's tok_end (no gaps, no overlaps) and chunk spans match
+    the integer boundary math."""
+    from mysense_spark.io import load
+    from mysense_spark.operators.sampling import _PACK_BUDGET, q_bpe_pack
+    from mysense_spark.operators.text import bpe_encode, bpe_tokenize
+
+    doc = load(spark, sf_dir, "documents")
+    enc = {r["doc_id"]: r["bpe_tokens"] for r in bpe_encode(doc).collect()}
+    toks = bpe_tokenize(doc).collect()
+    assert {r["doc_id"] for r in toks} == set(enc)
+    for r in toks:
+        assert r["n_tokens"] == enc[r["doc_id"]]
+        assert len(r["tokens"].split(" ")) == r["n_tokens"]
+        # every word ends with its boundary marker
+        assert r["tokens"].endswith("</w>")
+
+    placed = q_bpe_pack(spark, sf_dir).collect()
+    by_shard: dict[int, list] = {}
+    for r in placed:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert sum(len(v) for v in by_shard.values()) == len(placed)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["doc_id"])
+        pos = 0
+        for r in rows:
+            assert r["tok_start"] == pos, (shard, r)
+            assert r["n_tokens"] == enc[r["doc_id"]]
+            end = r["tok_start"] + r["n_tokens"]
+            assert r["chunk_start"] == r["tok_start"] // _PACK_BUDGET
+            assert r["chunk_end"] == (end - 1) // _PACK_BUDGET
+            assert r["n_chunks"] == r["chunk_end"] - r["chunk_start"] + 1
+            pos = end
