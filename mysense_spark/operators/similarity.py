@@ -2528,6 +2528,49 @@ def q_ann_srp_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ANN_SRP_PERSISTED = SQL_ANN_SRP
 
 
+def ensure_srp_index_incremental(spark: SparkSession, sf_dir: str) -> str:
+    """The INCREMENTALLY-MAINTAINED layout (r14): the same index as
+    ensure_srp_index, but built the way a nightly crawl actually builds
+    it — two disjoint epoch appends (vec_id parity split) instead of
+    one overwrite. SRP is the tier where this is free: signatures carry
+    no trained state, so the appended layout is row-identical to the
+    rebuilt one by construction, and the graded search over it hashes
+    identically to q_ann_srp — which is exactly what the grading
+    asserts. Distinct cache key from the overwrite build so the two
+    graded lifecycles can never share (and thus mask) a layout."""
+
+    def build(d: str) -> None:
+        vecs = _vectors(spark, sf_dir)
+        write_srp_partitioned(vecs.where(F.col("vec_id") % 2 == 0), d)
+        write_srp_partitioned(
+            vecs.where(F.col("vec_id") % 2 == 1), d, append=True
+        )
+
+    return _ensure_index(
+        _index_path(
+            sf_dir, f"srp-incr|t{_SRP_TABLES}|b{_SRP_BITS}|v{_SRP_INDEX_VERSION}"
+        ),
+        build,
+    )
+
+
+def q_ann_srp_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded entry: SRP-LSH search over the APPEND-MAINTAINED index —
+    the layout is built as two disjoint epoch appends (the nightly-
+    crawl shape; write_srp_partitioned append=True, the same mechanism
+    run_srp_index_stream's foreachBatch sink uses), then searched
+    exactly like q_ann_srp_persisted. The DuckDB oracle is verbatim
+    SQL_ANN_SRP: incremental maintenance must be INVISIBLE to search
+    results (signatures have no trained state), and the driver hash
+    gate is what enforces that end to end."""
+    vecs = _vectors(spark, sf_dir)
+    idx = ensure_srp_index_incremental(spark, sf_dir)
+    return ann_srp_search_indexed(spark, vecs, idx)
+
+
+SQL_ANN_SRP_INCREMENTAL = SQL_ANN_SRP
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the IVF index against exact brute force — the
     measurement every ANN deployment runs before trusting the index
@@ -3763,6 +3806,7 @@ QUERIES: dict[str, tuple] = {
     "ann_ivfpq_kmeans": (q_ann_ivfpq_kmeans, SQL_ANN_IVFPQ_KMEANS),
     "ann_srp": (q_ann_srp, SQL_ANN_SRP),
     "ann_srp_persisted": (q_ann_srp_persisted, SQL_ANN_SRP_PERSISTED),
+    "ann_srp_incremental": (q_ann_srp_incremental, SQL_ANN_SRP_INCREMENTAL),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
     "cluster_stats": (q_cluster_stats, SQL_CLUSTER_STATS),
     "kmeans_train": (q_kmeans_train, SQL_KMEANS_TRAIN),

@@ -33,7 +33,7 @@ def _modules():
 # Queries hoisted to the very front of the registry: the driver's
 # correctness gate checks exactly the FIRST 50 entries, so this list is
 # kept to exactly 50. Round-14 layout:
-# (a) 7 NEW or CHANGED queries — ann_ivfadc_persisted (NEW: the
+# (a) 8 NEW or CHANGED queries — ann_ivfadc_persisted (NEW: the
 # production train-once/search-many lifecycle the r13 verdict asked
 # for — the kmeans directory, PQ codebook, and cell-partitioned codes
 # are trained ONCE and written to disk (ensure_ivfadc_index); the
@@ -47,7 +47,11 @@ def _modules():
 # hashes only the 5-row query side and reads the probed bucket
 # directories through static PartitionFilters; oracle verbatim
 # SQL_ANN_SRP; a pytest poisons the corpus-side signature kernel and
-# the layout writer on the warm path), bpe_tokenize (NEW: the per-doc token SEQUENCES under the
+# the layout writer on the warm path), ann_srp_incremental (NEW: the
+# APPEND-MAINTAINED layout searched end to end — two disjoint epoch
+# appends build the index, the oracle is again verbatim SQL_ANN_SRP
+# because incremental maintenance must be invisible to results;
+# distinct cache key from the overwrite build), bpe_tokenize (NEW: the per-doc token SEQUENCES under the
 # trained BPE merges — posexplode word order, broadcast vocab join,
 # OOV char-baseline fallback, one sort-collect per doc; the oracle
 # string_aggs per-word token strings via the range-join position
@@ -64,9 +68,9 @@ def _modules():
 # n_bits so the derive branch is not even entered);
 # (b) the 35 rows whose last driver evidence is round 11 — rolled here
 # exactly as planned in the r13 comment;
-# (c) the 8 alphabetically-first rows whose last evidence is round 12
-# (alarm_suppression .. bm25_search; ann_srp is also an r12 row but
-# enters via (a)). The remaining 40 r12-evidence rows (c4_filter, chatty_kits,
+# (c) the 7 alphabetically-first rows whose last evidence is round 12
+# (alarm_suppression .. ann_recall; ann_srp is also an r12 row but
+# enters via (a)). The remaining 41 r12-evidence rows (bm25_search, c4_filter, chatty_kits,
 # cluster_stats, csv_ingest, customers_without_orders, dedup_exact,
 # dedup_keep_best, dew_point, dsir_resample, embedding_dim_stats,
 # embedding_neardup, event_sessions, gap_detection,
@@ -83,6 +87,7 @@ _PRIORITY = (
     # (a) new/changed in round 14
     "ann_ivfadc_persisted",
     "ann_srp_persisted",
+    "ann_srp_incremental",
     "bpe_tokenize",
     "bpe_pack",
     "sequence_packing",
@@ -132,7 +137,6 @@ _PRIORITY = (
     "ann_ivfadc",
     "ann_pq",
     "ann_recall",
-    "bm25_search",
 )
 
 

@@ -40,6 +40,7 @@ _FENCED_CROSSJOIN = {
     "ann_ivfpq",  # late r12: by-residual IVFPQ, same bounded sides as ivfadc
     "ann_ivfadc_persisted",  # r14: on-disk index read + the same fenced tail
     "ann_srp_persisted",  # r14: on-disk bucket read + the same fenced tail
+    "ann_srp_incremental",  # r14: append-maintained layout, same search plan
     "hard_negatives",  # r12: bounded query broadcast (knn_bruteforce shape)
     "ann_recall",
     "embedding_neardup",
