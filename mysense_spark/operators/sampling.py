@@ -376,6 +376,79 @@ toks AS (
 SQL_BPE_PACK = _sql_bpe_pack()
 
 
+def q_packed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CHUNK MANIFEST — the other side of the packing placement
+    (r14): one row per (shard, chunk) training sequence, with the token
+    count actually landing in the chunk, the number of documents
+    spanning it, and the first/last doc ids — exactly the work order a
+    downstream batch writer consumes to materialize packed sequences
+    (read docs first_doc..last_doc, slice at the chunk boundary).
+    Every chunk except each shard's last must hold exactly _PACK_BUDGET
+    tokens — an int64 accounting identity the oracle re-derives
+    independently, so the gate hash proves the placement and the
+    manifest agree on every boundary.
+
+    Scale shape: placements explode to one row per (doc, chunk) spanned
+    — bounded by n_docs + total_tokens/_PACK_BUDGET rows (a doc spans
+    ~n_tokens/_PACK_BUDGET chunks) — then one partial-agg shuffle keyed
+    (shard, chunk). The tokens-in-chunk arithmetic is pure column math
+    (JVM-side sequence() explode, no Python)."""
+    placed = q_sequence_packing(spark, sf_dir)
+    B = _PACK_BUDGET
+    spans = placed.select(
+        "doc_id",
+        "shard",
+        "tok_start",
+        (F.col("tok_start") + F.col("n_tokens")).alias("tok_end"),
+        F.explode(F.expr("sequence(chunk_start, chunk_end)")).alias("chunk"),
+    )
+    in_chunk = F.least(F.col("tok_end"), (F.col("chunk") + 1) * B) - F.greatest(
+        F.col("tok_start"), F.col("chunk") * B
+    )
+    return (
+        spans.select("shard", "chunk", "doc_id", in_chunk.alias("toks"))
+        .groupBy("shard", "chunk")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard", "chunk")
+    )
+
+
+SQL_PACKED_CHUNKS = f"""
+WITH toks AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % {_PACK_SHARDS} AS shard,
+         len(regexp_extract_all(text, '[a-z0-9]+')) AS n_tokens
+  FROM documents
+),
+placed AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_end
+  FROM toks WHERE n_tokens > 0
+),
+spans AS (
+  SELECT doc_id, shard, tok_end - n_tokens AS tok_start, tok_end, c.chunk
+  FROM placed,
+       LATERAL (SELECT unnest(range((tok_end - n_tokens) // {_PACK_BUDGET},
+                                    (tok_end - 1) // {_PACK_BUDGET} + 1)) AS chunk) c
+)
+SELECT shard, chunk,
+       count(*) AS n_docs,
+       CAST(sum(least(tok_end, (chunk + 1) * {_PACK_BUDGET})
+                - greatest(tok_start, chunk * {_PACK_BUDGET})) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM spans
+GROUP BY shard, chunk
+ORDER BY shard, chunk
+"""
+
+
 _STRAT_DEN = 5  # sample 1/5 of every stratum, exact ceil per stratum
 
 
@@ -717,6 +790,7 @@ ORDER BY source
 
 QUERIES: dict[str, tuple] = {
     "bpe_pack": (q_bpe_pack, SQL_BPE_PACK),
+    "packed_chunks": (q_packed_chunks, SQL_PACKED_CHUNKS),
     "chunk_overlap": (q_chunk_overlap, SQL_CHUNK_OVERLAP),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "url_filter": (q_url_filter, SQL_URL_FILTER),

@@ -33,7 +33,7 @@ def _modules():
 # Queries hoisted to the very front of the registry: the driver's
 # correctness gate checks exactly the FIRST 50 entries, so this list is
 # kept to exactly 50. Round-14 layout:
-# (a) 8 NEW or CHANGED queries — ann_ivfadc_persisted (NEW: the
+# (a) 9 NEW or CHANGED queries — ann_ivfadc_persisted (NEW: the
 # production train-once/search-many lifecycle the r13 verdict asked
 # for — the kmeans directory, PQ codebook, and cell-partitioned codes
 # are trained ONCE and written to disk (ensure_ivfadc_index); the
@@ -58,6 +58,10 @@ def _modules():
 # idiom), bpe_pack (NEW: the tokenizer -> sequence-packing composition
 # — bpe_encode's real trained token counts through the shared
 # pack_placement kernel, int64-exact placement accounting end to end),
+# packed_chunks (NEW: the chunk MANIFEST — one row per (shard, chunk)
+# training sequence with tokens-in-chunk, docs spanned, first/last doc
+# — the work order a batch writer consumes; every non-last chunk holds
+# exactly _PACK_BUDGET tokens, an identity the oracle re-derives),
 # sequence_packing (CHANGED lineage: its placement logic moved into
 # the shared pack_placement kernel bpe_pack also consumes — pure code
 # motion, hashes unmoved), sensorthings_pull (CHANGED lineage: r14
@@ -68,9 +72,9 @@ def _modules():
 # n_bits so the derive branch is not even entered);
 # (b) the 35 rows whose last driver evidence is round 11 — rolled here
 # exactly as planned in the r13 comment;
-# (c) the 7 alphabetically-first rows whose last evidence is round 12
-# (alarm_suppression .. ann_recall; ann_srp is also an r12 row but
-# enters via (a)). The remaining 41 r12-evidence rows (bm25_search, c4_filter, chatty_kits,
+# (c) the 6 alphabetically-first rows whose last evidence is round 12
+# (alarm_suppression .. ann_pq; ann_srp is also an r12 row but
+# enters via (a)). The remaining 42 r12-evidence rows (ann_recall, bm25_search, c4_filter, chatty_kits,
 # cluster_stats, csv_ingest, customers_without_orders, dedup_exact,
 # dedup_keep_best, dew_point, dsir_resample, embedding_dim_stats,
 # embedding_neardup, event_sessions, gap_detection,
@@ -90,6 +94,7 @@ _PRIORITY = (
     "ann_srp_incremental",
     "bpe_tokenize",
     "bpe_pack",
+    "packed_chunks",
     "sequence_packing",
     "sensorthings_pull",
     "ann_srp",
@@ -136,7 +141,6 @@ _PRIORITY = (
     "ann_ivf_trained",
     "ann_ivfadc",
     "ann_pq",
-    "ann_recall",
 )
 
 
