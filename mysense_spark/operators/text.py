@@ -1837,7 +1837,7 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_DOC_WORDS = 512
 
 
-def bpe_tokenize(doc: DataFrame) -> DataFrame:
+def bpe_tokenize(doc: DataFrame, ordered: bool = True) -> DataFrame:
     """Apply the learned BPE merges and emit the actual TOKEN SEQUENCE
     per document (r14, VERDICT #3: bpe_encode returns counts, but a
     training-data pipeline needs the tokens themselves to feed
@@ -1873,7 +1873,7 @@ def bpe_tokenize(doc: DataFrame) -> DataFrame:
             "n_tok"
         ),
     )
-    return (
+    out = (
         joined.groupBy("doc_id")
         .agg(
             F.sum("n_tok").alias("n_tokens"),
@@ -1885,8 +1885,10 @@ def bpe_tokenize(doc: DataFrame) -> DataFrame:
                 " ",
             ).alias("tokens"),
         )
-        .orderBy("doc_id")
     )
+    # ordered=False skips the presentation-order sort for composing
+    # operators (pack_shards) whose next shuffle would discard it
+    return out.orderBy("doc_id") if ordered else out
 
 
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:

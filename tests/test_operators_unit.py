@@ -4405,3 +4405,70 @@ def test_bpe_tokenize_consistent_with_encode_and_packing(spark, sf_dir):
             assert r["chunk_end"] == (end - 1) // _PACK_BUDGET
             assert r["n_chunks"] == r["chunk_end"] - r["chunk_start"] + 1
             pos = end
+
+
+def test_packed_shards_materializes_manifest_exactly(spark, sf_dir, tmp_path):
+    """The r15 packed-shard writer: (a) every chunk's token STRING
+    really contains n_tokens tokens; (b) every non-last chunk per
+    shard holds exactly _PACK_BUDGET tokens by content; (c) chunk
+    metadata (n_docs/first-last spans) agrees with the bpe_pack
+    placement; (d) concatenating a shard's chunks in order reproduces
+    the shard's full token stream (docs in doc_id order) — slicing
+    loses and duplicates nothing; (e) write_packed_shards round-trips
+    through the hive layout with one file per shard."""
+    import os
+
+    from mysense_spark.io import load
+    from mysense_spark.operators.sampling import (
+        _PACK_BUDGET,
+        q_bpe_pack,
+        q_packed_shards,
+        write_packed_shards,
+    )
+    from mysense_spark.operators.text import bpe_tokenize
+
+    doc = load(spark, sf_dir, "documents")
+    chunks = q_packed_shards(spark, sf_dir).collect()
+    by_shard: dict[int, list] = {}
+    for r in chunks:
+        assert len(r["tokens"].split(" ")) == r["n_tokens"], r
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["chunk"])
+        assert [r["chunk"] for r in rows] == list(range(len(rows)))
+        for r in rows[:-1]:
+            assert r["n_tokens"] == _PACK_BUDGET, (shard, r["chunk"])
+
+    # n_docs per chunk agrees with the placement's span arithmetic
+    placed = q_bpe_pack(spark, sf_dir).collect()
+    span_docs: dict[tuple, int] = {}
+    for p in placed:
+        for c in range(p["chunk_start"], p["chunk_end"] + 1):
+            span_docs[(p["shard"], c)] = span_docs.get((p["shard"], c), 0) + 1
+    assert {(r["shard"], r["chunk"]): r["n_docs"] for r in chunks} == span_docs
+
+    # shard streams reproduce the concatenated per-doc token sequences
+    toks = {r["doc_id"]: r["tokens"] for r in bpe_tokenize(doc).collect()}
+    doc_shard = {p["doc_id"]: p["shard"] for p in placed}
+    for shard, rows in by_shard.items():
+        stream = " ".join(r["tokens"] for r in rows)
+        docs = sorted(d for d, s in doc_shard.items() if s == shard)
+        assert stream == " ".join(toks[d] for d in docs), f"shard {shard} drifted"
+
+    out = str(tmp_path / "packed")
+    write_packed_shards(q_packed_shards(spark, sf_dir), out)
+    back = spark.read.parquet(out).collect()
+    assert sorted(
+        (r["shard"], r["chunk"], r["n_docs"], r["n_tokens"], r["tokens"])
+        for r in back
+    ) == sorted(
+        (r["shard"], r["chunk"], r["n_docs"], r["n_tokens"], r["tokens"])
+        for r in chunks
+    )
+    for shard in by_shard:
+        files = [
+            f
+            for f in os.listdir(os.path.join(out, f"shard={shard}"))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, (shard, files)

@@ -192,6 +192,11 @@ def test_column_pruning(spark, sf_dir):
         ("modality_mix", 2),
         ("vocab_stats", 3),
         ("cascade_rollup", 7),  # 3 levels x partial/final + presentation
+        # one tokenize pass riding the placement window: broadcast
+        # vocab join + shard window + (shard, chunk) agg + presentation
+        # sort — a 5th exchange means the tokens leg re-joined or
+        # re-tokenized the corpus (r15 audit caught exactly that)
+        ("packed_shards", 4),
     ],
 )
 def test_exchange_budget(spark, sf_dir, name, max_exchanges):
