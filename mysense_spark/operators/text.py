@@ -1779,6 +1779,85 @@ def _bpe_chain(
     return w, merges
 
 
+_BPE_SCALED_MERGES = 64  # graded rounds for the single-process trainer
+
+
+def bpe_train_driver(
+    spark: SparkSession, doc: DataFrame, n_merges: int
+) -> DataFrame:
+    """The SINGLE-PROCESS BPE trainer for real vocabulary sizes (r15,
+    VERDICT #5) — the split the measured merge-round boundary names
+    (SCALING.md: the distributed trainer's per-merge cost is a flat
+    ~0.2-0.3 s of driver-side barrier scheduling, so a 32k-merge
+    vocabulary is hours of scheduling overhead over a <= 512-row
+    table). The production decomposition, exactly how every real BPE
+    trainer works at corpus scale:
+
+      1. DISTRIBUTED word counts — _bpe_chain(n_merges=0): the only
+         stage that sees the corpus (one scan, map-side combine, the
+         capped vocabulary with initial symbol sequences);
+      2. IN-DRIVER merge loop — pure Python over the <= _BPE_VOCAB_CAP
+         collected word types, matching _bpe_chain's arithmetic
+         bit-for-bit: pairs split on the double-space gap, argmax
+         tie-broken (count DESC, lhs ASC, rhs ASC — pure-ASCII symbol
+         space, so Python/Java/DuckDB orderings coincide), merge
+         applied as the same left-to-right non-overlapping
+         str.replace both engines' replace() implements. An exhausted
+         round (no pairs left) stops the loop — the distributed
+         chain's empty-argmax no-op, expressed as termination;
+      3. DISTRIBUTED apply — the merge table drives bpe_encode /
+         bpe_tokenize unchanged (broadcast vocab join; corpus cost
+         independent of n_merges).
+
+    Training cost is O(n_merges x vocab) driver CPU with ZERO job
+    scheduling per round (measured: ~1000x faster per merge than the
+    distributed loop at 64/256 rounds — table in SCALING.md); the
+    corpus-side cost is unchanged. Parity with bpe_train is
+    pytest-pinned at 8 and 64 merges; prefix-stability (a 256-merge
+    run's first 64 merges equal the 64-merge run's) pins the scaled
+    regime. Reference semantics: Sennrich, Haddow & Birch, ACL 2016
+    §3.2, as cited in bpe_train."""
+    vocab_rows = _bpe_chain(doc, n_merges=0)[0].collect()
+    seqs: list[tuple[str, int]] = [(r["seq"], int(r["cnt"])) for r in vocab_rows]
+    merges: list[tuple[int, str, str, int, str]] = []
+    for k in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for seq, cnt in seqs:
+            toks = seq.strip().split("  ")
+            for a, b in zip(toks, toks[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + cnt
+        if not counts:
+            break
+        (lhs, rhs), pc = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((k, lhs, rhs, pc, lhs + rhs))
+        needle, repl = f" {lhs}  {rhs} ", f" {lhs}{rhs} "
+        seqs = [(seq.replace(needle, repl), cnt) for seq, cnt in seqs]
+    return spark.createDataFrame(
+        merges, schema="step int, lhs string, rhs string, pair_count long, merged string"
+    ).orderBy("step")
+
+
+def q_bpe_train_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded entry: 64 BPE merges through the single-process trainer
+    (distributed word counts -> in-driver merge loop -> the merge
+    table). The DuckDB oracle is the SAME unrolled count/argmax/replace
+    chain as bpe_train at 64 rounds (AS MATERIALIZED — each w{k} is
+    referenced twice and a 64-deep chain must not lean on the engine's
+    reuse heuristic), so the gate hashes a 64-row learned merge table
+    computed by two completely different trainer architectures.
+
+    Why 64 and not 256 (the other measured sweep point): the oracle's
+    unrolled chain costs ~1.4 s at 64 rounds but ~18 s at 256 (and the
+    256-way UNION exceeds DuckDB's expression-depth default) — a 13x
+    gate-latency tax to re-prove the same prefix-stable arithmetic the
+    64-round gate already proves; the 256-round regime is covered by
+    the prefix-stability and determinism pytest pins plus the
+    SCALING.md timing table instead."""
+    return bpe_train_driver(spark, load(spark, sf_dir, "documents"), _BPE_SCALED_MERGES)
+
+
 def bpe_encode(doc: DataFrame) -> DataFrame:
     """Apply the learned BPE merges back to the corpus — the ENCODE
     side of the tokenizer (what bpe_train's merge table exists FOR):
@@ -1900,39 +1979,47 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_tokenize(load(spark, sf_dir, "documents"))
 
 
-def _sql_bpe_ctes() -> str:
+def _sql_bpe_ctes(n_merges: int = _BPE_MERGES, materialized: bool = False) -> str:
     """The BPE training lineage as SQL CTEs — ONE definition shared by
     the bpe_train and bpe_encode oracles (mirrors _bpe_chain: word
-    counts, capped vocab, 8 unrolled count/argmax/replace rounds).
-    Emits wc, vocab, w0..w{K}, p1..p{K}, m1..m{K}."""
+    counts, capped vocab, n_merges unrolled count/argmax/replace
+    rounds). Emits wc, vocab, w0..w{K}, p1..p{K}, m1..m{K}.
+
+    `materialized=True` stamps AS MATERIALIZED on every CTE — required
+    past ~a few dozen rounds (the bpe_train_scaled oracle at 64): each
+    w{k} is referenced twice, and relying on DuckDB's own reuse
+    heuristic across a 64-deep chain is both slower and version-
+    dependent; defaults keep the long-graded 8-round oracle strings
+    byte-identical."""
+    m = "MATERIALIZED " if materialized else ""
     ctes = [
-        f"""wc AS (
+        f"""wc AS {m}(
   SELECT w AS word, count(*) AS cnt
   FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
   WHERE length(w) <= {_BPE_MAX_WORD} AND regexp_matches(w, '{_BPE_ASCII_SQL}')
   GROUP BY w
 ),
-vocab AS (SELECT word, cnt FROM wc ORDER BY cnt DESC, word LIMIT {_BPE_VOCAB_CAP}),
-w0 AS (
+vocab AS {m}(SELECT word, cnt FROM wc ORDER BY cnt DESC, word LIMIT {_BPE_VOCAB_CAP}),
+w0 AS {m}(
   SELECT word, cnt,
          regexp_replace(word, '(.)', ' \\1 ', 'g') || ' </w> ' AS seq
   FROM vocab
 )"""
     ]
-    for k in range(1, _BPE_MERGES + 1):
+    for k in range(1, n_merges + 1):
         ctes.append(
-            f"""p{k} AS (
+            f"""p{k} AS {m}(
   SELECT t[i] AS lhs, t[i+1] AS rhs, sum(cnt) AS pair_count
   FROM (SELECT cnt, string_split(trim(seq), '  ') AS t FROM w{k - 1}),
        range(1, {_BPE_MAX_WORD + 16}) r(i)
   WHERE i < len(t)
   GROUP BY 1, 2
 ),
-m{k} AS (
+m{k} AS {m}(
   SELECT {k} AS step, lhs, rhs, pair_count FROM p{k}
   ORDER BY pair_count DESC, lhs, rhs LIMIT 1
 ),
-w{k} AS (
+w{k} AS {m}(
   SELECT word, cnt,
          CASE WHEN m.lhs IS NULL THEN seq
               ELSE replace(seq, ' ' || m.lhs || '  ' || m.rhs || ' ',
@@ -1944,12 +2031,12 @@ w{k} AS (
     return ",".join(ctes)
 
 
-def _sql_bpe_train() -> str:
+def _sql_bpe_train(n_merges: int = _BPE_MERGES, materialized: bool = False) -> str:
     union = "\nUNION ALL\n".join(
-        f"SELECT * FROM m{k}" for k in range(1, _BPE_MERGES + 1)
+        f"SELECT * FROM m{k}" for k in range(1, n_merges + 1)
     )
     return f"""
-WITH {_sql_bpe_ctes()}
+WITH {_sql_bpe_ctes(n_merges, materialized)}
 SELECT step, lhs, rhs, CAST(pair_count AS BIGINT) AS pair_count,
        lhs || rhs AS merged
 FROM ({union})
@@ -1958,6 +2045,8 @@ ORDER BY step
 
 
 SQL_BPE_TRAIN = _sql_bpe_train()
+
+SQL_BPE_TRAIN_SCALED = _sql_bpe_train(_BPE_SCALED_MERGES, materialized=True)
 
 
 SQL_BPE_ENCODE = f"""
@@ -2007,6 +2096,7 @@ ORDER BY 1
 
 QUERIES: dict[str, tuple] = {
     "bpe_train": (q_bpe_train, SQL_BPE_TRAIN),
+    "bpe_train_scaled": (q_bpe_train_scaled, SQL_BPE_TRAIN_SCALED),
     "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
     "bpe_tokenize": (q_bpe_tokenize, SQL_BPE_TOKENIZE),
     "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),

@@ -4472,3 +4472,54 @@ def test_packed_shards_materializes_manifest_exactly(spark, sf_dir, tmp_path):
             if f.endswith(".parquet")
         ]
         assert len(files) == 1, (shard, files)
+
+
+def test_bpe_driver_trainer_matches_distributed(spark, sf_dir):
+    """The single-process trainer split (r15): bpe_train_driver's
+    merge table must match the distributed _bpe_chain trainer
+    BIT-FOR-BIT at 8 and 64 merges on the real corpus — the parity pin
+    that makes the distributed-counts -> driver-merge-loop ->
+    distributed-apply decomposition safe to deploy at 32k merges. Also
+    pins determinism (two runs identical) and prefix stability (a
+    longer run's first K merges equal the K-merge run — the property
+    that lets the 64-round gate stand in for the 256-round regime)."""
+    from mysense_spark.io import load
+    from mysense_spark.operators.text import bpe_train, bpe_train_driver, _bpe_chain
+
+    doc = load(spark, sf_dir, "documents")
+    dist8 = [tuple(r) for r in bpe_train(doc).collect()]
+    drv8 = [tuple(r) for r in bpe_train_driver(spark, doc, 8).collect()]
+    assert drv8 == dist8
+
+    _w, m64 = _bpe_chain(doc, n_merges=64)
+    dist64 = []
+    for step, m in enumerate(m64, start=1):
+        rows = m.collect()
+        if not rows:
+            continue
+        (r,) = rows
+        dist64.append((r["step"], r["lhs"], r["rhs"], r["pair_count"], r["lhs"] + r["rhs"]))
+    drv64 = [tuple(r) for r in bpe_train_driver(spark, doc, 64).collect()]
+    assert drv64 == dist64
+
+    assert [tuple(r) for r in bpe_train_driver(spark, doc, 64).collect()] == drv64
+    drv256 = [tuple(r) for r in bpe_train_driver(spark, doc, 256).collect()]
+    assert drv256[:64] == drv64, "merge sequence is not prefix-stable"
+
+
+def test_bpe_driver_trainer_stops_on_exhaustion(spark):
+    """A degenerate corpus (one two-char word type) runs out of
+    mergeable pairs after two merges: ' a  b  </w> ' -> ' ab  </w> '
+    -> ' ab</w> '. The driver trainer must STOP there — the
+    termination twin of the distributed chain's empty-argmax no-op
+    rounds — and emit exactly the merges that happened."""
+    from mysense_spark.operators.text import bpe_train, bpe_train_driver
+
+    doc = spark.createDataFrame(
+        [(i, "ab") for i in range(5)], "doc_id long, text string"
+    )
+    drv = [tuple(r) for r in bpe_train_driver(spark, doc, 8).collect()]
+    assert len(drv) == 2
+    assert [(r[1], r[2]) for r in drv] == [("a", "b"), ("ab", "</w>")]
+    dist = [tuple(r) for r in bpe_train(doc).collect()]
+    assert drv == dist
