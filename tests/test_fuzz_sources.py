@@ -877,3 +877,320 @@ def test_xlsx_structural_mutation_battery(spark, tmp_path):
             pass
         spark_legs += 1
     assert spark_legs == 9
+
+
+# ---------------------------------------------------------------------------
+# r15 structural mutation batteries: the LoRa port-10/12 rules engines.
+# Same depth as the r14 XLSX battery: VALID frames composed from the
+# rules tables themselves (with an independently-computed expected
+# dict), then structural mutants — truncations at every boundary,
+# unknown sensor ids, NaN sentinels, byte flips — with a tight
+# exception contract (ValueError only; struct.error must never escape
+# because _need guards every unpack) and termination guaranteed.
+# ---------------------------------------------------------------------------
+
+
+def _weer_frame(rng, ids, sentinel_frac=0.0):
+    """Compose a valid port-12 frame from WEER_DIY1_RULES and compute
+    the expected decode INDEPENDENTLY of the engine's byte walker:
+    per-field pack + (raw-off)/scale + the pinned rounding, straight
+    from the rules table."""
+    import struct
+
+    from mysense_spark.sources.lora import WEER_DIY1_RULES
+
+    payload = bytearray([rng.randrange(256)])
+    expected = {"meta": {"version": round(payload[0] / 10.0, 1)}}
+    for sid in ids:
+        sensor, fields = WEER_DIY1_RULES[sid]
+        payload.append(sid)
+        for name, fmt, nan, (off, scale), _unit in fields:
+            use_nan = nan is not None and rng.random() < sentinel_frac
+            if use_nan:
+                raw = nan
+            elif fmt == "f":
+                # canonicalize through float32: the engine sees the
+                # UNPACKED value, not the python double we chose
+                raw = struct.unpack(
+                    ">f", struct.pack(">f", round(rng.uniform(-90, 90), 2))
+                )[0]
+            else:
+                lo, hi = (0, 200) if fmt.isupper() else (-100, 100)
+                raw = rng.randrange(lo, hi)
+            payload += struct.pack(">" + fmt, raw)
+            if name is None or use_nan:
+                continue
+            val = (raw - off) / scale
+            if name in ("lon", "lat"):
+                val = round(val, 7)
+            elif name in ("wr", "luchtdruk"):
+                val = int(val)
+            elif isinstance(val, float):
+                val = round(val, 1)
+            expected.setdefault(sensor, {})[name] = val
+    return bytes(payload), expected
+
+
+def test_weerdiy_rules_mutation_battery():
+    """Port-12 rules-engine battery: ~300 valid multi-sensor frames
+    must decode to the table-derived expected dict exactly (walker
+    offsets/sizes/advancement proven against an independent packer,
+    including NaN-sentinel omission and the reference-swallowed
+    sensor-254 field); ~1500 structural mutants (every truncation
+    boundary, unknown ids, byte flips) must either decode to a dict or
+    raise ValueError — no other exception class, no hang, and a
+    decoded mutant's sensors/fields must still come from the rules
+    table."""
+    import random
+
+    from mysense_spark.sources.lora import WEER_DIY1_RULES, decode_port_12
+
+    rng = random.Random(0x10A12)
+    known = sorted(WEER_DIY1_RULES)
+    n_valid = n_mut = 0
+
+    def contract(payload):
+        nonlocal n_mut
+        n_mut += 1
+        try:
+            out = decode_port_12(bytes(payload))
+        except ValueError:
+            return
+        assert isinstance(out, dict)
+        for sensor, fields in out.items():
+            if sensor == "meta":
+                continue
+            names = {
+                f[0] for _s, fl in WEER_DIY1_RULES.items() for f in fl[1]
+            }
+            assert set(fields) <= names, (sensor, fields)
+
+    for _ in range(300):
+        ids = [rng.choice(known) for _ in range(rng.randint(1, 6))]
+        frame, expected = _weer_frame(rng, ids, sentinel_frac=0.3)
+        assert decode_port_12(frame) == expected, ids
+        n_valid += 1
+
+        # every truncation boundary of this frame
+        for cut in range(len(frame)):
+            contract(frame[:cut])
+        # unknown-id injection: decode stops cleanly at the break
+        bad = bytearray(frame)
+        pos = rng.randrange(1, len(bad))
+        bad[pos] = 250  # not a rule id (254 is; 250 is not)
+        contract(bad)
+        # byte flips
+        for _ in range(2):
+            m = bytearray(frame)
+            m[rng.randrange(len(m))] = rng.randrange(256)
+            contract(m)
+
+    # the swallowed sensor-254 field: 4 bytes consumed, nothing decoded
+    frame, expected = _weer_frame(rng, [254, 1], sentinel_frac=0.0)
+    out = decode_port_12(frame)
+    assert "time" not in out and out == expected
+    assert n_valid == 300 and n_mut > 1500
+    print(f"weerDIY1 battery: {n_valid} valid frames, {n_mut} mutants")
+
+
+def _libelium_frame(rng, ids, wasp_id=b"WASP1"):
+    """Compose a valid port-10 frame from LIBELIUM_RULES + the
+    independent expected dict (same discipline as _weer_frame)."""
+    import struct
+
+    from mysense_spark.sources.lora import LIBELIUM_RULES
+
+    frame_type, seq = rng.randrange(256), rng.randrange(256)
+    serial = rng.randrange(2**64)
+    payload = bytearray(b"<=>")
+    payload.append(frame_type)
+    payload.append(rng.randrange(256))  # size byte (unused by decoder)
+    payload += struct.pack("<Q", serial)
+    payload += wasp_id + b"#"
+    payload.append(seq)
+    expected = {
+        "meta": {
+            "frame_type": frame_type,
+            "serial": f"{serial:x}",
+            "wasp_id": wasp_id.decode("ascii", errors="replace"),
+            "seq": seq,
+        }
+    }
+    for sid in ids:
+        sensor, field, fmt, scale = LIBELIUM_RULES[sid]
+        payload.append(sid)
+        raw = (
+            struct.unpack("<f", struct.pack("<f", round(rng.uniform(0, 100), 2)))[0]
+            if fmt == "f"
+            else rng.randrange(256)
+        )
+        payload += struct.pack("<" + fmt, raw)
+        val = raw / scale
+        val = int(val) if field in ("wr", "luchtdruk") else round(float(val), 1)
+        expected.setdefault(sensor, {})[field] = val
+    return bytes(payload), expected
+
+
+def test_libelium_rules_mutation_battery():
+    """Port-10 Libelium battery, same shape: ~300 valid frames decode
+    to the table-derived expected dict exactly; ~2500 mutants (all
+    truncation boundaries — including inside the '<=>' magic, the
+    8-byte serial, and the '#'-terminated WaspID — plus missing-'#'
+    frames, unknown ids, and byte flips) obey the ValueError-only
+    contract and never hang."""
+    import random
+
+    from mysense_spark.sources.lora import LIBELIUM_RULES, decode_port_10
+
+    rng = random.Random(0x10A10)
+    known = sorted(LIBELIUM_RULES)
+    n_valid = n_mut = 0
+
+    def contract(payload):
+        nonlocal n_mut
+        n_mut += 1
+        try:
+            out = decode_port_10(bytes(payload))
+        except ValueError:
+            return
+        assert isinstance(out, dict) and "meta" in out
+
+    for _ in range(300):
+        ids = [rng.choice(known) for _ in range(rng.randint(0, 5))]
+        frame, expected = _libelium_frame(rng, ids)
+        assert decode_port_10(frame) == expected, ids
+        n_valid += 1
+        for cut in range(len(frame)):
+            contract(frame[:cut])
+        contract(frame.replace(b"#", b"@"))  # missing WaspID terminator
+        bad = bytearray(frame)
+        bad[frame.index(b"#") + 2 :] = bytes([251]) + bad[frame.index(b"#") + 3 :]
+        contract(bad)  # unknown sensor id right after the header
+        for _ in range(2):
+            m = bytearray(frame)
+            m[rng.randrange(len(m))] = rng.randrange(256)
+            contract(m)
+
+    assert n_valid == 300 and n_mut > 2500
+    print(f"Libelium battery: {n_valid} valid frames, {n_mut} mutants")
+
+
+def test_lora_port_10_12_udf_surface_never_throws(spark):
+    """The pipeline surface for the two rules engines: a batch of
+    valid + mutated port-10/12 payloads through the Arrow decode UDF
+    must produce JSON or NULL per row — the quarantine contract — and
+    valid frames must decode (non-null)."""
+    import base64
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mysense_spark.sources.lora import make_decode_udf
+
+    rng = random.Random(0xDEC0DE)
+    rows = []
+    for i in range(50):
+        f12, _ = _weer_frame(rng, [1, 2], sentinel_frac=0.2)
+        f10, _ = _libelium_frame(rng, [74, 76])
+        rows.append((i * 4, base64.b64encode(f12).decode(), 12, True))
+        rows.append((i * 4 + 1, base64.b64encode(f10).decode(), 10, True))
+        m12 = bytearray(f12)
+        m12[rng.randrange(len(m12))] = rng.randrange(256)
+        rows.append((i * 4 + 2, base64.b64encode(bytes(m12[: rng.randrange(1, len(m12))])).decode(), 12, False))
+        rows.append((i * 4 + 3, "!!!not-base64!!!", 10, False))
+    df = spark.createDataFrame(rows, "id long, payload string, port int, valid boolean")
+    udf = make_decode_udf()
+    out = df.select("id", "valid", udf("payload", "port").alias("js")).collect()
+    assert len(out) == 200
+    for r in out:
+        if r["valid"]:
+            assert r["js"] is not None and r["js"].startswith("{"), r
+
+
+def test_station_csv_structural_battery(spark, tmp_path):
+    """r15 structural battery for read_station_csv — the XLSX-battery
+    discipline (structure mutants, not just cell poisons; the r12
+    battery above covers those) applied to the CSV surface: header
+    shape (reordered/missing/duplicate/extra columns, no header at
+    all), encoding frames (UTF-8 BOM, CRLF, mixed endings, latin-1
+    bytes), RFC-4180 quoting structure (embedded commas, embedded
+    newlines, escaped quotes), numeric edges (1e309 overflow, -0.0,
+    '+1', '0x10', '1_000', surrogate-ish escapes), and resource bounds
+    (a 1 MB single field, a 10 000-column row — the unbounded-
+    allocation class the XLSX battery caught must have no CSV twin).
+    Contract per file: one scan, never throws, schema is stable, every
+    value that parses typed is a float/timestamp/string, and corrupt
+    rows keep their raw line."""
+    import time as _time
+
+    from mysense_spark.sources.stations import read_station_csv
+
+    header = "station_id,ts,pm25,pm10,no2,o3"
+    good = "S1,2024-01-01T00:00:00,1.5,2.5,,"
+    # header-SHAPE mutants must fail LOUDLY at read time (the battery's
+    # catch: explicit-schema CSV maps columns positionally, so a
+    # reordered header silently produced station_id='2024-01-01...' —
+    # the guard turns silent mis-assignment into a clear refusal);
+    # a PREFIX header (fewer trailing species) stays positionally
+    # correct and must still read
+    rejects = [
+        ("reordered_header", "ts,station_id,pm25,pm10,no2,o3\n2024-01-01T00:00:00,S1,1.5,2.5,,\n"),
+        ("dup_header", "station_id,station_id,pm25,pm10,no2,o3\nS1,S2,1.5,2.5,,\n"),
+        ("extra_cols", header + ",extra1,extra2\n" + good + ",9,9\n"),
+        ("no_header", good + "\n" + good + "\n"),
+        ("renamed_col", "station,ts,pm25,pm10,no2,o3\n" + good + "\n"),
+    ]
+    files: list[tuple[str, str, bool]] = []  # (tag, content, expect_any_typed)
+    files.append(("missing_cols", "station_id,ts\nS1,2024-01-01T00:00:00\n", True))
+    files.append(("bom", "﻿" + header + "\n" + good + "\n", True))
+    files.append(("crlf", header + "\r\n" + good + "\r\n" + good + "\r\n", True))
+    files.append(("mixed_endings", header + "\r\n" + good + "\n" + good + "\r\n", True))
+    files.append(("quoted_comma", header + '\n"S,1",2024-01-01T00:00:00,1.5,2.5,,\n', True))
+    files.append(("quoted_newline", header + '\n"S\n1",2024-01-01T00:00:00,1.5,2.5,,\n', True))
+    files.append(("escaped_quote", header + '\n"S""1",2024-01-01T00:00:00,1.5,2.5,,\n', True))
+    files.append(("overflow_double", header + "\nS1,2024-01-01T00:00:00,1e309,2.5,,\n", True))
+    files.append(("negative_zero", header + "\nS1,2024-01-01T00:00:00,-0.0,2.5,,\n", True))
+    files.append(("plus_sign", header + "\nS1,2024-01-01T00:00:00,+1,2.5,,\n", True))
+    files.append(("hexish", header + "\nS1,2024-01-01T00:00:00,0x10,2.5,,\n", True))
+    files.append(("underscore_num", header + "\nS1,2024-01-01T00:00:00,1_000,2.5,,\n", True))
+    files.append(("latin1_bytes", header + "\nS\xe9,2024-01-01T00:00:00,1.5,2.5,,\n", True))
+    files.append(("big_field", header + "\nS1,2024-01-01T00:00:00," + "9" * (1 << 20) + ",2.5,,\n", True))
+    files.append(("wide_row", header + "\n" + ",".join(["1"] * 10_000) + "\n", False))
+    files.append(("only_header", header + "\n", False))
+    files.append(("empty_file", "", False))
+
+    for tag, content in rejects:
+        p = tmp_path / f"{tag}.csv"
+        p.write_text(content, encoding="utf-8", newline="")
+        with pytest.raises(ValueError, match="positional"):
+            read_station_csv(spark, str(p))
+
+    expected_cols = ["station_id", "ts", "pm25", "pm10", "no2", "o3", "_corrupt"]
+    t0 = _time.monotonic()
+    for tag, content, expect_typed in files:
+        p = tmp_path / f"{tag}.csv"
+        p.write_text(content, encoding="utf-8", newline="")
+        df = read_station_csv(spark, str(p))
+        assert df.columns == expected_cols, tag
+        rows = df.collect()  # never throws
+        for r in rows:
+            if r["_corrupt"] is not None:
+                assert isinstance(r["_corrupt"], str) and r["_corrupt"], tag
+            for c in ("pm25", "pm10", "no2", "o3"):
+                assert r[c] is None or isinstance(r[c], float), (tag, c, r[c])
+        if expect_typed:
+            # a short-arity row parses its prefix typed AND is flagged
+            # _corrupt (missing fields) — both are correct, so the
+            # typed check is on the columns, not the corrupt flag
+            assert any(
+                r["station_id"] is not None and r["ts"] is not None for r in rows
+            ), (tag, rows[:3])
+    wall = _time.monotonic() - t0
+    # resource bound: the whole battery (incl. the 1 MB field and the
+    # 10k-column row) must stay interactive — an allocation blowup in
+    # the reader would show up here as minutes, not seconds
+    assert wall < 120, f"station CSV battery took {wall:.0f}s"
+    print(
+        f"station CSV structural battery: {len(files)} accepted-shape files"
+        f" + {len(rejects)} loud header rejects, {wall:.1f}s"
+    )

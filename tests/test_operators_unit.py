@@ -4523,3 +4523,37 @@ def test_bpe_driver_trainer_stops_on_exhaustion(spark):
     assert [(r[1], r[2]) for r in drv] == [("a", "b"), ("ab", "</w>")]
     dist = [tuple(r) for r in bpe_train(doc).collect()]
     assert drv == dist
+
+
+def test_drift_shift_is_deterministic_and_unit_norm(spark, sf_dir):
+    """The drift probe's shifted population (r15): drift_shift is pure
+    column math — two evaluations must be bit-identical (what makes
+    the IVFADC append-recall measurement reproducible), every output
+    vector must be unit-norm (norm column = 1.0, actual L2 within
+    float eps), ids must carry the offset, and the shift must actually
+    MOVE the population toward the ones-direction (mean component
+    strictly above the unshifted population's)."""
+    import math
+
+    from mysense_spark.operators.similarity import _vectors, drift_shift
+
+    base = _vectors(spark, sf_dir)
+    a = drift_shift(base, 0.4, 1000).collect()
+    b = drift_shift(base, 0.4, 1000).collect()
+    assert a == b and len(a) > 0
+
+    base_ids = {r["vec_id"] for r in base.collect()}
+    assert {r["vec_id"] - 1000 for r in a} == base_ids
+
+    u = 1.0 / math.sqrt(64)
+    mean_shifted = sum(sum(r["v"]) / len(r["v"]) for r in a) / len(a)
+    base_rows = base.collect()
+    mean_base = sum(
+        sum(x / r["norm"] for x in r["v"]) / len(r["v"]) for r in base_rows
+    ) / len(base_rows)
+    assert mean_shifted > mean_base, (mean_shifted, mean_base)
+    for r in a[:50]:
+        assert r["norm"] == 1.0
+        l2 = math.sqrt(sum(x * x for x in r["v"]))
+        assert abs(l2 - 1.0) < 1e-9, l2
+    assert u > 0  # direction constant documented above

@@ -41,6 +41,7 @@ _FENCED_CROSSJOIN = {
     "ann_ivfadc_persisted",  # r14: on-disk index read + the same fenced tail
     "ann_srp_persisted",  # r14: on-disk bucket read + the same fenced tail
     "ann_srp_incremental",  # r14: append-maintained layout, same search plan
+    "ann_srp_compacted",  # r15: compacted flattened layout, same search plan
     "hard_negatives",  # r12: bounded query broadcast (knn_bruteforce shape)
     "ann_recall",
     "embedding_neardup",
@@ -712,3 +713,67 @@ def test_ensure_index_stale_sweep_uses_tree_mtime(tmp_path):
     S._ensure_index(final, build)
     assert os.path.isdir(live), "live deep-writing build was swept"
     assert not os.path.exists(dead), "stale build survived the sweep"
+
+
+def test_srp_compacted_layout_prunes_and_matches(spark, sf_dir, tmp_path, monkeypatch):
+    """compact_srp_index (r15): (a) the compacted flattened layout has
+    exactly ONE file per tbl directory (the small-files fix is real);
+    (b) the graded search over it equals the inline ann_srp grading
+    (compaction is invisible to results); (c) pruning SURVIVES the
+    layout change — the scan carries a tbl PartitionFilter and the
+    bucket predicate is pushed to parquet (row-group stats prune on
+    the sorted bucket column replaces the directory prune); (d) a
+    multi-append hive layout compacted with flatten=False coalesces
+    each (tbl, bucket) directory to one file; (e) markers carry across
+    the swap."""
+    import os
+    import re
+
+    from pyspark.sql import functions as F
+
+    from mysense_spark.operators import similarity as S
+
+    idx = str(tmp_path / "srp_comp")
+    monkeypatch.setattr(
+        S, "_index_path", lambda _sf, params: idx if params.startswith("srp-comp") else str(tmp_path / "other")
+    )
+    out = S.q_ann_srp_compacted(spark, sf_dir)
+    rows = out.collect()
+    inline = S.q_ann_srp(spark, sf_dir).collect()
+    assert rows == inline and len(rows) > 0
+
+    tbl_dirs = [d for d in os.listdir(idx) if d.startswith("tbl=")]
+    assert len(tbl_dirs) == S._SRP_TABLES
+    for d in tbl_dirs:
+        files = [f for f in os.listdir(os.path.join(idx, d)) if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
+    assert os.path.exists(os.path.join(idx, "_INDEX_READY"))
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("tbl" in f for f in pf), plan[:800]
+    pushed = re.findall(r"DataFilters: \[([^\]]*)", plan)
+    assert any("bucket" in f for f in pushed), plan[:800]
+
+    # flatten=False: coalesce files inside the hive layout
+    hive = str(tmp_path / "srp_hive")
+    vecs = S._vectors(spark, sf_dir)
+    for i in range(3):
+        S.write_srp_partitioned(
+            vecs.where(F.col("vec_id") % 3 == i), hive, append=(i > 0)
+        )
+    multi = [
+        len([f for f in files if f.endswith(".parquet")])
+        for _root, _dirs, files in os.walk(hive)
+        if any(f.endswith(".parquet") for f in files)
+    ]
+    assert max(multi) > 1, "fixture did not produce a multi-file bucket"
+    S.compact_srp_index(spark, hive, flatten=False)
+    for root, _dirs, files in os.walk(hive):
+        pq = [f for f in files if f.endswith(".parquet")]
+        if pq:
+            assert len(pq) == 1, (root, pq)
+    # compacted hive layout still serves the same search results
+    assert (
+        S.ann_srp_search_indexed(spark, vecs, hive).collect() == inline
+    )

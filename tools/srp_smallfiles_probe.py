@@ -120,6 +120,48 @@ def main() -> None:
         results.append(row)
         print(row, flush=True)
 
+        # r15: the compaction answer — close out the appended layout
+        # (hive-coalesced, then flattened) and re-measure the same
+        # probe against each. spark/vecs may have been replaced by the
+        # listing-cache fallback above, so re-resolve locally.
+        from mysense_spark.operators.similarity import compact_srp_index
+
+        for mode, flatten in (("compact_hive", False), ("compact_flat", True)):
+            t0 = time.monotonic()
+            compact_srp_index(spark, path, flatten=flatten)
+            compact_sec = time.monotonic() - t0
+            spark.catalog.clearCache()
+            try:
+                spark._jvm.org.apache.spark.sql.execution.datasources.FileStatusCache.resetForTesting()
+            except Exception as e:
+                print(
+                    f"FileStatusCache.resetForTesting unavailable ({e.__class__.__name__});"
+                    " restarting the SparkSession for a cold listing",
+                    flush=True,
+                )
+                spark.stop()
+                spark = get_spark("srp-smallfiles-probe")
+            ctimes = []
+            cpool = None
+            for _ in range(reps):
+                t0 = time.monotonic()
+                cpool = read_srp_buckets(spark, path, probes).count()
+                ctimes.append(round(time.monotonic() - t0, 3))
+            assert cpool == pool, (mode, cpool, pool)  # compaction must be invisible
+            crow = {
+                "appends": k,
+                "mode": mode,
+                "total_files": count_files(path),
+                "compact_sec": round(compact_sec, 1),
+                "probe_rows": cpool,
+                "probe_sec_cold": ctimes[0],
+                "probe_sec_warm_median": sorted(ctimes[1:])[len(ctimes[1:]) // 2]
+                if len(ctimes) > 1
+                else ctimes[0],
+            }
+            results.append(crow)
+            print(crow, flush=True)
+
     out = {
         "sf_dir": sf_dir,
         "n_corpus": n,
