@@ -2271,9 +2271,13 @@ def _ensure_index(final: str, build_fn) -> str:
     marker = os.path.join(final, "_INDEX_READY")
     if os.path.exists(marker):
         return final
-    if os.path.isdir(final):
-        # appended-into (marker retired) or half-copied foreign dir:
-        # rebuild from scratch rather than trust or rename-collide
+    if os.path.exists(os.path.join(final, "_INDEX_APPENDED")):
+        # EXPLICITLY invalidated (ivfadc_index_append retired the
+        # marker): remove and rebuild. Only this marked state is ever
+        # deleted — a dir with neither marker still takes the
+        # build/rename/re-check path below, so a concurrent builder's
+        # just-renamed index (marker inside, atomic) can never be swept
+        # by a racer that read the path a moment earlier.
         shutil.rmtree(final, ignore_errors=True)
     for stale in glob.glob(f"{final}.build.*"):
         try:

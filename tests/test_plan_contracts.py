@@ -107,6 +107,12 @@ def test_operators_have_no_driver_actions():
                 continue  # r14 persisted-index routing: queries x nprobe
                 # rows collected so the probed cells become a STATIC
                 # partition filter (the upsert day-key fence class)
+            if py.name == "text.py" and "_bpe_chain(doc, n_merges=0)[0].collect()" in stripped:
+                prev = stripped
+                continue  # r15 single-process trainer: the <= _BPE_VOCAB_CAP
+                # word-type collect IS the architecture (distributed
+                # counts -> driver merge loop -> distributed apply);
+                # bounded by the vocab cap, never by corpus size
             if py.name == "dedup.py" and (".limit(1)" in stripped or prev == ".limit(1)"):
                 prev = stripped
                 continue  # convergence probe: is-there-any-row, 1 row max

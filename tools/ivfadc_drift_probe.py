@@ -53,13 +53,19 @@ def main() -> None:
     fracs = opt("--fracs", [0.2, 0.5, 1.0], lambda s: [float(x) for x in s.split(",")])
     alpha = opt("--alpha", 0.4, float)
     top_k = opt("--topk", 5, int)
+    n_q = opt("--queries", 25, int)  # 5-query recall@5 has 0.04 granularity
+    # — too coarse to separate drift from noise; 25 queries gives 0.008
 
     from pyspark.sql import functions as F
 
+    from mysense_spark.cache import begin_query
     from mysense_spark.operators import similarity as S
     from mysense_spark.session import get_spark
 
     spark = get_spark("ivfadc-drift-probe")
+    # widen the query population for this session: every search and
+    # re-rank fence in similarity.py keys off _N_QUERIES (vec_id < Q)
+    S._N_QUERIES = n_q
     shutil.rmtree(WORK, ignore_errors=True)
     os.makedirs(WORK)
 
@@ -76,21 +82,22 @@ def main() -> None:
             F.col("v").cast("array<float>").alias("embedding"),
         )
 
-    # base population: 5 drifted queries (ids 0..4) + the corpus (+5)
-    queries = S.drift_shift(base.where(F.col("vec_id") < 5), alpha, 0)
-    corpus = base.select((F.col("vec_id") + 5).alias("vec_id"), "v", "norm")
+    # base population: n_q drifted queries (ids 0..n_q-1) + corpus (+n_q)
+    queries = S.drift_shift(base.where(F.col("vec_id") < n_q), alpha, 0)
+    corpus = base.select((F.col("vec_id") + n_q).alias("vec_id"), "v", "norm")
     d_base = f"{WORK}/base"
     as_emb(queries).unionByName(as_emb(corpus)).coalesce(4).write.parquet(
         f"{d_base}/embeddings.parquet"
     )
 
     idx_appended = f"{WORK}/idx_appended"
+    begin_query("drift-base-build")  # release prior phase's tracked persists
     t0 = time.monotonic()
     S.build_ivfadc_index(spark, d_base, idx_appended)
     base_build_sec = time.monotonic() - t0
 
     def exact_top(vecs):
-        pool = vecs.where(F.col("vec_id") >= 5).select(
+        pool = vecs.where(F.col("vec_id") >= n_q).select(
             F.col("vec_id").alias("cand_id")
         )
         return {
@@ -110,7 +117,7 @@ def main() -> None:
         batch = S.drift_shift(
             base.where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
             alpha,
-            n + 5,
+            n + n_q,
         )
         d_f = f"{WORK}/f{int(frac * 100)}"
         spark.read.parquet(f"{prev_dir}/embeddings.parquet").unionByName(
@@ -118,23 +125,26 @@ def main() -> None:
         ).coalesce(4).write.parquet(f"{d_f}/embeddings.parquet")
         vecs_f = S._vectors(spark, d_f)
 
+        begin_query(f"drift-append-{frac}")
         t0 = time.monotonic()
         S.ivfadc_index_append(
-            spark, vecs_f.where(F.col("vec_id") >= n + 5 + lo), idx_appended
+            spark, vecs_f.where(F.col("vec_id") >= n + n_q + lo), idx_appended
         )
         append_sec = time.monotonic() - t0
 
         idx_rebuilt = f"{WORK}/idx_f{int(frac * 100)}"
+        begin_query(f"drift-rebuild-{frac}")
         t0 = time.monotonic()
         S.build_ivfadc_index(spark, d_f, idx_rebuilt)
         rebuild_sec = time.monotonic() - t0
 
+        begin_query(f"drift-score-{frac}")
         truth = exact_top(vecs_f)
         appended = S.ann_ivfadc_search_indexed(spark, vecs_f, idx_appended).collect()
         rebuilt = S.ann_ivfadc_search_indexed(spark, vecs_f, idx_rebuilt).collect()
         row = {
             "append_frac": frac,
-            "n_total": n + 5 + hi,
+            "n_total": n + n_q + hi,
             "recall_appended": round(recall(appended, truth), 3),
             "recall_rebuilt": round(recall(rebuilt, truth), 3),
             "append_sec": round(append_sec, 1),
@@ -149,6 +159,7 @@ def main() -> None:
         "n_corpus": n,
         "alpha": alpha,
         "top_k": top_k,
+        "n_queries": n_q,
         "base_build_sec": round(base_build_sec, 1),
         "points": results,
     }

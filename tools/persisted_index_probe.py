@@ -108,6 +108,38 @@ def main() -> None:
     }
     print(results["srp"], flush=True)
 
+    # --- SRP lifecycle, COMPACTED (r15) ---------------------------------------
+    # the r14 adjudication was that the persisted SRP layout loses at
+    # 200k because of the 2 048-directory listing cost; compact the
+    # same layout flat (n_tables bucket-sorted files) and re-measure
+    # the identical search — the crossover re-measure VERDICT #4 asked
+    # for. Compaction runs on a copy so the srp row above stays the
+    # uncompacted baseline.
+    cidx = f"{sidx}.probe_compacted"
+    shutil.rmtree(cidx, ignore_errors=True)
+    shutil.copytree(sidx, cidx)
+    begin_query("probe-srp-compact")
+    t0 = time.monotonic()
+    S.compact_srp_index(spark, cidx)
+    compact_sec = round(time.monotonic() - t0, 2)
+    cwarm = []
+    for _ in range(reps):
+        begin_query("probe-srp-compacted")
+        vecs = S._vectors(spark, sf_dir)
+        w, n3 = timed(lambda: S.ann_srp_search_indexed(spark, vecs, cidx))
+        cwarm.append(w)
+    results["srp_compacted"] = {
+        "compact_sec": compact_sec,
+        "search_warm_sec": _median(cwarm),
+        "search_warm_all": cwarm,
+        "rows_match": n3 == n2,
+        "break_even_queries": round(
+            (sbuild + compact_sec) / max(_median(sinline) - _median(cwarm), 1e-9), 1
+        ),
+    }
+    print(results["srp_compacted"], flush=True)
+    shutil.rmtree(cidx, ignore_errors=True)
+
     out = {"sf_dir": sf_dir, "reps": reps, **results}
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
