@@ -499,14 +499,182 @@ def parse_mp4_header(payload: bytes) -> dict:
     }
 
 
+def _mp4_stbl_samples(b: bytes, s: int, e: int) -> list[dict]:
+    """Decode one ISO/IEC 14496-12 §8.5-8.7 sample table box body into
+    per-sample records: (sample 1-based, chunk, absolute file offset,
+    size, dts, keyframe). This is the codec-free half of 'sample
+    decode' — everything a frame-sampling / clip-slicing pipeline needs
+    to address raw sample BYTES; only the bitstream decode of those
+    bytes (H.264/AAC) stays codec-library territory."""
+    stts = stsz = stsc = offsets = stss = None
+    const_size = 0
+    for t, bs, be in _mp4_boxes(b, s, e):
+        body = b[bs:be]
+        if t == b"stts":
+            if len(body) < 8:
+                raise ValueError("truncated stts")
+            (cnt,) = struct.unpack_from(">I", body, 4)
+            if 8 + 8 * cnt > len(body):
+                raise ValueError("stts entry count overruns its box")
+            stts = [struct.unpack_from(">II", body, 8 + 8 * i) for i in range(cnt)]
+        elif t == b"stsz":
+            if len(body) < 12:
+                raise ValueError("truncated stsz")
+            const_size, cnt = struct.unpack_from(">II", body, 4)
+            if const_size == 0:
+                if 12 + 4 * cnt > len(body):
+                    raise ValueError("stsz size table overruns its box")
+                stsz = [
+                    struct.unpack_from(">I", body, 12 + 4 * i)[0] for i in range(cnt)
+                ]
+            else:
+                # forged-count bound (the XLSX-battery allocation
+                # lesson): a constant-size stsz declares count in 4
+                # bytes with nothing else bounding it
+                if cnt > max(len(b), 1 << 20):
+                    raise ValueError("stsz sample count exceeds file size")
+                stsz = [const_size] * cnt
+        elif t == b"stsc":
+            if len(body) < 8:
+                raise ValueError("truncated stsc")
+            (cnt,) = struct.unpack_from(">I", body, 4)
+            if 8 + 12 * cnt > len(body):
+                raise ValueError("stsc entry count overruns its box")
+            stsc = [struct.unpack_from(">III", body, 8 + 12 * i) for i in range(cnt)]
+        elif t in (b"stco", b"co64"):
+            if len(body) < 8:
+                raise ValueError(f"truncated {t.decode()}")
+            (cnt,) = struct.unpack_from(">I", body, 4)
+            w, fmt = (8, ">Q") if t == b"co64" else (4, ">I")
+            if 8 + w * cnt > len(body):
+                raise ValueError(f"{t.decode()} offset count overruns its box")
+            offsets = [struct.unpack_from(fmt, body, 8 + w * i)[0] for i in range(cnt)]
+        elif t == b"stss":
+            if len(body) < 8:
+                raise ValueError("truncated stss")
+            (cnt,) = struct.unpack_from(">I", body, 4)
+            if 8 + 4 * cnt > len(body):
+                raise ValueError("stss entry count overruns its box")
+            stss = {
+                struct.unpack_from(">I", body, 8 + 4 * i)[0] for i in range(cnt)
+            }
+    if stts is None or stsz is None or stsc is None or offsets is None:
+        raise ValueError("stbl missing one of stts/stsz/stsc/stco")
+    n = len(stsz)
+    if sum(c for c, _d in stts) != n:
+        raise ValueError("stts sample count disagrees with stsz")
+    # expand decode timestamps
+    dts, t = [], 0
+    for cnt, delta in stts:
+        for _ in range(cnt):
+            dts.append(t)
+            t += delta
+    # expand chunk membership: stsc runs apply from first_chunk until
+    # the next run's first_chunk; chunks index the stco table
+    n_chunks = len(offsets)
+    per_chunk: list[int] = []
+    for i, (first, spc, _desc) in enumerate(stsc):
+        if first < 1 or first > n_chunks:
+            raise ValueError("stsc first_chunk outside the chunk table")
+        last = stsc[i + 1][0] - 1 if i + 1 < len(stsc) else n_chunks
+        per_chunk.extend(spc for _ in range(first, last + 1))
+    if len(per_chunk) != n_chunks or sum(per_chunk) != n:
+        raise ValueError("stsc chunk map disagrees with stco/stsz")
+    samples, idx = [], 0
+    for chunk_no, (coff, spc) in enumerate(zip(offsets, per_chunk), start=1):
+        pos = coff
+        for _ in range(spc):
+            size = stsz[idx]
+            if pos + size > len(b):
+                raise ValueError(
+                    f"sample {idx + 1} [{pos}:{pos + size}] overruns the file"
+                )
+            samples.append(
+                {
+                    "sample": idx + 1,
+                    "chunk": chunk_no,
+                    "offset": pos,
+                    "size": size,
+                    "dts": dts[idx],
+                    "keyframe": (stss is None) or ((idx + 1) in stss),
+                }
+            )
+            pos += size
+            idx += 1
+    return samples
+
+
+def parse_mp4_samples(b: bytes) -> list[dict]:
+    """Per-track MP4 sample tables (ISO/IEC 14496-12): for every trak
+    carrying an stbl, the handler kind, media timescale, and the fully
+    resolved per-sample records (_mp4_stbl_samples). Raises ValueError
+    on structural damage — same contract as parse_mp4_header."""
+    tracks = []
+    for btype, s, e in _mp4_boxes(b, 0, len(b)):
+        if btype != b"moov":
+            continue
+        for t2, s2, e2 in _mp4_boxes(b, s, e):
+            if t2 != b"trak":
+                continue
+            kind, timescale, stbl_span = None, 0, None
+            for t3, s3, e3 in _mp4_boxes(b, s2, e2):
+                if t3 != b"mdia":
+                    continue
+                for t4, s4, e4 in _mp4_boxes(b, s3, e3):
+                    if t4 == b"hdlr" and e4 - s4 >= 12:
+                        kind = b[s4 + 8 : s4 + 12]
+                    elif t4 == b"mdhd" and e4 - s4 >= 16:
+                        version = b[s4]
+                        off = s4 + (20 if version == 1 else 12)
+                        if off + 4 <= e4:
+                            (timescale,) = struct.unpack_from(">I", b, off)
+                    elif t4 == b"minf":
+                        for t5, s5, e5 in _mp4_boxes(b, s4, e4):
+                            if t5 == b"stbl":
+                                stbl_span = (s5, e5)
+            if stbl_span is None:
+                continue
+            tracks.append(
+                {
+                    "kind": (kind or b"\x00\x00\x00\x00").decode("latin-1"),
+                    "timescale": int(timescale),
+                    "samples": _mp4_stbl_samples(b, *stbl_span),
+                }
+            )
+    if not tracks:
+        raise ValueError("MP4 has no sample tables")
+    return tracks
+
+
+def extract_mp4_samples(b: bytes, kinds: tuple[str, ...] = ("vide",)) -> list[dict]:
+    """Resolve sample tables AND slice the raw sample bytes out of the
+    file — the extraction a clip/frame pipeline runs before handing
+    bytes to a decoder. Each record carries the parse_mp4_samples
+    fields plus `data` (the mdat slice). Bitstream decode of the
+    slices stays gated in decode_mp4."""
+    out = []
+    for track in parse_mp4_samples(b):
+        if track["kind"] not in kinds:
+            continue
+        for rec in track["samples"]:
+            out.append({**rec, "data": b[rec["offset"] : rec["offset"] + rec["size"]]})
+    return out
+
+
 def decode_mp4(payload: bytes, pixels: bool = True):
-    """MP4 decode: the structural tier (duration, tracks, geometry) is
-    REAL — parse_mp4_header above; the sample tier (H.264/AAC decode)
-    genuinely needs a codec library and stays gated."""
+    """MP4 decode: the structural tier (duration, tracks, geometry —
+    parse_mp4_header) and the sample tier's ADDRESSING half (sample
+    tables + raw byte extraction — parse_mp4_samples /
+    extract_mp4_samples, r15) are REAL; only the bitstream decode of
+    the extracted samples (H.264/AAC) genuinely needs a codec library
+    and stays gated."""
     meta = parse_mp4_header(payload)
     if not pixels:
         return meta, None
-    raise NotImplementedError("MP4 sample decode needs a codec library")
+    raise NotImplementedError(
+        "MP4 sample BITSTREAM decode (H.264/AAC) needs a codec library; "
+        "sample addressing/extraction is real — see extract_mp4_samples"
+    )
 
 
 # ---------------------------------------------------------------------------

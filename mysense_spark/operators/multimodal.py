@@ -1776,6 +1776,190 @@ ORDER BY doc_id
 SQL_MEDIA_STRUCTURE = _sql_media_structure()
 
 
+def mp4_sample_tables(docs: DataFrame) -> DataFrame:
+    """MP4 sample-table decode + raw sample EXTRACTION, driver-graded
+    (r15 — the codec-free half of the 'MP4 sample decode' gate, ISO/IEC
+    14496-12 §8.5-8.7): per doc, synthesize a complete MP4 with a REAL
+    stbl — per-sample stts deltas, variable stsz sizes, a two-chunk
+    stsc/stco split, stss sync samples, and an mdat whose per-sample
+    payload is a known repeating byte — then drive
+    codecs.parse_mp4_samples + extract_mp4_samples over it. The graded
+    row per (doc, sample) carries the fully RESOLVED addressing (chunk,
+    absolute file offset, size, dts, keyframe) plus the byte-sum of the
+    sample's extracted mdat slice — so the hash gate proves the stbl
+    walk AND that the resolved offsets actually land on the right
+    bytes. The DuckDB mirror is pure md5 arithmetic, including the
+    moov-size formula behind the absolute offsets (pinned Spark-side by
+    an explicit raise if the synthesized layout drifts from it).
+
+    Synthesis rules (base = doc_id*512 + 900, v(k) = md5 of base+k):
+    n = 4 + v(0)%12 samples; chunk split k = 1 + v(1)%(n-1);
+    size_i = 8 + v(16+i)%56; delta_i = 1 + v(48+i)%9; sample i is a
+    sync sample iff i=1 or v(80+i)%4=0; mdat byte for sample i is
+    (doc_id + 7i)%256; file offset = 364 + 12n + 4s + cumulative prior
+    sizes (s = sync-sample count)."""
+    import struct as _struct
+
+    from .codecs import extract_mp4_samples, parse_mp4_samples
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def b8(t: bytes, payload: bytes) -> bytes:
+            return _struct.pack(">I", 8 + len(payload)) + t + payload
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                base = d * 512 + 900
+                n = 4 + _md5_val(base, 2) % 12
+                k = 1 + _md5_val(base + 1, 2) % (n - 1)
+                sizes = [8 + _md5_val(base + 16 + i, 2) % 56 for i in range(1, n + 1)]
+                deltas = [1 + _md5_val(base + 48 + i, 2) % 9 for i in range(1, n + 1)]
+                syncs = [
+                    i
+                    for i in range(1, n + 1)
+                    if i == 1 or _md5_val(base + 80 + i, 2) % 4 == 0
+                ]
+                mdat = b"".join(
+                    bytes([(d + 7 * i) % 256]) * sizes[i - 1] for i in range(1, n + 1)
+                )
+
+                def boxes(off1: int, off2: int) -> bytes:
+                    stts = b8(
+                        b"stts",
+                        _struct.pack(">II", 0, n)
+                        + b"".join(_struct.pack(">II", 1, dl) for dl in deltas),
+                    )
+                    stsz = b8(
+                        b"stsz",
+                        _struct.pack(">III", 0, 0, n)
+                        + b"".join(_struct.pack(">I", sz) for sz in sizes),
+                    )
+                    stsc = b8(
+                        b"stsc",
+                        _struct.pack(">II", 0, 2)
+                        + _struct.pack(">III", 1, k, 1)
+                        + _struct.pack(">III", 2, n - k, 1),
+                    )
+                    stco = b8(b"stco", _struct.pack(">IIII", 0, 2, off1, off2))
+                    stss = b8(
+                        b"stss",
+                        _struct.pack(">II", 0, len(syncs))
+                        + b"".join(_struct.pack(">I", i) for i in syncs),
+                    )
+                    stbl = b8(b"stbl", stts + stsz + stsc + stco + stss)
+                    mdhd = b8(
+                        b"mdhd", b"\x00" * 12 + _struct.pack(">I", 1000) + b"\x00" * 8
+                    )
+                    hdlr = b8(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+                    mdia = b8(b"mdia", mdhd + hdlr + b8(b"minf", stbl))
+                    tkhd = b8(b"tkhd", bytes(84))
+                    mvhd = b8(b"mvhd", b"\x00" * 12 + _struct.pack(">II", 1000, 0))
+                    return b8(b"moov", mvhd + b8(b"trak", tkhd + mdia))
+
+                ftyp = b8(b"ftyp", b"isom\x00\x00\x00\x00")
+                moov0 = boxes(0, 0)  # offsets are fixed-width: size is final
+                data_start = len(ftyp) + len(moov0) + 8
+                formula = 364 + 12 * n + 4 * len(syncs)
+                if data_start != formula:  # explicit raise, not assert:
+                    # the oracle mirrors this formula — drift must fail loudly
+                    raise ValueError(
+                        f"mp4 layout drifted from the oracle formula: "
+                        f"{data_start} != {formula} (doc {d})"
+                    )
+                off2 = data_start + sum(sizes[:k])
+                blob = ftyp + boxes(data_start, off2) + b8(b"mdat", mdat)
+
+                tracks = parse_mp4_samples(blob)
+                if len(tracks) != 1 or tracks[0]["timescale"] != 1000:
+                    raise ValueError(f"unexpected track layout for doc {d}")
+                extracted = extract_mp4_samples(blob)
+                if len(extracted) != n:
+                    raise ValueError(f"extracted {len(extracted)} of {n} (doc {d})")
+                for rec in extracted:
+                    rows.append(
+                        (
+                            d,
+                            rec["sample"],
+                            rec["chunk"],
+                            rec["offset"],
+                            rec["size"],
+                            rec["dts"],
+                            bool(rec["keyframe"]),
+                            sum(rec["data"]),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample", "chunk", "file_offset",
+                    "size", "dts", "keyframe", "byte_sum",
+                ],
+            )
+
+    schema = (
+        "doc_id long, sample long, chunk long, file_offset long, "
+        "size long, dts long, keyframe boolean, byte_sum long"
+    )
+    return (
+        _spread(docs)
+        .mapInPandas(synth, schema=schema)
+        .orderBy("doc_id", "sample")
+    )
+
+
+def q_mp4_sample_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded entry for mp4_sample_tables over the documents table."""
+    from ..io import load
+
+    return mp4_sample_tables(load(spark, sf_dir, "documents").select("doc_id"))
+
+
+def _sql_mp4_sample_tables() -> str:
+    def md5v(k: str) -> str:
+        return f"('0x' || substr(md5(CAST({k} AS VARCHAR)), 1, 2))::BIGINT"
+
+    return f"""
+WITH d AS (
+  SELECT doc_id, doc_id * 512 + 900 AS base,
+         4 + {md5v("doc_id * 512 + 900")} % 12 AS n
+  FROM documents
+),
+smp AS (
+  SELECT doc_id, base, n, i,
+         1 + {md5v("base + 1")} % (n - 1) AS k,
+         8 + {md5v("base + 16 + i")} % 56 AS size,
+         1 + {md5v("base + 48 + i")} % 9 AS delta,
+         (i = 1 OR {md5v("base + 80 + i")} % 4 = 0) AS keyframe,
+         (doc_id + 7 * i) % 256 AS bytev
+  FROM d, range(1, 16) r(i)
+  WHERE i <= n
+),
+sync AS (
+  SELECT doc_id, CAST(sum(CASE WHEN keyframe THEN 1 ELSE 0 END) AS BIGINT) AS s
+  FROM smp GROUP BY 1
+)
+SELECT m.doc_id,
+       CAST(i AS BIGINT) AS sample,
+       CAST(CASE WHEN i <= k THEN 1 ELSE 2 END AS BIGINT) AS chunk,
+       CAST(364 + 12 * n + 4 * y.s
+            + COALESCE(sum(size) OVER (PARTITION BY m.doc_id ORDER BY i
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS file_offset,
+       CAST(size AS BIGINT) AS size,
+       CAST(COALESCE(sum(delta) OVER (PARTITION BY m.doc_id ORDER BY i
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS dts,
+       keyframe,
+       CAST(size * bytev AS BIGINT) AS byte_sum
+FROM smp m JOIN sync y USING (doc_id)
+ORDER BY doc_id, sample
+"""
+
+
+SQL_MP4_SAMPLE_TABLES = _sql_mp4_sample_tables()
+
+
 def _sql_media_codec_matrix() -> str:
     from .util import sql_ieee_round
 
@@ -1961,6 +2145,7 @@ SQL_MEDIA_CODEC_MATRIX = _sql_media_codec_matrix()
 QUERIES: dict[str, tuple] = {
     "media_codec_matrix": (q_media_codec_matrix, SQL_MEDIA_CODEC_MATRIX),
     "media_structure": (q_media_structure, SQL_MEDIA_STRUCTURE),
+    "mp4_sample_tables": (q_mp4_sample_tables, SQL_MP4_SAMPLE_TABLES),
     "media_decode_stats": (q_media_decode_stats, SQL_MEDIA_DECODE_STATS),
     "blob_metadata": (q_blob_metadata, SQL_BLOB_METADATA),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),

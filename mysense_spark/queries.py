@@ -51,13 +51,18 @@ def _modules():
 # ivfadc_index_append retires the ready marker so an appended index
 # can never serve a graded run; results unmoved), bpe_tokenize
 # (CHANGED lineage: gained ordered=False for composition into
-# packed_shards; the graded default is plan-identical), and bpe_pack
-# (CHANGED lineage: pack_placement gained carry/ordered parameters for
-# packed_shards; graded defaults identical). sequence_packing and
-# packed_chunks share that same default-arg pack_placement change but
-# roll to r16 — the window is full with the mandatory 42-row rotation,
-# their defaults are code-path-identical, and the full oracle suite
-# re-verified both this round.
+# packed_shards; the graded default is plan-identical), and
+# mp4_sample_tables (NEW: ISO-BMFF sample-table decode + raw sample
+# extraction — stts/stsz/stsc/stco/stss walked to fully resolved
+# per-sample (chunk, absolute offset, size, dts, keyframe) records,
+# the extracted mdat slice's byte-sum proving offsets land on the
+# right bytes; oracle = pure md5 arithmetic incl. the moov-size
+# formula, which the Spark synth re-checks with an explicit raise).
+# bpe_pack, sequence_packing and packed_chunks share the default-arg
+# pack_placement signature change but roll to r16 — the window is
+# full with the mandatory 42-row rotation, their graded defaults are
+# code-path-identical, and the full oracle suite re-verified all
+# three this round.
 # (b) the 42 rows whose last driver evidence is round 12 — rolled here
 # exactly as planned in the r14 comment. After this window no registry
 # row's driver evidence is older than round 13.
@@ -70,7 +75,7 @@ _PRIORITY = (
     "ann_srp_persisted",
     "ann_srp_incremental",
     "bpe_tokenize",
-    "bpe_pack",
+    "mp4_sample_tables",
     # (b) last driver evidence: round 12 (the planned 42)
     "ann_recall",
     "bm25_search",

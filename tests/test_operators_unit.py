@@ -4557,3 +4557,90 @@ def test_drift_shift_is_deterministic_and_unit_norm(spark, sf_dir):
         l2 = math.sqrt(sum(x * x for x in r["v"]))
         assert abs(l2 - 1.0) < 1e-9, l2
     assert u > 0  # direction constant documented above
+
+
+def test_mp4_sample_tables_edge_shapes():
+    """parse_mp4_samples / extract_mp4_samples (r15) on the shapes the
+    graded synth does NOT exercise: run-length-compressed stts,
+    constant-size stsz, co64 64-bit chunk offsets, a missing stss (all
+    samples are sync per §8.6.2), and the damage contract — forged
+    counts, table disagreements, and offsets overrunning the file all
+    raise ValueError; a forged constant-size stsz count cannot trigger
+    an unbounded allocation."""
+    import struct
+
+    import pytest as _pytest
+
+    from mysense_spark.operators.codecs import (
+        extract_mp4_samples,
+        parse_mp4_samples,
+    )
+
+    def b8(t, payload):
+        return struct.pack(">I", 8 + len(payload)) + t + payload
+
+    def mk(stts, stsz, stsc, stco_t, offs, stss=None, mdat=b""):
+        boxes = [stts, stsz, stsc]
+        w = ">Q" if stco_t == b"co64" else ">I"
+        boxes.append(
+            b8(stco_t, struct.pack(">II", 0, len(offs))
+               + b"".join(struct.pack(w, o) for o in offs))
+        )
+        if stss is not None:
+            boxes.append(
+                b8(b"stss", struct.pack(">II", 0, len(stss))
+                   + b"".join(struct.pack(">I", i) for i in stss))
+            )
+        stbl = b8(b"stbl", b"".join(boxes))
+        mdhd = b8(b"mdhd", b"\x00" * 12 + struct.pack(">I", 90000) + b"\x00" * 8)
+        hdlr = b8(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+        mdia = b8(b"mdia", mdhd + hdlr + b8(b"minf", stbl))
+        trak = b8(b"trak", b8(b"tkhd", bytes(84)) + mdia)
+        moov = b8(b"moov", b8(b"mvhd", b"\x00" * 12 + struct.pack(">II", 1000, 0)) + trak)
+        head = b8(b"ftyp", b"isom\x00\x00\x00\x00") + moov
+        return head + b8(b"mdat", mdat), len(head) + 8
+
+    # run-length stts (one entry covers 4 samples), constant stsz,
+    # co64 offsets, no stss -> every sample a keyframe
+    stts = b8(b"stts", struct.pack(">II", 0, 1) + struct.pack(">II", 4, 100))
+    stsz = b8(b"stsz", struct.pack(">III", 0, 5, 4))
+    stsc = b8(b"stsc", struct.pack(">II", 0, 1) + struct.pack(">III", 1, 4, 1))
+    blob, data_at = mk(stts, stsz, stsc, b"co64", [0], mdat=bytes(range(20)))
+    # co64 offset must point at the real mdat body: rebuild with it
+    blob, data_at = mk(stts, stsz, stsc, b"co64", [data_at], mdat=bytes(range(20)))
+    (track,) = parse_mp4_samples(blob)
+    assert track["kind"] == "vide" and track["timescale"] == 90000
+    ss = track["samples"]
+    assert [s["dts"] for s in ss] == [0, 100, 200, 300]
+    assert [s["size"] for s in ss] == [5, 5, 5, 5]
+    assert all(s["keyframe"] for s in ss)  # no stss: all sync
+    recs = extract_mp4_samples(blob)
+    assert b"".join(r["data"] for r in recs) == bytes(range(20))
+
+    # stss marks only sample 3
+    blob3, _ = mk(stts, stsz, stsc, b"co64", [data_at], stss=[3], mdat=bytes(range(20)))
+    (t3,) = parse_mp4_samples(blob3)
+    assert [s["keyframe"] for s in t3["samples"]] == [False, False, True, False]
+
+    # damage contract: ValueError only
+    bad_counts = b8(b"stts", struct.pack(">II", 0, 1) + struct.pack(">II", 3, 100))
+    blob_bad, _ = mk(bad_counts, stsz, stsc, b"co64", [data_at], mdat=bytes(20))
+    with _pytest.raises(ValueError, match="stts"):
+        parse_mp4_samples(blob_bad)
+
+    overrun, _ = mk(stts, stsz, stsc, b"co64", [10**6], mdat=bytes(20))
+    with _pytest.raises(ValueError, match="overruns the file"):
+        parse_mp4_samples(overrun)
+
+    # forged constant-size count: 4 bytes declare 2^31 samples — must
+    # refuse, never allocate
+    forged = b8(b"stsz", struct.pack(">III", 0, 5, 1 << 31))
+    blob_f, _ = mk(stts, forged, stsc, b"co64", [data_at], mdat=bytes(20))
+    with _pytest.raises(ValueError, match="exceeds file size"):
+        parse_mp4_samples(blob_f)
+
+    # stsc run pointing past the chunk table
+    bad_stsc = b8(b"stsc", struct.pack(">II", 0, 1) + struct.pack(">III", 7, 4, 1))
+    blob_c, _ = mk(stts, stsz, bad_stsc, b"co64", [data_at], mdat=bytes(20))
+    with _pytest.raises(ValueError, match="stsc"):
+        parse_mp4_samples(blob_c)
