@@ -634,6 +634,100 @@ ORDER BY 1, 2
 SQL_PACKED_SHARDS = _sql_packed_shards()
 
 
+def q_packed_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last step of the trainer-input story (r15): map the packed
+    chunks' token STRINGS to dense integer token IDS — what a model's
+    embedding table actually indexes. The id table is derived
+    deterministically from the trained vocabulary itself (distinct
+    tokens across the packed corpus, dense-ranked in ASCII order — the
+    vocab.json analog, identical in both engines), broadcast against
+    the exploded (chunk, pos, token) stream, and re-assembled in
+    position order as the per-chunk id sequence.
+
+    Scale shape: pack_shards' single corpus scan, then ONE explode to
+    the bounded (chunk, pos) stream (≤ _PACK_BUDGET rows per chunk), a
+    broadcast join against the ≤ few-hundred-row id table (bounded by
+    the trained symbol inventory: merge products + ASCII chars +
+    '</w>'), one (shard, chunk) re-agg. The global row_number over the
+    id table is a single-partition sort of a bounded dimension — the
+    same fence class as the 1-row totals dimensions."""
+    from pyspark.sql import Window
+
+    chunks = pack_shards(load(spark, sf_dir, "documents"))
+    tok = chunks.select(
+        "shard",
+        "chunk",
+        F.posexplode(F.split("tokens", " ")).alias("pos", "token"),
+    )
+    ids = (
+        tok.select("token")
+        .distinct()
+        .select(
+            F.row_number().over(Window.orderBy("token")).alias("token_id"), "token"
+        )
+    )
+    return (
+        tok.join(F.broadcast(ids), "token")
+        .groupBy("shard", "chunk")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("token_id").alias("n_distinct_ids"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "pos",
+                                F.col("token_id").cast("string").alias("tid"),
+                            )
+                        )
+                    ),
+                    lambda s: s["tid"],
+                ),
+                " ",
+            ).alias("token_ids"),
+        )
+        .orderBy("shard", "chunk")
+    )
+
+
+def _sql_packed_ids() -> str:
+    body = _sql_packed_shards()
+    # reuse the packed-shards derivation verbatim as a CTE, then remap
+    # its token strings through the dense ASCII-ranked id table — ONE
+    # definition of the chunk lineage, exactly the pack_placement /
+    # _SQL_PACK_PLACEMENT sharing discipline
+    assert body.lstrip().startswith("WITH ")
+    inner = body.lstrip()[len("WITH ") :]
+    head, select = inner.rsplit("\nSELECT shard, chunk,", 1)
+    return f"""
+WITH {head},
+chunks AS (
+  SELECT shard, chunk,{select.replace("ORDER BY 1, 2", "")}
+),
+ctok AS (
+  SELECT shard, chunk, i AS pos, t[i] AS token
+  FROM (SELECT shard, chunk, string_split(tokens, ' ') AS t FROM chunks),
+       range(1, {_PACK_BUDGET + 1}) r(i)
+  WHERE i <= len(t)
+),
+ids AS (
+  SELECT token, row_number() OVER (ORDER BY token) AS token_id
+  FROM (SELECT DISTINCT token FROM ctok)
+)
+SELECT c.shard, c.chunk,
+       count(*) AS n_tokens,
+       count(DISTINCT i.token_id) AS n_distinct_ids,
+       string_agg(CAST(i.token_id AS VARCHAR), ' ' ORDER BY c.pos) AS token_ids
+FROM ctok c JOIN ids i ON c.token = i.token
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+SQL_PACKED_IDS = _sql_packed_ids()
+
+
 _STRAT_DEN = 5  # sample 1/5 of every stratum, exact ceil per stratum
 
 
@@ -977,6 +1071,7 @@ QUERIES: dict[str, tuple] = {
     "bpe_pack": (q_bpe_pack, SQL_BPE_PACK),
     "packed_chunks": (q_packed_chunks, SQL_PACKED_CHUNKS),
     "packed_shards": (q_packed_shards, SQL_PACKED_SHARDS),
+    "packed_ids": (q_packed_ids, SQL_PACKED_IDS),
     "chunk_overlap": (q_chunk_overlap, SQL_CHUNK_OVERLAP),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "url_filter": (q_url_filter, SQL_URL_FILTER),

@@ -49,23 +49,44 @@ def _modules():
 # — the content-keyed index cache moved under a per-user 0700 root,
 # the stale-build sweep now keys on tree mtime, and
 # ivfadc_index_append retires the ready marker so an appended index
-# can never serve a graded run; results unmoved), bpe_tokenize
-# (CHANGED lineage: gained ordered=False for composition into
-# packed_shards; the graded default is plan-identical), and
+# can never serve a graded run; results unmoved),
 # mp4_sample_tables (NEW: ISO-BMFF sample-table decode + raw sample
 # extraction — stts/stsz/stsc/stco/stss walked to fully resolved
 # per-sample (chunk, absolute offset, size, dts, keyframe) records,
 # the extracted mdat slice's byte-sum proving offsets land on the
 # right bytes; oracle = pure md5 arithmetic incl. the moov-size
-# formula, which the Spark synth re-checks with an explicit raise).
-# bpe_pack, sequence_packing and packed_chunks share the default-arg
-# pack_placement signature change but roll to r16 — the window is
-# full with the mandatory 42-row rotation, their graded defaults are
-# code-path-identical, and the full oracle suite re-verified all
-# three this round.
+# formula, which the Spark synth re-checks with an explicit raise),
+# and packed_ids (NEW: the packed chunks' token strings mapped to
+# dense integer token ids — the vocab.json analog, ASCII-dense-ranked
+# over the trained symbol inventory, re-assembled per chunk in
+# position order; the oracle reuses the packed_shards derivation
+# verbatim as a CTE then remaps it — one definition of the chunk
+# lineage). bpe_tokenize, bpe_pack, sequence_packing and
+# packed_chunks share plan-identical default-arg changes
+# (ordered/carry parameters added for packed_shards) and roll to r16
+# — the window is full with the mandatory 42-row rotation and the
+# full oracle suite re-verified all four this round.
 # (b) the 42 rows whose last driver evidence is round 12 — rolled here
 # exactly as planned in the r14 comment. After this window no registry
 # row's driver evidence is older than round 13.
+#
+# ROUND-16 PLAN: the remaining rows with round-13 evidence are the 48
+# oldest (ann_ivfadc_kmeans, ann_ivfpq, ann_ivfpq_kmeans,
+# approx_distinct_users, aqhi_index, aqi_index, asof_align,
+# blob_metadata, bpe_encode, bpe_train, caqi_index, cascade_rollup,
+# chunk_overlap, corpus_build, coverage, crawl_rate_anomalies,
+# gopher_filter, hourly_stats, hybrid_search_rrf, incremental_dedup,
+# kit_throttle, kmeans_train, knn_bruteforce, maintenance_window_join,
+# minhash_lsh_pairs, minmax_normalize, modality_mix, mode_per_user,
+# multilinear_regression, neardup_clusters, neighbour_search,
+# ngram_jaccard_pairs, order_priority_counts, perplexity_bucket,
+# range_validate, region_revenue, repetition_stats, semdedup_trained,
+# sigma_band, source_overlap, stratified_sample, tfidf_top_terms,
+# token_count, tristate_validity, url_filter, vocab_stats,
+# weighted_sample, zscore_outliers). 48 + r16 changes exceeds 50, so
+# roll the alphabetically-first 50-minus-changes of them in r16 and
+# the remainder (plus bpe_tokenize / bpe_pack / sequence_packing /
+# packed_chunks, r14 evidence) in r17.
 _PRIORITY = (
     # (a) new/changed in round 15
     "packed_shards",
@@ -74,8 +95,8 @@ _PRIORITY = (
     "ann_ivfadc_persisted",
     "ann_srp_persisted",
     "ann_srp_incremental",
-    "bpe_tokenize",
     "mp4_sample_tables",
+    "packed_ids",
     # (b) last driver evidence: round 12 (the planned 42)
     "ann_recall",
     "bm25_search",

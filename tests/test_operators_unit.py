@@ -4644,3 +4644,29 @@ def test_mp4_sample_tables_edge_shapes():
     blob_c, _ = mk(stts, stsz, bad_stsc, b"co64", [data_at], mdat=bytes(20))
     with _pytest.raises(ValueError, match="stsc"):
         parse_mp4_samples(blob_c)
+
+
+def test_packed_ids_roundtrip_and_density(spark, sf_dir):
+    """packed_ids (r15): the id table is a dense 1..V ASCII-ranked
+    bijection; every chunk's id sequence decodes back to exactly the
+    packed_shards token sequence; n_tokens agrees per chunk."""
+    from mysense_spark.operators.sampling import q_packed_ids, q_packed_shards
+
+    chunks = {(r["shard"], r["chunk"]): r for r in q_packed_shards(spark, sf_dir).collect()}
+    idrows = q_packed_ids(spark, sf_dir).collect()
+    assert {(r["shard"], r["chunk"]) for r in idrows} == set(chunks)
+
+    # reconstruct the bijection from the two aligned sequences
+    tok2id: dict[str, int] = {}
+    for r in idrows:
+        toks = chunks[(r["shard"], r["chunk"])]["tokens"].split(" ")
+        ids = [int(x) for x in r["token_ids"].split(" ")]
+        assert len(ids) == r["n_tokens"] == len(toks)
+        assert len(set(ids)) == r["n_distinct_ids"]
+        for t, i in zip(toks, ids):
+            assert tok2id.setdefault(t, i) == i, (t, i, tok2id[t])
+    vals = sorted(tok2id.values())
+    assert vals == list(range(1, len(vals) + 1)), "ids not dense 1..V"
+    assert [t for t, _ in sorted(tok2id.items(), key=lambda kv: kv[1])] == sorted(
+        tok2id
+    ), "ids not ASCII-ranked"
