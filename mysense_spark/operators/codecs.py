@@ -661,6 +661,135 @@ def extract_mp4_samples(b: bytes, kinds: tuple[str, ...] = ("vide",)) -> list[di
     return out
 
 
+# ---------------------------------------------------------------------------
+# MP3 (MPEG-1/2/2.5 audio) frame-header walk (r15): the structural tier
+# of the 'MP3 needs a codec library' gate — frame sync, version/layer
+# dispatch, the published bitrate/samplerate tables, padding-aware
+# frame sizing, ID3v2/ID3v1 tag handling, per-frame sample counts.
+# Everything a corpus pipeline needs to validate, size, and slice MP3
+# audio; only the Huffman+IMDCT bitstream decode of the frames remains
+# codec-library territory (decode_mp3 gate below).
+# ---------------------------------------------------------------------------
+
+# bitrate tables in kbps, indexed 1..14 (0 = free-format, 15 = invalid
+# — both rejected); ISO/IEC 11172-3 table B.1 / 13818-3
+_MP3_KBPS = {
+    # (version V1?, layer): 14 entries
+    (True, 1): [32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    (True, 2): [32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    (True, 3): [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    (False, 1): [32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+    (False, 2): [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    (False, 3): [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+# samplerate tables by version bits (3=V1, 2=V2, 0=V2.5); index 3 invalid
+_MP3_RATES = {
+    3: (44100, 48000, 32000),
+    2: (22050, 24000, 16000),
+    0: (11025, 12000, 8000),
+}
+
+
+def parse_mp3_frames(b: bytes) -> dict:
+    """Walk an MP3 file's frame sequence: skip a leading ID3v2 tag
+    (synchsafe size), then decode every frame header — version, layer,
+    bitrate, samplerate, padding, channel mode — and advance by the
+    computed frame size; a trailing 128-byte ID3v1 'TAG' block is
+    accepted. Raises ValueError on lost sync, free-format/invalid
+    bitrate or samplerate indices, the reserved version, or a frame
+    overrunning the file. Returns frame records plus aggregates
+    (n_frames, total samples, min/max kbps, vbr flag)."""
+    id3_bytes = 0
+    pos = 0
+    if (
+        len(b) >= 10
+        and b[:3] == b"ID3"
+        and b[3] in (2, 3, 4)
+        and all(x < 0x80 for x in b[6:10])
+    ):
+        size = (b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9]
+        id3_bytes = 10 + size
+        if id3_bytes > len(b):
+            raise ValueError("ID3v2 tag overruns the file")
+        pos = id3_bytes
+    frames = []
+    while pos < len(b):
+        if len(b) - pos == 128 and b[pos : pos + 3] == b"TAG":
+            break  # trailing ID3v1
+        if pos + 4 > len(b):
+            raise ValueError(f"truncated MP3 frame header at {pos}")
+        h = b[pos : pos + 4]
+        if not (h[0] == 0xFF and (h[1] & 0xE0) == 0xE0):
+            raise ValueError(f"lost MP3 frame sync at {pos}")
+        ver_bits = (h[1] >> 3) & 3
+        layer_bits = (h[1] >> 1) & 3
+        if ver_bits == 1 or layer_bits == 0:
+            raise ValueError(f"reserved MPEG version/layer at {pos}")
+        layer = 4 - layer_bits  # bits 3/2/1 -> layer I/II/III
+        br_idx = h[2] >> 4
+        sr_idx = (h[2] >> 2) & 3
+        if br_idx == 0:
+            raise ValueError(f"free-format bitrate at {pos} (unsupported)")
+        if br_idx == 15 or sr_idx == 3:
+            raise ValueError(f"invalid bitrate/samplerate index at {pos}")
+        v1 = ver_bits == 3
+        kbps = _MP3_KBPS[(v1, layer)][br_idx - 1]
+        sr = _MP3_RATES[ver_bits][sr_idx]
+        pad = (h[2] >> 1) & 1
+        channels = 1 if ((h[3] >> 6) & 3) == 3 else 2
+        if layer == 1:
+            samples = 384
+            size = (12 * kbps * 1000 // sr + pad) * 4
+        else:
+            samples = 576 if (layer == 3 and not v1) else 1152
+            size = samples // 8 * kbps * 1000 // sr + pad
+        if pos + size > len(b):
+            raise ValueError(f"MP3 frame at {pos} overruns the file")
+        frames.append(
+            {
+                "offset": pos,
+                "size": size,
+                "kbps": kbps,
+                "sample_rate": sr,
+                "samples": samples,
+                "channels": channels,
+                "layer": layer,
+                "padded": bool(pad),
+            }
+        )
+        pos += size
+    if not frames:
+        raise ValueError("no MP3 frames")
+    rates = {f["sample_rate"] for f in frames}
+    kbps = [f["kbps"] for f in frames]
+    return {
+        "id3_bytes": id3_bytes,
+        "frames": frames,
+        "n_frames": len(frames),
+        "total_bytes": sum(f["size"] for f in frames),
+        "total_samples": sum(f["samples"] for f in frames),
+        "sample_rate": frames[0]["sample_rate"] if len(rates) == 1 else 0,
+        "min_kbps": min(kbps),
+        "max_kbps": max(kbps),
+        "vbr": len(set(kbps)) > 1,
+        "channels": frames[0]["channels"],
+    }
+
+
+def decode_mp3(payload: bytes, pcm: bool = True):
+    """MP3 decode: the structural tier (frame walk, sizing, duration —
+    parse_mp3_frames) is REAL; the PCM tier (Layer III Huffman + IMDCT
+    + polyphase synthesis) genuinely needs a codec library and stays
+    gated."""
+    meta = parse_mp3_frames(payload)
+    if not pcm:
+        return meta, None
+    raise NotImplementedError(
+        "MP3 PCM decode (Huffman+IMDCT+synthesis filterbank) needs a "
+        "codec library; frame addressing/sizing is real — parse_mp3_frames"
+    )
+
+
 def decode_mp4(payload: bytes, pixels: bool = True):
     """MP4 decode: the structural tier (duration, tracks, geometry —
     parse_mp4_header) and the sample tier's ADDRESSING half (sample

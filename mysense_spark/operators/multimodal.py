@@ -9,12 +9,16 @@ P5/P6, the full classic BMP matrix (1/4/8-bit palette incl. RLE8/RLE4,
 FULL static-PNG matrix (depths 1-16, Adam7), baseline + progressive +
 sequential-multi-scan JPEG pixels, and MP4 moov STRUCTURAL parsing —
 dispatched on magic bytes. BI_JPEG/BI_PNG BMP (r11) delegates its
-embedded stream to those same real decoders. Only genuinely
-codec-library territory remains gated behind NotImplementedError:
-arithmetic/hierarchical JPEG (lossless SOF3 decodes for real since
-r11), transform-codec WAV (MP3/AAC — every table
-codec incl. both ADPCMs and G.711 decodes for real), and MP4
-sample decode. Unknown formats fall
+embedded stream to those same real decoders. r15 adds the codec-free
+halves of the last two gates: MP4 sample ADDRESSING (stbl walk + raw
+mdat slice extraction — codecs.parse_mp4_samples) and the MP3
+structural tier (frame walk, sizing, tags — codecs.parse_mp3_frames).
+Only genuinely codec-library territory remains gated behind
+NotImplementedError: arithmetic/hierarchical JPEG (lossless SOF3
+decodes for real since r11), transform-codec PCM (MP3 Huffman+IMDCT,
+AAC — every WAV table codec incl. both ADPCMs and G.711 decodes for
+real), and H.264/AAC bitstream decode of extracted MP4 samples.
+Unknown formats fall
 through to the clearly-marked deterministic length-derived fake, which
 is also what the graded fixtures exercise (text blobs, no magic match)
 so their SQL-mirrored oracles are unaffected. The Spark-side contract
@@ -950,7 +954,7 @@ def _sniff_format(b: bytes) -> str | None:
     """Magic-byte dispatch to a concrete decoder tag — the ONE place the
     magic-number knowledge lives (sniff_modality and decode_media both
     derive from it): 'wav' | 'netpbm' | 'bmp' | 'png' | 'jpeg' | 'mp4'
-    | None."""
+    | 'mp3' | None."""
     if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return "wav"
     from .codecs import _PNG_SIG
@@ -965,6 +969,26 @@ def _sniff_format(b: bytes) -> str | None:
         return "netpbm"
     if b[:2] == b"BM":
         return "bmp"
+    # MP3 last, with STRUCTURAL validation in the magic itself: a bare
+    # 0xFFEx sync can't appear in text (no 0xFF byte in ASCII/UTF-8
+    # text), and the ID3 form additionally requires the version byte
+    # \x02-\x04, revision \x00 and synchsafe size bytes — so a document
+    # whose text happens to start with the letters "ID3" never sniffs
+    # as audio (the r12 graded fixtures rely on text bytes staying
+    # modality-less)
+    if (
+        len(b) >= 10
+        and b[:3] == b"ID3"
+        and b[3] in (2, 3, 4)
+        and b[4] == 0
+        and all(x < 0x80 for x in b[6:10])
+    ):
+        return "mp3"
+    if len(b) >= 4 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0:
+        ver, layer = (b[1] >> 3) & 3, (b[1] >> 1) & 3
+        br, sr = b[2] >> 4, (b[2] >> 2) & 3
+        if ver != 1 and layer != 0 and br not in (0, 15) and sr != 3:
+            return "mp3"
     return None
 
 
@@ -975,6 +999,7 @@ _FORMAT_MODALITY = {
     "png": "image",
     "jpeg": "image",
     "mp4": "video",
+    "mp3": "audio",
 }
 
 
@@ -1011,6 +1036,20 @@ def decode_media(payload: bytes) -> dict:
                 "width": 0,
                 "height": 0,
                 **w,
+            }
+        if kind == "mp3":
+            from .codecs import parse_mp3_frames
+
+            m = parse_mp3_frames(b)
+            dur = (
+                m["total_samples"] / m["sample_rate"] if m["sample_rate"] else 0.0
+            )
+            return {
+                "n_frames": m["n_frames"],
+                "width": 0,
+                "height": 0,
+                "sample_rate": m["sample_rate"],
+                "duration_s": dur,
             }
         if kind == "mp4":
             from .codecs import parse_mp4_header
@@ -1960,6 +1999,136 @@ ORDER BY doc_id, sample
 SQL_MP4_SAMPLE_TABLES = _sql_mp4_sample_tables()
 
 
+_MP3_V1L3_KBPS = (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+
+
+def mp3_structure(docs: DataFrame) -> DataFrame:
+    """MP3 frame-walk decode, driver-graded (r15 — the structural tier
+    of the 'MP3 needs a codec library' gate): per doc, synthesize a
+    REAL MPEG-1 Layer III stream — every other doc carries an ID3v2
+    tag with a synchsafe size, then n frames whose bitrate index and
+    padding bit are md5-derived (so frame SIZES vary per the published
+    144·kbps·1000/44100 formula and the corpus mixes CBR and VBR) —
+    and drive codecs.parse_mp3_frames over it. The graded aggregates
+    (tag bytes skipped, frame count, total frame bytes, total samples,
+    samplerate, min/max kbps, VBR flag) are hash-gated against pure
+    md5 arithmetic including the frame-size floor division, so the
+    oracle re-derives the walker's byte accounting independently.
+
+    Synthesis rules (base = doc_id*512 + 1200): ID3v2 present iff
+    doc_id is odd, tag payload = v(2)%64 bytes; n = 3 + v(0)%10
+    frames; frame i has bitrate index 1 + v(100+i)%14 (the MPEG-1
+    Layer III table) and padding bit v(140+i)%2."""
+    import struct as _struct
+
+    from .codecs import parse_mp3_frames
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                base = d * 512 + 1200
+                blob = b""
+                if d % 2 == 1:
+                    tag = _md5_val(base + 2, 2) % 64
+                    blob += b"ID3" + bytes([3, 0, 0]) + _struct.pack(
+                        ">I", tag
+                    ) + b"\x00" * tag
+                    # synchsafe: tag < 64 so the packed u32 is already
+                    # synchsafe (all four bytes < 0x80)
+                n = 3 + _md5_val(base, 2) % 10
+                for i in range(1, n + 1):
+                    idx = 1 + _md5_val(base + 100 + i, 2) % 14
+                    pad = _md5_val(base + 140 + i, 2) % 2
+                    kbps = _MP3_V1L3_KBPS[idx - 1]
+                    size = 144 * kbps * 1000 // 44100 + pad
+                    blob += bytes([0xFF, 0xFB, (idx << 4) | (pad << 1), 0x00])
+                    blob += b"\x00" * (size - 4)
+                if sniff_modality(blob) != "audio":  # explicit raise,
+                    # not assert: the dispatch contract is part of what
+                    # this query grades
+                    raise ValueError(f"mp3 blob failed the sniff (doc {d})")
+                m = parse_mp3_frames(blob)
+                if m["id3_bytes"] + m["total_bytes"] != len(blob):
+                    raise ValueError(f"mp3 walker lost bytes (doc {d})")
+                rows.append(
+                    (
+                        d,
+                        m["id3_bytes"],
+                        m["n_frames"],
+                        m["total_bytes"],
+                        m["total_samples"],
+                        m["sample_rate"],
+                        m["min_kbps"],
+                        m["max_kbps"],
+                        m["vbr"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "id3_bytes", "n_frames", "total_bytes",
+                    "total_samples", "sample_rate", "min_kbps", "max_kbps", "vbr",
+                ],
+            )
+
+    schema = (
+        "doc_id long, id3_bytes long, n_frames long, total_bytes long, "
+        "total_samples long, sample_rate long, min_kbps long, "
+        "max_kbps long, vbr boolean"
+    )
+    return _spread(docs).mapInPandas(synth, schema=schema).orderBy("doc_id")
+
+
+def q_mp3_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded entry for mp3_structure over the documents table."""
+    from ..io import load
+
+    return mp3_structure(load(spark, sf_dir, "documents").select("doc_id"))
+
+
+def _sql_mp3_structure() -> str:
+    def md5v(k: str) -> str:
+        return f"('0x' || substr(md5(CAST({k} AS VARCHAR)), 1, 2))::BIGINT"
+
+    kbps_case = " ".join(
+        f"WHEN {i + 1} THEN {k}" for i, k in enumerate(_MP3_V1L3_KBPS)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, doc_id * 512 + 1200 AS base,
+         3 + {md5v("doc_id * 512 + 1200")} % 10 AS n,
+         CASE WHEN doc_id % 2 = 1
+              THEN 10 + {md5v("doc_id * 512 + 1200 + 2")} % 64
+              ELSE 0 END AS id3_bytes
+  FROM documents
+),
+frm AS (
+  SELECT doc_id, n, id3_bytes,
+         CASE 1 + {md5v("base + 100 + i")} % 14 {kbps_case} END AS kbps,
+         {md5v("base + 140 + i")} % 2 AS pad
+  FROM d, range(1, 13) r(i)
+  WHERE i <= n
+)
+SELECT doc_id,
+       CAST(id3_bytes AS BIGINT) AS id3_bytes,
+       CAST(n AS BIGINT) AS n_frames,
+       CAST(sum(144 * kbps * 1000 // 44100 + pad) AS BIGINT) AS total_bytes,
+       CAST(n * 1152 AS BIGINT) AS total_samples,
+       CAST(44100 AS BIGINT) AS sample_rate,
+       CAST(min(kbps) AS BIGINT) AS min_kbps,
+       CAST(max(kbps) AS BIGINT) AS max_kbps,
+       min(kbps) <> max(kbps) AS vbr
+FROM frm
+GROUP BY doc_id, n, id3_bytes
+ORDER BY doc_id
+"""
+
+
+SQL_MP3_STRUCTURE = _sql_mp3_structure()
+
+
 def _sql_media_codec_matrix() -> str:
     from .util import sql_ieee_round
 
@@ -2146,6 +2315,7 @@ QUERIES: dict[str, tuple] = {
     "media_codec_matrix": (q_media_codec_matrix, SQL_MEDIA_CODEC_MATRIX),
     "media_structure": (q_media_structure, SQL_MEDIA_STRUCTURE),
     "mp4_sample_tables": (q_mp4_sample_tables, SQL_MP4_SAMPLE_TABLES),
+    "mp3_structure": (q_mp3_structure, SQL_MP3_STRUCTURE),
     "media_decode_stats": (q_media_decode_stats, SQL_MEDIA_DECODE_STATS),
     "blob_metadata": (q_blob_metadata, SQL_BLOB_METADATA),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),

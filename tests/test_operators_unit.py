@@ -4670,3 +4670,70 @@ def test_packed_ids_roundtrip_and_density(spark, sf_dir):
     assert [t for t, _ in sorted(tok2id.items(), key=lambda kv: kv[1])] == sorted(
         tok2id
     ), "ids not ASCII-ranked"
+
+
+def test_mp3_frame_walk_edge_shapes():
+    """parse_mp3_frames (r15) beyond the graded V1-Layer-III shape:
+    MPEG-2 Layer III (576 samples, the V2 bitrate table), Layer I
+    sizing (the x4 slot formula, padding included), mono mode, mixed
+    samplerates (aggregate samplerate reports 0), a trailing ID3v1
+    'TAG' block, and the damage contract — lost sync, free-format
+    bitrate, invalid indices, tag/frame overruns all raise
+    ValueError; the PCM tier stays gated."""
+    import pytest as _pytest
+
+    from mysense_spark.operators.codecs import decode_mp3, parse_mp3_frames
+
+    def frame(ver_bits, layer_bits, br_idx, sr_idx, pad, mode=0):
+        h = bytes(
+            [
+                0xFF,
+                0xE0 | (ver_bits << 3) | (layer_bits << 1) | 1,
+                (br_idx << 4) | (sr_idx << 2) | (pad << 1),
+                mode << 6,
+            ]
+        )
+        return h
+
+    def pad_to(h, size):
+        return h + b"\x00" * (size - 4)
+
+    # MPEG-2 (ver bits 2) Layer III (bits 01): 576 samples, V2 table;
+    # idx 5 -> 40 kbps at 22050 Hz: 72*40000//22050 = 130
+    f = pad_to(frame(2, 1, 5, 0, 0), 72 * 40 * 1000 // 22050)
+    m = parse_mp3_frames(f)
+    assert m["frames"][0]["samples"] == 576 and m["frames"][0]["kbps"] == 40
+    assert m["total_bytes"] == 130 and m["sample_rate"] == 22050
+
+    # MPEG-1 Layer I (bits 11): 384 samples, slot-of-4 sizing with pad
+    # idx 3 -> 96 kbps at 48000: (12*96000//48000 + 1) * 4 = 100
+    f1 = pad_to(frame(3, 3, 3, 1, 1), 100)
+    m1 = parse_mp3_frames(f1)
+    assert m1["frames"][0]["samples"] == 384 and m1["total_bytes"] == 100
+
+    # mono mode (11) + two frames at different rates -> sample_rate 0
+    a = pad_to(frame(3, 1, 9, 0, 0, mode=3), 144 * 128 * 1000 // 44100)
+    b2 = pad_to(frame(3, 1, 9, 1, 0, mode=3), 144 * 128 * 1000 // 48000)
+    mm = parse_mp3_frames(a + b2)
+    assert mm["channels"] == 1 and mm["sample_rate"] == 0 and not mm["vbr"]
+
+    # trailing ID3v1: exactly 128 bytes starting 'TAG'
+    tagged = a + b"TAG" + b"\x00" * 125
+    assert parse_mp3_frames(tagged)["n_frames"] == 1
+
+    with _pytest.raises(ValueError, match="lost MP3 frame sync"):
+        parse_mp3_frames(a + b"junk-after-frame----")
+    with _pytest.raises(ValueError, match="free-format"):
+        parse_mp3_frames(frame(3, 1, 0, 0, 0) + bytes(400))
+    with _pytest.raises(ValueError, match="invalid bitrate/samplerate"):
+        parse_mp3_frames(frame(3, 1, 15, 0, 0) + bytes(400))
+    with _pytest.raises(ValueError, match="reserved"):
+        parse_mp3_frames(frame(1, 1, 9, 0, 0) + bytes(400))
+    with _pytest.raises(ValueError, match="overruns the file"):
+        parse_mp3_frames(a[:-10])
+    with _pytest.raises(ValueError, match="ID3v2 tag overruns"):
+        parse_mp3_frames(b"ID3\x03\x00\x00\x00\x00\x01\x00short")
+    with _pytest.raises(NotImplementedError, match="codec library"):
+        decode_mp3(a)
+    meta, pcm = decode_mp3(a, pcm=False)
+    assert meta["n_frames"] == 1 and pcm is None
