@@ -2466,13 +2466,51 @@ def write_srp_partitioned(
     before the write, so each (tbl, bucket) directory gains at most
     ONE file per append instead of one per upstream task. A long-lived
     appending stream still accumulates O(batches) files per hot
-    bucket; the compaction path is periodic
+    bucket; the compaction paths are periodic
     `write_srp_partitioned(all_vecs, path)` (overwrite) from the
     corpus archive — signatures are a pure function of the vectors, so
-    a rebuild is always byte-equivalent to the appends it replaces."""
+    a rebuild is always byte-equivalent to the appends it replaces —
+    or in-place `compact_srp_index`.
+
+    Layout-aware appends (r15): once compact_srp_index(flatten=True)
+    has collapsed the layout to tbl-only partitioning, an append must
+    MATCH it — a hive (tbl, bucket) append into a flat dir would mix
+    partition depths and break the read. Appends detect the on-disk
+    layout and write flat (bucket as a sorted data column) when the
+    dir is flat; the appended files' bucket ranges are wide until the
+    next compaction re-sorts them (correct reads either way — the
+    bucket predicate is a pushed filter on flat layouts), so the
+    streaming sink keeps working across compaction cycles."""
     sigs = srp_signatures(vecs, n_tables, n_bits).repartition(n_tables, "tbl")
     mode = "append" if append else "overwrite"
-    sigs.write.mode(mode).partitionBy("tbl", "bucket").parquet(path)
+    if append and _srp_layout(path) == "flat":
+        (
+            sigs.sortWithinPartitions("bucket", "vec_id")
+            .write.mode("append")
+            .partitionBy("tbl")
+            .parquet(path)
+        )
+    else:
+        sigs.write.mode(mode).partitionBy("tbl", "bucket").parquet(path)
+
+
+def _srp_layout(path: str) -> str | None:
+    """Sniff an SRP index dir's partitioning: 'hive' ((tbl, bucket)
+    directories), 'flat' (tbl-only, bucket as a data column — the
+    compact_srp_index(flatten=True) shape), or None (no layout yet)."""
+    import os
+
+    if not os.path.isdir(path):
+        return None
+    for d in os.listdir(path):
+        if d.startswith("tbl="):
+            sub = os.path.join(path, d)
+            try:
+                entries = os.listdir(sub)
+            except OSError:
+                continue
+            return "hive" if any(x.startswith("bucket=") for x in entries) else "flat"
+    return None
 
 
 def run_srp_index_stream(

@@ -1164,3 +1164,76 @@ def test_srp_stream_index_search_equals_batch(spark, sf_dir, tmp_path):
         .collect()
     ]
     assert streamed == batch
+
+
+def test_srp_stream_survives_compaction_cycles(spark, sf_dir, tmp_path):
+    """The streaming-maintenance x compaction composition (r15): a
+    drop-dir stream builds the SRP index, compact_srp_index(flatten)
+    collapses it to tbl-only partitioning in the maintenance window,
+    and the SAME stream (same checkpoint) keeps appending afterwards —
+    the sink detects the flat layout and appends flat (a hive append
+    would mix partition depths and break the read). After the cycle:
+    (a) the layout stays flat-consistent (no bucket= dirs); (b) the
+    signature set equals the batch signatures of the union; (c) a
+    probed read still prunes on tbl and pushes the bucket predicate."""
+    import json as _json
+    import os
+    import re
+
+    from pyspark.sql import functions as F
+
+    from mysense_spark.io import load
+    from mysense_spark.operators.similarity import (
+        compact_srp_index,
+        read_srp_buckets,
+        run_srp_index_stream,
+        srp_signatures,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 20)
+    rows = [
+        {"vec_id": r["vec_id"], "embedding": [float(x) for x in r["embedding"]]}
+        for r in emb.collect()
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    idx = str(tmp_path / "srp_index")
+    ckpt = str(tmp_path / "ckpt")
+
+    (in_dir / "a.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in rows if r["vec_id"] < 10)
+    )
+    q = run_srp_index_stream(spark, str(in_dir), ckpt, idx)
+    q.awaitTermination(120)
+
+    compact_srp_index(spark, idx)  # maintenance window: flatten
+
+    (in_dir / "b.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in rows if r["vec_id"] >= 10)
+    )
+    q2 = run_srp_index_stream(spark, str(in_dir), ckpt, idx)
+    q2.awaitTermination(120)
+
+    for root, dirs, _files in os.walk(idx):
+        assert not any(d.startswith("bucket=") for d in dirs), (root, dirs)
+
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    want = {(r["vec_id"], r["tbl"], r["bucket"]) for r in srp_signatures(vecs).collect()}
+    got = {
+        (r["vec_id"], r["tbl"], r["bucket"]) for r in spark.read.parquet(idx).collect()
+    }
+    assert got == want
+
+    probes = sorted({(t, bkt) for _v, t, bkt in list(want)[:5]})
+    probed = read_srp_buckets(spark, idx, probes)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("tbl" in f for f in pf), plan[:600]
+    df_filters = re.findall(r"DataFilters: \[([^\]]*)", plan)
+    assert any("bucket" in f for f in df_filters), plan[:600]
+    want_probed = {
+        (v, t, bkt) for (v, t, bkt) in want if (t, bkt) in set(probes)
+    }
+    assert {
+        (r["vec_id"], r["tbl"], r["bucket"]) for r in probed.collect()
+    } == want_probed
