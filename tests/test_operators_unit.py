@@ -3932,6 +3932,75 @@ def test_ann_srp_auto_shape(spark, sf_dir):
     assert exp_bits == exp_both
 
 
+def test_ann_sq8_invariants(spark, sf_dir):
+    """SQ8 scalar quantization (r15): (a) codes live in [0, 255] and
+    hit both rails — the per-dimension corpus min encodes to 0 and the
+    max to 255 (a quantizer that never reaches a rail is wasting
+    levels); (b) a degenerate (constant) dimension encodes to 0 via the
+    span guard instead of dividing by zero; (c) the search result is
+    identical under any input partitioning (integer grid codes,
+    rounded-cosine re-rank); (d) with the shortlist opened to the whole
+    corpus the result EQUALS brute-force exact top-5 — the approximate
+    scan only ever prunes, the tail is genuinely exact."""
+    from pyspark.sql import functions as F
+
+    from mysense_spark.operators.similarity import (
+        _vectors,
+        ann_sq8_search,
+        q_knn_bruteforce,
+        sq8_encode,
+        sq8_params,
+    )
+
+    vecs = _vectors(spark, sf_dir)
+    params = sq8_params(vecs).orderBy("d").collect()
+    assert len(params) == 64
+    mns = F.array(*[F.lit(int(r["mn"])) for r in params])
+    spans = F.array(*[F.lit(int(r["span"])) for r in params])
+    codes = sq8_encode(vecs, mns, spans)
+    rails = codes.select(
+        F.min(F.expr("array_min(codes)")).alias("lo"),
+        F.max(F.expr("array_max(codes)")).alias("hi"),
+    ).collect()[0]
+    assert rails["lo"] == 0 and rails["hi"] == 255
+
+    # (b) constant dimension -> span 0 -> code 0, no div-by-zero
+    cdf = spark.createDataFrame(
+        [(i, [0.5] + [float(i + j) / 10.0 for j in range(63)]) for i in range(4)],
+        "vec_id long, v array<double>",
+    ).withColumn(
+        "norm",
+        F.sqrt(
+            F.aggregate(F.expr("transform(v, x -> x*x)"), F.lit(0.0), lambda a, x: a + x)
+        ),
+    )
+    cparams = sq8_params(cdf).orderBy("d").collect()
+    assert cparams[0]["span"] == 0
+    cmns = F.array(*[F.lit(int(r["mn"])) for r in cparams])
+    cspans = F.array(*[F.lit(int(r["span"])) for r in cparams])
+    first_codes = [
+        r["c0"]
+        for r in sq8_encode(cdf, cmns, cspans).select(F.expr("codes[0]").alias("c0")).collect()
+    ]
+    assert set(first_codes) == {0}
+
+    # (c) partitioning invariance
+    out = [tuple(r) for r in ann_sq8_search(vecs).collect()]
+    out2 = [tuple(r) for r in ann_sq8_search(vecs.repartition(7)).collect()]
+    assert out == out2
+
+    # (d) full-width shortlist degrades to exact brute force top-5
+    wide = [
+        (r["query_id"], r["rank"], r["cand_id"])
+        for r in ann_sq8_search(vecs, shortlist=10**9).collect()
+    ]
+    exact = [
+        (r["query_id"], r["rank"], r["cand_id"])
+        for r in q_knn_bruteforce(spark, sf_dir).where(F.col("rank") <= 5).collect()
+    ]
+    assert wide == exact
+
+
 def test_dsir_resample_semantics(spark, sf_dir):
     """r12 DSIR end-to-end: the resampled subset (Gumbel top-k over the
     importance weights) must (a) hold exactly _DSIR_K rows ranked 1..k

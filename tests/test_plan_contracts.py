@@ -42,6 +42,7 @@ _FENCED_CROSSJOIN = {
     "ann_srp_persisted",  # r14: on-disk bucket read + the same fenced tail
     "ann_srp_incremental",  # r14: append-maintained layout, same search plan
     "ann_srp_compacted",  # r15: compacted flattened layout, same search plan
+    "ann_sq8",  # r15: SQ8 code scan x broadcast queries + the fenced tail
     "hard_negatives",  # r12: bounded query broadcast (knn_bruteforce shape)
     "ann_recall",
     "embedding_neardup",
@@ -80,7 +81,10 @@ def test_operators_have_no_driver_actions():
     plan-selection class as the tier stats). r14 adds the persisted-
     index probe collect: queries x nprobe bounded rows, collected
     because the probed cell ids must become a STATIC PartitionFilter
-    on the on-disk codes layout (a join can't prune directories)."""
+    on the on-disk codes layout (a join can't prune directories); r15
+    adds the SQ8 quantizer-params collect: exactly 64 (min, span) rows
+    that must become plan LITERALS so the code scan is one projection
+    with no join at all (the ship-the-tiny-trained-state class)."""
     import pathlib
 
     op_dir = pathlib.Path(__file__).resolve().parents[1] / "mysense_spark" / "operators"
@@ -107,6 +111,9 @@ def test_operators_have_no_driver_actions():
                 continue  # r14 persisted-index routing: queries x nprobe
                 # rows collected so the probed cells become a STATIC
                 # partition filter (the upsert day-key fence class)
+            if py.name == "similarity.py" and 'sq8_params(vecs).orderBy("d").collect()' in stripped:
+                prev = stripped
+                continue  # r15 SQ8: 64-row quantizer params -> plan literals
             if py.name == "text.py" and "_bpe_chain(doc, n_merges=0)[0].collect()" in stripped:
                 prev = stripped
                 continue  # r15 single-process trainer: the <= _BPE_VOCAB_CAP
