@@ -1194,3 +1194,145 @@ def test_station_csv_structural_battery(spark, tmp_path):
         f"station CSV structural battery: {len(files)} accepted-shape files"
         f" + {len(rejects)} loud header rejects, {wall:.1f}s"
     )
+
+
+def test_mp3_structure_mutation_battery():
+    """r15 battery for the MP3 structural tier (parse_mp3_frames), at
+    the depth the XLSX/MP4/WAV surfaces got: frame-structure-AWARE
+    poisons — ID3v2 synchsafe size lies (overrun, non-synchsafe high
+    bits, nested double tags), per-frame header corruptions (free
+    bitrate 0, invalid indices 15/3, the reserved version), mid-stream
+    junk splices, wrong-length trailing 'TAG' blocks, truncations at
+    every kind of boundary, and random byte flips — plus untouched
+    golden files whose frame count must survive exactly. Contract (the
+    mapInPandas batch-killer class): parse_mp3_frames returns a dict
+    or raises ValueError — never IndexError/KeyError/struct.error —
+    never loops (min frame size is 8 bytes, so the walk always
+    advances), and aggregates stay consistent on every accept
+    (total_bytes == sum of frame sizes, offsets strictly increasing)."""
+    import time as _time
+
+    from mysense_spark.operators.codecs import (
+        _MP3_KBPS,
+        _MP3_RATES,
+        parse_mp3_frames,
+    )
+
+    rng = random.Random(0x3153)
+
+    def frame_bytes(ver_bits: int, layer_bits: int, br_idx: int, sr_idx: int,
+                    pad: int, mode: int) -> bytes:
+        h = bytes([
+            0xFF,
+            0xE0 | (ver_bits << 3) | (layer_bits << 1) | 1,
+            (br_idx << 4) | (sr_idx << 2) | (pad << 1),
+            mode << 6,
+        ])
+        layer = 4 - layer_bits
+        v1 = ver_bits == 3
+        kbps = _MP3_KBPS[(v1, layer)][br_idx - 1]
+        sr = _MP3_RATES[ver_bits][sr_idx]
+        if layer == 1:
+            size = (12 * kbps * 1000 // sr + pad) * 4
+        else:
+            samples = 576 if (layer == 3 and not v1) else 1152
+            size = samples // 8 * kbps * 1000 // sr + pad
+        return h + bytes(size - 4)
+
+    def id3v2(size: int, hi_bit: bool = False) -> bytes:
+        sz = bytes([
+            (size >> 21) & 0x7F,
+            (size >> 14) & 0x7F,
+            ((size >> 7) & 0x7F) | (0x80 if hi_bit else 0),
+            size & 0x7F,
+        ])
+        return b"ID3" + bytes([3, 0, 0]) + sz + bytes(size)
+
+    def golden(n_frames: int, with_id3: bool, with_tag: bool) -> bytes:
+        out = id3v2(rng.randrange(0, 64)) if with_id3 else b""
+        for _ in range(n_frames):
+            out += frame_bytes(
+                rng.choice([3, 2, 0]),
+                rng.choice([1, 2, 3]),
+                1 + rng.randrange(14),
+                rng.randrange(3),
+                rng.randrange(2),
+                rng.choice([0, 3]),
+            )
+        if with_tag:
+            out += b"TAG" + bytes(125)
+        return out
+
+    trials = 0
+    outcomes = {"ok": 0, "reject": 0}
+
+    def run(payload: bytes, expect_frames: int | None = None) -> None:
+        nonlocal trials
+        trials += 1
+        try:
+            m = parse_mp3_frames(payload)
+        except ValueError:
+            outcomes["reject"] += 1
+            return
+        assert isinstance(m, dict)
+        assert m["total_bytes"] == sum(f["size"] for f in m["frames"])
+        offs = [f["offset"] for f in m["frames"]]
+        assert offs == sorted(offs) and len(set(offs)) == len(offs)
+        if expect_frames is not None:
+            assert m["n_frames"] == expect_frames
+        outcomes["ok"] += 1
+
+    t0 = _time.monotonic()
+    for _ in range(4000):
+        nf = 1 + rng.randrange(6)
+        base = bytearray(golden(nf, rng.random() < 0.5, rng.random() < 0.3))
+        mode = rng.randrange(10)
+        if mode == 0:  # golden: must parse to exactly nf frames
+            tag = bytes(base).endswith(b"TAG" + bytes(125))
+            run(bytes(base), expect_frames=nf if not tag or len(base) > 128 else None)
+            continue
+        elif mode == 1:  # truncate anywhere
+            base = base[: rng.randrange(len(base))]
+        elif mode == 2:  # ID3v2 size overruns the file
+            base = bytearray(id3v2(len(base) + 64)[:10]) + base
+        elif mode == 3:  # non-synchsafe ID3 size byte (>= 0x80)
+            base = bytearray(id3v2(32, hi_bit=True)) + base
+        elif mode == 4:  # nested double ID3v2
+            base = bytearray(id3v2(rng.randrange(0, 32))) + base
+        elif mode == 5:  # corrupt a frame header nibble on a real boundary
+            i = 0
+            if base[:3] == b"ID3":
+                i = 10 + ((base[6] << 21) | (base[7] << 14) | (base[8] << 7) | base[9])
+            if i + 3 <= len(base):
+                poison = rng.choice(["free", "badbr", "badsr", "resv"])
+                if poison == "free":
+                    base[i + 2] &= 0x0F
+                elif poison == "badbr":
+                    base[i + 2] |= 0xF0
+                elif poison == "badsr":
+                    base[i + 2] |= 0x0C
+                else:
+                    base[i + 1] = (base[i + 1] & ~0x18) | 0x08
+        elif mode == 6:  # splice junk mid-stream
+            i = rng.randrange(0, len(base) + 1)
+            base = base[:i] + rng.randbytes(rng.randrange(1, 16)) + base[i:]
+        elif mode == 7:  # wrong-length trailing TAG (127 or 129 bytes)
+            base += b"TAG" + bytes(rng.choice([124, 126]))
+        elif mode == 8:  # flip 1-6 bytes
+            for _f in range(rng.randrange(1, 7)):
+                i = rng.randrange(len(base))
+                base[i] ^= rng.randrange(1, 256)
+        else:  # degenerate files
+            base = bytearray(rng.choice(
+                [b"", b"\xff", b"\xff\xfb", b"TAG" + bytes(125), bytes(4)]
+            ))
+        run(bytes(base))
+    wall = _time.monotonic() - t0
+    assert outcomes["ok"] + outcomes["reject"] == trials
+    assert outcomes["ok"] >= 400  # the golden tenth parses
+    assert outcomes["reject"] >= 1500  # poisons genuinely reject
+    assert wall < 60, f"MP3 battery took {wall:.0f}s"
+    print(
+        f"mp3 structural battery: {trials} trials, {outcomes['ok']} ok,"
+        f" {outcomes['reject']} rejected, {wall:.1f}s"
+    )
