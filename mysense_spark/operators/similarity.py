@@ -3079,6 +3079,64 @@ adc AS (
 """
 
 
+_SQ8_INDEX_VERSION = 1
+
+
+def sq8_index_path(sf_dir: str) -> str:
+    return _index_path(sf_dir, f"sq8|l{_SQ_LEVELS}|v{_SQ8_INDEX_VERSION}")
+
+
+def ensure_sq8_index(spark: SparkSession, sf_dir: str) -> str:
+    """The SQ8 half of the persisted lifecycle (train-once/search-many,
+    the ensure_ivfadc_index / ensure_srp_index discipline): ONE stats
+    pass collects the 64 (min, span) params — the quantizer state IS
+    64 numbers, so it persists as driver-written JSON, not a Spark
+    layout — and ONE encode pass writes the 2-byte-class codes
+    parquet. Maintenance spectrum note: SQ8 sits WITH the IVF tiers,
+    not with SRP — appending vectors whose values escape a dimension's
+    trained [min, max] silently clips their codes to the rails, so an
+    append must re-validate (and on breach retrain) the params; SRP
+    alone appends with no trained state to refresh."""
+    import json
+    import os
+
+    def build(d: str) -> None:
+        vecs = _vectors(spark, sf_dir)
+        params = sq8_params(vecs).orderBy("d").collect()
+        mns = F.array(*[F.lit(int(r["mn"])) for r in params])
+        spans = F.array(*[F.lit(int(r["span"])) for r in params])
+        sq8_encode(vecs, mns, spans).write.parquet(os.path.join(d, "codes"))
+        with open(os.path.join(d, "sq8_params.json"), "w") as f:
+            json.dump(
+                [{"mn": int(r["mn"]), "span": int(r["span"])} for r in params], f
+            )
+
+    return _ensure_index(sq8_index_path(sf_dir), build)
+
+
+def q_ann_sq8_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded entry: SQ8 search through the PERSISTED index — ensure
+    the codes layout + params JSON exist (first run per corpus trains
+    and encodes; every later run skips straight to the search), then
+    search by READING them: the warm lineage holds no stats pass and
+    no encode (pytest-poisoned against both), just the code scan,
+    the literal-params dequantization, and the fenced exact re-rank.
+    The DuckDB oracle is verbatim SQL_ANN_SQ8 — the index is a pure
+    function of the corpus, the plan shape is what changes."""
+    import json
+    import os
+
+    vecs = _vectors(spark, sf_dir)
+    idx = ensure_sq8_index(spark, sf_dir)
+    with open(os.path.join(idx, "sq8_params.json")) as f:
+        params = json.load(f)
+    codes = spark.read.parquet(os.path.join(idx, "codes"))
+    return ann_sq8_search(vecs, parts=(params, codes))
+
+
+SQL_ANN_SQ8_PERSISTED = SQL_ANN_SQ8
+
+
 def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(label, dimension) feature statistics over the embedding
     column: count, mean, std, min, max for each of the 64 dimensions
@@ -4263,6 +4321,7 @@ QUERIES: dict[str, tuple] = {
     "ann_ivf_refined": (q_ann_ivf_refined, SQL_ANN_IVF_REFINED),
     "ann_pq": (q_ann_pq, SQL_ANN_PQ),
     "ann_sq8": (q_ann_sq8, SQL_ANN_SQ8),
+    "ann_sq8_persisted": (q_ann_sq8_persisted, SQL_ANN_SQ8_PERSISTED),
     "ann_ivfadc": (q_ann_ivfadc, SQL_ANN_IVFADC),
     "ann_ivfpq": (q_ann_ivfpq, SQL_ANN_IVFPQ),
     "ann_ivfadc_kmeans": (q_ann_ivfadc_kmeans, SQL_ANN_IVFADC_KMEANS),

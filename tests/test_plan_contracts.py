@@ -43,6 +43,7 @@ _FENCED_CROSSJOIN = {
     "ann_srp_incremental",  # r14: append-maintained layout, same search plan
     "ann_srp_compacted",  # r15: compacted flattened layout, same search plan
     "ann_sq8",  # r15: SQ8 code scan x broadcast queries + the fenced tail
+    "ann_sq8_persisted",  # r15: persisted codes/params read + same search plan
     "hard_negatives",  # r12: bounded query broadcast (knn_bruteforce shape)
     "ann_recall",
     "embedding_neardup",
@@ -626,6 +627,30 @@ def test_srp_persisted_search_reads_not_rehashes(spark, sf_dir, tmp_path, monkey
     plan = warm_df._jdf.queryExecution().executedPlan().toString()
     filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert any("tbl" in f and "bucket" in f for f in filters), plan[:800]
+
+
+def test_sq8_persisted_search_reads_not_requantizes(spark, sf_dir, tmp_path, monkeypatch):
+    """The SQ8 half of the persisted lifecycle (r15): the graded search
+    equals the inline ann_sq8 grading (the index is a pure function of
+    the corpus), and the warm path holds NO stats pass and NO encode —
+    both training entry points are poisoned; only the persisted params
+    JSON and codes parquet may feed the search."""
+    from mysense_spark.operators import similarity as S
+
+    idx = str(tmp_path / "sq8_idx")
+    monkeypatch.setattr(S, "sq8_index_path", lambda _sf: idx)
+
+    cold = S.q_ann_sq8_persisted(spark, sf_dir).collect()
+    inline = S.q_ann_sq8(spark, sf_dir).collect()
+    assert cold == inline and len(cold) > 0
+
+    def _boom(*_a, **_k):
+        raise AssertionError("quantizer retrained/re-encoded on the warm path")
+
+    monkeypatch.setattr(S, "sq8_params", _boom)
+    monkeypatch.setattr(S, "sq8_encode", _boom)
+    warm_df = S.q_ann_sq8_persisted(spark, sf_dir)
+    assert warm_df.collect() == cold
 
 
 def test_index_root_is_private_and_env_overridable(tmp_path, monkeypatch):
