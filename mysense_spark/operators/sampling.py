@@ -653,7 +653,13 @@ def q_packed_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     same fence class as the 1-row totals dimensions."""
     from pyspark.sql import Window
 
-    chunks = pack_shards(load(spark, sf_dir, "documents"))
+    # the chunk lineage (tokenize -> placement -> chunk agg) is consumed
+    # TWICE below — once to derive the distinct-token id table, once as
+    # the join stream — and its output is tiny (shards x chunks rows),
+    # so persist the chunks instead of running the corpus chain twice
+    # (the bm25 one-scan discipline; measured ~1.5x of the suite's
+    # packed_ids cost before the persist)
+    chunks = tracked_persist(pack_shards(load(spark, sf_dir, "documents")))
     tok = chunks.select(
         "shard",
         "chunk",
