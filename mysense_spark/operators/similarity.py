@@ -2958,6 +2958,39 @@ def ann_sq8_search(
     (params_rows, codes) pair across a sweep (tools/sq8_probe.py's
     warm leg) — without it every call re-derives both, the same
     retrain-per-run grading shape as ann_pq."""
+    q, cand = _sq8_scan_sides(vecs, parts)
+    scored = (
+        cand.crossJoin(F.broadcast(q))  # bounded: <= _N_QUERIES rows
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", F.expr(_SQ8_COS_EXPR).alias("sq_cos"))
+    )
+    return _sq8_tail(vecs, scored, shortlist, top_k)
+
+
+# the rounded approximate cosine over (qg, qn | dq, dn) — ONE definition
+# shared by the corpus-wide (ann_sq8) and cell-pruned (ann_ivfsq) scans
+_SQ8_COS_EXPR = (
+    "floor((CAST(aggregate(zip_with(qg, dq, (a, b) -> a * b),"
+    " CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE)"
+    " / (qn * dn))"
+    " * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+    " / CAST(1000000.0 AS DOUBLE)"
+)
+
+
+def _sq8_scan_sides(
+    vecs: DataFrame, parts: tuple[list, DataFrame] | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """The two sides of an SQ8 asymmetric scan — ONE definition shared
+    by ann_sq8_search and ann_ivfsq_search: the full-precision-grid
+    query side (query_id, qg, qn) and the dequantized candidate side
+    (cand_id, dq, dn). Norms and dequantization are PER-ROW facts,
+    computed once per query (5 rows) and once per candidate (N rows) —
+    never inside the Q x N pair projection (the first draft recomputed
+    them per pair: a 3x scan-cost tax tools/sq8_probe.py measured; sqrt
+    of the same integer sum is value-identical wherever it runs, so the
+    oracle — which writes the norms inline per pair — still
+    hash-matches)."""
     if parts is not None:
         params, codes = parts
         mns = F.array(*[F.lit(int(r["mn"])) for r in params])
@@ -2967,12 +3000,6 @@ def ann_sq8_search(
         mns = F.array(*[F.lit(int(r["mn"])) for r in params])
         spans = F.array(*[F.lit(int(r["span"])) for r in params])
         codes = sq8_encode(vecs, mns, spans)
-    # norms and dequantization are PER-ROW facts, computed once per
-    # query (5 rows) and once per candidate (N rows) — never inside the
-    # Q x N pair projection (the first draft recomputed them per pair:
-    # a 3x scan-cost tax the probe measured; sqrt of the same integer
-    # sum is value-identical wherever it runs, so the oracle — which
-    # writes the norms inline per pair — still hash-matches).
     q = (
         vecs.where(F.col("vec_id") < _N_QUERIES)
         .select(
@@ -3009,18 +3036,15 @@ def ann_sq8_search(
         )
         .select("cand_id", "dq", "dn")
     )
-    approx_cos = (
-        "floor((CAST(aggregate(zip_with(qg, dq, (a, b) -> a * b),"
-        " CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE)"
-        " / (qn * dn))"
-        " * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
-        " / CAST(1000000.0 AS DOUBLE)"
-    )
-    scored = (
-        cand.crossJoin(F.broadcast(q))  # bounded: <= _N_QUERIES rows
-        .where(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id", F.expr(approx_cos).alias("sq_cos"))
-    )
+    return q, cand
+
+
+def _sq8_tail(
+    vecs: DataFrame, scored: DataFrame, shortlist: int, top_k: int
+) -> DataFrame:
+    """Shortlist window + fenced exact re-rank — the shared tail of
+    both SQ8 scans (sq_cos DESC with the cand_id tie-break is exactly
+    the oracle tail's adc_dist ASC on the negated cosine)."""
     w = Window.partitionBy("query_id").orderBy(F.desc("sq_cos"), F.asc("cand_id"))
     pooled = (
         scored.withColumn("srank", F.row_number().over(w))
@@ -3041,9 +3065,10 @@ def q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_sq8_search(_vectors(spark, sf_dir))
 
 
-SQL_ANN_SQ8 = f"""
-WITH vecs AS ({_SQL_VECTORS}),
-sgrid AS (
+# The SQ8 train/encode/dequantize chain as a reusable SQL CTE block —
+# ONE definition shared by the ann_sq8 and ann_ivfsq oracles. Emits
+# sgrid (vec_id, g), sdims, sparams, scodes, and sdq (vec_id, dq).
+_SQL_SQ8_CTES = f"""sgrid AS (
   SELECT vec_id, list_transform(v, x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS g
   FROM vecs
 ),
@@ -3065,15 +3090,89 @@ sdq AS (
   SELECT vec_id,
          list_transform(range(64), i -> mns[i + 1] + (codes[i + 1] * spans[i + 1]) // {_SQ_LEVELS}) AS dq
   FROM scodes, sparams
-),
-adc AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-         -(floor((CAST(list_sum(list_transform(range(64), i -> q.g[i + 1] * c.dq[i + 1])) AS DOUBLE)
+)"""
+
+# The negated rounded approximate cosine between a `q` (sgrid) row and
+# a `c` (sdq) row — the shared adc_dist expression of both SQ8 oracles.
+_SQL_SQ8_DIST = """-(floor((CAST(list_sum(list_transform(range(64), i -> q.g[i + 1] * c.dq[i + 1])) AS DOUBLE)
                 / (sqrt(CAST(list_sum(list_transform(q.g, x -> x * x)) AS DOUBLE))
                    * sqrt(CAST(list_sum(list_transform(c.dq, x -> x * x)) AS DOUBLE))))
-               * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)) AS adc_dist
+               * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE))"""
+
+
+SQL_ANN_SQ8 = f"""
+WITH vecs AS ({_SQL_VECTORS}),
+{_SQL_SQ8_CTES},
+adc AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         {_SQL_SQ8_DIST} AS adc_dist
   FROM sgrid q CROSS JOIN sdq c
   WHERE q.vec_id < {_N_QUERIES} AND q.vec_id <> c.vec_id
+),
+{_SQL_RERANK_TAIL}
+"""
+
+
+def ann_ivfsq_search(
+    vecs: DataFrame,
+    nprobe: int = _NPROBE,
+    shortlist: int = 48,
+    top_k: int = 5,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-SQ — the faiss `IVF,SQ8` composition: IVF coarse routing
+    (the shared _route stage) prunes the SQ8 code scan to the probed
+    cells only, then the shared shortlist + fenced exact re-rank tail.
+    This is the composition a 100 TB deployment runs when PQ's
+    accuracy loss is unacceptable but a full SQ8 scan is too much IO:
+    nprobe/K of the 2-byte-class codes are read (at scale the codes
+    ride a cell-partitioned layout exactly like write_ivfadc_index,
+    turning the probe into a directory prune), dequantization stays a
+    per-row affine map in whole-stage codegen, and recall is bounded
+    by routing — SQ8's near-lossless ranking (recall 1.0 in
+    tools/sq8_probe.py) means the cell prune, not the quantizer, is
+    the accuracy knob."""
+    membership, probes = _route(vecs, nprobe, centroids, None)
+    q, cand = _sq8_scan_sides(vecs)
+    cell_cand = cand.join(
+        membership.select(F.col("vec_id").alias("cand_id"), "cent_id"), "cand_id"
+    )
+    scored = (
+        cell_cand.join(
+            F.broadcast(probes.select("query_id", "cent_id")), "cent_id"
+        )  # prune: probed cells only
+        .join(F.broadcast(q), "query_id")
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", F.expr(_SQ8_COS_EXPR).alias("sq_cos"))
+    )
+    return _sq8_tail(vecs, scored, shortlist, top_k)
+
+
+def q_ann_ivfsq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded entry: IVF-SQ8 on the fixture cell directory — probe 2 of
+    the 8 cells, SQ8-score only the probed cells' codes, exact re-rank
+    the per-query top-48 through knn_rerank. The DuckDB oracle mirrors
+    the WHOLE chain: quantizer training/encode (shared CTE block with
+    ann_sq8), cell assignment and probe selection (the shared IVF route
+    body), the cell-pruned approximate ranking, and the rounded-cosine
+    re-rank."""
+    vecs = _vectors(spark, sf_dir)
+    return ann_ivfsq_search(vecs, centroids=_fixture_centroids(vecs))
+
+
+SQL_ANN_IVFSQ = f"""
+WITH vecs AS ({_SQL_VECTORS}),
+{_SQL_ICENTS_FIXTURE},
+{_SQL_IVF_ROUTE_BODY},
+{_SQL_SQ8_CTES},
+adc AS (
+  SELECT p.query_id, c.vec_id AS cand_id,
+         {_SQL_SQ8_DIST} AS adc_dist
+  FROM sdq c
+  JOIN imembership m ON c.vec_id = m.vec_id
+  JOIN iprobes p ON m.cent_id = p.cent_id
+  JOIN sgrid q ON q.vec_id = p.query_id
+  WHERE p.query_id <> c.vec_id
 ),
 {_SQL_RERANK_TAIL}
 """
@@ -4322,6 +4421,7 @@ QUERIES: dict[str, tuple] = {
     "ann_pq": (q_ann_pq, SQL_ANN_PQ),
     "ann_sq8": (q_ann_sq8, SQL_ANN_SQ8),
     "ann_sq8_persisted": (q_ann_sq8_persisted, SQL_ANN_SQ8_PERSISTED),
+    "ann_ivfsq": (q_ann_ivfsq, SQL_ANN_IVFSQ),
     "ann_ivfadc": (q_ann_ivfadc, SQL_ANN_IVFADC),
     "ann_ivfpq": (q_ann_ivfpq, SQL_ANN_IVFPQ),
     "ann_ivfadc_kmeans": (q_ann_ivfadc_kmeans, SQL_ANN_IVFADC_KMEANS),

@@ -86,10 +86,10 @@ def _modules():
 # weighted_sample, zscore_outliers). 48 + r16 changes exceeds 50, so
 # roll the alphabetically-first 50-minus-changes of them in r16 and
 # the remainder (plus bpe_tokenize / bpe_pack / sequence_packing /
-# packed_chunks, r14 evidence, and ann_sq8 / ann_sq8_persisted —
-# added late in r15 with no driver evidence yet, full-oracle-verified
-# at three SFs) in r17; ann_sq8 and ann_sq8_persisted should ride the
-# r16 window as NEW queries if slots allow.
+# packed_chunks, r14 evidence, and ann_sq8 / ann_sq8_persisted /
+# ann_ivfsq — added late in r15 with no driver evidence yet,
+# full-oracle-verified at three SFs) in r17; the three SQ8-family
+# queries should ride the r16 window as NEW queries if slots allow.
 _PRIORITY = (
     # (a) new/changed in round 15
     "packed_shards",

@@ -4001,6 +4001,55 @@ def test_ann_sq8_invariants(spark, sf_dir):
     assert wide == exact
 
 
+def test_ann_ivfsq_invariants(spark, sf_dir):
+    """IVF-SQ8 (r15): (a) probing ALL cells with a full-width shortlist
+    degrades to brute-force exact top-5 — the cell prune and the
+    shortlist are the only approximations, the quantized ranking plus
+    exact tail lose nothing else; (b) the graded shape (nprobe 2) is
+    identical under any input partitioning; (c) every returned
+    candidate entered through a probed cell — the re-rank pool is the
+    UNION across queries (the family semantic _rerank_pool and the
+    oracle tail share), so containment is against the union of all
+    probed cells, re-derived from the routing directly."""
+    from pyspark.sql import functions as F
+
+    from mysense_spark.operators.similarity import (
+        _N_CENTROIDS,
+        _fixture_centroids,
+        _route,
+        _vectors,
+        ann_ivfsq_search,
+        q_knn_bruteforce,
+    )
+
+    vecs = _vectors(spark, sf_dir)
+    cents = _fixture_centroids(vecs)
+    allcells = [
+        (r["query_id"], r["rank"], r["cand_id"])
+        for r in ann_ivfsq_search(
+            vecs, nprobe=_N_CENTROIDS, shortlist=10**9, centroids=cents
+        ).collect()
+    ]
+    exact = [
+        (r["query_id"], r["rank"], r["cand_id"])
+        for r in q_knn_bruteforce(spark, sf_dir).where(F.col("rank") <= 5).collect()
+    ]
+    assert allcells == exact
+
+    out = [tuple(r) for r in ann_ivfsq_search(vecs, centroids=cents).collect()]
+    out2 = [
+        tuple(r)
+        for r in ann_ivfsq_search(vecs.repartition(7), centroids=cents).collect()
+    ]
+    assert out == out2
+
+    membership, probes = _route(vecs, 2, cents, None)
+    cell_of = {r["vec_id"]: r["cent_id"] for r in membership.select("vec_id", "cent_id").collect()}
+    probed_union = {r["cent_id"] for r in probes.select("cent_id").collect()}
+    for _qid, _rank, cand, _cos in out:
+        assert cell_of[cand] in probed_union, cand
+
+
 def test_dsir_resample_semantics(spark, sf_dir):
     """r12 DSIR end-to-end: the resampled subset (Gumbel top-k over the
     importance weights) must (a) hold exactly _DSIR_K rows ranked 1..k

@@ -44,6 +44,7 @@ _FENCED_CROSSJOIN = {
     "ann_srp_compacted",  # r15: compacted flattened layout, same search plan
     "ann_sq8",  # r15: SQ8 code scan x broadcast queries + the fenced tail
     "ann_sq8_persisted",  # r15: persisted codes/params read + same search plan
+    "ann_ivfsq",  # r15: cell-pruned SQ8 scan + the same fenced tail
     "hard_negatives",  # r12: bounded query broadcast (knn_bruteforce shape)
     "ann_recall",
     "embedding_neardup",
