@@ -2616,7 +2616,23 @@ def compact_srp_index(
     import os
     import shutil
 
-    sigs = spark.read.parquet(index_path).select("vec_id", "tbl", "bucket").distinct()
+    # Normalize bucket to the signature kernel's BIGINT before writing
+    # it as a DATA column: reading the HIVE layout re-infers the bucket
+    # PARTITION value as int32, so a flatten that wrote it as-read
+    # would mix int32 files with the int64 files later flat APPENDS
+    # write (srp_signatures emits bigint) — a read-time
+    # PARQUET_COLUMN_DATA_TYPE_MISMATCH that only surfaces when schema
+    # inference happens to pick the other file first (caught by the
+    # stream -> compact -> stream pytest failing order-dependently).
+    sigs = (
+        spark.read.parquet(index_path)
+        .select(
+            "vec_id",
+            F.col("tbl").cast("long").alias("tbl"),
+            F.col("bucket").cast("long").alias("bucket"),
+        )
+        .distinct()
+    )
     stage = f"{index_path}.compact.{os.getpid()}"
     shutil.rmtree(stage, ignore_errors=True)
     writer = sigs.repartition(n_tables, "tbl")

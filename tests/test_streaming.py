@@ -1217,6 +1217,23 @@ def test_srp_stream_survives_compaction_cycles(spark, sf_dir, tmp_path):
     for root, dirs, _files in os.walk(idx):
         assert not any(d.startswith("bucket=") for d in dirs), (root, dirs)
 
+    # every data file must agree on the bucket column's PHYSICAL type —
+    # the compacted files (hive partition values re-inferred int32
+    # before the r15 normalization) and the flat-append files
+    # (srp_signatures bigint) must not mix, or reads fail depending on
+    # which file schema inference lists first (order-dependent flake
+    # caught by the full-suite run; deterministic pin here)
+    import pyarrow.parquet as pq
+
+    bucket_types = set()
+    for root, _dirs, files in os.walk(idx):
+        for fname in files:
+            if fname.endswith(".parquet"):
+                sch = pq.read_schema(os.path.join(root, fname))
+                if "bucket" in sch.names:
+                    bucket_types.add(str(sch.field("bucket").type))
+    assert len(bucket_types) == 1, bucket_types
+
     vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     want = {(r["vec_id"], r["tbl"], r["bucket"]) for r in srp_signatures(vecs).collect()}
     got = {
