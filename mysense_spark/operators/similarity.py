@@ -2994,29 +2994,35 @@ _SQ8_COS_EXPR = (
 )
 
 
-def _sq8_scan_sides(
+def _sq8_literals(params: list) -> tuple[Column, Column]:
+    """The 64-row quantizer state as plan-literal arrays (mns, spans) —
+    ONE definition (r15 review: this idiom had been copy-pasted five
+    times across the scan sides, the persisted build, the probe tool
+    and the unit test; a dtype or ordering change applied to one copy
+    would silently diverge the warm path from the inline path).
+    Accepts Row or dict rows (the persisted lifecycle stores params as
+    JSON)."""
+    mns = F.array(*[F.lit(int(r["mn"])) for r in params])
+    spans = F.array(*[F.lit(int(r["span"])) for r in params])
+    return mns, spans
+
+
+def _sq8_parts(
     vecs: DataFrame, parts: tuple[list, DataFrame] | None = None
-) -> tuple[DataFrame, DataFrame]:
-    """The two sides of an SQ8 asymmetric scan — ONE definition shared
-    by ann_sq8_search and ann_ivfsq_search: the full-precision-grid
-    query side (query_id, qg, qn) and the dequantized candidate side
-    (cand_id, dq, dn). Norms and dequantization are PER-ROW facts,
-    computed once per query (5 rows) and once per candidate (N rows) —
-    never inside the Q x N pair projection (the first draft recomputed
-    them per pair: a 3x scan-cost tax tools/sq8_probe.py measured; sqrt
-    of the same integer sum is value-identical wherever it runs, so the
-    oracle — which writes the norms inline per pair — still
-    hash-matches)."""
+) -> tuple[list, DataFrame]:
+    """Resolve the (params, codes) pair: reuse a trained pair when
+    given, else one stats pass + one encode pass (the retrain-per-run
+    grading shape, like ann_pq)."""
     if parts is not None:
-        params, codes = parts
-        mns = F.array(*[F.lit(int(r["mn"])) for r in params])
-        spans = F.array(*[F.lit(int(r["span"])) for r in params])
-    else:
-        params = sq8_params(vecs).orderBy("d").collect()  # bounded: 64 rows
-        mns = F.array(*[F.lit(int(r["mn"])) for r in params])
-        spans = F.array(*[F.lit(int(r["span"])) for r in params])
-        codes = sq8_encode(vecs, mns, spans)
-    q = (
+        return parts
+    params = sq8_params(vecs).orderBy("d").collect()  # bounded: 64 rows
+    mns, spans = _sq8_literals(params)
+    return params, sq8_encode(vecs, mns, spans)
+
+
+def _sq8_queries(vecs: DataFrame) -> DataFrame:
+    """The full-precision-grid query side (query_id, qg, qn)."""
+    return (
         vecs.where(F.col("vec_id") < _N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
@@ -3032,9 +3038,20 @@ def _sq8_scan_sides(
             ),
         )
     )
-    cand = (
-        codes.withColumnRenamed("vec_id", "cand_id")
-        .withColumn("mns", mns)
+
+
+def _sq8_dequant(codes: DataFrame, params: list) -> DataFrame:
+    """Dequantize a codes stream to (.. , dq, dn). Norms and
+    dequantization are PER-ROW facts, computed once per candidate row —
+    never inside the Q x N pair projection (the first draft recomputed
+    them per pair: a 3x scan-cost tax tools/sq8_probe.py measured; sqrt
+    of the same integer sum is value-identical wherever it runs, so the
+    oracle — which writes the norms inline per pair — still
+    hash-matches). Called AFTER any cell prune so only surviving rows
+    pay the affine map."""
+    mns, spans = _sq8_literals(params)
+    return (
+        codes.withColumn("mns", mns)
         .withColumn("spans", spans)
         .withColumn(
             "dq",
@@ -3050,9 +3067,21 @@ def _sq8_scan_sides(
                 " CAST(0 AS BIGINT), (a, x) -> a + x) AS DOUBLE))"
             ),
         )
-        .select("cand_id", "dq", "dn")
+        .drop("codes", "mns", "spans")
     )
-    return q, cand
+
+
+def _sq8_scan_sides(
+    vecs: DataFrame, parts: tuple[list, DataFrame] | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """The two sides of the corpus-wide SQ8 asymmetric scan: the query
+    side (query_id, qg, qn) and the dequantized candidate side
+    (cand_id, dq, dn)."""
+    params, codes = _sq8_parts(vecs, parts)
+    cand = _sq8_dequant(codes.withColumnRenamed("vec_id", "cand_id"), params).select(
+        "cand_id", "dq", "dn"
+    )
+    return _sq8_queries(vecs), cand
 
 
 def _sq8_tail(
@@ -3135,6 +3164,7 @@ def ann_ivfsq_search(
     shortlist: int = 48,
     top_k: int = 5,
     centroids: DataFrame | None = None,
+    parts: tuple[list, DataFrame] | None = None,
 ) -> DataFrame:
     """IVF-SQ — the faiss `IVF,SQ8` composition: IVF coarse routing
     (the shared _route stage) prunes the SQ8 code scan to the probed
@@ -3147,17 +3177,23 @@ def ann_ivfsq_search(
     per-row affine map in whole-stage codegen, and recall is bounded
     by routing — SQ8's near-lossless ranking (recall 1.0 in
     tools/sq8_probe.py) means the cell prune, not the quantizer, is
-    the accuracy knob."""
+    the accuracy knob. The probe joins run on the RAW codes stream and
+    dequantization happens after them (r15 review: the first cut
+    dequantized all N rows before the prune, making the scan
+    corpus-wide in compute even when the prune made it nprobe/K in
+    rows); `parts` reuses a trained (params, codes) pair across a
+    sweep, like every sibling tier."""
     membership, probes = _route(vecs, nprobe, centroids, None)
-    q, cand = _sq8_scan_sides(vecs)
-    cell_cand = cand.join(
+    params, codes = _sq8_parts(vecs, parts)
+    cell_codes = codes.withColumnRenamed("vec_id", "cand_id").join(
         membership.select(F.col("vec_id").alias("cand_id"), "cent_id"), "cand_id"
     )
+    pruned = cell_codes.join(
+        F.broadcast(probes.select("query_id", "cent_id")), "cent_id"
+    )  # prune: probed cells only
     scored = (
-        cell_cand.join(
-            F.broadcast(probes.select("query_id", "cent_id")), "cent_id"
-        )  # prune: probed cells only
-        .join(F.broadcast(q), "query_id")
+        _sq8_dequant(pruned, params)
+        .join(F.broadcast(_sq8_queries(vecs)), "query_id")
         .where(F.col("query_id") != F.col("cand_id"))
         .select("query_id", "cand_id", F.expr(_SQ8_COS_EXPR).alias("sq_cos"))
     )
@@ -3218,8 +3254,7 @@ def ensure_sq8_index(spark: SparkSession, sf_dir: str) -> str:
     def build(d: str) -> None:
         vecs = _vectors(spark, sf_dir)
         params = sq8_params(vecs).orderBy("d").collect()
-        mns = F.array(*[F.lit(int(r["mn"])) for r in params])
-        spans = F.array(*[F.lit(int(r["span"])) for r in params])
+        mns, spans = _sq8_literals(params)
         sq8_encode(vecs, mns, spans).write.parquet(os.path.join(d, "codes"))
         with open(os.path.join(d, "sq8_params.json"), "w") as f:
             json.dump(

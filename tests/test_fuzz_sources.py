@@ -1272,6 +1272,10 @@ def test_mp3_structure_mutation_battery():
         try:
             m = parse_mp3_frames(payload)
         except ValueError:
+            # a GOLDEN input must never reject (review catch: counting
+            # it as an ordinary reject would let a parser regression on
+            # e.g. all Layer-I goldens sail past the aggregate floors)
+            assert expect_frames is None, "golden MP3 rejected"
             outcomes["reject"] += 1
             return
         assert isinstance(m, dict)

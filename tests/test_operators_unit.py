@@ -3945,6 +3945,7 @@ def test_ann_sq8_invariants(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from mysense_spark.operators.similarity import (
+        _sq8_literals,
         _vectors,
         ann_sq8_search,
         q_knn_bruteforce,
@@ -3955,8 +3956,7 @@ def test_ann_sq8_invariants(spark, sf_dir):
     vecs = _vectors(spark, sf_dir)
     params = sq8_params(vecs).orderBy("d").collect()
     assert len(params) == 64
-    mns = F.array(*[F.lit(int(r["mn"])) for r in params])
-    spans = F.array(*[F.lit(int(r["span"])) for r in params])
+    mns, spans = _sq8_literals(params)
     codes = sq8_encode(vecs, mns, spans)
     rails = codes.select(
         F.min(F.expr("array_min(codes)")).alias("lo"),
@@ -3976,8 +3976,7 @@ def test_ann_sq8_invariants(spark, sf_dir):
     )
     cparams = sq8_params(cdf).orderBy("d").collect()
     assert cparams[0]["span"] == 0
-    cmns = F.array(*[F.lit(int(r["mn"])) for r in cparams])
-    cspans = F.array(*[F.lit(int(r["span"])) for r in cparams])
+    cmns, cspans = _sq8_literals(cparams)
     first_codes = [
         r["c0"]
         for r in sq8_encode(cdf, cmns, cspans).select(F.expr("codes[0]").alias("c0")).collect()

@@ -37,6 +37,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from mysense_spark.operators.similarity import (
+        _sq8_literals,
         _vectors,
         ann_sq8_search,
         knn_rerank,
@@ -81,8 +82,7 @@ def main() -> None:
     shutil.rmtree(tmp, ignore_errors=True)
     t0 = time.time()
     params = sq8_params(vecs).orderBy("d").collect()
-    mns = F.array(*[F.lit(int(r["mn"])) for r in params])
-    spans = F.array(*[F.lit(int(r["span"])) for r in params])
+    mns, spans = _sq8_literals(params)
     sq8_encode(vecs, mns, spans).write.parquet(f"{tmp}/codes")
     t_encode = time.time() - t0
     codes_disk = spark.read.parquet(f"{tmp}/codes")
