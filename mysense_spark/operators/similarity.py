@@ -3264,6 +3264,75 @@ def ensure_sq8_index(spark: SparkSession, sf_dir: str) -> str:
     return _ensure_index(sq8_index_path(sf_dir), build)
 
 
+def ann_sq8_search_indexed(
+    spark: SparkSession, vecs: DataFrame, index_path: str
+) -> DataFrame:
+    """Search an on-disk SQ8 index by explicit path: load the params
+    JSON (64 numbers, driver-side) and the codes parquet, and run the
+    shared search with them — no stats pass, no encode. The direct
+    path both the graded persisted query and a nightly-ingest
+    deployment (post-sq8_index_append) use."""
+    import json
+    import os
+
+    with open(os.path.join(index_path, "sq8_params.json")) as f:
+        params = json.load(f)
+    codes = spark.read.parquet(os.path.join(index_path, "codes"))
+    return ann_sq8_search(vecs, parts=(params, codes))
+
+
+def sq8_index_append(spark: SparkSession, new_vecs: DataFrame, index_path: str) -> None:
+    """Incremental SQ8 maintenance — encode ONLY the new batch under
+    the EXISTING frozen (min, span) params and append its codes: the
+    batch-sized cost a nightly ingest pays, like ivfadc_index_append.
+
+    The frozen-state trade is HARDER here than IVFADC's: a vector
+    value escaping a dimension's trained [min, max] doesn't degrade
+    gracefully — it would clip to the rail, a hard deterministic bias
+    that silently corrupts that vector's ranking forever. So the
+    append REFUSES (ValueError) when the batch breaches any
+    dimension's trained range — one bounded 64-row stats pass over the
+    batch decides — and the caller's move is a rebuild (delete the dir
+    or bump the corpus fingerprint; ensure_sq8_index retrains). IVFADC
+    appends degrade measurably and gradually (the drift table), SQ8
+    appends are exact-or-refused, SRP appends never degrade: the three
+    maintenance postures of the three families.
+
+    Cache-coherence contract (same as ivfadc_index_append): appending
+    retires _INDEX_READY -> _INDEX_APPENDED so the graded
+    pure-function-of-corpus search treats the dir as a cache miss;
+    direct-path callers (ann_sq8_search_indexed) are unaffected."""
+    import json
+    import os
+
+    with open(os.path.join(index_path, "sq8_params.json")) as f:
+        params = json.load(f)
+    vecs = new_vecs
+    batch = sq8_params(vecs).orderBy("d").collect()  # bounded: 64 rows
+    breaches = [
+        (i, int(b["mn"]), int(b["mn"]) + int(b["span"]), int(p["mn"]), int(p["mn"]) + int(p["span"]))
+        for i, (b, p) in enumerate(zip(batch, params))
+        if int(b["mn"]) < int(p["mn"])
+        or int(b["mn"]) + int(b["span"]) > int(p["mn"]) + int(p["span"])
+    ]
+    if breaches:
+        d, bmn, bmx, pmn, pmx = breaches[0]
+        raise ValueError(
+            f"sq8_index_append: batch escapes the trained range on "
+            f"{len(breaches)} dimension(s) (first: dim {d} batch "
+            f"[{bmn}, {bmx}] vs trained [{pmn}, {pmx}]); rail clipping "
+            f"would silently corrupt ranking — rebuild the index "
+            f"(ensure_sq8_index after a corpus refresh) instead"
+        )
+    marker = os.path.join(index_path, "_INDEX_READY")
+    if os.path.exists(marker):
+        os.replace(marker, os.path.join(index_path, "_INDEX_APPENDED"))
+    mns, spans = _sq8_literals(params)
+    sq8_encode(new_vecs, mns, spans).write.mode("append").parquet(
+        os.path.join(index_path, "codes")
+    )
+
+
 def q_ann_sq8_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graded entry: SQ8 search through the PERSISTED index — ensure
     the codes layout + params JSON exist (first run per corpus trains
@@ -3273,15 +3342,9 @@ def q_ann_sq8_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     the literal-params dequantization, and the fenced exact re-rank.
     The DuckDB oracle is verbatim SQL_ANN_SQ8 — the index is a pure
     function of the corpus, the plan shape is what changes."""
-    import json
-    import os
-
     vecs = _vectors(spark, sf_dir)
     idx = ensure_sq8_index(spark, sf_dir)
-    with open(os.path.join(idx, "sq8_params.json")) as f:
-        params = json.load(f)
-    codes = spark.read.parquet(os.path.join(idx, "codes"))
-    return ann_sq8_search(vecs, parts=(params, codes))
+    return ann_sq8_search_indexed(spark, vecs, idx)
 
 
 SQL_ANN_SQ8_PERSISTED = SQL_ANN_SQ8

@@ -654,6 +654,53 @@ def test_sq8_persisted_search_reads_not_requantizes(spark, sf_dir, tmp_path, mon
     assert warm_df.collect() == cold
 
 
+def test_sq8_index_append_exact_or_refused(spark, sf_dir, tmp_path, monkeypatch):
+    """The SQ8 maintenance posture (r15): appends are EXACT-OR-REFUSED.
+    (a) an in-range batch (planted duplicates of the query vectors —
+    every value inside the trained per-dim ranges by construction)
+    appends without retraining and the planted vectors come back at
+    rank 1 with cosine 1.0 through the direct-path search; (b) the
+    append retires _INDEX_READY so the graded ensure path treats the
+    dir as a cache miss; (c) a batch escaping any dimension's trained
+    [min, max] is REFUSED loudly (rail clipping would silently corrupt
+    that vector's ranking), leaving the index untouched."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mysense_spark.operators import similarity as S
+
+    idx = str(tmp_path / "sq8_idx")
+    monkeypatch.setattr(S, "sq8_index_path", lambda _sf: idx)
+    S.ensure_sq8_index(spark, sf_dir)
+
+    vecs = S._vectors(spark, sf_dir).select("vec_id", "label", "v", "norm")
+    planted = vecs.where(F.col("vec_id") < S._N_QUERIES).withColumn(
+        "vec_id", F.col("vec_id") + 9000
+    )
+    assert os.path.exists(os.path.join(idx, "_INDEX_READY"))
+    S.sq8_index_append(spark, planted, idx)
+    assert not os.path.exists(os.path.join(idx, "_INDEX_READY"))
+    assert os.path.exists(os.path.join(idx, "_INDEX_APPENDED"))
+
+    vecs_plus = vecs.unionByName(planted)
+    out = S.ann_sq8_search_indexed(spark, vecs_plus, idx).collect()
+    top = {r["query_id"]: (r["cand_id"], r["cosine"]) for r in out if r["rank"] == 1}
+    for q in range(S._N_QUERIES):
+        assert top[q] == (q + 9000, 1.0), (q, top.get(q))
+
+    # (c) out-of-range batch: scale a vector past the trained max
+    n_files = sum(len(fs) for _r, _d, fs in os.walk(os.path.join(idx, "codes")))
+    breach = planted.withColumn(
+        "v", F.expr("transform(v, x -> x * CAST(10.0 AS DOUBLE))")
+    ).withColumn("vec_id", F.col("vec_id") + 100)
+    with pytest.raises(ValueError, match="escapes the trained range"):
+        S.sq8_index_append(spark, breach, idx)
+    assert (
+        sum(len(fs) for _r, _d, fs in os.walk(os.path.join(idx, "codes"))) == n_files
+    ), "refused append mutated the codes layout"
+
+
 def test_index_root_is_private_and_env_overridable(tmp_path, monkeypatch):
     """The persisted-index cache root (r15 advice): content-keyed dirs
     must live under a per-user 0700 root — never a predictable
