@@ -760,6 +760,120 @@ ORDER BY doc_id
 SQL_PERPLEXITY_BUCKET = _sql_perplexity()
 
 
+def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity per document with add-one (Laplace)
+    smoothing — the structural step from the unigram proxy
+    (q_perplexity_bucket) toward the KenLM/CCNet n-gram quality gate:
+    p(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V), per-doc mean nll over
+    bigram occurrences. Context sensitivity is what the unigram model
+    cannot see: a doc of common words in impossible ORDER (shuffled
+    text, boilerplate splices, keyword stuffing) scores high here
+    while scoring low on unigram nll.
+
+    Exactness: every nll operand is integer-derived (c(w1,w2), c(w1),
+    V), so ln((c_ctx + V)/(c_joint + 1)) is one IEEE division + one
+    libm log, identical in both engines; the per-doc mean runs through
+    exact_avg. Docs with < 2 tokens have no bigrams and no row.
+
+    Scale shape: bigram construction is a zip of the token array with
+    its own shift — pure per-row JVM work, no self-join; the two count
+    tables shuffle once each on their natural keys and join back by
+    plain equi-joins (at 100 TB the distinct-bigram table is NOT
+    broadcastable — unlike the unigram vocab — so the plan leaves the
+    join strategy to stats; V is a 1-row broadcast total, the bm25
+    pattern). Linear, no Python."""
+    return bigram_perplexity(load(spark, sf_dir, "documents"))
+
+
+def bigram_perplexity(doc: DataFrame) -> DataFrame:
+    """The kernel behind q_bigram_perplexity, over any (doc_id, text)
+    frame (unit tests feed synthetic corpora to pin that word ORDER
+    moves the score where the unigram model is blind)."""
+    from .util import exact_avg
+    # ONE regex pass: the token-array stream feeds three consumers
+    # (ctx counts, joint counts, the scoring join) — the bm25 one-scan
+    # discipline (without the persist the lineage re-ran the regex per
+    # consumer: 9 exchanges worth of repeated extraction)
+    arr = tracked_persist(
+        doc.select(
+            "doc_id", F.expr(f"regexp_extract_all(text, '{_WORD_RE}', 0)").alias("w")
+        )
+    )
+    bg = (
+        arr.where(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),"
+                    " (a, b) -> struct(a AS w1, b AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    ctx = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cctx"))
+    jnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cjnt"))
+    voc = (
+        arr.select(F.explode("w").alias("t"))
+        .agg(F.countDistinct("t").alias("v"))
+    )
+    nll = F.log(
+        (F.col("cctx") + F.col("v")).cast("double") / (F.col("cjnt") + F.lit(1))
+    )
+    return (
+        bg.join(jnt, ["w1", "w2"])
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(voc))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            exact_avg(nll, 6).alias("avg_nll"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "avg_nll",
+            F.floor(F.col("avg_nll") * 2).cast("long").alias("nll_bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_bigram_perplexity() -> str:
+    from .util import sql_avg
+
+    return f"""
+WITH arr AS (
+  SELECT doc_id, regexp_extract_all(text, '{_WORD_RE}') AS w FROM documents
+),
+bg AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM arr, LATERAL (SELECT unnest(range(1, len(w))) AS i) t
+  WHERE len(w) >= 2
+),
+ctx AS (SELECT w1, count(*) AS cctx FROM bg GROUP BY 1),
+jnt AS (SELECT w1, w2, count(*) AS cjnt FROM bg GROUP BY 1, 2),
+voc AS (
+  SELECT count(DISTINCT t) AS v
+  FROM (SELECT unnest(w) AS t FROM arr)
+),
+scored AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         {sql_avg('ln(CAST(cctx + (SELECT v FROM voc) AS DOUBLE) / (cjnt + 1))', 6)} AS avg_nll
+  FROM bg JOIN jnt USING (w1, w2) JOIN ctx USING (w1)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, avg_nll,
+       CAST(floor(avg_nll * 2) AS BIGINT) AS nll_bucket
+FROM scored
+ORDER BY doc_id
+"""
+
+
+SQL_BIGRAM_PERPLEXITY = _sql_bigram_perplexity()
+
+
 def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility per language: BPE-ish tokens per whitespace
     word and characters per token — the standard check that a tokenizer
@@ -2108,6 +2222,7 @@ QUERIES: dict[str, tuple] = {
     "dup_ngram_frac": (q_dup_ngram_frac, SQL_DUP_NGRAM_FRAC),
     "duplicate_spans": (q_duplicate_spans, SQL_DUPLICATE_SPANS),
     "perplexity_bucket": (q_perplexity_bucket, SQL_PERPLEXITY_BUCKET),
+    "bigram_perplexity": (q_bigram_perplexity, SQL_BIGRAM_PERPLEXITY),
     "tokenizer_fertility": (q_tokenizer_fertility, SQL_TOKENIZER_FERTILITY),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),

@@ -87,9 +87,9 @@ def _modules():
 # roll the alphabetically-first 50-minus-changes of them in r16 and
 # the remainder (plus bpe_tokenize / bpe_pack / sequence_packing /
 # packed_chunks, r14 evidence, and ann_sq8 / ann_sq8_persisted /
-# ann_ivfsq — added late in r15 with no driver evidence yet,
-# full-oracle-verified at three SFs) in r17; the three SQ8-family
-# queries should ride the r16 window as NEW queries if slots allow.
+# ann_ivfsq / bigram_perplexity — added late in r15 with no driver
+# evidence yet, full-oracle-verified at three SFs) in r17; the four
+# late-r15 queries should ride the r16 window as NEW if slots allow.
 _PRIORITY = (
     # (a) new/changed in round 15
     "packed_shards",

@@ -4854,3 +4854,26 @@ def test_mp3_frame_walk_edge_shapes():
         decode_mp3(a)
     meta, pcm = decode_mp3(a, pcm=False)
     assert meta["n_frames"] == 1 and pcm is None
+
+
+def test_bigram_perplexity_sees_word_order(spark):
+    """The reason the bigram gate exists next to the unigram one: two
+    corpora of IDENTICAL token multisets (same unigram distribution)
+    must separate when one doc's word ORDER breaks the corpus's
+    transition structure. Ten docs repeat 'a b c'; one doc reverses to
+    'c b a' — its bigrams (c,b)/(b,a)/(a,c) are near-unseen, so its
+    avg_nll must exceed every in-order doc's, while every doc shares
+    n_bigrams. Also pins the <2-token exclusion (a 1-token doc emits
+    no row)."""
+    from mysense_spark.operators.text import bigram_perplexity
+
+    rows = [(i, "a b c a b c a b c") for i in range(10)]
+    rows.append((100, "c b a c b a c b a"))
+    rows.append((200, "a"))  # single token: no bigrams, no row
+    doc = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_perplexity(doc).collect()}
+    assert 200 not in out
+    assert all(out[i]["n_bigrams"] == 8 for i in list(range(10)) + [100])
+    in_order = {out[i]["avg_nll"] for i in range(10)}
+    assert len(in_order) == 1  # identical docs score identically
+    assert out[100]["avg_nll"] > max(in_order)
