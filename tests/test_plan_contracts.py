@@ -56,6 +56,7 @@ _FENCED_CROSSJOIN = {
     # construction
     "tfidf_top_terms",
     "perplexity_bucket",
+    "bigram_perplexity",  # r15: 1-row V total rides the scoring join
     "dsir_weights",  # r11: 1-row (ts, tt) totals into the ratio table
     "dsir_resample",  # r12: same weights lineage + global top-k
 }
