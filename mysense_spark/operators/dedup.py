@@ -262,8 +262,15 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .util import ieee_round
 
     doc = load(spark, sf_dir, "documents")
-    sh = _hashed_shingles(doc).withColumn("h", F.col("hsh") % _P)
-    cand = minhash_candidates(minhash_bands(sh))
+    # persist the hashed shingle table (r15 optimization pass): it
+    # feeds FIVE consumers (both banding self-join sides, sizes, both
+    # Jaccard-verify sides) — uncached, each branch re-scans the corpus
+    # and re-extracts shingles (the source_overlap/incremental_dedup
+    # discipline applied to the batch query; 12 parquet scans -> 2 in
+    # the executed plan). The bands table likewise feeds both sides of
+    # the candidate self-join.
+    sh = tracked_persist(_hashed_shingles(doc).withColumn("h", F.col("hsh") % _P))
+    cand = minhash_candidates(tracked_persist(minhash_bands(sh)))
     # verify candidates with exact Jaccard (reuses the hashed shingle sets)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     s1 = sh.select(F.col("doc_id").alias("sd1"), F.col("hsh").alias("h1"))
@@ -535,7 +542,12 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     such corpora minhash_lsh_pairs is the scale tier (8 ppm of
     exhaustive at the same point)."""
     doc = load(spark, sf_dir, "documents")
-    blocks = simhash_blocks(simhash_signatures(doc))
+    # persist the blocked signatures (r15 optimization pass): the
+    # self-join consumes them twice, and the 60-vote signature
+    # aggregation over the exploded word stream is the query's dominant
+    # stage — uncached it runs once per side (one side's exchange
+    # becomes a BroadcastExchange, so ReuseExchange cannot kick in)
+    blocks = tracked_persist(simhash_blocks(simhash_signatures(doc)))
     a = blocks.alias("a")
     b = blocks.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
@@ -1072,8 +1084,9 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = tracked_persist(_hashed_shingles(doc).withColumn("h", F.col("hsh") % _P))
     # the SAME banding stage function the batch query and the scaling
     # sweep use — a banding-configuration change cannot silently leave
-    # the incremental path on an old scheme
-    bands = minhash_bands(sh)
+    # the incremental path on an old scheme (persisted: the new and old
+    # sides below both re-aggregate it otherwise)
+    bands = tracked_persist(minhash_bands(sh))
     nb = bands.where(F.col("doc_id") % _INCR_MOD == 0).alias("n")
     ob = bands.where(F.col("doc_id") % _INCR_MOD != 0).alias("o")
     cand = (

@@ -1384,6 +1384,18 @@ def ann_ivfpq_search(
     if centroids is None and route_parts is None:
         route_parts = _two_level_parts(vecs)
     membership, probes = _route(vecs, nprobe, centroids, route_parts)
+    # membership persist (r15 optimization pass): the corpus assignment
+    # is consumed by BOTH the residual build (rqvecs, inside the codes
+    # lineage) and the cell_codes join below — without the persist the
+    # N x K assignment pass runs once per consumer (the r13 finding
+    # that motivated the membership= parameter, finished: the parameter
+    # shares the DataFrame, the persist shares the COMPUTATION).
+    # probes likewise feeds the residual-LUT build AND the cell-pruning
+    # broadcast — queries x nprobe rows, two consumers. The eager
+    # checkpoint on membership additionally truncates the assignment
+    # lineage out of the residual/codes subtrees (see kmeans_centroids).
+    membership = tracked_persist(membership).localCheckpoint(eager=True)
+    probes = tracked_persist(probes)
     cgrid, cents, codes = (
         parts
         if parts is not None
@@ -1875,12 +1887,16 @@ def _km_chain(emb: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame, DataFram
             .groupBy("vec_id", "cid")
             .agg(F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))).alias("dist"))
         )
-        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
-        return (
-            dist.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "cid", "dist")
-        )
+        # argmin as a map-side-combinable agg instead of a window
+        # (r15 optimization pass, guide §2.3/§2.4): min(struct(dist,
+        # cid)) is EXACTLY the window's (dist ASC, cid ASC) first row —
+        # lexicographic struct ordering over two int64s — but partial
+        # aggregation combines inside each map task and the per-vec_id
+        # sort disappears, the same rewrite ivf_membership carries
+        # (where it was measured 42.8 s -> ~4 s at sf1.0).
+        return dist.groupBy("vec_id").agg(
+            F.min(F.struct("dist", "cid")).alias("m")
+        ).select("vec_id", F.col("m.cid").alias("cid"), F.col("m.dist").alias("dist"))
 
     def update(a: DataFrame) -> DataFrame:
         n = a.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
@@ -1895,9 +1911,14 @@ def _km_chain(emb: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame, DataFram
     cent0 = pts.where(F.col("vec_id").between(_CENTROID_BASE, _CENTROID_BASE + _N_CENTROIDS - 1)).select(
         (F.col("vec_id") - _CENTROID_BASE).alias("cid"), "d", F.col("q").alias("cq")
     )
-    a1 = assign(cent0)
+    # a1/a2 persist (r15 optimization pass): update(a) consumes its
+    # assignment TWICE (the per-cid count and the join back to pts), and
+    # kmeans_train's summary consumes a2 a third time — without the
+    # persist each consumer re-runs the whole N x K assign pass. Tiny
+    # tables (one row per corpus vector, three int64s).
+    a1 = tracked_persist(assign(cent0))
     cent1 = tracked_persist(update(a1))  # feeds assign2 AND the shift metric
-    a2 = assign(cent1)
+    a2 = tracked_persist(assign(cent1))
     cent2 = update(a2)
     return pts, cent1, a2, cent2
 
@@ -1917,19 +1938,35 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold _vectors/_SQL_VECTORS use, so the rounded-cosine routing stays
     bit-identical cross-engine.
 
-    The K-row directory is tracked_persist'd: the IVF search lineages
-    consume the centroids table several times (membership, query
-    probes, and — in the by-residual composition — the residual
-    reference grid), and without the persist EACH consumer re-runs the
-    whole two-pass Lloyd training (measured: 13.3 s → 4.6 s warm at
-    sf0.1 for ann_ivfpq_kmeans). It is also materialized EAGERLY (one
-    K-row count, the knn_rerank-fence precedent): the searches' first
-    touches are several CONCURRENT broadcast-build jobs, and an
-    unmaterialized cache lets each of them race through the full Lloyd
-    lineage before any of them has populated it."""
+    The K-row directory is EAGERLY localCheckpoint'ed: the IVF search
+    lineages consume the centroids table several times (membership,
+    query probes, and — in the by-residual composition — the residual
+    reference grid), and without a materialization EACH consumer
+    re-runs the whole two-pass Lloyd training (measured: 13.3 s → 4.6 s
+    warm at sf0.1 for ann_ivfpq_kmeans). The checkpoint (rather than a
+    persist) ALSO truncates the logical lineage, which the r15
+    optimization pass measured as the dominant remaining cost: each
+    directory reference re-embedded the Lloyd subtree, the composed
+    by-residual plan reached 4.5 MB of explain text, and driver-side
+    analysis alone cost ~15 s per ann_ivfpq_kmeans run. Eagerness also
+    keeps the concurrent-broadcast race fenced (the searches' first
+    touches are several concurrent broadcast-build jobs)."""
     emb = load(spark, sf_dir, "embeddings")
     _pts, _cent1, _a2, cent2 = _km_chain(emb)
-    directory = tracked_persist(
+    # localCheckpoint, not persist+count (r15 optimization pass, guide
+    # §3.3 'materialising an intermediate truncates the plan'): a
+    # persisted directory keeps the FULL Lloyd lineage in the logical
+    # tree, and every search that references the directory several
+    # times (routing, query probes, residual grids, LUTs) multiplies
+    # that subtree — ann_ivfpq_kmeans's logical plan reached 4.5 MB of
+    # explain text and ~15 s of driver-side ANALYSIS per run (measured:
+    # build=17.2 s vs executor work ~2 s). The eager K-row
+    # localCheckpoint cuts the lineage to a LogicalRDD — downstream
+    # plans are constant-size — and it still materializes eagerly, so
+    # the concurrent-broadcast race the old count() fenced stays
+    # fenced. ContextCleaner frees the RDD when the DataFrame goes out
+    # of scope (the _bpe_chain discipline).
+    directory = (
         cent2.groupBy("cid")
         .agg(F.array_sort(F.collect_list(F.struct("d", "cq"))).alias("a"))
         .select(
@@ -1946,8 +1983,8 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
         )
+        .localCheckpoint(eager=True)
     )
-    directory.count()  # K-row materialize: see docstring (broadcast race)
     return directory
 
 
