@@ -956,7 +956,10 @@ def q_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"transform(sequence(0, size(words) - {_DECON_N}), i -> "
         f"concat_ws(' ', slice(words, i + 1, {_DECON_N})))"
     )
-    sh = (
+    # persisted (r15 optimization pass): the train and test branches
+    # below otherwise each re-scan the corpus and re-extract 7-gram
+    # shingles — the same one-scan discipline as the LSH queries
+    sh = tracked_persist(
         doc.select("doc_id", split.alias("split"), words.alias("words"))
         .where(F.size("words") >= _DECON_N)
         .select("doc_id", "split", F.explode(grams).alias("shingle"))

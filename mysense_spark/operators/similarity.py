@@ -1391,10 +1391,8 @@ def ann_ivfpq_search(
     # that motivated the membership= parameter, finished: the parameter
     # shares the DataFrame, the persist shares the COMPUTATION).
     # probes likewise feeds the residual-LUT build AND the cell-pruning
-    # broadcast — queries x nprobe rows, two consumers. The eager
-    # checkpoint on membership additionally truncates the assignment
-    # lineage out of the residual/codes subtrees (see kmeans_centroids).
-    membership = tracked_persist(membership).localCheckpoint(eager=True)
+    # broadcast — queries x nprobe rows, two consumers.
+    membership = tracked_persist(membership)
     probes = tracked_persist(probes)
     cgrid, cents, codes = (
         parts

@@ -596,9 +596,14 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .util import ieee_round
 
     doc = load(spark, sf_dir, "documents")
-    toks = doc.select(
-        "doc_id", F.expr(f"regexp_extract_all(text, '{_WORD_RE}', 0)").alias("w")
-    ).where(F.size("w") >= _DUP_N)
+    # persisted (r15 optimization pass): the positional-gram stream AND
+    # the per-doc total below both consume the tokenized corpus —
+    # uncached each re-runs the regex extraction pass
+    toks = tracked_persist(
+        doc.select(
+            "doc_id", F.expr(f"regexp_extract_all(text, '{_WORD_RE}', 0)").alias("w")
+        ).where(F.size("w") >= _DUP_N)
+    )
     grams = F.expr(
         f"transform(sequence(0, size(w) - {_DUP_N}), i -> concat_ws(' ', slice(w, i + 1, {_DUP_N})))"
     )
