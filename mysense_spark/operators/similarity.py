@@ -1964,12 +1964,7 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the concurrent-broadcast race the old count() fenced stays
     # fenced. ContextCleaner frees the RDD when the DataFrame goes out
     # of scope (the _bpe_chain discipline).
-    # tracked_persist UNDER the checkpoint so a re-run of the same
-    # query rebuilds the directory from the cache (the CacheManager
-    # matches the re-built Lloyd plan) instead of retraining, while
-    # every consumer still sees only the checkpoint's constant-size
-    # LogicalRDD lineage.
-    directory = tracked_persist(
+    directory = (
         cent2.groupBy("cid")
         .agg(F.array_sort(F.collect_list(F.struct("d", "cq"))).alias("a"))
         .select(
@@ -1986,7 +1981,8 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
         )
-    ).localCheckpoint(eager=True)
+        .localCheckpoint(eager=True)
+    )
     return directory
 
 
