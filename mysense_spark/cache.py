@@ -30,17 +30,20 @@ _OWNER: str | None = None
 
 
 def begin_query(name: str) -> None:
-    """Called by the registry wrapper at query entry. Releases tracked
-    caches only when a DIFFERENT query enters: re-running the same query
-    (bench best-of-2, a user iterating) keeps its materialized caches —
-    Spark's CacheManager matches the re-built plan to the existing
-    InMemoryRelation, so the second run is warm, exactly the pre-hygiene
-    behavior — while switching queries still bounds live storage to one
-    query's working set."""
+    """Called by the registry wrapper at query entry. Releases ALL
+    tracked caches — including when the SAME query re-enters. The
+    previous same-owner exemption let the bench's best-of-2 second
+    repetition serve every pure-parquet-lineage persist from the
+    CacheManager (the re-built plan matches the live InMemoryRelation),
+    so min() reported a warm-cache time instead of a computation from
+    the parquet inputs — the exact mechanism adjudicated as gaming for
+    the kmeans directory cache and reverted in b891584. Every query
+    invocation now starts cache-cold; persists still live through the
+    invocation's own collect (released at the NEXT entry), which is all
+    the within-query reuse they exist for."""
     global _OWNER
-    if name != _OWNER:
-        release_tracked()
-        _OWNER = name
+    release_tracked()
+    _OWNER = name
 
 
 def tracked_persist(df: DataFrame) -> DataFrame:
